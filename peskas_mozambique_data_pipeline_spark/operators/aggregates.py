@@ -1,0 +1,143 @@
+"""Aggregation operators (SURVEY §2.4), including the project's one
+genuinely custom aggregate: robust MAD-based outlier bounds (A7).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# LocScaleB scales the MAD to a robust sd estimate with the standard
+# consistency constant (univOutl::LocScaleB, used at
+# R/validation-functions.R:43-69,108-132).
+MAD_TO_SD = 1.4826
+
+
+def exact_median(col: str | Column) -> Column:
+    """Exact median aggregate (A3).  Spark's ``percentile`` uses the same
+    linear interpolation as R type-7 quantiles — never use
+    ``percentile_approx`` where results feed an equality oracle
+    (SURVEY §4 note 2)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.percentile(c, F.lit(0.5))
+
+
+def exact_quantile(col: str | Column, q: float) -> Column:
+    """Exact quantile aggregate (A6): R ``quantile(x, q)`` type-7
+    (R/model-taxa.R:190-196,204-213)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.percentile(c, F.lit(q))
+
+
+def robust_bounds(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    k: float = 3.0,
+    log_transform: bool = True,
+) -> DataFrame:
+    """Per-group robust location-scale outlier bounds (A7).
+
+    Re-implements the observed call surface of ``univOutl::LocScaleB``
+    (R/validation-functions.R:43-69,108-132,242-274,375-401): on the
+    (optionally log) scale compute median and MAD, scale MAD to a robust
+    sd (×1.4826), bound = median ± k·sd, then back-transform with exp.
+    Groups whose MAD is 0 or whose values are all NULL/≤0 yield NULL
+    bounds (the reference skips those groups).
+
+    Physical plan: two hash aggregations over the same grouping plus one
+    broadcast join of the (tiny) per-group medians — the fact table
+    shuffles once per aggregation on ``group_cols`` and AQE reuses the
+    exchange.  No applyInPandas, no per-group Python.
+
+    Returns one row per group: ``group_cols + [lower_bound, upper_bound]``.
+    """
+    gcols = list(group_cols)
+    v = F.col(value_col)
+    x = F.when(v > 0, F.log(v)) if log_transform else v
+
+    scaled = df.select(*gcols, x.alias("_x")).filter(F.col("_x").isNotNull())
+
+    med = scaled.groupBy(*gcols).agg(F.percentile(F.col("_x"), F.lit(0.5)).alias("_med"))
+    dev = scaled.join(F.broadcast(med), gcols)
+    stats = dev.groupBy(*gcols).agg(
+        F.first("_med").alias("_med"),
+        F.percentile(F.abs(F.col("_x") - F.col("_med")), F.lit(0.5)).alias("_mad"),
+    )
+
+    sd = F.col("_mad") * F.lit(MAD_TO_SD)
+    lo = F.col("_med") - F.lit(k) * sd
+    hi = F.col("_med") + F.lit(k) * sd
+    if log_transform:
+        lo, hi = F.exp(lo), F.exp(hi)
+    guard = F.col("_mad") > 0
+    return stats.select(
+        *gcols,
+        F.when(guard, lo).alias("lower_bound"),
+        F.when(guard, hi).alias("upper_bound"),
+    )
+
+
+def flag_outliers(
+    df: DataFrame,
+    bounds: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    flag_col: str = "outlier_flag",
+    flag_value: str = "outlier",
+) -> DataFrame:
+    """Join per-group bounds back and flag out-of-range rows (J10):
+    R/validation-functions.R:180-201,327-344,444-461."""
+    gcols = list(group_cols)
+    out = df.join(F.broadcast(bounds), gcols, "left")
+    v = F.col(value_col)
+    is_out = (
+        v.isNotNull()
+        & F.col("upper_bound").isNotNull()
+        & ((v < F.col("lower_bound")) | (v > F.col("upper_bound")))
+    )
+    return out.withColumn(flag_col, F.when(is_out, F.lit(flag_value)))
+
+
+def group_string_agg(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    sep: str = ", ",
+    distinct: bool = False,
+    alias: str = "flags",
+) -> DataFrame:
+    """Grouped string collapse (A8): ``paste(x[!is.na], collapse=', ')``
+    (R/validation.R:241-256, R/export.R:107,550).
+
+    The list is sorted before joining so results are deterministic under
+    any partitioning — dplyr inherits input order; a distributed engine
+    must impose one.
+    """
+    c = F.col(value_col)
+    collected = F.collect_set(c) if distinct else F.collect_list(c)
+    return df.groupBy(*group_cols).agg(
+        F.array_join(F.array_sort(collected), sep).alias(alias)
+    )
+
+
+def distinct_last_wins(
+    df: DataFrame, key_cols: Sequence[str], order_col: str
+) -> DataFrame:
+    """Grouped last-row-wins dedup (A13): ``group_by(key) |> slice_tail(1)``
+    (R/airtable.R:342-345,381-384)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(F.col(order_col).desc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+    )
+
+
+def sum_not_null(col: str | Column) -> Column:
+    """R ``sum(x, na.rm=TRUE)`` — returns 0 (not NULL) when all inputs
+    are NULL (§1.2 NULL-semantics note; R/validation.R:348)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.coalesce(F.sum(c), F.lit(0.0))

@@ -1,0 +1,474 @@
+"""Query registry: every SURVEY §2 operator exercised on the harness
+tables, with a matching DuckDB oracle SQL string.
+
+Cross-engine determinism rules (so the driver's order-insensitive
+value-hash matches):
+
+* Money/quantity sums go through exact DECIMAL arithmetic and are cast
+  to double only at the end (float summation order differs between
+  engines; decimal addition is exact and associative).
+* Interpolated statistics (percentile/median) and transcendental math
+  (ln/exp) are rounded to 6 decimals on BOTH sides — last-ulp libm
+  differences are real, half-grid rounding absorbs them.
+* Counts are BIGINT on both sides (DuckDB ``sum(int)`` yields HUGEINT —
+  always cast).
+* Dates are cast to DATE; every computed column is aliased identically
+  in the Spark plan and the SQL text.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .operators import aggregates as agg_ops
+from .operators import joins as join_ops
+from .operators import reshape as reshape_ops
+from .operators import windows as win_ops
+from .session import load_tables, read_table
+
+# ---------------------------------------------------------------------------
+# helpers
+
+DEC = "decimal(18,2)"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table(spark, sf_dir, name)
+
+
+def _revenue_dec() -> F.Column:
+    """Exact decimal l_extendedprice*(1-l_discount)."""
+    price = F.col("l_extendedprice").cast(DEC)
+    disc = F.col("l_discount").cast(DEC)
+    return price * (F.lit(1).cast(DEC) - disc)
+
+
+def _r6(c):
+    return F.round(c, 6)
+
+
+# ---------------------------------------------------------------------------
+# Q: trip rollup (A1/A2 + M4 indicators) — survey trip totals analog:
+# lineitem grouped by order with carry-along order attributes, then
+# CPUE-style per-unit indicator.  R/preprocessing-surveys.R:773-786,
+# R/validation.R:332-359, R/export.R:88-116.
+
+
+def q_trip_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    per_trip = lineitem.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("total_qty"),
+        F.sum(_revenue_dec()).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+    carry = orders.select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        F.col("o_orderdate").cast("date").alias("order_date"),
+        "o_orderpriority",
+    )
+    out = per_trip.join(carry, "l_orderkey", "left")
+    # price-per-unit indicator (M4 price/kg analog); Inf normalized to NULL
+    ppu = F.when(F.col("total_qty") > 0, F.col("revenue") / F.col("total_qty"))
+    return out.select(
+        "l_orderkey",
+        "total_qty",
+        "revenue",
+        "n_items",
+        "order_date",
+        "o_orderpriority",
+        _r6(ppu).alias("price_per_unit"),
+    )
+
+
+SQL_TRIP_ROLLUP = """
+WITH per_trip AS (
+  SELECT
+    l_orderkey,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+    COUNT(*) AS n_items
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT
+  p.l_orderkey, p.total_qty, p.revenue, p.n_items,
+  CAST(o.o_orderdate AS DATE) AS order_date,
+  o.o_orderpriority,
+  ROUND(CASE WHEN p.total_qty > 0 THEN p.revenue / p.total_qty END, 6) AS price_per_unit
+FROM per_trip p LEFT JOIN orders o ON p.l_orderkey = o.o_orderkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: dimension enrichment chain (J1) — star joins lineitem→supplier→
+# nation→region then aggregate.  R/preprocessing-surveys.R:974-1016.
+
+
+def q_dim_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = _t(spark, sf_dir, "lineitem")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    enriched = join_ops.enrich(
+        lineitem.withColumn("rev", _revenue_dec()),
+        [
+            (supplier.select(F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"), "l_suppkey"),
+            (nation.select(F.col("n_nationkey").alias("s_nationkey"), "n_name", "n_regionkey"), "s_nationkey"),
+            (region.select(F.col("r_regionkey").alias("n_regionkey"), "r_name"), "n_regionkey"),
+        ],
+    )
+    return (
+        enriched.groupBy("r_name", "l_returnflag")
+        .agg(
+            F.sum(F.col("rev")).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select("r_name", "l_returnflag", "revenue", "n_rows")
+    )
+
+
+SQL_DIM_ENRICHMENT = """
+SELECT
+  r.r_name, l.l_returnflag,
+  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+           * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_rows
+FROM lineitem l
+LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
+LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name, l.l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: monthly median with calendar densification (A3 + D2 + R7) — the
+# flagship "monthly median CPUE by district" shape (R/export.R:568-602):
+# month-truncate, exact median per (nation, month), then complete the
+# month spine emitting NULL rows for missing months.
+
+
+def q_monthly_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    facts = (
+        orders.join(
+            F.broadcast(customer.select(F.col("c_custkey").alias("o_custkey"), "c_nationkey")),
+            "o_custkey",
+        )
+        .join(
+            F.broadcast(nation.select(F.col("n_nationkey").alias("c_nationkey"), "n_name")),
+            "c_nationkey",
+        )
+        .select(
+            "n_name",
+            F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month"),
+            "o_totalprice",
+        )
+    )
+    monthly = facts.groupBy("n_name", "month").agg(
+        _r6(F.percentile(F.col("o_totalprice"), F.lit(0.5))).alias("median_price"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    dense = reshape_ops.complete_months(
+        monthly, ["n_name"], "month", fill={"n_orders": F.lit(0)}
+    )
+    return dense.select("n_name", "month", "median_price", "n_orders")
+
+
+SQL_MONTHLY_MEDIAN = """
+WITH facts AS (
+  SELECT n.n_name,
+         CAST(date_trunc('month', o.o_orderdate) AS DATE) AS month,
+         o.o_totalprice
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+),
+monthly AS (
+  SELECT n_name, month,
+         ROUND(quantile_cont(o_totalprice, 0.5), 6) AS median_price,
+         COUNT(*) AS n_orders
+  FROM facts GROUP BY n_name, month
+),
+spine AS (
+  SELECT CAST(unnest(generate_series(
+           (SELECT MIN(month) FROM monthly),
+           (SELECT MAX(month) FROM monthly),
+           INTERVAL 1 MONTH)) AS DATE) AS month
+),
+dims AS (SELECT DISTINCT n_name FROM monthly)
+SELECT d.n_name, s.month, m.median_price,
+       COALESCE(m.n_orders, 0) AS n_orders
+FROM dims d CROSS JOIN spine s
+LEFT JOIN monthly m ON m.n_name = d.n_name AND m.month = s.month
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: top-k with Other rollup (W1/W2) — top-3 brands per supplier nation
+# by revenue, remainder bucketed as 'Other' and re-aggregated
+# (R/export.R:636-693).
+
+
+def q_topk_other(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    enriched = join_ops.enrich(
+        lineitem.withColumn("rev", _revenue_dec()),
+        [
+            (part.select(F.col("p_partkey").alias("l_partkey"), "p_brand"), "l_partkey"),
+            (supplier.select(F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"), "l_suppkey"),
+            (nation.select(F.col("n_nationkey").alias("s_nationkey"), "n_name"), "s_nationkey"),
+        ],
+    )
+    per_brand = enriched.groupBy("n_name", "p_brand").agg(
+        F.sum("rev").alias("rev_dec")
+    )
+    ranked = win_ops.rank_in_group(per_brand, ["n_name"], "rev_dec", True, "_rk", ["p_brand"])
+    bucketed = ranked.withColumn(
+        "brand",
+        F.when(F.col("_rk") <= 3, F.col("p_brand")).otherwise(F.lit("Other")),
+    )
+    return (
+        bucketed.groupBy("n_name", "brand")
+        .agg(F.sum("rev_dec").cast("double").alias("revenue"))
+        .select("n_name", "brand", "revenue")
+    )
+
+
+SQL_TOPK_OTHER = """
+WITH per_brand AS (
+  SELECT n.n_name, p.p_brand,
+         SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+             * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS rev_dec
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  GROUP BY n.n_name, p.p_brand
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY rev_dec DESC, p_brand) AS rk
+  FROM per_brand
+)
+SELECT n_name,
+       CASE WHEN rk <= 3 THEN p_brand ELSE 'Other' END AS brand,
+       CAST(SUM(rev_dec) AS DOUBLE) AS revenue
+FROM ranked
+GROUP BY n_name, CASE WHEN rk <= 3 THEN p_brand ELSE 'Other' END
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: robust MAD outlier bounds (A7) — per-brand log-scale median±k·MAD
+# bounds on extended price, the reference's main custom aggregate
+# (R/validation-functions.R:43-69,108-132).
+
+
+def q_robust_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    joined = lineitem.join(
+        F.broadcast(part.select(F.col("p_partkey").alias("l_partkey"), "p_brand")),
+        "l_partkey",
+    )
+    bounds = agg_ops.robust_bounds(joined, ["p_brand"], "l_extendedprice", k=3.0)
+    return bounds.select(
+        "p_brand",
+        _r6(F.col("lower_bound")).alias("lower_bound"),
+        _r6(F.col("upper_bound")).alias("upper_bound"),
+    )
+
+
+SQL_ROBUST_BOUNDS = """
+WITH x AS (
+  SELECT p.p_brand, ln(l.l_extendedprice) AS lx
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE l.l_extendedprice > 0
+),
+med AS (
+  SELECT p_brand, quantile_cont(lx, 0.5) AS med FROM x GROUP BY p_brand
+),
+stats AS (
+  SELECT x.p_brand,
+         ANY_VALUE(m.med) AS med,
+         quantile_cont(ABS(x.lx - m.med), 0.5) AS mad
+  FROM x JOIN med m ON x.p_brand = m.p_brand
+  GROUP BY x.p_brand
+)
+SELECT p_brand,
+       ROUND(CASE WHEN mad > 0 THEN exp(med - 3.0 * 1.4826 * mad) END, 6) AS lower_bound,
+       ROUND(CASE WHEN mad > 0 THEN exp(med + 3.0 * 1.4826 * mad) END, 6) AS upper_bound
+FROM stats
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: unpivot to long metrics (R8) — quantity/price/discount stacked into
+# (metric_type, metric_value) per order-line, then aggregated monthly:
+# the reference's long "fishery metrics" normalization
+# (R/preprocessing-surveys.R:795-804, R/export.R:201-205).
+
+
+def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = _t(spark, sf_dir, "lineitem")
+    prepared = lineitem.select(
+        F.date_trunc("month", F.col("l_shipdate")).cast("date").alias("month"),
+        F.col("l_quantity").cast(DEC).alias("quantity"),
+        F.col("l_extendedprice").cast(DEC).alias("price"),
+        F.col("l_discount").cast(DEC).alias("discount"),
+    )
+    long = reshape_ops.unpivot(
+        prepared, ["month"], ["quantity", "price", "discount"],
+        "metric_type", "metric_value",
+    )
+    return (
+        long.groupBy("month", "metric_type")
+        .agg(
+            F.sum("metric_value").cast("double").alias("metric_total"),
+            F.count(F.lit(1)).alias("n_values"),
+        )
+        .select("month", "metric_type", "metric_total", "n_values")
+    )
+
+
+SQL_UNPIVOT_METRICS = """
+WITH long AS (
+  SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+         metric_type, metric_value
+  FROM (
+    SELECT l_shipdate,
+           CAST(l_quantity AS DECIMAL(18,2)) AS quantity,
+           CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
+           CAST(l_discount AS DECIMAL(18,2)) AS discount
+    FROM lineitem
+  ) UNPIVOT (metric_value FOR metric_type IN (quantity, price, discount))
+)
+SELECT month, metric_type,
+       CAST(SUM(metric_value) AS DOUBLE) AS metric_total,
+       COUNT(*) AS n_values
+FROM long GROUP BY month, metric_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: long→wide pivot (R2) — order counts per nation pivoted by order
+# status (R/export.R:373-381 pivot_wider).
+
+
+def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    joined = orders.join(
+        F.broadcast(customer.select(F.col("c_custkey").alias("o_custkey"), "c_nationkey")),
+        "o_custkey",
+    ).join(
+        F.broadcast(nation.select(F.col("n_nationkey").alias("c_nationkey"), "n_name")),
+        "c_nationkey",
+    )
+    statuses = ["F", "O", "P"]
+    pivoted = (
+        joined.groupBy("n_name")
+        .pivot("o_orderstatus", statuses)
+        .agg(F.count(F.lit(1)))
+    )
+    out = pivoted
+    for s in statuses:
+        out = out.withColumn(s, F.coalesce(F.col(s), F.lit(0)).cast("long"))
+    return out.select("n_name", *[F.col(s).alias(f"status_{s}") for s in statuses])
+
+
+SQL_PIVOT_STATUS = """
+SELECT n.n_name,
+       CAST(COUNT(*) FILTER (WHERE o.o_orderstatus = 'F') AS BIGINT) AS status_F,
+       CAST(COUNT(*) FILTER (WHERE o.o_orderstatus = 'O') AS BIGINT) AS status_O,
+       CAST(COUNT(*) FILTER (WHERE o.o_orderstatus = 'P') AS BIGINT) AS status_P
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: semi/anti join (J6/J7) — customers partitioned into with/without
+# recent orders (validation's flagged-id exclusion shape,
+# R/validation.R:315-317,432-440).
+
+
+def q_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    recent = orders.filter(F.col("o_orderdate") >= F.lit("1999-01-01")).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    with_recent = join_ops.semi_join(customer, recent, "c_custkey").select(
+        "c_custkey", "c_mktsegment", F.lit("active").alias("cohort")
+    )
+    without = join_ops.anti_join(customer, recent, "c_custkey").select(
+        "c_custkey", "c_mktsegment", F.lit("inactive").alias("cohort")
+    )
+    both = with_recent.unionByName(without)
+    return (
+        both.groupBy("c_mktsegment", "cohort")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .select("c_mktsegment", "cohort", "n_customers")
+    )
+
+
+SQL_SEMI_ANTI = """
+WITH recent AS (
+  SELECT DISTINCT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+),
+cohorts AS (
+  SELECT c_custkey, c_mktsegment,
+         CASE WHEN c_custkey IN (SELECT o_custkey FROM recent)
+              THEN 'active' ELSE 'inactive' END AS cohort
+  FROM customer
+)
+SELECT c_mktsegment, cohort, COUNT(*) AS n_customers
+FROM cohorts GROUP BY c_mktsegment, cohort
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry assembly
+
+
+SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "trip_rollup": q_trip_rollup,
+    "dim_enrichment": q_dim_enrichment,
+    "monthly_median": q_monthly_median,
+    "topk_other": q_topk_other,
+    "robust_bounds": q_robust_bounds,
+    "unpivot_metrics": q_unpivot_metrics,
+    "pivot_status": q_pivot_status,
+    "semi_anti": q_semi_anti,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "trip_rollup": SQL_TRIP_ROLLUP,
+    "dim_enrichment": SQL_DIM_ENRICHMENT,
+    "monthly_median": SQL_MONTHLY_MEDIAN,
+    "topk_other": SQL_TOPK_OTHER,
+    "robust_bounds": SQL_ROBUST_BOUNDS,
+    "unpivot_metrics": SQL_UNPIVOT_METRICS,
+    "pivot_status": SQL_PIVOT_STATUS,
+    "semi_anti": SQL_SEMI_ANTI,
+}
+
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver smoke entry: the monthly-median densified metrics query
+    (SURVEY §7.2's minimum end-to-end slice)."""
+    load_tables(spark, sf_dir)
+    return q_monthly_median(spark, sf_dir)

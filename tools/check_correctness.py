@@ -1,0 +1,129 @@
+"""Local stand-in for the driver's t2 correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
+DuckDB at sf0.01, sorts columns by name and rows by value, and compares
+row counts + values (exact for ints/strings/dates, tiny tolerance for
+floats so genuine logic bugs surface while last-ulp noise doesn't).
+
+Usage: python tools/check_correctness.py [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+from peskas_mozambique_data_pipeline_spark.session import get_spark
+import importlib
+
+entry_mod = importlib.import_module("__spark_entry__")
+
+SF_DIR = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def normalize(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float):
+                if math.isnan(v):
+                    v = "NaN"
+                else:
+                    v = round(v, 9)
+            vals.append(v)
+        out.append(tuple(vals))
+    out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
+    return out, [cols[i] for i in order]
+
+
+def values_close(a, b):
+    if a is None or b is None:
+        return a is b
+    if isinstance(a, float) or isinstance(b, float):
+        try:
+            fa, fb = float(a), float(b)
+        except (TypeError, ValueError):
+            return str(a) == str(b)
+        if math.isnan(fa) and math.isnan(fb):
+            return True
+        return math.isclose(fa, fb, rel_tol=1e-9, abs_tol=1e-9)
+    return str(a) == str(b)
+
+
+def main() -> int:
+    only = set(sys.argv[1:])
+    spark = get_spark(shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        path = f"{SF_DIR}/{t}.parquet"
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, SF_DIR)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            print(f"FAIL {name}: spark error: {e}")
+            failures += 1
+            continue
+        if name not in oracles:
+            print(f"SKIP {name}: no oracle (rows-only) -> {len(srows)} rows "
+                  f"[{time.time()-t0:.1f}s]")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            dcols = [d[0] for d in res.description]
+            drows = res.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {e}")
+            failures += 1
+            continue
+
+        sn, scols_s = normalize(srows, scols)
+        dn, dcols_s = normalize(drows, dcols)
+        status = []
+        if [c.lower() for c in scols_s] != [c.lower() for c in dcols_s]:
+            status.append(f"cols spark={scols_s} duck={dcols_s}")
+        if len(sn) != len(dn):
+            status.append(f"rowcount spark={len(sn)} duck={len(dn)}")
+        elif not status:
+            mism = 0
+            example = None
+            for rs, rd in zip(sn, dn):
+                if len(rs) != len(rd) or not all(values_close(a, b) for a, b in zip(rs, rd)):
+                    mism += 1
+                    if example is None:
+                        example = (rs, rd)
+            if mism:
+                status.append(f"{mism}/{len(sn)} rows differ; e.g. spark={example[0]} duck={example[1]}")
+        if status:
+            print(f"FAIL {name}: " + " | ".join(status))
+            failures += 1
+        else:
+            print(f"OK   {name}: {len(sn)} rows [{time.time()-t0:.1f}s]")
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
