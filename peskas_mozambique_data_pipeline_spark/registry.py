@@ -444,6 +444,8 @@ FROM cohorts GROUP BY c_mktsegment, cohort
 # registry assembly
 
 
+from . import registry_relational
+
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "trip_rollup": q_trip_rollup,
     "dim_enrichment": q_dim_enrichment,
@@ -465,6 +467,9 @@ ORACLE_SQL: dict[str, str] = {
     "pivot_status": SQL_PIVOT_STATUS,
     "semi_anti": SQL_SEMI_ANTI,
 }
+
+SPARK_QUERIES.update(registry_relational.SPARK_QUERIES)
+ORACLE_SQL.update(registry_relational.ORACLE_SQL)
 
 
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:

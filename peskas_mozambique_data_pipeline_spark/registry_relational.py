@@ -1,0 +1,420 @@
+"""Query registry batch 2: N-ary merges, conditional 1:1 join, flag
+battery + explode, fuzzy dedup, quantile coefficients, LW model math,
+events windowing.  Same cross-engine determinism rules as registry.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions.columns import flag_concat
+from .operators import joins as join_ops
+from .operators import reshape as reshape_ops
+from .operators.aggregates import distinct_last_wins
+from .session import read_table
+
+DEC = "decimal(18,2)"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Q: N-ary full outer merge by key (J2) — per-returnflag order slices
+# full-joined on l_orderkey, the reference's reduce(full_join) merge of
+# general/trip/catch/market frames (R/preprocessing-surveys.R:286-293).
+
+
+def q_nary_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = _t(spark, sf_dir, "lineitem")
+
+    def slice_for(flag: str, alias: str) -> DataFrame:
+        return (
+            lineitem.filter(F.col("l_returnflag") == flag)
+            .groupBy("l_orderkey")
+            .agg(
+                F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias(f"{alias}_qty"),
+                F.count(F.lit(1)).alias(f"{alias}_rows"),
+            )
+        )
+
+    merged = join_ops.nary_full_join(
+        [slice_for("R", "r"), slice_for("N", "n"), slice_for("A", "a")],
+        "l_orderkey",
+    )
+    return merged.select("l_orderkey", "r_qty", "r_rows", "n_qty", "n_rows", "a_qty", "a_rows")
+
+
+SQL_NARY_FULL_JOIN = """
+WITH r AS (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS r_qty,
+         COUNT(*) AS r_rows
+  FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_orderkey
+),
+n AS (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS n_qty,
+         COUNT(*) AS n_rows
+  FROM lineitem WHERE l_returnflag = 'N' GROUP BY l_orderkey
+),
+a AS (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS a_qty,
+         COUNT(*) AS a_rows
+  FROM lineitem WHERE l_returnflag = 'A' GROUP BY l_orderkey
+)
+SELECT l_orderkey, r_qty, r_rows, n_qty, n_rows, a_qty, a_rows
+FROM r FULL JOIN n USING (l_orderkey) FULL JOIN a USING (l_orderkey)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: conditional 1:1 merge (J5) — click events ↔ view events on
+# (event_date, user_id), joined ONLY for user-days with exactly one row
+# on each side; the GPS-trip ↔ landing merge (R/merge-trips.R:42-73).
+
+
+def q_conditional_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    base = events.select(
+        F.col("ts").cast("date").alias("event_date"),
+        "user_id",
+        "event_id",
+        "event_type",
+        "value",
+    )
+    clicks = base.filter(F.col("event_type") == "click").select(
+        "event_date",
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("value").alias("click_value"),
+    )
+    views = base.filter(F.col("event_type") == "view").select(
+        "event_date",
+        "user_id",
+        F.col("event_id").alias("view_id"),
+        F.col("value").alias("view_value"),
+    )
+    merged = join_ops.conditional_one_to_one_merge(clicks, views, ["event_date", "user_id"])
+    return merged.select(
+        "event_date", "user_id", "click_id", "click_value", "view_id", "view_value"
+    )
+
+
+SQL_CONDITIONAL_MERGE = """
+WITH c AS (
+  SELECT CAST(ts AS DATE) AS event_date, user_id,
+         event_id AS click_id, value AS click_value,
+         COUNT(*) OVER (PARTITION BY CAST(ts AS DATE), user_id) AS n
+  FROM events WHERE event_type = 'click'
+),
+v AS (
+  SELECT CAST(ts AS DATE) AS event_date, user_id,
+         event_id AS view_id, value AS view_value,
+         COUNT(*) OVER (PARTITION BY CAST(ts AS DATE), user_id) AS n
+  FROM events WHERE event_type = 'view'
+),
+merged AS (
+  SELECT COALESCE(c.event_date, v.event_date) AS event_date,
+         COALESCE(c.user_id, v.user_id) AS user_id,
+         c.click_id, c.click_value, v.view_id, v.view_value
+  FROM (SELECT * FROM c WHERE n = 1) c
+  FULL JOIN (SELECT * FROM v WHERE n = 1) v
+    ON c.event_date = v.event_date AND c.user_id = v.user_id
+)
+SELECT event_date, user_id, click_id, click_value, view_id, view_value FROM merged
+UNION ALL
+SELECT event_date, user_id, click_id, click_value, NULL, NULL FROM c WHERE n > 1
+UNION ALL
+SELECT event_date, user_id, NULL, NULL, view_id, view_value FROM v WHERE n > 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: rule-flag battery + consolidation + explode (M5 + A9 + R6) — per
+# line-item rule flags concat_ws'd per order, then exploded one row per
+# flag and counted (R/validation.R:127-234,1291-1294).
+
+
+def q_flag_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = _t(spark, sf_dir, "lineitem")
+    flagged = lineitem.select(
+        "l_orderkey",
+        flag_concat(
+            F.when(F.col("l_quantity") > 45, F.lit("big_qty")),
+            F.when(F.col("l_discount") > 0.08, F.lit("high_disc")),
+            F.when(F.col("l_returnflag") == "R", F.lit("returned")),
+            F.when(F.col("l_tax") > 0.07, F.lit("high_tax")),
+            sep=",",
+        ).alias("alert_flag"),
+    )
+    per_order = flagged.groupBy("l_orderkey").agg(
+        F.array_join(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list(F.split(F.col("alert_flag"), ","))))),
+            ",",
+        ).alias("alert_flag")
+    ).filter(F.col("alert_flag") != "")
+    exploded = reshape_ops.explode_delimited(per_order, "alert_flag", "flag", ",")
+    return (
+        exploded.groupBy("flag")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .select("flag", "n_orders")
+    )
+
+
+SQL_FLAG_BATTERY = """
+WITH per_line AS (
+  SELECT l_orderkey, flag
+  FROM lineitem, UNNEST(LIST_VALUE(
+    CASE WHEN l_quantity > 45 THEN 'big_qty' END,
+    CASE WHEN l_discount > 0.08 THEN 'high_disc' END,
+    CASE WHEN l_returnflag = 'R' THEN 'returned' END,
+    CASE WHEN l_tax > 0.07 THEN 'high_tax' END)) AS t(flag)
+  WHERE flag IS NOT NULL
+),
+per_order AS (
+  SELECT DISTINCT l_orderkey, flag FROM per_line
+)
+SELECT flag, COUNT(*) AS n_orders FROM per_order GROUP BY flag
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: fuzzy name dedup (F1-F4) — pairwise Levenshtein over distinct
+# supplier names, canonicalize each to the (shortest, alphabetically
+# first) variant among its ≤2-distance neighborhood
+# (R/preprocessing-surveys.R:1316-1374).
+
+
+def q_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supplier = _t(spark, sf_dir, "supplier")
+    names = supplier.select(F.col("s_name").alias("name")).distinct()
+    a = names.alias("a")
+    b = names.alias("b")
+    pairs = (
+        a.crossJoin(b)
+        .select(F.col("a.name").alias("name"), F.col("b.name").alias("cand"))
+        .filter(F.levenshtein(F.col("name"), F.col("cand")).between(0, 2))
+    )
+    w = Window.partitionBy("name").orderBy(F.length("cand"), F.col("cand"))
+    canon = (
+        pairs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("name", F.col("cand").alias("canonical"))
+    )
+    return canon.filter(F.col("name") != F.col("canonical"))
+
+
+SQL_FUZZY_DEDUP = """
+WITH names AS (SELECT DISTINCT s_name AS name FROM supplier),
+pairs AS (
+  SELECT a.name AS name, b.name AS cand
+  FROM names a CROSS JOIN names b
+  WHERE levenshtein(a.name, b.name) <= 2
+),
+ranked AS (
+  SELECT name, cand,
+         ROW_NUMBER() OVER (PARTITION BY name ORDER BY LENGTH(cand), cand) AS rn
+  FROM pairs
+)
+SELECT name, cand AS canonical FROM ranked WHERE rn = 1 AND name <> cand
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: quantile coefficient modeling (A6/M2) — per-brand type-7 quantiles
+# of retail price and size, the LW-coefficient aggregation
+# (R/model-taxa.R:190-213).
+
+
+def q_quantile_coeffs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    return (
+        part.groupBy("p_brand")
+        .agg(
+            F.round(F.percentile(F.col("p_retailprice"), F.lit(0.6)), 6).alias("a_60"),
+            F.round(F.percentile(F.col("p_size").cast("double"), F.lit(0.6)), 6).alias("b_60"),
+            F.round(F.percentile(F.col("p_retailprice"), F.lit(0.95)), 6).alias("price_95"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select("p_brand", "a_60", "b_60", "price_95", "n")
+    )
+
+
+SQL_QUANTILE_COEFFS = """
+SELECT p_brand,
+       ROUND(quantile_cont(p_retailprice, 0.6), 6) AS a_60,
+       ROUND(quantile_cont(CAST(p_size AS DOUBLE), 0.6), 6) AS b_60,
+       ROUND(quantile_cont(p_retailprice, 0.95), 6) AS price_95,
+       COUNT(*) AS n
+FROM part GROUP BY p_brand
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: length-weight catch model (M1) — w = a·L^b with a special-case
+# length correction (the octopus TL→ML L/5.5 rule), per-row output
+# (R/preprocessing-surveys.R:691-734, R/model-taxa.R:73-116).
+
+
+def q_lw_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    # prime divisors keep a and b non-terminating so a·L^b never lands
+    # exactly on a decimal rounding boundary (integer exponents + 2-decimal
+    # prices produce exact .xxxxxx5 halves where engine rounding disagrees)
+    coeffs = part.select(
+        F.col("p_partkey").alias("l_partkey"),
+        (F.col("p_retailprice") / 997.0).alias("a"),
+        (F.lit(2.8) + (F.col("p_size") % 5) / 7.0).alias("b"),
+        "p_type",
+    )
+    joined = lineitem.filter(F.col("l_shipdate") >= F.lit("2001-01-01")).join(
+        F.broadcast(coeffs), "l_partkey"
+    )
+    length = F.when(
+        F.col("p_type").startswith("SMALL"), F.col("l_quantity") / 5.5
+    ).otherwise(F.col("l_quantity"))
+    w_kg = F.col("a") * F.pow(length, F.col("b")) / 1000.0
+    return joined.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(w_kg, 6).alias("est_weight_kg"),
+    )
+
+
+SQL_LW_MODEL = """
+SELECT l.l_orderkey, l.l_linenumber,
+       ROUND((p.p_retailprice / 997.0)
+             * POW(CASE WHEN p.p_type LIKE 'SMALL%' THEN l.l_quantity / 5.5
+                        ELSE l.l_quantity END,
+                   2.8 + (p.p_size % 5) / 7.0) / 1000.0, 6) AS est_weight_kg
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '2001-01-01'
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: grouped last-row-wins dedup (A13) — latest order per customer
+# (R/airtable.R:342-345,381-384).
+
+
+def q_last_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    ordered = orders.withColumn(
+        "_ord", F.struct(F.col("o_orderdate"), F.col("o_orderkey"))
+    )
+    latest = distinct_last_wins(ordered, ["o_custkey"], "_ord")
+    return latest.select(
+        "o_custkey",
+        F.col("o_orderkey").alias("last_orderkey"),
+        F.col("o_orderdate").cast("date").alias("last_order_date"),
+        "o_totalprice",
+    )
+
+
+SQL_LAST_WINS = """
+WITH ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders
+)
+SELECT o_custkey, o_orderkey AS last_orderkey,
+       CAST(o_orderdate AS DATE) AS last_order_date, o_totalprice
+FROM ranked WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: event-time tumbling window stats (D2 at hour grain; batch analog of
+# the streaming arrival-stats extension, SURVEY §7.3-11) — hourly counts
+# and exact-decimal value sums per event type.
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select("hour", "event_type", "n_events", "total_value", "n_users")
+    )
+
+
+SQL_EVENTS_HOURLY = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY date_trunc('hour', ts), event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: per-user activity span (D3 duration-in-hours + safe divide M4) —
+# trip-duration arithmetic (R/preprocessing-surveys.R:1192-1196).
+
+
+def q_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    per_user = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.unix_micros(F.max("ts")).alias("_mx"),
+        F.unix_micros(F.min("ts")).alias("_mn"),
+    )
+    span_h = (F.col("_mx") - F.col("_mn")) / F.lit(3.6e9)
+    rate = F.when(span_h > 0, F.col("n_events") / span_h)
+    return per_user.select(
+        "user_id",
+        "n_events",
+        F.round(span_h, 6).alias("span_hours"),
+        F.round(rate, 6).alias("events_per_hour"),
+    )
+
+
+SQL_USER_ACTIVITY = """
+WITH per_user AS (
+  SELECT user_id, COUNT(*) AS n_events,
+         epoch_us(MAX(ts)) AS mx, epoch_us(MIN(ts)) AS mn
+  FROM events GROUP BY user_id
+)
+SELECT user_id, n_events,
+       ROUND((mx - mn) / 3.6e9, 6) AS span_hours,
+       ROUND(CASE WHEN (mx - mn) > 0 THEN n_events / ((mx - mn) / 3.6e9) END, 6)
+         AS events_per_hour
+FROM per_user
+"""
+
+
+SPARK_QUERIES = {
+    "nary_full_join": q_nary_full_join,
+    "conditional_merge": q_conditional_merge,
+    "flag_battery": q_flag_battery,
+    "fuzzy_dedup": q_fuzzy_dedup,
+    "quantile_coeffs": q_quantile_coeffs,
+    "lw_model": q_lw_model,
+    "last_wins": q_last_wins,
+    "events_hourly": q_events_hourly,
+    "user_activity": q_user_activity,
+}
+
+ORACLE_SQL = {
+    "nary_full_join": SQL_NARY_FULL_JOIN,
+    "conditional_merge": SQL_CONDITIONAL_MERGE,
+    "flag_battery": SQL_FLAG_BATTERY,
+    "fuzzy_dedup": SQL_FUZZY_DEDUP,
+    "quantile_coeffs": SQL_QUANTILE_COEFFS,
+    "lw_model": SQL_LW_MODEL,
+    "last_wins": SQL_LAST_WINS,
+    "events_hourly": SQL_EVENTS_HOURLY,
+    "user_activity": SQL_USER_ACTIVITY,
+}
