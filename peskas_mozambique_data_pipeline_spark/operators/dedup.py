@@ -1,0 +1,202 @@
+"""Deduplication operators for training-data pipelines: exact,
+MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design: every technique avoids the naive O(N²) all-pairs compare.
+
+* exact      — one hash-groupBy (single shuffle on the digest).
+* minhash    — signatures are per-row expressions; candidate generation
+               is an equi-join on (band, band-hash) buckets, so the
+               shuffle is on bucket keys, never a cross join.
+* simhash    — per-row signature; near-dup pairs join on rotated
+               prefix buckets (here: exact band join) + bit_count verify.
+* jaccard    — only computed on LSH candidates, never all pairs.
+
+Portability: hashes are md5-based (not Spark's xxhash64/murmur) so the
+same signatures are reproducible in any engine — which is also what the
+DuckDB oracle checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import TOKEN_SPLIT_RE, tokens
+
+
+def shingles(col: str | Column, k: int = 5) -> Column:
+    """k-token shingles of a text column; empty array when the document
+    has fewer than k tokens (NB: Spark ``sequence(1, n)`` with n<1 would
+    generate a DESCENDING sequence — guard required)."""
+    t = tokens(col)
+    n = F.size(t)
+    seq = F.sequence(F.lit(1), n - (k - 1))
+    make = F.transform(seq, lambda i: F.array_join(F.slice(t, i, k), " "))
+    return F.when(n >= k, make).otherwise(F.array().cast("array<string>"))
+
+
+def exact_dup_groups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    normalize: bool = True,
+    prefix_tokens: int | None = None,
+) -> DataFrame:
+    """Exact (or prefix-fingerprint) duplicate grouping via hash-groupBy.
+
+    ``prefix_tokens`` hashes only the first N tokens — catches documents
+    that share a long common prefix (truncation dups).  Returns
+    (digest, group_size, member doc ids) for groups of size > 1.
+    """
+    c = F.col(text_col)
+    if normalize:
+        c = F.lower(F.trim(c))
+    if prefix_tokens is not None:
+        c = F.array_join(F.slice(F.split(F.trim(c), TOKEN_SPLIT_RE), 1, prefix_tokens), " ")
+    digest = F.md5(c)
+    return (
+        df.select(F.col(id_col), digest.alias("digest"))
+        .groupBy("digest")
+        .agg(
+            F.count(F.lit(1)).alias("group_size"),
+            F.array_sort(F.collect_list(id_col)).alias("doc_ids"),
+        )
+        .filter(F.col("group_size") > 1)
+    )
+
+
+def minhash_signature(col: str | Column, n_hashes: int = 8, shingle_k: int = 5) -> list[Column]:
+    """MinHash signature: for permutation i, min over shingles of
+    md5(i || '|' || shingle).  Hex-string min is a valid uniform order;
+    md5 keeps it engine-portable."""
+    sh = shingles(col, shingle_k)
+    return [
+        F.array_min(F.transform(sh, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}|"), s)))).alias(
+            f"mh_{i}"
+        )
+        for i in range(n_hashes)
+    ]
+
+
+def minhash_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 8,
+    bands: int = 4,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """LSH candidate pairs: band the signature (rows = n_hashes/bands),
+    hash each band, and self-join on (band_index, band_hash).
+
+    The join shuffles on band buckets — documents only meet if they
+    collide in some band, so the pair count tracks true near-dup
+    density, not N².  Returns distinct (id_a < id_b) candidate pairs.
+    """
+    rows_per_band = n_hashes // bands
+    sig = df.select(F.col(id_col), *minhash_signature(F.col(text_col), n_hashes, shingle_k))
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(F.md5(F.concat_ws("|", *parts)).alias(f"band_{b}"))
+    banded = sig.select(F.col(id_col), *band_cols)
+    long = banded.unpivot([id_col], [f"band_{b}" for b in range(bands)], "band", "bucket")
+    a = long.alias("a")
+    b_ = long.alias("b")
+    pairs = (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def jaccard_verify(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for candidate pairs only.
+
+    Joins each side's distinct-shingle array onto the pair, intersects
+    with ``array_intersect`` — per-pair work is bounded by document
+    length, and only LSH candidates pay it.
+    """
+    sets = df.select(
+        F.col(id_col), F.array_distinct(shingles(F.col(text_col), shingle_k)).alias("sh")
+    )
+    j = (
+        pairs.join(sets.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(sets.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
+    return j.select(
+        "id_a",
+        "id_b",
+        F.round(inter.cast("double") / union, 6).alias("jaccard"),
+    )
+
+
+def simhash32(col: str | Column) -> Column:
+    """32-bit SimHash over unigram tokens.
+
+    Each distinct token contributes ±1 per bit position depending on its
+    md5-derived 32-bit hash; the signature takes the sign of each bit
+    sum.  Pure array expressions — per-row, no shuffle, no UDF.
+    """
+    t = F.array_distinct(tokens(col))
+    h = F.transform(t, lambda x: F.conv(F.substring(F.md5(x), 1, 8), 16, 10).cast("bigint"))
+    # statically unrolled over the 32 bit positions (shift amounts must be
+    # Python ints for shiftright); each bit sum is one sequential fold
+    def _bit_step(b: int):
+        # exactly-two-arg lambda: PySpark inspects arity, a default arg
+        # would be bound to an engine-provided column
+        return lambda acc, v: acc + F.when(
+            F.shiftright(v, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+        ).otherwise(F.lit(-1))
+
+    sig = F.lit(0).cast("bigint")
+    for b in range(32):
+        bit_sum = F.aggregate(h, F.lit(0), _bit_step(b))
+        sig = sig + F.when(bit_sum > 0, F.lit(1 << b).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+    return sig
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 8,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance.
+
+    Candidate generation buckets on the high 16 bits of the signature
+    (documents within small Hamming distance usually share the upper
+    half in at least one rotation; one-band bucketing keeps the demo
+    simple and the join equi-keyed), then verifies with ``bit_count``.
+    """
+    sigs = df.select(F.col(id_col), simhash32(F.col(text_col)).alias("sig"))
+    bucketed = sigs.withColumn("bucket", F.shiftright(F.col("sig"), 16))
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    )
+    ham = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
+    return pairs.select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        ham.alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)

@@ -1,0 +1,117 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Everything is pure Spark SQL expressions over a string column — no
+Python UDFs — so a 100 TB corpus scans at parquet-reader speed with
+whole-stage codegen.  The fisheries reference's seed for this family is
+its name-normalization pipeline (R/preprocessing-surveys.R:1293-1313);
+these operators generalize it to document corpora.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT_RE = r"\s+"
+
+# small per-language stopword marker sets for the n-gram/stopword-voting
+# language heuristic (deterministic, SQL-expressible)
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is"),
+    "es": ("el", "la", "de", "y", "que", "en", "los"),
+    "fr": ("le", "la", "de", "et", "les", "des", "un"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "von"),
+}
+
+STOPWORDS = LANG_MARKERS["en"]
+
+
+def tokens(col: str | Column) -> Column:
+    """Whitespace tokenization as an array column."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), TOKEN_SPLIT_RE)
+
+
+def token_count(col: str | Column) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_ish_tokens(col: str | Column) -> Column:
+    """BPE-ish sub-word segmentation: split into letter runs, digit runs
+    and single punctuation marks (a regex approximation of byte-pair
+    pretokenization)."""
+    c = F.col(col) if isinstance(col, str) else col
+    spaced = F.regexp_replace(c, r"([a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s])", r" $1 ")
+    return F.split(F.trim(spaced), r"\s+")
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality scoring features: token count, mean token
+    length, punctuation ratio, stopword ratio, and a composite score.
+
+    All features are single-pass column expressions; the corpus never
+    shuffles.
+    """
+    t = tokens(text_col)
+    c = F.col(text_col)
+    n_tok = F.size(t)
+    n_chars = F.length(c)
+    n_punct = n_chars - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    n_stop = F.size(F.filter(t, lambda x: x.isin(*STOPWORDS)))
+    mean_tok_len = (n_chars - (n_tok - 1)) / n_tok
+    punct_ratio = n_punct / n_chars
+    stop_ratio = n_stop / n_tok
+    # heuristic composite: long-enough docs with natural stopword density
+    score = (
+        F.least(n_tok / F.lit(100.0), F.lit(1.0)) * F.lit(0.5)
+        + stop_ratio * F.lit(2.0)
+        - punct_ratio
+    )
+    return df.select(
+        "*",
+        n_tok.alias("n_tokens"),
+        F.round(mean_tok_len, 6).alias("mean_token_len"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text", out_col: str = "pred_lang") -> DataFrame:
+    """Stopword-voting language identification.
+
+    Counts per-language marker-word hits and takes the argmax
+    (ties broken by language code order).  A real deployment would use
+    character n-gram profiles; the plumbing — pure column expressions,
+    no shuffle — is identical.
+    """
+    t = tokens(text_col)
+
+    def _in_set(markers: tuple[str, ...]):
+        # NB: the lambda must take exactly one arg — PySpark inspects
+        # arity and would bind a default arg to the element index column
+        return lambda x: x.isin(*markers)
+
+    score_cols = []
+    for lang, markers in sorted(LANG_MARKERS.items()):
+        score = F.size(F.filter(t, _in_set(markers)))
+        score_cols.append(score.alias(f"score_{lang}"))
+    scored = df.select("*", *score_cols)
+    langs = sorted(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
+    pred = F.lit(None)
+    # first language (in sorted order) achieving the max wins
+    for lang in reversed(langs):
+        pred = F.when(F.col(f"score_{lang}") == best, F.lit(lang)).otherwise(pred)
+    return scored.withColumn(out_col, F.when(best > 0, pred).otherwise(F.lit("und")))
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", k: int = 4,
+                out_col: str = "fingerprint") -> DataFrame:
+    """K-min-sketch document fingerprint: the ``k`` lexicographically
+    smallest md5 hashes of the distinct tokens, joined.  A compact
+    content signature robust to token reordering — the rolling-hash
+    family of document fingerprints."""
+    t = F.array_distinct(tokens(text_col))
+    hashed = F.array_sort(F.transform(t, lambda x: F.md5(x)))
+    return df.withColumn(out_col, F.array_join(F.slice(hashed, 1, k), ""))

@@ -471,6 +471,11 @@ ORACLE_SQL: dict[str, str] = {
 SPARK_QUERIES.update(registry_relational.SPARK_QUERIES)
 ORACLE_SQL.update(registry_relational.ORACLE_SQL)
 
+from . import registry_text  # noqa: E402
+
+SPARK_QUERIES.update(registry_text.SPARK_QUERIES)
+ORACLE_SQL.update(registry_text.ORACLE_SQL)
+
 
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver smoke entry: the monthly-median densified metrics query

@@ -1,0 +1,352 @@
+"""Query registry batch 3: training-data pipeline operators over the
+``documents`` and ``embeddings`` tables — text quality, language ID,
+exact/MinHash/SimHash dedup, n-gram Jaccard, fingerprinting, ANN.
+
+Oracle portability notes: all hashing is md5 (hex string) so DuckDB
+reproduces signatures exactly; all float folds are sequential
+double-precision in index order (bit-identical across engines);
+ratios are rounded to 6 decimals on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators import dedup as dedup_ops
+from .operators import similarity as sim_ops
+from .operators import text as text_ops
+from .session import read_table
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "documents")
+
+
+# ---------------------------------------------------------------------------
+# Q: text quality features per document.
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = text_ops.quality_features(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id", "n_tokens", "mean_token_len", "punct_ratio",
+        "stopword_ratio", "quality_score",
+    )
+
+
+SQL_TEXT_QUALITY = """
+WITH feat AS (
+  SELECT doc_id,
+         len(string_split_regex(trim(text), '\\s+')) AS n_tok,
+         length(text) AS n_chars,
+         length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct,
+         len(list_filter(string_split_regex(trim(text), '\\s+'),
+             x -> x IN ('the','a','of','and','to','in','is'))) AS n_stop
+  FROM documents
+)
+SELECT doc_id,
+       n_tok AS n_tokens,
+       ROUND((n_chars - (n_tok - 1)) / n_tok, 6) AS mean_token_len,
+       ROUND(n_punct / n_chars, 6) AS punct_ratio,
+       ROUND(n_stop / n_tok, 6) AS stopword_ratio,
+       ROUND(LEAST(n_tok / 100.0, 1.0) * 0.5 + (n_stop / n_tok) * 2.0
+             - (n_punct / n_chars), 6) AS quality_score
+FROM feat
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: stopword-voting language identification.
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = text_ops.language_id(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id", "lang", "pred_lang",
+        "score_de", "score_en", "score_es", "score_fr",
+    )
+
+
+def _marker_sql(lang: str) -> str:
+    lst = ", ".join(f"'{w}'" for w in text_ops.LANG_MARKERS[lang])
+    return (
+        f"len(list_filter(string_split_regex(trim(text), '\\s+'),"
+        f" x -> x IN ({lst})))"
+    )
+
+
+SQL_LANG_ID = f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         {_marker_sql('de')} AS score_de,
+         {_marker_sql('en')} AS score_en,
+         {_marker_sql('es')} AS score_es,
+         {_marker_sql('fr')} AS score_fr
+  FROM documents
+)
+SELECT doc_id, lang,
+       CASE WHEN GREATEST(score_de, score_en, score_es, score_fr) = 0 THEN 'und'
+            WHEN score_de = GREATEST(score_de, score_en, score_es, score_fr) THEN 'de'
+            WHEN score_en = GREATEST(score_de, score_en, score_es, score_fr) THEN 'en'
+            WHEN score_es = GREATEST(score_de, score_en, score_es, score_fr) THEN 'es'
+            ELSE 'fr' END AS pred_lang,
+       score_de, score_en, score_es, score_fr
+FROM scored
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: exact dedup by normalized 8-token-prefix fingerprint (truncation
+# duplicates) — hash-groupBy, one shuffle on the digest.
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    groups = dedup_ops.exact_dup_groups(
+        _docs(spark, sf_dir), normalize=True, prefix_tokens=8
+    )
+    return groups.select(
+        "digest",
+        "group_size",
+        F.array_join(F.transform(F.col("doc_ids"), lambda x: x.cast("string")), ",").alias(
+            "members"
+        ),
+    )
+
+
+SQL_DEDUP_EXACT = """
+WITH fp AS (
+  SELECT doc_id,
+         md5(array_to_string(
+           (string_split_regex(trim(lower(trim(text))), '\\s+'))[1:8], ' ')) AS digest
+  FROM documents
+)
+SELECT digest, COUNT(*) AS group_size,
+       string_agg(doc_id, ',' ORDER BY doc_id) AS members
+FROM fp GROUP BY digest HAVING COUNT(*) > 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: MinHash + LSH near-duplicate candidates, verified with exact
+# 5-shingle Jaccard (only candidates pay the verification cost).
+
+_MH_N = 8
+_MH_BANDS = 4
+
+
+def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).filter(F.size(text_ops.tokens("text")) >= 5)
+    pairs = dedup_ops.minhash_candidates(
+        docs, n_hashes=_MH_N, bands=_MH_BANDS, shingle_k=5
+    )
+    verified = dedup_ops.jaccard_verify(docs, pairs, shingle_k=5)
+    return verified.select("id_a", "id_b", "jaccard")
+
+
+def _sig_sql() -> str:
+    mins = ",\n         ".join(
+        "list_min(list_transform(sh, s -> md5('{i}|' || s))) AS mh_{i}".format(i=i)
+        for i in range(_MH_N)
+    )
+    return f"""
+tok AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+  WHERE len(string_split_regex(trim(text), '\\s+')) >= 5
+),
+shingled AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, len(t) - 4),
+                        i -> array_to_string(t[i:i+4], ' ')) AS sh
+  FROM tok
+),
+sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM shingled
+)"""
+
+
+SQL_MINHASH_DEDUP = f"""
+WITH {_sig_sql()},
+banded AS (
+  SELECT doc_id, 0 AS band, md5(mh_0 || '|' || mh_1) AS bucket FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band, md5(mh_2 || '|' || mh_3) AS bucket FROM sig
+  UNION ALL
+  SELECT doc_id, 2 AS band, md5(mh_4 || '|' || mh_5) AS bucket FROM sig
+  UNION ALL
+  SELECT doc_id, 3 AS band, md5(mh_6 || '|' || mh_7) AS bucket FROM sig
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+sets AS (
+  SELECT doc_id, list_distinct(sh) AS sh FROM shingled
+)
+SELECT c.id_a, c.id_b,
+       ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+             / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 6)
+         AS jaccard
+FROM cand c
+JOIN sets sa ON c.id_a = sa.doc_id
+JOIN sets sb ON c.id_b = sb.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: SimHash signatures + bucketed near-dup pairs with Hamming verify.
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup_ops.simhash_near_pairs(_docs(spark, sf_dir), max_hamming=8)
+    return pairs.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+
+
+SQL_SIMHASH_PAIRS = """
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS token
+  FROM documents
+),
+hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(token), 1, 8))::BIGINT AS h FROM tok
+),
+bit_sums AS (
+  SELECT doc_id, b.bit,
+         SUM(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM hashed, (SELECT unnest(generate_series(0, 31)) AS bit) b
+  GROUP BY doc_id, b.bit
+),
+sigs AS (
+  SELECT doc_id,
+         SUM(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS sig
+  FROM bit_sums GROUP BY doc_id
+),
+bucketed AS (SELECT doc_id, sig, sig >> 16 AS bucket FROM sigs)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+FROM bucketed a JOIN bucketed b
+  ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= 8
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: k-min-sketch document fingerprint.
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = text_ops.fingerprint(_docs(spark, sf_dir), k=4)
+    return out.select("doc_id", "fingerprint")
+
+
+SQL_DOC_FINGERPRINT = """
+SELECT doc_id,
+       array_to_string(
+         (list_sort(list_transform(
+            list_distinct(string_split_regex(trim(text), '\\s+')),
+            t -> md5(t))))[1:4], '') AS fingerprint
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: token rollup per (lang, source) — integer-exact aggregates.
+
+
+def q_token_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    with_tok = docs.select(
+        "lang", "source", text_ops.token_count("text").alias("n_tok"), "n_chars"
+    )
+    return (
+        with_tok.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("n_tok").cast("long")).alias("total_tokens"),
+            F.sum(F.col("n_chars")).cast("long").alias("total_chars"),
+            F.round(
+                F.sum(F.col("n_tok").cast("long"))
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("avg_tokens"),
+        )
+        .select("lang", "source", "n_docs", "total_tokens", "total_chars", "avg_tokens")
+    )
+
+
+SQL_TOKEN_ROLLUP = """
+SELECT lang, source, COUNT(*) AS n_docs,
+       CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       ROUND(CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS avg_tokens
+FROM documents GROUP BY lang, source
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: brute-force cosine ANN top-5 (queries = every 50th vector).
+
+
+def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return sim_ops.cosine_topk(queries, emb, k=5)
+
+
+SQL_ANN_COSINE = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0
+),
+scored AS (
+  SELECT q.query_id, c.vec_id,
+         list_reduce(list_transform(generate_series(1, 64),
+             i -> CAST(q.qv[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)),
+             (a, b) -> a + b)
+         / (sqrt(list_reduce(list_transform(generate_series(1, 64),
+                i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)),
+                (a, b) -> a + b))
+            * sqrt(list_reduce(list_transform(generate_series(1, 64),
+                i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)),
+                (a, b) -> a + b))) AS cos
+  FROM embeddings c CROSS JOIN q
+  WHERE c.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id AS neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank,
+         cos
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
+       ROUND(cos, 6) AS cosine_sim
+FROM ranked WHERE rank <= 5
+"""
+
+
+SPARK_QUERIES = {
+    "text_quality": q_text_quality,
+    "lang_id": q_lang_id,
+    "dedup_exact": q_dedup_exact,
+    "minhash_dedup": q_minhash_dedup,
+    "simhash_pairs": q_simhash_pairs,
+    "doc_fingerprint": q_doc_fingerprint,
+    "token_rollup": q_token_rollup,
+    "ann_cosine": q_ann_cosine,
+}
+
+ORACLE_SQL = {
+    "text_quality": SQL_TEXT_QUALITY,
+    "lang_id": SQL_LANG_ID,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "minhash_dedup": SQL_MINHASH_DEDUP,
+    "simhash_pairs": SQL_SIMHASH_PAIRS,
+    "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "token_rollup": SQL_TOKEN_ROLLUP,
+    "ann_cosine": SQL_ANN_COSINE,
+}
