@@ -224,12 +224,18 @@ sigs AS (
          SUM(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS sig
   FROM bit_sums GROUP BY doc_id
 ),
-bucketed AS (SELECT doc_id, sig, sig >> 16 AS bucket FROM sigs)
-SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
-FROM bucketed a JOIN bucketed b
-  ON a.bucket = b.bucket AND a.doc_id < b.doc_id
-WHERE bit_count(xor(a.sig, b.sig)) <= 8
+banded AS (
+  SELECT doc_id, sig, band.band,
+         (sig >> (band.band * 8)) & 255 AS bucket
+  FROM sigs, (SELECT unnest(generate_series(0, 3)) AS band) band
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 8
 """
 
 

@@ -1,0 +1,124 @@
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from peskas_mozambique_data_pipeline_spark.operators import dedup, similarity, text
+from peskas_mozambique_data_pipeline_spark.operators.windows import (
+    percent_of_group,
+    top_k_with_other,
+)
+
+DOC_A = "the quick brown fox jumps over the lazy dog near the river bank today"
+DOC_A_NEAR = "the quick brown fox jumps over the lazy dog near the river bank tomorrow"
+DOC_B = "completely different words about spark engines and shuffle partitions here now"
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [(1, DOC_A), (2, DOC_A_NEAR), (3, DOC_B), (4, DOC_A)],
+        ["doc_id", "text"],
+    )
+
+
+def test_exact_dup_groups(spark):
+    out = dedup.exact_dup_groups(_docs(spark)).collect()
+    assert len(out) == 1
+    assert out[0].doc_ids == [1, 4]
+
+
+def test_minhash_finds_planted_near_dup(spark):
+    docs = _docs(spark)
+    pairs = dedup.minhash_candidates(docs, shingle_k=3)
+    verified = dedup.jaccard_verify(docs, pairs, shingle_k=3)
+    got = {(r.id_a, r.id_b): r.jaccard for r in verified.collect()}
+    assert (1, 4) in got and got[(1, 4)] == 1.0
+    assert (1, 2) in got and 0.5 < got[(1, 2)] < 1.0
+    assert (1, 3) not in got  # unrelated docs never become candidates
+
+
+def test_simhash_identical_docs_distance_zero(spark):
+    pairs = dedup.simhash_near_pairs(_docs(spark), max_hamming=10)
+    got = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}
+    assert got.get((1, 4)) == 0
+    near = got.get((1, 2))
+    assert near is not None and near <= 10
+
+
+def test_shingles_short_doc_empty(spark):
+    df = spark.createDataFrame([("a b c",)], ["text"])
+    out = df.select(dedup.shingles("text", k=5).alias("sh")).first()
+    assert out.sh == []
+
+
+def test_cosine_topk_matches_numpy(spark):
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(20, 8)).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = df.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.cosine_topk(queries, df, k=3).collect()
+    v = vecs.astype("float64")
+    sims = (v @ v[0]) / (np.linalg.norm(v, axis=1) * np.linalg.norm(v[0]))
+    sims[0] = -np.inf
+    expect = list(np.argsort(-sims)[:3])
+    assert [r.neighbor_id for r in sorted(out, key=lambda r: r.rank)] == expect
+
+
+def test_lsh_topk_high_recall_on_clusters(spark):
+    # two tight clusters: LSH must retrieve same-cluster neighbors
+    rng = np.random.default_rng(5)
+    base1, base2 = rng.normal(size=8), rng.normal(size=8)
+    rows = []
+    for i in range(10):
+        rows.append((i, [float(x) for x in base1 + rng.normal(0, 0.01, 8)]))
+    for i in range(10, 20):
+        rows.append((i, [float(x) for x in base2 + rng.normal(0, 0.01, 8)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = df.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.lsh_topk(queries, df, k=3, n_planes=4, dim=8).collect()
+    assert len(out) == 3
+    assert all(r.neighbor_id < 10 for r in out)  # same-cluster only
+
+
+def test_quality_features_and_langid(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog, in a house!"), (2, "el perro y la casa de los gatos")],
+        ["doc_id", "text"],
+    )
+    q = text.quality_features(df).collect()
+    en = next(r for r in q if r.doc_id == 1)
+    assert en.n_tokens == 8
+    assert en.punct_ratio > 0
+    lid = text.language_id(df).collect()
+    assert next(r for r in lid if r.doc_id == 1).pred_lang == "en"
+    assert next(r for r in lid if r.doc_id == 2).pred_lang == "es"
+
+
+def test_fingerprint_order_invariant(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "delta gamma beta alpha")],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r.fingerprint for r in text.fingerprint(df).collect()}
+    assert out[1] == out[2] and len(out[1]) == 4 * 32
+
+
+def test_top_k_with_other_rebuckets(spark):
+    df = spark.createDataFrame(
+        [("n", "a", 10.0), ("n", "b", 8.0), ("n", "c", 5.0), ("n", "d", 2.0)],
+        ["nation", "brand", "rev"],
+    )
+    out = top_k_with_other(df, ["nation"], "brand", "rev", k=2)
+    got = {r.brand: r.rev for r in out.collect()}
+    assert got == {"a": 10.0, "b": 8.0, "Other": 7.0}
+
+
+def test_percent_of_group(spark):
+    df = spark.createDataFrame([("g", 25.0), ("g", 75.0)], ["k", "v"])
+    out = percent_of_group(df, ["k"], "v")
+    assert sorted(r.pct for r in out.collect()) == [25.0, 75.0]

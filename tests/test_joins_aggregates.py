@@ -1,0 +1,106 @@
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from peskas_mozambique_data_pipeline_spark.operators import joins
+from peskas_mozambique_data_pipeline_spark.operators.aggregates import (
+    MAD_TO_SD,
+    distinct_last_wins,
+    group_string_agg,
+    robust_bounds,
+    sum_not_null,
+)
+
+
+def test_nary_full_join_keeps_all_keys(spark):
+    a = spark.createDataFrame([(1, "a")], ["k", "va"])
+    b = spark.createDataFrame([(2, "b")], ["k", "vb"])
+    c = spark.createDataFrame([(1, "c"), (3, "c3")], ["k", "vc"])
+    out = joins.nary_full_join([a, b, c], "k")
+    got = {r.k: (r.va, r.vb, r.vc) for r in out.collect()}
+    assert got == {1: ("a", None, "c"), 2: (None, "b", None), 3: (None, None, "c3")}
+
+
+def test_natural_left_join_infers_shared_cols(spark):
+    left = spark.createDataFrame([(1, "x", 10)], ["id", "grp", "v"])
+    right = spark.createDataFrame([(1, "x", 99)], ["id", "grp", "w"])
+    out = joins.natural_left_join(left, right)
+    r = out.first()
+    assert r.v == 10 and r.w == 99
+
+
+def test_conditional_merge_gates_on_unique_days(spark):
+    # device-day with 1 trip + 1 landing joins; 2-trip day passes through
+    trips = spark.createDataFrame(
+        [("2024-01-01", "i1", "t1"), ("2024-01-02", "i1", "t2"), ("2024-01-02", "i1", "t3")],
+        ["d", "imei", "trip"],
+    )
+    landings = spark.createDataFrame(
+        [("2024-01-01", "i1", "s1"), ("2024-01-02", "i1", "s2")],
+        ["d", "imei", "sub"],
+    )
+    out = joins.conditional_one_to_one_merge(trips, landings, ["d", "imei"])
+    got = [(r.d, r.trip, r.sub) for r in out.collect()]
+    # day1: joined; day2: t2,t3 unjoined + s2 joined-alone (right side unique)
+    assert ("2024-01-01", "t1", "s1") in got
+    assert ("2024-01-02", "t2", None) in got and ("2024-01-02", "t3", None) in got
+    assert ("2024-01-02", None, "s2") in got
+    assert len(got) == 4
+
+
+def test_upsert_split(spark):
+    incoming = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    existing = spark.createDataFrame([(1,)], ["k"])
+    upd, ins = joins.upsert_split(incoming, existing, "k")
+    assert [r.k for r in upd.collect()] == [1]
+    assert [r.k for r in ins.collect()] == [2]
+
+
+def test_robust_bounds_matches_numpy_reference(spark):
+    rng = np.random.default_rng(7)
+    vals = np.exp(rng.normal(3.0, 0.5, size=500)).tolist()
+    df = spark.createDataFrame([("g", float(v)) for v in vals], ["grp", "x"])
+    out = robust_bounds(df, ["grp"], "x", k=2.5, log_transform=True).first()
+    lx = np.log(vals)
+    med = np.median(lx)
+    mad = np.median(np.abs(lx - med))
+    lo, hi = np.exp(med - 2.5 * MAD_TO_SD * mad), np.exp(med + 2.5 * MAD_TO_SD * mad)
+    assert math.isclose(out.lower_bound, lo, rel_tol=1e-9)
+    assert math.isclose(out.upper_bound, hi, rel_tol=1e-9)
+
+
+def test_robust_bounds_zero_mad_guard(spark):
+    # constant group -> MAD 0 -> NULL bounds (reference skips the group)
+    df = spark.createDataFrame([("g", 5.0)] * 10, ["grp", "x"])
+    out = robust_bounds(df, ["grp"], "x").first()
+    assert out.lower_bound is None and out.upper_bound is None
+
+
+def test_robust_bounds_nonpositive_excluded_on_log_scale(spark):
+    df = spark.createDataFrame(
+        [("g", 0.0), ("g", -1.0)] + [("g", float(v)) for v in (1, 2, 4, 8, 16)],
+        ["grp", "x"],
+    )
+    out = robust_bounds(df, ["grp"], "x", k=1.0).first()
+    assert out.lower_bound is not None  # zeros/negatives didn't poison log
+
+
+def test_group_string_agg_sorted_deterministic(spark):
+    df = spark.createDataFrame([("s", "f2"), ("s", "f1"), ("s", "f2")], ["k", "flag"])
+    out = group_string_agg(df, ["k"], "flag", distinct=True)
+    assert out.first().flags == "f1, f2"
+
+
+def test_distinct_last_wins(spark):
+    df = spark.createDataFrame([("k", 1, "old"), ("k", 2, "new")], ["key", "ts", "v"])
+    out = distinct_last_wins(df, ["key"], "ts")
+    assert out.first().v == "new"
+
+
+def test_sum_not_null_all_null_is_zero(spark):
+    df = spark.createDataFrame([("g", None), ("g", None)], "k string, x double")
+    out = df.groupBy("k").agg(sum_not_null("x").alias("s"))
+    assert out.first().s == 0.0
