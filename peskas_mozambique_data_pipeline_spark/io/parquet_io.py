@@ -1,0 +1,67 @@
+"""Versioned Parquet zone I/O.
+
+The reference hands data between pipeline stages as versioned Parquet
+files on GCS named ``{prefix}__{timestamp}_{gitsha}__.parquet``
+(R/utils.R:30-52; writes at R/ingestion.R:61-66, reads at
+R/preprocessing-surveys.R:69-74).  Here a *zone* is a directory of
+versioned subdirectories; ``read_latest`` resolves the newest version.
+
+Scale posture: curated zones are written partitioned (by e.g.
+``landing_month``) so downstream jobs get partition pruning; version
+resolution stays a driver-side directory listing (metadata only).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+
+VERSION_RE = re.compile(r"__(\d{14})_([0-9a-zA-Z]+)__$")
+
+
+def versioned_name(prefix: str, git_sha: str = "local", now: datetime | None = None) -> str:
+    ts = (now or datetime.now(timezone.utc)).strftime("%Y%m%d%H%M%S")
+    return f"{prefix}__{ts}_{git_sha}__"
+
+
+def write_versioned(
+    df: DataFrame,
+    zone_dir: str,
+    prefix: str,
+    git_sha: str = "local",
+    partition_by: list[str] | None = None,
+    compression: str = "lz4",
+) -> str:
+    """Write an immutable versioned snapshot into ``zone_dir``.
+
+    lz4 matches the reference's codec choice (R/api.R:133-138).
+    Returns the written path.
+    """
+    path = os.path.join(zone_dir, versioned_name(prefix, git_sha))
+    writer = df.write.mode("errorifexists").option("compression", compression)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+    return path
+
+
+def latest_version_path(zone_dir: str, prefix: str) -> str:
+    """Resolve the newest versioned snapshot for ``prefix``."""
+    candidates = []
+    for name in os.listdir(zone_dir):
+        if not name.startswith(prefix):
+            continue
+        m = VERSION_RE.search(name)
+        if m:
+            candidates.append((m.group(1), name))
+    if not candidates:
+        raise FileNotFoundError(f"no versioned dataset for prefix={prefix!r} in {zone_dir}")
+    _, newest = max(candidates)
+    return os.path.join(zone_dir, newest)
+
+
+def read_latest(spark: SparkSession, zone_dir: str, prefix: str) -> DataFrame:
+    return spark.read.parquet(latest_version_path(zone_dir, prefix))

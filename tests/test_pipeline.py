@@ -1,0 +1,194 @@
+"""End-to-end pipeline-parity tests: raw wide survey fixture →
+preprocess → validate → metrics → export, with the reference's edge
+cases planted (all-NA species groups, catch_outcome=0, rule-flag
+violations, multi-trip device-days)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from peskas_mozambique_data_pipeline_spark.plans import (
+    export as export_plan,
+    merge_trips as mt,
+    metrics as metrics_plan,
+    preprocess as pre,
+    validate as val,
+)
+
+RAW_COLS = [
+    "submission_id",
+    "group_general/landing_date",
+    "group_general/today",
+    "group_general/enumerator",
+    "group_general/district",
+    "group_general/district_palma",
+    "group_general/district_mocimboa",
+    "group_general/survey_activity",
+    "group_general/catch_outcome",
+    "group_general/location_coordinates",
+    "group_trip/trip_duration",
+    "group_trip/no_men_fishers",
+    "group_trip/no_women_fishers",
+    "group_trip/no_child_fishers",
+    "group_trip/gear_type",
+    "group_trip/habitat",
+    "group_trip/hook_size",
+    "group_trip/hook_size_other",
+    "group_trip/boat_reg_no",
+    "group_trip/pds_imei",
+    "group_species/1/selected_species",
+    "group_species/1/collection_type",
+    "group_species/1/n_buckets",
+    "group_species/1/weight_bucket",
+    "group_species/1/catch_estimate",
+    "group_species/1/no_individuals_5_10",
+    "group_species/1/no_individuals_10_15",
+    "group_species/2/selected_species",
+    "group_species/2/collection_type",
+    "group_species/2/n_buckets",
+    "group_species/2/weight_bucket",
+    "group_species/2/catch_estimate",
+    "group_species/2/no_individuals_5_10",
+    "group_species/2/no_individuals_10_15",
+    "group_market/catch_price",
+    "group_market/total_catch_value",
+    "group_market/catch_use",
+]
+
+
+def _row(sid, **kw):
+    base = {c: None for c in RAW_COLS}
+    base.update(
+        {
+            "submission_id": sid,
+            "group_general/landing_date": "2024-03-10 06:00:00",
+            "group_general/today": "2024-03-10 18:00:00",
+            "group_general/enumerator": "Joao da Silva",
+            "group_general/district_palma": "palma",
+            "group_general/survey_activity": "1",
+            "group_general/catch_outcome": "1",
+            "group_general/location_coordinates": "-10.5 40.2 12 4",
+            "group_trip/trip_duration": "6",
+            "group_trip/no_men_fishers": "2_",
+            "group_trip/no_women_fishers": "1",
+            "group_trip/gear_type": "handline",
+            "group_trip/habitat": "1",
+            "group_species/1/selected_species": "SNA",
+            "group_species/1/collection_type": "1",
+            "group_species/1/no_individuals_5_10": "4",
+            "group_market/catch_price": "500",
+        }
+    )
+    base.update(kw)
+    return tuple(base[c] for c in RAW_COLS)
+
+
+@pytest.fixture(scope="module")
+def raw(spark):
+    schema = ", ".join(f"`{c}` string" for c in RAW_COLS)
+    rows = [
+        _row("s1"),
+        _row("s2", **{"group_species/2/selected_species": "OCZ",
+                      "group_species/2/collection_type": "1",
+                      "group_species/2/no_individuals_10_15": "2",
+                      "group_trip/pds_imei": "imei-1"}),
+        # all-NA species group: only group 1 fields set to None
+        _row("s3", **{"group_species/1/selected_species": None,
+                      "group_species/1/collection_type": None,
+                      "group_species/1/no_individuals_5_10": None,
+                      "group_general/catch_outcome": "0"}),
+        # rule violations: 70h trip, zero fishers, date order
+        _row("s4", **{"group_trip/trip_duration": "70"}),
+        _row("s5", **{"group_trip/no_men_fishers": "0",
+                      "group_trip/no_women_fishers": "0"}),
+        _row("s6", **{"group_general/landing_date": "2024-03-20 06:00:00",
+                      "group_general/today": "2024-03-15 18:00:00"}),
+        # bucket-fallback catch (no length bins)
+        _row("s7", **{"group_species/1/no_individuals_5_10": None,
+                      "group_species/1/n_buckets": "3",
+                      "group_species/1/weight_bucket": "2.5",
+                      "group_general/landing_date": "2024-05-02 06:00:00",
+                      "group_general/today": "2024-05-02 19:00:00",
+                      "group_general/district_palma": None,
+                      "group_general/district_mocimboa": "mocimboa_da_praia"}),
+    ]
+    return spark.createDataFrame(rows, schema)
+
+
+@pytest.fixture(scope="module")
+def lw_coeffs(spark):
+    return spark.createDataFrame(
+        [("SNA", 0.02, 2.9), ("OCZ", 0.5, 2.2)], "catch_taxon string, a double, b double"
+    )
+
+
+@pytest.fixture(scope="module")
+def preprocessed(raw, lw_coeffs):
+    return pre.preprocess_landings(raw, lw_coeffs).cache()
+
+
+def test_preprocess_shapes_and_model(preprocessed):
+    rows = {(r.submission_id, r.n_catch): r for r in preprocessed.collect()}
+    # s1: one catch row from the 5_10 bin, modeled weight a*7.5^b*4/1000
+    r = rows[("s1", 1)]
+    assert r.catch_taxon == "SNA"
+    assert abs(r.catch_kg - 0.02 * 7.5**2.9 * 4 / 1000) < 1e-9
+    assert r.district == "Palma"
+    assert r.n_fishers == 3.0  # "2_" + "1" + NA
+    assert r.lat == -10.5 and r.habitat == "Reef"
+    # s2: octopus group uses L/5.5
+    r2 = rows[("s2", 2)]
+    assert abs(r2.catch_kg - 0.5 * (12.5 / 5.5) ** 2.2 * 2 / 1000) < 1e-9
+    # s3: all-NA species group -> no catch rows, but trip survives with catch zeroed
+    assert ("s3", None) in rows and rows[("s3", None)].catch_kg == 0.0
+    # s7: bucket fallback 3 * 2.5
+    assert rows[("s7", 1)].catch_kg == 7.5
+
+
+def test_validation_flags_and_exclusion(preprocessed):
+    validated, flags = val.validate_surveys(preprocessed)
+    flag_map = {r.submission_id: r.alert_flag for r in flags.collect()}
+    assert "12_bad_duration" in (flag_map["s4"] or "")
+    assert "2_zero_fishers" in (flag_map["s5"] or "")
+    assert "13_date_order" in (flag_map["s6"] or "")
+    assert flag_map["s1"] is None
+    good_ids = {r.submission_id for r in validated.collect()}
+    assert {"s4", "s5", "s6"}.isdisjoint(good_ids)
+    assert "s1" in good_ids
+    v1 = {r.submission_id: r for r in validated.collect()}["s1"]
+    assert v1.cpue is not None and v1.price_per_kg is not None
+    exploded = val.explode_flags(flags)
+    assert exploded.filter(F.col("flag") == "12_bad_duration").count() == 1
+
+
+def test_metrics_long_table(preprocessed):
+    validated, _ = val.validate_surveys(preprocessed)
+    catch = preprocessed.filter(F.col("catch_kg").isNotNull())
+    out = metrics_plan.fishery_metrics(validated, catch)
+    types = {r.metric_type for r in out.collect()}
+    assert {"median_cpue", "total_catch_kg", "predominant_gear", "species_pct"} <= types
+
+
+def test_export_branches(preprocessed):
+    validated, _ = val.validate_surveys(preprocessed)
+    mm = export_plan.monthly_metrics(validated)
+    # March and May landings -> densified spine must include April NULLs
+    months = {(r.district, str(r.month)) for r in mm.collect()}
+    assert ("Palma", "2024-04-01") in months
+    series = export_plan.habitat_gear_series(validated).collect()
+    parsed = json.loads(series[0].series)
+    assert parsed and set(parsed[0]) == {"x", "y"}
+
+
+def test_merge_trips_conditional(spark, preprocessed):
+    pds = spark.createDataFrame(
+        [("t1", "imei-1", "2024-03-10 05:00:00", "2024-03-10 11:00:00")],
+        "trip string, imei string, started string, ended string",
+    ).withColumn("ended", F.to_timestamp("ended"))
+    landings = preprocessed.select("submission_id", "landing_date", "pds_imei").distinct()
+    merged = mt.merge_trips(pds, landings)
+    hit = merged.filter(F.col("trip") == "t1").first()
+    assert hit.submission_id == "s2"  # unique device-day joins 1:1
