@@ -68,14 +68,46 @@ def exact_dup_groups(
 def minhash_signature(col: str | Column, n_hashes: int = 8, shingle_k: int = 5) -> list[Column]:
     """MinHash signature: for permutation i, min over shingles of
     md5(i || '|' || shingle).  Hex-string min is a valid uniform order;
-    md5 keeps it engine-portable."""
-    sh = shingles(col, shingle_k)
+    md5 keeps it engine-portable.
+
+    NB: evaluating these n columns directly over a text column makes
+    Catalyst's projection collapse re-inline the shingle construction
+    into every hash (n× the string work) — prefer
+    ``minhash_signatures`` which materializes shingles once.
+    """
+    sh = shingles(col, shingle_k) if isinstance(col, (str,)) or True else col
     return [
         F.array_min(F.transform(sh, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}|"), s)))).alias(
             f"mh_{i}"
         )
         for i in range(n_hashes)
     ]
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 8,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Per-document MinHash signature table (id, mh_0..mh_{n-1}).
+
+    The shingle array is projected once and forced through a round-robin
+    exchange: without the barrier, Catalyst's CollapseProject inlines
+    the (expensive) shingle expression into all n hash columns and the
+    tokenization runs n times per row — measured 5× slower at sf0.1.
+    The exchange also spreads signature work evenly across executors.
+    """
+    sh = df.select(F.col(id_col), shingles(F.col(text_col), shingle_k).alias("_sh"))
+    sh = sh.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    mins = [
+        F.array_min(
+            F.transform(F.col("_sh"), lambda s, i=i: F.md5(F.concat(F.lit(f"{i}|"), s)))
+        ).alias(f"mh_{i}")
+        for i in range(n_hashes)
+    ]
+    return sh.select(F.col(id_col), *mins)
 
 
 def minhash_candidates(
@@ -94,7 +126,7 @@ def minhash_candidates(
     density, not N².  Returns distinct (id_a < id_b) candidate pairs.
     """
     rows_per_band = n_hashes // bands
-    sig = df.select(F.col(id_col), *minhash_signature(F.col(text_col), n_hashes, shingle_k))
+    sig = minhash_signatures(df, text_col, id_col, n_hashes, shingle_k)
     band_cols = []
     for b in range(bands):
         parts = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
@@ -131,7 +163,9 @@ def jaccard_verify(
     """
     sets = df.select(
         F.col(id_col), F.array_distinct(shingles(F.col(text_col), shingle_k)).alias("sh")
-    )
+    ).repartition(df.sparkSession.sparkContext.defaultParallelism)
+    # the identical exchange on both join sides is computed once
+    # (ReusedExchange) — shingle sets materialize a single time
     j = (
         pairs.join(sets.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
         .join(sets.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
@@ -154,6 +188,13 @@ def simhash32(col: str | Column) -> Column:
     """
     t = F.array_distinct(tokens(col))
     h = F.transform(t, lambda x: F.conv(F.substring(F.md5(x), 1, 8), 16, 10).cast("bigint"))
+    return simhash32_from_hashes(h)
+
+
+def simhash32_from_hashes(h: Column) -> Column:
+    """SimHash from a precomputed array<bigint> of token hashes.
+    Split out so callers can materialize the hash array once behind a
+    barrier — inlined, the md5 work would run 32× (once per bit)."""
     # statically unrolled over the 32 bit positions (shift amounts must be
     # Python ints for shiftright); each bit sum is one sequential fold
     def _bit_step(b: int):
@@ -186,7 +227,17 @@ def simhash_near_pairs(
     The join is equi-keyed on (band, byte), so candidates scale with
     collision density, not N².  ``bit_count`` verifies exactly.
     """
-    sigs = df.select(F.col(id_col), simhash32(F.col(text_col)).alias("sig"))
+    hashed = df.select(
+        F.col(id_col),
+        F.transform(
+            F.array_distinct(tokens(F.col(text_col))),
+            lambda x: F.conv(F.substring(F.md5(x), 1, 8), 16, 10).cast("bigint"),
+        ).alias("_h"),
+    ).repartition(df.sparkSession.sparkContext.defaultParallelism)
+    sigs = hashed.select(F.col(id_col), simhash32_from_hashes(F.col("_h")).alias("sig"))
+    # second barrier: the banding below references sig 5×; without it the
+    # 32-fold signature expression would be re-inlined per reference
+    sigs = sigs.repartition(df.sparkSession.sparkContext.defaultParallelism)
     banded = sigs.select(
         F.col(id_col),
         F.col("sig"),

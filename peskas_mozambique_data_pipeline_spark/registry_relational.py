@@ -194,10 +194,12 @@ def q_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     names = supplier.select(F.col("s_name").alias("name")).distinct()
     a = names.alias("a")
     b = names.alias("b")
+    # threshold form runs the banded O(k·n) algorithm and early-exits;
+    # it returns -1 when the distance exceeds 2, which between(0,2) drops
     pairs = (
         a.crossJoin(b)
         .select(F.col("a.name").alias("name"), F.col("b.name").alias("cand"))
-        .filter(F.levenshtein(F.col("name"), F.col("cand")).between(0, 2))
+        .filter(F.levenshtein(F.col("name"), F.col("cand"), 2).between(0, 2))
     )
     w = Window.partitionBy("name").orderBy(F.length("cand"), F.col("cand"))
     canon = (
