@@ -471,10 +471,12 @@ ORACLE_SQL: dict[str, str] = {
 SPARK_QUERIES.update(registry_relational.SPARK_QUERIES)
 ORACLE_SQL.update(registry_relational.ORACLE_SQL)
 
-from . import registry_text  # noqa: E402
+from . import registry_misc, registry_text  # noqa: E402
 
 SPARK_QUERIES.update(registry_text.SPARK_QUERIES)
 ORACLE_SQL.update(registry_text.ORACLE_SQL)
+SPARK_QUERIES.update(registry_misc.SPARK_QUERIES)
+ORACLE_SQL.update(registry_misc.ORACLE_SQL)
 
 
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:

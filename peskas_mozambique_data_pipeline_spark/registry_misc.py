@@ -1,0 +1,341 @@
+"""Query registry batch 4: nested JSON series, regex rank inference,
+string parsing, ISO formatting, key set-difference, ingest uniqueness,
+rank-dependent lookup joins, percent-of-group.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .session import read_table
+
+DEC = "decimal(18,2)"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Q: nested chart-series JSON (A12) — per order priority an ordered list
+# of {x: status, y: count} pairs serialized compactly
+# (R/export.R:696-706,795-821).
+
+
+def q_nested_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    counts = orders.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("y")
+    )
+    return counts.groupBy("o_orderpriority").agg(
+        F.to_json(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            (-F.col("y")).alias("neg"),
+                            F.col("o_orderstatus").alias("x"),
+                            F.col("y"),
+                        )
+                    )
+                ),
+                lambda s: F.struct(s.x.alias("x"), s.y.alias("y")),
+            )
+        ).alias("series")
+    ).select("o_orderpriority", "series")
+
+
+SQL_NESTED_SERIES = """
+WITH counts AS (
+  SELECT o_orderpriority, o_orderstatus, COUNT(*) AS y
+  FROM orders GROUP BY o_orderpriority, o_orderstatus
+)
+SELECT o_orderpriority,
+       to_json(list({'x': o_orderstatus, 'y': y}
+                    ORDER BY -y, o_orderstatus)) AS series
+FROM counts GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: taxonomic-rank-style regex inference (M3 + P5) — classify part
+# types by regex the way the reference infers Genus/Family/Order from
+# scientific names (R/model-taxa.R:362-380).
+
+
+def q_rank_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    rank = (
+        F.when(F.col("p_type").rlike("^PROMO"), F.lit("Genus"))
+        .when(F.col("p_type").rlike("^STANDARD"), F.lit("Family"))
+        .when(F.col("p_type").rlike("(ANODIZED|BURNISHED)$"), F.lit("Order"))
+        .otherwise(F.lit("Species"))
+    )
+    return (
+        part.withColumn("rank", rank)
+        .groupBy("rank", "p_brand")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+        .select("rank", "p_brand", "n_parts")
+    )
+
+
+SQL_RANK_INFERENCE = """
+SELECT CASE WHEN regexp_matches(p_type, '^PROMO') THEN 'Genus'
+            WHEN regexp_matches(p_type, '^STANDARD') THEN 'Family'
+            WHEN regexp_matches(p_type, '(ANODIZED|BURNISHED)$') THEN 'Order'
+            ELSE 'Species' END AS rank,
+       p_brand, COUNT(*) AS n_parts
+FROM part GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: string split/parse battery (P10/P11) — the GPS-coordinate split and
+# name-normalization scalar functions
+# (R/preprocessing-surveys.R:98-102,1299-1313).
+
+
+def q_string_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    name_parts = F.split(F.col("c_name"), "#")
+    return customer.select(
+        "c_custkey",
+        name_parts.getItem(0).alias("name_prefix"),
+        name_parts.getItem(1).cast("long").alias("name_number"),
+        F.regexp_extract(F.col("c_name"), r"(\d+)$", 1).alias("digits"),
+        F.initcap(F.lower(F.col("c_mktsegment"))).alias("segment_label"),
+        F.concat_ws("-", F.col("c_mktsegment"), F.col("c_custkey").cast("string")).alias(
+            "segment_key"
+        ),
+        F.length(F.trim(F.col("c_name"))).cast("long").alias("name_len"),
+    )
+
+
+SQL_STRING_OPS = """
+SELECT c_custkey,
+       string_split(c_name, '#')[1] AS name_prefix,
+       CAST(string_split(c_name, '#')[2] AS BIGINT) AS name_number,
+       COALESCE(regexp_extract(c_name, '(\\d+)$', 1), '') AS digits,
+       CASE WHEN len(c_mktsegment) > 0
+            THEN upper(c_mktsegment[1:1]) || lower(c_mktsegment[2:])
+            ELSE c_mktsegment END AS segment_label,
+       c_mktsegment || '-' || CAST(c_custkey AS VARCHAR) AS segment_key,
+       CAST(length(trim(c_name)) AS BIGINT) AS name_len
+FROM customer
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: ISO-8601 timestamp formatting (D6) — min/max order dates per
+# priority as ISO Z strings (R/export.R:334).
+
+
+def q_iso_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("first_order"),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("last_order"),
+        F.count(F.lit(1)).alias("n_orders"),
+    ).select("o_orderpriority", "first_order", "last_order", "n_orders")
+
+
+SQL_ISO_FORMAT = """
+SELECT o_orderpriority,
+       strftime(MIN(o_orderdate), '%Y-%m-%dT%H:%M:%SZ') AS first_order,
+       strftime(MAX(o_orderdate), '%Y-%m-%dT%H:%M:%SZ') AS last_order,
+       COUNT(*) AS n_orders
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: key set-difference (U2) — customers active in 1995 but not 1996
+# (R/validation.R:1035-1040 setdiff semantics).
+
+
+def q_except_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    y95 = orders.filter(F.year("o_orderdate") == 1995).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    y96 = orders.filter(F.year("o_orderdate") == 1996).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    lapsed = y95.distinct().join(y96.distinct(), "c_custkey", "left_anti")
+    return (
+        customer.join(lapsed, "c_custkey", "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_lapsed"))
+        .select("c_mktsegment", "n_lapsed")
+    )
+
+
+SQL_EXCEPT_KEYS = """
+WITH y95 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
+y96 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996),
+lapsed AS (SELECT o_custkey FROM y95 EXCEPT SELECT o_custkey FROM y96)
+SELECT c.c_mktsegment, COUNT(*) AS n_lapsed
+FROM customer c JOIN lapsed l ON c.c_custkey = l.o_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: ingest uniqueness audit (S3) — the hard-stop assertion expressed as
+# an auditable result (R/ingestion.R:45-50).
+
+
+def q_uniqueness_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    events = _t(spark, sf_dir, "events")
+
+    def audit(df: DataFrame, name: str, id_col: str) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("table_name"),
+            F.count(id_col).alias("n_rows"),
+            F.countDistinct(id_col).alias("n_distinct"),
+            (F.count(id_col) == F.countDistinct(id_col)).alias("is_unique"),
+        )
+
+    return audit(orders, "orders", "o_orderkey").unionByName(
+        audit(events, "events", "event_id")
+    )
+
+
+SQL_UNIQUENESS_CHECK = """
+SELECT 'orders' AS table_name, COUNT(o_orderkey) AS n_rows,
+       COUNT(DISTINCT o_orderkey) AS n_distinct,
+       COUNT(o_orderkey) = COUNT(DISTINCT o_orderkey) AS is_unique
+FROM orders
+UNION ALL
+SELECT 'events', COUNT(event_id), COUNT(DISTINCT event_id),
+       COUNT(event_id) = COUNT(DISTINCT event_id)
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: rank-dependent lookup join (J9) — different lookup table/key per
+# inferred rank, unioned (R/model-taxa.R:404-440).
+
+
+def q_rank_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    small = (
+        part.filter(F.col("p_type").startswith("SMALL"))
+        .withColumn("n_nationkey", F.col("p_size") % 25)
+        .join(F.broadcast(nation.select("n_nationkey", F.col("n_name").alias("lookup_label"))),
+              "n_nationkey")
+        .select("p_partkey", F.lit("small").alias("route"), "lookup_label")
+    )
+    large = (
+        part.filter(F.col("p_type").startswith("LARGE"))
+        .withColumn("r_regionkey", F.col("p_size") % 5)
+        .join(F.broadcast(region.select("r_regionkey", F.col("r_name").alias("lookup_label"))),
+              "r_regionkey")
+        .select("p_partkey", F.lit("large").alias("route"), "lookup_label")
+    )
+    other = part.filter(
+        ~(F.col("p_type").startswith("SMALL") | F.col("p_type").startswith("LARGE"))
+    ).select("p_partkey", F.lit("other").alias("route"), F.lit(None).cast("string").alias("lookup_label"))
+    return small.unionByName(large).unionByName(other)
+
+
+SQL_RANK_LOOKUP = """
+SELECT p.p_partkey, 'small' AS route, n.n_name AS lookup_label
+FROM part p JOIN nation n ON (p.p_size % 25) = n.n_nationkey
+WHERE p.p_type LIKE 'SMALL%'
+UNION ALL
+SELECT p.p_partkey, 'large', r.r_name
+FROM part p JOIN region r ON (p.p_size % 5) = r.r_regionkey
+WHERE p.p_type LIKE 'LARGE%'
+UNION ALL
+SELECT p_partkey, 'other', NULL
+FROM part WHERE p_type NOT LIKE 'SMALL%' AND p_type NOT LIKE 'LARGE%'
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: percent-of-group (W6) — brand share of nation revenue, exact
+# decimal totals divided as doubles (R/export.R:663-667).
+
+
+def q_pct_of_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    rev = (
+        lineitem.withColumn(
+            "rev",
+            F.col("l_extendedprice").cast(DEC)
+            * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC)),
+        )
+        .join(F.broadcast(part.select(F.col("p_partkey").alias("l_partkey"), "p_brand")),
+              "l_partkey")
+        .join(F.broadcast(supplier.select(F.col("s_suppkey").alias("l_suppkey"), "s_nationkey")),
+              "l_suppkey")
+        .join(F.broadcast(nation.select(F.col("n_nationkey").alias("s_nationkey"), "n_name")),
+              "s_nationkey")
+        .groupBy("n_name", "p_brand")
+        .agg(F.sum("rev").alias("rev_dec"))
+    )
+    w = Window.partitionBy("n_name")
+    pct = (
+        F.col("rev_dec").cast("double")
+        / F.sum("rev_dec").over(w).cast("double")
+        * F.lit(100.0)
+    )
+    return rev.select(
+        "n_name",
+        "p_brand",
+        F.col("rev_dec").cast("double").alias("brand_revenue"),
+        F.round(pct, 6).alias("pct_of_nation"),
+    )
+
+
+SQL_PCT_OF_GROUP = """
+WITH rev AS (
+  SELECT n.n_name, p.p_brand,
+         SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+             * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS rev_dec
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  GROUP BY n.n_name, p.p_brand
+)
+SELECT n_name, p_brand,
+       CAST(rev_dec AS DOUBLE) AS brand_revenue,
+       ROUND(CAST(rev_dec AS DOUBLE)
+             / CAST(SUM(rev_dec) OVER (PARTITION BY n_name) AS DOUBLE) * 100.0, 6)
+         AS pct_of_nation
+FROM rev
+"""
+
+
+SPARK_QUERIES = {
+    "nested_series": q_nested_series,
+    "rank_inference": q_rank_inference,
+    "string_ops": q_string_ops,
+    "iso_format": q_iso_format,
+    "except_keys": q_except_keys,
+    "uniqueness_check": q_uniqueness_check,
+    "rank_lookup": q_rank_lookup,
+    "pct_of_group": q_pct_of_group,
+}
+
+ORACLE_SQL = {
+    "nested_series": SQL_NESTED_SERIES,
+    "rank_inference": SQL_RANK_INFERENCE,
+    "string_ops": SQL_STRING_OPS,
+    "iso_format": SQL_ISO_FORMAT,
+    "except_keys": SQL_EXCEPT_KEYS,
+    "uniqueness_check": SQL_UNIQUENESS_CHECK,
+    "rank_lookup": SQL_RANK_LOOKUP,
+    "pct_of_group": SQL_PCT_OF_GROUP,
+}
