@@ -335,6 +335,55 @@ FROM ranked WHERE rank <= 5
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: embedding-cosine near-duplicate pairs, blocked by label.
+#
+# The scale pattern for near-dup detection over embeddings: a cheap
+# blocking key (here the label column; LSH buckets in
+# operators/similarity.py::lsh_topk for unlabeled corpora) turns the
+# O(N²) all-pairs compare into an equi-join, and the exact cosine only
+# runs on within-block candidates.
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import cosine
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("label"), F.col("vec_id").alias("id_a"), F.col("embedding").alias("_ea"))
+    b = emb.select(F.col("label"), F.col("vec_id").alias("id_b"), F.col("embedding").alias("_eb"))
+    pairs = a.join(b, "label").filter(F.col("id_a") < F.col("id_b"))
+    scored = pairs.select(
+        "label", "id_a", "id_b", cosine(F.col("_ea"), F.col("_eb")).alias("_cos")
+    )
+    return scored.filter(F.col("_cos") >= 0.35).select(
+        "label", "id_a", "id_b", F.round(F.col("_cos"), 6).alias("cosine_sim")
+    )
+
+
+_COS_FOLD = """
+         list_reduce(list_transform(generate_series(1, 64),
+             i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+             (x, y) -> x + y)
+         / (sqrt(list_reduce(list_transform(generate_series(1, 64),
+                i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)),
+                (x, y) -> x + y))
+            * sqrt(list_reduce(list_transform(generate_series(1, 64),
+                i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+                (x, y) -> x + y)))
+"""
+
+SQL_EMBEDDING_NEAR_DUP = f"""
+WITH scored AS (
+  SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+         {_COS_FOLD} AS cos
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT label, id_a, id_b, ROUND(cos, 6) AS cosine_sim
+FROM scored WHERE cos >= 0.35
+"""
+
+
 SPARK_QUERIES = {
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
@@ -344,6 +393,7 @@ SPARK_QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "token_rollup": q_token_rollup,
     "ann_cosine": q_ann_cosine,
+    "embedding_near_dup": q_embedding_near_dup,
 }
 
 ORACLE_SQL = {
@@ -355,4 +405,5 @@ ORACLE_SQL = {
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "token_rollup": SQL_TOKEN_ROLLUP,
     "ann_cosine": SQL_ANN_COSINE,
+    "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
 }

@@ -1,0 +1,56 @@
+"""Physical-plan audits: guard the scale-critical plan properties so a
+refactor can't silently regress them (SURVEY §4 / instructions: filters
+pushed down, dims broadcast, codegen on the hot path)."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from peskas_mozambique_data_pipeline_spark import registry
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_lw_model_filter_pushed_to_scan(spark):
+    plan = plan_of(registry.SPARK_QUERIES["lw_model"](spark, SF))
+    assert "PushedFilters" in plan
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:400]
+
+
+def test_dim_enrichment_broadcasts_dims(spark):
+    plan = plan_of(registry.SPARK_QUERIES["dim_enrichment"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_trip_rollup_prunes_columns(spark):
+    plan = plan_of(registry.SPARK_QUERIES["trip_rollup"](spark, SF), "simple")
+    lineitem_scan = next(
+        seg for seg in plan.split("FileScan parquet") if "lineitem.parquet" in seg
+    )
+    read_schema = lineitem_scan.split("ReadSchema:")[1].splitlines()[0]
+    # only the 4 needed lineitem columns are read, not all 11
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_returnflag" not in read_schema and "l_tax" not in read_schema
+
+
+def test_trip_rollup_whole_stage_codegen(spark):
+    plan = plan_of(registry.SPARK_QUERIES["trip_rollup"](spark, SF), "codegen")
+    assert "WholeStageCodegen subtrees" in plan
+
+
+def test_monthly_median_single_exchange_for_agg(spark):
+    # the fact side shuffles once for the groupBy; the spine/dims side is
+    # broadcast so densification adds no fact-table shuffle
+    plan = plan_of(registry.SPARK_QUERIES["monthly_median"](spark, SF))
+    assert plan.count("BroadcastExchange") >= 2  # customer, nation, spine x dims

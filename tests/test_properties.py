@@ -1,0 +1,122 @@
+"""Property-based checks (SURVEY §5.4): unpivot/pivot round-trip,
+calendar completion coverage, flag monotonicity, catch-model
+non-negativity."""
+
+from __future__ import annotations
+
+import datetime
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from peskas_mozambique_data_pipeline_spark.operators import reshape
+from peskas_mozambique_data_pipeline_spark.plans import validate as val
+
+SET = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+finite = st.one_of(
+    st.none(),
+    st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False),
+)
+
+
+@SET
+@given(st.lists(st.tuples(finite, finite), min_size=1, max_size=6))
+def test_unpivot_pivot_roundtrip(spark, rows_in):
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(rows_in)], "id int, m1 double, m2 double"
+    )
+    long = reshape.unpivot(df, ["id"], ["m1", "m2"])
+    wide = reshape.pivot_wider(long, ["id"], "metric_type", "metric_value", ["m1", "m2"])
+    got = sorted(tuple(r) for r in wide.collect())
+    expect = sorted((i, a, b) for i, (a, b) in enumerate(rows_in))
+    assert got == expect
+
+
+@SET
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["d1", "d2"]),
+            st.dates(min_value=datetime.date(2023, 1, 1), max_value=datetime.date(2024, 12, 1)),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_complete_months_covers_span(spark, rows_in):
+    df = spark.createDataFrame(
+        [(d, datetime.date(dt.year, dt.month, 1), 1.0) for d, dt in rows_in],
+        "district string, month date, v double",
+    ).dropDuplicates(["district", "month"])
+    out = reshape.complete_months(df, ["district"], "month")
+    months = sorted({datetime.date(dt.year, dt.month, 1) for _, dt in rows_in})
+    lo, hi = months[0], months[-1]
+    n_months = (hi.year - lo.year) * 12 + (hi.month - lo.month) + 1
+    n_districts = len({d for d, _ in rows_in})
+    assert out.count() == n_months * n_districts
+    # every district covers the full spine
+    per = out.groupBy("district").count().collect()
+    assert all(r["count"] == n_months for r in per)
+
+
+@SET
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(min_value=0.1, max_value=59.0),  # duration
+            st.floats(min_value=1.0, max_value=10.0),  # fishers
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_flag_monotonicity(spark, trips):
+    """Adding a violation to a row never removes existing flags."""
+    base = spark.createDataFrame(
+        [
+            (f"s{i}", "1", d, f, None, None, 5.0,
+             datetime.datetime(2024, 3, 2), datetime.datetime(2024, 3, 1))
+            for i, (d, f) in enumerate(trips)
+        ],
+        "submission_id string, survey_activity string, trip_duration double, "
+        "n_fishers double, n_buckets double, n_individuals double, catch_kg double, "
+        "submission_date timestamp, landing_date timestamp",
+    )
+    worse = base.withColumn("trip_duration", F.lit(99.0))
+    f_base = {
+        r.submission_id: set((r.alert_flag or "").split(",")) - {""}
+        for r in val.apply_rule_flags(base).collect()
+    }
+    f_worse = {
+        r.submission_id: set((r.alert_flag or "").split(",")) - {""}
+        for r in val.apply_rule_flags(worse).collect()
+    }
+    for sid, flags in f_base.items():
+        assert flags <= f_worse[sid]
+        assert "12_bad_duration" in f_worse[sid]
+
+
+@SET
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(min_value=0.001, max_value=1.0),  # a
+            st.floats(min_value=2.5, max_value=3.5),    # b
+            st.floats(min_value=1.0, max_value=100.0),  # L
+            st.integers(min_value=1, max_value=50),     # N
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_catch_model_non_negative(spark, rows_in):
+    df = spark.createDataFrame(rows_in, "a double, b double, L double, N int")
+    out = df.select(
+        (F.col("a") * F.pow(F.col("L"), F.col("b")) * F.col("N") / 1000.0).alias("kg")
+    )
+    assert all(r.kg >= 0 for r in out.collect())
