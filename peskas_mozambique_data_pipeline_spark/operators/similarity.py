@@ -35,6 +35,17 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def with_norm(df: DataFrame, vec_col: str = "embedding", norm_col: str = "_norm") -> DataFrame:
+    """Attach the L2 norm as a scalar column.
+
+    Precomputing norms *before* a pairwise join is the key similarity
+    optimization: cosine over N·M pairs then needs one dot fold per
+    pair instead of three (dot + both norms), and each row's norm is
+    computed once, not once per pair.
+    """
+    return df.withColumn(norm_col, _norm(F.col(vec_col)))
+
+
 def cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -45,17 +56,18 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact brute-force cosine top-k.
 
-    Queries are broadcast against the corpus (no corpus shuffle); the
-    per-query top-k runs as one window rank over the scored pairs, with
-    ``corpus_id`` as the deterministic tie-break.
+    Queries are broadcast against the corpus (no corpus shuffle); norms
+    are precomputed per row; the per-query top-k runs as one window rank
+    over the scored pairs, with ``corpus_id`` as the deterministic
+    tie-break.
     """
-    q = queries.select(F.col(query_id), F.col(vec_col).alias("_qv"))
-    c = corpus.select(F.col(corpus_id), F.col(vec_col).alias("_cv"))
+    q = with_norm(queries.select(F.col(query_id), F.col(vec_col).alias("_qv")), "_qv", "_qn")
+    c = with_norm(corpus.select(F.col(corpus_id), F.col(vec_col).alias("_cv")), "_cv", "_cn")
     scored = c.crossJoin(F.broadcast(q)).filter(F.col(query_id) != F.col(corpus_id))
     scored = scored.select(
         query_id,
         corpus_id,
-        cosine(F.col("_qv"), F.col("_cv")).alias("_cos"),
+        (_dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))).alias("_cos"),
     )
     w = Window.partitionBy(query_id).orderBy(F.col("_cos").desc(), F.col(corpus_id))
     return (
@@ -115,19 +127,29 @@ def lsh_topk(
     the join is equi-keyed on the bucket, so at scale the shuffle moves
     each corpus row once rather than |Q| times.
     """
-    qb = queries.select(
-        F.col(query_id),
-        F.col(vec_col).alias("_qv"),
-        lsh_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
+    qb = with_norm(
+        queries.select(
+            F.col(query_id),
+            F.col(vec_col).alias("_qv"),
+            lsh_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
+        ),
+        "_qv",
+        "_qn",
     )
-    cb = corpus.select(
-        F.col(corpus_id),
-        F.col(vec_col).alias("_cv"),
-        lsh_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
+    cb = with_norm(
+        corpus.select(
+            F.col(corpus_id),
+            F.col(vec_col).alias("_cv"),
+            lsh_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
+        ),
+        "_cv",
+        "_cn",
     )
     scored = cb.join(F.broadcast(qb), "bucket").filter(F.col(query_id) != F.col(corpus_id))
     scored = scored.select(
-        query_id, corpus_id, cosine(F.col("_qv"), F.col("_cv")).alias("_cos")
+        query_id,
+        corpus_id,
+        (_dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))).alias("_cos"),
     )
     w = Window.partitionBy(query_id).orderBy(F.col("_cos").desc(), F.col(corpus_id))
     return (

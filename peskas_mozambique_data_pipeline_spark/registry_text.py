@@ -346,14 +346,24 @@ FROM ranked WHERE rank <= 5
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.similarity import cosine
+    from .operators.similarity import _dot, with_norm
 
     emb = read_table(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("label"), F.col("vec_id").alias("id_a"), F.col("embedding").alias("_ea"))
-    b = emb.select(F.col("label"), F.col("vec_id").alias("id_b"), F.col("embedding").alias("_eb"))
+    # norms precomputed per row (N sqrt-folds) instead of per pair (N²)
+    a = with_norm(
+        emb.select(F.col("label"), F.col("vec_id").alias("id_a"), F.col("embedding").alias("_ea")),
+        "_ea", "_na",
+    )
+    b = with_norm(
+        emb.select(F.col("label"), F.col("vec_id").alias("id_b"), F.col("embedding").alias("_eb")),
+        "_eb", "_nb",
+    )
     pairs = a.join(b, "label").filter(F.col("id_a") < F.col("id_b"))
     scored = pairs.select(
-        "label", "id_a", "id_b", cosine(F.col("_ea"), F.col("_eb")).alias("_cos")
+        "label",
+        "id_a",
+        "id_b",
+        (_dot(F.col("_ea"), F.col("_eb")) / (F.col("_na") * F.col("_nb"))).alias("_cos"),
     )
     return scored.filter(F.col("_cos") >= 0.35).select(
         "label", "id_a", "id_b", F.round(F.col("_cos"), 6).alias("cosine_sim")
