@@ -318,6 +318,79 @@ FROM rev
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: event-time sessionization — Spark's native session_window vs the
+# SQL gaps-and-islands formulation.  The streaming-capable stateful
+# operator (SURVEY §2.12 / §7 extension), exercised in batch mode so the
+# oracle can verify it.
+
+
+def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    sessions = (
+        events.groupBy(
+            F.session_window(F.col("ts"), "30 minutes").alias("w"), F.col("user_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "session_value",
+        )
+    )
+    return sessions
+
+
+SQL_SESSIONIZATION = """
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+  SELECT user_id, ts, value,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+FROM sess GROUP BY user_id, sid
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: rollup multi-granularity aggregate — replaces the reference's
+# union-of-separate-groupBys idiom (SURVEY §2.4 note,
+# R/preprocessing-surveys.R:908-915) with one pass.
+
+
+def q_rollup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = _t(spark, sf_dir, "lineitem")
+    return (
+        lineitem.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("total_qty"),
+        )
+        .select("l_returnflag", "l_linestatus", "n_rows", "total_qty")
+    )
+
+
+SQL_ROLLUP_SUMMARY = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+
 SPARK_QUERIES = {
     "nested_series": q_nested_series,
     "rank_inference": q_rank_inference,
@@ -327,6 +400,8 @@ SPARK_QUERIES = {
     "uniqueness_check": q_uniqueness_check,
     "rank_lookup": q_rank_lookup,
     "pct_of_group": q_pct_of_group,
+    "sessionization": q_sessionization,
+    "rollup_summary": q_rollup_summary,
 }
 
 ORACLE_SQL = {
@@ -338,4 +413,6 @@ ORACLE_SQL = {
     "uniqueness_check": SQL_UNIQUENESS_CHECK,
     "rank_lookup": SQL_RANK_LOOKUP,
     "pct_of_group": SQL_PCT_OF_GROUP,
+    "sessionization": SQL_SESSIONIZATION,
+    "rollup_summary": SQL_ROLLUP_SUMMARY,
 }
