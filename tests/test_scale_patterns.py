@@ -1,0 +1,63 @@
+"""Scale-pattern tests: salted aggregation/join correctness and
+bucketed co-located joins eliminating the shuffle."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from peskas_mozambique_data_pipeline_spark.operators import skew
+
+
+def test_two_phase_agg_matches_plain(spark):
+    # one hot key (90% of rows) + long tail
+    rows = [("hot", float(i % 7)) for i in range(900)] + [
+        (f"k{i}", float(i)) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "k string, v double")
+    salted = skew.two_phase_agg(
+        df, ["k"], {"total": ("v", "sum"), "n": ("v", "count")}, n_salts=8
+    )
+    plain = df.groupBy("k").agg(F.sum("v").alias("total"), F.count("v").alias("n"))
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_salted_join_matches_plain(spark):
+    big = spark.createDataFrame(
+        [("hot", i) for i in range(500)] + [("cold", i) for i in range(5)], "k string, v int"
+    )
+    small = spark.createDataFrame([("hot", "H"), ("cold", "C")], "k string, label string")
+    salted = skew.salted_join(big, small, "k", n_salts=4)
+    plain = big.join(small, "k")
+    assert salted.count() == plain.count() == 505
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Pre-bucketed tables co-locate join keys: the sort-merge join reads
+    both sides without an Exchange — the 100 TB pattern for repeated
+    joins on the same key."""
+    # warehouse.dir is a static conf — use a database with an explicit
+    # LOCATION so bucketed tables land in the test tmpdir
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bktest LOCATION '{tmp_path / 'wh'}'")
+    left = spark.range(0, 1000).withColumn("v", F.col("id") * 2)
+    right = spark.range(0, 1000).withColumn("w", F.col("id") * 3)
+    left.write.bucketBy(4, "id").sortBy("id").mode("overwrite").saveAsTable("bktest.bk_left")
+    right.write.bucketBy(4, "id").sortBy("id").mode("overwrite").saveAsTable("bktest.bk_right")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("bktest.bk_left").join(spark.table("bktest.bk_right"), "id")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain("simple")
+        plan = buf.getvalue()
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan
+        assert joined.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS bktest.bk_left")
+        spark.sql("DROP TABLE IF EXISTS bktest.bk_right")
+        spark.sql("DROP DATABASE IF EXISTS bktest")
