@@ -367,6 +367,50 @@ FROM sess GROUP BY user_id, sid
 
 
 # ---------------------------------------------------------------------------
+# Q: as-of join — each click gets the user's most recent prior view.
+# Spark has no native as-of join; operators/asof.py composes it from a
+# tagged union + last-ignorenulls window.  The oracle is DuckDB's
+# NATIVE ASOF LEFT JOIN, so this checks the composition against an
+# independent first-class implementation.
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.asof import asof_join
+
+    events = _t(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    views = events.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        "user_id",
+        "ts",
+        F.col("value").alias("view_value"),
+    )
+    out = asof_join(clicks, views, on="ts", by="user_id")
+    return out.select(
+        "click_id",
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        "view_id",
+        "view_value",
+    )
+
+
+SQL_ASOF_JOIN = """
+WITH c AS (
+  SELECT event_id AS click_id, user_id, ts FROM events WHERE event_type = 'click'
+),
+v AS (
+  SELECT event_id AS view_id, user_id, ts, value AS view_value
+  FROM events WHERE event_type = 'view'
+)
+SELECT c.click_id, c.user_id, c.ts AS click_ts, v.view_id, v.view_value
+FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.ts >= v.ts
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q: rollup multi-granularity aggregate — replaces the reference's
 # union-of-separate-groupBys idiom (SURVEY §2.4 note,
 # R/preprocessing-surveys.R:908-915) with one pass.
@@ -402,6 +446,7 @@ SPARK_QUERIES = {
     "pct_of_group": q_pct_of_group,
     "sessionization": q_sessionization,
     "rollup_summary": q_rollup_summary,
+    "asof_join": q_asof_join,
 }
 
 ORACLE_SQL = {
@@ -415,4 +460,5 @@ ORACLE_SQL = {
     "pct_of_group": SQL_PCT_OF_GROUP,
     "sessionization": SQL_SESSIONIZATION,
     "rollup_summary": SQL_ROLLUP_SUMMARY,
+    "asof_join": SQL_ASOF_JOIN,
 }
