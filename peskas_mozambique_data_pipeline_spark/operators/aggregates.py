@@ -136,6 +136,20 @@ def distinct_last_wins(
     )
 
 
+def carry_by_max(value_col: str | Column, order_col: str | Column) -> Column:
+    """Deterministic first/last-style carry-along (A2).
+
+    dplyr's ``first(x)`` relies on the frame's prior arrange; a
+    distributed engine must order explicitly (SURVEY §7.4 first-row
+    nondeterminism).  ``max_by`` over an explicit ordering column is the
+    aggregate form; pair the order column with a unique tie-break
+    (e.g. ``F.struct(ts, id)``) when duplicates are possible.
+    """
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    o = F.col(order_col) if isinstance(order_col, str) else order_col
+    return F.max_by(v, o)
+
+
 def sum_not_null(col: str | Column) -> Column:
     """R ``sum(x, na.rm=TRUE)`` — returns 0 (not NULL) when all inputs
     are NULL (§1.2 NULL-semantics note; R/validation.R:348)."""

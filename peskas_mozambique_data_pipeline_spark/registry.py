@@ -441,6 +441,57 @@ FROM cohorts GROUP BY c_mktsegment, cohort
 
 
 # ---------------------------------------------------------------------------
+# Q: TPC-H Q1 shape — the canonical pricing-summary report (grouped
+# multi-aggregate with filters), exact decimal arithmetic throughout.
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = _t(spark, sf_dir, "lineitem")
+    disc_price = _revenue_dec()
+    charge = disc_price * (F.lit(1).cast(DEC) + F.col("l_tax").cast(DEC))
+    filtered = lineitem.filter(F.col("l_shipdate") <= F.lit("2001-06-01"))
+    return (
+        filtered.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast(DEC)).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum(F.col("l_quantity").cast(DEC)).cast("double") / F.count(F.lit(1)))
+            .alias("avg_qty"),
+            (F.sum(F.col("l_extendedprice").cast(DEC)).cast("double") / F.count(F.lit(1)))
+            .alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .select(
+            "l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+            "sum_disc_price", "sum_charge",
+            _r6(F.col("avg_qty")).alias("avg_qty"),
+            _r6(F.col("avg_price")).alias("avg_price"),
+            "count_order",
+        )
+    )
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_price,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-06-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry assembly
 
 
@@ -455,6 +506,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unpivot_metrics": q_unpivot_metrics,
     "pivot_status": q_pivot_status,
     "semi_anti": q_semi_anti,
+    "pricing_summary": q_pricing_summary,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -466,6 +518,7 @@ ORACLE_SQL: dict[str, str] = {
     "unpivot_metrics": SQL_UNPIVOT_METRICS,
     "pivot_status": SQL_PIVOT_STATUS,
     "semi_anti": SQL_SEMI_ANTI,
+    "pricing_summary": SQL_PRICING_SUMMARY,
 }
 
 SPARK_QUERIES.update(registry_relational.SPARK_QUERIES)

@@ -104,3 +104,16 @@ def test_sum_not_null_all_null_is_zero(spark):
     df = spark.createDataFrame([("g", None), ("g", None)], "k string, x double")
     out = df.groupBy("k").agg(sum_not_null("x").alias("s"))
     assert out.first().s == 0.0
+
+
+def test_carry_by_max_deterministic(spark):
+    from peskas_mozambique_data_pipeline_spark.operators.aggregates import carry_by_max
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("k", 1, "old"), ("k", 3, "newest"), ("k", 2, "mid")], ["key", "ts", "v"]
+    )
+    out = df.groupBy("key").agg(
+        carry_by_max("v", F.struct(F.col("ts"), F.col("v"))).alias("latest")
+    )
+    assert out.first().latest == "newest"
