@@ -10,11 +10,18 @@ Implementation lives in ``peskas_mozambique_data_pipeline_spark.registry``.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from peskas_mozambique_data_pipeline_spark import registry
+# importable regardless of the driver's working directory
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+from peskas_mozambique_data_pipeline_spark import registry  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
