@@ -1,0 +1,54 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from peskas_mozambique_data_pipeline_spark.streaming import ingest as si
+from peskas_mozambique_data_pipeline_spark.streaming.stateful import running_user_stats
+
+
+def _write_batch(spark, path, rows):
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    df.coalesce(1).write.mode("append").parquet(path)
+
+
+def test_stateful_running_stats_across_batches(spark, tmp_path):
+    src = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _write_batch(spark, src, [(1, "2024-01-01 00:00:00", 2.0),
+                              (1, "2024-01-01 00:05:00", 3.0),
+                              (2, "2024-01-01 00:06:00", 1.0)])
+    schema = spark.read.parquet(src).schema
+
+    def run_once():
+        stream = spark.readStream.format("parquet").schema(schema).load(src)
+        stats = running_user_stats(stream)
+        # file sinks don't take update mode: foreachBatch is the
+        # documented pattern for stateful-update output to files
+        q = (
+            stats.writeStream.foreachBatch(
+                lambda df, epoch: df.write.mode("append").parquet(out)
+            )
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    # second batch arrives later; state must carry over via checkpoint
+    _write_batch(spark, src, [(1, "2024-01-01 01:00:00", 5.0)])
+    run_once()
+
+    rows = spark.read.parquet(out).collect()
+    latest = {}
+    for r in rows:  # keep the latest emission per user
+        if r.user_id not in latest or r.n_events > latest[r.user_id].n_events:
+            latest[r.user_id] = r
+    assert latest[1].n_events == 3 and latest[1].total_value == 10.0
+    assert str(latest[1].last_seen) == "2024-01-01 01:00:00"
+    assert latest[2].n_events == 1 and latest[2].total_value == 1.0
