@@ -82,6 +82,127 @@ def cosine_topk(
     )
 
 
+def build_ivf_index(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    n_iters: int = 2,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """IVF coarse quantizer: Lloyd's k-means in pure DataFrame ops.
+
+    Returns (assignments, centroids): ``assignments`` maps each corpus
+    row to its nearest centroid id; ``centroids`` holds the centroid
+    vectors.  Init is a deterministic stride sample (no Date.now/rand —
+    reproducible builds).  Each Lloyd iteration is one broadcast-join
+    assignment pass + one posexplode/groupBy mean — O(N·C·d) compute,
+    shuffles only the exploded (cluster, pos, val) triples.
+
+    At 100 TB: N·C·d FLOPs per iteration distribute evenly; the
+    centroid table (C×d doubles) always broadcasts.
+    """
+    n = corpus.count()
+    stride = max(1, n // n_centroids)
+    centroids = (
+        corpus.withColumn(
+            "_rn",
+            F.row_number().over(Window.orderBy(corpus_id)),
+        )
+        .filter(((F.col("_rn") - 1) % stride == 0) & (F.col("_rn") <= stride * n_centroids))
+        .select(
+            ((F.col("_rn") - 1) / stride).cast("int").alias("centroid_id"),
+            F.col(vec_col).alias("centroid"),
+        )
+    )
+
+    def assign(cents: DataFrame) -> DataFrame:
+        scored = corpus.crossJoin(F.broadcast(cents)).select(
+            F.col(corpus_id),
+            F.col(vec_col),
+            F.col("centroid_id"),
+            _dot(F.col(vec_col), F.col("centroid")).alias("_sim"),
+            (_norm(F.col(vec_col)) * _norm(F.col("centroid"))).alias("_nn"),
+        )
+        w = Window.partitionBy(corpus_id).orderBy(
+            (F.col("_sim") / F.col("_nn")).desc(), F.col("centroid_id")
+        )
+        return (
+            scored.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .select(corpus_id, vec_col, "centroid_id")
+        )
+
+    assignments = assign(centroids)
+    for _ in range(n_iters - 1):
+        # recompute centroids as element-wise means of their members
+        exploded = assignments.select(
+            "centroid_id", F.posexplode(F.col(vec_col)).alias("pos", "val")
+        )
+        means = exploded.groupBy("centroid_id", "pos").agg(F.avg("val").alias("m"))
+        centroids = (
+            means.groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s.m.cast("float"),
+                ).alias("centroid")
+            )
+        )
+        assignments = assign(centroids)
+    return assignments, centroids
+
+
+def ivf_topk(
+    queries: DataFrame,
+    assignments: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search: route each query to its ``n_probe`` nearest
+    centroids, score only vectors assigned to those clusters.
+
+    Candidate count ≈ N·n_probe/C instead of N — the standard
+    recall/latency dial.  The probe join is equi-keyed on centroid_id.
+    """
+    q = queries.select(F.col(query_id), F.col(vec_col).alias("_qv"))
+    probes = q.crossJoin(F.broadcast(centroids)).select(
+        query_id,
+        "_qv",
+        "centroid_id",
+        (_dot(F.col("_qv"), F.col("centroid"))
+         / (_norm(F.col("_qv")) * _norm(F.col("centroid")))).alias("_csim"),
+    )
+    wq = Window.partitionBy(query_id).orderBy(F.col("_csim").desc(), F.col("centroid_id"))
+    probed = probes.withColumn("_rk", F.row_number().over(wq)).filter(
+        F.col("_rk") <= n_probe
+    ).select(query_id, "_qv", "centroid_id")
+
+    cands = probed.join(assignments, "centroid_id").filter(
+        F.col(query_id) != F.col(corpus_id)
+    )
+    scored = cands.select(
+        query_id,
+        corpus_id,
+        (_dot(F.col("_qv"), F.col(vec_col))
+         / (_norm(F.col("_qv")) * _norm(F.col(vec_col)))).alias("_cos"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("_cos").desc(), F.col(corpus_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id,
+            F.col(corpus_id).alias("neighbor_id"),
+            "rank",
+            F.round(F.col("_cos"), 6).alias("cosine_sim"),
+        )
+    )
+
+
 def _plane_sign(vec: Column, plane_seed: int, dim: int) -> Column:
     """Deterministic pseudo-random hyperplane side: weight per index is
     md5-derived in [-0.5, 0.5); the sign of the projection is the bit.

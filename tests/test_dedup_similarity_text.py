@@ -122,3 +122,28 @@ def test_percent_of_group(spark):
     df = spark.createDataFrame([("g", 25.0), ("g", 75.0)], ["k", "v"])
     out = percent_of_group(df, ["k"], "v")
     assert sorted(r.pct for r in out.collect()) == [25.0, 75.0]
+
+
+def test_ivf_topk_recall_on_clusters(spark):
+    # three tight clusters; IVF with n_probe=1 must stay in-cluster
+    rng = np.random.default_rng(11)
+    bases = [rng.normal(size=8) * 5 for _ in range(3)]
+    rows = []
+    for ci, base in enumerate(bases):
+        for i in range(12):
+            vid = ci * 12 + i
+            rows.append((vid, [float(x) for x in base + rng.normal(0, 0.05, 8)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    assignments, centroids = similarity.build_ivf_index(df, n_centroids=3, n_iters=2)
+    # after 2 Lloyd iterations the 3 clusters separate
+    sizes = sorted(r["count"] for r in assignments.groupBy("centroid_id").count().collect())
+    assert sizes == [12, 12, 12]
+    queries = df.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.ivf_topk(queries, assignments, centroids, k=3, n_probe=1).collect()
+    assert len(out) == 3
+    assert all(r.neighbor_id < 12 for r in out)  # same-cluster neighbors only
+    # matches brute force on the same data
+    brute = similarity.cosine_topk(queries, df, k=3).collect()
+    assert {r.neighbor_id for r in out} == {r.neighbor_id for r in brute}
