@@ -65,6 +65,12 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
     """
     from pyspark.sql import functions as F
 
+    # oracle comparisons assume UTC-naive timestamp semantics (DuckDB);
+    # pin the session TZ so date casts/truncations of the LTZ events.ts
+    # are driver-environment independent (runtime conf — safe to set on
+    # a session we didn't create)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
