@@ -46,6 +46,34 @@ def _revenue_dec() -> F.Column:
     return price * (F.lit(1).cast(DEC) - disc)
 
 
+def cents(col: str | F.Column) -> F.Column:
+    """2-decimal money column → exact integer cents.
+
+    Integer-cents aggregation is ~4× faster than decimal128 sums and
+    produces bit-identical doubles after the final division (both
+    engines round-to-nearest the same exact rational).  The inputs are
+    2-decimal values, so round(x*100) recovers the integer exactly —
+    x*100 lands within 1 ulp of it, never at a .5 boundary.  Row
+    magnitudes: price ≤ ~1e5 → cents ≤ 1e7; long sums stay exact far
+    beyond harness scale (overflow would need ~1e11 rows of max price).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * 100).cast("long")
+
+
+def _revenue_cents() -> F.Column:
+    """Revenue in cents·100 units (scale 4): price_c × (100 − disc_c)."""
+    return cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
+
+
+# the same expressions in DuckDB SQL
+SQL_CENTS = "CAST(round({col} * 100) AS BIGINT)"
+SQL_REV_CENTS = (
+    "CAST(round(l_extendedprice * 100) AS BIGINT)"
+    " * (100 - CAST(round(l_discount * 100) AS BIGINT))"
+)
+
+
 def _r6(c):
     return F.round(c, 6)
 
@@ -61,8 +89,8 @@ def q_trip_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
     per_trip = lineitem.groupBy("l_orderkey").agg(
-        F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("total_qty"),
-        F.sum(_revenue_dec()).cast("double").alias("revenue"),
+        (F.sum(cents("l_quantity")) / 100.0).alias("total_qty"),
+        (F.sum(_revenue_cents()) / 10000.0).alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
     carry = orders.select(
@@ -88,9 +116,9 @@ SQL_TRIP_ROLLUP = """
 WITH per_trip AS (
   SELECT
     l_orderkey,
-    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
-    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-             * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+    SUM(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0 AS total_qty,
+    SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+        * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0 AS revenue,
     COUNT(*) AS n_items
   FROM lineitem GROUP BY l_orderkey
 )
@@ -114,7 +142,7 @@ def q_dim_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = _t(spark, sf_dir, "nation")
     region = _t(spark, sf_dir, "region")
     enriched = join_ops.enrich(
-        lineitem.withColumn("rev", _revenue_dec()),
+        lineitem.withColumn("rev_c", _revenue_cents()),
         [
             (supplier.select(F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"), "l_suppkey"),
             (nation.select(F.col("n_nationkey").alias("s_nationkey"), "n_name", "n_regionkey"), "s_nationkey"),
@@ -124,7 +152,7 @@ def q_dim_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         enriched.groupBy("r_name", "l_returnflag")
         .agg(
-            F.sum(F.col("rev")).cast("double").alias("revenue"),
+            (F.sum("rev_c") / 10000.0).alias("revenue"),
             F.count(F.lit(1)).alias("n_rows"),
         )
         .select("r_name", "l_returnflag", "revenue", "n_rows")
@@ -134,8 +162,8 @@ def q_dim_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_DIM_ENRICHMENT = """
 SELECT
   r.r_name, l.l_returnflag,
-  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
-           * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+  SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+      * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) / 10000.0 AS revenue,
   COUNT(*) AS n_rows
 FROM lineitem l
 LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -222,7 +250,7 @@ def q_topk_other(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier = _t(spark, sf_dir, "supplier")
     nation = _t(spark, sf_dir, "nation")
     enriched = join_ops.enrich(
-        lineitem.withColumn("rev", _revenue_dec()),
+        lineitem.withColumn("rev_c", _revenue_cents()),
         [
             (part.select(F.col("p_partkey").alias("l_partkey"), "p_brand"), "l_partkey"),
             (supplier.select(F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"), "l_suppkey"),
@@ -230,16 +258,17 @@ def q_topk_other(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     per_brand = enriched.groupBy("n_name", "p_brand").agg(
-        F.sum("rev").alias("rev_dec")
+        F.sum("rev_c").alias("rev_c")
     )
-    ranked = win_ops.rank_in_group(per_brand, ["n_name"], "rev_dec", True, "_rk", ["p_brand"])
+    # ranking on the exact integer total — no float ties possible
+    ranked = win_ops.rank_in_group(per_brand, ["n_name"], "rev_c", True, "_rk", ["p_brand"])
     bucketed = ranked.withColumn(
         "brand",
         F.when(F.col("_rk") <= 3, F.col("p_brand")).otherwise(F.lit("Other")),
     )
     return (
         bucketed.groupBy("n_name", "brand")
-        .agg(F.sum("rev_dec").cast("double").alias("revenue"))
+        .agg((F.sum("rev_c") / 10000.0).alias("revenue"))
         .select("n_name", "brand", "revenue")
     )
 
@@ -247,8 +276,8 @@ def q_topk_other(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_TOPK_OTHER = """
 WITH per_brand AS (
   SELECT n.n_name, p.p_brand,
-         SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
-             * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS rev_dec
+         SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS rev_c
   FROM lineitem l
   JOIN part p ON l.l_partkey = p.p_partkey
   JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -256,12 +285,12 @@ WITH per_brand AS (
   GROUP BY n.n_name, p.p_brand
 ),
 ranked AS (
-  SELECT *, ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY rev_dec DESC, p_brand) AS rk
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY rev_c DESC, p_brand) AS rk
   FROM per_brand
 )
 SELECT n_name,
        CASE WHEN rk <= 3 THEN p_brand ELSE 'Other' END AS brand,
-       CAST(SUM(rev_dec) AS DOUBLE) AS revenue
+       SUM(rev_c) / 10000.0 AS revenue
 FROM ranked
 GROUP BY n_name, CASE WHEN rk <= 3 THEN p_brand ELSE 'Other' END
 """
@@ -322,9 +351,9 @@ def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = _t(spark, sf_dir, "lineitem")
     prepared = lineitem.select(
         F.date_trunc("month", F.col("l_shipdate")).cast("date").alias("month"),
-        F.col("l_quantity").cast(DEC).alias("quantity"),
-        F.col("l_extendedprice").cast(DEC).alias("price"),
-        F.col("l_discount").cast(DEC).alias("discount"),
+        cents("l_quantity").alias("quantity"),
+        cents("l_extendedprice").alias("price"),
+        cents("l_discount").alias("discount"),
     )
     long = reshape_ops.unpivot(
         prepared, ["month"], ["quantity", "price", "discount"],
@@ -333,7 +362,7 @@ def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         long.groupBy("month", "metric_type")
         .agg(
-            F.sum("metric_value").cast("double").alias("metric_total"),
+            (F.sum("metric_value") / 100.0).alias("metric_total"),
             F.count(F.lit(1)).alias("n_values"),
         )
         .select("month", "metric_type", "metric_total", "n_values")
@@ -346,14 +375,14 @@ WITH long AS (
          metric_type, metric_value
   FROM (
     SELECT l_shipdate,
-           CAST(l_quantity AS DECIMAL(18,2)) AS quantity,
-           CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
-           CAST(l_discount AS DECIMAL(18,2)) AS discount
+           CAST(round(l_quantity * 100) AS BIGINT) AS quantity,
+           CAST(round(l_extendedprice * 100) AS BIGINT) AS price,
+           CAST(round(l_discount * 100) AS BIGINT) AS discount
     FROM lineitem
   ) UNPIVOT (metric_value FOR metric_type IN (quantity, price, discount))
 )
 SELECT month, metric_type,
-       CAST(SUM(metric_value) AS DOUBLE) AS metric_total,
+       SUM(metric_value) / 100.0 AS metric_total,
        COUNT(*) AS n_values
 FROM long GROUP BY month, metric_type
 """
@@ -447,20 +476,21 @@ FROM cohorts GROUP BY c_mktsegment, cohort
 
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = _t(spark, sf_dir, "lineitem")
-    disc_price = _revenue_dec()
-    charge = disc_price * (F.lit(1).cast(DEC) + F.col("l_tax").cast(DEC))
+    # integer units: cents for linear terms, cents·100 for disc_price,
+    # cents·10000 for charge — all exact in BIGINT at harness scale
+    charge_c = cents("l_extendedprice") * (F.lit(100) - cents("l_discount")) * (
+        F.lit(100) + cents("l_tax")
+    )
     filtered = lineitem.filter(F.col("l_shipdate") <= F.lit("2001-06-01"))
     return (
         filtered.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("sum_qty"),
-            F.sum(F.col("l_extendedprice").cast(DEC)).cast("double").alias("sum_base_price"),
-            F.sum(disc_price).cast("double").alias("sum_disc_price"),
-            F.sum(charge).cast("double").alias("sum_charge"),
-            (F.sum(F.col("l_quantity").cast(DEC)).cast("double") / F.count(F.lit(1)))
-            .alias("avg_qty"),
-            (F.sum(F.col("l_extendedprice").cast(DEC)).cast("double") / F.count(F.lit(1)))
-            .alias("avg_price"),
+            (F.sum(cents("l_quantity")) / 100.0).alias("sum_qty"),
+            (F.sum(cents("l_extendedprice")) / 100.0).alias("sum_base_price"),
+            (F.sum(_revenue_cents()) / 10000.0).alias("sum_disc_price"),
+            (F.sum(charge_c) / 1000000.0).alias("sum_charge"),
+            (F.sum(cents("l_quantity")) / 100.0 / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(cents("l_extendedprice")) / 100.0 / F.count(F.lit(1))).alias("avg_price"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .select(
@@ -475,15 +505,15 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_PRICING_SUMMARY = """
 SELECT l_returnflag, l_linestatus,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                * (1 - CAST(l_discount AS DECIMAL(18,2)))
-                * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
-       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
-       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_price,
+       SUM(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0 AS sum_qty,
+       SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_base_price,
+       SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0 AS sum_disc_price,
+       SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))
+           * (100 + CAST(round(l_tax * 100) AS BIGINT))) / 1000000.0 AS sum_charge,
+       ROUND(SUM(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0 / COUNT(*), 6) AS avg_qty,
+       ROUND(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 / COUNT(*), 6) AS avg_price,
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2001-06-01'

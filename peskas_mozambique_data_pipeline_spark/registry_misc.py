@@ -272,8 +272,8 @@ def q_pct_of_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = (
         lineitem.withColumn(
             "rev",
-            F.col("l_extendedprice").cast(DEC)
-            * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC)),
+            F.round(F.col("l_extendedprice") * 100).cast("long")
+            * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")),
         )
         .join(F.broadcast(part.select(F.col("p_partkey").alias("l_partkey"), "p_brand")),
               "l_partkey")
@@ -282,18 +282,18 @@ def q_pct_of_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation.select(F.col("n_nationkey").alias("s_nationkey"), "n_name")),
               "s_nationkey")
         .groupBy("n_name", "p_brand")
-        .agg(F.sum("rev").alias("rev_dec"))
+        .agg(F.sum("rev").alias("rev_c"))
     )
     w = Window.partitionBy("n_name")
     pct = (
-        F.col("rev_dec").cast("double")
-        / F.sum("rev_dec").over(w).cast("double")
+        (F.col("rev_c") / 10000.0)
+        / (F.sum("rev_c").over(w) / 10000.0)
         * F.lit(100.0)
     )
     return rev.select(
         "n_name",
         "p_brand",
-        F.col("rev_dec").cast("double").alias("brand_revenue"),
+        (F.col("rev_c") / 10000.0).alias("brand_revenue"),
         F.round(pct, 6).alias("pct_of_nation"),
     )
 
@@ -301,8 +301,8 @@ def q_pct_of_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_PCT_OF_GROUP = """
 WITH rev AS (
   SELECT n.n_name, p.p_brand,
-         SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
-             * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS rev_dec
+         SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS rev_c
   FROM lineitem l
   JOIN part p ON l.l_partkey = p.p_partkey
   JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -310,9 +310,9 @@ WITH rev AS (
   GROUP BY n.n_name, p.p_brand
 )
 SELECT n_name, p_brand,
-       CAST(rev_dec AS DOUBLE) AS brand_revenue,
-       ROUND(CAST(rev_dec AS DOUBLE)
-             / CAST(SUM(rev_dec) OVER (PARTITION BY n_name) AS DOUBLE) * 100.0, 6)
+       rev_c / 10000.0 AS brand_revenue,
+       ROUND((rev_c / 10000.0)
+             / (SUM(rev_c) OVER (PARTITION BY n_name) / 10000.0) * 100.0, 6)
          AS pct_of_nation
 FROM rev
 """
@@ -333,7 +333,7 @@ def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast(DEC)).cast("double").alias("session_value"),
+            (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias("session_value"),
         )
         .select(
             "user_id",
@@ -361,7 +361,7 @@ sess AS (
   FROM marked
 )
 SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+       SUM(CAST(round(value * 100) AS BIGINT)) / 100.0 AS session_value
 FROM sess GROUP BY user_id, sid
 """
 
@@ -422,7 +422,7 @@ def q_rollup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         lineitem.rollup("l_returnflag", "l_linestatus")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("total_qty"),
+            (F.sum(F.round(F.col("l_quantity") * 100).cast("long")) / 100.0).alias("total_qty"),
         )
         .select("l_returnflag", "l_linestatus", "n_rows", "total_qty")
     )
@@ -430,7 +430,7 @@ def q_rollup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_ROLLUP_SUMMARY = """
 SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+       SUM(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0 AS total_qty
 FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
 """
 

@@ -35,7 +35,8 @@ def q_nary_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             lineitem.filter(F.col("l_returnflag") == flag)
             .groupBy("l_orderkey")
             .agg(
-                F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias(f"{alias}_qty"),
+                (F.sum(F.round(F.col("l_quantity") * 100).cast("long")) / 100.0)
+                .alias(f"{alias}_qty"),
                 F.count(F.lit(1)).alias(f"{alias}_rows"),
             )
         )
@@ -50,19 +51,19 @@ def q_nary_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_NARY_FULL_JOIN = """
 WITH r AS (
   SELECT l_orderkey,
-         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS r_qty,
+         SUM(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0 AS r_qty,
          COUNT(*) AS r_rows
   FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_orderkey
 ),
 n AS (
   SELECT l_orderkey,
-         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS n_qty,
+         SUM(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0 AS n_qty,
          COUNT(*) AS n_rows
   FROM lineitem WHERE l_returnflag = 'N' GROUP BY l_orderkey
 ),
 a AS (
   SELECT l_orderkey,
-         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS a_qty,
+         SUM(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0 AS a_qty,
          COUNT(*) AS a_rows
   FROM lineitem WHERE l_returnflag = 'A' GROUP BY l_orderkey
 )
@@ -345,7 +346,7 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+            (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias("total_value"),
             F.countDistinct("user_id").alias("n_users"),
         )
         .select("hour", "event_type", "n_events", "total_value", "n_users")
@@ -355,7 +356,7 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_EVENTS_HOURLY = """
 SELECT date_trunc('hour', ts) AS hour, event_type,
        COUNT(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+       SUM(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value,
        COUNT(DISTINCT user_id) AS n_users
 FROM events GROUP BY date_trunc('hour', ts), event_type
 """
