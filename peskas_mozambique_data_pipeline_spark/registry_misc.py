@@ -435,6 +435,66 @@ FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: running cumulative total (frame-spec window) — monthly revenue per
+# nation with a running sum.  The reference has no frame specs
+# (SURVEY §2.5 note); this is the portal-style extension.
+
+
+def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    monthly = (
+        orders.join(
+            F.broadcast(customer.select(F.col("c_custkey").alias("o_custkey"), "c_nationkey")),
+            "o_custkey",
+        )
+        .join(
+            F.broadcast(nation.select(F.col("n_nationkey").alias("c_nationkey"), "n_name")),
+            "c_nationkey",
+        )
+        .groupBy(
+            "n_name",
+            F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month"),
+        )
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev_c"))
+    )
+    w = (
+        Window.partitionBy("n_name")
+        .orderBy("month")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wl = Window.partitionBy("n_name").orderBy("month")
+    return monthly.select(
+        "n_name",
+        "month",
+        (F.col("rev_c") / 100.0).alias("monthly_revenue"),
+        (F.sum("rev_c").over(w) / 100.0).alias("running_revenue"),
+        ((F.col("rev_c") - F.lag("rev_c", 1).over(wl)) / 100.0).alias("mom_delta"),
+    )
+
+
+SQL_RUNNING_TOTAL = """
+WITH monthly AS (
+  SELECT n.n_name,
+         CAST(date_trunc('month', o.o_orderdate) AS DATE) AS month,
+         SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS rev_c
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY n.n_name, CAST(date_trunc('month', o.o_orderdate) AS DATE)
+)
+SELECT n_name, month,
+       rev_c / 100.0 AS monthly_revenue,
+       SUM(rev_c) OVER (PARTITION BY n_name ORDER BY month
+                        ROWS UNBOUNDED PRECEDING) / 100.0 AS running_revenue,
+       (rev_c - LAG(rev_c, 1) OVER (PARTITION BY n_name ORDER BY month)) / 100.0
+         AS mom_delta
+FROM monthly
+"""
+
+
 SPARK_QUERIES = {
     "nested_series": q_nested_series,
     "rank_inference": q_rank_inference,
@@ -447,6 +507,7 @@ SPARK_QUERIES = {
     "sessionization": q_sessionization,
     "rollup_summary": q_rollup_summary,
     "asof_join": q_asof_join,
+    "running_total": q_running_total,
 }
 
 ORACLE_SQL = {
@@ -461,4 +522,5 @@ ORACLE_SQL = {
     "sessionization": SQL_SESSIONIZATION,
     "rollup_summary": SQL_ROLLUP_SUMMARY,
     "asof_join": SQL_ASOF_JOIN,
+    "running_total": SQL_RUNNING_TOTAL,
 }

@@ -49,6 +49,16 @@ def test_trip_rollup_whole_stage_codegen(spark):
     assert "WholeStageCodegen subtrees" in plan
 
 
+def test_no_python_udfs_in_any_registry_query(spark):
+    """Every registry query must stay JVM-side: no row-at-a-time Python
+    evaluation nodes anywhere in any plan (the whole-corpus guarantee
+    that text/dedup/similarity scale at scan speed)."""
+    for name, fn in registry.SPARK_QUERIES.items():
+        plan = plan_of(fn(spark, SF), "simple")
+        assert "BatchEvalPython" not in plan, f"{name} fell back to Python UDF"
+        assert "ArrowEvalPython" not in plan, f"{name} uses a Pandas UDF"
+
+
 def test_monthly_median_single_exchange_for_agg(spark):
     # the fact side shuffles once for the groupBy; the spine/dims side is
     # broadcast so densification adds no fact-table shuffle
