@@ -106,6 +106,60 @@ def language_id(df: DataFrame, text_col: str = "text", out_col: str = "pred_lang
     return scored.withColumn(out_col, F.when(best > 0, pred).otherwise(F.lit("und")))
 
 
+def winnow_fingerprint(
+    df: DataFrame,
+    text_col: str = "text",
+    gram_k: int = 3,
+    window: int = 8,
+    out_col: str = "winnow_fp",
+) -> DataFrame:
+    """Winnowing document fingerprint over token k-gram rolling hashes
+    (the MOSS scheme: hash every k-gram, keep the minimum of each
+    sliding window — guarantees shared substrings of length ≥ w+k−1
+    share a fingerprint hash).
+
+    Pure array expressions: grams → md5-derived 32-bit hashes → per-
+    window minima → sorted distinct selection joined to a string.  One
+    pass per document, no shuffle.
+    """
+    # An outer EXPRESSION referenced inside a HOF lambda re-evaluates per
+    # element (O(n²) blowup); an ATTRIBUTE is a cheap lookup.  The two
+    # repartition barriers below force the token and hash arrays to
+    # materialize as attributes before the sliding windows read them.
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    with_t = df.withColumn("_wt", tokens(text_col)).repartition(parallelism)
+
+    t = F.col("_wt")
+    n = F.size(t)
+    grams = F.when(
+        n >= gram_k,
+        F.transform(
+            F.sequence(F.lit(1), n - (gram_k - 1)),
+            lambda i: F.array_join(F.slice(t, i, gram_k), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    hashes = F.transform(
+        grams, lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("bigint")
+    )
+    with_h = with_t.withColumn("_wh", hashes).repartition(parallelism)
+
+    h = F.col("_wh")
+    m = F.size(h)
+    mins = F.when(
+        m >= window,
+        F.transform(
+            F.sequence(F.lit(1), m - (window - 1)),
+            lambda i: F.array_min(F.slice(h, i, window)),
+        ),
+    ).otherwise(
+        F.when(m > 0, F.array(F.array_min(h))).otherwise(F.array().cast("array<bigint>"))
+    )
+    fp = F.array_join(
+        F.transform(F.array_sort(F.array_distinct(mins)), lambda x: x.cast("string")), ","
+    )
+    return with_h.withColumn(out_col, fp).drop("_wt", "_wh")
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", k: int = 4,
                 out_col: str = "fingerprint") -> DataFrame:
     """K-min-sketch document fingerprint: the ``k`` lexicographically

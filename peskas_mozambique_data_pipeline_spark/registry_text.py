@@ -259,6 +259,49 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
+# Q: winnowing (rolling-hash) fingerprint — MOSS-style per-window minima
+# of token 3-gram hashes.
+
+
+def q_doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = text_ops.winnow_fingerprint(_docs(spark, sf_dir), gram_k=3, window=8)
+    return out.select("doc_id", "winnow_fp")
+
+
+SQL_DOC_WINNOW = """
+WITH tok AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3
+              THEN list_transform(generate_series(1, len(t) - 2),
+                                  i -> array_to_string(t[i:i+2], ' '))
+              ELSE [] END AS g
+  FROM tok
+),
+hashes AS (
+  SELECT doc_id,
+         list_transform(g, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT) AS h
+  FROM grams
+),
+mins AS (
+  SELECT doc_id,
+         CASE WHEN len(h) >= 8
+              THEN list_transform(generate_series(1, len(h) - 7),
+                                  i -> list_min(h[i:i+7]))
+              WHEN len(h) > 0 THEN [list_min(h)]
+              ELSE CAST([] AS BIGINT[]) END AS m
+  FROM hashes
+)
+SELECT doc_id,
+       array_to_string(list_transform(list_sort(list_distinct(m)),
+                                      x -> CAST(x AS VARCHAR)), ',') AS winnow_fp
+FROM mins
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q: token rollup per (lang, source) — integer-exact aggregates.
 
 
@@ -401,6 +444,7 @@ SPARK_QUERIES = {
     "minhash_dedup": q_minhash_dedup,
     "simhash_pairs": q_simhash_pairs,
     "doc_fingerprint": q_doc_fingerprint,
+    "doc_winnow": q_doc_winnow,
     "token_rollup": q_token_rollup,
     "ann_cosine": q_ann_cosine,
     "embedding_near_dup": q_embedding_near_dup,
@@ -413,6 +457,7 @@ ORACLE_SQL = {
     "minhash_dedup": SQL_MINHASH_DEDUP,
     "simhash_pairs": SQL_SIMHASH_PAIRS,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "doc_winnow": SQL_DOC_WINNOW,
     "token_rollup": SQL_TOKEN_ROLLUP,
     "ann_cosine": SQL_ANN_COSINE,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
