@@ -1,0 +1,163 @@
+"""Pipeline-at-volume demo: generate N synthetic wide survey
+submissions DISTRIBUTED (spark.range + hash-derived columns, no driver
+lists) and time preprocess → validate → metrics → export end to end.
+
+Usage: python tools/pipeline_demo.py [n_submissions]   (default 100_000)
+
+This exercises the plans/ modules at a volume the pytest fixtures
+don't, and proves the E1-E3 DAGs contain no driver-side bottlenecks:
+generation, reshape, validation and export all stay distributed.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from peskas_mozambique_data_pipeline_spark.plans import (
+    export as export_plan,
+    metrics as metrics_plan,
+    preprocess as pre,
+    validate as val,
+)
+from peskas_mozambique_data_pipeline_spark.session import get_spark
+
+
+def synth_raw(spark, n: int):
+    """Deterministic synthetic raw survey: every column derived from the
+    row id via hash arithmetic — fully distributed, reproducible."""
+    base = spark.range(n)
+
+    def pick(seed: int, *choices: str):
+        h = F.pmod(F.xxhash64(F.col("id") + F.lit(seed)), F.lit(len(choices)))
+        expr = F.lit(choices[0])
+        for i, c in enumerate(choices[1:], 1):
+            expr = F.when(h == i, F.lit(c)).otherwise(expr)
+        return expr
+
+    def num(seed: int, lo: int, hi: int):
+        return F.pmod(F.xxhash64(F.col("id") + F.lit(seed)), F.lit(hi - lo)) + F.lit(lo)
+
+    day = F.pmod(F.xxhash64(F.col("id")), F.lit(364))
+    landing = F.date_add(F.lit("2024-01-01").cast("date"), day.cast("int"))
+    return base.select(
+        F.concat(F.lit("sub_"), F.col("id")).alias("submission_id"),
+        F.concat(landing.cast("string"), F.lit(" 06:00:00")).alias("group_general/landing_date"),
+        F.concat(landing.cast("string"), F.lit(" 18:00:00")).alias("group_general/today"),
+        pick(1, "Joao da Silva", "Maria Santos", "Ana Pereira", "Carlos Gomes").alias(
+            "group_general/enumerator"
+        ),
+        F.lit(None).cast("string").alias("group_general/district"),
+        pick(2, "palma", "mocimboa_da_praia", "quissanga").alias(
+            "group_general/district_palma"
+        ),
+        F.lit(None).cast("string").alias("group_general/district_mocimboa"),
+        F.lit("1").alias("group_general/survey_activity"),
+        pick(3, "1", "1", "1", "0").alias("group_general/catch_outcome"),
+        F.concat((num(4, -12, -10)).cast("string"), F.lit(".5 40.2 10 4")).alias(
+            "group_general/location_coordinates"
+        ),
+        num(5, 1, 14).cast("string").alias("group_trip/trip_duration"),
+        num(6, 0, 5).cast("string").alias("group_trip/no_men_fishers"),
+        num(7, 0, 3).cast("string").alias("group_trip/no_women_fishers"),
+        F.lit(None).cast("string").alias("group_trip/no_child_fishers"),
+        pick(8, "handline", "gillnet", "longline", "trap", "seine").alias(
+            "group_trip/gear_type"
+        ),
+        num(9, 1, 8).cast("string").alias("group_trip/habitat"),
+        F.lit(None).cast("string").alias("group_trip/hook_size"),
+        F.lit(None).cast("string").alias("group_trip/hook_size_other"),
+        F.lit(None).cast("string").alias("group_trip/boat_reg_no"),
+        F.lit(None).cast("string").alias("group_trip/pds_imei"),
+        pick(10, "SNA", "GRP", "OCZ", "TUN", "MAC").alias(
+            "group_species/1/selected_species"
+        ),
+        F.lit("1").alias("group_species/1/collection_type"),
+        F.lit(None).cast("string").alias("group_species/1/n_buckets"),
+        F.lit(None).cast("string").alias("group_species/1/weight_bucket"),
+        F.lit(None).cast("string").alias("group_species/1/catch_estimate"),
+        num(11, 0, 20).cast("string").alias("group_species/1/no_individuals_5_10"),
+        num(12, 0, 10).cast("string").alias("group_species/1/no_individuals_10_15"),
+        pick(13, "SNA", "GRP", "RAY").alias("group_species/2/selected_species"),
+        F.lit("1").alias("group_species/2/collection_type"),
+        F.lit(None).cast("string").alias("group_species/2/n_buckets"),
+        F.lit(None).cast("string").alias("group_species/2/weight_bucket"),
+        F.lit(None).cast("string").alias("group_species/2/catch_estimate"),
+        num(14, 0, 12).cast("string").alias("group_species/2/no_individuals_5_10"),
+        F.lit(None).cast("string").alias("group_species/2/no_individuals_10_15"),
+        num(15, 100, 3000).cast("string").alias("group_market/catch_price"),
+        F.lit(None).cast("string").alias("group_market/total_catch_value"),
+        pick(16, "sale", "consumption").alias("group_market/catch_use"),
+    )
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    spark = get_spark(app_name="pipeline-demo")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    lw = spark.createDataFrame(
+        [("SNA", 0.02, 2.9), ("GRP", 0.015, 3.0), ("OCZ", 0.5, 2.2),
+         ("TUN", 0.01, 3.1), ("MAC", 0.008, 3.05), ("RAY", 0.012, 2.95)],
+        "catch_taxon string, a double, b double",
+    )
+
+    timings: dict[str, float] = {}
+
+    t0 = time.perf_counter()
+    raw = synth_raw(spark, n)
+    raw.write.format("noop").mode("overwrite").save()
+    timings["generate"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    prep = pre.preprocess_landings(raw, lw)
+    prep.write.format("noop").mode("overwrite").save()
+    timings["preprocess"] = round(time.perf_counter() - t0, 2)
+
+    prep = prep.cache()
+    prep.count()
+
+    t0 = time.perf_counter()
+    validated, flags = val.validate_surveys(prep)
+    validated.write.format("noop").mode("overwrite").save()
+    flags.write.format("noop").mode("overwrite").save()
+    timings["validate"] = round(time.perf_counter() - t0, 2)
+
+    validated = validated.cache()
+    n_valid = validated.count()
+
+    t0 = time.perf_counter()
+    catch = prep.filter(F.col("catch_kg").isNotNull())
+    metrics_plan.fishery_metrics(validated, catch).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    timings["metrics"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    export_plan.monthly_metrics(validated).write.format("noop").mode("overwrite").save()
+    export_plan.sites_stats(validated).write.format("noop").mode("overwrite").save()
+    export_plan.taxa_shares(catch).write.format("noop").mode("overwrite").save()
+    export_plan.habitat_gear_series(validated).write.format("noop").mode("overwrite").save()
+    timings["export"] = round(time.perf_counter() - t0, 2)
+
+    print(
+        json.dumps(
+            {
+                "n_submissions": n,
+                "n_validated_trips": n_valid,
+                "stages_sec": timings,
+                "total_sec": round(sum(timings.values()), 2),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
