@@ -130,13 +130,19 @@ def catch_info(raw: DataFrame, lw_coeffs: DataFrame) -> DataFrame:
     bin_cols = [c for c in long.columns if c.startswith("no_individuals_")]
     keep = ["submission_id", "n_catch", "selected_species", "collection_type",
             "n_buckets", "weight_bucket", "catch_estimate"]
-    binned = stack_length_bins(long, keep, bin_cols)
+    # split on a per-row predicate instead of stacking-then-anti-joining:
+    # no shuffle, and the exploded frame isn't recomputed for the
+    # passthrough branch
+    has_bins = None
+    for c in bin_cols:
+        cond = F.col(c).isNotNull()
+        has_bins = cond if has_bins is None else (has_bins | cond)
+    binned = stack_length_bins(long.filter(has_bins), keep, bin_cols)
     # species groups with no length data pass through as a single row
     # (R/survey-reshaping.R:193-201) — e.g. bucket-only estimates
     no_bins = (
-        long.select(*keep)
-        .join(binned.select("submission_id", "n_catch").distinct(),
-              ["submission_id", "n_catch"], "left_anti")
+        long.filter(~F.coalesce(has_bins, F.lit(False)))
+        .select(*keep)
         .withColumn("length_range", F.lit(None).cast("string"))
         .withColumn("count", F.lit(None).cast("double"))
     )
