@@ -35,7 +35,12 @@ def main() -> None:
     timings: dict[str, float] = {}
     # warm the JVM + parquet footers once so per-query numbers measure
     # the plans, not first-touch costs
-    registry._t(spark, sf_dir, "lineitem").count()
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"):
+        try:
+            registry._t(spark, sf_dir, t).count()
+        except Exception:
+            pass
 
     for name, fn in registry.SPARK_QUERIES.items():
         t0 = time.perf_counter()
