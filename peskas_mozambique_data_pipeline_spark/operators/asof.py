@@ -64,10 +64,12 @@ def asof_join(
     )
     unioned = l_tag.unionByName(r_tag)
     # right rows (side 0) sort before left rows at the same timestamp so
-    # <= semantics hold; one shuffle on `by`, one sort on (ts, side)
+    # <= semantics hold; one shuffle on `by`, one sort on (ts, side).
+    # right_cols in the ordering make the pick deterministic when the
+    # right side has duplicate (key, ts) rows (last = max by columns).
     w = (
         Window.partitionBy(*by_keys)
-        .orderBy(F.col(on).asc(), F.col("_side").asc())
+        .orderBy(F.col(on).asc(), F.col("_side").asc(), *[F.col(c).asc_nulls_first() for c in right_cols])
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     filled = unioned.select(

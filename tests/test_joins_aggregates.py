@@ -117,3 +117,18 @@ def test_carry_by_max_deterministic(spark):
         carry_by_max("v", F.struct(F.col("ts"), F.col("v"))).alias("latest")
     )
     assert out.first().latest == "newest"
+
+
+def test_percentile_matches_r_type7(spark):
+    """Spark `percentile` must match R's type-7 quantile (numpy
+    'linear') exactly — the A6 parity claim (SURVEY §4 note 2)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(42)
+    vals = rng.uniform(0, 1000, size=137).tolist()
+    df = spark.createDataFrame([(float(v),) for v in vals], "x double")
+    for q in (0.05, 0.25, 0.5, 0.6, 0.75, 0.95):
+        got = df.agg(F.percentile("x", F.lit(q)).alias("p")).first().p
+        want = float(np.percentile(vals, q * 100, method="linear"))
+        assert math.isclose(got, want, rel_tol=1e-12), (q, got, want)
