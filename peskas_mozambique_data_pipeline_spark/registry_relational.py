@@ -398,6 +398,39 @@ FROM per_user
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: JSON property extraction (S4/P18 family) — pull a typed value out
+# of the events.props JSON string and aggregate it.  The reference
+# flattens nested Kobo JSON at ingest (R/ingestion.R:149-218); this is
+# the query-time flavor for semi-structured columns.
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("total_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .select("event_type", "n_with_k", "total_k", "min_k", "max_k")
+    )
+
+
+SQL_JSON_EXTRACT = """
+SELECT event_type,
+       COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS total_k,
+       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
 SPARK_QUERIES = {
     "nary_full_join": q_nary_full_join,
     "conditional_merge": q_conditional_merge,
@@ -408,6 +441,7 @@ SPARK_QUERIES = {
     "last_wins": q_last_wins,
     "events_hourly": q_events_hourly,
     "user_activity": q_user_activity,
+    "json_extract": q_json_extract,
 }
 
 ORACLE_SQL = {
@@ -420,4 +454,5 @@ ORACLE_SQL = {
     "last_wins": SQL_LAST_WINS,
     "events_hourly": SQL_EVENTS_HOURLY,
     "user_activity": SQL_USER_ACTIVITY,
+    "json_extract": SQL_JSON_EXTRACT,
 }
