@@ -75,7 +75,7 @@ def minhash_signature(col: str | Column, n_hashes: int = 8, shingle_k: int = 5) 
     into every hash (n× the string work) — prefer
     ``minhash_signatures`` which materializes shingles once.
     """
-    sh = shingles(col, shingle_k) if isinstance(col, (str,)) or True else col
+    sh = shingles(col, shingle_k)
     return [
         F.array_min(F.transform(sh, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}|"), s)))).alias(
             f"mh_{i}"

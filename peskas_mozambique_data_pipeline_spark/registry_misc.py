@@ -10,7 +10,6 @@ from pyspark.sql import functions as F
 
 from .session import read_table
 
-DEC = "decimal(18,2)"
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

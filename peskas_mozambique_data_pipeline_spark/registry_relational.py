@@ -14,7 +14,6 @@ from .operators import reshape as reshape_ops
 from .operators.aggregates import distinct_last_wins
 from .session import read_table
 
-DEC = "decimal(18,2)"
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
