@@ -73,3 +73,24 @@ def test_select_by_pattern(spark):
     df = spark.createDataFrame([(1, 2, 3)], ["species_a", "species_b", "other"])
     out = reshape.select_by_pattern(df, starts="species_")
     assert out.columns == ["species_a", "species_b"]
+
+
+def test_over100_extraction_pattern(spark):
+    # R5 (R/survey-reshaping.R:326-449): over-100cm lengths live in their
+    # own repeat columns where the VALUE is the length (count := 1); new
+    # rows are numbered after the existing per-submission max n_catch.
+    from peskas_mozambique_data_pipeline_spark.operators.windows import renumber_from_max
+
+    df = spark.createDataFrame(
+        [("s1", 2, 105.0, 112.0), ("s2", 1, None, None)],
+        "sid string, max_n_catch int, fish_length_over100_1 double, "
+        "fish_length_over100_2 double",
+    )
+    long = reshape.unpivot(
+        df, ["sid", "max_n_catch"],
+        ["fish_length_over100_1", "fish_length_over100_2"],
+        "slot", "length",
+    ).filter(F.col("length").isNotNull()).withColumn("count", F.lit(1.0))
+    out = renumber_from_max(long, ["sid"], "max_n_catch", ["length"], "n_catch")
+    got = sorted((r.sid, r.n_catch, r.length, r["count"]) for r in out.collect())
+    assert got == [("s1", 3, 105.0, 1.0), ("s1", 4, 112.0, 1.0)]
