@@ -33,14 +33,20 @@ def write_versioned(
     prefix: str,
     git_sha: str = "local",
     partition_by: list[str] | None = None,
+    sort_by: list[str] | None = None,
     compression: str = "lz4",
 ) -> str:
     """Write an immutable versioned snapshot into ``zone_dir``.
 
     lz4 matches the reference's codec choice (R/api.R:133-138).
+    ``sort_by`` sorts within output files so parquet row-group min/max
+    statistics become selective — downstream range predicates on those
+    columns skip row groups entirely (the cheap cousin of Z-ordering).
     Returns the written path.
     """
     path = os.path.join(zone_dir, versioned_name(prefix, git_sha))
+    if sort_by:
+        df = df.sortWithinPartitions(*sort_by)
     writer = df.write.mode("errorifexists").option("compression", compression)
     if partition_by:
         writer = writer.partitionBy(*partition_by)

@@ -136,6 +136,27 @@ def distinct_last_wins(
     )
 
 
+def approx_distinct(col: str | Column, rsd: float = 0.02) -> Column:
+    """HyperLogLog++ distinct count (±rsd relative error).
+
+    The 100 TB alternative to exact ``countDistinct`` — no per-group set
+    materialization, partial-aggregatable, constant memory.  Never use
+    where results feed an equality oracle (SURVEY §4 note 2).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.approx_count_distinct(c, rsd)
+
+
+def approx_quantile(col: str | Column, q: float, accuracy: int = 10000) -> Column:
+    """KLL-sketch quantile (rank error ≤ 1/accuracy).
+
+    Mergeable partial sketches — one pass, no per-group sort.  The
+    scale path for A3/A6 when exact interpolation parity isn't needed.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.percentile_approx(c, F.lit(q), F.lit(accuracy))
+
+
 def carry_by_max(value_col: str | Column, order_col: str | Column) -> Column:
     """Deterministic first/last-style carry-along (A2).
 

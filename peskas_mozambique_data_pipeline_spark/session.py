@@ -45,6 +45,10 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.parquet.filterPushdown", "true")
+        # NB: do NOT set spark.sql.optimizer.runtime.bloomFilter.* here —
+        # toggling those at session build hangs SparkSession.getOrCreate
+        # in this Spark 4.1 build (reproduced 2026-08-13); the runtime
+        # bloom-filter join pruning they control is default-on anyway
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")

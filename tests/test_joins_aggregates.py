@@ -132,3 +132,23 @@ def test_percentile_matches_r_type7(spark):
         got = df.agg(F.percentile("x", F.lit(q)).alias("p")).first().p
         want = float(np.percentile(vals, q * 100, method="linear"))
         assert math.isclose(got, want, rel_tol=1e-12), (q, got, want)
+
+
+def test_approx_aggregates_within_tolerance(spark):
+    from peskas_mozambique_data_pipeline_spark.operators.aggregates import (
+        approx_distinct,
+        approx_quantile,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 20000).select(
+        (F.col("id") % 5000).alias("k"), (F.col("id") % 997).cast("double").alias("v")
+    )
+    row = df.agg(
+        approx_distinct("k").alias("d"),
+        approx_quantile("v", 0.5).alias("med"),
+        F.countDistinct("k").alias("d_exact"),
+        F.percentile("v", F.lit(0.5)).alias("med_exact"),
+    ).first()
+    assert abs(row.d - row.d_exact) / row.d_exact < 0.05
+    assert abs(row.med - row.med_exact) <= 5.0
