@@ -50,8 +50,12 @@ def general_info(raw: DataFrame) -> DataFrame:
     """Trip-level general attributes (R/preprocessing-surveys.R:76-136)."""
     df = rename_by_regex(raw, r"^group_general/")
     gps = F.split(F.col("location_coordinates"), " ")
+    # optional site keys for the composite dim_sites join (J1 composite
+    # key, R/preprocessing-surveys.R:1009-1012) — survey-form dependent
+    site_cols = [c for c in ("site_code", "gaul_2_code") if c in df.columns]
     return df.select(
         "submission_id",
+        *site_cols,
         F.to_timestamp("landing_date").alias("landing_date"),
         F.to_timestamp("today").alias("submission_date"),
         normalize_name("enumerator").alias("enumerator"),
@@ -194,6 +198,7 @@ def preprocess_landings(
     lw_coeffs: DataFrame,
     dim_gear: DataFrame | None = None,
     dim_taxa: DataFrame | None = None,
+    dim_sites: DataFrame | None = None,
 ) -> DataFrame:
     """Full preprocessing DAG (E1).
 
@@ -223,5 +228,12 @@ def preprocess_landings(
             dim_taxa.select(F.col("survey_label").alias("catch_taxon"),
                             "scientific_name", "english_name"),
             "catch_taxon",
+        ))
+    if dim_sites is not None:
+        # composite join key (site_code, gaul_2_code) —
+        # R/preprocessing-surveys.R:1009-1012
+        dims.append((
+            dim_sites.select("site_code", "gaul_2_code", "site"),
+            ["site_code", "gaul_2_code"],
         ))
     return enrich(out, dims) if dims else out

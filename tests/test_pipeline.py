@@ -192,3 +192,21 @@ def test_merge_trips_conditional(spark, preprocessed):
     merged = mt.merge_trips(pds, landings)
     hit = merged.filter(F.col("trip") == "t1").first()
     assert hit.submission_id == "s2"  # unique device-day joins 1:1
+
+
+def test_composite_site_dim_join(spark, lw_coeffs):
+    # J1 composite key (site_code, gaul_2_code): rows with both keys
+    # matching enrich; others get NULL site
+    cols = RAW_COLS + ["group_general/site_code", "group_general/gaul_2_code"]
+    schema = ", ".join(f"`{c}` string" for c in cols)
+    r1 = _row("sc1") + ("S01", "G01")
+    r2 = _row("sc2") + ("S01", "G99")  # gaul mismatch -> no match
+    raw = spark.createDataFrame([r1, r2], schema)
+    sites = spark.createDataFrame(
+        [("S01", "G01", "Palma Beach")],
+        "site_code string, gaul_2_code string, site string",
+    )
+    out = pre.preprocess_landings(raw, lw_coeffs, dim_sites=sites)
+    got = {r.submission_id: r.site for r in out.select("submission_id", "site").collect()}
+    assert got["sc1"] == "Palma Beach"
+    assert got["sc2"] is None
