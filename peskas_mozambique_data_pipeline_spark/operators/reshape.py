@@ -131,6 +131,9 @@ def complete_months(
     aggregate (tiny); ``dims`` distinct is bounded by real-world
     cardinality (sites × gears).  Both sides of the cross join are
     broadcast; the final left join shuffles only if the fact side does.
+    NB: ``df`` is consumed THREE times (spine bounds, dims, join) — when
+    the input is an expensive aggregation, pass a cached/materialized
+    frame so the subtree isn't recomputed per consumer.
     """
     spine = (
         df.select(F.min(date_col).alias("mn"), F.max(date_col).alias("mx"))
