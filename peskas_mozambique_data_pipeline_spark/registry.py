@@ -89,8 +89,8 @@ def q_trip_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
     per_trip = lineitem.groupBy("l_orderkey").agg(
-        (F.sum(cents("l_quantity")) / 100.0).alias("total_qty"),
-        (F.sum(_revenue_cents()) / 10000.0).alias("revenue"),
+        F.sum(cents("l_quantity")).alias("qty_c"),
+        F.sum(_revenue_cents()).alias("rev_c"),
         F.count(F.lit(1)).alias("n_items"),
     )
     carry = orders.select(
@@ -99,16 +99,22 @@ def q_trip_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
     )
     out = per_trip.join(carry, "l_orderkey", "left")
-    # price-per-unit indicator (M4 price/kg analog); Inf normalized to NULL
-    ppu = F.when(F.col("total_qty") > 0, F.col("revenue") / F.col("total_qty"))
+    # price-per-unit indicator (M4 price/kg analog); Inf normalized to NULL.
+    # Quantized to micro-units in pure BIGINT arithmetic (half-up via
+    # integer division) so Spark and any ANSI-SQL engine produce the exact
+    # same double: ratio = (rev_c/1e4)/(qty_c/1e2) = rev_c/(100*qty_c);
+    # micro = floor(ratio*1e6 + 0.5) = (2e6*rev_c + 100*qty_c) div (200*qty_c).
+    ppu_micro = F.expr(
+        "CASE WHEN qty_c > 0 THEN (rev_c * 2000000 + qty_c * 100) div (qty_c * 200) END"
+    )
     return out.select(
         "l_orderkey",
-        "total_qty",
-        "revenue",
+        (F.col("qty_c") / 100.0).alias("total_qty"),
+        (F.col("rev_c") / 10000.0).alias("revenue"),
         "n_items",
         "order_date",
         "o_orderpriority",
-        _r6(ppu).alias("price_per_unit"),
+        (ppu_micro / 1000000.0).alias("price_per_unit"),
     )
 
 
@@ -116,17 +122,22 @@ SQL_TRIP_ROLLUP = """
 WITH per_trip AS (
   SELECT
     l_orderkey,
-    SUM(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0 AS total_qty,
+    SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS qty_c,
     SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
-        * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0 AS revenue,
+        * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS rev_c,
     COUNT(*) AS n_items
   FROM lineitem GROUP BY l_orderkey
 )
 SELECT
-  p.l_orderkey, p.total_qty, p.revenue, p.n_items,
+  p.l_orderkey,
+  p.qty_c / 100.0 AS total_qty,
+  p.rev_c / 10000.0 AS revenue,
+  p.n_items,
   CAST(o.o_orderdate AS DATE) AS order_date,
   o.o_orderpriority,
-  ROUND(CASE WHEN p.total_qty > 0 THEN p.revenue / p.total_qty END, 6) AS price_per_unit
+  (CASE WHEN p.qty_c > 0
+        THEN (p.rev_c * 2000000 + p.qty_c * 100) // (p.qty_c * 200)
+   END) / 1000000.0 AS price_per_unit
 FROM per_trip p LEFT JOIN orders o ON p.l_orderkey = o.o_orderkey
 """
 

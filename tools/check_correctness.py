@@ -2,8 +2,8 @@
 
 Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
 DuckDB at sf0.01, sorts columns by name and rows by value, and compares
-row counts + values (exact for ints/strings/dates, tiny tolerance for
-floats so genuine logic bugs surface while last-ulp noise doesn't).
+row counts + values EXACTLY (bit-for-bit on floats, like the driver's
+value hash) — queries must quantize identically on both engines.
 
 Usage: python tools/check_correctness.py [query ...]
 """
@@ -37,11 +37,8 @@ def normalize(rows, cols):
         vals = []
         for i in order:
             v = r[i]
-            if isinstance(v, float):
-                if math.isnan(v):
-                    v = "NaN"
-                else:
-                    v = round(v, 9)
+            if isinstance(v, float) and math.isnan(v):
+                v = "NaN"
             vals.append(v)
         out.append(tuple(vals))
     out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
@@ -49,6 +46,7 @@ def normalize(rows, cols):
 
 
 def values_close(a, b):
+    """Exact, driver-style comparison: floats must match bit-for-bit."""
     if a is None or b is None:
         return a is b
     if isinstance(a, float) or isinstance(b, float):
@@ -58,7 +56,7 @@ def values_close(a, b):
             return str(a) == str(b)
         if math.isnan(fa) and math.isnan(fb):
             return True
-        return math.isclose(fa, fb, rel_tol=1e-9, abs_tol=1e-9)
+        return fa == fb
     return str(a) == str(b)
 
 
