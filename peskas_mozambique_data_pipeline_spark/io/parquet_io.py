@@ -58,7 +58,9 @@ def latest_version_path(zone_dir: str, prefix: str) -> str:
     """Resolve the newest versioned snapshot for ``prefix``."""
     candidates = []
     for name in os.listdir(zone_dir):
-        if not name.startswith(prefix):
+        # match on the full "prefix__" stem so a zone holding both
+        # "trips" and "trips_extra" never resolves the wrong dataset
+        if not name.startswith(prefix + "__"):
             continue
         m = VERSION_RE.search(name)
         if m:

@@ -72,17 +72,19 @@ def asof_join(
         .orderBy(F.col(on).asc(), F.col("_side").asc(), *[F.col(c).asc_nulls_first() for c in right_cols])
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # Carry ALL right columns as one struct so every attribute comes from
+    # the SAME right row (per-column last(ignorenulls) would mix columns
+    # from different rows when the latest right row has NULL attributes —
+    # that would diverge from DuckDB/pandas ASOF semantics).
+    r_row = F.when(
+        F.col("_side") == 0, F.struct(*[F.col(c) for c in right_cols])
+    )
     filled = unioned.select(
         "*",
-        *[
-            F.last(F.when(F.col("_side") == 0, F.col(c)), ignorenulls=True)
-            .over(w)
-            .alias(f"_asof_{c}")
-            for c in right_cols
-        ],
+        F.last(r_row, ignorenulls=True).over(w).alias("_asof"),
     )
     out = filled.filter(F.col("_side") == 1).select(
         F.col("_lrow.*"),
-        *[F.col(f"_asof_{c}").alias(c) for c in right_cols],
+        *[F.col(f"_asof.{c}").alias(c) for c in right_cols],
     )
     return out

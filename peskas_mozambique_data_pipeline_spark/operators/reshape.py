@@ -82,10 +82,15 @@ def stack_length_bins(
     prefix: str = "no_individuals_",
     range_col: str = "length_range",
     count_col: str = "count",
+    drop_zero: bool = True,
 ) -> DataFrame:
     """Length-frequency expansion (R4): per species row, pivot
     ``no_individuals_<a>_<b>`` count columns into (length_range, count)
     rows and drop empty bins (R/survey-reshaping.R:182-239).
+
+    The reference drops both NULL and ``"0"`` bins
+    (R/preprocessing-surveys.R:572) — ``drop_zero`` mirrors that, so
+    zero-count bins don't survive as catch rows with catch_kg = 0.
 
     One ``stack()`` Expand — replaces the reference's per-row
     ``group_split |> map_dfr`` loop with a set-based plan.
@@ -101,7 +106,11 @@ def stack_length_bins(
         cc=count_col,
     )
     out = df.select(*[F.col(c) for c in id_cols], F.expr(stack_expr))
-    return out.filter(F.col(count_col).isNotNull())
+    out = out.filter(F.col(count_col).isNotNull())
+    if drop_zero:
+        # parseable zeros drop; unparseable non-null strings pass through
+        out = out.filter(F.coalesce(F.col(count_col).cast("double") != 0, F.lit(True)))
+    return out
 
 
 def explode_delimited(

@@ -132,8 +132,12 @@ def catch_info(raw: DataFrame, lw_coeffs: DataFrame) -> DataFrame:
     (R/preprocessing-surveys.R:691-734)."""
     long = catch_long(raw)
     bin_cols = [c for c in long.columns if c.startswith("no_individuals_")]
+    # measured over-length columns: for an "overNN" bin the reference
+    # substitutes the MEASURED fish_length_overNN value for the NN+2.5
+    # midpoint when one was recorded (R/preprocessing-surveys.R:580-587)
+    over_cols = [c for c in long.columns if c.startswith("fish_length_over")]
     keep = ["submission_id", "n_catch", "selected_species", "collection_type",
-            "n_buckets", "weight_bucket", "catch_estimate"]
+            "n_buckets", "weight_bucket", "catch_estimate", *over_cols]
     # split on a per-row predicate instead of stacking-then-anti-joining:
     # no shuffle, and the exploded frame isn't recomputed for the
     # passthrough branch
@@ -151,7 +155,18 @@ def catch_info(raw: DataFrame, lw_coeffs: DataFrame) -> DataFrame:
         .withColumn("count", F.lit(None).cast("double"))
     )
     lengths = binned.withColumn("count", F.col("count").cast("double")).unionByName(no_bins)
-    lengths = lengths.withColumn("length", bin_midpoint(F.col("length_range")))
+    length_expr = bin_midpoint(F.col("length_range"))
+    for c in over_cols:
+        m = re.search(r"over_?(\d+)", c)
+        if not m:
+            continue
+        length_expr = F.when(
+            (F.regexp_extract(F.col("length_range"), r"over_?(\d+)", 1) == m.group(1))
+            & F.col(c).cast("double").isNotNull(),
+            F.col(c).cast("double"),
+        ).otherwise(length_expr)
+    lengths = lengths.withColumn("length", length_expr)
+    lengths = lengths.drop(*over_cols)
 
     with_coeffs = lengths.join(
         F.broadcast(lw_coeffs.select(

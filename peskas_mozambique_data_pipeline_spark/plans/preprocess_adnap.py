@@ -125,7 +125,18 @@ def catch_info_adnap(raw: DataFrame, lw_coeffs: DataFrame) -> DataFrame:
         "left",
     )
     modeled = F.col("a") * F.pow(F.col("length"), F.col("b")) * F.col("count") / 1000.0
-    direct = F.col("catch_weight").cast("double")
+    # direct catch_weight is used only when the enumerator weighed the
+    # catch (counting_method == "3", R/preprocessing-surveys.R:1251-1257);
+    # unconditional coalesce would duplicate one weight onto every
+    # exploded length-bin row, inflating totals
+    if "catch_weight" not in with_coeffs.columns:
+        direct = F.lit(None).cast("double")
+    elif "counting_method" in with_coeffs.columns:
+        direct = F.when(
+            F.col("counting_method") == "3", F.col("catch_weight").cast("double")
+        )
+    else:
+        direct = F.col("catch_weight").cast("double")
     bucket_est = F.col("n_buckets").cast("double") * F.col("weight_bucket").cast("double")
     return with_coeffs.select(
         "submission_id",

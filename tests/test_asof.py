@@ -58,3 +58,21 @@ def test_asof_rejects_column_collision(spark):
                                   "user string, ts timestamp, v string")
     with pytest.raises(ValueError, match="collide"):
         asof_join(left, right, "ts", "user")
+
+
+def test_asof_null_attr_comes_from_same_row(spark):
+    """All carried columns must come from the SAME right row: a NULL
+    attribute on the latest right row stays NULL, never backfilled from
+    an older row (matches DuckDB ASOF JOIN semantics)."""
+    left = spark.createDataFrame(
+        [("u1", _ts("2024-01-01 12:00:00"), "c1")],
+        "user string, ts timestamp, click string",
+    )
+    right = spark.createDataFrame(
+        [("u1", _ts("2024-01-01 09:00:00"), "old", 1),
+         ("u1", _ts("2024-01-01 11:00:00"), None, 2)],
+        "user string, ts timestamp, view string, vnum int",
+    )
+    out = asof_join(left, right, "ts", "user").first()
+    assert out.vnum == 2
+    assert out.view is None  # latest row's NULL, not v='old' from 09:00

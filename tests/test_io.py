@@ -107,3 +107,13 @@ def test_reference_table_fallback(spark, tmp_path):
 
     df = load_reference(str(tmp_path / "missing"))
     assert df.first().catch_taxon == "SNA"
+
+
+def test_latest_version_path_exact_prefix_only(spark, tmp_path):
+    # "trips" must never resolve a "trips_extra" snapshot
+    zone = str(tmp_path / "zone2")
+    df = spark.createDataFrame([(1, "a")], ["k", "v"])
+    p_trips = parquet_io.write_versioned(df, zone, "trips", git_sha="aaa")
+    time.sleep(1.1)
+    parquet_io.write_versioned(df, zone, "trips_extra", git_sha="bbb")
+    assert parquet_io.latest_version_path(zone, "trips") == p_trips

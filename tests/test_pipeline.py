@@ -210,3 +210,22 @@ def test_composite_site_dim_join(spark, lw_coeffs):
     got = {r.submission_id: r.site for r in out.select("submission_id", "site").collect()}
     assert got["sc1"] == "Palma Beach"
     assert got["sc2"] is None
+
+
+def test_over_bin_uses_measured_length(spark, lw_coeffs):
+    # overNN bins use the MEASURED fish_length_overNN value when recorded,
+    # the NN+2.5 midpoint otherwise (R/preprocessing-surveys.R:580-587)
+    cols = RAW_COLS + [
+        "group_species/1/no_individuals_over60",
+        "group_species/1/fish_length_over60",
+    ]
+    schema = ", ".join(f"`{c}` string" for c in cols)
+    r1 = _row("ov1") + ("1", "72")    # measured 72cm
+    r2 = _row("ov2") + ("1", None)    # unmeasured -> 62.5 midpoint
+    raw = spark.createDataFrame([r1, r2], schema)
+    out = pre.preprocess_landings(raw, lw_coeffs)
+    lens = {
+        r.submission_id: r.length
+        for r in out.filter(F.col("length_range") == "over60").collect()
+    }
+    assert lens == {"ov1": 72.0, "ov2": 62.5}

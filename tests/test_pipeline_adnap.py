@@ -106,3 +106,17 @@ def test_adnap_over100_renumbered(raw, lw):
     got = sorted((r.n_catch, r.length, r.n_individuals) for r in over)
     # base group occupies n_catch 1; over-100 rows continue 2, 3
     assert got == [(2, 105.0, 1.0), (3, 118.0, 1.0)]
+
+
+def test_adnap_catch_weight_gated_on_counting_method(spark, lw):
+    # catch_weight present but counting_method != "3": the direct weight
+    # must NOT override the per-bin modeled weight (it would be
+    # duplicated onto every exploded bin row otherwise)
+    schema = ", ".join(f"`{c}` string" for c in COLS)
+    raw = spark.createDataFrame(
+        [_row("g1", **{"species_group.0.species_group/catch_weight": "99.0"})],
+        schema,
+    )
+    out = pa.preprocess_landings_adnap(raw, lw)
+    r = out.filter(F.col("n_catch") == 1).first()
+    assert abs(r.catch_kg - 0.02 * 7.5**2.9 * 6 / 1000) < 1e-9  # modeled, not 99

@@ -94,3 +94,16 @@ def test_over100_extraction_pattern(spark):
     out = renumber_from_max(long, ["sid"], "max_n_catch", ["length"], "n_catch")
     got = sorted((r.sid, r.n_catch, r.length, r["count"]) for r in out.collect())
     assert got == [("s1", 3, 105.0, 1.0), ("s1", 4, 112.0, 1.0)]
+
+
+def test_stack_length_bins_drops_zero_counts(spark):
+    # reference drops value == "0" bins too (R/preprocessing-surveys.R:572)
+    df = spark.createDataFrame(
+        [("s1", "0", "3")],
+        "sid string, no_individuals_5_10 string, no_individuals_10_15 string",
+    )
+    cols = ["no_individuals_5_10", "no_individuals_10_15"]
+    got = sorted(tuple(r) for r in reshape.stack_length_bins(df, ["sid"], cols).collect())
+    assert got == [("s1", "10_15", "3")]
+    kept = reshape.stack_length_bins(df, ["sid"], cols, drop_zero=False)
+    assert kept.count() == 2
