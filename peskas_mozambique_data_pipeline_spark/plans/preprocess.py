@@ -191,6 +191,7 @@ def catch_info(raw: DataFrame, lw_coeffs: DataFrame) -> DataFrame:
         "length",
         F.col("count").cast("double").alias("n_individuals"),
         F.col("n_buckets").cast("double").alias("n_buckets"),
+        F.col("weight_bucket").cast("double").alias("weight_bucket"),
         catch_kg.alias("catch_kg"),
     )
 

@@ -1,16 +1,38 @@
-"""Validation plan: rule-flag battery + robust statistical bounds →
-flag table, validated subset, and per-trip indicators.
+"""Validation plan: the reference's full 13-flag battery → flag table,
+validated subset, and per-trip indicators.
 
-Mirrors ``validate_surveys_lurio`` (R/validation.R:45-457).  The 13
-numbered rule flags are data — a list of (flag_id, predicate) pairs
-evaluated as ``when`` columns in one pass — not 13 hand-written
-branches; the statistical outlier flags come from the reusable
-``robust_bounds`` aggregate (A7).
+Mirrors ``validate_surveys_lurio`` (R/validation.R:45-457) exactly:
+
+Stage 1 — row-level rule flags (R/validation.R:127-201):
+  1  form incomplete (catch_outcome "1" but no catch_taxon)
+  2  catch info incomplete (taxon but no weight and no individuals)
+  3  length below per-taxon min_length        (taxa-bounds join, J10)
+  4  length above per-taxon max_length_75     (taxa-bounds join, J10)
+  5  weight per bucket > 50 kg
+  6  n_buckets > 300
+  7  individuals > 200 per record
+  12 trip duration ≤ 0 or ≥ 60 h
+  13 submitted before landing date
+
+Stage 2 — composite indicator flags on the NO-flag subset only
+(R/validation.R:308-430):
+  8  price per kg > 2500 MZN (incl. the zero-catch/positive-price case
+     R's Inf > max catches)
+  9  CPUE > 30 kg/fisher/h (Inf excluded)
+  10 RPUE > 2500 MZN/fisher/h (Inf excluded)
+  11 zero fishers with catch_outcome "1"
+
+The two stages merge with a full join per submission and flagged
+submissions are excluded from the validated output.  The flag battery
+is data — (flag_id, predicate) pairs evaluated as ``when`` columns in
+one scan — and the taxa-bounds join broadcasts, so the whole stage-1
+pass is a single scan + one tiny join; stage 2 adds one aggregation
+over the surviving submissions.
 """
 
 from __future__ import annotations
 
-from collections.abc import Sequence
+from collections.abc import Mapping, Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -19,21 +41,59 @@ from ..functions.columns import flag_concat, safe_div
 from ..operators.aggregates import robust_bounds, sum_not_null
 from ..operators.joins import anti_join
 
+# validation thresholds (R/validation.R:144-150; config inst/config.yml)
+THRESHOLDS: Mapping[str, float] = {
+    "max_bucket_weight_kg": 50.0,
+    "max_n_buckets": 300.0,
+    "max_n_individuals": 200.0,
+    "price_kg_max": 2500.0,
+    "cpue_max": 30.0,
+    "rpue_max": 2500.0,
+    "max_trip_hours": 60.0,
+}
 
-def default_rule_flags() -> list[tuple[str, Column]]:
-    """The reference's rule battery (R/validation.R:127-201,563-659),
-    thresholds from inst/config.yml: 50 kg/catch, 300 buckets,
-    200 individuals, 2500 MZN price, 30 CPUE, 60 h trip."""
+
+def reference_rule_flags(
+    thresholds: Mapping[str, float] | None = None,
+) -> list[tuple[str, Column]]:
+    """Stage-1 battery with the reference's numbering and semantics
+    (R/validation.R:127-201).  Catch-level flags only apply to active
+    surveys (the reference filters ``survey_activity == "1"`` before
+    flagging catch rows, R/validation.R:110-113); general flags 12/13
+    apply to every row."""
+    t = {**THRESHOLDS, **(thresholds or {})}
+    active = F.col("survey_activity") == "1"
+    taxon = F.col("catch_taxon")
+    kg = F.col("catch_kg")
+    ind = F.col("n_individuals")
     return [
-        ("1_no_activity", (F.col("survey_activity") == "0")),
-        ("2_zero_fishers", F.col("n_fishers").isNotNull() & (F.col("n_fishers") == 0)),
-        ("5_catch_gt_50kg", F.col("catch_kg") > 50.0),
-        ("6_buckets_gt_300", F.col("n_buckets").cast("double") > 300.0),
-        ("7_individuals_gt_200", F.col("n_individuals") > 200.0),
-        ("12_bad_duration", F.col("trip_duration").isNotNull()
-         & ((F.col("trip_duration") <= 0) | (F.col("trip_duration") > 60))),
-        ("13_date_order", F.col("submission_date") < F.col("landing_date")),
+        ("1", active & (F.col("catch_outcome") == "1") & taxon.isNull()),
+        ("2", active & taxon.isNotNull()
+         & (kg.isNull() | (kg <= 0)) & (ind.isNull() | (ind <= 0))),
+        ("3", active & F.col("length").isNotNull() & F.col("min_length").isNotNull()
+         & (F.col("length") < F.col("min_length"))),
+        ("4", active & F.col("length").isNotNull() & F.col("max_length_75").isNotNull()
+         & (F.col("length") > F.col("max_length_75"))),
+        ("5", active & (F.col("weight_bucket").cast("double") > t["max_bucket_weight_kg"])),
+        ("6", active & (F.col("n_buckets").cast("double") > t["max_n_buckets"])),
+        ("7", active & (ind > t["max_n_individuals"])),
+        ("12", (F.col("trip_duration") <= 0)
+         | (F.col("trip_duration") >= t["max_trip_hours"])),
+        ("13", F.col("submission_date") < F.col("landing_date")),
     ]
+
+
+def attach_taxa_bounds(df: DataFrame, taxa_bounds: DataFrame | None) -> DataFrame:
+    """Broadcast-join per-taxon length bounds for flags 3/4 (J10); with
+    no bounds table the columns are NULL and the flags never fire."""
+    if taxa_bounds is None:
+        if "min_length" in df.columns:
+            return df
+        return df.withColumn("min_length", F.lit(None).cast("double")).withColumn(
+            "max_length_75", F.lit(None).cast("double")
+        )
+    b = taxa_bounds.select("catch_taxon", "min_length", "max_length_75")
+    return df.join(F.broadcast(b), "catch_taxon", "left")
 
 
 def apply_rule_flags(
@@ -42,7 +102,7 @@ def apply_rule_flags(
     """Evaluate every rule as a when-column and consolidate into one
     comma-joined ``alert_flag`` per row (A9 via concat_ws — NULLs skip
     natively, no 'NA' scrubbing like R/validation.R:211-234)."""
-    rules = list(rules or default_rule_flags())
+    rules = list(rules or reference_rule_flags())
     flag_cols = [F.when(cond, F.lit(fid)) for fid, cond in rules]
     return df.withColumn("alert_flag", flag_concat(*flag_cols, sep=","))
 
@@ -52,10 +112,12 @@ def statistical_flags(
     value_col: str = "catch_price",
     group_cols: Sequence[str] = ("gear_type",),
     k: float = 3.0,
-    flag_id: str = "8_price_outlier",
+    flag_id: str = "stat_price_outlier",
 ) -> DataFrame:
     """Per-group MAD-bounds outlier flag (A7 + J10): join the tiny
-    bounds table back (broadcast) and mark out-of-range rows."""
+    bounds table back (broadcast) and mark out-of-range rows.  An
+    extension beyond the reference battery (its LocScaleB machinery,
+    R/validation-functions.R:43-132, applied to this form)."""
     bounds = robust_bounds(df, list(group_cols), value_col, k=k)
     joined = df.join(F.broadcast(bounds), list(group_cols), "left")
     v = F.col(value_col)
@@ -69,23 +131,25 @@ def statistical_flags(
     ).drop("lower_bound", "upper_bound")
 
 
-def consolidate_flags(df: DataFrame) -> DataFrame:
+def consolidate_flags(df: DataFrame, extra_flag_cols: Sequence[str] = ()) -> DataFrame:
     """Per-submission flag rollup: distinct sorted flags joined ','
-    (R/validation.R:241-256 paste-collapse, deterministic here)."""
+    (R/validation.R:241-256 paste-collapse — dplyr inherits input order,
+    a distributed engine imposes a deterministic sort instead)."""
+    parts = [F.col("alert_flag"), *[F.col(c) for c in extra_flag_cols]]
     split_flags = F.flatten(
-        F.collect_list(
-            F.split(flag_concat(F.col("alert_flag"), F.col("stat_flag"), sep=","), ",")
-        )
+        F.collect_list(F.split(flag_concat(*parts, sep=","), ","))
     )
     return (
-        df.groupBy("submission_id", "submission_date")
+        df.groupBy("submission_id")
         .agg(
-            F.array_join(F.array_sort(F.array_distinct(split_flags)), ",").alias("alert_flag")
+            F.first("submission_date").alias("submission_date"),
+            F.array_join(F.array_sort(F.array_distinct(split_flags)), ",").alias("alert_flag"),
         )
         .withColumn(
             "alert_flag",
             F.when(F.col("alert_flag") == "", F.lit(None)).otherwise(F.col("alert_flag")),
         )
+        .select("submission_id", "submission_date", "alert_flag")
     )
 
 
@@ -93,10 +157,11 @@ def trip_indicators(validated: DataFrame) -> DataFrame:
     """Per-trip composite indicators (M4): trip totals then
     CPUE = catch / fishers / duration, RPUE likewise from price; R's
     Inf-on-divide-by-zero is normalized to NULL at the source
-    (R/validation.R:332-374)."""
+    (R/validation.R:316-359)."""
     per_trip = validated.groupBy("submission_id").agg(
         sum_not_null("catch_kg").alias("catch_kg"),
         F.first("catch_price", ignorenulls=True).alias("catch_price"),
+        F.first("catch_outcome", ignorenulls=True).alias("catch_outcome"),
         F.first("n_fishers", ignorenulls=True).alias("n_fishers"),
         F.first("trip_duration", ignorenulls=True).alias("trip_duration"),
         F.first("gear_type", ignorenulls=True).alias("gear_type"),
@@ -113,21 +178,73 @@ def trip_indicators(validated: DataFrame) -> DataFrame:
     )
 
 
+def composite_indicator_flags(
+    indicators: DataFrame, thresholds: Mapping[str, float] | None = None
+) -> DataFrame:
+    """Stage-2 flags 8–11 on per-trip indicators (R/validation.R:360-400).
+
+    ``price_per_kg``/``cpue``/``rpue`` arrive Inf-normalized-to-NULL from
+    ``safe_div``; R's un-guarded ``price_kg > max`` fires on Inf (zero
+    catch, positive price), so that case is reinstated explicitly."""
+    t = {**THRESHOLDS, **(thresholds or {})}
+    price_inf = (F.col("catch_kg") == 0) & (F.col("catch_price") > 0)
+    flag8 = price_inf | (F.col("price_per_kg") > t["price_kg_max"])
+    flags = flag_concat(
+        F.when(flag8, F.lit("8")),
+        F.when(F.col("cpue") > t["cpue_max"], F.lit("9")),
+        F.when(F.col("rpue") > t["rpue_max"], F.lit("10")),
+        F.when((F.col("n_fishers") == 0) & (F.col("catch_outcome") == "1"), F.lit("11")),
+        sep=",",
+    )
+    return indicators.select("submission_id", flags.alias("alert_flag_composite"))
+
+
+def merge_flag_stages(flags_stage1: DataFrame, composite: DataFrame) -> DataFrame:
+    """Full-join merge of the two flag stages per submission
+    (R/validation.R:402-430): both non-NULL → comma-combined."""
+    merged = flags_stage1.join(composite, "submission_id", "full")
+    combined = F.when(
+        F.col("alert_flag").isNotNull() & F.col("alert_flag_composite").isNotNull(),
+        F.concat_ws(",", F.col("alert_flag"), F.col("alert_flag_composite")),
+    ).otherwise(F.coalesce(F.col("alert_flag"), F.col("alert_flag_composite")))
+    return merged.select(
+        "submission_id", "submission_date", combined.alias("alert_flag")
+    )
+
+
 def validate_surveys(
     preprocessed: DataFrame,
+    taxa_bounds: DataFrame | None = None,
     rules: Sequence[tuple[str, Column]] | None = None,
-    price_group_cols: Sequence[str] = ("gear_type",),
-    k: float = 3.0,
+    thresholds: Mapping[str, float] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
-    """Full validation DAG (E2).
+    """Full two-stage validation DAG (E2, R/validation.R:45-457).
 
-    Returns (validated, flags): ``flags`` is one row per submission with
-    its consolidated alert string; ``validated`` excludes flagged
-    submissions via anti-join (J7) and carries trip indicators.
+    Returns ``(validated, flags)``: ``flags`` is one row per submission
+    with its consolidated alert string across both stages; ``validated``
+    excludes every flagged submission (anti join, J7) and carries the
+    per-trip composite indicators.
     """
-    flagged = apply_rule_flags(preprocessed, rules)
-    flagged = statistical_flags(flagged, group_cols=price_group_cols, k=k)
-    flags = consolidate_flags(flagged)
+    # catch outcome "0" zeroes catch AND price before any indicator is
+    # computed (R/validation.R:291-302) — otherwise a zero-catch trip
+    # with a recorded price fires flag 8 via the Inf path
+    zero = F.col("catch_outcome") == "0"
+    preprocessed = preprocessed.withColumn(
+        "catch_kg", F.when(zero, F.lit(0.0)).otherwise(F.col("catch_kg"))
+    ).withColumn(
+        "catch_price", F.when(zero, F.lit(0.0)).otherwise(F.col("catch_price"))
+    )
+    with_bounds = attach_taxa_bounds(preprocessed, taxa_bounds)
+    flagged = apply_rule_flags(with_bounds, rules or reference_rule_flags(thresholds))
+    flags_stage1 = consolidate_flags(flagged)
+
+    # stage 2 runs ONLY on submissions with no stage-1 flag
+    no_flag_ids = flags_stage1.filter(F.col("alert_flag").isNull()).select("submission_id")
+    clean_stage1 = preprocessed.join(F.broadcast(no_flag_ids), "submission_id", "semi")
+    indicators = trip_indicators(clean_stage1)
+    composite = composite_indicator_flags(indicators, thresholds)
+
+    flags = merge_flag_stages(flags_stage1, composite)
     bad_ids = flags.filter(F.col("alert_flag").isNotNull()).select("submission_id")
     clean = anti_join(preprocessed, bad_ids, "submission_id")
     return trip_indicators(clean), flags

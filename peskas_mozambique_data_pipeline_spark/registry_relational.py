@@ -183,6 +183,170 @@ SELECT flag, COUNT(*) AS n_orders FROM per_order GROUP BY flag
 
 
 # ---------------------------------------------------------------------------
+# Q: FULL two-stage validation battery (M5 complete) — the reference's
+# 13-flag design (R/validation.R:127-201 stage-1 rules incl. the
+# per-group bounds join for flags 3/4; :308-430 composite flags 8-11 on
+# the no-flag subset, merged back with a full join).  TPC-H analog:
+# per-brand size bounds stand in for per-taxon length bounds; per-order
+# integer indicators stand in for price_kg/CPUE/RPUE.  All thresholds
+# and bounds are integer-exact so both engines agree bit-for-bit.
+# Scale: bounds broadcast; lineitem⋈orders/part are co-keyed shuffle
+# joins; stage 2 only aggregates the surviving subset.
+
+
+def q_flag_battery_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    part = _t(spark, sf_dir, "part")
+
+    bounds = part.groupBy("p_brand").agg(
+        (F.min("p_size") + F.lit(1)).alias("min_size_b"),
+        F.expr("(min(p_size) + 3 * max(p_size)) div 4").alias("max_size_b"),
+    )
+    enriched = (
+        lineitem.join(
+            F.broadcast(part.select(F.col("p_partkey").alias("l_partkey"), "p_brand", "p_size")),
+            "l_partkey",
+        )
+        .join(
+            orders.select(
+                F.col("o_orderkey").alias("l_orderkey"), "o_orderstatus", "o_orderdate"
+            ),
+            "l_orderkey",
+        )
+        .join(F.broadcast(bounds), "p_brand")
+    )
+    tax_code = F.expr("nullif(l_returnflag, 'N')")
+    flagged = enriched.select(
+        "l_orderkey",
+        flag_concat(
+            F.when((F.col("o_orderstatus") == "P") & tax_code.isNull(), F.lit("1")),
+            F.when(tax_code.isNotNull() & (F.col("l_quantity") <= 1), F.lit("2")),
+            F.when(F.col("p_size") < F.col("min_size_b"), F.lit("3")),
+            F.when(F.col("p_size") > F.col("max_size_b"), F.lit("4")),
+            F.when(F.col("l_quantity") > 45, F.lit("5")),
+            F.when(F.col("l_discount") > 0.09, F.lit("6")),
+            F.when(F.col("l_tax") > 0.07, F.lit("7")),
+            F.when(F.col("l_quantity") >= 50, F.lit("12")),
+            F.when(
+                F.datediff(F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")) > 90,
+                F.lit("13"),
+            ),
+            sep=",",
+        ).alias("alert_flag"),
+    )
+    stage1 = (
+        flagged.groupBy("l_orderkey")
+        .agg(
+            F.array_join(
+                F.array_sort(F.array_distinct(F.flatten(F.collect_list(F.split("alert_flag", ","))))),
+                ",",
+            ).alias("alert_flag")
+        )
+        .withColumn(
+            "alert_flag",
+            F.when(F.col("alert_flag") == "", F.lit(None)).otherwise(F.col("alert_flag")),
+        )
+    )
+    no_flag = stage1.filter(F.col("alert_flag").isNull()).select("l_orderkey")
+    ind = (
+        lineitem.join(
+            orders.select(F.col("o_orderkey").alias("l_orderkey"), "o_orderstatus"),
+            "l_orderkey",
+        )
+        .join(no_flag, "l_orderkey", "semi")
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(F.round(F.col("l_quantity") * 100).cast("long")).alias("qty_c"),
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("long")
+                * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+            ).alias("rev_c"),
+            F.count(F.lit(1)).alias("n_items"),
+            F.max("o_orderstatus").alias("o_orderstatus"),
+        )
+    )
+    ppu_micro = F.expr("(rev_c * 2000000 + qty_c * 100) div (qty_c * 200)")
+    comp = ind.select(
+        "l_orderkey",
+        flag_concat(
+            F.when((F.col("qty_c") > 0) & (ppu_micro > 1800 * 1000000), F.lit("8")),
+            F.when(F.col("qty_c") > 3000 * F.col("n_items"), F.lit("9")),
+            F.when(F.col("rev_c") > 600000000 * F.col("n_items"), F.lit("10")),
+            F.when((F.col("n_items") >= 7) & (F.col("o_orderstatus") == "O"), F.lit("11")),
+            sep=",",
+        ).alias("comp_flag"),
+    )
+    merged = stage1.join(comp, "l_orderkey", "left")
+    combined = F.when(
+        F.col("alert_flag").isNotNull() & F.col("comp_flag").isNotNull(),
+        F.concat_ws(",", F.col("alert_flag"), F.col("comp_flag")),
+    ).otherwise(F.coalesce(F.col("alert_flag"), F.col("comp_flag")))
+    return merged.select("l_orderkey", combined.alias("alert_flag"))
+
+
+SQL_FLAG_BATTERY_FULL = """
+WITH bounds AS (
+  SELECT p_brand,
+         MIN(p_size) + 1 AS min_size_b,
+         (MIN(p_size) + 3 * MAX(p_size)) // 4 AS max_size_b
+  FROM part GROUP BY p_brand
+),
+row_flags AS (
+  SELECT l.l_orderkey, t.flag
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN bounds b ON p.p_brand = b.p_brand,
+  UNNEST(LIST_VALUE(
+    CASE WHEN o.o_orderstatus = 'P' AND NULLIF(l.l_returnflag, 'N') IS NULL THEN '1' END,
+    CASE WHEN NULLIF(l.l_returnflag, 'N') IS NOT NULL AND l.l_quantity <= 1 THEN '2' END,
+    CASE WHEN p.p_size < b.min_size_b THEN '3' END,
+    CASE WHEN p.p_size > b.max_size_b THEN '4' END,
+    CASE WHEN l.l_quantity > 45 THEN '5' END,
+    CASE WHEN l.l_discount > 0.09 THEN '6' END,
+    CASE WHEN l.l_tax > 0.07 THEN '7' END,
+    CASE WHEN l.l_quantity >= 50 THEN '12' END,
+    CASE WHEN date_diff('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE)) > 90 THEN '13' END
+  )) AS t(flag)
+),
+stage1 AS (
+  SELECT l_orderkey,
+         NULLIF(array_to_string(list_sort(list_distinct(
+           list(flag) FILTER (WHERE flag IS NOT NULL))), ','), '') AS alert_flag
+  FROM row_flags GROUP BY l_orderkey
+),
+ind AS (
+  SELECT l.l_orderkey,
+         SUM(CAST(round(l.l_quantity * 100) AS BIGINT)) AS qty_c,
+         SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS rev_c,
+         COUNT(*) AS n_items,
+         MAX(o.o_orderstatus) AS o_orderstatus
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_orderkey IN (SELECT l_orderkey FROM stage1 WHERE alert_flag IS NULL)
+  GROUP BY l.l_orderkey
+),
+comp AS (
+  SELECT l_orderkey,
+         NULLIF(concat_ws(',',
+           CASE WHEN qty_c > 0
+                 AND (rev_c * 2000000 + qty_c * 100) // (qty_c * 200) > 1800000000 THEN '8' END,
+           CASE WHEN qty_c > 3000 * n_items THEN '9' END,
+           CASE WHEN rev_c > 600000000 * n_items THEN '10' END,
+           CASE WHEN n_items >= 7 AND o_orderstatus = 'O' THEN '11' END), '') AS comp_flag
+  FROM ind
+)
+SELECT s.l_orderkey,
+       CASE WHEN s.alert_flag IS NOT NULL AND c.comp_flag IS NOT NULL
+            THEN s.alert_flag || ',' || c.comp_flag
+            ELSE COALESCE(s.alert_flag, c.comp_flag) END AS alert_flag
+FROM stage1 s LEFT JOIN comp c ON s.l_orderkey = c.l_orderkey
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q: fuzzy name dedup (F1-F4) — pairwise Levenshtein over distinct
 # supplier names, canonicalize each to the (shortest, alphabetically
 # first) variant among its ≤2-distance neighborhood
@@ -434,6 +598,7 @@ SPARK_QUERIES = {
     "nary_full_join": q_nary_full_join,
     "conditional_merge": q_conditional_merge,
     "flag_battery": q_flag_battery,
+    "flag_battery_full": q_flag_battery_full,
     "fuzzy_dedup": q_fuzzy_dedup,
     "quantile_coeffs": q_quantile_coeffs,
     "lw_model": q_lw_model,
@@ -447,6 +612,7 @@ ORACLE_SQL = {
     "nary_full_join": SQL_NARY_FULL_JOIN,
     "conditional_merge": SQL_CONDITIONAL_MERGE,
     "flag_battery": SQL_FLAG_BATTERY,
+    "flag_battery_full": SQL_FLAG_BATTERY_FULL,
     "fuzzy_dedup": SQL_FUZZY_DEDUP,
     "quantile_coeffs": SQL_QUANTILE_COEFFS,
     "lw_model": SQL_LW_MODEL,

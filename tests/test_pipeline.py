@@ -79,7 +79,9 @@ def _row(sid, **kw):
             "group_species/1/selected_species": "SNA",
             "group_species/1/collection_type": "1",
             "group_species/1/no_individuals_5_10": "4",
-            "group_market/catch_price": "500",
+            # modeled catch for the default row is ~0.028 kg; keep the
+            # price under the 2500 MZN/kg composite cap (flag 8)
+            "group_market/catch_price": "50",
         }
     )
     base.update(kw)
@@ -151,9 +153,9 @@ def test_preprocess_shapes_and_model(preprocessed):
 def test_validation_flags_and_exclusion(preprocessed):
     validated, flags = val.validate_surveys(preprocessed)
     flag_map = {r.submission_id: r.alert_flag for r in flags.collect()}
-    assert "12_bad_duration" in (flag_map["s4"] or "")
-    assert "2_zero_fishers" in (flag_map["s5"] or "")
-    assert "13_date_order" in (flag_map["s6"] or "")
+    assert "12" in (flag_map["s4"] or "").split(",")   # 70h trip
+    assert "11" in (flag_map["s5"] or "").split(",")   # zero fishers, composite
+    assert "13" in (flag_map["s6"] or "").split(",")   # submitted before landing
     assert flag_map["s1"] is None
     good_ids = {r.submission_id for r in validated.collect()}
     assert {"s4", "s5", "s6"}.isdisjoint(good_ids)
@@ -161,7 +163,7 @@ def test_validation_flags_and_exclusion(preprocessed):
     v1 = {r.submission_id: r for r in validated.collect()}["s1"]
     assert v1.cpue is not None and v1.price_per_kg is not None
     exploded = val.explode_flags(flags)
-    assert exploded.filter(F.col("flag") == "12_bad_duration").count() == 1
+    assert exploded.filter(F.col("flag") == "12").count() == 1
 
 
 def test_metrics_long_table(preprocessed):

@@ -79,14 +79,17 @@ def test_flag_monotonicity(spark, trips):
     """Adding a violation to a row never removes existing flags."""
     base = spark.createDataFrame(
         [
-            (f"s{i}", "1", d, f, None, None, 5.0,
+            (f"s{i}", "1", "1", "SNA", 30.0, d, f, None, None, None, 5.0,
              datetime.datetime(2024, 3, 2), datetime.datetime(2024, 3, 1))
             for i, (d, f) in enumerate(trips)
         ],
-        "submission_id string, survey_activity string, trip_duration double, "
-        "n_fishers double, n_buckets double, n_individuals double, catch_kg double, "
+        "submission_id string, survey_activity string, catch_outcome string, "
+        "catch_taxon string, length double, trip_duration double, "
+        "n_fishers double, n_buckets double, weight_bucket double, "
+        "n_individuals double, catch_kg double, "
         "submission_date timestamp, landing_date timestamp",
     )
+    base = val.attach_taxa_bounds(base, None)
     worse = base.withColumn("trip_duration", F.lit(99.0))
     f_base = {
         r.submission_id: set((r.alert_flag or "").split(",")) - {""}
@@ -98,7 +101,7 @@ def test_flag_monotonicity(spark, trips):
     }
     for sid, flags in f_base.items():
         assert flags <= f_worse[sid]
-        assert "12_bad_duration" in f_worse[sid]
+        assert "12" in f_worse[sid]
 
 
 @SET
