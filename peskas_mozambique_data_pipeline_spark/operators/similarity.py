@@ -93,27 +93,34 @@ def build_ivf_index(
 
     Returns (assignments, centroids): ``assignments`` maps each corpus
     row to its nearest centroid id; ``centroids`` holds the centroid
-    vectors.  Init is a deterministic stride sample (no Date.now/rand —
-    reproducible builds).  Each Lloyd iteration is one broadcast-join
-    assignment pass + one posexplode/groupBy mean — O(N·C·d) compute,
-    shuffles only the exploded (cluster, pos, val) triples.
+    vectors.  Init picks the ``n_centroids`` rows with the smallest
+    ``xxhash64(id)`` — a deterministic pseudo-random sample (no
+    Date.now/rand — reproducible builds) that compiles to
+    ``TakeOrderedAndProject``: each task keeps its local top-C, the
+    driver merges C·partitions candidates.  No global sort, no
+    ``count()`` action, nothing single-partition touches the full
+    corpus (the old ``row_number().over(Window.orderBy(id))`` init
+    funnelled the whole corpus through one task).  Each Lloyd iteration
+    is one broadcast-join assignment pass + one posexplode/groupBy
+    mean — O(N·C·d) compute, shuffles only the exploded
+    (cluster, pos, val) triples.
 
     At 100 TB: N·C·d FLOPs per iteration distribute evenly; the
     centroid table (C×d doubles) always broadcasts.
     """
-    n = corpus.count()
-    stride = max(1, n // n_centroids)
-    centroids = (
-        corpus.withColumn(
-            "_rn",
-            F.row_number().over(Window.orderBy(corpus_id)),
-        )
-        .filter(((F.col("_rn") - 1) % stride == 0) & (F.col("_rn") <= stride * n_centroids))
-        .select(
-            ((F.col("_rn") - 1) / stride).cast("int").alias("centroid_id"),
+    seeds = (
+        corpus.select(
+            F.xxhash64(F.col(corpus_id)).alias("_h"),
             F.col(vec_col).alias("centroid"),
         )
+        .orderBy("_h")
+        .limit(n_centroids)
     )
+    # numbering the C seed rows is a window over ≤ n_centroids rows —
+    # bounded by C, never by the corpus
+    centroids = seeds.withColumn(
+        "centroid_id", (F.row_number().over(Window.orderBy("_h")) - 1).cast("int")
+    ).select("centroid_id", "centroid")
 
     def assign(cents: DataFrame) -> DataFrame:
         scored = corpus.crossJoin(F.broadcast(cents)).select(

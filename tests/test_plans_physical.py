@@ -64,3 +64,20 @@ def test_monthly_median_single_exchange_for_agg(spark):
     # broadcast so densification adds no fact-table shuffle
     plan = plan_of(registry.SPARK_QUERIES["monthly_median"](spark, SF))
     assert plan.count("BroadcastExchange") >= 2  # customer, nation, spine x dims
+
+
+def test_ivf_init_no_global_sort_over_corpus(spark):
+    # build_ivf_index seed selection must compile to TakeOrderedAndProject
+    # (per-partition top-C, driver merge), never a RangePartitioning
+    # global sort or a full-corpus single-partition window
+    from pyspark.sql import functions as F
+    from peskas_mozambique_data_pipeline_spark.operators import similarity
+
+    corpus = (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .select("vec_id", "embedding")
+    )
+    _, centroids = similarity.build_ivf_index(corpus, n_centroids=4, n_iters=1)
+    plan = plan_of(centroids, "simple")
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan.lower()
