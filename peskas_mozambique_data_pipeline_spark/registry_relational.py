@@ -354,23 +354,14 @@ FROM stage1 s LEFT JOIN comp c ON s.l_orderkey = c.l_orderkey
 
 
 def q_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.fuzzy import blocked_levenshtein_pairs, canonicalize_names
+
     supplier = _t(spark, sf_dir, "supplier")
     names = supplier.select(F.col("s_name").alias("name")).distinct()
-    a = names.alias("a")
-    b = names.alias("b")
-    # threshold form runs the banded O(k·n) algorithm and early-exits;
-    # it returns -1 when the distance exceeds 2, which between(0,2) drops
-    pairs = (
-        a.crossJoin(b)
-        .select(F.col("a.name").alias("name"), F.col("b.name").alias("cand"))
-        .filter(F.levenshtein(F.col("name"), F.col("cand"), 2).between(0, 2))
-    )
-    w = Window.partitionBy("name").orderBy(F.length("cand"), F.col("cand"))
-    canon = (
-        pairs.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("name", F.col("cand").alias("canonical"))
-    )
+    # pair generation is a length-block equi-join, never a cross join —
+    # see operators/fuzzy.py for the |Δlen| <= k blocking argument
+    pairs = blocked_levenshtein_pairs(names, "name", max_dist=2)
+    canon = canonicalize_names(pairs)
     return canon.filter(F.col("name") != F.col("canonical"))
 
 

@@ -147,3 +147,30 @@ def test_ivf_topk_recall_on_clusters(spark):
     # matches brute force on the same data
     brute = similarity.cosine_topk(queries, df, k=3).collect()
     assert {r.neighbor_id for r in out} == {r.neighbor_id for r in brute}
+
+
+def test_blocked_levenshtein_pairs_equals_crossjoin(spark):
+    # varied-length names incl. pairs that straddle length buckets
+    from peskas_mozambique_data_pipeline_spark.operators.fuzzy import (
+        blocked_levenshtein_pairs,
+    )
+
+    vals = ["ana", "anna", "hannah", "hanna", "jo", "joe", "joey", "maria", "mariah"]
+    names = spark.createDataFrame([(v,) for v in vals], ["name"])
+    blocked = {
+        (r.name, r.cand)
+        for r in blocked_levenshtein_pairs(names, "name", max_dist=2).collect()
+    }
+    a, b = names.alias("a"), names.alias("b")
+    brute = {
+        (r.name, r.cand)
+        for r in a.crossJoin(b)
+        .select(F.col("a.name").alias("name"), F.col("b.name").alias("cand"))
+        .filter(F.levenshtein("name", "cand", 2).between(0, 2))
+        .collect()
+    }
+    assert blocked == brute
+    # every ordered pair produced exactly once (right side keys on its
+    # single exact length, so no dedup step is needed)
+    n = blocked_levenshtein_pairs(names, "name", max_dist=2).count()
+    assert n == len(blocked)

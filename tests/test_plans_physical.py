@@ -66,6 +66,14 @@ def test_monthly_median_single_exchange_for_agg(spark):
     assert plan.count("BroadcastExchange") >= 2  # customer, nation, spine x dims
 
 
+def test_fuzzy_dedup_no_cartesian(spark):
+    # pair generation must be a length-block equi-join — a cross join
+    # over distinct names is an N² seed at scale
+    plan = plan_of(registry.SPARK_QUERIES["fuzzy_dedup"](spark, SF), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_ivf_init_no_global_sort_over_corpus(spark):
     # build_ivf_index seed selection must compile to TakeOrderedAndProject
     # (per-partition top-C, driver merge), never a RangePartitioning
