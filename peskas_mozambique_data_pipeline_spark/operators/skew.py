@@ -9,7 +9,12 @@ These helpers cover the two patterns AQE can't fix:
   executors for the partial pass;
 * a *broadcast-ineligible* join against a table with few huge keys —
   ``salted_join`` explodes the small side over the salt range so the
-  big side's hot key scatters.
+  big side's hot key scatters;
+* an *all-pairs self-join within a block* (near-dup candidate
+  generation) where one dominant block is a single O(n²) join key —
+  ``triangle_self_join`` decomposes each block into a triangle of
+  hash-part cells so the pair work distributes (AQE can't split a
+  join-key explosion, only oversized shuffle partitions).
 """
 
 from __future__ import annotations
@@ -73,3 +78,59 @@ def salted_join(
     )
     out = big_s.join(small_s, [on, "_salt"], how)
     return out.drop("_salt")
+
+
+def triangle_self_join(
+    df: DataFrame,
+    block_cols: Sequence[str],
+    id_col: str,
+    n_parts: int = 8,
+    suffixes: tuple[str, str] = ("_a", "_b"),
+) -> DataFrame:
+    """All unordered within-block pairs as a *distributable* equi-join.
+
+    The naive candidate generator ``a.join(b, block).filter(id_a <
+    id_b)`` puts every pair of a block on ONE join key — a dominant
+    block degenerates to O(n²) work in a single task, and AQE cannot
+    split it (it is a join-row explosion, not an oversized shuffle
+    partition).  This decomposition hashes each row to a part
+    ``p = pmod(xxhash64(id), n_parts)`` and enumerates the triangle of
+    part cells: the left row covers cells ``(p, j)`` for ``j >= p``,
+    the right row covers ``(i, p)`` for ``i <= p``, and the join key is
+    ``(block, cell_i, cell_j)``.  Every unordered pair meets in exactly
+    one cell when its parts differ (orientation: part(left) <=
+    part(right)), and in both orientations on the diagonal, where the
+    ``id_a < id_b`` filter keeps one.  A hot block becomes
+    ``n_parts·(n_parts+1)/2`` independent cells of ~``(n/n_parts)²``
+    pairs each.
+
+    Row replication cost: each input row is emitted ``n_parts + 1``
+    times; pair-comparison total is unchanged — this buys parallelism,
+    not fewer comparisons (use an LSH/blocking key upstream for that).
+
+    Off-diagonal pairs keep the part orientation, so ``id{suffix_a}``
+    is NOT guaranteed < ``id{suffix_b}`` — normalize downstream with
+    least/greatest if a canonical order matters.
+    """
+    sa, sb = suffixes
+    payload = [c for c in df.columns if c not in set(block_cols)]
+    base = df.withColumn(
+        "_part", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_parts)).cast("int")
+    )
+    left = base.select(
+        *block_cols,
+        *[F.col(c).alias(c + sa) for c in payload],
+        F.col("_part").alias("_cell_i"),
+        F.explode(F.sequence(F.col("_part"), F.lit(n_parts - 1))).alias("_cell_j"),
+    )
+    right = base.select(
+        *block_cols,
+        *[F.col(c).alias(c + sb) for c in payload],
+        F.explode(F.sequence(F.lit(0), F.col("_part"))).alias("_cell_i"),
+        F.col("_part").alias("_cell_j"),
+    )
+    pairs = left.join(right, [*block_cols, "_cell_i", "_cell_j"])
+    return pairs.filter(
+        (F.col("_cell_i") != F.col("_cell_j"))
+        | (F.col(id_col + sa) < F.col(id_col + sb))
+    ).drop("_cell_i", "_cell_j")

@@ -390,26 +390,32 @@ FROM ranked WHERE rank <= 5
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import _dot, with_norm
+    from .operators.skew import triangle_self_join
 
     emb = read_table(spark, sf_dir, "embeddings")
     # norms precomputed per row (N sqrt-folds) instead of per pair (N²)
-    a = with_norm(
-        emb.select(F.col("label"), F.col("vec_id").alias("id_a"), F.col("embedding").alias("_ea")),
-        "_ea", "_na",
+    base = with_norm(
+        emb.select(F.col("label"), F.col("vec_id").alias("id"), F.col("embedding").alias("_e")),
+        "_e",
+        "_n",
     )
-    b = with_norm(
-        emb.select(F.col("label"), F.col("vec_id").alias("id_b"), F.col("embedding").alias("_eb")),
-        "_eb", "_nb",
-    )
-    pairs = a.join(b, "label").filter(F.col("id_a") < F.col("id_b"))
+    # triangle decomposition: a dominant label is n_parts(n_parts+1)/2
+    # distributable cells, never one O(n²) join key (operators/skew.py)
+    pairs = triangle_self_join(base, ["label"], "id", n_parts=4)
     scored = pairs.select(
         "label",
         "id_a",
         "id_b",
-        (_dot(F.col("_ea"), F.col("_eb")) / (F.col("_na") * F.col("_nb"))).alias("_cos"),
+        (_dot(F.col("_e_a"), F.col("_e_b")) / (F.col("_n_a") * F.col("_n_b"))).alias("_cos"),
     )
+    # cosine is orientation-symmetric bit-for-bit (IEEE mult commutes
+    # elementwise, fold order is array order on both sides), so
+    # normalizing ids after scoring matches the oracle's a.id < b.id
     return scored.filter(F.col("_cos") >= 0.35).select(
-        "label", "id_a", "id_b", F.round(F.col("_cos"), 6).alias("cosine_sim")
+        "label",
+        F.least("id_a", "id_b").alias("id_a"),
+        F.greatest("id_a", "id_b").alias("id_b"),
+        F.round(F.col("_cos"), 6).alias("cosine_sim"),
     )
 
 

@@ -61,3 +61,27 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS bktest.bk_left")
         spark.sql("DROP TABLE IF EXISTS bktest.bk_right")
         spark.sql("DROP DATABASE IF EXISTS bktest")
+
+
+def test_triangle_self_join_exact_and_distributed(spark):
+    # one dominant block: the naive block join would put all pairs on a
+    # single key; the triangle must (1) return exactly the brute-force
+    # pair set, each pair once, and (2) spread work across many cells
+    from peskas_mozambique_data_pipeline_spark.operators.skew import triangle_self_join
+
+    n, parts = 60, 4
+    df = spark.createDataFrame([("hot", i) for i in range(n)], ["label", "id"])
+    pairs = triangle_self_join(df, ["label"], "id", n_parts=parts)
+    got = [(min(r.id_a, r.id_b), max(r.id_a, r.id_b)) for r in pairs.collect()]
+    expect = {(i, j) for i in range(n) for j in range(i + 1, n)}
+    assert set(got) == expect
+    assert len(got) == len(expect)  # no duplicate pairs
+
+    # per-cell bound: no cell holds more than ~(2n/parts)^2 candidates
+    from pyspark.sql import functions as F
+
+    base = df.withColumn("_part", F.pmod(F.xxhash64("id"), F.lit(parts)).cast("int"))
+    sizes = {r._part: r["count"] for r in base.groupBy("_part").count().collect()}
+    max_part = max(sizes.values())
+    worst_cell = max_part * max_part
+    assert worst_cell < (n * (n - 1)) // 2  # strictly better than one hot key
