@@ -1,16 +1,22 @@
 """Export/analytics plan (E3): the portal-facing analytic products.
 
 Mirrors ``export_lurio_landings`` (R/export.R:474-781): one validated
-trip table cached, six branch DAGs.  Branches implemented here:
-monthly densified metrics, site stats with a HAVING filter, top-k-
-with-Other taxa shares, and the nested habitat→gear JSON series (A12).
+trip table cached, six branch DAGs: monthly densified metrics, site
+stats with a HAVING filter, top-k-with-Other taxa shares, the nested
+habitat→gear JSON series (A12), the taxa/length rows with the taxa-dim
+english-name join (R/export.R:619-634), and the geo product — per-site
+stats rolled up to per-region medians and attribute-joined onto the
+regions GeoJSON layer (R/export.R:711-746, composing io/geojson.py).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..io.geojson import join_attributes
 from ..operators.reshape import complete_months, unpivot
 from ..operators.windows import percent_of_group, top_k_with_other
 
@@ -78,3 +84,75 @@ def habitat_gear_series(trips: DataFrame) -> DataFrame:
         ).alias("series")
     )
     return series
+
+
+def taxa_length(catch: DataFrame, taxa_dim: DataFrame) -> DataFrame:
+    """Taxa/length export rows (R/export.R:619-634): keep catch rows
+    with both a taxon and a measured length, broadcast-join the taxa
+    dimension on scientific name (deduplicated, keep-first like the
+    reference's ``distinct(.keep_all = TRUE)``), and emit the english
+    name as ``catch_taxon`` with the length class."""
+    rows = catch.filter(
+        F.col("catch_taxon").isNotNull() & F.col("length").isNotNull()
+    ).select(
+        F.col("catch_taxon").alias("scientific_name"),
+        F.col("length").alias("length_class"),
+    )
+    dim = taxa_dim.dropDuplicates(["scientific_name"]).select(
+        "scientific_name", "english_name"
+    )
+    return rows.join(F.broadcast(dim), "scientific_name", "left").select(
+        F.col("english_name").alias("catch_taxon"), "length_class"
+    )
+
+
+def per_site_stats(
+    trips: DataFrame,
+    group_cols: Sequence[str],
+    aggs: Mapping[str, Column],
+    min_submissions: int = 3,
+) -> DataFrame:
+    """Per-(district, landing_site) stat table (R/export.R:604-617):
+    arbitrary aggregates plus an ``n_submissions`` count, keeping only
+    groups above the sample floor with a non-null site key (the
+    reference's HAVING-style filter)."""
+    gcols = list(group_cols)
+    out = (
+        trips.groupBy(*gcols)
+        .agg(F.count(F.lit(1)).alias("n_submissions"), *[c.alias(n) for n, c in aggs.items()])
+        .filter(F.col("n_submissions") > min_submissions)
+    )
+    return out.filter(F.col(gcols[-1]).isNotNull())
+
+
+def region_median_rollup(
+    site_stats: DataFrame,
+    region_col: str,
+    median_cols: Sequence[str],
+    sum_cols: Sequence[str] = ("n_submissions",),
+    out_region: str = "region",
+) -> DataFrame:
+    """Second-stage geo rollup (R/export.R:725-741): per-region medians
+    of the per-site stats (submission counts summed), region key
+    lowercased and renamed to match the geo layer's join attribute."""
+    aggs = [F.sum(c).alias(c) for c in sum_cols] + [
+        F.round(F.percentile(F.col(c), F.lit(0.5)), 6).alias(c) for c in median_cols
+    ]
+    return (
+        site_stats.groupBy(region_col)
+        .agg(*aggs)
+        .select(
+            F.lower(F.col(region_col)).alias(out_region),
+            *sum_cols,
+            *median_cols,
+        )
+    )
+
+
+def geo_region_indicators(
+    geo: DataFrame, rollup: DataFrame, on: str = "region"
+) -> DataFrame:
+    """Attribute-join the per-region rollup onto the GeoJSON layer
+    (R/export.R:743-746) — the layer is tiny (admin regions), the
+    rollup is broadcast; left join keeps regions with no data."""
+    return join_attributes(geo, rollup, on=on)

@@ -494,6 +494,82 @@ FROM monthly
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: geo rollup + attribute join (the export geo product shape,
+# R/export.R:711-746): per-(region, segment) stats with a HAVING floor,
+# rolled up to per-region medians (counts summed), then left-joined as
+# attributes onto the region layer — composed from the same plan
+# functions the fisheries export uses (plans/export.py).  Means are
+# exact-integer-cents so both engines agree bit-for-bit; medians are
+# interpolated and ROUND(x, 6) on both sides (playbook rules 1-2).
+# Scale: the layer and rollup are admin-region sized — broadcast; the
+# only fact shuffle is the first groupBy.
+
+
+def q_geo_rollup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .plans.export import geo_region_indicators, per_site_stats, region_median_rollup
+
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    trips = customer.join(
+        F.broadcast(
+            nation.select(F.col("n_nationkey").alias("c_nationkey"), "n_name", "n_regionkey")
+        ),
+        "c_nationkey",
+    ).select(
+        "n_name",
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal_c"),
+    )
+    site_stats = per_site_stats(
+        trips,
+        ["n_name", "c_mktsegment"],
+        {
+            "mean_acctbal": F.sum("bal_c").cast("double")
+            / F.count(F.lit(1))
+            / F.lit(100.0)
+        },
+        min_submissions=3,
+    )
+    rollup = region_median_rollup(site_stats, "n_name", ["mean_acctbal"])
+    layer = nation.select(
+        F.lower(F.col("n_name")).alias("region"), "n_regionkey"
+    ).join(
+        F.broadcast(region.select(F.col("r_regionkey").alias("n_regionkey"), "r_name")),
+        "n_regionkey",
+    ).select("region", "r_name")
+    return geo_region_indicators(layer, rollup, on="region")
+
+
+SQL_GEO_ROLLUP_JOIN = """
+WITH trips AS (
+  SELECT n.n_name, c.c_mktsegment,
+         CAST(round(c.c_acctbal * 100) AS BIGINT) AS bal_c
+  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+),
+site_stats AS (
+  SELECT n_name, c_mktsegment, COUNT(*) AS n_submissions,
+         CAST(SUM(bal_c) AS DOUBLE) / COUNT(*) / 100.0 AS mean_acctbal
+  FROM trips
+  GROUP BY n_name, c_mktsegment
+  HAVING COUNT(*) > 3 AND c_mktsegment IS NOT NULL
+),
+rollup AS (
+  SELECT lower(n_name) AS region,
+         SUM(n_submissions) AS n_submissions,
+         ROUND(quantile_cont(mean_acctbal, 0.5), 6) AS mean_acctbal
+  FROM site_stats GROUP BY n_name
+),
+layer AS (
+  SELECT lower(n.n_name) AS region, r.r_name
+  FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+)
+SELECT l.region, l.r_name, s.n_submissions, s.mean_acctbal
+FROM layer l LEFT JOIN rollup s ON l.region = s.region
+"""
+
+
 SPARK_QUERIES = {
     "nested_series": q_nested_series,
     "rank_inference": q_rank_inference,
@@ -507,6 +583,7 @@ SPARK_QUERIES = {
     "rollup_summary": q_rollup_summary,
     "asof_join": q_asof_join,
     "running_total": q_running_total,
+    "geo_rollup_join": q_geo_rollup_join,
 }
 
 ORACLE_SQL = {
@@ -522,4 +599,5 @@ ORACLE_SQL = {
     "rollup_summary": SQL_ROLLUP_SUMMARY,
     "asof_join": SQL_ASOF_JOIN,
     "running_total": SQL_RUNNING_TOTAL,
+    "geo_rollup_join": SQL_GEO_ROLLUP_JOIN,
 }

@@ -231,3 +231,40 @@ def test_over_bin_uses_measured_length(spark, lw_coeffs):
         for r in out.filter(F.col("length_range") == "over60").collect()
     }
     assert lens == {"ov1": 72.0, "ov2": 62.5}
+
+
+def test_export_taxa_length_branch(spark, preprocessed):
+    # R/export.R:619-634: measured-length rows joined to the taxa dim
+    taxa_dim = spark.createDataFrame(
+        [("SNA", "Snapper"), ("OCZ", "Octopus"), ("TUN", "Tuna")],
+        "scientific_name string, english_name string",
+    )
+    tl = export_plan.taxa_length(preprocessed, taxa_dim).collect()
+    assert tl, "expected measured-length rows"
+    # bucket-fallback rows (s7) have no length and must be excluded
+    assert all(r.length_class is not None for r in tl)
+    names = {r.catch_taxon for r in tl}
+    assert names <= {"Snapper", "Octopus"}
+    assert "Snapper" in names
+
+
+def test_export_geo_region_product(spark, preprocessed):
+    # R/export.R:711-746: per-site stats -> per-region medians -> left
+    # attribute join onto the geo layer (regions without data keep NULLs)
+    validated, _ = val.validate_surveys(preprocessed)
+    stats = export_plan.per_site_stats(
+        validated,
+        ["district", "gear_type"],
+        {"mean_cpue": F.avg("cpue")},
+        min_submissions=0,
+    )
+    rollup = export_plan.region_median_rollup(stats, "district", ["mean_cpue"])
+    geo = spark.createDataFrame(
+        [("palma", '{"type":"Polygon"}'), ("quionga", '{"type":"Polygon"}')],
+        "region string, geometry_json string",
+    )
+    out = export_plan.geo_region_indicators(geo, rollup)
+    rows = {r.region: r for r in out.collect()}
+    assert set(rows) == {"palma", "quionga"}
+    assert rows["palma"].mean_cpue is not None and rows["palma"].n_submissions >= 3
+    assert rows["quionga"].mean_cpue is None
