@@ -141,3 +141,118 @@ class DocumentSink:
 
     def pull(self, spark: SparkSession) -> DataFrame:
         return spark.read.json(self.path)
+
+
+def iter_offset_token_pages(
+    fetch_page: Callable[[str | None], tuple[list[dict], str | None]],
+) -> Iterator[list[dict]]:
+    """Airtable-style pagination (S10): follow the opaque ``offset``
+    token until the response omits it (R/airtable.R:23-62).  The token
+    chain is inherently sequential, so this walk runs on the driver —
+    the *data* path stays distributed (see ``PaginatedSource``)."""
+    offset: str | None = None
+    while True:
+        records, offset = fetch_page(offset)
+        yield records
+        if offset is None:
+            return
+
+
+def iter_limit_start_pages(
+    fetch_page: Callable[[int, int], tuple[list[dict], int]],
+    limit: int = 1000,
+) -> Iterator[list[dict]]:
+    """Kobo-style pagination: ``?start=M&limit=N`` windows until the
+    reported total is reached (the loop inside the reference's
+    ``get_kobo_data``, R/ingestion.R:35-43)."""
+    start = 0
+    while True:
+        records, total = fetch_page(start, limit)
+        yield records
+        start += len(records)
+        if not records or start >= total:
+            return
+
+
+def flatten_airtable_record(rec: dict, list_handler: str = "collapse") -> dict:
+    """One Airtable record → one flat row: fields + ``airtable_id``,
+    list fields collapsed to a comma-joined string (or their length
+    with ``list_handler='count'``) — R/airtable.R:66-84."""
+    out: dict = {}
+    for k, v in rec.get("fields", {}).items():
+        if isinstance(v, list):
+            out[k] = ", ".join(str(x) for x in v) if list_handler == "collapse" else len(v)
+        else:
+            out[k] = v
+    out["airtable_id"] = rec.get("id")
+    return out
+
+
+class PaginatedSource(SurveySource):
+    """Paginated REST read (S10) with a JSONL landing zone.
+
+    The driver walks the page iterator (REST pagination is a sequential
+    token chain — there is nothing to distribute) and lands each page
+    as one JSONL file; Spark then reads the landing directory as a
+    distributed scan.  That is the reference's real shape too: API →
+    object storage → tabular read.  Driver memory holds ONE page at a
+    time, never the full pull.
+
+    ``transform`` maps each raw record to a flat row (e.g.
+    ``flatten_airtable_record``); ``id_col`` arms the cross-page
+    uniqueness assert (S3) that catches pagination overlap
+    (R/ingestion.R:45-50).
+    """
+
+    def __init__(
+        self,
+        pages: Iterator[list[dict]],
+        landing_dir: str,
+        transform: Callable[[dict], dict] | None = None,
+        id_col: str | None = None,
+    ):
+        self.pages = pages
+        self.landing_dir = landing_dir
+        self.transform = transform
+        self.id_col = id_col
+
+    def fetch_submissions(self, spark: SparkSession, asset_id: str = "") -> DataFrame:
+        import os
+
+        os.makedirs(self.landing_dir, exist_ok=True)
+        n_pages = 0
+        for i, page in enumerate(self.pages):
+            with open(os.path.join(self.landing_dir, f"page_{i:06d}.jsonl"), "w") as f:
+                for rec in page:
+                    row = self.transform(rec) if self.transform else rec
+                    f.write(json.dumps(row) + "\n")
+            n_pages += 1
+        if n_pages == 0:
+            raise ValueError("paginated source returned no pages")
+        df = spark.read.json(self.landing_dir)
+        if self.id_col is not None:
+            assert_unique_ids(df, self.id_col)
+        return df
+
+
+@dataclass
+class RestUpsertSink:
+    """Airtable upsert sink: updates go as PATCH batches, creates as
+    POST batches, 10 records each (R/airtable.R:196-243 update,
+    :256-300 create).  The update/create split comes from
+    ``operators.joins.upsert_split`` (rows carrying ``id_col`` are
+    updates); both sides batch inside partition iterators — no driver
+    collect."""
+
+    send_patch: Callable[[list[dict]], None]
+    send_post: Callable[[list[dict]], None]
+    id_col: str = "airtable_id"
+    batch_size: int = 10
+
+    def write(self, df: DataFrame) -> None:
+        from pyspark.sql import functions as F
+
+        updates = df.filter(F.col(self.id_col).isNotNull())
+        creates = df.filter(F.col(self.id_col).isNull()).drop(self.id_col)
+        RestBatchSink(self.send_patch, self.batch_size).write(updates)
+        RestBatchSink(self.send_post, self.batch_size).write(creates)

@@ -117,3 +117,123 @@ def test_latest_version_path_exact_prefix_only(spark, tmp_path):
     time.sleep(1.1)
     parquet_io.write_versioned(df, zone, "trips_extra", git_sha="bbb")
     assert parquet_io.latest_version_path(zone, "trips") == p_trips
+
+
+# ---------------------------------------------------------------------------
+# Pagination against a real local HTTP double (S10 + S3 across pages)
+
+
+def _serve_pages(pages_by_offset, results_mode=False):
+    """Tiny localhost HTTP server: Airtable mode answers ?offset=tok with
+    {"records": [...], "offset": next}; Kobo mode answers ?start=M&limit=N
+    with {"results": [...], "count": total}."""
+    import http.server
+    import json as _json
+    import threading
+    from urllib.parse import parse_qs, urlparse
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            q = parse_qs(urlparse(self.path).query)
+            if results_mode:
+                start = int(q.get("start", ["0"])[0])
+                limit = int(q.get("limit", ["1000"])[0])
+                all_recs = pages_by_offset
+                body = {"results": all_recs[start : start + limit], "count": len(all_recs)}
+            else:
+                tok = q.get("offset", [None])[0]
+                body = pages_by_offset[tok]
+            payload = _json.dumps(body).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return srv, f"http://127.0.0.1:{srv.server_address[1]}"
+
+
+def _http_json(url):
+    import json as _json
+    import urllib.request
+
+    with urllib.request.urlopen(url) as r:
+        return _json.loads(r.read())
+
+
+def test_airtable_offset_pagination_multi_page(spark, tmp_path):
+    pages = {
+        None: {"records": [{"id": f"rec{i}", "fields": {"k": i, "tags": ["a", "b"]}} for i in range(4)],
+               "offset": "tok1"},
+        "tok1": {"records": [{"id": f"rec{i}", "fields": {"k": i}} for i in range(4, 7)],
+                 "offset": "tok2"},
+        "tok2": {"records": [{"id": "rec7", "fields": {"k": 7}}]},
+    }
+    srv, base = _serve_pages(pages)
+    try:
+        def fetch_page(offset):
+            url = base + (f"/?offset={offset}" if offset else "/")
+            body = _http_json(url)
+            return body["records"], body.get("offset")
+
+        src = connectors.PaginatedSource(
+            connectors.iter_offset_token_pages(fetch_page),
+            str(tmp_path / "landing"),
+            transform=connectors.flatten_airtable_record,
+            id_col="airtable_id",
+        )
+        df = src.fetch_submissions(spark)
+        rows = {r.airtable_id: r for r in df.collect()}
+        assert len(rows) == 8  # all three pages landed
+        assert rows["rec0"].tags == "a, b"  # list collapsed
+    finally:
+        srv.shutdown()
+
+
+def test_kobo_limit_start_pagination_and_duplicate_detection(spark, tmp_path):
+    recs = [{"_id": i % 5, "v": i} for i in range(7)]  # ids collide across pages
+    srv, base = _serve_pages(recs, results_mode=True)
+    try:
+        def fetch_page(start, limit):
+            body = _http_json(base + f"/?start={start}&limit={limit}")
+            return body["results"], body["count"]
+
+        src = connectors.PaginatedSource(
+            connectors.iter_limit_start_pages(fetch_page, limit=3),
+            str(tmp_path / "landing_kobo"),
+            id_col="_id",
+        )
+        with pytest.raises(ValueError, match="duplicate submission ids"):
+            src.fetch_submissions(spark)
+    finally:
+        srv.shutdown()
+
+
+def test_rest_upsert_sink_patch_post_split(spark, tmp_path):
+    # sends run in worker processes — record batch sizes via files
+    patch_f, post_f = str(tmp_path / "patch.log"), str(tmp_path / "post.log")
+
+    def recorder(path):
+        def send(batch):
+            with open(path, "a") as f:
+                f.write(json.dumps([len(batch), [r.get("airtable_id") for r in batch]]) + "\n")
+        return send
+
+    sink = connectors.RestUpsertSink(
+        send_patch=recorder(patch_f), send_post=recorder(post_f), batch_size=10
+    )
+    df = spark.createDataFrame(
+        [(f"rec{i}" if i < 23 else None, i) for i in range(40)],
+        "airtable_id string, v long",
+    ).coalesce(1)
+    sink.write(df)
+    patches = [json.loads(l) for l in open(patch_f).read().splitlines()]
+    posts = [json.loads(l) for l in open(post_f).read().splitlines()]
+    assert sum(n for n, _ in patches) == 23 and max(n for n, _ in patches) <= 10
+    assert sum(n for n, _ in posts) == 17 and max(n for n, _ in posts) <= 10
+    assert all(i is not None for _, ids in patches for i in ids)  # PATCH side keeps ids
+    assert all(i is None for _, ids in posts for i in ids)  # POST side drops the id col
