@@ -7,6 +7,10 @@
 Each query is forced through full execution with the ``noop`` sink
 (materializes every row, no collect-to-driver, no disk write) — the
 number measures the Spark plan, not pandas conversion.
+
+Each query runs ``$SPARK_GRAFT_BENCH_RUNS`` times (default 3) and
+reports the per-query p50, so round-over-round deltas are signal, not
+JIT/IO noise; ``queries_min`` carries the best run for reference.
 """
 
 from __future__ import annotations
@@ -42,10 +46,17 @@ def main() -> None:
         except Exception:
             pass
 
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    best: dict[str, float] = {}
     for name, fn in registry.SPARK_QUERIES.items():
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        runs = []
+        for _ in range(n_runs):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        runs.sort()
+        timings[name] = round(runs[len(runs) // 2], 3)  # p50
+        best[name] = round(runs[0], 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -55,6 +66,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_min": best,
+                "runs_per_query": n_runs,
+                "stat": "p50",
                 "sf": sf,
             }
         )
