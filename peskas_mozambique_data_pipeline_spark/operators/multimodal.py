@@ -5,9 +5,11 @@ The decode step itself requires codec libraries not present in this
 container, so it is STUBBED behind ``decode_image_stub`` (a
 deterministic fake) — but the Spark-side plumbing is real and tested:
 schemas, ``mapInPandas`` batch iteration, output struct shape, and the
-partitioning contract (one batch never exceeds
-``spark.sql.execution.arrow.maxRecordsPerBatch`` rows, so executor
-memory is bounded by batch_size × max_asset_size).
+memory contract (the UDF sub-slices every incoming Arrow batch to
+``batch_size`` rows, so Python working memory is bounded by
+batch_size × max_asset_size without touching session conf; the Arrow
+transfer size itself is governed by
+``spark.sql.execution.arrow.maxRecordsPerBatch`` at session build).
 """
 
 from __future__ import annotations
@@ -84,18 +86,22 @@ def decode_media(df: DataFrame, batch_size: int = 256) -> DataFrame:
     """
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # sub-slice each Arrow batch so Python-side working set is
+        # bounded by batch_size rows of blobs, independent of the
+        # session's arrow.maxRecordsPerBatch (which this operator must
+        # NOT mutate — it's session-global state)
         for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "asset_id": pdf["asset_id"],
-                    "media_type": pdf["media_type"],
-                    "n_bytes": pdf["content"].map(lambda b: 0 if b is None else len(b)),
-                    "feature": pdf["content"].map(decode_image_stub),
-                }
-            )
+            for lo in range(0, len(pdf), batch_size):
+                chunk = pdf.iloc[lo : lo + batch_size]
+                yield pd.DataFrame(
+                    {
+                        "asset_id": chunk["asset_id"],
+                        "media_type": chunk["media_type"],
+                        "n_bytes": chunk["content"].map(lambda b: 0 if b is None else len(b)),
+                        "feature": chunk["content"].map(decode_image_stub),
+                    }
+                )
 
-    spark = df.sparkSession
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
     return df.mapInPandas(process, DECODED_SCHEMA)
 
 

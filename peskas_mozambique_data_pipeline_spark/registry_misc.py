@@ -570,6 +570,102 @@ FROM layer l LEFT JOIN rollup s ON l.region = s.region
 """
 
 
+
+# ---------------------------------------------------------------------------
+# Q: MERGE emulation (curated-zone incremental upsert) — source rows win
+# on key match, unmatched target rows kept, source-only rows insert
+# (operators/merge.py::merge_upsert; anti-join + unionByName, one key
+# shuffle, delta side broadcastable).  The "delta" here: customers with
+# an open order get their balance bumped.
+
+
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.merge import merge_upsert
+
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    target = customer.select(
+        "c_custkey",
+        "c_name",
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal_c"),
+        F.lit(0).alias("is_updated"),
+    )
+    open_cust = (
+        orders.filter(F.col("o_orderstatus") == "O")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    source = target.join(open_cust, "c_custkey", "semi").select(
+        "c_custkey",
+        "c_name",
+        (F.col("bal_c") + F.lit(1000)).alias("bal_c"),
+        F.lit(1).alias("is_updated"),
+    )
+    return merge_upsert(target, source, ["c_custkey"])
+
+
+SQL_MERGE_UPSERT = """
+WITH tgt AS (
+  SELECT c_custkey, c_name,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c,
+         0 AS is_updated
+  FROM customer
+),
+src AS (
+  SELECT c_custkey, c_name, bal_c + 1000 AS bal_c, 1 AS is_updated
+  FROM tgt
+  WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+)
+SELECT * FROM tgt WHERE c_custkey NOT IN (SELECT c_custkey FROM src)
+UNION ALL
+SELECT * FROM src
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: SCD2 version construction from an event stream
+# (operators/merge.py::scd2_from_events): per customer, each change of
+# order priority over time opens a dimension version with
+# valid_from/valid_to/is_current; consecutive duplicates collapse.
+# Deterministic total order via the (date, orderkey) tiebreak.
+
+
+def q_scd2_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.merge import scd2_from_events
+
+    orders = _t(spark, sf_dir, "orders")
+    ev = orders.select(
+        F.col("o_custkey").alias("cust"),
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_orderdate").cast("date").alias("ts"),
+        F.col("o_orderkey").alias("tk"),
+    )
+    return scd2_from_events(ev, "cust", "prio", "ts", tiebreak="tk")
+
+
+SQL_SCD2_VERSIONS = """
+WITH ev AS (
+  SELECT o_custkey AS cust, o_orderpriority AS prio,
+         CAST(o_orderdate AS DATE) AS ts, o_orderkey AS tk
+  FROM orders
+),
+changes AS (
+  SELECT cust, prio, ts, tk,
+         LAG(prio) OVER (PARTITION BY cust ORDER BY ts, tk) AS prev
+  FROM ev
+  QUALIFY prev IS NULL OR prio IS DISTINCT FROM prev
+),
+versions AS (
+  SELECT cust, prio, ts AS valid_from,
+         LEAD(ts) OVER (PARTITION BY cust ORDER BY ts, tk) AS valid_to
+  FROM changes
+)
+SELECT cust, prio, valid_from, valid_to,
+       valid_to IS NULL AS is_current
+FROM versions
+"""
+
+
 SPARK_QUERIES = {
     "nested_series": q_nested_series,
     "rank_inference": q_rank_inference,
@@ -584,6 +680,8 @@ SPARK_QUERIES = {
     "asof_join": q_asof_join,
     "running_total": q_running_total,
     "geo_rollup_join": q_geo_rollup_join,
+    "merge_upsert": q_merge_upsert,
+    "scd2_versions": q_scd2_versions,
 }
 
 ORACLE_SQL = {
@@ -600,4 +698,6 @@ ORACLE_SQL = {
     "asof_join": SQL_ASOF_JOIN,
     "running_total": SQL_RUNNING_TOTAL,
     "geo_rollup_join": SQL_GEO_ROLLUP_JOIN,
+    "merge_upsert": SQL_MERGE_UPSERT,
+    "scd2_versions": SQL_SCD2_VERSIONS,
 }
