@@ -443,6 +443,36 @@ FROM scored WHERE cos >= 0.35
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: scalable ANN tiers as first-class queries.  Both are genuinely
+# non-SQL-expressible (k-means index build; random-hyperplane bucketing)
+# so they carry no oracle — the driver records the weaker rows-only
+# check; exact-parity and recall coverage lives in
+# tests/test_dedup_similarity_text.py.  Row counts are structurally
+# stable (row_number <= k per query).
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import similarity as sim
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    assignments, centroids = sim.build_ivf_index(emb, n_centroids=8, n_iters=2)
+    return sim.ivf_topk(queries, assignments, centroids, k=5, n_probe=2)
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import similarity as sim
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return sim.lsh_topk(queries, emb, k=5, n_planes=6, dim=64)
+
+
 SPARK_QUERIES = {
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
@@ -454,6 +484,8 @@ SPARK_QUERIES = {
     "token_rollup": q_token_rollup,
     "ann_cosine": q_ann_cosine,
     "embedding_near_dup": q_embedding_near_dup,
+    "ann_ivf": q_ann_ivf,
+    "ann_lsh": q_ann_lsh,
 }
 
 ORACLE_SQL = {
