@@ -84,6 +84,18 @@ def minhash_signature(col: str | Column, n_hashes: int = 8, shingle_k: int = 5) 
     ]
 
 
+# universal-hash family for MinHash permutations: mh_i = min over
+# shingles of (A_i·(h mod P) + B_i) mod P with P = 2^31-1.  One md5 per
+# shingle (the 32-bit base hash) replaces one md5 per (shingle × perm) —
+# 8× less hashing at identical recall (affine maps over a prime field
+# are a classic universal family).  A_i·(h mod P) ≤ ~2^51, so the
+# arithmetic is overflow-free BIGINT on both Spark and DuckDB — the
+# oracle reproduces signatures bit-for-bit.
+MINHASH_P = 2_147_483_647
+MINHASH_A = (1000003, 1000033, 1000037, 1000039, 1000081, 1000099, 1000117, 1000121)
+MINHASH_B = (12582917, 23456789, 34567891, 45678913, 56789123, 67891237, 78912345, 89123457)
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -93,21 +105,39 @@ def minhash_signatures(
 ) -> DataFrame:
     """Per-document MinHash signature table (id, mh_0..mh_{n-1}).
 
-    The shingle array is projected once and forced through a round-robin
-    exchange: without the barrier, Catalyst's CollapseProject inlines
-    the (expensive) shingle expression into all n hash columns and the
-    tokenization runs n times per row — measured 5× slower at sf0.1.
-    The exchange also spreads signature work evenly across executors.
+    The shingle array is hashed once to 32-bit ints (md5 prefix) and
+    that array is forced through a round-robin exchange: without the
+    barrier, Catalyst's CollapseProject inlines the expensive
+    tokenize+hash expression into all n permutation columns and the
+    work runs n times per row — measured 5× slower at sf0.1.  The
+    exchange also spreads signature work evenly across executors.
+    Each permutation is then a cheap affine transform of the
+    materialized hash array (see MINHASH_A/B above).
     """
+    if n_hashes > len(MINHASH_A):
+        raise ValueError(f"at most {len(MINHASH_A)} permutations configured")
     sh = df.select(F.col(id_col), shingles(F.col(text_col), shingle_k).alias("_sh"))
-    sh = sh.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    hashed = sh.select(
+        F.col(id_col),
+        F.transform(
+            F.col("_sh"),
+            lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint"),
+        ).alias("_h32"),
+    )
+    hashed = hashed.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    p = F.lit(MINHASH_P)
+
+    def _perm(i: int):
+        # exactly-one-arg lambda: a default arg would be bound to the
+        # hidden index column PySpark passes to two-arg HOF lambdas
+        a, b = F.lit(MINHASH_A[i]), F.lit(MINHASH_B[i])
+        return lambda h: (a * (h % p) + b) % p
+
     mins = [
-        F.array_min(
-            F.transform(F.col("_sh"), lambda s, i=i: F.md5(F.concat(F.lit(f"{i}|"), s)))
-        ).alias(f"mh_{i}")
+        F.array_min(F.transform(F.col("_h32"), _perm(i))).alias(f"mh_{i}")
         for i in range(n_hashes)
     ]
-    return sh.select(F.col(id_col), *mins)
+    return hashed.select(F.col(id_col), *mins)
 
 
 def minhash_candidates(
@@ -129,7 +159,10 @@ def minhash_candidates(
     sig = minhash_signatures(df, text_col, id_col, n_hashes, shingle_k)
     band_cols = []
     for b in range(bands):
-        parts = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        parts = [
+            F.col(f"mh_{b * rows_per_band + r}").cast("string")
+            for r in range(rows_per_band)
+        ]
         band_cols.append(F.md5(F.concat_ws("|", *parts)).alias(f"band_{b}"))
     banded = sig.select(F.col(id_col), *band_cols)
     long = banded.unpivot([id_col], [f"band_{b}" for b in range(bands)], "band", "bucket")

@@ -145,8 +145,13 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sig_sql() -> str:
+    # mirrors operators/dedup.py: one md5 per shingle -> 32-bit int,
+    # then affine universal-hash permutations mod 2^31-1 (MINHASH_A/B)
+    from .operators.dedup import MINHASH_A, MINHASH_B, MINHASH_P
+
     mins = ",\n         ".join(
-        "list_min(list_transform(sh, s -> md5('{i}|' || s))) AS mh_{i}".format(i=i)
+        f"list_min(list_transform(h32, h -> ({MINHASH_A[i]} * (h % {MINHASH_P}) "
+        f"+ {MINHASH_B[i]}) % {MINHASH_P})) AS mh_{i}"
         for i in range(_MH_N)
     )
     return f"""
@@ -160,23 +165,28 @@ shingled AS (
                         i -> array_to_string(t[i:i+4], ' ')) AS sh
   FROM tok
 ),
+hashed AS (
+  SELECT doc_id,
+         list_transform(sh, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS h32
+  FROM shingled
+),
 sig AS (
   SELECT doc_id,
          {mins}
-  FROM shingled
+  FROM hashed
 )"""
 
 
 SQL_MINHASH_DEDUP = f"""
 WITH {_sig_sql()},
 banded AS (
-  SELECT doc_id, 0 AS band, md5(mh_0 || '|' || mh_1) AS bucket FROM sig
+  SELECT doc_id, 0 AS band, md5(mh_0::VARCHAR || '|' || mh_1::VARCHAR) AS bucket FROM sig
   UNION ALL
-  SELECT doc_id, 1 AS band, md5(mh_2 || '|' || mh_3) AS bucket FROM sig
+  SELECT doc_id, 1 AS band, md5(mh_2::VARCHAR || '|' || mh_3::VARCHAR) AS bucket FROM sig
   UNION ALL
-  SELECT doc_id, 2 AS band, md5(mh_4 || '|' || mh_5) AS bucket FROM sig
+  SELECT doc_id, 2 AS band, md5(mh_4::VARCHAR || '|' || mh_5::VARCHAR) AS bucket FROM sig
   UNION ALL
-  SELECT doc_id, 3 AS band, md5(mh_6 || '|' || mh_7) AS bucket FROM sig
+  SELECT doc_id, 3 AS band, md5(mh_6::VARCHAR || '|' || mh_7::VARCHAR) AS bucket FROM sig
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
