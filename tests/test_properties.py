@@ -123,3 +123,98 @@ def test_catch_model_non_negative(spark, rows_in):
         (F.col("a") * F.pow(F.col("L"), F.col("b")) * F.col("N") / 1000.0).alias("kg")
     )
     assert all(r.kg >= 0 for r in out.collect())
+
+
+@SET
+@given(
+    st.lists(st.integers(min_value=0, max_value=10_000), min_size=2, max_size=25, unique=True),
+    st.integers(min_value=2, max_value=6),
+    st.sampled_from(["hot", None]),
+)
+def test_triangle_self_join_equals_brute_force(spark, ids, n_parts, one_block):
+    # every unordered within-block pair exactly once, any part count,
+    # whether rows share one block or split across two
+    from peskas_mozambique_data_pipeline_spark.operators.skew import triangle_self_join
+
+    rows = [(("hot" if one_block else ("b" + str(i % 2))), i) for i in ids]
+    df = spark.createDataFrame(rows, "label string, id long")
+    got = sorted(
+        (r.label, min(r.id_a, r.id_b), max(r.id_a, r.id_b))
+        for r in triangle_self_join(df, ["label"], "id", n_parts=n_parts).collect()
+    )
+    expect = sorted(
+        (la, min(a, b), max(a, b))
+        for la, a in rows
+        for lb, b in rows
+        if la == lb and a < b
+    )
+    assert got == expect
+
+
+@SET
+@given(
+    st.lists(
+        st.text(alphabet="abcd", min_size=0, max_size=7), min_size=1, max_size=12, unique=True
+    ),
+    st.integers(min_value=1, max_value=3),
+)
+def test_blocked_levenshtein_equals_crossjoin(spark, names_in, k):
+    from peskas_mozambique_data_pipeline_spark.operators.fuzzy import (
+        blocked_levenshtein_pairs,
+    )
+
+    names = spark.createDataFrame([(n,) for n in names_in], ["name"])
+    got = sorted(
+        (r.name, r.cand)
+        for r in blocked_levenshtein_pairs(names, "name", max_dist=k).collect()
+    )
+    a, b = names.alias("a"), names.alias("b")
+    expect = sorted(
+        (r.name, r.cand)
+        for r in a.crossJoin(b)
+        .select(F.col("a.name").alias("name"), F.col("b.name").alias("cand"))
+        .filter(F.levenshtein("name", "cand", k) >= 0)
+        .filter(F.levenshtein("name", "cand", k) <= k)
+        .collect()
+    )
+    assert got == expect
+
+
+@SET
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),  # key
+            st.sampled_from(["x", "y", None]),  # attr
+            st.integers(min_value=0, max_value=20),  # day offset
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_scd2_versions_partition_timeline(spark, events_in):
+    # versions of one key tile its timeline: valid_from strictly
+    # increasing, each valid_to equals the next valid_from, exactly one
+    # open version per key, attrs never repeat consecutively
+    import datetime as _dt
+
+    from peskas_mozambique_data_pipeline_spark.operators.merge import scd2_from_events
+
+    rows = [
+        (k, a, _dt.date(2024, 1, 1) + _dt.timedelta(days=d), i)
+        for i, (k, a, d) in enumerate(events_in)
+    ]
+    df = spark.createDataFrame(rows, "k long, attr string, d date, tk long")
+    out = scd2_from_events(df, "k", "attr", "d", tiebreak="tk").collect()
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r.k, []).append(r)
+    for k, vs in by_key.items():
+        vs.sort(key=lambda r: r.valid_from)
+        assert sum(1 for r in vs if r.is_current) == 1
+        assert vs[-1].valid_to is None
+        for prev, nxt in zip(vs, vs[1:]):
+            assert prev.valid_to == nxt.valid_from
+            assert not (
+                prev.attr == nxt.attr or (prev.attr is None and nxt.attr is None)
+            )
