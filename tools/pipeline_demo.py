@@ -144,6 +144,21 @@ def main() -> None:
     export_plan.sites_stats(validated).write.format("noop").mode("overwrite").save()
     export_plan.taxa_shares(catch).write.format("noop").mode("overwrite").save()
     export_plan.habitat_gear_series(validated).write.format("noop").mode("overwrite").save()
+    # the remaining two branches: taxa/length dim join + geo product
+    taxa_dim = spark.createDataFrame(
+        [("SNA", "Snapper"), ("OCZ", "Octopus")], "scientific_name string, english_name string"
+    )
+    export_plan.taxa_length(catch, taxa_dim).write.format("noop").mode("overwrite").save()
+    stats = export_plan.per_site_stats(
+        validated, ["district", "gear_type"], {"mean_cpue": F.avg("cpue")}
+    )
+    rollup = export_plan.region_median_rollup(stats, "district", ["mean_cpue"])
+    geo = spark.createDataFrame(
+        [("palma", "{}"), ("mocimboa da praia", "{}")], "region string, geometry_json string"
+    )
+    export_plan.geo_region_indicators(geo, rollup).write.format("noop").mode(
+        "overwrite"
+    ).save()
     timings["export"] = round(time.perf_counter() - t0, 2)
 
     print(
