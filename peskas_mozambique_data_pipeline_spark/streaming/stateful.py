@@ -85,3 +85,84 @@ def running_user_stats(stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+TRIP_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("device_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("trip_start", TimestampType()),
+        StructField("trip_end", TimestampType()),
+    ]
+)
+
+TRIP_STATE_SCHEMA = StructType(
+    [
+        StructField("n_events", LongType()),
+        StructField("start_us", LongType()),
+        StructField("last_us", LongType()),
+    ]
+)
+
+
+def trip_segments(
+    stream: DataFrame, gap_minutes: int = 30, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Per-device trip segmentation with an EVENT-TIME TIMEOUT — the
+    streaming form of the reference's PDS trip matching
+    (R/merge-trips.R): pings accumulate per device, and a trip
+    finalizes when the watermark passes ``last ping + gap_minutes``
+    with no new data, emitting exactly one row per completed trip
+    ('append' semantics) and clearing the key's state.
+
+    This is the state-eviction pattern ``running_user_stats`` doesn't
+    need: without a timeout, an abandoned device would hold state
+    forever; here the engine calls the function with ``hasTimedOut``
+    once the watermark guarantees no more pings can arrive for the gap.
+
+    Scale: state per live device only (finished trips evict), timeout
+    scans are per-partition in the state store; late pings beyond the
+    watermark are dropped by the engine before the operator runs.
+    """
+
+    def segment(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            n, start_us, last_us = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "device_id": [key[0]],
+                    "n_events": [n],
+                    "trip_start": [pd.Timestamp(start_us, unit="us")],
+                    "trip_end": [pd.Timestamp(last_us, unit="us")],
+                }
+            )
+            return
+        n, start_us, last_us = state.get if state.exists else (0, 0, 0)
+        for pdf in batches:
+            if len(pdf):
+                us = pdf["ts"].astype("int64") // 1000
+                n += len(pdf)
+                lo, hi = int(us.min()), int(us.max())
+                start_us = lo if start_us == 0 else min(start_us, lo)
+                last_us = max(last_us, hi)
+        state.update((n, start_us, last_us))
+        # event-time timeout takes epoch milliseconds; must exceed the
+        # current watermark (guaranteed: last ping is ahead of it)
+        state.setTimeoutTimestamp(last_us // 1000 + gap_minutes * 60_000)
+
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("device_id")
+        .applyInPandasWithState(
+            segment,
+            outputStructType=TRIP_OUTPUT_SCHEMA,
+            stateStructType=TRIP_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

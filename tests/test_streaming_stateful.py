@@ -52,3 +52,59 @@ def test_stateful_running_stats_across_batches(spark, tmp_path):
     assert latest[1].n_events == 3 and latest[1].total_value == 10.0
     assert str(latest[1].last_seen) == "2024-01-01 01:00:00"
     assert latest[2].n_events == 1 and latest[2].total_value == 1.0
+
+
+def test_trip_segments_event_time_timeout(spark, tmp_path):
+    # device 10's pings stop; a later ping from device 20 advances the
+    # watermark past (last ping + gap) and the engine fires the
+    # event-time timeout: device 10's trip emits once and state evicts
+    from peskas_mozambique_data_pipeline_spark.streaming.stateful import trip_segments
+
+    src = str(tmp_path / "pings")
+    out = str(tmp_path / "trips")
+    ckpt = str(tmp_path / "ckpt2")
+
+    def write_pings(rows):
+        df = spark.createDataFrame(rows, "device_id long, ts string").withColumn(
+            "ts", F.to_timestamp("ts")
+        )
+        df.coalesce(1).write.mode("append").parquet(src)
+
+    write_pings([(10, "2024-01-01 00:00:00"), (10, "2024-01-01 00:05:00")])
+    schema = spark.read.parquet(src).schema
+
+    def run_once():
+        stream = spark.readStream.format("parquet").schema(schema).load(src)
+        trips = trip_segments(stream, gap_minutes=30, watermark="10 minutes")
+        q = (
+            trips.writeStream.foreachBatch(
+                lambda df, epoch: df.write.mode("append").parquet(out)
+            )
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()  # batch 1: trip open, nothing emitted yet
+    # batch 2: unrelated device far in the future -> watermark advances
+    write_pings([(20, "2024-01-01 02:00:00")])
+    run_once()
+    # batch 3: another advance so any lagging timeout fires
+    write_pings([(20, "2024-01-01 04:00:00")])
+    run_once()
+
+    import os
+
+    rows = (
+        spark.read.parquet(out).collect()
+        if any(f.endswith(".parquet") for f in os.listdir(out))
+        else []
+    )
+    trips10 = [r for r in rows if r.device_id == 10]
+    assert len(trips10) == 1  # exactly one finalized trip, emitted once
+    t = trips10[0]
+    assert t.n_events == 2
+    assert str(t.trip_start) == "2024-01-01 00:00:00"
+    assert str(t.trip_end) == "2024-01-01 00:05:00"
