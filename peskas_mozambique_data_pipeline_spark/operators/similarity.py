@@ -188,7 +188,10 @@ def ivf_topk(
         F.col("_rk") <= n_probe
     ).select(query_id, "_qv", "centroid_id")
 
-    cands = probed.join(assignments, "centroid_id").filter(
+    # broadcast the probe side (|Q|·n_probe rows): the alternative is a
+    # shuffle of the corpus-sized assignments table onto C distinct
+    # centroid keys — low-cardinality, skewed, and pointless at scale
+    cands = assignments.join(F.broadcast(probed), "centroid_id").filter(
         F.col(query_id) != F.col(corpus_id)
     )
     scored = cands.select(
