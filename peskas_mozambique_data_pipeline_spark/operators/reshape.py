@@ -158,7 +158,11 @@ def complete_months(
     )
     dims = df.select(*dim_cols).distinct()
     scaffold = F.broadcast(dims).crossJoin(F.broadcast(spine))
-    out = scaffold.join(df, [*dim_cols, date_col], "left")
+    # the fact side's cardinality is <= |dims| x |spine| (one row per
+    # observed (dims, month)) — the same bound that makes the scaffold
+    # broadcastable — so broadcast it too: the left join becomes a
+    # map-side hash join instead of shuffling both tiny sides
+    out = scaffold.join(F.broadcast(df), [*dim_cols, date_col], "left")
     if fill:
         for c, v in fill.items():
             out = out.withColumn(c, F.coalesce(F.col(c), v))
