@@ -89,3 +89,18 @@ def test_ivf_init_no_global_sort_over_corpus(spark):
     plan = plan_of(centroids, "simple")
     assert "TakeOrderedAndProject" in plan
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_geo_rollup_join_broadcasts_layer_and_rollup(spark):
+    # the geo layer and the rollup are admin-region sized: every join
+    # in the composition must be broadcast, never a sort-merge
+    plan = plan_of(registry.SPARK_QUERIES["geo_rollup_join"](spark, SF))
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3  # nation dim, region dim, rollup
+
+
+def test_monthly_median_no_smj(spark):
+    # densification joins (spine x dims scaffold, fact side) all stay
+    # broadcast — regression guard for the complete_months fact hint
+    plan = plan_of(registry.SPARK_QUERIES["monthly_median"](spark, SF), "simple")
+    assert "SortMergeJoin" not in plan
