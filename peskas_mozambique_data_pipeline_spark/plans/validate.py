@@ -258,3 +258,22 @@ def explode_flags(flags: DataFrame) -> DataFrame:
         "submission_date",
         F.explode(F.split("alert_flag", ",")).alias("flag"),
     )
+
+
+def apply_manual_overrides(flags: DataFrame, approved_ids: DataFrame) -> DataFrame:
+    """Manual-approval bypass (R/validation.R:464-504): a submission a
+    human approved in the survey tool keeps NO automatic flags — its
+    ``alert_flag`` clears, so it lands in the validated set regardless
+    of the battery.  The id set is tiny (human decisions) — broadcast.
+    """
+    appr = approved_ids.select("submission_id").withColumn("_appr", F.lit(True))
+    return (
+        flags.join(F.broadcast(appr), "submission_id", "left")
+        .withColumn(
+            "alert_flag",
+            F.when(F.col("_appr"), F.lit(None).cast("string")).otherwise(
+                F.col("alert_flag")
+            ),
+        )
+        .drop("_appr")
+    )

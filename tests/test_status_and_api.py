@@ -49,3 +49,17 @@ def test_api_export_shapes(spark, tmp_path):
     rows = {r.n_catch: r for r in catch_out.collect()}
     assert rows[1].tot_catch_kg == 12.5  # per-trip window total on every row
     assert rows[2].tot_catch_kg == 12.5
+
+
+def test_manual_approval_bypasses_flags(spark):
+    from peskas_mozambique_data_pipeline_spark.plans.validate import (
+        apply_manual_overrides,
+    )
+
+    flags = spark.createDataFrame(
+        [("s1", "5,12"), ("s2", None), ("s3", "8")],
+        "submission_id string, alert_flag string",
+    )
+    approved = spark.createDataFrame([("s1",)], ["submission_id"])
+    out = {r.submission_id: r.alert_flag for r in apply_manual_overrides(flags, approved).collect()}
+    assert out == {"s1": None, "s2": None, "s3": "8"}
