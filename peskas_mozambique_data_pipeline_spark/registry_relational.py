@@ -217,6 +217,12 @@ def q_flag_battery_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(bounds), "p_brand")
     )
     tax_code = F.expr("nullif(l_returnflag, 'N')")
+    # carry the stage-2 indicator inputs through the flag projection:
+    # the part/bounds joins are inner on always-matching FKs, so this
+    # frame has exactly the lineitem⋈orders row set — ONE scan and ONE
+    # shuffle produce both the flag rollup and the per-order indicators
+    # (the old shape re-scanned lineitem and re-joined orders for
+    # stage 2)
     flagged = enriched.select(
         "l_orderkey",
         flag_concat(
@@ -234,6 +240,12 @@ def q_flag_battery_full(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             sep=",",
         ).alias("alert_flag"),
+        F.round(F.col("l_quantity") * 100).cast("long").alias("qty_c_row"),
+        (
+            F.round(F.col("l_extendedprice") * 100).cast("long")
+            * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+        ).alias("rev_c_row"),
+        "o_orderstatus",
     )
     stage1 = (
         flagged.groupBy("l_orderkey")
@@ -241,48 +253,33 @@ def q_flag_battery_full(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(
                 F.array_sort(F.array_distinct(F.flatten(F.collect_list(F.split("alert_flag", ","))))),
                 ",",
-            ).alias("alert_flag")
+            ).alias("alert_flag"),
+            F.sum("qty_c_row").alias("qty_c"),
+            F.sum("rev_c_row").alias("rev_c"),
+            F.count(F.lit(1)).alias("n_items"),
+            F.max("o_orderstatus").alias("o_orderstatus"),
         )
         .withColumn(
             "alert_flag",
             F.when(F.col("alert_flag") == "", F.lit(None)).otherwise(F.col("alert_flag")),
         )
     )
-    no_flag = stage1.filter(F.col("alert_flag").isNull()).select("l_orderkey")
-    ind = (
-        lineitem.join(
-            orders.select(F.col("o_orderkey").alias("l_orderkey"), "o_orderstatus"),
-            "l_orderkey",
-        )
-        .join(no_flag, "l_orderkey", "semi")
-        .groupBy("l_orderkey")
-        .agg(
-            F.sum(F.round(F.col("l_quantity") * 100).cast("long")).alias("qty_c"),
-            F.sum(
-                F.round(F.col("l_extendedprice") * 100).cast("long")
-                * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
-            ).alias("rev_c"),
-            F.count(F.lit(1)).alias("n_items"),
-            F.max("o_orderstatus").alias("o_orderstatus"),
-        )
-    )
+    # stage 2 fires only on the no-flag subset — here that is a column
+    # predicate, not a join
     ppu_micro = F.expr("(rev_c * 2000000 + qty_c * 100) div (qty_c * 200)")
-    comp = ind.select(
-        "l_orderkey",
+    comp_flag = F.when(
+        F.col("alert_flag").isNull(),
         flag_concat(
             F.when((F.col("qty_c") > 0) & (ppu_micro > 1800 * 1000000), F.lit("8")),
             F.when(F.col("qty_c") > 3000 * F.col("n_items"), F.lit("9")),
             F.when(F.col("rev_c") > 600000000 * F.col("n_items"), F.lit("10")),
             F.when((F.col("n_items") >= 7) & (F.col("o_orderstatus") == "O"), F.lit("11")),
             sep=",",
-        ).alias("comp_flag"),
+        ),
     )
-    merged = stage1.join(comp, "l_orderkey", "left")
-    combined = F.when(
-        F.col("alert_flag").isNotNull() & F.col("comp_flag").isNotNull(),
-        F.concat_ws(",", F.col("alert_flag"), F.col("comp_flag")),
-    ).otherwise(F.coalesce(F.col("alert_flag"), F.col("comp_flag")))
-    return merged.select("l_orderkey", combined.alias("alert_flag"))
+    return stage1.select(
+        "l_orderkey", F.coalesce(F.col("alert_flag"), comp_flag).alias("alert_flag")
+    )
 
 
 SQL_FLAG_BATTERY_FULL = """
