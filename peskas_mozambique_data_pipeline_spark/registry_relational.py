@@ -5,7 +5,7 @@ events windowing.  Same cross-engine determinism rules as registry.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .functions.columns import flag_concat
