@@ -191,7 +191,9 @@ SELECT flag, COUNT(*) AS n_orders FROM per_order GROUP BY flag
 # integer indicators stand in for price_kg/CPUE/RPUE.  All thresholds
 # and bounds are integer-exact so both engines agree bit-for-bit.
 # Scale: bounds broadcast; lineitem⋈orders/part are co-keyed shuffle
-# joins; stage 2 only aggregates the surviving subset.
+# joins; one scan and one shuffle produce both stages — the per-order
+# aggregation carries the indicator sums alongside the flag rollup and
+# stage 2 is a column predicate on the no-flag rows.
 
 
 def q_flag_battery_full(spark: SparkSession, sf_dir: str) -> DataFrame:
