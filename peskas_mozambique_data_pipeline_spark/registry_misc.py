@@ -557,7 +557,7 @@ site_stats AS (
 ),
 rollup AS (
   SELECT lower(n_name) AS region,
-         SUM(n_submissions) AS n_submissions,
+         CAST(SUM(n_submissions) AS BIGINT) AS n_submissions,
          ROUND(quantile_cont(mean_acctbal, 0.5), 6) AS mean_acctbal
   FROM site_stats GROUP BY n_name
 ),
