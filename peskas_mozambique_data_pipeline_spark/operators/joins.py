@@ -58,18 +58,39 @@ def natural_left_join(left: DataFrame, right: DataFrame) -> DataFrame:
     return left.join(right, shared, "left")
 
 
-def semi_join(df: DataFrame, keys_df: DataFrame, on: str | Sequence[str]) -> DataFrame:
+def semi_join(
+    df: DataFrame,
+    keys_df: DataFrame,
+    on: str | Sequence[str],
+    broadcast_keys: bool = True,
+) -> DataFrame:
     """Keep rows whose key appears in ``keys_df`` (J6):
-    ``filter(id %in% ids)`` (R/validation.R:315-317)."""
+    ``filter(id %in% ids)`` (R/validation.R:315-317).
+
+    ``broadcast_keys=False`` drops the hint for key sets whose
+    cardinality is data-dependent (AQE then broadcasts only when the
+    runtime size actually fits)."""
     on = [on] if isinstance(on, str) else list(on)
-    return df.join(F.broadcast(keys_df.select(*on).distinct()), on, "left_semi")
+    keys = keys_df.select(*on).distinct()
+    if broadcast_keys:
+        keys = F.broadcast(keys)
+    return df.join(keys, on, "left_semi")
 
 
-def anti_join(df: DataFrame, keys_df: DataFrame, on: str | Sequence[str]) -> DataFrame:
+def anti_join(
+    df: DataFrame,
+    keys_df: DataFrame,
+    on: str | Sequence[str],
+    broadcast_keys: bool = True,
+) -> DataFrame:
     """Drop rows whose key appears in ``keys_df`` (J7): flagged-id
-    exclusion (R/validation.R:432-440,879-887)."""
+    exclusion (R/validation.R:432-440,879-887).  ``broadcast_keys`` as
+    in :func:`semi_join`."""
     on = [on] if isinstance(on, str) else list(on)
-    return df.join(F.broadcast(keys_df.select(*on).distinct()), on, "left_anti")
+    keys = keys_df.select(*on).distinct()
+    if broadcast_keys:
+        keys = F.broadcast(keys)
+    return df.join(keys, on, "left_anti")
 
 
 def upsert_split(

@@ -94,8 +94,9 @@ def build_ivf_index(
     Returns (assignments, centroids): ``assignments`` maps each corpus
     row to its nearest centroid id; ``centroids`` holds the centroid
     vectors.  Init picks the ``n_centroids`` rows with the smallest
-    ``xxhash64(id)`` — a deterministic pseudo-random sample (no
-    Date.now/rand — reproducible builds) that compiles to
+    ``md5(id)`` — a deterministic pseudo-random sample (no
+    Date.now/rand — reproducible builds; md5 rather than xxhash64 so
+    any engine can replay the choice) that compiles to
     ``TakeOrderedAndProject``: each task keeps its local top-C, the
     driver merges C·partitions candidates.  No global sort, no
     ``count()`` action, nothing single-partition touches the full
@@ -105,12 +106,19 @@ def build_ivf_index(
     mean — O(N·C·d) compute, shuffles only the exploded
     (cluster, pos, val) triples.
 
-    At 100 TB: N·C·d FLOPs per iteration distribute evenly; the
-    centroid table (C×d doubles) always broadcasts.
+    Centroid means are computed in integer micro-units (``round(val *
+    1e8)`` summed as BIGINT, divided back to double): exact and
+    order-independent, so the whole index build is bit-reproducible
+    across engines AND across shuffle orderings — a float ``avg`` would
+    drift with partition order.  At 100 TB: N·C·d FLOPs per iteration
+    distribute evenly; the centroid table (C×d doubles) always
+    broadcasts; BIGINT partial sums overflow at ~9e18, i.e. ≥10¹⁰ rows
+    per (cluster, pos) cell at 1e8 scaling — raise the scale knob down
+    if the corpus exceeds that.
     """
     seeds = (
         corpus.select(
-            F.xxhash64(F.col(corpus_id)).alias("_h"),
+            F.md5(F.col(corpus_id).cast("string")).alias("_h"),
             F.col(vec_col).alias("centroid"),
         )
         .orderBy("_h")
@@ -145,7 +153,20 @@ def build_ivf_index(
         exploded = assignments.select(
             "centroid_id", F.posexplode(F.col(vec_col)).alias("pos", "val")
         )
-        means = exploded.groupBy("centroid_id", "pos").agg(F.avg("val").alias("m"))
+        means = (
+            exploded.groupBy("centroid_id", "pos")
+            .agg(
+                F.sum(
+                    F.round(F.col("val").cast("double") * 1e8).cast("long")
+                ).alias("_s"),
+                F.count(F.lit(1)).alias("_n"),
+            )
+            .select(
+                "centroid_id",
+                "pos",
+                (F.col("_s").cast("double") / F.col("_n") / F.lit(1e8)).alias("m"),
+            )
+        )
         centroids = (
             means.groupBy("centroid_id")
             .agg(

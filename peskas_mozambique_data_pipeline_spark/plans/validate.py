@@ -225,28 +225,42 @@ def validate_surveys(
     excludes every flagged submission (anti join, J7) and carries the
     per-trip composite indicators.
     """
-    # catch outcome "0" zeroes catch AND price before any indicator is
-    # computed (R/validation.R:291-302) — otherwise a zero-catch trip
-    # with a recorded price fires flag 8 via the Inf path
-    zero = F.col("catch_outcome") == "0"
-    preprocessed = preprocessed.withColumn(
-        "catch_kg", F.when(zero, F.lit(0.0)).otherwise(F.col("catch_kg"))
-    ).withColumn(
-        "catch_price", F.when(zero, F.lit(0.0)).otherwise(F.col("catch_price"))
-    )
+    # stage-1 flags run on the ORIGINAL columns: the reference computes
+    # the rule battery before any normalization, so an outcome-0 row
+    # with a recorded taxon and positive catch still fires flag 2
     with_bounds = attach_taxa_bounds(preprocessed, taxa_bounds)
     flagged = apply_rule_flags(with_bounds, rules or reference_rule_flags(thresholds))
     flags_stage1 = consolidate_flags(flagged)
 
-    # stage 2 runs ONLY on submissions with no stage-1 flag
-    no_flag_ids = flags_stage1.filter(F.col("alert_flag").isNull()).select("submission_id")
-    clean_stage1 = preprocessed.join(F.broadcast(no_flag_ids), "submission_id", "semi")
+    # catch outcome "0" zeroes catch AND price only on the indicator
+    # path (R/validation.R:291-302, post-flagging) — otherwise a
+    # zero-catch trip with a recorded price fires flag 8 via Inf
+    zero = F.col("catch_outcome") == "0"
+    indicator_input = preprocessed.withColumn(
+        "catch_kg", F.when(zero, F.lit(0.0)).otherwise(F.col("catch_kg"))
+    ).withColumn(
+        "catch_price", F.when(zero, F.lit(0.0)).otherwise(F.col("catch_price"))
+    )
+
+    # stage 2 runs ONLY on submissions with no stage-1 flag.  Derive
+    # that set by anti-joining the FLAGGED ids (the rare side — AQE can
+    # broadcast it when it is actually small) instead of semi-joining a
+    # force-broadcast complement: the no-flag set has submission
+    # cardinality, an unbounded driver collect at scale.
+    flagged_ids = flags_stage1.filter(
+        F.col("alert_flag").isNotNull()
+    ).select("submission_id")
+    clean_stage1 = anti_join(
+        indicator_input, flagged_ids, "submission_id", broadcast_keys=False
+    )
     indicators = trip_indicators(clean_stage1)
     composite = composite_indicator_flags(indicators, thresholds)
 
     flags = merge_flag_stages(flags_stage1, composite)
     bad_ids = flags.filter(F.col("alert_flag").isNotNull()).select("submission_id")
-    clean = anti_join(preprocessed, bad_ids, "submission_id")
+    clean = anti_join(
+        indicator_input, bad_ids, "submission_id", broadcast_keys=False
+    )
     return trip_indicators(clean), flags
 
 

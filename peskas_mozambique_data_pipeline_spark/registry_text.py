@@ -454,12 +454,161 @@ FROM scored WHERE cos >= 0.35
 
 
 # ---------------------------------------------------------------------------
-# Q: scalable ANN tiers as first-class queries.  Both are genuinely
-# non-SQL-expressible (k-means index build; random-hyperplane bucketing)
-# so they carry no oracle — the driver records the weaker rows-only
-# check; exact-parity and recall coverage lives in
-# tests/test_dedup_similarity_text.py.  Row counts are structurally
-# stable (row_number <= k per query).
+# Q: scalable ANN tiers as first-class queries — both oracle-checked.
+# The entire pipeline on both tiers is deterministic arithmetic
+# (md5-derived hyperplanes / md5-ordered k-means seeds, micro-unit
+# centroid means, sequential folds), so DuckDB can replay it exactly:
+# the LSH oracle mirrors the bucket function; the IVF oracle unrolls
+# the 2-iteration Lloyd's as a CTE chain.  Recall/parity coverage also
+# lives in tests/test_dedup_similarity_text.py.
+
+
+def _sql_lsh_bucket(col: str, n_planes: int = 6, dim: int = 64, table: int = 0) -> str:
+    """DuckDB twin of operators.similarity.lsh_bucket: per plane p the
+    weight for index i is md5(f"{seed}_{i}")[:8] as uint32 scaled to
+    [-0.5, 0.5); the bit is sign(sum(vec[i] * w_i))."""
+    bits = []
+    for p in range(n_planes):
+        seed = table * 1000 + p
+        w = (
+            f"(('0x' || substr(md5('{seed}_' || CAST(i AS VARCHAR)), 1, 8))::BIGINT"
+            f" / 4294967296.0 - 0.5)"
+        )
+        proj = (
+            f"list_reduce(list_transform(generate_series(1, {dim}),"
+            f" i -> CAST({col}[i] AS DOUBLE) * {w}), (x, y) -> x + y)"
+        )
+        bits.append(f"(CASE WHEN {proj} >= 0 THEN '1' ELSE '0' END)")
+    return " || ".join(bits)
+
+
+def _sql_norm(col: str, dim: int = 64) -> str:
+    return (
+        f"sqrt(list_reduce(list_transform(generate_series(1, {dim}),"
+        f" i -> CAST({col}[i] AS DOUBLE) * CAST({col}[i] AS DOUBLE)),"
+        f" (x, y) -> x + y))"
+    )
+
+
+SQL_ANN_LSH = f"""
+WITH cb AS (
+  SELECT vec_id, embedding,
+         {_sql_lsh_bucket('embedding')} AS bucket,
+         {_sql_norm('embedding')} AS nrm
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qv, bucket, nrm AS qn
+  FROM cb WHERE vec_id % 50 = 0
+),
+scored AS (
+  SELECT q.query_id, c.vec_id,
+         list_reduce(list_transform(generate_series(1, 64),
+             i -> CAST(q.qv[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)),
+             (x, y) -> x + y) / (q.qn * c.nrm) AS cos
+  FROM cb c JOIN q ON c.bucket = q.bucket
+  WHERE c.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id AS neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank,
+         cos
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
+       ROUND(cos, 6) AS cosine_sim
+FROM ranked WHERE rank <= 5
+"""
+
+
+def _sql_dot(a: str, b: str, dim: int = 64) -> str:
+    return (
+        f"list_reduce(list_transform(generate_series(1, {dim}),"
+        f" i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)),"
+        f" (x, y) -> x + y)"
+    )
+
+
+def _sql_ivf_assign(cents: str, out: str) -> str:
+    """One Lloyd assignment pass: nearest centroid by cosine,
+    tie-broken on centroid_id — the DuckDB twin of
+    operators.similarity.build_ivf_index.assign."""
+    return f"""{out} AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT e.vec_id, e.embedding, c.centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY ({_sql_dot('e.embedding', 'c.centroid')}
+                       / ({_sql_norm('e.embedding')} * {_sql_norm('c.centroid')})) DESC,
+                      c.centroid_id
+           ) AS rk
+    FROM embeddings e CROSS JOIN {cents} c
+  ) WHERE rk = 1
+)"""
+
+
+# Unrolled 2-iteration Lloyd's (seeds -> assign0 -> micro-unit means ->
+# cents1 -> assign1) followed by the n_probe=2 routed search — every
+# step is deterministic arithmetic, so this replays the Spark index
+# build exactly.
+SQL_ANN_IVF = f"""
+WITH seeds AS (
+  SELECT md5(CAST(vec_id AS VARCHAR)) AS h, embedding AS centroid
+  FROM embeddings ORDER BY h LIMIT 8
+),
+cents0 AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY h) - 1 AS INTEGER) AS centroid_id, centroid
+  FROM seeds
+),
+{_sql_ivf_assign('cents0', 'assign0')},
+exploded AS (
+  SELECT a.centroid_id, i AS pos,
+         CAST(round(CAST(a.embedding[i] AS DOUBLE) * 1e8) AS BIGINT) AS valq
+  FROM assign0 a CROSS JOIN generate_series(1, 64) AS t(i)
+),
+means AS (
+  SELECT centroid_id, pos,
+         CAST(SUM(valq) AS DOUBLE) / COUNT(*) / 1e8 AS m
+  FROM exploded GROUP BY centroid_id, pos
+),
+cents1 AS (
+  SELECT centroid_id,
+         list_transform(list(m ORDER BY pos), x -> CAST(x AS FLOAT)) AS centroid
+  FROM means GROUP BY centroid_id
+),
+{_sql_ivf_assign('cents1', 'assign1')},
+q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0
+),
+probes AS (
+  SELECT query_id, qv, centroid_id FROM (
+    SELECT q.query_id, q.qv, c.centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.query_id
+             ORDER BY ({_sql_dot('q.qv', 'c.centroid')}
+                       / ({_sql_norm('q.qv')} * {_sql_norm('c.centroid')})) DESC,
+                      c.centroid_id
+           ) AS rk
+    FROM q CROSS JOIN cents1 c
+  ) WHERE rk <= 2
+),
+scored AS (
+  SELECT p.query_id, a.vec_id,
+         {_sql_dot('p.qv', 'a.embedding')}
+         / ({_sql_norm('p.qv')} * {_sql_norm('a.embedding')}) AS cos
+  FROM assign1 a JOIN probes p ON a.centroid_id = p.centroid_id
+  WHERE p.query_id <> a.vec_id
+),
+ranked AS (
+  SELECT query_id, vec_id AS neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank,
+         cos
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
+       ROUND(cos, 6) AS cosine_sim
+FROM ranked WHERE rank <= 5
+"""
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -509,4 +658,6 @@ ORACLE_SQL = {
     "token_rollup": SQL_TOKEN_ROLLUP,
     "ann_cosine": SQL_ANN_COSINE,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
+    "ann_lsh": SQL_ANN_LSH,
+    "ann_ivf": SQL_ANN_IVF,
 }

@@ -104,3 +104,35 @@ def test_monthly_median_no_smj(spark):
     # broadcast — regression guard for the complete_months fact hint
     plan = plan_of(registry.SPARK_QUERIES["monthly_median"](spark, SF), "simple")
     assert "SortMergeJoin" not in plan
+
+
+def test_validate_surveys_no_forced_broadcast_in_dag(spark):
+    # stage 2's input must be derived by anti-joining the (small)
+    # flagged-id set — never a forced broadcast of the no-flag id
+    # complement, which has full submission cardinality at scale.
+    # With no taxa bounds the validation DAG should carry ZERO
+    # broadcast hints; AQE picks strategies from actual sizes.
+    import datetime
+
+    from peskas_mozambique_data_pipeline_spark.plans import validate as val
+
+    df = spark.createDataFrame(
+        [
+            (
+                "s1", "1", "1", "SNA", 30.0, 5.0, 2.0, 10.0, 10.0, 6.0,
+                3.0, 100.0, datetime.datetime(2024, 3, 10, 18, 0),
+                datetime.datetime(2024, 3, 10, 6, 0), "handline", "Reef", "Palma",
+            )
+        ],
+        "submission_id string, survey_activity string, catch_outcome string, "
+        "catch_taxon string, length double, n_individuals double, "
+        "n_buckets double, weight_bucket double, catch_kg double, "
+        "trip_duration double, n_fishers double, catch_price double, "
+        "submission_date timestamp, landing_date timestamp, "
+        "gear_type string, habitat string, district string",
+    )
+    validated, flags = val.validate_surveys(df)
+    for out in (validated, flags):
+        plan = plan_of(out, "extended")
+        analyzed = plan.split("== Optimized Logical Plan ==")[0]
+        assert "ResolvedHint" not in analyzed, "forced broadcast hint in validation DAG"
