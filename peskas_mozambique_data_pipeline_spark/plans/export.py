@@ -56,6 +56,43 @@ def sites_stats(trips: DataFrame, min_submissions: int = 3) -> DataFrame:
     )
 
 
+def sites_stats_full(
+    trips: DataFrame,
+    min_submissions: int = 3,
+    exact_cents: bool = False,
+    group_cols: Sequence[str] = ("district", "landing_site"),
+) -> DataFrame:
+    """The reference's full seven-stat per-site table
+    (R/export.R:604-617): per (district, landing_site) the submission
+    count plus means of fishers, trip hours, catch, CPUE, price and
+    RPUE, keeping groups above the sample floor with a non-null site.
+
+    ``exact_cents=True`` computes each mean as an integer-cents sum
+    divided back to double — order-independent and bit-reproducible
+    across engines (the oracle path); the default float ``avg`` is the
+    production path (same values to ~1e-12, one fewer projection).
+    Non-null counts are the denominator either way (R's na.rm).
+    """
+    stats = {
+        "n_fishers": "n_fishers",
+        "trip_duration_hrs": "trip_duration",
+        "mean_catch_kg": "catch_kg",
+        "cpue_kg_fisher_hr": "cpue",
+        "mean_catch_price_mzn": "price_per_kg",
+        "price_per_kg_mzn": "rpue",
+    }
+    if exact_cents:
+        aggs = {
+            out: F.sum(F.round(F.col(src) * 100).cast("long")).cast("double")
+            / F.count(F.col(src))
+            / F.lit(100.0)
+            for out, src in stats.items()
+        }
+    else:
+        aggs = {out: F.avg(F.col(src)) for out, src in stats.items()}
+    return per_site_stats(trips, list(group_cols), aggs, min_submissions)
+
+
 def taxa_shares(catch: DataFrame, k: int = 5) -> DataFrame:
     """Top-k taxa per district by catch with an 'Other' bucket, plus
     percent-of-district (R/export.R:636-693)."""

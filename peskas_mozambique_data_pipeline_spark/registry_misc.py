@@ -666,6 +666,85 @@ FROM versions
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: the reference's full seven-stat per-site table (R/export.R:604-617)
+# — submission count + six means per (district, landing_site), sample
+# floor, non-null site.  Exact-cents means (plans/export.py::
+# sites_stats_full exact_cents=True) so both engines agree bit-for-bit.
+# Scale: one fact shuffle for the orders/customer joins, then one
+# groupBy; nation broadcasts; the shipdate filter pushes to the scan.
+
+
+def _cents_mean_sql(col: str) -> str:
+    return (
+        f"CAST(CAST(SUM(CAST(round({col} * 100) AS BIGINT)) AS BIGINT) AS DOUBLE)"
+        f" / COUNT({col}) / 100.0"
+    )
+
+
+def q_site_stats_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .plans.export import sites_stats_full
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") >= "1998-06-01")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    trips = (
+        li.select("l_orderkey", "l_quantity", "l_tax", "l_extendedprice", "l_discount")
+        .join(
+            orders.select("o_orderkey", "o_custkey", "o_totalprice"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            customer.select("c_custkey", "c_mktsegment", "c_acctbal", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            F.col("n_name").alias("district"),
+            F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("landing_site"),
+            F.col("l_quantity").alias("n_fishers"),
+            F.col("l_tax").alias("trip_duration"),
+            F.col("l_extendedprice").alias("catch_kg"),
+            F.col("l_discount").alias("cpue"),
+            F.col("o_totalprice").alias("price_per_kg"),
+            F.col("c_acctbal").alias("rpue"),
+        )
+    )
+    return sites_stats_full(trips, exact_cents=True)
+
+
+SQL_SITE_STATS_FULL = f"""
+WITH trips AS (
+  SELECT n.n_name AS district,
+         NULLIF(c.c_mktsegment, 'BUILDING') AS landing_site,
+         l.l_quantity AS n_fishers, l.l_tax AS trip_duration,
+         l.l_extendedprice AS catch_kg, l.l_discount AS cpue,
+         o.o_totalprice AS price_per_kg, c.c_acctbal AS rpue
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  WHERE l.l_shipdate >= DATE '1998-06-01'
+),
+stats AS (
+  SELECT district, landing_site, COUNT(*) AS n_submissions,
+         {_cents_mean_sql('n_fishers')} AS n_fishers,
+         {_cents_mean_sql('trip_duration')} AS trip_duration_hrs,
+         {_cents_mean_sql('catch_kg')} AS mean_catch_kg,
+         {_cents_mean_sql('cpue')} AS cpue_kg_fisher_hr,
+         {_cents_mean_sql('price_per_kg')} AS mean_catch_price_mzn,
+         {_cents_mean_sql('rpue')} AS price_per_kg_mzn
+  FROM trips GROUP BY district, landing_site
+)
+SELECT * FROM stats
+WHERE n_submissions > 3 AND landing_site IS NOT NULL
+"""
+
+
 SPARK_QUERIES = {
     "nested_series": q_nested_series,
     "rank_inference": q_rank_inference,
@@ -680,6 +759,7 @@ SPARK_QUERIES = {
     "asof_join": q_asof_join,
     "running_total": q_running_total,
     "geo_rollup_join": q_geo_rollup_join,
+    "site_stats_full": q_site_stats_full,
     "merge_upsert": q_merge_upsert,
     "scd2_versions": q_scd2_versions,
 }
@@ -698,6 +778,7 @@ ORACLE_SQL = {
     "asof_join": SQL_ASOF_JOIN,
     "running_total": SQL_RUNNING_TOTAL,
     "geo_rollup_join": SQL_GEO_ROLLUP_JOIN,
+    "site_stats_full": SQL_SITE_STATS_FULL,
     "merge_upsert": SQL_MERGE_UPSERT,
     "scd2_versions": SQL_SCD2_VERSIONS,
 }

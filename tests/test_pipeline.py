@@ -268,3 +268,36 @@ def test_export_geo_region_product(spark, preprocessed):
     assert set(rows) == {"palma", "quionga"}
     assert rows["palma"].mean_cpue is not None and rows["palma"].n_submissions >= 3
     assert rows["quionga"].mean_cpue is None
+
+
+def test_sites_stats_full_seven_stats(spark):
+    # R/export.R:604-617: n + six means per (district, landing_site),
+    # sample floor > min, null sites dropped; the exact-cents path must
+    # agree with the float-avg path on cents-valued inputs
+    rows = [
+        ("Palma", "site_a", 2.0 + i % 3, 6.0, 10.5 + i, 0.5, 120.25, 20.0 + i)
+        for i in range(5)
+    ] + [
+        ("Palma", None, 3.0, 6.0, 11.0, 0.5, 100.0, 25.0),      # null site
+        ("Palma", "site_b", 3.0, 6.0, 11.0, 0.5, 100.0, 25.0),  # below floor
+    ]
+    trips = spark.createDataFrame(
+        rows,
+        "district string, landing_site string, n_fishers double, "
+        "trip_duration double, catch_kg double, cpue double, "
+        "price_per_kg double, rpue double",
+    )
+    out = {(r.district, r.landing_site): r
+           for r in export_plan.sites_stats_full(trips).collect()}
+    assert set(out) == {("Palma", "site_a")}
+    r = out[("Palma", "site_a")]
+    assert r.n_submissions == 5
+    assert abs(r.n_fishers - (2 + 3 + 4 + 2 + 3) / 5) < 1e-12
+    assert abs(r.mean_catch_kg - (10.5 + 11.5 + 12.5 + 13.5 + 14.5) / 5) < 1e-12
+    assert abs(r.mean_catch_price_mzn - 120.25) < 1e-12
+    exact = {(r.district, r.landing_site): r
+             for r in export_plan.sites_stats_full(trips, exact_cents=True).collect()}
+    e = exact[("Palma", "site_a")]
+    for c in ("n_fishers", "trip_duration_hrs", "mean_catch_kg",
+              "cpue_kg_fisher_hr", "mean_catch_price_mzn", "price_per_kg_mzn"):
+        assert abs(getattr(e, c) - getattr(r, c)) < 1e-9, c
