@@ -128,6 +128,7 @@ def complete_months(
     dim_cols: Sequence[str],
     date_col: str,
     fill: dict[str, Column] | None = None,
+    facts_preaggregated: bool = True,
 ) -> DataFrame:
     """Calendar densification (R7): ``tidyr::complete(dims, date=seq(min,max,'month'))``
     (R/export.R:189-198,232-243,265-273,311-323).
@@ -143,6 +144,13 @@ def complete_months(
     NB: ``df`` is consumed THREE times (spine bounds, dims, join) — when
     the input is an expensive aggregation, pass a cached/materialized
     frame so the subtree isn't recomputed per consumer.
+
+    ``facts_preaggregated`` declares the contract that ``df`` has one
+    row per (dims, month) — the densification input shape — which
+    bounds it by |dims| x |spine| and makes it safe to broadcast for a
+    map-side join.  Pass ``False`` for a raw fact frame whose
+    cardinality the spine does not bound: the hint is dropped and AQE
+    broadcasts only if the runtime size actually fits.
     """
     spine = (
         df.select(F.min(date_col).alias("mn"), F.max(date_col).alias("mx"))
@@ -158,11 +166,8 @@ def complete_months(
     )
     dims = df.select(*dim_cols).distinct()
     scaffold = F.broadcast(dims).crossJoin(F.broadcast(spine))
-    # the fact side's cardinality is <= |dims| x |spine| (one row per
-    # observed (dims, month)) — the same bound that makes the scaffold
-    # broadcastable — so broadcast it too: the left join becomes a
-    # map-side hash join instead of shuffling both tiny sides
-    out = scaffold.join(F.broadcast(df), [*dim_cols, date_col], "left")
+    facts = F.broadcast(df) if facts_preaggregated else df
+    out = scaffold.join(facts, [*dim_cols, date_col], "left")
     if fill:
         for c, v in fill.items():
             out = out.withColumn(c, F.coalesce(F.col(c), v))

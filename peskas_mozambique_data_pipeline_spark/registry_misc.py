@@ -650,10 +650,15 @@ WITH ev AS (
   FROM orders
 ),
 changes AS (
+  -- first-row marker kept separate from LAG(prio): "no previous row"
+  -- must not be conflated with "previous prio was NULL", or
+  -- consecutive NULL attribute values would open a new version here
+  -- while the operator's null-safe struct compare collapses them
   SELECT cust, prio, ts, tk,
+         ROW_NUMBER() OVER (PARTITION BY cust ORDER BY ts, tk) AS rn,
          LAG(prio) OVER (PARTITION BY cust ORDER BY ts, tk) AS prev
   FROM ev
-  QUALIFY prev IS NULL OR prio IS DISTINCT FROM prev
+  QUALIFY rn = 1 OR prio IS DISTINCT FROM prev
 ),
 versions AS (
   SELECT cust, prio, ts AS valid_from,
