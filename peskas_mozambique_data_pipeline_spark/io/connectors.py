@@ -20,8 +20,8 @@ from __future__ import annotations
 
 import json
 import time
-from collections.abc import Callable, Iterator
-from dataclasses import dataclass
+from collections.abc import Callable, Iterator, Mapping
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, Row, SparkSession
 
@@ -91,26 +91,184 @@ class RestBatchSink:
         df.foreachPartition(handle)
 
 
+@dataclass
+class RestClient:
+    """Minimal stdlib HTTP client: auth headers + bounded retry/backoff
+    (the reference's httr2 retry policy, R/ingestion.R:35-43, and the
+    Airtable client headers, R/airtable.R:13-88).
+
+    429 responses retry honoring ``Retry-After``; 5xx and transport
+    errors retry with exponential backoff; other 4xx raise immediately.
+    Plain config + stdlib only, so instances pickle into Spark workers.
+    """
+
+    base_url: str
+    headers: Mapping[str, str] = field(default_factory=dict)
+    max_retries: int = 3
+    backoff_s: float = 0.2
+    sleep: Callable[[float], None] = time.sleep
+
+    def request_json(
+        self,
+        path: str,
+        params: Mapping[str, object] | None = None,
+        method: str = "GET",
+        payload: object | None = None,
+    ) -> dict:
+        import urllib.error
+        import urllib.parse
+        import urllib.request
+
+        url = self.base_url.rstrip("/") + path
+        if params:
+            sep = "&" if "?" in url else "?"
+            url += sep + urllib.parse.urlencode(
+                {k: v for k, v in params.items() if v is not None}
+            )
+        body = json.dumps(payload).encode() if payload is not None else None
+        delay = self.backoff_s
+        for attempt in range(self.max_retries + 1):
+            req = urllib.request.Request(url, data=body, method=method)
+            for k, v in self.headers.items():
+                req.add_header(k, v)
+            if body is not None:
+                req.add_header("Content-Type", "application/json")
+            try:
+                with urllib.request.urlopen(req) as resp:
+                    return json.loads(resp.read() or b"{}")
+            except urllib.error.HTTPError as e:
+                if not (e.code == 429 or e.code >= 500) or attempt >= self.max_retries:
+                    raise
+                retry_after = e.headers.get("Retry-After")
+                self.sleep(float(retry_after) if retry_after else delay)
+                delay *= 2
+            except urllib.error.URLError:
+                if attempt >= self.max_retries:
+                    raise
+                self.sleep(delay)
+                delay *= 2
+        raise RuntimeError("unreachable")  # pragma: no cover
+
+    def get_json(self, path: str, params: Mapping[str, object] | None = None) -> dict:
+        return self.request_json(path, params)
+
+
+def kobo_client(base_url: str, token: str, **kw) -> RestClient:
+    """KoboToolbox auth: ``Authorization: Token <key>`` (the header the
+    public kpi API expects; R/ingestion.R:24-33)."""
+    return RestClient(base_url, {"Authorization": f"Token {token}"}, **kw)
+
+
+def airtable_client(base_url: str, api_key: str, **kw) -> RestClient:
+    """Airtable auth: ``Authorization: Bearer <key>`` (R/airtable.R:13-20)."""
+    return RestClient(base_url, {"Authorization": f"Bearer {api_key}"}, **kw)
+
+
+def kobo_page_fetcher(
+    client: RestClient, asset_id: str
+) -> Callable[[int, int], tuple[list[dict], int]]:
+    """Kobo data endpoint pager for ``iter_limit_start_pages``:
+    ``GET /api/v2/assets/{asset}/data/?start=M&limit=N`` returning
+    (results, count) (R/ingestion.R:35-43)."""
+    path = f"/api/v2/assets/{asset_id}/data/"
+
+    def fetch_page(start: int, limit: int) -> tuple[list[dict], int]:
+        body = client.get_json(path, {"start": start, "limit": limit, "format": "json"})
+        return body.get("results", []), int(body.get("count", 0))
+
+    return fetch_page
+
+
+def airtable_page_fetcher(
+    client: RestClient, base_id: str, table: str
+) -> Callable[[str | None], tuple[list[dict], str | None]]:
+    """Airtable list pager for ``iter_offset_token_pages``:
+    ``GET /v0/{base}/{table}?offset=tok`` returning (records, next_tok)
+    (R/airtable.R:23-62)."""
+    path = f"/v0/{base_id}/{table}"
+
+    def fetch_page(offset: str | None) -> tuple[list[dict], str | None]:
+        body = client.get_json(path, {"offset": offset} if offset else None)
+        return body.get("records", []), body.get("offset")
+
+    return fetch_page
+
+
+def airtable_upsert_sink(
+    client: RestClient,
+    base_id: str,
+    table: str,
+    id_col: str = "airtable_id",
+    batch_size: int = 10,
+) -> "RestUpsertSink":
+    """Wire ``RestUpsertSink`` to the Airtable record API: updates PATCH
+    ``{"records": [{"id": ..., "fields": {...}}]}``, creates POST the
+    same shape without ids, 10 per request (R/airtable.R:196-300)."""
+    path = f"/v0/{base_id}/{table}"
+
+    def to_payload(batch: list[dict], with_id: bool) -> dict:
+        records = []
+        for row in batch:
+            row = dict(row)
+            rid = row.pop(id_col, None)
+            rec: dict = {"fields": row}
+            if with_id and rid is not None:
+                rec["id"] = rid
+            records.append(rec)
+        return {"records": records}
+
+    def send_patch(batch: list[dict]) -> None:
+        client.request_json(path, method="PATCH", payload=to_payload(batch, True))
+
+    def send_post(batch: list[dict]) -> None:
+        client.request_json(path, method="POST", payload=to_payload(batch, False))
+
+    return RestUpsertSink(
+        send_patch=send_patch, send_post=send_post, id_col=id_col, batch_size=batch_size
+    )
+
+
 def rate_limited_status_fetch(
     df: DataFrame,
     fetch: Callable[[str], dict],
     id_col: str = "submission_id",
     n_workers: int = 8,
     rate_limit_s: float = 0.1,
+    schema: str | None = None,
+    probe_id: str | None = None,
 ) -> DataFrame:
     """Per-id REST status lookup with a per-partition rate limit (S16).
 
     ``repartition(n_workers)`` bounds global request concurrency to
     ``n_workers``; each partition sleeps ``rate_limit_s`` between calls
     (the reference's 0.1-0.2 s furrr throttle,
-    R/validation-functions.R:800-841).  Results come back as a
-    DataFrame via mapInPandas-free plain RDD mapping to keep the
-    dependency surface minimal.
+    R/validation-functions.R:800-841).
+
+    The result schema comes from ``schema`` (DDL for the fetch-result
+    fields, e.g. ``"validation_status string"``) or, failing that, is
+    inferred by fetching ``probe_id`` — a REAL id the caller nominates.
+    There is no magic-id probe request: against a production endpoint
+    that was a guaranteed 404/side effect per job.
     """
     import pandas as pd
 
-    spark = df.sparkSession
     ids = df.select(id_col).distinct().repartition(n_workers)
+
+    if schema is not None:
+        fields = f"{id_col} string, {schema}"
+    elif probe_id is not None:
+        sample = fetch(probe_id)
+        fields = ", ".join(
+            [f"{id_col} string"]
+            + [
+                f"{k} {'double' if isinstance(v, float) else 'string'}"
+                for k, v in sample.items()
+            ]
+        )
+    else:
+        raise ValueError(
+            "pass an explicit result `schema` or a real `probe_id` to infer one"
+        )
 
     def work(batches):
         for pdf in batches:
@@ -121,11 +279,6 @@ def rate_limited_status_fetch(
                     time.sleep(rate_limit_s)
             yield pd.DataFrame(out)
 
-    sample = fetch("__schema_probe__")
-    fields = ", ".join(
-        [f"{id_col} string"]
-        + [f"{k} {'double' if isinstance(v, float) else 'string'}" for k, v in sample.items()]
-    )
     return ids.mapInPandas(work, fields)
 
 

@@ -48,12 +48,32 @@ def test_rest_batch_sink_batches_of_10(spark, tmp_path):
     assert sorted(sizes, reverse=True) == [10, 10, 3]
 
 
+def test_rate_limited_status_fetch_requires_schema_or_probe(spark):
+    df = spark.createDataFrame([("s1",)], ["submission_id"])
+    with pytest.raises(ValueError, match="schema"):
+        connectors.rate_limited_status_fetch(df, lambda sid: {}, rate_limit_s=0.0)
+    # probe path uses a REAL nominated id, never a magic probe id
+    seen = []
+
+    def fetch(sid):
+        seen.append(sid)
+        return {"validation_status": f"ok-{sid}"}
+
+    out = connectors.rate_limited_status_fetch(
+        df, fetch, n_workers=1, rate_limit_s=0.0, probe_id="s1"
+    )
+    assert out.first().validation_status == "ok-s1"
+    assert seen[0] == "s1" and "__schema_probe__" not in seen
+
+
 def test_rate_limited_status_fetch(spark):
     def fetch(sid: str) -> dict:
         return {"validation_status": f"ok-{sid}"}
 
     df = spark.createDataFrame([("s1",), ("s2",)], ["submission_id"])
-    out = connectors.rate_limited_status_fetch(df, fetch, n_workers=2, rate_limit_s=0.0)
+    out = connectors.rate_limited_status_fetch(
+        df, fetch, n_workers=2, rate_limit_s=0.0, schema="validation_status string"
+    )
     got = {r.submission_id: r.validation_status for r in out.collect()}
     assert got == {"s1": "ok-s1", "s2": "ok-s2"}
 
@@ -237,3 +257,167 @@ def test_rest_upsert_sink_patch_post_split(spark, tmp_path):
     assert sum(n for n, _ in posts) == 17 and max(n for n, _ in posts) <= 10
     assert all(i is not None for _, ids in patches for i in ids)  # PATCH side keeps ids
     assert all(i is None for _, ids in posts for i in ids)  # POST side drops the id col
+
+
+# ---------------------------------------------------------------------------
+# RestClient: auth headers, retry/backoff, endpoint construction
+
+
+def _serve_api(routes, fail_first=0, fail_code=429, require_auth=None):
+    """Localhost API double: asserts the auth header, fails the first
+    ``fail_first`` requests with ``fail_code`` (Retry-After: 0), then
+    serves ``routes[path]`` (query stripped).  Records every request."""
+    import http.server
+    import json as _json
+    import threading
+    from urllib.parse import urlparse
+
+    log = []
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def _handle(self):
+            length = int(self.headers.get("Content-Length") or 0)
+            body = self.rfile.read(length) if length else b""
+            log.append(
+                {
+                    "method": self.command,
+                    "path": self.path,
+                    "auth": self.headers.get("Authorization"),
+                    "body": _json.loads(body) if body else None,
+                }
+            )
+            if require_auth and self.headers.get("Authorization") != require_auth:
+                self.send_response(401)
+                self.end_headers()
+                return
+            if len(log) <= fail_first:
+                self.send_response(fail_code)
+                self.send_header("Retry-After", "0")
+                self.end_headers()
+                return
+            key = urlparse(self.path).path
+            payload = _json.dumps(routes.get(key, {})).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.end_headers()
+            self.wfile.write(payload)
+
+        do_GET = do_POST = do_PATCH = _handle
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return srv, f"http://127.0.0.1:{srv.server_address[1]}", log
+
+
+def test_rest_client_retries_429_with_auth():
+    srv, base, log = _serve_api(
+        {"/ping": {"ok": True}}, fail_first=2, require_auth="Bearer k3y"
+    )
+    try:
+        naps = []
+        client = connectors.airtable_client(base, "k3y", sleep=naps.append)
+        assert client.get_json("/ping") == {"ok": True}
+        assert len(log) == 3  # two 429s then success
+        assert all(r["auth"] == "Bearer k3y" for r in log)
+        assert naps == [0.0, 0.0]  # honored Retry-After: 0 both times
+    finally:
+        srv.shutdown()
+
+
+def test_rest_client_gives_up_after_max_retries():
+    import urllib.error
+
+    srv, base, log = _serve_api({}, fail_first=99, fail_code=503)
+    try:
+        client = connectors.RestClient(base, max_retries=2, sleep=lambda s: None)
+        with pytest.raises(urllib.error.HTTPError):
+            client.get_json("/x")
+        assert len(log) == 3  # initial + 2 retries
+    finally:
+        srv.shutdown()
+
+
+def test_rest_client_4xx_raises_immediately():
+    import urllib.error
+
+    srv, base, log = _serve_api({}, fail_first=99, fail_code=404)
+    try:
+        client = connectors.RestClient(base, sleep=lambda s: None)
+        with pytest.raises(urllib.error.HTTPError):
+            client.get_json("/gone")
+        assert len(log) == 1
+    finally:
+        srv.shutdown()
+
+
+def test_kobo_client_paginated_ingest_with_auth(spark, tmp_path):
+    import http.server
+    import json as _json
+    import threading
+    from urllib.parse import parse_qs, urlparse
+
+    recs = [{"_id": i, "v": i * 10} for i in range(5)]
+    log = []
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            log.append({"auth": self.headers.get("Authorization"), "path": self.path})
+            if self.headers.get("Authorization") != "Token t0k":
+                self.send_response(401)
+                self.end_headers()
+                return
+            q = parse_qs(urlparse(self.path).query)
+            start, limit = int(q["start"][0]), int(q["limit"][0])
+            body = {"results": recs[start : start + limit], "count": len(recs)}
+            payload = _json.dumps(body).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        client = connectors.kobo_client(base, "t0k")
+        fetch_page = connectors.kobo_page_fetcher(client, "aXYZ")
+        src = connectors.PaginatedSource(
+            connectors.iter_limit_start_pages(fetch_page, limit=2),
+            str(tmp_path / "landing_kobo_auth"),
+            id_col="_id",
+        )
+        df = src.fetch_submissions(spark)
+        assert df.count() == 5
+        assert log and all(
+            c["path"].startswith("/api/v2/assets/aXYZ/data/") for c in log
+        )
+        assert all(c["auth"] == "Token t0k" for c in log)
+    finally:
+        srv.shutdown()
+
+
+def test_airtable_upsert_sink_payload_shape(spark):
+    srv, base, log = _serve_api({"/v0/app1/sites": {}}, require_auth="Bearer k")
+    try:
+        client = connectors.airtable_client(base, "k")
+        sink = connectors.airtable_upsert_sink(client, "app1", "sites", batch_size=10)
+        df = spark.createDataFrame(
+            [("rec1", "palma"), (None, "mocimboa")], ["airtable_id", "site"]
+        ).coalesce(1)
+        sink.write(df)
+        patches = [r for r in log if r["method"] == "PATCH"]
+        posts = [r for r in log if r["method"] == "POST"]
+        assert len(patches) == 1 and len(posts) == 1
+        assert patches[0]["path"] == "/v0/app1/sites"
+        assert patches[0]["body"] == {
+            "records": [{"fields": {"site": "palma"}, "id": "rec1"}]
+        }
+        assert posts[0]["body"] == {"records": [{"fields": {"site": "mocimboa"}}]}
+    finally:
+        srv.shutdown()
