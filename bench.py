@@ -59,21 +59,23 @@ def main() -> None:
         best[name] = round(runs[0], 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "queries_min": best,
-                "runs_per_query": n_runs,
-                "stat": "p50",
-                "sf": sf,
-            }
-        )
-    )
+    line = {
+        "metric": "total_query_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "runs_per_query": n_runs,
+        "stat": "p50",
+        "sf": sf,
+    }
+    # the driver captures a bounded stdout tail — keep the stdout line
+    # COMPACT (p50s only, no spaces) so it always parses whole; the
+    # full artifact incl. best-run times goes to a sidecar file
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "bench_last_run.json"), "w") as f:
+        json.dump({**line, "queries_min": best}, f, indent=2)
     spark.stop()
+    print(json.dumps(line, separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -65,3 +65,77 @@ def test_streaming_dedup_within_watermark(spark, landing_dir, tmp_path):
     q.awaitTermination(120)
     out = spark.read.parquet(out_dir)
     assert out.count() == 3  # 4 rows, one duplicate event_id dropped
+
+
+# ---------------------------------------------------------------------------
+# StreamSource abstraction: plans are source-agnostic
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "json"])
+def test_arrival_stats_parameterized_over_file_sources(spark, tmp_path, fmt):
+    from peskas_mozambique_data_pipeline_spark.streaming import sources as ss
+
+    rows = [
+        (1, "2024-01-01 00:10:00", 10, "click", 1.0),
+        (2, "2024-01-01 00:20:00", 11, "view", 2.0),
+        (3, "2024-01-01 06:00:00", 10, "click", 3.0),  # closes window 0
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    src_dir = str(tmp_path / f"landing_{fmt}")
+    df.coalesce(1).write.format(fmt).save(src_dir)
+
+    source = ss.FileStreamSource(src_dir, df.schema, fmt=fmt)
+    stream = source.read_stream(spark)
+    assert stream.isStreaming
+    stats = si.arrival_stats(stream, window="1 hour")
+    out_dir, ckpt = str(tmp_path / f"out_{fmt}"), str(tmp_path / f"ckpt_{fmt}")
+    q = si.write_zone(stats, out_dir, ckpt)
+    q.awaitTermination(120)
+    got = {
+        (str(r.window_start), r.event_type): r.n_events
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got[("2024-01-01 00:00:00", "click")] == 1
+    assert got[("2024-01-01 00:00:00", "view")] == 1
+
+
+def test_rate_source_events_shape(spark):
+    from peskas_mozambique_data_pipeline_spark.streaming import sources as ss
+
+    stream = ss.RateStreamSource(
+        rows_per_second=5, project=ss.rate_as_events
+    ).read_stream(spark)
+    assert stream.isStreaming
+    assert stream.columns == ["event_id", "ts", "user_id", "event_type", "value"]
+    assert dict(stream.dtypes)["ts"] == "timestamp"
+
+
+def test_kafka_source_options_and_decode(spark):
+    import json as _json
+
+    from peskas_mozambique_data_pipeline_spark.streaming import sources as ss
+
+    schema = spark.createDataFrame(
+        [], "event_id long, event_type string, value double"
+    ).schema
+    src = ss.KafkaStreamSource(
+        "broker1:9092,broker2:9092",
+        "events",
+        schema,
+        extra_options={"maxOffsetsPerTrigger": "5000"},
+    )
+    assert src.reader_options() == {
+        "kafka.bootstrap.servers": "broker1:9092,broker2:9092",
+        "subscribe": "events",
+        "startingOffsets": "earliest",
+        "maxOffsetsPerTrigger": "5000",
+    }
+    # decode is a plain column expression — verify it on a batch frame
+    raw = spark.createDataFrame(
+        [(_json.dumps({"event_id": 7, "event_type": "click", "value": 1.5}).encode(),)],
+        "value binary",
+    )
+    got = src.decode(raw).first()
+    assert (got.event_id, got.event_type, got.value) == (7, "click", 1.5)
