@@ -169,3 +169,121 @@ def fingerprint(df: DataFrame, text_col: str = "text", k: int = 4,
     t = F.array_distinct(tokens(text_col))
     hashed = F.array_sort(F.transform(t, lambda x: F.md5(x)))
     return df.withColumn(out_col, F.array_join(F.slice(hashed, 1, k), ""))
+
+
+def token_ngrams(col: str | Column, n: int) -> Column:
+    """Token n-grams as a space-joined string array (empty below n
+    tokens)."""
+    t = tokens(col) if isinstance(col, str) else col
+    size = F.size(t)
+    return F.when(
+        size >= n,
+        F.transform(
+            F.sequence(F.lit(1), size - (n - 1)),
+            lambda i: F.array_join(F.slice(t, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_features(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ns: tuple[int, ...] = (1, 2, 3),
+) -> DataFrame:
+    """Gopher-style repetition quality features (Rae et al. 2021,
+    "Scaling Language Models", App. A1.1 repetition filters): per doc
+    the fraction of n-gram instances belonging to repeated n-grams and
+    the share of the single most frequent n-gram.
+
+    Shape: one explode into (doc, n, gram) rows, a (doc, n, gram)
+    count, then a per-doc conditional aggregation — two key shuffles,
+    no per-row O(len²) array aggregation, so a 1M-token document costs
+    the same per token as a 100-token one.  Output columns per n:
+    ``top{n}gram_frac`` (count of the modal n-gram / total instances)
+    and ``dup{n}gram_frac`` (instances of grams seen >1 time / total).
+    """
+    t = F.col("_rf_toks")
+    base = df.select(id_col, tokens(text_col).alias("_rf_toks"))
+    exploded = None
+    for n in ns:
+        g = base.select(
+            id_col,
+            F.lit(n).alias("_n"),
+            F.explode(token_ngrams(t, n)).alias("gram"),
+        )
+        exploded = g if exploded is None else exploded.unionByName(g)
+    counts = exploded.groupBy(id_col, "_n", "gram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    per_n = counts.groupBy(id_col, "_n").agg(
+        F.sum("cnt").alias("total"),
+        F.max("cnt").alias("top"),
+        F.coalesce(F.sum(F.when(F.col("cnt") > 1, F.col("cnt"))), F.lit(0)).alias("dup"),
+    )
+    aggs = []
+    for n in ns:
+        is_n = F.col("_n") == n
+        aggs.append(
+            F.round(
+                F.max(F.when(is_n, F.col("top") / F.col("total"))), 6
+            ).alias(f"top{n}gram_frac")
+        )
+        aggs.append(
+            F.round(
+                F.max(F.when(is_n, F.col("dup") / F.col("total"))), 6
+            ).alias(f"dup{n}gram_frac")
+        )
+    return per_n.groupBy(id_col).agg(*aggs)
+
+
+def ngram_contamination(
+    train: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+) -> DataFrame:
+    """Benchmark decontamination (the GPT-3 App. C / PaLM 13-gram
+    overlap check): count, per training document, its distinct token
+    n-grams that appear anywhere in the benchmark corpus.
+
+    Scale shape: the benchmark's distinct grams are tiny next to the
+    corpus — md5-digested (fixed-width join key) and broadcast; the
+    training side explodes per-doc DISTINCT grams and hits are a
+    broadcast equi-join + one groupBy(doc).  The corpus shuffles once,
+    on doc id, with narrow rows.  Returns every train row with
+    ``n_overlap`` and a ``contaminated`` flag; compose with an anti
+    join (``decontaminate``) to drop.
+    """
+    tg = train.select(
+        id_col, F.explode(F.array_distinct(token_ngrams(text_col, n))).alias("gram")
+    ).select(id_col, F.md5("gram").alias("_gh"))
+    bg = (
+        benchmark.select(
+            F.explode(F.array_distinct(token_ngrams(text_col, n))).alias("gram")
+        )
+        .select(F.md5("gram").alias("_gh"))
+        .distinct()
+    )
+    hits = tg.join(F.broadcast(bg), "_gh").groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_overlap")
+    )
+    return (
+        train.join(hits, id_col, "left")
+        .withColumn("n_overlap", F.coalesce(F.col("n_overlap"), F.lit(0)))
+        .withColumn("contaminated", F.col("n_overlap") > 0)
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+) -> DataFrame:
+    """Drop contaminated training documents (see
+    ``ngram_contamination``)."""
+    flagged = ngram_contamination(train, benchmark, text_col, id_col, n)
+    return flagged.filter(~F.col("contaminated")).drop("n_overlap", "contaminated")

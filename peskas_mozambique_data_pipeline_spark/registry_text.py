@@ -632,6 +632,112 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.lsh_topk(queries, emb, k=5, n_planes=6, dim=64)
 
 
+# ---------------------------------------------------------------------------
+# Q: Gopher-style repetition quality filter (Rae et al. 2021 App. A1.1)
+# — per-doc modal/duplicated n-gram fractions for n=1,2,3 plus the keep
+# decision.  operators/text.py::repetition_features: explode + two-key
+# aggregation, no per-row O(len²) HOFs — a 1M-token doc costs per-token.
+
+
+_REP_KEEP = (0.12, 0.10, 0.05)  # top1gram, dup2gram, dup3gram ceilings
+
+
+def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import repetition_features
+
+    docs = _docs(spark, sf_dir)
+    feats = repetition_features(docs, ns=(1, 2, 3))
+    keep = (
+        (F.col("top1gram_frac") <= _REP_KEEP[0])
+        & (F.col("dup2gram_frac") <= _REP_KEEP[1])
+        & (F.col("dup3gram_frac") <= _REP_KEEP[2])
+    )
+    return feats.withColumn("keep", keep)
+
+
+SQL_REPETITION_FILTER = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, 1 AS n, unnest(t) AS gram FROM toks
+  UNION ALL
+  SELECT doc_id, 2 AS n,
+         unnest(list_transform(generate_series(1, len(t) - 1),
+                i -> t[i] || ' ' || t[i + 1])) AS gram
+  FROM toks WHERE len(t) >= 2
+  UNION ALL
+  SELECT doc_id, 3 AS n,
+         unnest(list_transform(generate_series(1, len(t) - 2),
+                i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS gram
+  FROM toks WHERE len(t) >= 3
+),
+counts AS (
+  SELECT doc_id, n, gram, COUNT(*) AS cnt FROM grams GROUP BY ALL
+),
+per_n AS (
+  SELECT doc_id, n, CAST(SUM(cnt) AS BIGINT) AS total, MAX(cnt) AS top,
+         CAST(COALESCE(SUM(cnt) FILTER (WHERE cnt > 1), 0) AS BIGINT) AS dup
+  FROM counts GROUP BY ALL
+),
+wide AS (
+  SELECT doc_id,
+    ROUND(MAX(CASE WHEN n = 1 THEN CAST(top AS DOUBLE) / total END), 6) AS top1gram_frac,
+    ROUND(MAX(CASE WHEN n = 1 THEN CAST(dup AS DOUBLE) / total END), 6) AS dup1gram_frac,
+    ROUND(MAX(CASE WHEN n = 2 THEN CAST(top AS DOUBLE) / total END), 6) AS top2gram_frac,
+    ROUND(MAX(CASE WHEN n = 2 THEN CAST(dup AS DOUBLE) / total END), 6) AS dup2gram_frac,
+    ROUND(MAX(CASE WHEN n = 3 THEN CAST(top AS DOUBLE) / total END), 6) AS top3gram_frac,
+    ROUND(MAX(CASE WHEN n = 3 THEN CAST(dup AS DOUBLE) / total END), 6) AS dup3gram_frac
+  FROM per_n GROUP BY doc_id
+)
+SELECT *,
+       top1gram_frac <= {_REP_KEEP[0]} AND dup2gram_frac <= {_REP_KEEP[1]}
+       AND dup3gram_frac <= {_REP_KEEP[2]} AS keep
+FROM wide
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: benchmark decontamination (GPT-3 App. C 13-gram check, n=3 here so
+# the synthetic corpus actually overlaps) — every training doc with its
+# count of distinct n-grams shared with the held-out "benchmark" slice.
+
+
+def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import ngram_contamination
+
+    docs = _docs(spark, sf_dir)
+    benchmark = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    return ngram_contamination(train, benchmark, n=3).select(
+        "doc_id", "lang", "n_overlap", "contaminated"
+    )
+
+
+SQL_DECONTAMINATION = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+),
+tg AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, len(t) - 2),
+                i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS gram
+  FROM toks WHERE len(t) >= 3
+),
+bg AS (SELECT DISTINCT gram FROM tg WHERE doc_id % 97 = 0),
+hits AS (
+  SELECT t.doc_id, COUNT(*) AS n_overlap
+  FROM (SELECT * FROM tg WHERE doc_id % 97 <> 0) t
+  JOIN bg USING (gram) GROUP BY t.doc_id
+)
+SELECT d.doc_id, d.lang,
+       CAST(COALESCE(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+       COALESCE(h.n_overlap, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+WHERE d.doc_id % 97 <> 0
+"""
+
+
 SPARK_QUERIES = {
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
@@ -645,6 +751,8 @@ SPARK_QUERIES = {
     "embedding_near_dup": q_embedding_near_dup,
     "ann_ivf": q_ann_ivf,
     "ann_lsh": q_ann_lsh,
+    "repetition_filter": q_repetition_filter,
+    "decontamination": q_decontamination,
 }
 
 ORACLE_SQL = {
@@ -660,4 +768,6 @@ ORACLE_SQL = {
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "ann_lsh": SQL_ANN_LSH,
     "ann_ivf": SQL_ANN_IVF,
+    "repetition_filter": SQL_REPETITION_FILTER,
+    "decontamination": SQL_DECONTAMINATION,
 }

@@ -174,3 +174,54 @@ def test_blocked_levenshtein_pairs_equals_crossjoin(spark):
     # single exact length, so no dedup step is needed)
     n = blocked_levenshtein_pairs(names, "name", max_dist=2).count()
     assert n == len(blocked)
+
+
+# ---------------------------------------------------------------------------
+# Repetition filter + decontamination (training-data quality ops)
+
+
+def test_repetition_features_crafted(spark):
+    from peskas_mozambique_data_pipeline_spark.operators.text import repetition_features
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a a"),          # one token repeated 4x
+            (2, "a b c d"),          # all distinct
+            (3, "x y x y x y"),      # "x y" 2-gram dominates
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in repetition_features(docs).collect()}
+    assert got[1].top1gram_frac == 1.0 and got[1].dup1gram_frac == 1.0
+    assert got[2].top1gram_frac == 0.25 and got[2].dup1gram_frac == 0.0
+    # doc 3: 2-grams = [x y, y x, x y, y x, x y] -> top "x y" 3/5
+    assert abs(got[3].top2gram_frac - 0.6) < 1e-9
+    assert got[3].dup2gram_frac == 1.0
+    # 3-grams: [x y x, y x y, x y x, y x y] -> all duplicated
+    assert got[3].dup3gram_frac == 1.0
+
+
+def test_ngram_contamination_and_decontaminate(spark):
+    from peskas_mozambique_data_pipeline_spark.operators.text import (
+        decontaminate,
+        ngram_contamination,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], "doc_id long, text string"
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "we saw the quick brown fox yesterday"),  # shares 3-grams
+            (2, "completely unrelated words here now"),
+            (3, "quick brown fox jumps high"),            # shares 3-grams
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in ngram_contamination(train, bench, n=3).collect()}
+    assert got[1].contaminated and got[1].n_overlap == 2  # "the quick brown","quick brown fox"
+    assert not got[2].contaminated and got[2].n_overlap == 0
+    assert got[3].contaminated and got[3].n_overlap == 2  # "quick brown fox","brown fox jumps"
+    clean = decontaminate(train, bench, n=3)
+    assert [r.doc_id for r in clean.collect()] == [2]
+    assert clean.columns == train.columns  # passthrough schema
