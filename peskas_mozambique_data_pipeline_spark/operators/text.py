@@ -9,6 +9,8 @@ these operators generalize it to document corpora.
 
 from __future__ import annotations
 
+from collections.abc import Mapping
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -287,3 +289,50 @@ def decontaminate(
     ``ngram_contamination``)."""
     flagged = ngram_contamination(train, benchmark, text_col, id_col, n)
     return flagged.filter(~F.col("contaminated")).drop("n_overlap", "contaminated")
+
+
+def deterministic_uniform(id_col: str | Column, salt: str = "sample") -> Column:
+    """Reproducible per-row uniform in [0, 1): md5 of (salt, id) — the
+    same row draws the same number on any engine, any run, any
+    partitioning.  The sampling analog of the md5 seed-ordering used by
+    the IVF index build."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat_ws("_", F.lit(salt), c.cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(4294967296.0)
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: Mapping[str, float],
+    strata_col: str,
+    id_col: str = "doc_id",
+    salt: str = "sample",
+    weight_col: str = "sample_weight",
+) -> DataFrame:
+    """Deterministic per-stratum Bernoulli sampling — the data-mixing
+    primitive of a training corpus (upsample rare languages / domains,
+    downsample dominant ones) with an importance weight so downstream
+    statistics stay unbiased.
+
+    A row survives iff its md5-uniform < its stratum's fraction; strata
+    missing from ``fractions`` drop entirely.  Pure column expressions
+    on the scan — no shuffle, no RNG state, and re-runs (or different
+    cluster sizes) select the SAME rows, which makes sampled pipelines
+    diffable run-over-run.  ``weight_col`` carries 1/fraction.
+    """
+    frac = F.lit(None).cast("double")
+    for k, v in sorted(fractions.items()):
+        frac = F.when(F.col(strata_col) == k, F.lit(float(v))).otherwise(frac)
+    u = deterministic_uniform(id_col, salt)
+    return (
+        df.withColumn("_frac", frac)
+        .filter(F.col("_frac").isNotNull() & (u < F.col("_frac")))
+        .withColumn(weight_col, F.lit(1.0) / F.col("_frac"))
+        .drop("_frac")
+    )

@@ -738,6 +738,53 @@ WHERE d.doc_id % 97 <> 0
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: deterministic stratified sampling (training-mix construction) —
+# per-language Bernoulli rates via md5-uniforms, importance weights,
+# and a per-stratum rollup proving the realized rates.
+
+
+# these rates make every importance weight exactly dyadic (2.0, 1.25,
+# 4.0, 10.0), so SUM(weight) is exact under ANY aggregation tree shape
+# — engine- and partitioning-independent without quantization
+_MIX = {"en": 0.5, "de": 0.8, "es": 0.25, "fr": 0.1}
+
+
+def q_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import stratified_sample
+
+    docs = _docs(spark, sf_dir)
+    sampled = stratified_sample(docs, _MIX, strata_col="lang")
+    return sampled.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.round(F.sum("sample_weight"), 6).alias("est_total"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+def _mix_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN lang = '{k}' THEN {float(v)}" for k, v in sorted(_MIX.items())
+    )
+    return f"CASE {whens} END"
+
+
+SQL_SAMPLE_MIX = f"""
+WITH drawn AS (
+  SELECT doc_id, lang, {_mix_case_sql()} AS frac,
+         ('0x' || substr(md5('sample_' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+           / 4294967296.0 AS u
+  FROM documents
+)
+SELECT lang, COUNT(*) AS n_sampled,
+       ROUND(SUM(1.0 / frac), 6) AS est_total,
+       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+FROM drawn WHERE frac IS NOT NULL AND u < frac
+GROUP BY lang
+"""
+
+
 SPARK_QUERIES = {
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
@@ -753,6 +800,7 @@ SPARK_QUERIES = {
     "ann_lsh": q_ann_lsh,
     "repetition_filter": q_repetition_filter,
     "decontamination": q_decontamination,
+    "sample_mix": q_sample_mix,
 }
 
 ORACLE_SQL = {
@@ -770,4 +818,5 @@ ORACLE_SQL = {
     "ann_ivf": SQL_ANN_IVF,
     "repetition_filter": SQL_REPETITION_FILTER,
     "decontamination": SQL_DECONTAMINATION,
+    "sample_mix": SQL_SAMPLE_MIX,
 }

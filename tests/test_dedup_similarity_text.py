@@ -225,3 +225,29 @@ def test_ngram_contamination_and_decontaminate(spark):
     clean = decontaminate(train, bench, n=3)
     assert [r.doc_id for r in clean.collect()] == [2]
     assert clean.columns == train.columns  # passthrough schema
+
+
+def test_stratified_sample_deterministic_and_weighted(spark):
+    from peskas_mozambique_data_pipeline_spark.operators.text import stratified_sample
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "de") for i in range(200)],
+        "doc_id long, lang string",
+    )
+    s1 = stratified_sample(docs, {"en": 0.5, "de": 1.0}, "lang")
+    s2 = stratified_sample(docs, {"en": 0.5, "de": 1.0}, "lang")
+    ids1 = sorted(r.doc_id for r in s1.collect())
+    assert ids1 == sorted(r.doc_id for r in s2.collect())  # same rows every run
+    rows = {r.doc_id: r for r in s1.collect()}
+    # fraction 1.0 keeps every de row with weight 1
+    de_ids = [i for i in range(200) if i % 2 == 1]
+    assert all(i in rows and rows[i].sample_weight == 1.0 for i in de_ids)
+    en_kept = [i for i in ids1 if i % 2 == 0]
+    assert 0 < len(en_kept) < 100  # strictly subsampled
+    assert all(rows[i].sample_weight == 2.0 for i in en_kept)
+    # different salt draws a different subset
+    s3 = stratified_sample(docs, {"en": 0.5, "de": 1.0}, "lang", salt="other")
+    assert sorted(r.doc_id for r in s3.collect()) != ids1
+    # stratum missing from the mix drops entirely
+    only_en = stratified_sample(docs, {"en": 0.5}, "lang")
+    assert {r.lang for r in only_en.collect()} == {"en"}
