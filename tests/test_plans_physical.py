@@ -136,3 +136,17 @@ def test_validate_surveys_no_forced_broadcast_in_dag(spark):
         plan = plan_of(out, "extended")
         analyzed = plan.split("== Optimized Logical Plan ==")[0]
         assert "ResolvedHint" not in analyzed, "forced broadcast hint in validation DAG"
+
+
+def test_decontamination_broadcasts_benchmark_no_smj(spark):
+    # the benchmark gram set must broadcast; the corpus must never
+    # shuffle on a sort-merge join (hits-only aggregation)
+    plan = plan_of(registry.SPARK_QUERIES["decontamination"](spark, SF), "simple")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_site_stats_full_pushes_shipdate_filter(spark):
+    plan = plan_of(registry.SPARK_QUERIES["site_stats_full"](spark, SF))
+    assert "PushedFilters" in plan
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:400]
