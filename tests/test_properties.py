@@ -218,3 +218,79 @@ def test_scd2_versions_partition_timeline(spark, events_in):
             assert not (
                 prev.attr == nxt.attr or (prev.attr is None and nxt.attr is None)
             )
+
+
+words = st.sampled_from(["a", "b", "c", "dd", "eee"])
+
+
+@SET
+@given(st.lists(st.lists(words, min_size=1, max_size=20), min_size=1, max_size=5))
+def test_repetition_feature_invariants(spark, docs_in):
+    from peskas_mozambique_data_pipeline_spark.operators.text import (
+        repetition_features,
+    )
+
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs_in)], "doc_id long, text string"
+    )
+    for r in repetition_features(df).collect():
+        for n in (1, 2, 3):
+            top = getattr(r, f"top{n}gram_frac")
+            dup = getattr(r, f"dup{n}gram_frac")
+            if top is None:  # doc shorter than n tokens
+                assert dup is None
+                continue
+            assert 0.0 < top <= 1.0
+            assert 0.0 <= dup <= 1.0
+            # any repeated gram implies the modal gram is repeated, and
+            # duplicated instances then include at least the modal ones
+            if dup > 0:
+                assert dup >= top - 1e-9
+        ws = docs_in[r.doc_id]
+        # exact modal unigram fraction
+        expect_top1 = max(ws.count(w) for w in set(ws)) / len(ws)
+        assert abs(r.top1gram_frac - round(expect_top1, 6)) < 1e-9
+
+
+@SET
+@given(
+    st.lists(st.lists(words, min_size=3, max_size=12), min_size=1, max_size=4),
+    st.lists(st.lists(words, min_size=3, max_size=12), min_size=1, max_size=2),
+)
+def test_contamination_matches_python_set_overlap(spark, train_in, bench_in):
+    from peskas_mozambique_data_pipeline_spark.operators.text import (
+        ngram_contamination,
+    )
+
+    def grams3(ws):
+        return {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+
+    train = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(train_in)], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame(
+        [(1000 + i, " ".join(ws)) for i, ws in enumerate(bench_in)],
+        "doc_id long, text string",
+    )
+    bench_grams = set().union(*(grams3(ws) for ws in bench_in))
+    got = {r.doc_id: r.n_overlap for r in ngram_contamination(train, bench, n=3).collect()}
+    for i, ws in enumerate(train_in):
+        assert got[i] == len(grams3(ws) & bench_grams)
+
+
+@SET
+@given(st.integers(min_value=1, max_value=500), st.sampled_from([0.25, 0.5, 1.0]))
+def test_stratified_sample_is_exact_subset_semantics(spark, n, frac):
+    from peskas_mozambique_data_pipeline_spark.operators.text import (
+        deterministic_uniform,
+        stratified_sample,
+    )
+
+    df = spark.createDataFrame([(i, "s") for i in range(n)], "doc_id long, lang string")
+    kept = {r.doc_id for r in stratified_sample(df, {"s": frac}, "lang").collect()}
+    # membership is exactly u(id) < frac, row by row
+    us = {
+        r.doc_id: r.u
+        for r in df.select("doc_id", deterministic_uniform("doc_id").alias("u")).collect()
+    }
+    assert kept == {i for i in range(n) if us[i] < frac}
