@@ -45,6 +45,25 @@ def normalize(rows, cols):
     return out, [cols[i] for i in order]
 
 
+def type_class(t: str) -> str:
+    """Collapse an engine type name to a comparison class so Spark and
+    DuckDB schemas can be checked for driver-level compatibility."""
+    t = t.lower()
+    for cls, keys in {
+        "int": ("tinyint", "smallint", "int", "bigint", "long", "hugeint"),
+        "float": ("float", "double", "real", "decimal"),
+        "bool": ("boolean",),
+        "ts": ("timestamp",),
+        "date": ("date",),
+        "str": ("string", "varchar", "char", "text", "uuid", "json"),
+        "list": ("array", "list", "[]"),
+        "struct": ("struct", "row", "map"),
+    }.items():
+        if any(k in t for k in keys):
+            return cls
+    return t
+
+
 def values_close(a, b):
     """Exact, driver-style comparison: floats must match bit-for-bit."""
     if a is None or b is None:
@@ -79,6 +98,7 @@ def main() -> int:
         try:
             sdf = fn(spark, SF_DIR)
             scols = sdf.columns
+            stypes = dict(sdf.dtypes)
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
@@ -111,11 +131,20 @@ def main() -> int:
             failures += 1
             continue
 
+        dtypes = {c.lower(): str(t) for c, t in zip(rel.columns, rel.types)}
         sn, scols_s = normalize(srows, scols)
         dn, dcols_s = normalize(drows, dcols)
         status = []
         if [c.lower() for c in scols_s] != [c.lower() for c in dcols_s]:
             status.append(f"cols spark={scols_s} duck={dcols_s}")
+        else:
+            type_mism = [
+                f"{c}: spark={stypes[c]} duck={dtypes.get(c.lower())}"
+                for c in scols
+                if type_class(stypes[c]) != type_class(dtypes.get(c.lower(), "?"))
+            ]
+            if type_mism:
+                status.append("type-class mismatch " + "; ".join(type_mism))
         if len(sn) != len(dn):
             status.append(f"rowcount spark={len(sn)} duck={len(dn)}")
         elif not status:
