@@ -1,0 +1,110 @@
+"""End-to-end pipeline driver: the reference's workflow DAG as one
+composable module.
+
+The reference runs its stages as separate cron-triggered container
+jobs handing data off as versioned parquet on object storage
+(.github/workflows/data-pipeline.yaml:69-230 — ingest/preprocess →
+validate → merge-trips → export; R/utils.R:30-52 for the versioned
+handoff).  Here each stage reads the NEWEST versioned snapshot of its
+upstream zone and writes its own immutable versioned snapshot:
+
+* re-running any stage is idempotent — a new version lands, history
+  stays intact, ``read_latest`` always resolves the freshest input;
+* the zone directory IS the audit log (every run's output is
+  addressable by timestamp + git sha);
+* on a cluster each stage is its own Spark job and the handoff is
+  object storage — exactly the reference's shape, minus the cron glue.
+
+Nothing here collects to the driver; stages return the written path.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..io import parquet_io
+from . import export as export_plan
+from . import merge_trips as mt
+from .preprocess import preprocess_landings
+from .validate import validate_surveys
+
+
+@dataclass
+class PipelineZones:
+    """A versioned-zone namespace rooted at ``root`` (locally a dir; in
+    production an object-store prefix)."""
+
+    root: str
+    git_sha: str = "local"
+
+    def write(self, df: DataFrame, prefix: str, **kw) -> str:
+        return parquet_io.write_versioned(df, self.root, prefix, self.git_sha, **kw)
+
+    def read(self, spark: SparkSession, prefix: str) -> DataFrame:
+        return parquet_io.read_latest(spark, self.root, prefix)
+
+
+def stage_preprocess(
+    spark: SparkSession, raw: DataFrame, lw_coeffs: DataFrame, zones: PipelineZones
+) -> str:
+    """Ingest+preprocess job (workflow: preprocess_landings_lurio)."""
+    return zones.write(preprocess_landings(raw, lw_coeffs), "preprocessed")
+
+
+def stage_validate(
+    spark: SparkSession, zones: PipelineZones, taxa_bounds: DataFrame | None = None
+) -> tuple[str, str]:
+    """Validation job (workflow: validate_surveys_lurio): reads the
+    newest preprocessed snapshot, writes validated + flags zones."""
+    preprocessed = zones.read(spark, "preprocessed")
+    validated, flags = validate_surveys(preprocessed, taxa_bounds=taxa_bounds)
+    return zones.write(validated, "validated"), zones.write(flags, "flags")
+
+
+def stage_merge_trips(
+    spark: SparkSession, pds_trips: DataFrame, zones: PipelineZones
+) -> str:
+    """Tracker/survey merge job (workflow: merge_trips, needs
+    validate + pds ingest)."""
+    landings = (
+        zones.read(spark, "preprocessed")
+        .select("submission_id", "landing_date", "pds_imei")
+        .distinct()
+    )
+    return zones.write(mt.merge_trips(pds_trips, landings), "trips_merged")
+
+
+def stage_export(spark: SparkSession, zones: PipelineZones) -> dict[str, str]:
+    """Export job (workflow: summarize_data + export-aggregated): the
+    portal products off the newest validated snapshot."""
+    validated = zones.read(spark, "validated")
+    return {
+        "monthly_metrics": zones.write(
+            export_plan.monthly_metrics(validated), "monthly_metrics"
+        ),
+        "sites_stats": zones.write(export_plan.sites_stats(validated), "sites_stats"),
+        "habitat_gear_series": zones.write(
+            export_plan.habitat_gear_series(validated), "habitat_gear_series"
+        ),
+    }
+
+
+def run_full_pipeline(
+    spark: SparkSession,
+    raw: DataFrame,
+    lw_coeffs: DataFrame,
+    pds_trips: DataFrame | None,
+    zone_root: str,
+    git_sha: str = "local",
+    taxa_bounds: DataFrame | None = None,
+) -> dict[str, str]:
+    """Run the whole DAG in dependency order; returns stage → path."""
+    zones = PipelineZones(zone_root, git_sha)
+    out = {"preprocessed": stage_preprocess(spark, raw, lw_coeffs, zones)}
+    out["validated"], out["flags"] = stage_validate(spark, zones, taxa_bounds)
+    if pds_trips is not None:
+        out["trips_merged"] = stage_merge_trips(spark, pds_trips, zones)
+    out.update(stage_export(spark, zones))
+    return out

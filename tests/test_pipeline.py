@@ -301,3 +301,44 @@ def test_sites_stats_full_seven_stats(spark):
     for c in ("n_fishers", "trip_duration_hrs", "mean_catch_kg",
               "cpue_kg_fisher_hr", "mean_catch_price_mzn", "price_per_kg_mzn"):
         assert abs(getattr(e, c) - getattr(r, c)) < 1e-9, c
+
+
+def test_full_pipeline_zone_dag(spark, raw, lw_coeffs, tmp_path):
+    # the reference workflow DAG end-to-end through versioned zones:
+    # each stage writes an immutable snapshot; re-running preprocess
+    # adds a version and read_latest resolves it
+    from peskas_mozambique_data_pipeline_spark.io import parquet_io
+    from peskas_mozambique_data_pipeline_spark.plans import pipeline as pl
+
+    pds = spark.createDataFrame(
+        [("t1", "imei-1", "2024-03-10 05:00:00", "2024-03-10 11:00:00")],
+        "trip string, imei string, started string, ended string",
+    ).withColumn("ended", F.to_timestamp("ended"))
+
+    zone_root = str(tmp_path / "zones")
+    import os
+    os.makedirs(zone_root)
+    out = pl.run_full_pipeline(spark, raw, lw_coeffs, pds, zone_root, git_sha="aaa")
+    assert set(out) == {
+        "preprocessed", "validated", "flags", "trips_merged",
+        "monthly_metrics", "sites_stats", "habitat_gear_series",
+    }
+
+    validated = spark.read.parquet(out["validated"])
+    good = {r.submission_id for r in validated.collect()}
+    assert "s1" in good and good.isdisjoint({"s4", "s5", "s6"})
+    flags = spark.read.parquet(out["flags"])
+    fm = {r.submission_id: r.alert_flag for r in flags.collect()}
+    assert "12" in (fm["s4"] or "").split(",")
+    merged = spark.read.parquet(out["trips_merged"])
+    assert merged.filter(F.col("trip") == "t1").first().submission_id == "s2"
+    mm = spark.read.parquet(out["monthly_metrics"])
+    assert mm.count() > 0
+
+    # idempotent re-run: new version written, read_latest flips to it
+    import time as _time
+    _time.sleep(1.1)  # version names are second-resolution
+    zones = pl.PipelineZones(zone_root, "bbb")
+    p2 = pl.stage_preprocess(spark, raw, lw_coeffs, zones)
+    assert p2 != out["preprocessed"]
+    assert parquet_io.latest_version_path(zone_root, "preprocessed") == p2
