@@ -305,3 +305,91 @@ def simhash_near_pairs(
         .distinct()
     )
     return pairs.filter(F.col("hamming") <= max_hamming)
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    node_out: str = "node",
+    comp_out: str = "component_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Distributed connected components over a pair graph — the step
+    that turns near-dup PAIRS into actionable duplicate CLUSTERS (keep
+    one representative per component, drop the rest).
+
+    Iterative min-label propagation: every node's label becomes the min
+    of its own and its neighbors' labels; the fixpoint assigns each
+    component its minimum node id — a UNIQUE fixpoint, so the result is
+    deterministic regardless of engine, ordering, or partitioning.
+
+    Scale shape: per iteration one equi-join of the label table onto
+    the symmetrized edge list plus one groupBy-min — both shuffle on
+    node id (AQE splits hub-node skew).  Iterations = graph diameter;
+    near-dup clusters are shallow (single-digit).  Each iteration
+    ``localCheckpoint``s the label frame to cut the growing lineage and
+    runs one small ``count()`` action for the convergence test — the
+    GraphX/Pregel cost model.  Raises if ``max_iter`` is hit before the
+    fixpoint so an unconverged labeling can never masquerade as a
+    result.
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        # materialize ONCE: the edge list is re-read every iteration,
+        # and its upstream (e.g. a full MinHash+verify pipeline) must
+        # not re-execute per loop
+        .localCheckpoint()
+    )
+    labels = sym.select(F.col("a").alias("n")).distinct().withColumn("comp", F.col("n"))
+    labels = labels.localCheckpoint()
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(
+                labels.select(F.col("n").alias("b"), F.col("comp").alias("nbr_comp")),
+                "b",
+            )
+            .groupBy("a")
+            .agg(F.min("nbr_comp").alias("nbr_min"))
+            .select(F.col("a").alias("n"), "nbr_min")
+        )
+        # labels only ever DECREASE, so "changed" falls out of the same
+        # row — no separate old-vs-new join per iteration
+        new_labels = (
+            labels.join(nbr_min, "n", "left")
+            .select(
+                "n",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("nbr_min"), F.col("comp"))
+                ).alias("comp"),
+                (F.coalesce(F.col("nbr_min"), F.col("comp")) < F.col("comp")).alias(
+                    "_changed"
+                ),
+            )
+            .localCheckpoint()
+        )
+        changed = new_labels.filter(F.col("_changed")).limit(1).count()
+        labels = new_labels.drop("_changed")
+        if changed == 0:
+            return labels.select(
+                F.col("n").alias(node_out), F.col("comp").alias(comp_out)
+            )
+    raise ValueError(f"connected_components did not converge in {max_iter} iterations")
+
+
+def duplicate_clusters(
+    edges: DataFrame, src: str = "id_a", dst: str = "id_b"
+) -> DataFrame:
+    """Component rollup: one row per duplicate cluster with its size
+    and sorted member list (the canonical representative is the
+    component id itself — the minimum member)."""
+    comp = connected_components(edges, src, dst)
+    return comp.groupBy("component_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list("node")), lambda x: x.cast("string")),
+            ",",
+        ).alias("members"),
+    )

@@ -207,6 +207,71 @@ JOIN sets sb ON c.id_b = sb.doc_id
 
 
 # ---------------------------------------------------------------------------
+# Q: duplicate clusters — connected components over the Jaccard-verified
+# MinHash pair graph (min-label propagation, unique fixpoint => engine-
+# deterministic); oracle replays it as a recursive transitive-closure
+# CTE.  This is the step that makes dedup actionable: keep the minimum
+# member of each cluster, drop the rest.
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).filter(F.size(text_ops.tokens("text")) >= 5)
+    pairs = dedup_ops.minhash_candidates(
+        docs, n_hashes=_MH_N, bands=_MH_BANDS, shingle_k=5
+    )
+    verified = dedup_ops.jaccard_verify(docs, pairs, shingle_k=5).filter(
+        F.col("jaccard") >= 0.5
+    )
+    return dedup_ops.duplicate_clusters(verified)
+
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE {_sig_sql()},
+banded AS (
+  SELECT doc_id, 0 AS band, md5(mh_0::VARCHAR || '|' || mh_1::VARCHAR) AS bucket FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band, md5(mh_2::VARCHAR || '|' || mh_3::VARCHAR) AS bucket FROM sig
+  UNION ALL
+  SELECT doc_id, 2 AS band, md5(mh_4::VARCHAR || '|' || mh_5::VARCHAR) AS bucket FROM sig
+  UNION ALL
+  SELECT doc_id, 3 AS band, md5(mh_6::VARCHAR || '|' || mh_7::VARCHAR) AS bucket FROM sig
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+sets AS (
+  SELECT doc_id, list_distinct(sh) AS sh FROM shingled
+),
+pairs AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c
+  JOIN sets sa ON c.id_a = sa.doc_id
+  JOIN sets sb ON c.id_b = sb.doc_id
+  WHERE ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+        / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 6) >= 0.5
+),
+sym AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach AS (
+  SELECT a AS n, a AS r FROM sym
+  UNION
+  SELECT s.a AS n, reach.r FROM sym s JOIN reach ON s.b = reach.n
+),
+comp AS (
+  SELECT n, MIN(r) AS component_id FROM reach GROUP BY n
+)
+SELECT component_id, COUNT(*) AS n_members,
+       string_agg(CAST(n AS VARCHAR), ',' ORDER BY n) AS members
+FROM comp GROUP BY component_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q: SimHash signatures + bucketed near-dup pairs with Hamming verify.
 
 
@@ -801,6 +866,7 @@ SPARK_QUERIES = {
     "repetition_filter": q_repetition_filter,
     "decontamination": q_decontamination,
     "sample_mix": q_sample_mix,
+    "dedup_clusters": q_dedup_clusters,
 }
 
 ORACLE_SQL = {
@@ -819,4 +885,5 @@ ORACLE_SQL = {
     "repetition_filter": SQL_REPETITION_FILTER,
     "decontamination": SQL_DECONTAMINATION,
     "sample_mix": SQL_SAMPLE_MIX,
+    "dedup_clusters": SQL_DEDUP_CLUSTERS,
 }

@@ -251,3 +251,37 @@ def test_stratified_sample_deterministic_and_weighted(spark):
     # stratum missing from the mix drops entirely
     only_en = stratified_sample(docs, {"en": 0.5}, "lang")
     assert {r.lang for r in only_en.collect()} == {"en"}
+
+
+def test_connected_components_chain_and_islands(spark):
+    from peskas_mozambique_data_pipeline_spark.operators.dedup import (
+        connected_components,
+        duplicate_clusters,
+    )
+
+    # chain 1-2-3-4 (diameter 3), pair 10-11, triangle 20-21-22
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "id_a long, id_b long",
+    )
+    comp = {r.node: r.component_id for r in connected_components(edges).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+    rolled = {r.component_id: r for r in duplicate_clusters(edges).collect()}
+    assert rolled[1].n_members == 4 and rolled[1].members == "1,2,3,4"
+    assert rolled[10].n_members == 2
+    assert rolled[20].members == "20,21,22"
+
+
+def test_connected_components_raises_without_convergence(spark):
+    import pytest as _pytest
+
+    from peskas_mozambique_data_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+
+    # a long chain cannot converge in 1 iteration
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "id_a long, id_b long"
+    )
+    with _pytest.raises(ValueError, match="converge"):
+        connected_components(edges, max_iter=1)
