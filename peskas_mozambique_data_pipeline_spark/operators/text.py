@@ -336,3 +336,43 @@ def stratified_sample(
         .withColumn(weight_col, F.lit(1.0) / F.col("_frac"))
         .drop("_frac")
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split documents into fixed-token-size chunks with overlap — the
+    sequence-prep step of a training/RAG pipeline (long doc → model-
+    window pieces, overlap preserving cross-boundary context).
+
+    Chunk i covers tokens [1 + i*stride, ...chunk_tokens] with
+    stride = chunk_tokens - overlap; the final chunk may be short.
+    Pure array expressions + one posexplode — scan-speed, no shuffle,
+    and each input row expands to ceil(max(n-overlap,1)/stride) output
+    rows regardless of partitioning.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    t = tokens(text_col)
+    n = F.size(t)
+    n_chunks = F.ceil(F.greatest(n - F.lit(overlap), F.lit(1)) / F.lit(stride)).cast(
+        "int"
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(t, i * stride + 1, chunk_tokens), " "),
+    )
+    out = df.select(
+        id_col, F.posexplode(chunks).alias("chunk_id", "chunk_text")
+    )
+    return out.select(
+        id_col,
+        "chunk_id",
+        F.size(F.split(F.col("chunk_text"), TOKEN_SPLIT_RE)).alias("n_chunk_tokens"),
+        "chunk_text",
+    )

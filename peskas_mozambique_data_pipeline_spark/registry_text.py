@@ -850,6 +850,46 @@ GROUP BY lang
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: document chunking (training-sequence prep): 32-token windows with
+# 8-token overlap; digest instead of full chunk text keeps the result
+# row narrow.
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import chunk_documents
+
+    chunks = chunk_documents(
+        _docs(spark, sf_dir), chunk_tokens=32, overlap=8
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_id",
+        "n_chunk_tokens",
+        F.md5("chunk_text").alias("chunk_digest"),
+    )
+
+
+SQL_DOC_CHUNKS = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+),
+chunked AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(0, CAST(ceil(GREATEST(len(t) - 8, 1) / 24.0) AS INT) - 1),
+           i -> {'cid': i, 'ctext': array_to_string(t[i*24 + 1 : i*24 + 32], ' ')}
+         )) AS c
+  FROM toks
+)
+SELECT doc_id,
+       CAST(c.cid AS INT) AS chunk_id,
+       CAST(len(string_split_regex(c.ctext, '\\s+')) AS INT) AS n_chunk_tokens,
+       md5(c.ctext) AS chunk_digest
+FROM chunked
+"""
+
+
 SPARK_QUERIES = {
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
@@ -867,6 +907,7 @@ SPARK_QUERIES = {
     "decontamination": q_decontamination,
     "sample_mix": q_sample_mix,
     "dedup_clusters": q_dedup_clusters,
+    "doc_chunks": q_doc_chunks,
 }
 
 ORACLE_SQL = {
@@ -886,4 +927,5 @@ ORACLE_SQL = {
     "decontamination": SQL_DECONTAMINATION,
     "sample_mix": SQL_SAMPLE_MIX,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
+    "doc_chunks": SQL_DOC_CHUNKS,
 }

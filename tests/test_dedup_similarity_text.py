@@ -285,3 +285,28 @@ def test_connected_components_raises_without_convergence(spark):
     )
     with _pytest.raises(ValueError, match="converge"):
         connected_components(edges, max_iter=1)
+
+
+def test_chunk_documents_boundaries(spark):
+    from peskas_mozambique_data_pipeline_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(10))),  # 2 chunks: 0-7, 6-9
+            (2, "a b c"),                               # shorter than one chunk
+        ],
+        "doc_id long, text string",
+    )
+    got = {(r.doc_id, r.chunk_id): r for r in
+           chunk_documents(docs, chunk_tokens=8, overlap=2).collect()}
+    assert {(d, c) for d, c in got} == {(1, 0), (1, 1), (2, 0)}
+    assert got[(1, 0)].chunk_text.split() == [f"w{i}" for i in range(8)]
+    assert got[(1, 1)].chunk_text.split() == [f"w{i}" for i in range(6, 10)]
+    assert got[(1, 1)].n_chunk_tokens == 4
+    assert got[(2, 0)].chunk_text == "a b c" and got[(2, 0)].n_chunk_tokens == 3
+    # overlap: last 2 tokens of chunk 0 open chunk 1
+    assert got[(1, 0)].chunk_text.split()[-2:] == got[(1, 1)].chunk_text.split()[:2]
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=8, overlap=8)
