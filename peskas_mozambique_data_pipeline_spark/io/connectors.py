@@ -140,7 +140,13 @@ class RestClient:
                 if not (e.code == 429 or e.code >= 500) or attempt >= self.max_retries:
                     raise
                 retry_after = e.headers.get("Retry-After")
-                self.sleep(float(retry_after) if retry_after else delay)
+                try:
+                    # RFC 7231 also allows an HTTP-date here — fall back
+                    # to our own backoff rather than crashing the task
+                    wait = float(retry_after) if retry_after else delay
+                except ValueError:
+                    wait = delay
+                self.sleep(wait)
                 delay *= 2
             except urllib.error.URLError:
                 if attempt >= self.max_retries:
@@ -174,7 +180,11 @@ def kobo_page_fetcher(
 
     def fetch_page(start: int, limit: int) -> tuple[list[dict], int]:
         body = client.get_json(path, {"start": start, "limit": limit, "format": "json"})
-        return body.get("results", []), int(body.get("count", 0))
+        if "count" not in body:
+            # a missing total would silently truncate the ingest to one
+            # page — fail loudly instead
+            raise ValueError(f"kobo data response missing 'count': {sorted(body)}")
+        return body.get("results", []), int(body["count"])
 
     return fetch_page
 

@@ -380,12 +380,13 @@ def connected_components(
 
 
 def duplicate_clusters(
-    edges: DataFrame, src: str = "id_a", dst: str = "id_b"
+    edges: DataFrame, src: str = "id_a", dst: str = "id_b", max_iter: int = 20
 ) -> DataFrame:
     """Component rollup: one row per duplicate cluster with its size
     and sorted member list (the canonical representative is the
-    component id itself — the minimum member)."""
-    comp = connected_components(edges, src, dst)
+    component id itself — the minimum member).  ``max_iter`` passes
+    through to :func:`connected_components` for deep chains."""
+    comp = connected_components(edges, src, dst, max_iter=max_iter)
     return comp.groupBy("component_id").agg(
         F.count(F.lit(1)).alias("n_members"),
         F.array_join(

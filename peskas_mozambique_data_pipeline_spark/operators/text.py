@@ -198,23 +198,26 @@ def repetition_features(
     the fraction of n-gram instances belonging to repeated n-grams and
     the share of the single most frequent n-gram.
 
-    Shape: one explode into (doc, n, gram) rows, a (doc, n, gram)
-    count, then a per-doc conditional aggregation — two key shuffles,
-    no per-row O(len²) array aggregation, so a 1M-token document costs
-    the same per token as a 100-token one.  Output columns per n:
-    ``top{n}gram_frac`` (count of the modal n-gram / total instances)
-    and ``dup{n}gram_frac`` (instances of grams seen >1 time / total).
+    Shape: ONE tokenize + ONE explode over the concatenated per-n gram
+    arrays (each gram tagged with its n in a struct), a (doc, n, gram)
+    count, then a per-doc conditional aggregation — the corpus is
+    scanned once (a union branch per n would re-read and re-tokenize
+    it |ns| times), two key shuffles, and no per-row O(len²) array
+    aggregation, so a 1M-token document costs the same per token as a
+    100-token one.  Output columns per n: ``top{n}gram_frac`` (count
+    of the modal n-gram / total instances) and ``dup{n}gram_frac``
+    (instances of grams seen >1 time / total).
     """
     t = F.col("_rf_toks")
     base = df.select(id_col, tokens(text_col).alias("_rf_toks"))
-    exploded = None
-    for n in ns:
-        g = base.select(
-            id_col,
-            F.lit(n).alias("_n"),
-            F.explode(token_ngrams(t, n)).alias("gram"),
-        )
-        exploded = g if exploded is None else exploded.unionByName(g)
+
+    def _tag(n: int):
+        return lambda g: F.struct(F.lit(n).alias("_n"), g.alias("gram"))
+
+    tagged = F.concat(*[F.transform(token_ngrams(t, n), _tag(n)) for n in ns])
+    exploded = base.select(id_col, F.explode(tagged).alias("_g")).select(
+        id_col, F.col("_g._n").alias("_n"), F.col("_g.gram").alias("gram")
+    )
     counts = exploded.groupBy(id_col, "_n", "gram").agg(
         F.count(F.lit(1)).alias("cnt")
     )

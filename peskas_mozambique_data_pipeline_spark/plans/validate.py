@@ -227,7 +227,8 @@ def validate_surveys(
     """
     # stage-1 flags run on the ORIGINAL columns: the reference computes
     # the rule battery before any normalization, so an outcome-0 row
-    # with a recorded taxon and positive catch still fires flag 2
+    # with a recorded taxon and positive catch_kg does NOT fire flag 2
+    # (zeroing catch first would fabricate the kg<=0 condition)
     with_bounds = attach_taxa_bounds(preprocessed, taxa_bounds)
     flagged = apply_rule_flags(with_bounds, rules or reference_rule_flags(thresholds))
     flags_stage1 = consolidate_flags(flagged)
@@ -250,8 +251,14 @@ def validate_surveys(
     flagged_ids = flags_stage1.filter(
         F.col("alert_flag").isNotNull()
     ).select("submission_id")
+    # NULL-keyed rows never match either join flavor: the old semi join
+    # DROPPED them while an anti join would KEEP them — filter
+    # explicitly so the stage-2 population is unchanged
     clean_stage1 = anti_join(
-        indicator_input, flagged_ids, "submission_id", broadcast_keys=False
+        indicator_input.filter(F.col("submission_id").isNotNull()),
+        flagged_ids,
+        "submission_id",
+        broadcast_keys=False,
     )
     indicators = trip_indicators(clean_stage1)
     composite = composite_indicator_flags(indicators, thresholds)

@@ -712,10 +712,13 @@ def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     feats = repetition_features(docs, ns=(1, 2, 3))
+    # a doc shorter than n tokens has NULL fracs for that n — it cannot
+    # be repetitive at that n, so the missing test PASSES (coalesce),
+    # keeping `keep` a real boolean decision for every doc
     keep = (
-        (F.col("top1gram_frac") <= _REP_KEEP[0])
-        & (F.col("dup2gram_frac") <= _REP_KEEP[1])
-        & (F.col("dup3gram_frac") <= _REP_KEEP[2])
+        F.coalesce(F.col("top1gram_frac") <= _REP_KEEP[0], F.lit(True))
+        & F.coalesce(F.col("dup2gram_frac") <= _REP_KEEP[1], F.lit(True))
+        & F.coalesce(F.col("dup3gram_frac") <= _REP_KEEP[2], F.lit(True))
     )
     return feats.withColumn("keep", keep)
 
@@ -756,8 +759,9 @@ wide AS (
   FROM per_n GROUP BY doc_id
 )
 SELECT *,
-       top1gram_frac <= {_REP_KEEP[0]} AND dup2gram_frac <= {_REP_KEEP[1]}
-       AND dup3gram_frac <= {_REP_KEEP[2]} AS keep
+       COALESCE(top1gram_frac <= {_REP_KEEP[0]}, TRUE)
+       AND COALESCE(dup2gram_frac <= {_REP_KEEP[1]}, TRUE)
+       AND COALESCE(dup3gram_frac <= {_REP_KEEP[2]}, TRUE) AS keep
 FROM wide
 """
 

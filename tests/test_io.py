@@ -421,3 +421,53 @@ def test_airtable_upsert_sink_payload_shape(spark):
         assert posts[0]["body"] == {"records": [{"fields": {"site": "mocimboa"}}]}
     finally:
         srv.shutdown()
+
+
+def test_rest_client_retry_after_http_date_falls_back_to_backoff():
+    # RFC 7231 allows an HTTP-date Retry-After; must not crash the task
+    import http.server
+    import threading
+
+    hits = []
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            hits.append(1)
+            if len(hits) == 1:
+                self.send_response(429)
+                self.send_header("Retry-After", "Fri, 14 Aug 2026 07:00:00 GMT")
+                self.end_headers()
+                return
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.end_headers()
+            self.wfile.write(b'{"ok": true}')
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        naps = []
+        client = connectors.RestClient(
+            f"http://127.0.0.1:{srv.server_address[1]}", backoff_s=0.01,
+            sleep=naps.append,
+        )
+        assert client.get_json("/x") == {"ok": True}
+        assert naps == [0.01]  # fell back to our own backoff
+    finally:
+        srv.shutdown()
+
+
+def test_kobo_fetcher_rejects_missing_count():
+    calls = []
+
+    class FakeClient:
+        def get_json(self, path, params=None):
+            calls.append(params)
+            return {"results": [{"_id": 1}]}  # no "count"
+
+    fetch_page = connectors.kobo_page_fetcher(FakeClient(), "a1")
+    with pytest.raises(ValueError, match="count"):
+        fetch_page(0, 10)

@@ -31,10 +31,21 @@ def main() -> int:
         print("no bench_last_run.json — run `python bench.py` first")
         return 1
     current = load_queries(current_path)
-    baselines = sys.argv[1:] or sorted(
-        os.path.join(here, n) for n in os.listdir(here)
-        if n.startswith("BENCH_r") and n.endswith(".json")
-    )[-1:]
+    def round_no(name: str) -> int:
+        try:
+            return int(name[len("BENCH_r"):-len(".json")])
+        except ValueError:
+            return -1
+
+    # numeric sort: lexicographic would rank BENCH_r9 after BENCH_r10
+    baselines = sys.argv[1:] or [
+        os.path.join(here, n)
+        for n in sorted(
+            (n for n in os.listdir(here)
+             if n.startswith("BENCH_r") and n.endswith(".json")),
+            key=round_no,
+        )
+    ][-1:]
     if not baselines:
         print("no baseline BENCH_r*.json found")
         return 1
