@@ -379,3 +379,39 @@ def chunk_documents(
         F.size(F.split(F.col("chunk_text"), TOKEN_SPLIT_RE)).alias("n_chunk_tokens"),
         "chunk_text",
     )
+
+
+# standard PII patterns (kept RE2-and-Java-compatible: no backrefs or
+# lookarounds, so Spark and any oracle engine agree on matches)
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    "ipv4": (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "[IP]"),
+    "phone": (r"\b\d{2,3}[- ]\d{3}[- ]\d{3,4}(?:[- ]\d{1,4})?\b", "[PHONE]"),
+    "long_number": (r"\d{6,}", "[NUM]"),
+}
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "redacted",
+    count_col: str = "n_redactions",
+    patterns: Mapping[str, tuple[str, str]] | None = None,
+) -> DataFrame:
+    """PII scrubbing (the redact-before-training step): apply each
+    (regex, token) replacement in deterministic name order, counting
+    matches against the progressively redacted text so overlapping
+    patterns are attributed to the first one that claims them.
+
+    Pure ``regexp_extract_all``/``regexp_replace`` column expressions —
+    scan-speed, no shuffle, no Python.  Patterns avoid backreferences
+    and lookarounds so any RE2-class engine reproduces the matches.
+    """
+    pats = patterns if patterns is not None else PII_PATTERNS
+    cur = F.col(text_col)
+    total = F.lit(0)
+    for name in sorted(pats):
+        regex, token = pats[name]
+        total = total + F.size(F.regexp_extract_all(cur, F.lit(regex), 0))
+        cur = F.regexp_replace(cur, regex, token)
+    return df.withColumn(count_col, total.cast("int")).withColumn(out_col, cur)

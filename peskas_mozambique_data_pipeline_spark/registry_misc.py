@@ -750,6 +750,61 @@ WHERE n_submissions > 3 AND landing_site IS NOT NULL
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: PII redaction (the scrub-before-training step) — standard
+# email/ip/phone/long-number patterns over customer names (the embedded
+# account numbers genuinely fire the long-number rule), per-segment
+# rollup proving the counts.
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import redact_pii
+
+    customer = _t(spark, sf_dir, "customer")
+    scrubbed = redact_pii(customer, text_col="c_name")
+    return scrubbed.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("n_redactions").cast("bigint").alias("n_redactions"),
+        F.countDistinct("redacted").alias("n_distinct_redacted"),
+    )
+
+
+SQL_PII_SCRUB = r"""
+WITH pass1 AS (
+  SELECT c_mktsegment,
+         len(regexp_extract_all(c_name,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n1,
+         regexp_replace(c_name,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g') AS t1
+  FROM customer
+),
+pass2 AS (
+  SELECT c_mktsegment,
+         n1 + len(regexp_extract_all(t1, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS n2,
+         regexp_replace(t1, '\b(?:\d{1,3}\.){3}\d{1,3}\b', '[IP]', 'g') AS t2
+  FROM pass1
+),
+pass3 AS (
+  SELECT c_mktsegment,
+         n2 + len(regexp_extract_all(t2, '\d{6,}')) AS n3,
+         regexp_replace(t2, '\d{6,}', '[NUM]', 'g') AS t3
+  FROM pass2
+),
+pass4 AS (
+  SELECT c_mktsegment,
+         n3 + len(regexp_extract_all(t3,
+             '\b\d{2,3}[- ]\d{3}[- ]\d{3,4}(?:[- ]\d{1,4})?\b')) AS n4,
+         regexp_replace(t3,
+             '\b\d{2,3}[- ]\d{3}[- ]\d{3,4}(?:[- ]\d{1,4})?\b', '[PHONE]', 'g') AS t4
+  FROM pass3
+)
+SELECT c_mktsegment, COUNT(*) AS n_rows,
+       CAST(SUM(n4) AS BIGINT) AS n_redactions,
+       COUNT(DISTINCT t4) AS n_distinct_redacted
+FROM pass4 GROUP BY c_mktsegment
+"""
+
+
 SPARK_QUERIES = {
     "nested_series": q_nested_series,
     "rank_inference": q_rank_inference,
@@ -765,6 +820,7 @@ SPARK_QUERIES = {
     "running_total": q_running_total,
     "geo_rollup_join": q_geo_rollup_join,
     "site_stats_full": q_site_stats_full,
+    "pii_scrub": q_pii_scrub,
     "merge_upsert": q_merge_upsert,
     "scd2_versions": q_scd2_versions,
 }
@@ -784,6 +840,7 @@ ORACLE_SQL = {
     "running_total": SQL_RUNNING_TOTAL,
     "geo_rollup_join": SQL_GEO_ROLLUP_JOIN,
     "site_stats_full": SQL_SITE_STATS_FULL,
+    "pii_scrub": SQL_PII_SCRUB,
     "merge_upsert": SQL_MERGE_UPSERT,
     "scd2_versions": SQL_SCD2_VERSIONS,
 }

@@ -310,3 +310,23 @@ def test_chunk_documents_boundaries(spark):
 
     with _pt.raises(ValueError):
         chunk_documents(docs, chunk_tokens=8, overlap=8)
+
+
+def test_redact_pii_patterns(spark):
+    from peskas_mozambique_data_pipeline_spark.operators.text import redact_pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail me at jo.doe+x@example.co.uk or call 25-989-741-2988"),
+            (2, "server 192.168.10.255 responded; account 123456789"),
+            (3, "nothing sensitive here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in redact_pii(docs).collect()}
+    assert got[1].redacted == "mail me at [EMAIL] or call [PHONE]"
+    assert got[1].n_redactions == 2
+    assert got[2].redacted == "server [IP] responded; account [NUM]"
+    assert got[2].n_redactions == 2
+    assert got[3].redacted == "nothing sensitive here"
+    assert got[3].n_redactions == 0
