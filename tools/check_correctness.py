@@ -49,15 +49,17 @@ def type_class(t: str) -> str:
     """Collapse an engine type name to a comparison class so Spark and
     DuckDB schemas can be checked for driver-level compatibility."""
     t = t.lower()
+    # container classes FIRST: "array<double>" must classify as list,
+    # not fall into the float family via its element type
     for cls, keys in {
+        "list": ("array", "list", "[]"),
+        "struct": ("struct", "row", "map"),
         "int": ("tinyint", "smallint", "int", "bigint", "long", "hugeint"),
         "float": ("float", "double", "real", "decimal"),
         "bool": ("boolean",),
         "ts": ("timestamp",),
         "date": ("date",),
         "str": ("string", "varchar", "char", "text", "uuid", "json"),
-        "list": ("array", "list", "[]"),
-        "struct": ("struct", "row", "map"),
     }.items():
         if any(k in t for k in keys):
             return cls
