@@ -269,6 +269,7 @@ def lsh_topk(
     k: int = 5,
     n_planes: int = 8,
     dim: int = 64,
+    n_tables: int = 1,
     query_id: str = "query_id",
     corpus_id: str = "vec_id",
     vec_col: str = "embedding",
@@ -276,28 +277,42 @@ def lsh_topk(
     """Approximate top-k: only same-LSH-bucket pairs are scored.
 
     The corpus→bucket map is computed once (column expression on scan);
-    the join is equi-keyed on the bucket, so at scale the shuffle moves
-    each corpus row once rather than |Q| times.
+    the join is equi-keyed on (table, bucket), so at scale the shuffle
+    moves each corpus row ``n_tables`` times rather than |Q| times.
+
+    ``n_tables`` is the recall dial: each extra hash table draws an
+    independent set of hyperplanes, and a neighbor is found if it
+    collides in ANY table (miss probability decays geometrically),
+    at the cost of one more bucket row per corpus vector.  Candidate
+    pairs colliding in several tables are deduplicated before scoring
+    so each pair pays the cosine exactly once.
     """
-    qb = with_norm(
-        queries.select(
-            F.col(query_id),
-            F.col(vec_col).alias("_qv"),
-            lsh_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
-        ),
-        "_qv",
-        "_qn",
+
+    def bucketed(df: DataFrame, id_c: str, v_alias: str, n_alias: str) -> DataFrame:
+        base = with_norm(
+            df.select(F.col(id_c), F.col(vec_col).alias(v_alias)), v_alias, n_alias
+        )
+        tables = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("tbl"),
+                    lsh_bucket(F.col(v_alias), n_planes, dim, table=t).alias("bucket"),
+                )
+                for t in range(n_tables)
+            ]
+        )
+        return base.select(
+            id_c, v_alias, n_alias, F.explode(tables).alias("_tb")
+        ).select(id_c, v_alias, n_alias, "_tb.tbl", "_tb.bucket")
+
+    qb = bucketed(queries, query_id, "_qv", "_qn")
+    cb = bucketed(corpus, corpus_id, "_cv", "_cn")
+    cand = (
+        cb.join(F.broadcast(qb), ["tbl", "bucket"])
+        .filter(F.col(query_id) != F.col(corpus_id))
+        .dropDuplicates([query_id, corpus_id])
     )
-    cb = with_norm(
-        corpus.select(
-            F.col(corpus_id),
-            F.col(vec_col).alias("_cv"),
-            lsh_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
-        ),
-        "_cv",
-        "_cn",
-    )
-    scored = cb.join(F.broadcast(qb), "bucket").filter(F.col(query_id) != F.col(corpus_id))
+    scored = cand
     scored = scored.select(
         query_id,
         corpus_id,

@@ -330,3 +330,32 @@ def test_redact_pii_patterns(spark):
     assert got[2].n_redactions == 2
     assert got[3].redacted == "nothing sensitive here"
     assert got[3].n_redactions == 0
+
+
+def test_lsh_multi_table_recall_monotone(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk(queries, emb, k=5).collect()
+    }
+
+    def recall(n_tables):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in similarity.lsh_topk(
+                queries, emb, k=5, n_planes=6, dim=64, n_tables=n_tables
+            ).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    r1, r3 = recall(1), recall(3)
+    # extra independent tables can only add candidates -> recall rises
+    # (absolute recall is low on these near-orthogonal random vectors;
+    # the monotone improvement is the property under test)
+    assert r3 >= r1
+    assert r3 > 0.1
