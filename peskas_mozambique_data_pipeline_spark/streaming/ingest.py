@@ -99,3 +99,63 @@ def write_zone(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_to_versioned_zone(
+    df: DataFrame,
+    zone_dir: str,
+    prefix: str,
+    checkpoint: str,
+    git_sha: str = "local",
+    available_now: bool = True,
+):
+    """Close the streaming → versioned-zone loop: micro-batches land
+    under ONE versioned snapshot directory, partitioned by batch id.
+
+    Exactly-once shape: ``foreachBatch`` writes each micro-batch with
+    ``overwrite`` into its own ``batch=<id>`` subdirectory — a batch
+    replayed after a failure between write and checkpoint commit
+    overwrites its own output instead of duplicating it (the standard
+    idempotent-sink pattern).  Readers use ``read_latest`` /
+    ``spark.read.parquet`` on the snapshot dir; partition discovery
+    picks up the batch= subdirs.  The snapshot path is minted once per
+    query start, so each pipeline run is one auditable zone version
+    while batches inside it stay incremental.
+    """
+    import os
+
+    from ..io.parquet_io import versioned_name
+
+    path = os.path.join(zone_dir, versioned_name(prefix, git_sha))
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(path, f"batch={batch_id}")
+        )
+
+    writer = df.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start(), path
+
+
+def read_stream_zone(spark: SparkSession, zone_dir: str, prefix: str) -> DataFrame:
+    """Read the FULL streaming zone: unlike batch snapshots (each
+    version is complete, read the newest), streaming versions are
+    incremental — one per pipeline run — so the table is the union of
+    every ``prefix__*`` version directory."""
+    import glob as _glob
+    import os
+
+    from functools import reduce
+
+    paths = sorted(_glob.glob(os.path.join(zone_dir, f"{prefix}__*")))
+    if not paths:
+        raise FileNotFoundError(f"no streaming zone versions for {prefix!r} in {zone_dir}")
+    # one read per version root (the non-k=v version dir names confuse
+    # multi-root partition discovery), then a zero-shuffle union
+    return reduce(
+        lambda a, b: a.unionByName(b), (spark.read.parquet(p) for p in paths)
+    )

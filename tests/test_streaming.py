@@ -139,3 +139,31 @@ def test_kafka_source_options_and_decode(spark):
     )
     got = src.decode(raw).first()
     assert (got.event_id, got.event_type, got.value) == (7, "click", 1.5)
+
+
+def test_stream_to_versioned_zone_idempotent_batches(spark, landing_dir, tmp_path):
+    schema = spark.read.parquet(landing_dir).schema
+    zone = str(tmp_path / "zone")
+    ckpt = str(tmp_path / "zc")
+
+    stream = si.stream_landing_zone(spark, landing_dir, schema)
+    q, path = si.stream_to_versioned_zone(stream, zone, "events", ckpt)
+    q.awaitTermination(120)
+    first = spark.read.parquet(path)
+    n1 = first.count()
+    assert n1 == 4  # full backlog landed
+    assert "batch" in first.columns  # partitioned by batch id
+
+    # new arrivals -> next run appends a new batch dir, old rows intact
+    late = spark.createDataFrame(
+        [(50, "2024-01-01 09:00:00", 13, "view", 5.0)],
+        "event_id long, ts string, user_id long, event_type string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    late.coalesce(1).write.mode("append").parquet(landing_dir)
+    stream2 = si.stream_landing_zone(spark, landing_dir, schema)
+    q2, path2 = si.stream_to_versioned_zone(stream2, zone, "events", ckpt)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(path).count() == n1  # old snapshot untouched
+    assert spark.read.parquet(path2).count() == 1  # only the new batch
+    # the zone as a whole is the union of incremental versions
+    assert si.read_stream_zone(spark, zone, "events").count() == n1 + 1
