@@ -45,6 +45,26 @@ class PipelineZones:
     def read(self, spark: SparkSession, prefix: str) -> DataFrame:
         return parquet_io.read_latest(spark, self.root, prefix)
 
+    def version_ts(self, prefix: str) -> str | None:
+        """Timestamp (YYYYmmddHHMMSS) of the newest version, or None."""
+        try:
+            path = parquet_io.latest_version_path(self.root, prefix)
+        except FileNotFoundError:
+            return None
+        m = parquet_io.VERSION_RE.search(path)
+        return m.group(1) if m else None
+
+    def is_fresh(self, product: str, *upstreams: str) -> bool:
+        """A product is fresh if it exists and is at least as new as
+        every upstream it derives from — the incremental-orchestration
+        test (string compare works: the timestamp format is sortable).
+        A missing upstream does NOT make the product stale."""
+        pt = self.version_ts(product)
+        if pt is None:
+            return False
+        ups = [self.version_ts(u) for u in upstreams]
+        return all(u is None or u <= pt for u in ups)
+
 
 def stage_preprocess(
     spark: SparkSession, raw: DataFrame, lw_coeffs: DataFrame, zones: PipelineZones
@@ -99,12 +119,42 @@ def run_full_pipeline(
     zone_root: str,
     git_sha: str = "local",
     taxa_bounds: DataFrame | None = None,
+    skip_fresh: bool = False,
 ) -> dict[str, str]:
-    """Run the whole DAG in dependency order; returns stage → path."""
+    """Run the whole DAG in dependency order; returns stage → path.
+
+    ``skip_fresh=True`` gives incremental orchestration: a downstream
+    stage re-runs only when an upstream zone carries a NEWER version
+    than its own latest output, so the reference's rerun-everything
+    cron becomes a cheap no-op when nothing changed.  The preprocess
+    stage is reused whenever ANY version exists — by passing
+    ``skip_fresh`` the caller asserts the raw pull itself is unchanged
+    (raw is an in-memory frame; its freshness is not zone-observable).
+    """
     zones = PipelineZones(zone_root, git_sha)
-    out = {"preprocessed": stage_preprocess(spark, raw, lw_coeffs, zones)}
-    out["validated"], out["flags"] = stage_validate(spark, zones, taxa_bounds)
+    out: dict[str, str] = {}
+    if skip_fresh and zones.is_fresh("preprocessed"):
+        out["preprocessed"] = parquet_io.latest_version_path(zone_root, "preprocessed")
+    else:
+        out["preprocessed"] = stage_preprocess(spark, raw, lw_coeffs, zones)
+
+    if skip_fresh and zones.is_fresh("validated", "preprocessed"):
+        out["validated"] = parquet_io.latest_version_path(zone_root, "validated")
+        out["flags"] = parquet_io.latest_version_path(zone_root, "flags")
+    else:
+        out["validated"], out["flags"] = stage_validate(spark, zones, taxa_bounds)
+
     if pds_trips is not None:
-        out["trips_merged"] = stage_merge_trips(spark, pds_trips, zones)
-    out.update(stage_export(spark, zones))
+        if skip_fresh and zones.is_fresh("trips_merged", "preprocessed"):
+            out["trips_merged"] = parquet_io.latest_version_path(
+                zone_root, "trips_merged"
+            )
+        else:
+            out["trips_merged"] = stage_merge_trips(spark, pds_trips, zones)
+
+    if skip_fresh and zones.is_fresh("monthly_metrics", "validated"):
+        for p in ("monthly_metrics", "sites_stats", "habitat_gear_series"):
+            out[p] = parquet_io.latest_version_path(zone_root, p)
+    else:
+        out.update(stage_export(spark, zones))
     return out

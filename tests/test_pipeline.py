@@ -342,3 +342,28 @@ def test_full_pipeline_zone_dag(spark, raw, lw_coeffs, tmp_path):
     p2 = pl.stage_preprocess(spark, raw, lw_coeffs, zones)
     assert p2 != out["preprocessed"]
     assert parquet_io.latest_version_path(zone_root, "preprocessed") == p2
+
+
+def test_pipeline_skip_fresh_is_incremental(spark, raw, lw_coeffs, tmp_path):
+    import os
+    import time as _time
+
+    from peskas_mozambique_data_pipeline_spark.plans import pipeline as pl
+
+    zone_root = str(tmp_path / "zones_inc")
+    os.makedirs(zone_root)
+    out1 = pl.run_full_pipeline(spark, raw, lw_coeffs, None, zone_root, git_sha="aaa")
+    # fresh re-run: every stage resolves to the EXISTING versions
+    out2 = pl.run_full_pipeline(
+        spark, raw, lw_coeffs, None, zone_root, git_sha="bbb", skip_fresh=True
+    )
+    assert out2 == out1  # nothing recomputed
+
+    # a newer preprocessed version makes downstream stale again
+    _time.sleep(1.1)
+    zones = pl.PipelineZones(zone_root, "ccc")
+    pl.stage_preprocess(spark, raw, lw_coeffs, zones)
+    out3 = pl.run_full_pipeline(
+        spark, raw, lw_coeffs, None, zone_root, git_sha="ddd", skip_fresh=True
+    )
+    assert out3["validated"] != out1["validated"]  # revalidated downstream
