@@ -285,13 +285,22 @@ def lsh_topk(
     collides in ANY table (miss probability decays geometrically),
     at the cost of one more bucket row per corpus vector.  Candidate
     pairs colliding in several tables are deduplicated before scoring
-    so each pair pays the cosine exactly once.
+    so each pair pays the cosine exactly once.  With a single table a
+    pair can collide at most once, so the explode and the pair-dedup
+    shuffle are skipped entirely (scan-side bucket column + one
+    equi-join — the r2 plan shape).
     """
 
     def bucketed(df: DataFrame, id_c: str, v_alias: str, n_alias: str) -> DataFrame:
         base = with_norm(
             df.select(F.col(id_c), F.col(vec_col).alias(v_alias)), v_alias, n_alias
         )
+        if n_tables == 1:
+            return base.select(
+                id_c, v_alias, n_alias,
+                F.lit(0).alias("tbl"),
+                lsh_bucket(F.col(v_alias), n_planes, dim, table=0).alias("bucket"),
+            )
         tables = F.array(
             *[
                 F.struct(
@@ -307,11 +316,11 @@ def lsh_topk(
 
     qb = bucketed(queries, query_id, "_qv", "_qn")
     cb = bucketed(corpus, corpus_id, "_cv", "_cn")
-    cand = (
-        cb.join(F.broadcast(qb), ["tbl", "bucket"])
-        .filter(F.col(query_id) != F.col(corpus_id))
-        .dropDuplicates([query_id, corpus_id])
+    cand = cb.join(F.broadcast(qb), ["tbl", "bucket"]).filter(
+        F.col(query_id) != F.col(corpus_id)
     )
+    if n_tables > 1:
+        cand = cand.dropDuplicates([query_id, corpus_id])
     scored = cand
     scored = scored.select(
         query_id,

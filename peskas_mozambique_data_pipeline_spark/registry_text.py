@@ -558,21 +558,32 @@ def _sql_norm(col: str, dim: int = 64) -> str:
 SQL_ANN_LSH = f"""
 WITH cb AS (
   SELECT vec_id, embedding,
-         {_sql_lsh_bucket('embedding')} AS bucket,
+         {_sql_lsh_bucket('embedding', table=0)} AS bucket0,
+         {_sql_lsh_bucket('embedding', table=1)} AS bucket1,
          {_sql_norm('embedding')} AS nrm
   FROM embeddings
 ),
 q AS (
-  SELECT vec_id AS query_id, embedding AS qv, bucket, nrm AS qn
+  SELECT vec_id AS query_id, bucket0, bucket1
   FROM cb WHERE vec_id % 50 = 0
 ),
-scored AS (
-  SELECT q.query_id, c.vec_id,
-         list_reduce(list_transform(generate_series(1, 64),
-             i -> CAST(q.qv[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)),
-             (x, y) -> x + y) / (q.qn * c.nrm) AS cos
-  FROM cb c JOIN q ON c.bucket = q.bucket
+-- a neighbor qualifies if it collides in ANY table; DISTINCT mirrors
+-- the Spark side's pre-scoring pair dedup so multi-table collisions
+-- score once
+cand AS (
+  SELECT DISTINCT q.query_id, c.vec_id
+  FROM cb c JOIN q
+    ON (c.bucket0 = q.bucket0 OR c.bucket1 = q.bucket1)
   WHERE c.vec_id <> q.query_id
+),
+scored AS (
+  SELECT p.query_id, p.vec_id,
+         list_reduce(list_transform(generate_series(1, 64),
+             i -> CAST(qe.embedding[i] AS DOUBLE) * CAST(ce.embedding[i] AS DOUBLE)),
+             (x, y) -> x + y) / (qe.nrm * ce.nrm) AS cos
+  FROM cand p
+  JOIN cb qe ON qe.vec_id = p.query_id
+  JOIN cb ce ON ce.vec_id = p.vec_id
 ),
 ranked AS (
   SELECT query_id, vec_id AS neighbor_id,
@@ -694,7 +705,9 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return sim.lsh_topk(queries, emb, k=5, n_planes=6, dim=64)
+    # n_tables=2 exercises the multi-table OR-collision path (the recall
+    # dial) under the hash oracle, not just the recall pytest
+    return sim.lsh_topk(queries, emb, k=5, n_planes=6, dim=64, n_tables=2)
 
 
 # ---------------------------------------------------------------------------
