@@ -138,7 +138,13 @@ def run_full_pipeline(
     else:
         out["preprocessed"] = stage_preprocess(spark, raw, lw_coeffs, zones)
 
-    if skip_fresh and zones.is_fresh("validated", "preprocessed"):
+    # a skip must check EVERY product the stage would have written: a
+    # prior run that died between writes leaves one product fresh and a
+    # sibling missing, and resolving the missing sibling would raise
+    # instead of re-running the stage
+    if skip_fresh and all(
+        zones.is_fresh(p, "preprocessed") for p in ("validated", "flags")
+    ):
         out["validated"] = parquet_io.latest_version_path(zone_root, "validated")
         out["flags"] = parquet_io.latest_version_path(zone_root, "flags")
     else:
@@ -152,8 +158,9 @@ def run_full_pipeline(
         else:
             out["trips_merged"] = stage_merge_trips(spark, pds_trips, zones)
 
-    if skip_fresh and zones.is_fresh("monthly_metrics", "validated"):
-        for p in ("monthly_metrics", "sites_stats", "habitat_gear_series"):
+    export_products = ("monthly_metrics", "sites_stats", "habitat_gear_series")
+    if skip_fresh and all(zones.is_fresh(p, "validated") for p in export_products):
+        for p in export_products:
             out[p] = parquet_io.latest_version_path(zone_root, p)
     else:
         out.update(stage_export(spark, zones))

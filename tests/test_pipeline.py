@@ -367,3 +367,43 @@ def test_pipeline_skip_fresh_is_incremental(spark, raw, lw_coeffs, tmp_path):
         spark, raw, lw_coeffs, None, zone_root, git_sha="ddd", skip_fresh=True
     )
     assert out3["validated"] != out1["validated"]  # revalidated downstream
+
+
+def test_pipeline_skip_fresh_rerun_on_partial_stage(spark, raw, lw_coeffs, tmp_path):
+    # a prior run that died between a stage's writes leaves one product
+    # fresh and a sibling missing: skip_fresh must re-run the stage,
+    # not FileNotFoundError on the missing sibling
+    import os
+    import shutil
+
+    from peskas_mozambique_data_pipeline_spark.plans import pipeline as pl
+
+    zone_root = str(tmp_path / "zones_partial")
+    os.makedirs(zone_root)
+    out1 = pl.run_full_pipeline(spark, raw, lw_coeffs, None, zone_root, git_sha="aaa")
+
+    # simulate the crash window: monthly_metrics written, siblings not
+    for victim in ("sites_stats", "habitat_gear_series"):
+        for d in os.listdir(zone_root):
+            if d.startswith(f"{victim}__"):
+                shutil.rmtree(os.path.join(zone_root, d))
+
+    out2 = pl.run_full_pipeline(
+        spark, raw, lw_coeffs, None, zone_root, git_sha="bbb", skip_fresh=True
+    )
+    # export stage re-ran: all three products exist again
+    for p in ("monthly_metrics", "sites_stats", "habitat_gear_series"):
+        assert os.path.isdir(out2[p]), p
+    # upstream stages were genuinely skipped
+    assert out2["preprocessed"] == out1["preprocessed"]
+    assert out2["validated"] == out1["validated"]
+
+    # same guard on the validate stage's (validated, flags) pair
+    for d in os.listdir(zone_root):
+        if d.startswith("flags__"):
+            shutil.rmtree(os.path.join(zone_root, d))
+    out3 = pl.run_full_pipeline(
+        spark, raw, lw_coeffs, None, zone_root, git_sha="ccc", skip_fresh=True
+    )
+    assert os.path.isdir(out3["flags"])
+    assert os.path.isdir(out3["validated"])
