@@ -106,6 +106,11 @@ class RestClient:
     headers: Mapping[str, str] = field(default_factory=dict)
     max_retries: int = 3
     backoff_s: float = 0.2
+    # ceiling on any single retry sleep, including a server-supplied
+    # Retry-After: honoring e.g. "Retry-After: 86400" verbatim would
+    # stall the calling Spark task (and with foreachPartition sinks,
+    # the whole job) for a day per attempt
+    max_wait_s: float = 30.0
     sleep: Callable[[float], None] = time.sleep
 
     def request_json(
@@ -146,12 +151,12 @@ class RestClient:
                     wait = float(retry_after) if retry_after else delay
                 except ValueError:
                     wait = delay
-                self.sleep(wait)
+                self.sleep(min(wait, self.max_wait_s))
                 delay *= 2
             except urllib.error.URLError:
                 if attempt >= self.max_retries:
                     raise
-                self.sleep(delay)
+                self.sleep(min(delay, self.max_wait_s))
                 delay *= 2
         raise RuntimeError("unreachable")  # pragma: no cover
 

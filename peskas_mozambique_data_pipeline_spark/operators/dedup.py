@@ -96,35 +96,56 @@ MINHASH_A = (1000003, 1000033, 1000037, 1000039, 1000081, 1000099, 1000117, 1000
 MINHASH_B = (12582917, 23456789, 34567891, 45678913, 56789123, 67891237, 78912345, 89123457)
 
 
-def minhash_signatures(
+def _h32(s: Column) -> Column:
+    """32-bit base hash of a shingle: md5 prefix → BIGINT.  Engine-
+    portable (DuckDB: ``('0x' || substr(md5(s),1,8))::BIGINT``)."""
+    return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint")
+
+
+def shingle_hash_frame(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    n_hashes: int = 8,
     shingle_k: int = 5,
+    drop_short: bool = True,
 ) -> DataFrame:
-    """Per-document MinHash signature table (id, mh_0..mh_{n-1}).
+    """(id, _h32) — the distinct 32-bit shingle-hash SET per document,
+    computed in ONE tokenize + shingle + md5 pass and materialized
+    behind a round-robin exchange.
 
-    The shingle array is hashed once to 32-bit ints (md5 prefix) and
-    that array is forced through a round-robin exchange: without the
-    barrier, Catalyst's CollapseProject inlines the expensive
-    tokenize+hash expression into all n permutation columns and the
-    work runs n times per row — measured 5× slower at sf0.1.  The
-    exchange also spreads signature work evenly across executors.
-    Each permutation is then a cheap affine transform of the
-    materialized hash array (see MINHASH_A/B above).
+    This is the shared upstream of the whole MinHash family: signatures
+    take mins of affine transforms of ``_h32`` (distinct doesn't change
+    a min), and Jaccard verification intersects the same sets — so
+    candidate generation and verification no longer each re-tokenize,
+    re-shingle, and re-md5 the corpus, which profiling showed dominates
+    the family's cost.  When both consumers sit in one plan, the
+    identical exchange is computed once (ReusedExchange).
+
+    Jaccard over distinct 32-bit shingle hashes equals Jaccard over the
+    shingle strings absent collisions (~n²/2³³ per doc — negligible at
+    realistic doc lengths, and the DuckDB oracle mirrors the identical
+    hash, so cross-engine results stay bit-identical regardless).
+
+    ``drop_short`` drops documents with fewer than ``shingle_k`` tokens
+    (empty shingle set): they can't participate in near-dup detection,
+    and an all-NULL signature would otherwise alias all short docs into
+    one LSH bucket.
     """
+    sh = shingles(F.col(text_col), shingle_k)
+    out = df.select(F.col(id_col), F.array_distinct(F.transform(sh, _h32)).alias("_h32"))
+    if drop_short:
+        out = out.filter(F.size("_h32") > 0)
+    return out.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
+def minhash_signatures_from_hashes(
+    hashed: DataFrame, id_col: str = "doc_id", n_hashes: int = 8
+) -> DataFrame:
+    """MinHash signature table from a :func:`shingle_hash_frame` —
+    each permutation is a cheap affine transform over the materialized
+    hash array (see MINHASH_A/B above)."""
     if n_hashes > len(MINHASH_A):
         raise ValueError(f"at most {len(MINHASH_A)} permutations configured")
-    sh = df.select(F.col(id_col), shingles(F.col(text_col), shingle_k).alias("_sh"))
-    hashed = sh.select(
-        F.col(id_col),
-        F.transform(
-            F.col("_sh"),
-            lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint"),
-        ).alias("_h32"),
-    )
-    hashed = hashed.repartition(df.sparkSession.sparkContext.defaultParallelism)
     p = F.lit(MINHASH_P)
 
     def _perm(i: int):
@@ -138,6 +159,85 @@ def minhash_signatures(
         for i in range(n_hashes)
     ]
     return hashed.select(F.col(id_col), *mins)
+
+
+def minhash_candidates_from_hashes(
+    hashed: DataFrame,
+    id_col: str = "doc_id",
+    n_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """LSH candidate pairs from a :func:`shingle_hash_frame` — band the
+    signature, hash each band, self-join on (band, band-hash).  Returns
+    distinct (id_a < id_b) pairs; shuffle is on bucket keys, never a
+    cross join."""
+    rows_per_band = n_hashes // bands
+    sig = minhash_signatures_from_hashes(hashed, id_col, n_hashes)
+    band_cols = []
+    for b in range(bands):
+        parts = [
+            F.col(f"mh_{b * rows_per_band + r}").cast("string")
+            for r in range(rows_per_band)
+        ]
+        band_cols.append(F.md5(F.concat_ws("|", *parts)).alias(f"band_{b}"))
+    banded = sig.select(F.col(id_col), *band_cols)
+    long = banded.unpivot([id_col], [f"band_{b}" for b in range(bands)], "band", "bucket")
+    a = long.alias("a")
+    b_ = long.alias("b")
+    return (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_verify_hashed(
+    hashed: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs, intersecting the
+    distinct 32-bit shingle-hash sets of a :func:`shingle_hash_frame`.
+    BIGINT intersection is far cheaper than re-building and comparing
+    the shingle strings, and when ``hashed`` also feeds candidate
+    generation the underlying exchange is reused — the corpus is
+    tokenized and hashed exactly once for the whole pipeline."""
+    j = pairs.join(
+        hashed.select(F.col(id_col).alias("id_a"), F.col("_h32").alias("h_a")), "id_a"
+    ).join(hashed.select(F.col(id_col).alias("id_b"), F.col("_h32").alias("h_b")), "id_b")
+    inter = F.size(F.array_intersect(F.col("h_a"), F.col("h_b")))
+    union = F.size(F.col("h_a")) + F.size(F.col("h_b")) - inter
+    return j.select(
+        "id_a",
+        "id_b",
+        F.round(inter.cast("double") / union, 6).alias("jaccard"),
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 8,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Per-document MinHash signature table (id, mh_0..mh_{n-1}).
+
+    Convenience wrapper: builds a :func:`shingle_hash_frame` (the
+    barrier against CollapseProject re-inlining the tokenize+hash work
+    into all n permutation columns — measured 5× slower without) and
+    derives the signatures from it.  Pipelines composing candidates +
+    verification should build the frame once and use the
+    ``*_from_hashes`` forms so the corpus is hashed a single time.
+    """
+    return minhash_signatures_from_hashes(
+        shingle_hash_frame(df, text_col, id_col, shingle_k, drop_short=False),
+        id_col,
+        n_hashes,
+    )
 
 
 def minhash_candidates(
@@ -155,30 +255,9 @@ def minhash_candidates(
     collide in some band, so the pair count tracks true near-dup
     density, not N².  Returns distinct (id_a < id_b) candidate pairs.
     """
-    rows_per_band = n_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, n_hashes, shingle_k)
-    band_cols = []
-    for b in range(bands):
-        parts = [
-            F.col(f"mh_{b * rows_per_band + r}").cast("string")
-            for r in range(rows_per_band)
-        ]
-        band_cols.append(F.md5(F.concat_ws("|", *parts)).alias(f"band_{b}"))
-    banded = sig.select(F.col(id_col), *band_cols)
-    long = banded.unpivot([id_col], [f"band_{b}" for b in range(bands)], "band", "bucket")
-    a = long.alias("a")
-    b_ = long.alias("b")
-    pairs = (
-        a.join(
-            b_,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
+    return minhash_candidates_from_hashes(
+        shingle_hash_frame(df, text_col, id_col, shingle_k), id_col, n_hashes, bands
     )
-    return pairs
 
 
 def jaccard_verify(
@@ -188,27 +267,11 @@ def jaccard_verify(
     id_col: str = "doc_id",
     shingle_k: int = 5,
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity for candidate pairs only.
-
-    Joins each side's distinct-shingle array onto the pair, intersects
-    with ``array_intersect`` — per-pair work is bounded by document
-    length, and only LSH candidates pay it.
-    """
-    sets = df.select(
-        F.col(id_col), F.array_distinct(shingles(F.col(text_col), shingle_k)).alias("sh")
-    ).repartition(df.sparkSession.sparkContext.defaultParallelism)
-    # the identical exchange on both join sides is computed once
-    # (ReusedExchange) — shingle sets materialize a single time
-    j = (
-        pairs.join(sets.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
-        .join(sets.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
-    )
-    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
-    return j.select(
-        "id_a",
-        "id_b",
-        F.round(inter.cast("double") / union, 6).alias("jaccard"),
+    """Exact shingle-set Jaccard similarity for candidate pairs only —
+    per-pair work is bounded by document length, and only LSH
+    candidates pay it.  Wrapper over :func:`jaccard_verify_hashed`."""
+    return jaccard_verify_hashed(
+        shingle_hash_frame(df, text_col, id_col, shingle_k), pairs, id_col
     )
 
 

@@ -136,11 +136,14 @@ _MH_BANDS = 4
 
 
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir).filter(F.size(text_ops.tokens("text")) >= 5)
-    pairs = dedup_ops.minhash_candidates(
-        docs, n_hashes=_MH_N, bands=_MH_BANDS, shingle_k=5
+    # ONE shingle-hash frame feeds candidate generation AND Jaccard
+    # verification (ReusedExchange) — the corpus is tokenized, shingled
+    # and md5'd exactly once; drop_short subsumes the <5-token filter
+    hashed = dedup_ops.shingle_hash_frame(_docs(spark, sf_dir), shingle_k=5)
+    pairs = dedup_ops.minhash_candidates_from_hashes(
+        hashed, n_hashes=_MH_N, bands=_MH_BANDS
     )
-    verified = dedup_ops.jaccard_verify(docs, pairs, shingle_k=5)
+    verified = dedup_ops.jaccard_verify_hashed(hashed, pairs)
     return verified.select("id_a", "id_b", "jaccard")
 
 
@@ -167,7 +170,7 @@ shingled AS (
 ),
 hashed AS (
   SELECT doc_id,
-         list_transform(sh, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS h32
+         list_distinct(list_transform(sh, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT)) AS h32
   FROM shingled
 ),
 sig AS (
@@ -192,17 +195,16 @@ cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM banded a JOIN banded b
     ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-),
-sets AS (
-  SELECT doc_id, list_distinct(sh) AS sh FROM shingled
 )
+-- jaccard over the SAME distinct 32-bit shingle hashes the Spark side
+-- intersects (identical md5 prefix on both engines => bit-identical)
 SELECT c.id_a, c.id_b,
-       ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-             / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 6)
+       ROUND(CAST(len(list_intersect(sa.h32, sb.h32)) AS DOUBLE)
+             / (len(sa.h32) + len(sb.h32) - len(list_intersect(sa.h32, sb.h32))), 6)
          AS jaccard
 FROM cand c
-JOIN sets sa ON c.id_a = sa.doc_id
-JOIN sets sb ON c.id_b = sb.doc_id
+JOIN hashed sa ON c.id_a = sa.doc_id
+JOIN hashed sb ON c.id_b = sb.doc_id
 """
 
 
@@ -215,11 +217,11 @@ JOIN sets sb ON c.id_b = sb.doc_id
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir).filter(F.size(text_ops.tokens("text")) >= 5)
-    pairs = dedup_ops.minhash_candidates(
-        docs, n_hashes=_MH_N, bands=_MH_BANDS, shingle_k=5
+    hashed = dedup_ops.shingle_hash_frame(_docs(spark, sf_dir), shingle_k=5)
+    pairs = dedup_ops.minhash_candidates_from_hashes(
+        hashed, n_hashes=_MH_N, bands=_MH_BANDS
     )
-    verified = dedup_ops.jaccard_verify(docs, pairs, shingle_k=5).filter(
+    verified = dedup_ops.jaccard_verify_hashed(hashed, pairs).filter(
         F.col("jaccard") >= 0.5
     )
     return dedup_ops.duplicate_clusters(verified)
@@ -241,16 +243,13 @@ cand AS (
   FROM banded a JOIN banded b
     ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
 ),
-sets AS (
-  SELECT doc_id, list_distinct(sh) AS sh FROM shingled
-),
 pairs AS (
   SELECT c.id_a, c.id_b
   FROM cand c
-  JOIN sets sa ON c.id_a = sa.doc_id
-  JOIN sets sb ON c.id_b = sb.doc_id
-  WHERE ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-        / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 6) >= 0.5
+  JOIN hashed sa ON c.id_a = sa.doc_id
+  JOIN hashed sb ON c.id_b = sb.doc_id
+  WHERE ROUND(CAST(len(list_intersect(sa.h32, sb.h32)) AS DOUBLE)
+        / (len(sa.h32) + len(sb.h32) - len(list_intersect(sa.h32, sb.h32))), 6) >= 0.5
 ),
 sym AS (
   SELECT id_a AS a, id_b AS b FROM pairs

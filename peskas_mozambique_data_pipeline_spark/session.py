@@ -62,10 +62,15 @@ def get_spark(
 def read_table(spark: SparkSession, sf_dir: str, name: str):
     """Read one harness parquet table, normalizing physical quirks.
 
-    ``events.parquet`` stores ``ts`` as parquet TIMESTAMP(NANOS), which
-    Spark's vectorized reader rejects outright.  We read it under the
-    ``nanosAsLong`` escape hatch and floor-divide to microseconds (exact
-    integer arithmetic — matches DuckDB ``epoch_ns(ts)//1000``).
+    ``events.parquet``'s ``ts`` physical type has varied across harness
+    generations — TIMESTAMP(NANOS) (which Spark's vectorized reader
+    rejects outright; read under the ``nanosAsLong`` escape hatch and
+    floor-divide to micros, exact integer arithmetic matching DuckDB
+    ``epoch_ns(ts)//1000``) and TIMESTAMP(MICROS, isAdjustedToUTC=false)
+    (which Spark infers as TIMESTAMP_NTZ).  Normalize both to the
+    session-local TIMESTAMP type: under the pinned UTC session TZ the
+    NTZ→LTZ cast is wall-clock-preserving, i.e. the exact naive values
+    DuckDB sees.
     """
     from pyspark.sql import functions as F
 
@@ -79,8 +84,11 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(path)
 

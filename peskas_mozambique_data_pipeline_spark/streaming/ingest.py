@@ -101,6 +101,40 @@ def write_zone(
     return writer.start()
 
 
+def _stable_zone_path(
+    zone_dir: str, prefix: str, checkpoint: str, git_sha: str
+) -> str:
+    """Derive the snapshot directory STABLY from the checkpoint.
+
+    The minted version name is persisted in a sidecar file under the
+    checkpoint dir on first start and reused on every restart.  Without
+    this, a wall-clock-minted path would change across a crash-restart:
+    the replayed batch would land in a NEW version dir while the partial
+    ``batch=<id>`` data persisted in the old one, and the zone union
+    (:func:`read_stream_zone`) would see duplicate rows — exactly the
+    failure window the idempotent batch overwrite is supposed to heal.
+    Only the dir NAME is persisted, so a relocated ``zone_dir`` keeps
+    working.
+    """
+    import os
+
+    from ..io.parquet_io import versioned_name
+
+    os.makedirs(checkpoint, exist_ok=True)
+    sidecar = os.path.join(checkpoint, "__zone_version__")
+    if os.path.exists(sidecar):
+        with open(sidecar) as f:
+            name = f.read().strip()
+    else:
+        name = versioned_name(prefix, git_sha)
+        tmp = sidecar + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(name)
+        os.replace(tmp, sidecar)  # atomic: a crash mid-write can't
+        # leave a torn sidecar that silently points nowhere
+    return os.path.join(zone_dir, name)
+
+
 def stream_to_versioned_zone(
     df: DataFrame,
     zone_dir: str,
@@ -116,17 +150,18 @@ def stream_to_versioned_zone(
     ``overwrite`` into its own ``batch=<id>`` subdirectory — a batch
     replayed after a failure between write and checkpoint commit
     overwrites its own output instead of duplicating it (the standard
-    idempotent-sink pattern).  Readers use ``read_latest`` /
-    ``spark.read.parquet`` on the snapshot dir; partition discovery
-    picks up the batch= subdirs.  The snapshot path is minted once per
-    query start, so each pipeline run is one auditable zone version
-    while batches inside it stay incremental.
+    idempotent-sink pattern).  For the overwrite to heal the replay the
+    snapshot path must be the SAME on restart, so it is derived from
+    the checkpoint via a sidecar (:func:`_stable_zone_path`): one zone
+    version per checkpoint lifetime (batch ids are monotonic within a
+    checkpoint, so every batch dir is written at most once plus
+    idempotent replays).  A new logical run = a new checkpoint = a new
+    auditable zone version.  Readers use ``spark.read.parquet`` on the
+    snapshot dir; partition discovery picks up the batch= subdirs.
     """
     import os
 
-    from ..io.parquet_io import versioned_name
-
-    path = os.path.join(zone_dir, versioned_name(prefix, git_sha))
+    path = _stable_zone_path(zone_dir, prefix, checkpoint, git_sha)
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.write.mode("overwrite").parquet(
@@ -144,8 +179,14 @@ def stream_to_versioned_zone(
 def read_stream_zone(spark: SparkSession, zone_dir: str, prefix: str) -> DataFrame:
     """Read the FULL streaming zone: unlike batch snapshots (each
     version is complete, read the newest), streaming versions are
-    incremental — one per pipeline run — so the table is the union of
-    every ``prefix__*`` version directory."""
+    incremental — one per checkpoint lifetime (epoch) — so the table is
+    the union of every ``prefix__*`` version directory.  Correctness
+    contract: an epoch's checkpoint tracks which source files it
+    consumed, so epochs never overlap as long as each new checkpoint
+    consumes arrivals the previous epoch hadn't seen (retire the old
+    landing data with the old checkpoint); within an epoch the sidecar-
+    pinned version dir + idempotent batch overwrite make restarts
+    exactly-once."""
     import glob as _glob
     import os
 

@@ -460,6 +460,44 @@ def test_rest_client_retry_after_http_date_falls_back_to_backoff():
         srv.shutdown()
 
 
+def test_rest_client_caps_excessive_retry_after():
+    # a throttling server saying "Retry-After: 86400" must not stall the
+    # Spark task for a day — the sleep is capped at max_wait_s
+    import http.server
+    import threading
+
+    hits = []
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            hits.append(1)
+            if len(hits) == 1:
+                self.send_response(429)
+                self.send_header("Retry-After", "86400")
+                self.end_headers()
+                return
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.end_headers()
+            self.wfile.write(b'{"ok": true}')
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        naps = []
+        client = connectors.RestClient(
+            f"http://127.0.0.1:{srv.server_address[1]}", max_wait_s=0.5,
+            sleep=naps.append,
+        )
+        assert client.get_json("/x") == {"ok": True}
+        assert naps == [0.5]  # 86400 capped to max_wait_s
+    finally:
+        srv.shutdown()
+
+
 def test_kobo_fetcher_rejects_missing_count():
     calls = []
 

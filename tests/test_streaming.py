@@ -154,7 +154,9 @@ def test_stream_to_versioned_zone_idempotent_batches(spark, landing_dir, tmp_pat
     assert n1 == 4  # full backlog landed
     assert "batch" in first.columns  # partitioned by batch id
 
-    # new arrivals -> next run appends a new batch dir, old rows intact
+    # restart on the SAME checkpoint reuses the SAME version dir (the
+    # sidecar pins it) — a crash-restart replay overwrites its own
+    # batch dir instead of duplicating rows into a fresh version
     late = spark.createDataFrame(
         [(50, "2024-01-01 09:00:00", 13, "view", 5.0)],
         "event_id long, ts string, user_id long, event_type string, value double",
@@ -163,7 +165,26 @@ def test_stream_to_versioned_zone_idempotent_batches(spark, landing_dir, tmp_pat
     stream2 = si.stream_landing_zone(spark, landing_dir, schema)
     q2, path2 = si.stream_to_versioned_zone(stream2, zone, "events", ckpt)
     q2.awaitTermination(120)
-    assert spark.read.parquet(path).count() == n1  # old snapshot untouched
-    assert spark.read.parquet(path2).count() == 1  # only the new batch
-    # the zone as a whole is the union of incremental versions
+    assert path2 == path  # stable across restarts of one checkpoint
+    assert spark.read.parquet(path).count() == n1 + 1  # new batch appended
     assert si.read_stream_zone(spark, zone, "events").count() == n1 + 1
+
+    # a NEW checkpoint = a new logical run = a fresh zone version; the
+    # zone as a whole is the union of incremental versions
+    import time as _time
+
+    _time.sleep(1.1)  # versioned_name has second granularity
+    late2 = spark.createDataFrame(
+        [(51, "2024-01-01 10:00:00", 14, "view", 6.0)],
+        "event_id long, ts string, user_id long, event_type string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    late2.coalesce(1).write.mode("append").parquet(landing_dir)
+    stream3 = si.stream_landing_zone(spark, landing_dir, schema)
+    q3, path3 = si.stream_to_versioned_zone(
+        stream3, zone, "events", str(tmp_path / "zc2")
+    )
+    q3.awaitTermination(120)
+    assert path3 != path
+    # the fresh checkpoint re-reads the full backlog into its version;
+    # each version is internally exactly-once
+    assert spark.read.parquet(path3).count() == n1 + 2
