@@ -108,6 +108,7 @@ def shingle_hash_frame(
     id_col: str = "doc_id",
     shingle_k: int = 5,
     drop_short: bool = True,
+    materialize: bool = False,
 ) -> DataFrame:
     """(id, _h32) — the distinct 32-bit shingle-hash SET per document,
     computed in ONE tokenize + shingle + md5 pass and materialized
@@ -129,13 +130,26 @@ def shingle_hash_frame(
     ``drop_short`` drops documents with fewer than ``shingle_k`` tokens
     (empty shingle set): they can't participate in near-dup detection,
     and an all-NULL signature would otherwise alias all short docs into
-    one LSH bucket.
+    one LSH bucket.  The filter is applied AFTER the exchange, where
+    ``_h32`` is a materialized attribute — filtering before it would
+    make Catalyst push a full copy of the shingle+hash expression into
+    the parquet scan as a DataFilter, doubling the expensive work.
+
+    ``materialize`` eagerly ``localCheckpoint``s the frame.  Pipelines
+    with MULTIPLE consumers (candidates + verify) need it: neither the
+    static planner nor AQE reuses the round-robin exchange across the
+    self-join and verify branches (observed: 4 separate scans), so
+    without a hard materialization the corpus is re-hashed per branch.
     """
     sh = shingles(F.col(text_col), shingle_k)
-    out = df.select(F.col(id_col), F.array_distinct(F.transform(sh, _h32)).alias("_h32"))
+    out = df.select(
+        F.col(id_col), F.array_distinct(F.transform(sh, _h32)).alias("_h32")
+    ).repartition(df.sparkSession.sparkContext.defaultParallelism)
+    if materialize:
+        out = out.localCheckpoint()
     if drop_short:
         out = out.filter(F.size("_h32") > 0)
-    return out.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    return out
 
 
 def minhash_signatures_from_hashes(

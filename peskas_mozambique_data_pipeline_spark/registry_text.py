@@ -136,10 +136,12 @@ _MH_BANDS = 4
 
 
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # ONE shingle-hash frame feeds candidate generation AND Jaccard
-    # verification (ReusedExchange) — the corpus is tokenized, shingled
-    # and md5'd exactly once; drop_short subsumes the <5-token filter
-    hashed = dedup_ops.shingle_hash_frame(_docs(spark, sf_dir), shingle_k=5)
+    # ONE materialized shingle-hash frame feeds candidate generation AND
+    # Jaccard verification — the corpus is tokenized, shingled and md5'd
+    # exactly once; drop_short subsumes the <5-token filter
+    hashed = dedup_ops.shingle_hash_frame(
+        _docs(spark, sf_dir), shingle_k=5, materialize=True
+    )
     pairs = dedup_ops.minhash_candidates_from_hashes(
         hashed, n_hashes=_MH_N, bands=_MH_BANDS
     )
@@ -217,7 +219,9 @@ JOIN hashed sb ON c.id_b = sb.doc_id
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    hashed = dedup_ops.shingle_hash_frame(_docs(spark, sf_dir), shingle_k=5)
+    hashed = dedup_ops.shingle_hash_frame(
+        _docs(spark, sf_dir), shingle_k=5, materialize=True
+    )
     pairs = dedup_ops.minhash_candidates_from_hashes(
         hashed, n_hashes=_MH_N, bands=_MH_BANDS
     )
