@@ -211,7 +211,12 @@ def repetition_features(
     t = F.col("_rf_toks")
     # repartition barrier: materialize the token array as an ATTRIBUTE
     # before the gram HOFs read it — CollapseProject would otherwise
-    # re-inline the split() per n-gram branch (measured 2x slower)
+    # re-inline the split() per n-gram branch (measured 2x slower).
+    # A localCheckpoint barrier was measured 1.8x SLOWER at sf0.1 (min
+    # 4.7s vs 2.6s): with a single downstream consumer the pipelined
+    # shuffle beats eager block serialization; checkpointing only wins
+    # for multi-consumer frames (see dedup.shingle_hash_frame).  On a
+    # real cluster the shuffle is network-bound — re-measure there.
     base = df.select(id_col, tokens(text_col).alias("_rf_toks")).repartition(
         df.sparkSession.sparkContext.defaultParallelism
     )

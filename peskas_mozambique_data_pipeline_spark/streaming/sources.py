@@ -7,6 +7,9 @@ downstream streaming plans (``arrival_stats``, ``streaming_dedup``,
   object storage, Spark streams the directory).
 * ``RateStreamSource`` — Spark's built-in ``rate`` source mapped to the
   events schema; synthetic sustained load for soak tests.
+* ``RateMicroBatchSource`` — deterministic ``rate-micro-batch`` source
+  whose EVENT time advances a fixed step per batch: simulated hours in
+  wall-clock seconds, so watermark-driven state eviction is testable.
 * ``KafkaStreamSource`` — config-complete Kafka reader (bootstrap
   servers, topic, offsets, JSON value decode).  The Kafka connector jar
   is not in this container, so ``read_stream`` raises a clear error if
@@ -63,6 +66,38 @@ class RateStreamSource(StreamSource):
     def read_stream(self, spark: SparkSession) -> DataFrame:
         reader = spark.readStream.format("rate").option(
             "rowsPerSecond", str(self.rows_per_second)
+        )
+        if self.num_partitions:
+            reader = reader.option("numPartitions", str(self.num_partitions))
+        raw = reader.load()
+        return self.project(raw) if self.project else raw
+
+
+@dataclass
+class RateMicroBatchSource(StreamSource):
+    """Built-in ``rate-micro-batch`` source: a DETERMINISTIC batch
+    stream whose event time advances ``advance_millis_per_batch`` per
+    micro-batch regardless of wall clock.
+
+    This is the soak-test workhorse: hours of simulated event time pass
+    in seconds of wall time, so watermark-driven state eviction (window
+    close, dedup horizon expiry) is observable in a bounded test run —
+    the plain ``rate`` source stamps wall-clock ``now()`` and would need
+    a real hour to close a 1-hour window.
+    """
+
+    rows_per_batch: int = 100
+    start_timestamp_ms: int = 0
+    advance_millis_per_batch: int = 1000
+    num_partitions: int | None = None
+    project: Callable[[DataFrame], DataFrame] | None = None
+
+    def read_stream(self, spark: SparkSession) -> DataFrame:
+        reader = (
+            spark.readStream.format("rate-micro-batch")
+            .option("rowsPerBatch", str(self.rows_per_batch))
+            .option("startTimestamp", str(self.start_timestamp_ms))
+            .option("advanceMillisPerBatch", str(self.advance_millis_per_batch))
         )
         if self.num_partitions:
             reader = reader.option("numPartitions", str(self.num_partitions))

@@ -188,3 +188,57 @@ def test_stream_to_versioned_zone_idempotent_batches(spark, landing_dir, tmp_pat
     # the fresh checkpoint re-reads the full backlog into its version;
     # each version is internally exactly-once
     assert spark.read.parquet(path3).count() == n1 + 2
+
+
+def test_streaming_soak_bounded_state(spark, tmp_path):
+    """Trigger-interval soak: simulated hours of event time through
+    arrival_stats + the foreachBatch zone sink.  The watermark must
+    EVICT closed windows — state store rows stay bounded while total
+    input grows, the property that keeps an unbounded stream runnable
+    at 100 TB."""
+    import time
+
+    from peskas_mozambique_data_pipeline_spark.streaming import sources as ss
+
+    src = ss.RateMicroBatchSource(
+        rows_per_batch=200,
+        start_timestamp_ms=1704067200000,  # 2024-01-01T00:00Z
+        advance_millis_per_batch=30 * 60 * 1000,  # 30 simulated min/batch
+        num_partitions=2,
+        project=ss.rate_as_events,
+    )
+    stats = si.arrival_stats(
+        src.read_stream(spark), window="1 hour", watermark="1 hour"
+    )
+    q, path = si.stream_to_versioned_zone(
+        stats,
+        str(tmp_path / "zone"),
+        "arrivals",
+        str(tmp_path / "soak_ck"),
+        available_now=False,  # continuous micro-batches, not a drain
+    )
+    try:
+        deadline = time.time() + 180
+        while time.time() < deadline:
+            p = q.lastProgress
+            if p and p.get("batchId", 0) >= 14:  # ~7 simulated hours
+                break
+            time.sleep(0.5)
+        progresses = [p for p in q.recentProgress if p.get("stateOperators")]
+    finally:
+        q.stop()
+
+    state_rows = [p["stateOperators"][0]["numRowsTotal"] for p in progresses]
+    inputs = sum(p["numInputRows"] for p in progresses)
+    assert len(state_rows) >= 8  # a real soak, not two batches
+    assert inputs >= 1600
+    # live state = windows not yet past (window end + watermark): at
+    # 30 min/batch that is <=4-5 open 1h windows x 2 event types; a
+    # leak (no eviction) would grow past this within 14 batches
+    assert max(state_rows) <= 24, f"state grew unbounded: {state_rows}"
+    # finalized (watermark-closed) windows landed through foreachBatch
+    landed = spark.read.parquet(path)
+    assert landed.count() > 0
+    assert {"window_start", "window_end", "event_type", "n_events"} <= set(
+        landed.columns
+    )
