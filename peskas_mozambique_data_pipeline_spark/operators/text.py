@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from collections.abc import Mapping
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 TOKEN_SPLIT_RE = r"\s+"
@@ -425,3 +425,162 @@ def redact_pii(
         total = total + F.size(F.regexp_extract_all(cur, F.lit(regex), 0))
         cur = F.regexp_replace(cur, regex, token)
     return df.withColumn(count_col, total.cast("int")).withColumn(out_col, cur)
+
+
+def pack_documents(
+    df: DataFrame,
+    budget: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    strata_col: str = "lang",
+) -> DataFrame:
+    """Deterministic contiguous sequence packing: concatenate documents
+    (in ``id_col`` order, per ``strata_col``) into training sequences of
+    ``budget`` tokens; a document's pack is ``floor(tokens-before /
+    budget)`` — the GPT-style pre-training batch layout, computed
+    declaratively instead of with a driver-side greedy loop.
+
+    Returns one row per (stratum, pack): document count, token total,
+    and the [first_doc, last_doc] id range (contiguity by construction).
+
+    Scale shape: one shuffle on the stratum key + an in-partition sort,
+    then a partial-aggregated groupBy.  ``strata_col`` doubles as the
+    parallelism unit — at 100 TB use a composite key (e.g. (lang,
+    shard)) so a single giant language doesn't serialize into one
+    window partition.
+    """
+    w = (
+        Window.partitionBy(strata_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    n_tok = F.size(tokens(text_col))
+    counted = df.select(F.col(id_col), F.col(strata_col), n_tok.alias("_n_tok"))
+    packed = counted.withColumn(
+        "pack_id",
+        F.floor(
+            F.coalesce(F.sum("_n_tok").over(w), F.lit(0)) / F.lit(float(budget))
+        ).cast("bigint"),
+    )
+    return packed.groupBy(strata_col, "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_n_tok").alias("pack_tokens"),
+        F.min(id_col).alias("first_doc"),
+        F.max(id_col).alias("last_doc"),
+    )
+
+
+SENTENCE_SPLIT_RE = r"[.!?]\s+"
+
+
+def boilerplate_sentences(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 3,
+    min_chars: int = 20,
+) -> DataFrame:
+    """Sentence-level boilerplate detection (the pre-dedup step real
+    training pipelines run before document-level near-dup removal):
+    sentences repeated across ``min_docs``+ DISTINCT documents are
+    navigation chrome, disclaimers, license headers.
+
+    Splits on sentence punctuation, normalizes (lower/trim), drops
+    fragments under ``min_chars``, and aggregates by md5 digest —
+    explode + one groupBy on the digest, the same single-shuffle shape
+    as exact dedup but at sentence grain.  Returns digest, distinct-doc
+    count, total occurrences, and the (deterministic min) exemplar.
+    """
+    sent = F.explode(F.split(F.col(text_col), SENTENCE_SPLIT_RE)).alias("sent")
+    norm = F.lower(F.trim(F.col("sent")))
+    exploded = df.select(F.col(id_col), sent).select(
+        F.col(id_col), norm.alias("sent")
+    )
+    filtered = exploded.filter(F.length("sent") >= min_chars)
+    return (
+        filtered.groupBy(F.md5(F.col("sent")).alias("sentence_digest"))
+        .agg(
+            F.countDistinct(id_col).alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("sent").alias("exemplar"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def c4_quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 20,
+    max_tokens: int = 10000,
+    mean_len_lo: float = 3.0,
+    mean_len_hi: float = 10.0,
+    min_stopword_ratio: float = 0.0125,
+    max_punct_ratio: float = 0.2,
+) -> DataFrame:
+    """C4/Gopher-style heuristic quality gate (Raffel et al. 2020 §2.2,
+    Rae et al. 2021 App. A1.1): per-rule boolean flags plus the combined
+    ``keep`` verdict.  Per-rule flags (not just the verdict) are what a
+    pipeline operator needs to tune thresholds against a corpus sample.
+
+    Every rule is exact arithmetic over scan-local counts — no
+    transcendental math, so the result is bit-identical across engines
+    and the whole filter runs at parquet scan speed.
+    """
+    t = tokens(text_col)
+    c = F.col(text_col)
+    n_tok = F.size(t)
+    n_chars = F.length(c)
+    n_punct = n_chars - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    n_stop = F.size(F.filter(t, lambda x: x.isin(*STOPWORDS)))
+    # mean token length over the non-separator chars (same convention as
+    # quality_features: separators ~= n_tok - 1)
+    mean_len = (n_chars - (n_tok - F.lit(1))) / n_tok
+    flag_short = n_tok < min_tokens
+    flag_long = n_tok > max_tokens
+    flag_mean = (mean_len < mean_len_lo) | (mean_len > mean_len_hi)
+    flag_stop = (n_stop / n_tok) < min_stopword_ratio
+    flag_punct = (n_punct / n_chars) > max_punct_ratio
+    return df.select(
+        F.col(id_col),
+        flag_short.alias("flag_too_short"),
+        flag_long.alias("flag_too_long"),
+        flag_mean.alias("flag_bad_mean_token_len"),
+        flag_stop.alias("flag_low_stopword"),
+        flag_punct.alias("flag_high_punct"),
+        (
+            ~flag_short & ~flag_long & ~flag_mean & ~flag_stop & ~flag_punct
+        ).alias("keep"),
+    )
+
+
+def common_phrases(
+    df: DataFrame,
+    k: int = 6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 5,
+) -> DataFrame:
+    """Phrase-level boilerplate mining: k-token phrases appearing in
+    ``min_docs``+ DISTINCT documents.  The corpus-independent sibling of
+    :func:`boilerplate_sentences` — works on text with no sentence
+    punctuation, and is how filter lists (common n-grams to strip) get
+    built in practice.
+
+    Per-doc DISTINCT phrases (so a phrase repeated inside one document
+    counts once), one explode + one groupBy on the phrase digest — the
+    single-shuffle exact-dedup shape at phrase grain.
+    """
+    from .dedup import shingles
+
+    ph = F.explode(F.array_distinct(shingles(F.col(text_col), k))).alias("phrase")
+    exploded = df.select(F.col(id_col), ph)
+    return (
+        exploded.groupBy(F.md5(F.col("phrase")).alias("phrase_digest"))
+        .agg(
+            F.countDistinct(id_col).alias("n_docs"),
+            F.min("phrase").alias("exemplar"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )

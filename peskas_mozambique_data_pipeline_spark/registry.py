@@ -582,6 +582,11 @@ ORACLE_SQL.update(registry_misc.ORACLE_SQL)
 # bit-exact local gate, tools/check_correctness.py) rotate out.
 _VERIFY_FIRST = [
     # round-4 additions and the four r3 queries the driver never saw
+    "doc_pack",         # r4: sequence packing (new)
+    "boilerplate",      # r4: sentence-level boilerplate (new)
+    "c4_filter",        # r4: heuristic quality gate (new)
+    "minhash_dedup",    # r4: jaccard switched to 32-bit shingle hashes
+    "dedup_clusters",   # r4: same shared-frame change
     "ann_lsh",          # r4: re-oracled at n_tables=2 (multi-table path)
     "site_stats_full",
     "pii_scrub",

@@ -910,7 +910,120 @@ FROM chunked
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: deterministic contiguous sequence packing (GPT-style pre-training
+# batch layout) — per-language token cumsum, pack = tokens-before //
+# budget, rolled up per pack.
+
+
+def q_doc_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = text_ops.pack_documents(_docs(spark, sf_dir), budget=1024)
+    return out.select(
+        "lang", "pack_id", "n_docs", "pack_tokens", "first_doc", "last_doc"
+    )
+
+
+SQL_DOC_PACK = """
+WITH counted AS (
+  SELECT doc_id, lang,
+         len(string_split_regex(trim(text), '\\s+')) AS n_tok
+  FROM documents
+),
+packed AS (
+  SELECT doc_id, lang, n_tok,
+         CAST(FLOOR(COALESCE(SUM(n_tok) OVER (
+             PARTITION BY lang ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           / 1024.0) AS BIGINT) AS pack_id
+  FROM counted
+)
+SELECT lang, pack_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS pack_tokens,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+FROM packed GROUP BY lang, pack_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: phrase-level boilerplate mining — 6-token phrases appearing in
+# >= 3 distinct documents (the filter-list construction step; the
+# sentence-grain sibling boilerplate_sentences is unit-tested on
+# punctuated fixtures — this corpus has no sentence punctuation).
+
+
+def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = text_ops.common_phrases(_docs(spark, sf_dir), k=6, min_docs=3)
+    return out.select("phrase_digest", "n_docs", "exemplar")
+
+
+SQL_BOILERPLATE = """
+WITH phrases AS (
+  SELECT DISTINCT doc_id, p.phrase
+  FROM (
+    SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+    FROM documents
+    WHERE len(string_split_regex(trim(text), '\\s+')) >= 6
+  ),
+  unnest(list_transform(generate_series(1, len(t) - 5),
+                        i -> array_to_string(t[i:i+5], ' '))) AS p(phrase)
+)
+SELECT md5(phrase) AS phrase_digest,
+       COUNT(DISTINCT doc_id) AS n_docs,
+       MIN(phrase) AS exemplar
+FROM phrases
+GROUP BY md5(phrase)
+HAVING COUNT(DISTINCT doc_id) >= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: C4/Gopher heuristic quality gate — per-rule flags + keep verdict,
+# exact arithmetic only (bit-identical across engines), scan-speed.
+
+
+def q_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = text_ops.c4_quality_filter(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id", "flag_too_short", "flag_too_long", "flag_bad_mean_token_len",
+        "flag_low_stopword", "flag_high_punct", "keep",
+    )
+
+
+SQL_C4_FILTER = """
+WITH feat AS (
+  SELECT doc_id,
+         len(string_split_regex(trim(text), '\\s+')) AS n_tok,
+         length(text) AS n_chars,
+         length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct,
+         len(list_filter(string_split_regex(trim(text), '\\s+'),
+             x -> x IN ('the','a','of','and','to','in','is'))) AS n_stop
+  FROM documents
+),
+flags AS (
+  SELECT doc_id,
+         n_tok < 20 AS flag_too_short,
+         n_tok > 10000 AS flag_too_long,
+         ((n_chars - (n_tok - 1)) / n_tok < 3.0
+          OR (n_chars - (n_tok - 1)) / n_tok > 10.0) AS flag_bad_mean_token_len,
+         (n_stop / n_tok) < 0.0125 AS flag_low_stopword,
+         (n_punct / n_chars) > 0.2 AS flag_high_punct
+  FROM feat
+)
+SELECT doc_id, flag_too_short, flag_too_long, flag_bad_mean_token_len,
+       flag_low_stopword, flag_high_punct,
+       (NOT flag_too_short AND NOT flag_too_long
+        AND NOT flag_bad_mean_token_len AND NOT flag_low_stopword
+        AND NOT flag_high_punct) AS keep
+FROM flags
+"""
+
+
 SPARK_QUERIES = {
+    "doc_pack": q_doc_pack,
+    "boilerplate": q_boilerplate,
+    "c4_filter": q_c4_filter,
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
     "dedup_exact": q_dedup_exact,
@@ -931,6 +1044,9 @@ SPARK_QUERIES = {
 }
 
 ORACLE_SQL = {
+    "doc_pack": SQL_DOC_PACK,
+    "boilerplate": SQL_BOILERPLATE,
+    "c4_filter": SQL_C4_FILTER,
     "text_quality": SQL_TEXT_QUALITY,
     "lang_id": SQL_LANG_ID,
     "dedup_exact": SQL_DEDUP_EXACT,

@@ -359,3 +359,76 @@ def test_lsh_multi_table_recall_monotone(spark):
     # the monotone improvement is the property under test)
     assert r3 >= r1
     assert r3 > 0.1
+
+
+# ---------------------------------------------------------------------------
+# round 4: sequence packing / boilerplate / quality gate
+
+
+def test_pack_documents_budget_and_contiguity(spark):
+    # 6 docs x 40 tokens in one stratum, budget 100: packs hold
+    # floor-cumsum bins of 2-3 docs and id ranges never overlap
+    rows = [(i, "w " * 39 + "w", "en") for i in range(6)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    out = text.pack_documents(df, budget=100).collect()
+    by_pack = {r.pack_id: r for r in out}
+    # tokens-before: 0,40,80,120,... -> packs 0,0,0,1,1,2
+    assert by_pack[0].n_docs == 3 and by_pack[0].pack_tokens == 120
+    assert by_pack[1].n_docs == 2
+    assert by_pack[2].n_docs == 1
+    # contiguity: id ranges partition [0..5] in order
+    spans = sorted((r.first_doc, r.last_doc) for r in out)
+    assert spans == [(0, 2), (3, 4), (5, 5)]
+
+
+def test_pack_documents_strata_independent(spark):
+    rows = [(1, "a b c", "en"), (2, "d e f", "fr")]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    out = {(r.lang): r.pack_id for r in text.pack_documents(df, budget=10).collect()}
+    assert out == {"en": 0, "fr": 0}  # each stratum starts at pack 0
+
+
+def test_boilerplate_sentences_finds_repeated_disclaimer(spark):
+    disclaimer = "All rights reserved by the example corporation"
+    rows = [
+        (1, f"Unique alpha text here. {disclaimer}."),
+        (2, f"Different beta content. {disclaimer}."),
+        (3, f"Gamma words entirely. {disclaimer}."),
+        (4, "Nothing shared in this one."),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = text.boilerplate_sentences(df, min_docs=3, min_chars=20).collect()
+    assert len(out) == 1
+    assert out[0].n_docs == 3
+    assert disclaimer.lower() in out[0].exemplar
+
+
+def test_common_phrases_distinct_per_doc(spark):
+    phrase = "one two three four five six"
+    rows = [
+        (1, f"{phrase} {phrase}"),  # repeated inside ONE doc: counts once
+        (2, f"start {phrase} end"),
+        (3, "totally different words again seven eight"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = text.common_phrases(df, k=6, min_docs=2).collect()
+    exemplars = {r.exemplar for r in out}
+    assert phrase in exemplars
+    row = next(r for r in out if r.exemplar == phrase)
+    assert row.n_docs == 2  # in-doc repetition not double-counted
+
+
+def test_c4_quality_filter_rules(spark):
+    good = "the quick brown fox jumps over a lazy dog and then it runs to the river bank again today " * 2
+    rows = [
+        (1, good),
+        (2, "too short"),
+        (3, "!!! ??? *** !!! ??? *** " * 10),  # punctuation soup
+        (4, "zz " * 60),  # no stopwords
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in text.c4_quality_filter(df).collect()}
+    assert out[1].keep
+    assert out[2].flag_too_short and not out[2].keep
+    assert out[3].flag_high_punct and not out[3].keep
+    assert out[4].flag_low_stopword and not out[4].keep
