@@ -585,6 +585,7 @@ _VERIFY_FIRST = [
     "doc_pack",         # r4: sequence packing (new)
     "boilerplate",      # r4: sentence-level boilerplate (new)
     "c4_filter",        # r4: heuristic quality gate (new)
+    "embedding_clusters",  # r4: semantic dedup clusters (new)
     "minhash_dedup",    # r4: jaccard switched to 32-bit shingle hashes
     "dedup_clusters",   # r4: same shared-frame change
     "ann_lsh",          # r4: re-oracled at n_tables=2 (multi-table path)

@@ -522,6 +522,49 @@ FROM scored WHERE cos >= 0.35
 
 
 # ---------------------------------------------------------------------------
+# Q: embedding duplicate clusters — the same connected-components step
+# that turns MinHash pairs into clusters, applied to the embedding
+# near-dup graph: semantic dedup keeps one representative per cluster
+# of mutually-similar vectors.  Reuses the verified near-dup pipeline
+# (label-blocked triangle self-join) and duplicate_clusters (min-label
+# propagation, unique fixpoint).
+
+
+def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = q_embedding_near_dup(spark, sf_dir).select("id_a", "id_b")
+    return dedup_ops.duplicate_clusters(pairs)
+
+
+SQL_EMBEDDING_CLUSTERS = f"""
+WITH RECURSIVE scored AS (
+  SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+         {_COS_FOLD} AS cos
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+),
+pairs AS (
+  SELECT id_a, id_b FROM scored WHERE cos >= 0.35
+),
+sym AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach AS (
+  SELECT a AS n, a AS r FROM sym
+  UNION
+  SELECT s.a AS n, reach.r FROM sym s JOIN reach ON s.b = reach.n
+),
+comp AS (
+  SELECT n, MIN(r) AS component_id FROM reach GROUP BY n
+)
+SELECT component_id, COUNT(*) AS n_members,
+       string_agg(CAST(n AS VARCHAR), ',' ORDER BY n) AS members
+FROM comp GROUP BY component_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q: scalable ANN tiers as first-class queries — both oracle-checked.
 # The entire pipeline on both tiers is deterministic arithmetic
 # (md5-derived hyperplanes / md5-ordered k-means seeds, micro-unit
@@ -1034,6 +1077,7 @@ SPARK_QUERIES = {
     "token_rollup": q_token_rollup,
     "ann_cosine": q_ann_cosine,
     "embedding_near_dup": q_embedding_near_dup,
+    "embedding_clusters": q_embedding_clusters,
     "ann_ivf": q_ann_ivf,
     "ann_lsh": q_ann_lsh,
     "repetition_filter": q_repetition_filter,
@@ -1057,6 +1101,7 @@ ORACLE_SQL = {
     "token_rollup": SQL_TOKEN_ROLLUP,
     "ann_cosine": SQL_ANN_COSINE,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
+    "embedding_clusters": SQL_EMBEDDING_CLUSTERS,
     "ann_lsh": SQL_ANN_LSH,
     "ann_ivf": SQL_ANN_IVF,
     "repetition_filter": SQL_REPETITION_FILTER,
