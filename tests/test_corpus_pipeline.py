@@ -1,0 +1,63 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from peskas_mozambique_data_pipeline_spark.plans import corpus
+
+
+def _mk_doc(seed_words: list[str]) -> str:
+    # 26 tokens, natural stopword density, passes the C4 gate
+    base = "the quick brown fox jumps over a lazy dog and then runs to in of"
+    return base + " " + " ".join(seed_words) + " again and again today is fine"
+
+
+def _corpus(spark):
+    doc = _mk_doc(["alpha", "beta", "gamma", "delta"])
+    near = doc.replace("today", "tomorrow")  # near-dup of doc
+    other = _mk_doc(["omega", "sigma", "theta", "kappa"])
+    rows = [
+        (1, doc, "en"),
+        (2, near, "en"),          # near-dup: cluster {1,2}, keep 1
+        (3, doc, "en"),           # exact dup: joins cluster {1,2,3}
+        (4, other, "en"),         # unique survivor
+        (5, "too short", "en"),   # fails quality gate
+        (6, "!!! ??? " * 20, "en"),  # punctuation soup, fails gate
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+
+
+def test_corpus_pipeline_zone_dag(spark, tmp_path):
+    docs = _corpus(spark)
+    # one changed token among 26 gives Jaccard ~0.63 between docs 1 and
+    # 2 — threshold 0.5 makes {1,2,3} one cluster (3 is an exact dup)
+    out = corpus.run_corpus_pipeline(
+        spark, docs, str(tmp_path / "zones"), budget=30, jaccard_threshold=0.5
+    )
+    filtered = spark.read.parquet(out["corpus_filtered"])
+    deduped = spark.read.parquet(out["corpus_deduped"])
+    packs = spark.read.parquet(out["corpus_packs"])
+
+    # quality gate dropped the short + punctuation docs
+    assert set(r.doc_id for r in filtered.collect()) == {1, 2, 3, 4}
+    # near-dup cluster {1,2,3} collapsed to its minimum-id representative
+    assert set(r.doc_id for r in deduped.collect()) == {1, 4}
+    # packs partition the survivors exactly
+    assert packs.agg(F.sum("n_docs")).first()[0] == 2
+    # 26-token docs with budget 30: doc 1 -> pack 0, doc 4 -> pack 0(26//30=0)...
+    # tokens-before for doc 4 is 26 -> pack 0; both in pack 0
+    assert packs.count() == 1
+
+
+def test_corpus_pipeline_skip_fresh_reuses_versions(spark, tmp_path):
+    docs = _corpus(spark)
+    root = str(tmp_path / "zones")
+    first = corpus.run_corpus_pipeline(spark, docs, root)
+    again = corpus.run_corpus_pipeline(spark, docs, root, skip_fresh=True)
+    # every stage skipped: identical version paths, no recompute
+    assert again == first
+
+
+def test_dedup_survivors_keeps_singletons(spark):
+    docs = _corpus(spark).filter(F.col("doc_id").isin(1, 4))
+    out = corpus.dedup_survivors(docs)
+    assert set(r.doc_id for r in out.collect()) == {1, 4}
