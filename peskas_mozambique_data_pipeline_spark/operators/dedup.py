@@ -345,9 +345,12 @@ def simhash_near_pairs(
         ).alias("_h"),
     ).repartition(df.sparkSession.sparkContext.defaultParallelism)
     sigs = hashed.select(F.col(id_col), simhash32_from_hashes(F.col("_h")).alias("sig"))
-    # second barrier: the banding below references sig 5×; without it the
-    # 32-fold signature expression would be re-inlined per reference
-    sigs = sigs.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    # hard materialization, not just a repartition barrier: the banded
+    # frame below feeds BOTH sides of the self-join, and neither the
+    # static planner nor AQE reuses the exchange across self-join
+    # branches (same finding as shingle_hash_frame) — without the
+    # checkpoint the tokenize+md5+32-fold signature runs twice
+    sigs = sigs.localCheckpoint()
     banded = sigs.select(
         F.col(id_col),
         F.col("sig"),

@@ -576,10 +576,14 @@ def common_phrases(
 
     ph = F.explode(F.array_distinct(shingles(F.col(text_col), k))).alias("phrase")
     exploded = df.select(F.col(id_col), ph)
+    # (doc, phrase) pairs are already distinct (array_distinct inside the
+    # doc), so a plain count equals countDistinct(doc) — and avoids the
+    # Expand-based distinct-aggregate plan that doubles the exploded
+    # row volume through the shuffle
     return (
         exploded.groupBy(F.md5(F.col("phrase")).alias("phrase_digest"))
         .agg(
-            F.countDistinct(id_col).alias("n_docs"),
+            F.count(F.lit(1)).alias("n_docs"),
             F.min("phrase").alias("exemplar"),
         )
         .filter(F.col("n_docs") >= min_docs)
