@@ -54,6 +54,13 @@ def main() -> None:
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
+        # release driver references so the ContextCleaner can drop
+        # localCheckpoint blocks between queries — without this the
+        # checkpoint-backed queries' blocks accumulate across the suite
+        # and inflate later queries' times
+        import gc
+
+        gc.collect()
         runs.sort()
         timings[name] = round(runs[len(runs) // 2], 3)  # p50
         best[name] = round(runs[0], 3)

@@ -508,16 +508,53 @@ def boilerplate_sentences(
     )
 
 
-def c4_quality_filter(
-    df: DataFrame,
+def c4_rule_flags(
     text_col: str = "text",
-    id_col: str = "doc_id",
     min_tokens: int = 20,
     max_tokens: int = 10000,
     mean_len_lo: float = 3.0,
     mean_len_hi: float = 10.0,
     min_stopword_ratio: float = 0.0125,
     max_punct_ratio: float = 0.2,
+) -> dict[str, Column]:
+    """The C4/Gopher rule expressions as named boolean columns — usable
+    either as an audit table (:func:`c4_quality_filter`) or directly in
+    a ``filter`` (:func:`c4_keep_expr`, zero-shuffle gating)."""
+    t = tokens(text_col)
+    c = F.col(text_col)
+    n_tok = F.size(t)
+    n_chars = F.length(c)
+    n_punct = n_chars - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    n_stop = F.size(F.filter(t, lambda x: x.isin(*STOPWORDS)))
+    # mean token length over the non-separator chars (same convention as
+    # quality_features: separators ~= n_tok - 1)
+    mean_len = (n_chars - (n_tok - F.lit(1))) / n_tok
+    return {
+        "flag_too_short": n_tok < min_tokens,
+        "flag_too_long": n_tok > max_tokens,
+        "flag_bad_mean_token_len": (mean_len < mean_len_lo) | (mean_len > mean_len_hi),
+        "flag_low_stopword": (n_stop / n_tok) < min_stopword_ratio,
+        "flag_high_punct": (n_punct / n_chars) > max_punct_ratio,
+    }
+
+
+def c4_keep_expr(text_col: str = "text", **rule_kw) -> Column:
+    """The combined keep predicate as ONE column expression: gating a
+    corpus is ``df.filter(c4_keep_expr("text"))`` — a pure scan, no
+    join, no shuffle, and the predicate participates in whole-stage
+    codegen."""
+    flags = c4_rule_flags(text_col, **rule_kw)
+    keep = F.lit(True)
+    for f in flags.values():
+        keep = keep & ~f
+    return keep
+
+
+def c4_quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **rule_kw,
 ) -> DataFrame:
     """C4/Gopher-style heuristic quality gate (Raffel et al. 2020 §2.2,
     Rae et al. 2021 App. A1.1): per-rule boolean flags plus the combined
@@ -528,30 +565,14 @@ def c4_quality_filter(
     transcendental math, so the result is bit-identical across engines
     and the whole filter runs at parquet scan speed.
     """
-    t = tokens(text_col)
-    c = F.col(text_col)
-    n_tok = F.size(t)
-    n_chars = F.length(c)
-    n_punct = n_chars - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
-    n_stop = F.size(F.filter(t, lambda x: x.isin(*STOPWORDS)))
-    # mean token length over the non-separator chars (same convention as
-    # quality_features: separators ~= n_tok - 1)
-    mean_len = (n_chars - (n_tok - F.lit(1))) / n_tok
-    flag_short = n_tok < min_tokens
-    flag_long = n_tok > max_tokens
-    flag_mean = (mean_len < mean_len_lo) | (mean_len > mean_len_hi)
-    flag_stop = (n_stop / n_tok) < min_stopword_ratio
-    flag_punct = (n_punct / n_chars) > max_punct_ratio
+    flags = c4_rule_flags(text_col, **rule_kw)
+    keep = F.lit(True)
+    for f in flags.values():
+        keep = keep & ~f
     return df.select(
         F.col(id_col),
-        flag_short.alias("flag_too_short"),
-        flag_long.alias("flag_too_long"),
-        flag_mean.alias("flag_bad_mean_token_len"),
-        flag_stop.alias("flag_low_stopword"),
-        flag_punct.alias("flag_high_punct"),
-        (
-            ~flag_short & ~flag_long & ~flag_mean & ~flag_stop & ~flag_punct
-        ).alias("keep"),
+        *[f.alias(name) for name, f in flags.items()],
+        keep.alias("keep"),
     )
 
 

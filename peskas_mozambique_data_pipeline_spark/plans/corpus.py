@@ -36,12 +36,10 @@ from .pipeline import PipelineZones
 
 
 def curate_quality(docs: DataFrame, **filter_kw) -> DataFrame:
-    """Docs surviving the C4/Gopher heuristic gate (flags dropped —
-    downstream stages only need the survivors)."""
-    flags = text_ops.c4_quality_filter(docs, **filter_kw)
-    return docs.join(
-        flags.filter(F.col("keep")).select("doc_id"), "doc_id", "left_semi"
-    )
+    """Docs surviving the C4/Gopher heuristic gate — a direct filter on
+    the keep predicate (pure scan, zero shuffle); joining against the
+    flags table would scan the corpus twice for nothing."""
+    return docs.filter(text_ops.c4_keep_expr("text", **filter_kw))
 
 
 def dedup_survivors(
