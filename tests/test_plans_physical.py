@@ -150,3 +150,29 @@ def test_site_stats_full_pushes_shipdate_filter(spark):
     plan = plan_of(registry.SPARK_QUERIES["site_stats_full"](spark, SF))
     assert "PushedFilters" in plan
     assert "l_shipdate" in plan.split("PushedFilters")[1][:400]
+
+
+def test_c4_filter_is_pure_scan(spark):
+    # the quality gate must stay a scan: no exchange anywhere
+    plan = plan_of(registry.SPARK_QUERIES["c4_filter"](spark, SF), "simple")
+    assert "Exchange" not in plan
+
+
+def test_doc_pack_two_exchanges(spark):
+    # one shuffle for the stratum window + one for the pack rollup;
+    # anything more means the cumsum window stopped reusing its
+    # partitioning for the groupBy
+    plan = plan_of(registry.SPARK_QUERIES["doc_pack"](spark, SF), "simple")
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_corpus_quality_stage_no_join(spark):
+    # curate_quality gates with a direct filter — a semi-join against a
+    # flags table derived from the same corpus would scan it twice
+    from peskas_mozambique_data_pipeline_spark.plans import corpus
+    from peskas_mozambique_data_pipeline_spark.session import read_table
+
+    docs = read_table(spark, SF, "documents")
+    plan = plan_of(corpus.curate_quality(docs), "simple")
+    assert "Join" not in plan
+    assert "Exchange" not in plan

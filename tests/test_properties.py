@@ -294,3 +294,38 @@ def test_stratified_sample_is_exact_subset_semantics(spark, n, frac):
         for r in df.select("doc_id", deterministic_uniform("doc_id").alias("u")).collect()
     }
     assert kept == {i for i in range(n) if us[i] < frac}
+
+
+@SET
+@given(
+    st.lists(st.integers(min_value=1, max_value=40), min_size=1, max_size=12),
+    st.sampled_from([10, 25, 100]),
+)
+def test_pack_documents_conservation_and_order(spark, tok_counts, budget):
+    from peskas_mozambique_data_pipeline_spark.operators.text import pack_documents
+
+    rows = [(i, " ".join(["w"] * n), "en") for i, n in enumerate(tok_counts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    packs = pack_documents(df, budget=budget).collect()
+
+    # conservation: every doc and every token lands in exactly one pack
+    assert sum(p.n_docs for p in packs) == len(tok_counts)
+    assert sum(p.pack_tokens for p in packs) == sum(tok_counts)
+    # contiguity + order: sorted by pack_id, the doc-id ranges tile the
+    # input without overlap, and pack ids never decrease along doc order
+    spans = [(p.pack_id, p.first_doc, p.last_doc) for p in sorted(packs)]
+    expect_next = 0
+    for _pid, first, last in spans:
+        assert first == expect_next
+        assert last >= first
+        expect_next = last + 1
+    assert expect_next == len(tok_counts)
+    # binning law: pack of doc i == tokens-before-i // budget
+    cum = 0
+    pack_of = {}
+    for i, n in enumerate(tok_counts):
+        pack_of[i] = cum // budget
+        cum += n
+    for pid, first, last in spans:
+        for i in range(first, last + 1):
+            assert pack_of[i] == pid
