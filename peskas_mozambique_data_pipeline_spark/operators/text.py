@@ -609,3 +609,49 @@ def common_phrases(
         )
         .filter(F.col("n_docs") >= min_docs)
     )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    ks: tuple[int, ...] = (100, 1000, 10000),
+) -> DataFrame:
+    """Vocabulary coverage curve: for each candidate vocab size ``k``,
+    the fraction of all token INSTANCES covered by the ``k`` most
+    frequent tokens — the statistic that picks a tokenizer vocab size
+    (the knee of this curve) and bounds the OOV rate (1 − coverage).
+
+    Scale shape: one explode + one groupBy(token) builds the count
+    table (vocab ≪ corpus), materialized once for all ``k``; each top-k
+    is ``orderBy(...).limit(k)`` which compiles to
+    TakeOrderedAndProject — per-partition top-k with a driver merge of
+    k rows, never a single-partition global sort.  Ties break
+    deterministically on (count DESC, token ASC) so engines agree on
+    the exact top-k set.
+    """
+    tok = df.select(F.explode(tokens(text_col)).alias("token"))
+    counts = (
+        tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+        # one materialization feeds the total + every top-k consumer
+        # (self-consumption is never exchange-reused; see dedup notes)
+        .localCheckpoint()
+    )
+    total = counts.agg(F.sum("cnt").alias("total_tokens"))
+    parts = []
+    for k in ks:
+        top = counts.orderBy(F.desc("cnt"), F.asc("token")).limit(k)
+        parts.append(
+            top.agg(
+                F.lit(k).cast("bigint").alias("k"),
+                F.sum("cnt").alias("covered_tokens"),
+            )
+        )
+    from functools import reduce
+
+    per_k = reduce(lambda a, b: a.unionByName(b), parts)
+    return per_k.crossJoin(F.broadcast(total)).select(
+        "k",
+        "covered_tokens",
+        "total_tokens",
+        F.round(F.col("covered_tokens") / F.col("total_tokens"), 6).alias("coverage"),
+    )

@@ -582,6 +582,7 @@ ORACLE_SQL.update(registry_misc.ORACLE_SQL)
 # bit-exact local gate, tools/check_correctness.py) rotate out.
 _VERIFY_FIRST = [
     # round-4 additions and the four r3 queries the driver never saw
+    "vocab_coverage",   # r4: vocab coverage curve (new)
     "doc_pack",         # r4: sequence packing (new)
     "boilerplate",      # r4: sentence-level boilerplate (new)
     "c4_filter",        # r4: heuristic quality gate (new)

@@ -1063,7 +1063,45 @@ FROM flags
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: vocabulary coverage curve — the vocab-size-selection statistic
+# (what share of token instances the top-k tokens cover).  Top-k is
+# TakeOrderedAndProject (distributed), ties broken (cnt DESC, token
+# ASC) on both engines.
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_ops.vocab_coverage(_docs(spark, sf_dir), ks=(10, 25, 50))
+
+
+SQL_VOCAB_COVERAGE = """
+WITH tok AS (
+  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token FROM documents
+),
+counts AS (
+  SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token
+),
+total AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS total_tokens FROM counts
+),
+per_k AS (
+  SELECT CAST(10 AS BIGINT) AS k, CAST(SUM(cnt) AS BIGINT) AS covered_tokens
+  FROM (SELECT cnt FROM counts ORDER BY cnt DESC, token ASC LIMIT 10)
+  UNION ALL
+  SELECT 25, CAST(SUM(cnt) AS BIGINT)
+  FROM (SELECT cnt FROM counts ORDER BY cnt DESC, token ASC LIMIT 25)
+  UNION ALL
+  SELECT 50, CAST(SUM(cnt) AS BIGINT)
+  FROM (SELECT cnt FROM counts ORDER BY cnt DESC, token ASC LIMIT 50)
+)
+SELECT k, covered_tokens, total_tokens,
+       ROUND(CAST(covered_tokens AS DOUBLE) / total_tokens, 6) AS coverage
+FROM per_k, total
+"""
+
+
 SPARK_QUERIES = {
+    "vocab_coverage": q_vocab_coverage,
     "doc_pack": q_doc_pack,
     "boilerplate": q_boilerplate,
     "c4_filter": q_c4_filter,
@@ -1088,6 +1126,7 @@ SPARK_QUERIES = {
 }
 
 ORACLE_SQL = {
+    "vocab_coverage": SQL_VOCAB_COVERAGE,
     "doc_pack": SQL_DOC_PACK,
     "boilerplate": SQL_BOILERPLATE,
     "c4_filter": SQL_C4_FILTER,

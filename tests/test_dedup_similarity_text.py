@@ -432,3 +432,17 @@ def test_c4_quality_filter_rules(spark):
     assert out[2].flag_too_short and not out[2].keep
     assert out[3].flag_high_punct and not out[3].keep
     assert out[4].flag_low_stopword and not out[4].keep
+
+
+def test_vocab_coverage_curve_monotone_and_exact(spark):
+    rows = [
+        (1, "a a a a b b c d"),   # counts: a=4 b=2 c=1 d=1 (total 8)
+        (2, "a b e"),             # a=5 b=3 e=1 (total 11)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.k: r for r in text.vocab_coverage(df, ks=(1, 2, 3)).collect()}
+    assert out[1].covered_tokens == 5          # 'a'
+    assert out[2].covered_tokens == 8          # 'a' + 'b'
+    assert out[3].covered_tokens == 9          # + 'c' (ties: token ASC)
+    assert all(out[k].total_tokens == 11 for k in (1, 2, 3))
+    assert out[1].coverage <= out[2].coverage <= out[3].coverage

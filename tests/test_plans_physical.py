@@ -176,3 +176,11 @@ def test_corpus_quality_stage_no_join(spark):
     plan = plan_of(corpus.curate_quality(docs), "simple")
     assert "Join" not in plan
     assert "Exchange" not in plan
+
+
+def test_vocab_coverage_distributed_topk(spark):
+    # each top-k must compile to TakeOrderedAndProject (per-partition
+    # top-k + driver merge of k rows), never a global Sort
+    plan = plan_of(registry.SPARK_QUERIES["vocab_coverage"](spark, SF), "simple")
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan  # no global sort node
