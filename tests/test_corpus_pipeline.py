@@ -61,3 +61,38 @@ def test_dedup_survivors_keeps_singletons(spark):
     docs = _corpus(spark).filter(F.col("doc_id").isin(1, 4))
     out = corpus.dedup_survivors(docs)
     assert set(r.doc_id for r in out.collect()) == {1, 4}
+
+
+def test_streaming_document_dedup_at_ingest(spark, tmp_path):
+    """The streaming face of corpus curation: documents landing
+    incrementally are exact-deduped AT INGEST by content digest within
+    the watermark horizon — state stays bounded, and the curated zone
+    never sees the duplicate."""
+    from pyspark.sql import functions as F
+
+    from peskas_mozambique_data_pipeline_spark.streaming import ingest as si
+
+    landing = str(tmp_path / "doc_landing")
+    rows = [
+        (1, "the quick brown fox", "2024-01-01 00:10:00"),
+        (2, "a different document", "2024-01-01 00:20:00"),
+        (3, "The quick  brown fox", "2024-01-01 00:30:00"),  # dup after norm
+        (4, "yet another text", "2024-01-01 00:40:00"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, ts string").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    df.coalesce(1).write.parquet(landing)
+
+    stream = si.stream_landing_zone(spark, landing, df.schema)
+    digest = F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "))
+    deduped = si.streaming_dedup(
+        stream.withColumn("digest", digest), ["digest"], watermark="1 hour"
+    )
+    q, path = si.stream_to_versioned_zone(
+        deduped, str(tmp_path / "zone"), "docs", str(tmp_path / "ck")
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(path)
+    assert out.count() == 3  # doc 3 (normalized dup of 1) dropped
+    assert set(r.doc_id for r in out.collect()) == {1, 2, 4}
