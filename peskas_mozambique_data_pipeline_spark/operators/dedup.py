@@ -175,16 +175,16 @@ def minhash_signatures_from_hashes(
     return hashed.select(F.col(id_col), *mins)
 
 
-def minhash_candidates_from_hashes(
+def band_buckets(
     hashed: DataFrame,
     id_col: str = "doc_id",
     n_hashes: int = 8,
     bands: int = 4,
 ) -> DataFrame:
-    """LSH candidate pairs from a :func:`shingle_hash_frame` — band the
-    signature, hash each band, self-join on (band, band-hash).  Returns
-    distinct (id_a < id_b) pairs; shuffle is on bucket keys, never a
-    cross join."""
+    """Long-form LSH bucket table (id, band, bucket) from a
+    :func:`shingle_hash_frame` — the joinable index representation
+    shared by batch candidate generation and the incremental index
+    (``streaming/dedup_index.py``)."""
     rows_per_band = n_hashes // bands
     sig = minhash_signatures_from_hashes(hashed, id_col, n_hashes)
     band_cols = []
@@ -195,7 +195,22 @@ def minhash_candidates_from_hashes(
         ]
         band_cols.append(F.md5(F.concat_ws("|", *parts)).alias(f"band_{b}"))
     banded = sig.select(F.col(id_col), *band_cols)
-    long = banded.unpivot([id_col], [f"band_{b}" for b in range(bands)], "band", "bucket")
+    return banded.unpivot(
+        [id_col], [f"band_{b}" for b in range(bands)], "band", "bucket"
+    )
+
+
+def minhash_candidates_from_hashes(
+    hashed: DataFrame,
+    id_col: str = "doc_id",
+    n_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """LSH candidate pairs from a :func:`shingle_hash_frame` — band the
+    signature, hash each band, self-join on (band, band-hash).  Returns
+    distinct (id_a < id_b) pairs; shuffle is on bucket keys, never a
+    cross join."""
+    long = band_buckets(hashed, id_col, n_hashes, bands)
     a = long.alias("a")
     b_ = long.alias("b")
     return (

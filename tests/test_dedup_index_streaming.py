@@ -1,0 +1,66 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from peskas_mozambique_data_pipeline_spark.streaming import dedup_index as di
+from peskas_mozambique_data_pipeline_spark.streaming import ingest as si
+
+DOC = "the quick brown fox jumps over the lazy dog near the river bank today"
+DOC_NEAR = "the quick brown fox jumps over the lazy dog near the river bank tonight"
+OTHER = "completely different words about spark engines and shuffle partitions here now"
+THIRD = "yet another entirely unrelated body of text with its own words inside"
+
+
+def _write(spark, landing, rows):
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.coalesce(1).write.mode("append").parquet(landing)
+    return df.schema
+
+
+def test_incremental_index_finds_cross_batch_pairs(spark, tmp_path):
+    landing = str(tmp_path / "landing")
+    # batch 1: two unrelated docs
+    schema = _write(spark, landing, [(1, DOC), (2, OTHER)])
+    zone = str(tmp_path / "zone")
+    ck = str(tmp_path / "ck")
+
+    stream = si.stream_landing_zone(
+        spark, landing, schema, max_files_per_trigger=1
+    )
+    q, index_dir, pairs_dir = di.stream_near_dup_index(
+        stream, zone, ck, jaccard_threshold=0.5
+    )
+    q.awaitTermination(120)
+    # no near-dups yet
+    assert di.read_pairs(spark, pairs_dir).count() == 0
+
+    # batch 2 (new file, SAME checkpoint): doc 3 is a near-dup of the
+    # ALREADY-INDEXED doc 1; docs 4/5 are an in-batch exact pair
+    _write(spark, landing, [(3, DOC_NEAR), (4, THIRD), (5, THIRD)])
+    stream2 = si.stream_landing_zone(
+        spark, landing, schema, max_files_per_trigger=1
+    )
+    q2, _, _ = di.stream_near_dup_index(stream2, zone, ck, jaccard_threshold=0.5)
+    q2.awaitTermination(120)
+
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in di.read_pairs(spark, pairs_dir).collect()
+    }
+    assert (1, 3) in got and 0.5 <= got[(1, 3)] < 1.0  # cross-batch
+    assert got.get((4, 5)) == 1.0                       # within-batch
+    assert (1, 2) not in got and (2, 3) not in got
+
+    # the index accumulated every doc's signatures across batches
+    idx = spark.read.parquet(index_dir)
+    assert set(r.doc_id for r in idx.select("doc_id").distinct().collect()) == {
+        1, 2, 3, 4, 5,
+    }
+
+    # restart with no new data: nothing recomputes, pairs unchanged
+    stream3 = si.stream_landing_zone(
+        spark, landing, schema, max_files_per_trigger=1
+    )
+    q3, _, _ = di.stream_near_dup_index(stream3, zone, ck, jaccard_threshold=0.5)
+    q3.awaitTermination(120)
+    assert di.read_pairs(spark, pairs_dir).count() == len(got)
