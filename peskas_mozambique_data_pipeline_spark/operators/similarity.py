@@ -338,3 +338,63 @@ def lsh_topk(
             F.round(F.col("_cos"), 6).alias("cosine_sim"),
         )
     )
+
+
+def cosine_pairs_pandas(
+    df: DataFrame,
+    block_col: str = "label",
+    id_col: str = "id",
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+) -> DataFrame:
+    """Arrow/numpy backend for within-block pairwise cosine: one
+    ``applyInPandas`` per block, pairwise similarity as a single
+    ``V @ V.T`` matmul.
+
+    The measured alternative to the JVM ``zip_with``/``aggregate`` fold
+    (see ``registry_text.q_embedding_near_dup``): per-element Catalyst
+    expression evaluation costs ~dim tree-walk steps per pair, while
+    BLAS does the whole block in one call — but the rows pay an Arrow
+    hop.  Keep whichever measures faster at your scale
+    (tools/embedding_backend_bench.py); the JVM fold stays the ORACLE
+    path because its sequential fold order is bit-reproducible in
+    DuckDB, while BLAS summation order is not.
+
+    Skew caveat: one block = one task.  A dominant block serializes —
+    at scale feed this the (block, cell) groups of
+    ``skew.triangle_self_join``'s decomposition instead of raw labels.
+    """
+    import numpy as np
+    import pandas as pd
+
+    block_field = df.schema[block_col]
+    out_schema = (
+        f"{block_col} {block_field.dataType.simpleString()}, "
+        f"id_a long, id_b long, cosine_sim double"
+    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                {block_col: [], "id_a": [], "id_b": [], "cosine_sim": []}
+            )
+        V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(V, axis=1)
+        S = (V @ V.T) / np.outer(norms, norms)
+        ids = pdf[id_col].to_numpy()
+        iu = np.triu_indices(len(ids), k=1)
+        sims = S[iu]
+        m = sims >= threshold
+        ia, ib = ids[iu[0][m]], ids[iu[1][m]]
+        lo = np.minimum(ia, ib)
+        hi = np.maximum(ia, ib)
+        return pd.DataFrame(
+            {
+                block_col: pdf[block_col].iloc[0],
+                "id_a": lo,
+                "id_b": hi,
+                "cosine_sim": np.round(sims[m], 6),
+            }
+        )
+
+    return df.groupBy(block_col).applyInPandas(fn, out_schema)

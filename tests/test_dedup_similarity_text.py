@@ -446,3 +446,32 @@ def test_vocab_coverage_curve_monotone_and_exact(spark):
     assert out[3].covered_tokens == 9          # + 'c' (ties: token ASC)
     assert all(out[k].total_tokens == 11 for k in (1, 2, 3))
     assert out[1].coverage <= out[2].coverage <= out[3].coverage
+
+
+def test_cosine_pairs_pandas_matches_jvm_fold(spark):
+    # the Arrow/numpy backend (one matmul per block) must select the
+    # SAME pair set as the JVM zip_with/aggregate fold at the same
+    # threshold — it is the measured-faster production path, while the
+    # JVM fold remains the oracle path (bit-reproducible in DuckDB)
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(60, 16)).astype("float32")
+    rows = [(i, int(i % 3), [float(x) for x in vecs[i]]) for i in range(60)]
+    df = spark.createDataFrame(rows, "id long, label int, embedding array<float>")
+
+    arrow = {
+        (r.id_a, r.id_b)
+        for r in similarity.cosine_pairs_pandas(df, "label", "id", threshold=0.2).collect()
+    }
+    from peskas_mozambique_data_pipeline_spark.operators.similarity import _dot, with_norm
+    from peskas_mozambique_data_pipeline_spark.operators.skew import triangle_self_join
+
+    base = with_norm(df.select("label", "id", F.col("embedding").alias("_e")), "_e", "_n")
+    pairs = triangle_self_join(base, ["label"], "id", n_parts=4)
+    jvm = {
+        tuple(sorted((r.id_a, r.id_b)))
+        for r in pairs.select(
+            "id_a", "id_b",
+            (_dot(F.col("_e_a"), F.col("_e_b")) / (F.col("_n_a") * F.col("_n_b"))).alias("c"),
+        ).filter(F.col("c") >= 0.2).collect()
+    }
+    assert arrow == jvm and len(arrow) > 0
