@@ -398,3 +398,73 @@ def cosine_pairs_pandas(
         )
 
     return df.groupBy(block_col).applyInPandas(fn, out_schema)
+
+
+def cosine_topk_pandas(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Arrow/numpy backend for exact brute-force top-k: the query
+    matrix is collected once (queries are small by construction — the
+    same bound that justifies broadcasting them in ``cosine_topk``) and
+    each corpus partition scores against it with one matmul via
+    ``mapInPandas``, emitting its LOCAL per-query top-k; a final window
+    over |queries|·k·partitions candidate rows picks the global top-k.
+
+    Same shape as the JVM path — no corpus shuffle, only the tiny
+    candidate set moves — but the inner loop is BLAS instead of
+    per-element Catalyst expression evaluation (measured 7× on the
+    pairwise variant).  The JVM path stays the oracle (bit-reproducible
+    fold order); ties break on ``corpus_id`` here exactly as there.
+    """
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.select(query_id, vec_col).collect()
+    if not q_rows:
+        raise ValueError("empty query set")
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    Q = np.stack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    spark = corpus.sparkSession
+    bq = spark.sparkContext.broadcast((q_ids, Qn))
+
+    def score(batches):
+        q_ids_b, Qn_b = bq.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            S = Qn_b @ Vn.T  # |Q| x |batch|
+            ids = pdf[corpus_id].to_numpy()
+            out_q, out_c, out_s = [], [], []
+            kk = min(k, S.shape[1])
+            for qi in range(S.shape[0]):
+                s = S[qi].copy()
+                s[ids == q_ids_b[qi]] = -np.inf  # self-match excluded
+                top = np.argpartition(-s, kk - 1)[:kk]
+                out_q.extend([q_ids_b[qi]] * len(top))
+                out_c.extend(ids[top])
+                out_s.extend(s[top])
+            yield pd.DataFrame(
+                {query_id: out_q, corpus_id: out_c, "_cos": out_s}
+            )
+
+    schema = f"{query_id} long, {corpus_id} long, _cos double"
+    candidates = corpus.select(corpus_id, vec_col).mapInPandas(score, schema)
+    w = Window.partitionBy(query_id).orderBy(F.col("_cos").desc(), F.col(corpus_id))
+    return (
+        candidates.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id,
+            F.col(corpus_id).alias("neighbor_id"),
+            "rank",
+            F.round(F.col("_cos"), 6).alias("cosine_sim"),
+        )
+    )

@@ -475,3 +475,22 @@ def test_cosine_pairs_pandas_matches_jvm_fold(spark):
         ).filter(F.col("c") >= 0.2).collect()
     }
     assert arrow == jvm and len(arrow) > 0
+
+
+def test_cosine_topk_pandas_matches_jvm(spark):
+    rng = np.random.default_rng(23)
+    vecs = rng.normal(size=(80, 12)).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(80)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = df.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    a = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in similarity.cosine_topk(queries, df, k=4).collect()
+    }
+    b = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in similarity.cosine_topk_pandas(queries, df, k=4).collect()
+    }
+    assert a == b and len(a) == 16

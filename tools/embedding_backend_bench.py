@@ -55,3 +55,33 @@ def main() -> None:
 
 if __name__ == "__main__":
     main()
+
+
+def topk_ab() -> None:
+    """Secondary A/B: brute-force top-k, JVM fold vs mapInPandas BLAS."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="topk-backend-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    emb = read_table(spark, sf_dir, "embeddings")
+    emb.count()
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    def timed(make):
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            make().write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        runs.sort()
+        return runs[1]
+
+    jvm = timed(lambda: sim.cosine_topk(queries, emb, k=5))
+    arrow = timed(lambda: sim.cosine_topk_pandas(queries, emb, k=5))
+    a = {(r.query_id, r.neighbor_id, r.rank)
+         for r in sim.cosine_topk(queries, emb, k=5).collect()}
+    b = {(r.query_id, r.neighbor_id, r.rank)
+         for r in sim.cosine_topk_pandas(queries, emb, k=5).collect()}
+    print(f"topk: jvm_p50_s={jvm:.2f}  arrow_p50_s={arrow:.2f}  equal={a == b}")
+    spark.stop()
