@@ -263,6 +263,16 @@ def lsh_bucket(vec: Column, n_planes: int, dim: int, table: int = 0) -> Column:
     return F.concat_ws("", *[b.cast("string") for b in bits])
 
 
+def _flip_bit(bucket: Column, p: int) -> Column:
+    """The bucket string with bit ``p`` (0-indexed) flipped — a
+    Hamming-1 probe neighbor."""
+    return F.concat(
+        F.substring(bucket, 1, p),
+        F.when(F.substring(bucket, p + 1, 1) == "1", F.lit("0")).otherwise(F.lit("1")),
+        F.substring(bucket, p + 2, 2_000_000),
+    )
+
+
 def lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -270,6 +280,7 @@ def lsh_topk(
     n_planes: int = 8,
     dim: int = 64,
     n_tables: int = 1,
+    n_probe: int = 1,
     query_id: str = "query_id",
     corpus_id: str = "vec_id",
     vec_col: str = "embedding",
@@ -280,22 +291,36 @@ def lsh_topk(
     the join is equi-keyed on (table, bucket), so at scale the shuffle
     moves each corpus row ``n_tables`` times rather than |Q| times.
 
-    ``n_tables`` is the recall dial: each extra hash table draws an
-    independent set of hyperplanes, and a neighbor is found if it
-    collides in ANY table (miss probability decays geometrically),
-    at the cost of one more bucket row per corpus vector.  Candidate
-    pairs colliding in several tables are deduplicated before scoring
-    so each pair pays the cosine exactly once.  With a single table a
-    pair can collide at most once, so the explode and the pair-dedup
-    shuffle are skipped entirely (scan-side bucket column + one
-    equi-join — the r2 plan shape).
+    Two recall dials, both query-side-cheap:
+
+    * ``n_tables`` — each extra hash table draws an independent set of
+      hyperplanes; a neighbor is found if it collides in ANY table
+      (miss probability decays geometrically), at the cost of one more
+      bucket row per CORPUS vector.
+    * ``n_probe`` — multi-probe: each query additionally looks in the
+      ``n_probe − 1`` buckets at Hamming distance 1 from its own
+      (fixed flip order 0,1,…; the classic multi-probe refinement
+      orders flips by projection confidence, at the cost of carrying
+      the projections).  Probing replicates only the QUERY side — the
+      corpus bucket table is untouched, which is why multi-probe is
+      the preferred dial at 100 TB: recall rises without another pass
+      over the corpus.
+
+    Candidate pairs colliding via several tables/probes are
+    deduplicated before scoring so each pair pays the cosine exactly
+    once.  With one table and one probe a pair can collide at most
+    once, so the explode and the pair-dedup shuffle are skipped
+    entirely (scan-side bucket column + one equi-join — the r2 plan
+    shape).
     """
 
-    def bucketed(df: DataFrame, id_c: str, v_alias: str, n_alias: str) -> DataFrame:
+    def bucketed(
+        df: DataFrame, id_c: str, v_alias: str, n_alias: str, probe: bool
+    ) -> DataFrame:
         base = with_norm(
             df.select(F.col(id_c), F.col(vec_col).alias(v_alias)), v_alias, n_alias
         )
-        if n_tables == 1:
+        if n_tables == 1 and not (probe and n_probe > 1):
             return base.select(
                 id_c, v_alias, n_alias,
                 F.lit(0).alias("tbl"),
@@ -310,16 +335,25 @@ def lsh_topk(
                 for t in range(n_tables)
             ]
         )
-        return base.select(
+        out = base.select(
             id_c, v_alias, n_alias, F.explode(tables).alias("_tb")
         ).select(id_c, v_alias, n_alias, "_tb.tbl", "_tb.bucket")
+        if probe and n_probe > 1:
+            probes = F.array(
+                F.col("bucket"),
+                *[_flip_bit(F.col("bucket"), p) for p in range(n_probe - 1)],
+            )
+            out = out.select(
+                id_c, v_alias, n_alias, "tbl", F.explode(probes).alias("bucket")
+            )
+        return out
 
-    qb = bucketed(queries, query_id, "_qv", "_qn")
-    cb = bucketed(corpus, corpus_id, "_cv", "_cn")
+    qb = bucketed(queries, query_id, "_qv", "_qn", probe=True)
+    cb = bucketed(corpus, corpus_id, "_cv", "_cn", probe=False)
     cand = cb.join(F.broadcast(qb), ["tbl", "bucket"]).filter(
         F.col(query_id) != F.col(corpus_id)
     )
-    if n_tables > 1:
+    if n_tables > 1 or n_probe > 1:
         cand = cand.dropDuplicates([query_id, corpus_id])
     scored = cand
     scored = scored.select(

@@ -601,6 +601,15 @@ def _sql_norm(col: str, dim: int = 64) -> str:
     )
 
 
+def _sql_flip(b: str, p: int) -> str:
+    """DuckDB twin of operators.similarity._flip_bit: the bucket string
+    with bit ``p`` (0-indexed) flipped."""
+    return (
+        f"substr({b}, 1, {p}) || (CASE WHEN substr({b}, {p + 1}, 1) = '1'"
+        f" THEN '0' ELSE '1' END) || substr({b}, {p + 2})"
+    )
+
+
 SQL_ANN_LSH = f"""
 WITH cb AS (
   SELECT vec_id, embedding,
@@ -610,16 +619,20 @@ WITH cb AS (
   FROM embeddings
 ),
 q AS (
-  SELECT vec_id AS query_id, bucket0, bucket1
+  SELECT vec_id AS query_id, bucket0, bucket1,
+         {_sql_flip('bucket0', 0)} AS probe0,
+         {_sql_flip('bucket1', 0)} AS probe1
   FROM cb WHERE vec_id % 50 = 0
 ),
--- a neighbor qualifies if it collides in ANY table; DISTINCT mirrors
--- the Spark side's pre-scoring pair dedup so multi-table collisions
--- score once
+-- a neighbor qualifies if it collides in ANY table with the query's
+-- own bucket OR its Hamming-1 probe (n_probe=2); DISTINCT mirrors the
+-- Spark side's pre-scoring pair dedup so multi-way collisions score
+-- once
 cand AS (
   SELECT DISTINCT q.query_id, c.vec_id
   FROM cb c JOIN q
-    ON (c.bucket0 = q.bucket0 OR c.bucket1 = q.bucket1)
+    ON (c.bucket0 = q.bucket0 OR c.bucket0 = q.probe0
+        OR c.bucket1 = q.bucket1 OR c.bucket1 = q.probe1)
   WHERE c.vec_id <> q.query_id
 ),
 scored AS (
@@ -751,9 +764,12 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    # n_tables=2 exercises the multi-table OR-collision path (the recall
-    # dial) under the hash oracle, not just the recall pytest
-    return sim.lsh_topk(queries, emb, k=5, n_planes=6, dim=64, n_tables=2)
+    # n_tables=2 + n_probe=2 exercises BOTH recall dials (multi-table
+    # OR-collision and Hamming-1 multi-probe) under the hash oracle,
+    # not just the recall pytest
+    return sim.lsh_topk(
+        queries, emb, k=5, n_planes=6, dim=64, n_tables=2, n_probe=2
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -361,6 +361,35 @@ def test_lsh_multi_table_recall_monotone(spark):
     assert r3 > 0.1
 
 
+def test_lsh_multi_probe_recall_monotone(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk(queries, emb, k=5).collect()
+    }
+
+    def recall(n_probe):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in similarity.lsh_topk(
+                queries, emb, k=5, n_planes=6, dim=64, n_probe=n_probe
+            ).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    r1, r4 = recall(1), recall(4)
+    # each probe inspects one more Hamming-1 bucket per query — strictly
+    # additive candidates, so recall can only rise; probing replicates
+    # ONLY the query side (the corpus bucket table is untouched)
+    assert r4 >= r1
+    assert r4 > r1 or r1 > 0.5  # probes must actually add something here
+
+
 # ---------------------------------------------------------------------------
 # round 4: sequence packing / boilerplate / quality gate
 

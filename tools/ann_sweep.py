@@ -86,12 +86,26 @@ def main() -> None:
              "recall": round(_recall(rows, truth), 4)}
         )
 
+    results["lsh_probe"] = []
+    for n_probe in (1, 2, 4, 7):
+        t0 = time.perf_counter()
+        rows = sim.lsh_topk(
+            _queries(emb), emb, k=K, n_planes=6, dim=64, n_probe=n_probe
+        ).collect()
+        dt = time.perf_counter() - t0
+        results["lsh_probe"].append(
+            {"n_probe": n_probe, "sec": round(dt, 3),
+             "recall": round(_recall(rows, truth), 4)}
+        )
+
     print(f"\nbrute force (ground truth): {brute_s:.2f}s  recall=1.0")
     print("tier  knob        sec   recall@5")
     for r in results["ivf"]:
         print(f"IVF   n_probe={r['n_probe']:<3} {r['sec']:>6.2f}  {r['recall']:.4f}")
     for r in results["lsh"]:
         print(f"LSH   n_tables={r['n_tables']:<2} {r['sec']:>6.2f}  {r['recall']:.4f}")
+    for r in results["lsh_probe"]:
+        print(f"LSH   n_probe={r['n_probe']:<3} {r['sec']:>6.2f}  {r['recall']:.4f}")
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                        "ann_sweep_last_run.json")
     with open(out, "w") as f:
