@@ -596,7 +596,11 @@ _VERIFY_FIRST = [
     "scd2_versions",
 ]
 _VERIFY_LAST = [
-    # driver-green in r01+r02+r03 — the safest rotation candidates
+    # driver-green in r01+r02+r03 — the safest rotation candidates.
+    # With 59 registered queries and a 50-query driver window, exactly
+    # the last 9 fall outside — keep this list sized to (total − 50) so
+    # the rotation stays deliberate (a short list silently pushes a
+    # once-verified mid query out instead).
     "trip_rollup",
     "dim_enrichment",
     "monthly_median",
@@ -605,6 +609,7 @@ _VERIFY_LAST = [
     "unpivot_metrics",
     "pivot_status",
     "semi_anti",
+    "pricing_summary",
 ]
 
 
