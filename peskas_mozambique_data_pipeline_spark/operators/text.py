@@ -655,3 +655,41 @@ def vocab_coverage(
         "total_tokens",
         F.round(F.col("covered_tokens") / F.col("total_tokens"), 6).alias("coverage"),
     )
+
+
+def unigram_logloss(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document cross-entropy under the corpus's own unigram model
+    — the CCNet-style "perplexity filtering" signal (Wenzek et al.
+    2020): documents whose token distribution diverges from the corpus
+    (gibberish, wrong language, boilerplate soup) score high and land
+    in the tail bucket.  A real deployment scores against an external
+    LM; the self-trained unigram keeps the pipeline shape (model table
+    broadcast against the exploded corpus) with zero dependencies.
+
+    Scale shape: token-count model = one groupBy(token) over the
+    exploded corpus (vocab ≪ corpus, map-side combined); scoring joins
+    each (doc, token) instance to the model on the token key and
+    aggregates per doc — two key shuffles total, both on bounded keys.
+    ln() is transcendental, so the result is rounded to 6 decimals on
+    both engines (playbook rule).
+    """
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+    model = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = model.agg(F.sum("cnt").cast("double").alias("_total"))
+    probs = model.crossJoin(F.broadcast(total)).select(
+        "token", (F.col("cnt") / F.col("_total")).alias("p")
+    )
+    scored = tok.join(probs, "token")
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round((-F.sum(F.log("p")) / F.count(F.lit(1))), 6).alias(
+                "cross_entropy"
+            ),
+        )
+    )

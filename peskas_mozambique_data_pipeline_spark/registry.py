@@ -582,6 +582,7 @@ ORACLE_SQL.update(registry_misc.ORACLE_SQL)
 # bit-exact local gate, tools/check_correctness.py) rotate out.
 _VERIFY_FIRST = [
     # round-4 additions and the four r3 queries the driver never saw
+    "unigram_logloss",  # r4: perplexity-filter signal (new)
     "vocab_coverage",   # r4: vocab coverage curve (new)
     "doc_pack",         # r4: sequence packing (new)
     "boilerplate",      # r4: sentence-level boilerplate (new)
@@ -610,6 +611,7 @@ _VERIFY_LAST = [
     "pivot_status",
     "semi_anti",
     "pricing_summary",
+    "nary_full_join",
 ]
 
 

@@ -1080,6 +1080,40 @@ FROM flags
 
 
 # ---------------------------------------------------------------------------
+# Q: unigram cross-entropy — CCNet-style perplexity-filtering signal
+# (self-trained unigram model broadcast against the exploded corpus;
+# ln rounded to 6 on both engines per the transcendental rule).
+
+
+def q_unigram_logloss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_ops.unigram_logloss(_docs(spark, sf_dir)).select(
+        "doc_id", "n_tokens", "cross_entropy"
+    )
+
+
+SQL_UNIGRAM_LOGLOSS = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+  FROM documents
+),
+model AS (
+  SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token
+),
+total AS (
+  SELECT CAST(SUM(cnt) AS DOUBLE) AS t FROM model
+),
+probs AS (
+  SELECT token, cnt / t AS p FROM model, total
+)
+SELECT s.doc_id,
+       COUNT(*) AS n_tokens,
+       ROUND(-SUM(ln(p)) / COUNT(*), 6) AS cross_entropy
+FROM tok s JOIN probs USING (token)
+GROUP BY s.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q: vocabulary coverage curve — the vocab-size-selection statistic
 # (what share of token instances the top-k tokens cover).  Top-k is
 # TakeOrderedAndProject (distributed), ties broken (cnt DESC, token
@@ -1117,6 +1151,7 @@ FROM per_k, total
 
 
 SPARK_QUERIES = {
+    "unigram_logloss": q_unigram_logloss,
     "vocab_coverage": q_vocab_coverage,
     "doc_pack": q_doc_pack,
     "boilerplate": q_boilerplate,
@@ -1142,6 +1177,7 @@ SPARK_QUERIES = {
 }
 
 ORACLE_SQL = {
+    "unigram_logloss": SQL_UNIGRAM_LOGLOSS,
     "vocab_coverage": SQL_VOCAB_COVERAGE,
     "doc_pack": SQL_DOC_PACK,
     "boilerplate": SQL_BOILERPLATE,
