@@ -314,6 +314,17 @@ def lsh_topk(
     shape).
     """
 
+    if n_probe > n_planes + 1:
+        # A probe index >= n_planes would "flip" past the end of the
+        # bucket string, producing a bucket no corpus row can ever
+        # occupy — the recall dial would silently become a no-op plus
+        # wasted query-side fan-out (mirrors the n_hashes guard in
+        # dedup.py).
+        raise ValueError(
+            f"n_probe={n_probe} exceeds n_planes+1={n_planes + 1}: only the "
+            "own bucket plus one Hamming-1 flip per plane exist"
+        )
+
     def bucketed(
         df: DataFrame, id_c: str, v_alias: str, n_alias: str, probe: bool
     ) -> DataFrame:
@@ -481,7 +492,14 @@ def cosine_topk_pandas(
             for qi in range(S.shape[0]):
                 s = S[qi].copy()
                 s[ids == q_ids_b[qi]] = -np.inf  # self-match excluded
-                top = np.argpartition(-s, kk - 1)[:kk]
+                # Local top-k must use the SAME tie-break as the global
+                # window (cosine desc, corpus_id asc): a bare
+                # argpartition on value alone can locally drop the
+                # lower-id member of a tied pair (exact-duplicate
+                # vectors) that the global ordering would keep.
+                order = np.lexsort((ids, -s))[:kk]
+                keep = s[order] > -np.inf  # masked self rows never leak
+                top = order[keep]
                 out_q.extend([q_ids_b[qi]] * len(top))
                 out_c.extend(ids[top])
                 out_s.extend(s[top])

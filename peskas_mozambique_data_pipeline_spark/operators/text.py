@@ -534,7 +534,15 @@ def c4_rule_flags(
         "flag_too_long": n_tok > max_tokens,
         "flag_bad_mean_token_len": (mean_len < mean_len_lo) | (mean_len > mean_len_hi),
         "flag_low_stopword": (n_stop / n_tok) < min_stopword_ratio,
-        "flag_high_punct": (n_punct / n_chars) > max_punct_ratio,
+        # n_chars can be 0 (empty doc): unguarded division yields NULL
+        # in Spark but different division-by-zero semantics in other
+        # engines, and a NULL flag would poison the combined `keep`
+        # verdict to NULL instead of False.  An empty doc has no punct,
+        # so the flag is deterministically False (flag_too_short still
+        # rejects it: tokens('') is [''], n_tok == 1).
+        "flag_high_punct": F.when(
+            n_chars > 0, (n_punct / n_chars) > max_punct_ratio
+        ).otherwise(F.lit(False)),
     }
 
 
@@ -672,10 +680,13 @@ def unigram_logloss(
 
     Scale shape: token-count model = one groupBy(token) over the
     exploded corpus (vocab ≪ corpus, map-side combined); scoring joins
-    each (doc, token) instance to the model on the token key and
-    aggregates per doc — two key shuffles total, both on bounded keys.
-    ln() is transcendental, so the result is rounded to 6 decimals on
-    both engines (playbook rule).
+    each (doc, token) INSTANCE to the vocab-sized model, and that join
+    is FORCE-broadcast: left to the planner it could pick a
+    shuffled join that moves the entire exploded corpus on the token
+    key — a Zipf-skewed key where "the" alone is a mega-hot partition.
+    The model is bounded by vocab size, exactly the "dims always
+    broadcast" rule.  ln() is transcendental, so the result is rounded
+    to 6 decimals on both engines (playbook rule).
     """
     tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
     model = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
@@ -683,7 +694,7 @@ def unigram_logloss(
     probs = model.crossJoin(F.broadcast(total)).select(
         "token", (F.col("cnt") / F.col("_total")).alias("p")
     )
-    scored = tok.join(probs, "token")
+    scored = tok.join(F.broadcast(probs), "token")
     return (
         scored.groupBy(id_col)
         .agg(

@@ -581,27 +581,10 @@ ORACLE_SQL.update(registry_misc.ORACLE_SQL)
 # queries with several green driver rounds (still covered by the
 # bit-exact local gate, tools/check_correctness.py) rotate out.
 _VERIFY_FIRST = [
-    # round-4 additions and the four r3 queries the driver never saw
-    "unigram_logloss",  # r4: perplexity-filter signal (new)
-    "vocab_coverage",   # r4: vocab coverage curve (new)
-    "doc_pack",         # r4: sequence packing (new)
-    "boilerplate",      # r4: sentence-level boilerplate (new)
-    "c4_filter",        # r4: heuristic quality gate (new)
-    "embedding_clusters",  # r4: semantic dedup clusters (new)
-    "minhash_dedup",    # r4: jaccard switched to 32-bit shingle hashes
-    "dedup_clusters",   # r4: same shared-frame change
-    "ann_lsh",          # r4: re-oracled at n_tables=2 (multi-table path)
-    "site_stats_full",
-    "pii_scrub",
-    "merge_upsert",
-    "scd2_versions",
-]
-_VERIFY_LAST = [
-    # driver-green in r01+r02+r03 — the safest rotation candidates.
-    # With 59 registered queries and a 50-query driver window, exactly
-    # the last 9 fall outside — keep this list sized to (total − 50) so
-    # the rotation stays deliberate (a short list silently pushes a
-    # once-verified mid query out instead).
+    # r5 rotation: the ten queries that sat outside r4's driver window
+    # (each driver-green r1–r3 and judge-gated in r4) come back to the
+    # head so CORRECTNESS_r05 gives them hard driver rows again, plus
+    # any round-5 additions.
     "trip_rollup",
     "dim_enrichment",
     "monthly_median",
@@ -613,6 +596,32 @@ _VERIFY_LAST = [
     "pricing_summary",
     "nary_full_join",
 ]
+_VERIFY_LAST = [
+    # Rotation tail: everything here was driver-green in round 4 (the
+    # r4 head window), so sitting out one round keeps the "hard driver
+    # row at least every 2 rounds" invariant.  The assertion below
+    # forces this list to be resized whenever queries are added, so the
+    # rotation stays deliberate instead of silently pushing a
+    # once-verified mid query out.
+    "unigram_logloss",
+    "vocab_coverage",
+    "doc_pack",
+    "boilerplate",
+    "c4_filter",
+    "embedding_clusters",
+    "minhash_dedup",
+    "dedup_clusters",
+    "ann_lsh",
+    "site_stats_full",
+    # pii_scrub / merge_upsert / scd2_versions stay in the mid window:
+    # they have only one driver-green round (r4), so they keep hard
+    # driver rows until the tail needs to grow for new r5 queries.
+]
+
+# The driver hard-verifies exactly the first 50 entries; the tail list
+# must therefore hold exactly (total − 50) queries or the window
+# boundary lands somewhere unplanned.
+_DRIVER_WINDOW = 50
 
 
 def _window_order(d: dict) -> dict:
@@ -621,6 +630,12 @@ def _window_order(d: dict) -> dict:
     mid = {k: v for k, v in d.items() if k not in head and k not in tail}
     return {**head, **mid, **tail}
 
+
+assert len(_VERIFY_LAST) == len(SPARK_QUERIES) - _DRIVER_WINDOW, (
+    f"_VERIFY_LAST must hold exactly len(SPARK_QUERIES) - {_DRIVER_WINDOW} "
+    f"= {len(SPARK_QUERIES) - _DRIVER_WINDOW} queries (has "
+    f"{len(_VERIFY_LAST)}); resize the rotation tail when adding queries."
+)
 
 SPARK_QUERIES = _window_order(SPARK_QUERIES)
 ORACLE_SQL = _window_order(ORACLE_SQL)

@@ -1067,7 +1067,8 @@ flags AS (
          ((n_chars - (n_tok - 1)) / n_tok < 3.0
           OR (n_chars - (n_tok - 1)) / n_tok > 10.0) AS flag_bad_mean_token_len,
          (n_stop / n_tok) < 0.0125 AS flag_low_stopword,
-         (n_punct / n_chars) > 0.2 AS flag_high_punct
+         CASE WHEN n_chars > 0 THEN (n_punct / n_chars) > 0.2
+              ELSE FALSE END AS flag_high_punct
   FROM feat
 )
 SELECT doc_id, flag_too_short, flag_too_long, flag_bad_mean_token_len,

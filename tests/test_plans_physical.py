@@ -184,3 +184,13 @@ def test_vocab_coverage_distributed_topk(spark):
     plan = plan_of(registry.SPARK_QUERIES["vocab_coverage"](spark, SF), "simple")
     assert "TakeOrderedAndProject" in plan
     assert "Sort " not in plan  # no global sort node
+
+
+def test_unigram_scoring_join_is_broadcast(spark):
+    # the vocab-sized model must broadcast into the scoring join: a
+    # shuffled join would move the entire exploded corpus on the
+    # Zipf-skewed token key ("the" is a mega-hot partition at 100 TB)
+    plan = plan_of(registry.SPARK_QUERIES["unigram_logloss"](spark, SF), "simple")
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert "BroadcastHashJoin" in plan
