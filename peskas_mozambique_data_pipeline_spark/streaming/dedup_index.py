@@ -19,16 +19,37 @@ replayed after a crash between write and checkpoint commit overwrites
 its own output.  Pair emission is exactly-once by construction: a
 (corpus doc, new doc) pair is emitted only in the new doc's batch.
 
-Scale: the index is partitioned parquet keyed by (band, bucket) join
-columns; the per-batch join shuffles only the BATCH side against the
-bucket-pruned index scan.  State lives in the zone, not the state
-store — the streaming query itself is stateless, so there is no
-watermark bound on how far back a duplicate can be detected.
+Index layout (what actually bounds the per-batch read):
+
+* delta dirs ``index_dir/batch=<id>/band=<b>/`` — every write is
+  ``partitionBy("band")``, so a band-selective read prunes directories
+  instead of scanning whole files;
+* snapshot dirs ``compact_dir/upto=<id>/band=<b>/`` — every
+  ``compact_every`` batches the accumulated index (snapshot + deltas)
+  is rewritten into ONE partitioned snapshot and the merged delta dirs
+  plus superseded snapshots are deleted.  Without this, each
+  micro-batch re-lists and re-reads O(#batches) directories — reads
+  grow with corpus age; with it the read is one snapshot plus at most
+  ``compact_every − 1`` deltas, a bounded table.  Signatures are
+  immutable (documents are append-only), so compaction is a pure
+  rewrite — no upsert key resolution needed, unlike
+  ``operators/merge.py``.
+
+Compaction is crash-safe by the same idempotency argument as the delta
+writes: the snapshot is keyed ``upto=<batch_id>`` and written before
+any deletion; a replayed batch finds its own snapshot already in
+place, reads it (its own rows join-filter out via ``id_n != id_x`` and
+the pair dedup), and rewrites byte-identical outputs.
+
+State lives in the zone, not the state store — the streaming query
+itself is stateless, so there is no watermark bound on how far back a
+duplicate can be detected.
 """
 
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -36,6 +57,7 @@ from pyspark.sql import functions as F
 from ..operators import dedup as dedup_ops
 
 INDEX_SUBDIR = "minhash_index"
+COMPACT_SUBDIR = "minhash_index_compacted"
 PAIRS_SUBDIR = "near_dup_pairs"
 
 
@@ -96,6 +118,50 @@ def _verified_pairs(
     ).filter(F.col("jaccard") >= threshold)
 
 
+def _dir_ids(root: str, key: str) -> list[int]:
+    """Numeric ids of ``<key>=<n>`` subdirectories of ``root`` (empty
+    when the root does not exist yet)."""
+    if not os.path.isdir(root):
+        return []
+    out = []
+    for name in os.listdir(root):
+        if name.startswith(f"{key}="):
+            try:
+                out.append(int(name.split("=", 1)[1]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def read_index(
+    spark: SparkSession, index_dir: str, compact_dir: str
+) -> DataFrame | None:
+    """The accumulated signature index: newest snapshot plus the delta
+    dirs written after it.  Bounded read — at most one snapshot and
+    ``compact_every − 1`` deltas exist at any time.  Returns ``None``
+    before the first batch."""
+    snaps = _dir_ids(compact_dir, "upto")
+    upto = snaps[-1] if snaps else -1
+    deltas = [b for b in _dir_ids(index_dir, "batch") if b > upto]
+    frames = []
+    if upto >= 0:
+        # reading the upto=<id> dir directly restores the band
+        # partition column from the directory names
+        frames.append(spark.read.parquet(os.path.join(compact_dir, f"upto={upto}")))
+    if deltas:
+        frames.append(
+            spark.read.option("basePath", index_dir)
+            .parquet(*[os.path.join(index_dir, f"batch={b}") for b in deltas])
+            .drop("batch")
+        )
+    if not frames:
+        return None
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
 def stream_near_dup_index(
     df: DataFrame,
     zone_dir: str,
@@ -107,6 +173,7 @@ def stream_near_dup_index(
     bands: int = 4,
     jaccard_threshold: float = 0.5,
     available_now: bool = True,
+    compact_every: int | None = 8,
 ):
     """Start the incremental near-dup maintenance query over a document
     stream.  Returns ``(query, index_dir, pairs_dir)``.
@@ -114,10 +181,14 @@ def stream_near_dup_index(
     Each micro-batch emits the verified near-dup pairs it introduces
     (within-batch + batch-vs-accumulated-corpus) under
     ``pairs_dir/batch=<id>`` and appends its signatures under
-    ``index_dir/batch=<id>`` — both idempotent overwrites keyed by the
-    checkpoint's monotonic batch id.
+    ``index_dir/batch=<id>/band=<b>`` — both idempotent overwrites
+    keyed by the checkpoint's monotonic batch id.  Every
+    ``compact_every`` batches the index is folded into one snapshot
+    (``compact_every=None`` disables compaction — deltas then
+    accumulate unboundedly, only sensible for short-lived tests).
     """
     index_dir = os.path.join(zone_dir, INDEX_SUBDIR)
+    compact_dir = os.path.join(zone_dir, COMPACT_SUBDIR)
     pairs_dir = os.path.join(zone_dir, PAIRS_SUBDIR)
     spark = df.sparkSession
 
@@ -127,25 +198,41 @@ def stream_near_dup_index(
         ).localCheckpoint()  # several consumers below; compute once
 
         # within-batch pairs + batch-vs-corpus pairs.  The index read
-        # is a plain parquet scan of everything previous batches wrote;
-        # on a real cluster the (band, bucket) join keys prune via
-        # shuffle-side bloom/DPP, and the batch side is the small side.
-        from pyspark.errors import AnalysisException
-
+        # is one snapshot + a bounded number of band-partitioned
+        # deltas; the batch side is the small side of the (band,
+        # bucket) equi-join.
         pairs = _verified_pairs(new_rows, new_rows, id_col, jaccard_threshold)
-        try:
-            existing = spark.read.parquet(index_dir)
+        existing = read_index(spark, index_dir, compact_dir)
+        if existing is not None:
             pairs = pairs.unionByName(
                 _verified_pairs(new_rows, existing, id_col, jaccard_threshold)
             ).dropDuplicates(["id_a", "id_b"])
-        except AnalysisException:
-            pass  # first batch: no index yet
         pairs.write.mode("overwrite").parquet(
             os.path.join(pairs_dir, f"batch={batch_id}")
         )
-        new_rows.write.mode("overwrite").parquet(
+        new_rows.write.partitionBy("band").mode("overwrite").parquet(
             os.path.join(index_dir, f"batch={batch_id}")
         )
+
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            # Fold snapshot + all deltas ≤ batch_id (including the one
+            # just written) into a new snapshot, THEN drop what it
+            # supersedes.  Keyed overwrite makes a crash-replay rewrite
+            # the same snapshot rather than duplicate rows.
+            full = read_index(spark, index_dir, compact_dir)
+            full.write.partitionBy("band").mode("overwrite").parquet(
+                os.path.join(compact_dir, f"upto={batch_id}")
+            )
+            for b in _dir_ids(index_dir, "batch"):
+                if b <= batch_id:
+                    shutil.rmtree(
+                        os.path.join(index_dir, f"batch={b}"), ignore_errors=True
+                    )
+            for u in _dir_ids(compact_dir, "upto"):
+                if u < batch_id:
+                    shutil.rmtree(
+                        os.path.join(compact_dir, f"upto={u}"), ignore_errors=True
+                    )
 
     writer = df.writeStream.foreachBatch(handle).option(
         "checkpointLocation", checkpoint

@@ -52,7 +52,7 @@ def test_incremental_index_finds_cross_batch_pairs(spark, tmp_path):
     assert (1, 2) not in got and (2, 3) not in got
 
     # the index accumulated every doc's signatures across batches
-    idx = spark.read.parquet(index_dir)
+    idx = di.read_index(spark, index_dir, str(tmp_path / "zone" / di.COMPACT_SUBDIR))
     assert set(r.doc_id for r in idx.select("doc_id").distinct().collect()) == {
         1, 2, 3, 4, 5,
     }
@@ -64,3 +64,92 @@ def test_incremental_index_finds_cross_batch_pairs(spark, tmp_path):
     q3, _, _ = di.stream_near_dup_index(stream3, zone, ck, jaccard_threshold=0.5)
     q3.awaitTermination(120)
     assert di.read_pairs(spark, pairs_dir).count() == len(got)
+
+
+def test_compaction_bounds_the_index(spark, tmp_path):
+    landing = str(tmp_path / "landing")
+    zone = str(tmp_path / "zone")
+    ck = str(tmp_path / "ck")
+    schema = _write(spark, landing, [(1, DOC), (2, OTHER)])
+    _write(spark, landing, [(3, DOC_NEAR)])
+    _write(spark, landing, [(4, THIRD), (5, THIRD)])
+    _write(spark, landing, [(6, OTHER + " extra")])
+
+    stream = si.stream_landing_zone(spark, landing, schema, max_files_per_trigger=1)
+    q, index_dir, pairs_dir = di.stream_near_dup_index(
+        stream, zone, ck, jaccard_threshold=0.5, compact_every=2
+    )
+    q.awaitTermination(180)
+
+    compact_dir = str(tmp_path / "zone" / di.COMPACT_SUBDIR)
+    # 4 batches, compact_every=2 → snapshots after batches 1 and 3;
+    # only the newest survives and every merged delta dir is gone
+    import os
+
+    snaps = [n for n in os.listdir(compact_dir) if n.startswith("upto=")]
+    assert snaps == ["upto=3"]
+    assert not [n for n in os.listdir(index_dir) if n.startswith("batch=")]
+    # snapshot dirs are band-partitioned (directory pruning on the
+    # LSH join key)
+    assert any(
+        n.startswith("band=") for n in os.listdir(os.path.join(compact_dir, "upto=3"))
+    )
+
+    # compaction changed the layout, not the contents
+    idx = di.read_index(spark, index_dir, compact_dir)
+    assert set(r.doc_id for r in idx.select("doc_id").distinct().collect()) == {
+        1, 2, 3, 4, 5, 6,
+    }
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in di.read_pairs(spark, pairs_dir).collect()
+    }
+    assert (1, 3) in got and got.get((4, 5)) == 1.0
+
+
+def test_streaming_pairs_match_batch_pipeline(spark, tmp_path):
+    """The property that makes "incremental" trustworthy: N streamed
+    batches accumulate EXACTLY the pair set the batch pipeline
+    (minhash candidates + Jaccard verify) finds on the unioned corpus
+    at the same threshold."""
+    from peskas_mozambique_data_pipeline_spark.operators import dedup as dd
+    from peskas_mozambique_data_pipeline_spark.session import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    landing = str(tmp_path / "landing")
+    # three arrival files = three micro-batches, split by doc_id so the
+    # stream sees the corpus in deterministic pieces
+    for part in range(3):
+        docs.filter(F.col("doc_id") % 3 == part).coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+
+    stream = si.stream_landing_zone(
+        spark, landing, docs.schema, max_files_per_trigger=1
+    )
+    q, index_dir, pairs_dir = di.stream_near_dup_index(
+        stream,
+        str(tmp_path / "zone"),
+        str(tmp_path / "ck"),
+        jaccard_threshold=0.5,
+        compact_every=2,
+    )
+    q.awaitTermination(300)
+
+    streamed = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in di.read_pairs(spark, pairs_dir).collect()
+    }
+
+    hashed = dd.shingle_hash_frame(docs, materialize=True)
+    cand = dd.minhash_candidates_from_hashes(hashed)
+    batch = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dd.jaccard_verify_hashed(hashed, cand)
+        .filter(F.col("jaccard") >= 0.5)
+        .collect()
+    }
+    assert streamed == batch
+    assert len(batch) > 0  # the corpus actually contains near-dups
