@@ -225,9 +225,13 @@ def q_flag_battery_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shuffle produce both the flag rollup and the per-order indicators
     # (the old shape re-scanned lineitem and re-joined orders for
     # stage 2)
+    # flags stay an ARRAY end-to-end: the old shape built a per-row
+    # string (concat_ws) that the aggregate immediately split back into
+    # an array — a per-row string round-trip the rollup never needed
+    # (measured 3.71→3.29 s min at sf0.1, bit-identical output)
     flagged = enriched.select(
         "l_orderkey",
-        flag_concat(
+        F.array_compact(F.array(
             F.when((F.col("o_orderstatus") == "P") & tax_code.isNull(), F.lit("1")),
             F.when(tax_code.isNotNull() & (F.col("l_quantity") <= 1), F.lit("2")),
             F.when(F.col("p_size") < F.col("min_size_b"), F.lit("3")),
@@ -240,8 +244,7 @@ def q_flag_battery_full(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.datediff(F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")) > 90,
                 F.lit("13"),
             ),
-            sep=",",
-        ).alias("alert_flag"),
+        )).alias("flags"),
         F.round(F.col("l_quantity") * 100).cast("long").alias("qty_c_row"),
         (
             F.round(F.col("l_extendedprice") * 100).cast("long")
@@ -253,7 +256,7 @@ def q_flag_battery_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         flagged.groupBy("l_orderkey")
         .agg(
             F.array_join(
-                F.array_sort(F.array_distinct(F.flatten(F.collect_list(F.split("alert_flag", ","))))),
+                F.array_sort(F.array_distinct(F.flatten(F.collect_list("flags")))),
                 ",",
             ).alias("alert_flag"),
             F.sum("qty_c_row").alias("qty_c"),
