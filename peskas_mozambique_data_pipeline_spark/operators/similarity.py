@@ -385,6 +385,67 @@ def lsh_topk(
     )
 
 
+def cosine_block_pairs(
+    df: DataFrame,
+    block_col: str = "label",
+    id_col: str = "id",
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+    backend: str = "jvm",
+    n_parts: int = 4,
+) -> DataFrame:
+    """Within-block cosine near-dup edges ``(block, id_a < id_b,
+    cosine_sim)`` — the backend-dispatched entry the curation pipeline
+    uses (``plans/corpus.py``).
+
+    * ``backend="jvm"`` — triangle-decomposed self-join + Catalyst
+      ``zip_with``/``aggregate`` fold.  Bit-reproducible fold order, so
+      this is the ORACLE path (``registry_text.q_embedding_near_dup``).
+    * ``backend="arrow"`` — :func:`cosine_pairs_pandas`: one BLAS
+      ``V @ V.T`` per block over Arrow batches.  Measured ~7× faster at
+      sf0.1 and the documented PRODUCTION path; not the oracle because
+      BLAS summation order is not bit-reproducible across engines.
+
+    Both return the same pair set at the same threshold (parity test in
+    tests/test_dedup_similarity_text.py); only the last float digits of
+    ``cosine_sim`` may differ between backends.
+    """
+    if backend == "arrow":
+        return cosine_pairs_pandas(
+            df, block_col=block_col, id_col=id_col, vec_col=vec_col,
+            threshold=threshold,
+        )
+    if backend != "jvm":
+        raise ValueError(f"unknown backend {backend!r}: use 'jvm' or 'arrow'")
+    from .skew import triangle_self_join
+
+    base = with_norm(
+        df.select(
+            F.col(block_col), F.col(id_col).alias("id"), F.col(vec_col).alias("_e")
+        ),
+        "_e",
+        "_n",
+    )
+    pairs = triangle_self_join(base, [block_col], "id", n_parts=n_parts)
+    scored = pairs.select(
+        block_col,
+        "id_a",
+        "id_b",
+        (_dot(F.col("_e_a"), F.col("_e_b")) / (F.col("_n_a") * F.col("_n_b"))).alias(
+            "_cos"
+        ),
+    )
+    # cosine is orientation-symmetric bit-for-bit (IEEE mult commutes
+    # elementwise, fold order is array order on both sides), so
+    # normalizing ids after scoring matches the oracle's a.id < b.id
+    return scored.filter(F.col("_cos") >= threshold).select(
+        block_col,
+        F.least("id_a", "id_b").alias("id_a"),
+        F.greatest("id_a", "id_b").alias("id_b"),
+        F.round(F.col("_cos"), 6).alias("cosine_sim"),
+    )
+
+
 def cosine_pairs_pandas(
     df: DataFrame,
     block_col: str = "label",

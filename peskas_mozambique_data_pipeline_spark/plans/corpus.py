@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import dedup as dedup_ops
+from ..operators import similarity as sim_ops
 from ..operators import text as text_ops
 from .pipeline import PipelineZones
 
@@ -69,6 +70,38 @@ def dedup_survivors(
     return docs.join(losers, id_col, "left_anti")
 
 
+def semantic_survivors(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    threshold: float = 0.35,
+    backend: str = "arrow",
+    id_col: str = "doc_id",
+    emb_id_col: str = "vec_id",
+    block_col: str = "label",
+) -> DataFrame:
+    """SemDeDup-style semantic near-dup removal: cosine edges over the
+    embedding column → connected components → keep each cluster's
+    minimum-id representative (same keep-rule as :func:`dedup_survivors`
+    so the two dedup stages compose deterministically).
+
+    ``backend="arrow"`` (default) is the PRODUCTION path — one BLAS
+    matmul per label block via Arrow batches, measured ~7× over the JVM
+    expression fold; ``backend="jvm"`` is the oracle-verified fold
+    (``embedding_near_dup``/``embedding_clusters``).  Both yield the
+    same edge set at the same threshold (parity-tested), so the
+    survivor set is backend-independent.
+    """
+    edges = sim_ops.cosine_block_pairs(
+        embeddings, block_col=block_col, id_col=emb_id_col,
+        threshold=threshold, backend=backend,
+    ).select("id_a", "id_b")
+    comp = dedup_ops.connected_components(edges)
+    losers = comp.filter(F.col("node") != F.col("component_id")).select(
+        F.col("node").alias(id_col)
+    )
+    return docs.join(losers, id_col, "left_anti")
+
+
 def stage_quality(spark: SparkSession, docs: DataFrame, zones: PipelineZones) -> str:
     return zones.write(curate_quality(docs), "corpus_filtered")
 
@@ -83,8 +116,27 @@ def stage_dedup(
     )
 
 
-def stage_pack(spark: SparkSession, zones: PipelineZones, budget: int = 1024) -> str:
+def stage_semantic_dedup(
+    spark: SparkSession,
+    zones: PipelineZones,
+    embeddings: DataFrame,
+    threshold: float = 0.35,
+    backend: str = "arrow",
+) -> str:
     deduped = zones.read(spark, "corpus_deduped")
+    return zones.write(
+        semantic_survivors(deduped, embeddings, threshold=threshold, backend=backend),
+        "corpus_semantic",
+    )
+
+
+def stage_pack(
+    spark: SparkSession,
+    zones: PipelineZones,
+    budget: int = 1024,
+    source: str = "corpus_deduped",
+) -> str:
+    deduped = zones.read(spark, source)
     return zones.write(
         text_ops.pack_documents(deduped, budget=budget), "corpus_packs"
     )
@@ -98,6 +150,9 @@ def run_corpus_pipeline(
     budget: int = 1024,
     jaccard_threshold: float = 0.8,
     skip_fresh: bool = False,
+    embeddings: DataFrame | None = None,
+    semantic_threshold: float = 0.35,
+    semantic_backend: str = "arrow",
 ) -> dict[str, str]:
     """The full curation DAG through versioned zones.
 
@@ -105,6 +160,10 @@ def run_corpus_pipeline(
     as ``run_full_pipeline``: a stage is skipped when its product zone
     is at least as new as every upstream zone it derives from (and, per
     the round-3 lesson, a skip checks EVERY product the stage writes).
+
+    With ``embeddings`` provided, a semantic-dedup stage (SemDeDup
+    shape: cosine edges → CC → representative) runs between text dedup
+    and packing, on the Arrow/BLAS backend by default.
     """
     from ..io import parquet_io
 
@@ -127,8 +186,21 @@ def run_corpus_pipeline(
             spark, zones, jaccard_threshold=jaccard_threshold
         )
 
-    if skip_fresh and zones.is_fresh("corpus_packs", "corpus_deduped"):
+    pack_source = "corpus_deduped"
+    if embeddings is not None:
+        pack_source = "corpus_semantic"
+        if skip_fresh and zones.is_fresh("corpus_semantic", "corpus_deduped"):
+            out["corpus_semantic"] = parquet_io.latest_version_path(
+                zone_root, "corpus_semantic"
+            )
+        else:
+            out["corpus_semantic"] = stage_semantic_dedup(
+                spark, zones, embeddings,
+                threshold=semantic_threshold, backend=semantic_backend,
+            )
+
+    if skip_fresh and zones.is_fresh("corpus_packs", pack_source):
         out["corpus_packs"] = parquet_io.latest_version_path(zone_root, "corpus_packs")
     else:
-        out["corpus_packs"] = stage_pack(spark, zones, budget=budget)
+        out["corpus_packs"] = stage_pack(spark, zones, budget=budget, source=pack_source)
     return out

@@ -467,33 +467,19 @@ FROM ranked WHERE rank <= 5
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.similarity import _dot, with_norm
-    from .operators.skew import triangle_self_join
+    # the JVM backend of the shared dispatcher: norms precomputed per
+    # row (N sqrt-folds, not N²) and a triangle-decomposed self-join so
+    # a dominant label is n_parts(n_parts+1)/2 distributable cells,
+    # never one O(n²) join key (operators/skew.py).  The Arrow/BLAS
+    # backend of the same function is the production path in
+    # plans/corpus.py — kept out of the oracle because BLAS fold order
+    # is not bit-reproducible in DuckDB.
+    from .operators.similarity import cosine_block_pairs
 
     emb = read_table(spark, sf_dir, "embeddings")
-    # norms precomputed per row (N sqrt-folds) instead of per pair (N²)
-    base = with_norm(
-        emb.select(F.col("label"), F.col("vec_id").alias("id"), F.col("embedding").alias("_e")),
-        "_e",
-        "_n",
-    )
-    # triangle decomposition: a dominant label is n_parts(n_parts+1)/2
-    # distributable cells, never one O(n²) join key (operators/skew.py)
-    pairs = triangle_self_join(base, ["label"], "id", n_parts=4)
-    scored = pairs.select(
-        "label",
-        "id_a",
-        "id_b",
-        (_dot(F.col("_e_a"), F.col("_e_b")) / (F.col("_n_a") * F.col("_n_b"))).alias("_cos"),
-    )
-    # cosine is orientation-symmetric bit-for-bit (IEEE mult commutes
-    # elementwise, fold order is array order on both sides), so
-    # normalizing ids after scoring matches the oracle's a.id < b.id
-    return scored.filter(F.col("_cos") >= 0.35).select(
-        "label",
-        F.least("id_a", "id_b").alias("id_a"),
-        F.greatest("id_a", "id_b").alias("id_b"),
-        F.round(F.col("_cos"), 6).alias("cosine_sim"),
+    return cosine_block_pairs(
+        emb, block_col="label", id_col="vec_id", threshold=0.35,
+        backend="jvm", n_parts=4,
     )
 
 

@@ -96,3 +96,64 @@ def test_streaming_document_dedup_at_ingest(spark, tmp_path):
     out = spark.read.parquet(path)
     assert out.count() == 3  # doc 3 (normalized dup of 1) dropped
     assert set(r.doc_id for r in out.collect()) == {1, 2, 4}
+
+
+def _embeddings(spark, vecs: dict[int, list[float]]):
+    rows = [(i, "b0", [float(x) for x in v]) for i, v in vecs.items()]
+    return spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<double>"
+    )
+
+
+def test_semantic_dedup_stage_arrow_backend(spark, tmp_path):
+    docs = _corpus(spark)
+    # doc 4 is textually unique but SEMANTICALLY a duplicate of doc 1:
+    # same direction vector → cosine 1.0; doc 1 (min id) is kept
+    emb = _embeddings(
+        spark,
+        {
+            1: [1.0, 0.0, 0.0],
+            2: [0.0, 1.0, 0.0],
+            3: [0.0, 0.0, 1.0],
+            4: [2.0, 0.0, 0.0],
+        },
+    )
+    out = corpus.run_corpus_pipeline(
+        spark,
+        docs,
+        str(tmp_path / "zones"),
+        budget=30,
+        jaccard_threshold=0.5,
+        embeddings=emb,
+        semantic_threshold=0.9,
+        semantic_backend="arrow",
+    )
+    semantic = spark.read.parquet(out["corpus_semantic"])
+    assert set(r.doc_id for r in semantic.collect()) == {1}
+    packs = spark.read.parquet(out["corpus_packs"])
+    assert packs.agg(F.sum("n_docs")).first()[0] == 1
+
+
+def test_semantic_survivors_backend_parity(spark):
+    docs = _corpus(spark)
+    emb = _embeddings(
+        spark,
+        {
+            1: [1.0, 0.1, 0.0],
+            2: [1.0, 0.11, 0.0],   # near-dup of 1
+            3: [0.0, 1.0, 0.2],
+            4: [0.0, 1.0, 0.21],   # near-dup of 3
+        },
+    )
+    arrow = set(
+        r.doc_id
+        for r in corpus.semantic_survivors(docs, emb, 0.99, backend="arrow").collect()
+    )
+    jvm = set(
+        r.doc_id
+        for r in corpus.semantic_survivors(docs, emb, 0.99, backend="jvm").collect()
+    )
+    # same survivor set regardless of backend; clusters {1,2} and {3,4}
+    # keep their minimum ids and the gate-failing docs 5/6 pass through
+    # (semantic dedup drops only cluster losers, quality is upstream)
+    assert arrow == jvm == {1, 3, 5, 6}
