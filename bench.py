@@ -71,16 +71,21 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        # per-query min rides along in the compact line too: on a noisy
+        # box the p50 of 3 runs can sit 2×+ above the min (r4 lesson),
+        # and a min-vs-min comparison is the honest cross-round signal
+        "queries_min": best,
+        "value_min": round(sum(best.values()), 3),
         "runs_per_query": n_runs,
         "stat": "p50",
         "sf": sf,
     }
     # the driver captures a bounded stdout tail — keep the stdout line
-    # COMPACT (p50s only, no spaces) so it always parses whole; the
-    # full artifact incl. best-run times goes to a sidecar file
+    # COMPACT (no spaces) so it always parses whole; the indented
+    # artifact goes to a sidecar file
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "bench_last_run.json"), "w") as f:
-        json.dump({**line, "queries_min": best}, f, indent=2)
+        json.dump(line, f, indent=2)
     spark.stop()
     print(json.dumps(line, separators=(",", ":")))
 
