@@ -704,3 +704,88 @@ def unigram_logloss(
             ),
         )
     )
+
+
+def bigram_pmi(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 3,
+) -> DataFrame:
+    """Adjacent-bigram collocation mining by pointwise mutual
+    information (Church & Hanks 1990) — the classic signal for phrase
+    vocabulary induction / tokenizer merges over a training corpus.
+
+    PMI(a,b) = ln( p(a,b) / (p(a)·p(b)) ) with p(a,b) over bigram
+    instances and p(·) over token instances.  All counts are exact
+    BIGINTs; only the final ln is transcendental, so the result rounds
+    to 6 decimals on both engines (playbook rule).
+
+    Scale shape: bigrams come from one ``zip_with`` of the token array
+    against its own tail — zero extra tokenize passes — then ONE
+    groupBy(bigram); the two unigram-probability joins broadcast the
+    vocab-sized count table (the same "dims always broadcast" rule as
+    ``unigram_logloss``, and the same Zipf-skew hazard if left to a
+    shuffled join).  Totals ride in via broadcast crossJoin.
+    """
+    t = tokens(text_col)
+    n = F.size(t)
+    pairs = F.zip_with(
+        F.slice(t, 1, n - 1),
+        F.slice(t, 2, n - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    bg = df.select(F.explode(pairs).alias("bg")).select("bg.w1", "bg.w2")
+    bg_counts = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_ab"))
+    uni = (
+        df.select(F.explode(t).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_tok"))
+    )
+    tot_uni = uni.agg(F.sum("n_tok").cast("double").alias("_t"))
+    tot_bg = bg_counts.agg(F.sum("n_ab").cast("double").alias("_b"))
+    scored = (
+        bg_counts.filter(F.col("n_ab") >= min_count)
+        .join(F.broadcast(uni.select(F.col("token").alias("w1"), F.col("n_tok").alias("n_a"))), "w1")
+        .join(F.broadcast(uni.select(F.col("token").alias("w2"), F.col("n_tok").alias("n_b"))), "w2")
+        .crossJoin(F.broadcast(tot_bg))
+        .crossJoin(F.broadcast(tot_uni))
+    )
+    pmi = F.log(
+        (F.col("n_ab") / F.col("_b"))
+        / ((F.col("n_a") / F.col("_t")) * (F.col("n_b") / F.col("_t")))
+    )
+    return scored.select(
+        "w1", "w2", "n_ab", F.round(pmi, 6).alias("pmi")
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Per-document top-k terms by tf·idf — keyword extraction over the
+    corpus (idf = ln(N/df), the textbook Salton form; no smoothing so
+    the arithmetic is exactly mirrorable in SQL).
+
+    Scale shape: one tokenize + explode feeds BOTH the per-(doc, term)
+    tf counts and the document-frequency table; df is vocab-sized and
+    broadcast into the scoring join; the per-doc top-k is a window over
+    rows already partitioned by the tf groupBy's doc key.  Ties break
+    on the term string so ranks are deterministic cross-engine.
+    """
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    n_docs = df.agg(F.count(F.lit(1)).cast("double").alias("_n"))
+    scored = tf.join(F.broadcast(dfreq), "term").crossJoin(F.broadcast(n_docs))
+    tfidf = F.round(F.col("tf") * F.log(F.col("_n") / F.col("df_t")), 6)
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.select(F.col(id_col), "term", "tf", tfidf.alias("tfidf"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

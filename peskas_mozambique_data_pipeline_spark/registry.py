@@ -581,6 +581,10 @@ ORACLE_SQL.update(registry_misc.ORACLE_SQL)
 # queries with several green driver rounds (still covered by the
 # bit-exact local gate, tools/check_correctness.py) rotate out.
 _VERIFY_FIRST = [
+    # round-5 additions — never driver-verified, head of the window
+    "semantic_dedup",
+    "bigram_pmi",
+    "tfidf_terms",
     # r5 rotation: the ten queries that sat outside r4's driver window
     # (each driver-green r1–r3 and judge-gated in r4) come back to the
     # head so CORRECTNESS_r05 gives them hard driver rows again, plus
@@ -613,9 +617,9 @@ _VERIFY_LAST = [
     "dedup_clusters",
     "ann_lsh",
     "site_stats_full",
-    # pii_scrub / merge_upsert / scd2_versions stay in the mid window:
-    # they have only one driver-green round (r4), so they keep hard
-    # driver rows until the tail needs to grow for new r5 queries.
+    "pii_scrub",
+    "merge_upsert",
+    "scd2_versions",
 ]
 
 # The driver hard-verifies exactly the first 50 entries; the tail list

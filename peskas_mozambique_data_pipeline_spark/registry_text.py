@@ -1137,7 +1137,135 @@ FROM per_k, total
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: semantic dedup survivors — the end-to-end output of the corpus
+# DAG's SemDeDup stage (plans/corpus.semantic_survivors) on the JVM
+# backend: cosine edges >= 0.35 over the embedding blocks → connected
+# components → drop every non-minimum cluster member from documents.
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .plans.corpus import semantic_survivors
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "source")
+    emb = read_table(spark, sf_dir, "embeddings")
+    return semantic_survivors(docs, emb, threshold=0.35, backend="jvm")
+
+
+SQL_SEMANTIC_DEDUP = f"""
+WITH RECURSIVE scored AS (
+  SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+         {_COS_FOLD} AS cos
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+),
+pairs AS (
+  SELECT id_a, id_b FROM scored WHERE cos >= 0.35
+),
+sym AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach AS (
+  SELECT a AS n, a AS r FROM sym
+  UNION
+  SELECT s.a AS n, reach.r FROM sym s JOIN reach ON s.b = reach.n
+),
+comp AS (
+  SELECT n, MIN(r) AS component_id FROM reach GROUP BY n
+),
+losers AS (
+  SELECT n FROM comp WHERE n != component_id
+)
+SELECT d.doc_id, d.lang, d.source
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT n FROM losers)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: adjacent-bigram PMI — collocation mining (phrase-vocab induction
+# signal).  Counts exact; one ln rounded to 6 on both engines.
+
+
+def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_ops.bigram_pmi(_docs(spark, sf_dir), min_count=5)
+
+
+SQL_BIGRAM_PMI = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+),
+bg AS (
+  SELECT t[i] AS w1, t[i + 1] AS w2
+  FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS g(i)
+),
+bg_counts AS (
+  SELECT w1, w2, COUNT(*) AS n_ab FROM bg GROUP BY w1, w2
+),
+uni AS (
+  SELECT unnest(t) AS token FROM toks
+),
+uni_counts AS (
+  SELECT token, COUNT(*) AS n_tok FROM uni GROUP BY token
+),
+tot AS (
+  SELECT CAST(SUM(n_tok) AS DOUBLE) AS t FROM uni_counts
+),
+totb AS (
+  SELECT CAST(SUM(n_ab) AS DOUBLE) AS b FROM bg_counts
+)
+SELECT c.w1, c.w2, c.n_ab,
+       ROUND(ln((c.n_ab / b) / ((ua.n_tok / t) * (ub.n_tok / t))), 6) AS pmi
+FROM bg_counts c
+JOIN uni_counts ua ON c.w1 = ua.token
+JOIN uni_counts ub ON c.w2 = ub.token, tot, totb
+WHERE c.n_ab >= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: per-doc top-k tf·idf terms — keyword extraction (Salton idf, no
+# smoothing; ties break on the term string for cross-engine ranks).
+
+
+def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_ops.tfidf_top_terms(_docs(spark, sf_dir), k=3)
+
+
+SQL_TFIDF_TERMS = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+),
+dfreq AS (
+  SELECT term, COUNT(*) AS df_t FROM tf GROUP BY term
+),
+n AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents
+),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         ROUND(tf.tf * ln(n_docs / dfreq.df_t), 6) AS tfidf
+  FROM tf JOIN dfreq USING (term), n
+),
+ranked AS (
+  SELECT doc_id, term, tf, tfidf,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, term, tf, tfidf, rank FROM ranked WHERE rank <= 3
+"""
+
+
 SPARK_QUERIES = {
+    "semantic_dedup": q_semantic_dedup,
+    "bigram_pmi": q_bigram_pmi,
+    "tfidf_terms": q_tfidf_terms,
     "unigram_logloss": q_unigram_logloss,
     "vocab_coverage": q_vocab_coverage,
     "doc_pack": q_doc_pack,
@@ -1164,6 +1292,9 @@ SPARK_QUERIES = {
 }
 
 ORACLE_SQL = {
+    "semantic_dedup": SQL_SEMANTIC_DEDUP,
+    "bigram_pmi": SQL_BIGRAM_PMI,
+    "tfidf_terms": SQL_TFIDF_TERMS,
     "unigram_logloss": SQL_UNIGRAM_LOGLOSS,
     "vocab_coverage": SQL_VOCAB_COVERAGE,
     "doc_pack": SQL_DOC_PACK,

@@ -194,3 +194,17 @@ def test_unigram_scoring_join_is_broadcast(spark):
     assert "SortMergeJoin" not in plan
     assert "ShuffledHashJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_bigram_pmi_broadcasts_vocab_tables(spark):
+    # both unigram-count joins and the totals are vocab-bounded dims —
+    # a shuffled join would move the bigram table on Zipf-skewed words
+    plan = plan_of(registry.SPARK_QUERIES["bigram_pmi"](spark, SF), "simple")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_tfidf_scoring_join_is_broadcast(spark):
+    plan = plan_of(registry.SPARK_QUERIES["tfidf_terms"](spark, SF), "simple")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
