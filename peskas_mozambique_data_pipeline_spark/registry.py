@@ -585,6 +585,8 @@ _VERIFY_FIRST = [
     "semantic_dedup",
     "bigram_pmi",
     "tfidf_terms",
+    "jaccard_exact",
+    "dup_spans",
     # r5 rotation: the ten queries that sat outside r4's driver window
     # (each driver-green r1–r3 and judge-gated in r4) come back to the
     # head so CORRECTNESS_r05 gives them hard driver rows again, plus
@@ -620,6 +622,9 @@ _VERIFY_LAST = [
     "pii_scrub",
     "merge_upsert",
     "scd2_versions",
+    # r1–r4 driver-green every round — the safest long-rotation picks
+    "conditional_merge",
+    "flag_battery",
 ]
 
 # The driver hard-verifies exactly the first 50 entries; the tail list

@@ -149,17 +149,10 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verified.select("id_a", "id_b", "jaccard")
 
 
-def _sig_sql() -> str:
-    # mirrors operators/dedup.py: one md5 per shingle -> 32-bit int,
-    # then affine universal-hash permutations mod 2^31-1 (MINHASH_A/B)
-    from .operators.dedup import MINHASH_A, MINHASH_B, MINHASH_P
-
-    mins = ",\n         ".join(
-        f"list_min(list_transform(h32, h -> ({MINHASH_A[i]} * (h % {MINHASH_P}) "
-        f"+ {MINHASH_B[i]}) % {MINHASH_P})) AS mh_{i}"
-        for i in range(_MH_N)
-    )
-    return f"""
+def _hashed_sql() -> str:
+    # mirrors operators/dedup.shingle_hash_frame: the distinct 32-bit
+    # md5-prefix hash SET of each doc's 5-token shingles
+    return """
 tok AS (
   SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
   WHERE len(string_split_regex(trim(text), '\\s+')) >= 5
@@ -174,7 +167,20 @@ hashed AS (
   SELECT doc_id,
          list_distinct(list_transform(sh, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT)) AS h32
   FROM shingled
-),
+)"""
+
+
+def _sig_sql() -> str:
+    # mirrors operators/dedup.py: one md5 per shingle -> 32-bit int,
+    # then affine universal-hash permutations mod 2^31-1 (MINHASH_A/B)
+    from .operators.dedup import MINHASH_A, MINHASH_B, MINHASH_P
+
+    mins = ",\n         ".join(
+        f"list_min(list_transform(h32, h -> ({MINHASH_A[i]} * (h % {MINHASH_P}) "
+        f"+ {MINHASH_B[i]}) % {MINHASH_P})) AS mh_{i}"
+        for i in range(_MH_N)
+    )
+    return f"""{_hashed_sql()},
 sig AS (
   SELECT doc_id,
          {mins}
@@ -1262,8 +1268,83 @@ SELECT doc_id, term, tf, tfidf, rank FROM ranked WHERE rank <= 3
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: EXACT Jaccard dedup join via prefix filtering (AllPairs/PPJoin) —
+# the lossless complement to the MinHash tier.  The oracle is brute
+# force over all pairs: prefix filtering is a complete candidate
+# generator, so the result sets must agree EXACTLY (no recall knob).
+
+
+def q_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hashed = dedup_ops.shingle_hash_frame(
+        _docs(spark, sf_dir), shingle_k=5, materialize=True
+    )
+    return dedup_ops.jaccard_prefix_pairs(hashed, threshold=0.5)
+
+
+SQL_JACCARD_EXACT = f"""
+WITH {_hashed_sql()}
+SELECT id_a, id_b, jaccard FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         ROUND(CAST(len(list_intersect(a.h32, b.h32)) AS DOUBLE)
+               / (len(a.h32) + len(b.h32) - len(list_intersect(a.h32, b.h32))), 6)
+           AS jaccard
+  FROM hashed a JOIN hashed b ON a.doc_id < b.doc_id
+) WHERE jaccard >= 0.5
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: duplicated-substring spans — merged runs of corpus-duplicated
+# n-grams (the distributed stand-in for suffix-array exact-substring
+# dedup, Lee et al. 2022).  Pure integer arithmetic on both engines.
+
+_SPAN_N = 8
+
+
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_ops.duplicated_ngram_spans(_docs(spark, sf_dir), n=_SPAN_N)
+
+
+SQL_DUP_SPANS = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, i AS pos,
+         ('0x' || substr(md5(array_to_string(t[i:i+{_SPAN_N - 1}], ' ')), 1, 8))::BIGINT AS gh
+  FROM toks, UNNEST(generate_series(1, len(t) - {_SPAN_N - 1})) AS g(i)
+  WHERE len(t) >= {_SPAN_N}
+),
+dup AS (
+  SELECT gh FROM grams GROUP BY gh HAVING COUNT(*) >= 2
+),
+hits AS (
+  SELECT doc_id, pos FROM grams WHERE gh IN (SELECT gh FROM dup)
+),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER w IS NULL OR pos - lag(pos) OVER w > 1
+              THEN 1 ELSE 0 END AS newf
+  FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+isl2 AS (
+  SELECT doc_id, pos,
+         SUM(newf) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM isl
+)
+SELECT doc_id,
+       MIN(pos) AS span_start,
+       MAX(pos) + {_SPAN_N - 1} AS span_end,
+       MAX(pos) + {_SPAN_N - 1} - MIN(pos) + 1 AS span_tokens
+FROM isl2 GROUP BY doc_id, island
+"""
+
+
 SPARK_QUERIES = {
     "semantic_dedup": q_semantic_dedup,
+    "jaccard_exact": q_jaccard_exact,
+    "dup_spans": q_dup_spans,
     "bigram_pmi": q_bigram_pmi,
     "tfidf_terms": q_tfidf_terms,
     "unigram_logloss": q_unigram_logloss,
@@ -1293,6 +1374,8 @@ SPARK_QUERIES = {
 
 ORACLE_SQL = {
     "semantic_dedup": SQL_SEMANTIC_DEDUP,
+    "jaccard_exact": SQL_JACCARD_EXACT,
+    "dup_spans": SQL_DUP_SPANS,
     "bigram_pmi": SQL_BIGRAM_PMI,
     "tfidf_terms": SQL_TFIDF_TERMS,
     "unigram_logloss": SQL_UNIGRAM_LOGLOSS,

@@ -523,3 +523,58 @@ def test_cosine_topk_pandas_matches_jvm(spark):
         for r in similarity.cosine_topk_pandas(queries, df, k=4).collect()
     }
     assert a == b and len(a) == 16
+
+
+def test_jaccard_prefix_pairs_is_complete(spark):
+    """Prefix filtering is lossless: the blocked join must return
+    EXACTLY the brute-force pair set at the same threshold."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    rows = []
+    for i in range(30):
+        words = list(base)
+        # progressively mutate so pairwise Jaccard spans the threshold
+        for j in range(i % 4):
+            words[j] = f"uniq{i}_{j}"
+        rows.append((i, " ".join(words + [f"tail{i % 3}"] * 2)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    hashed = dedup.shingle_hash_frame(docs, materialize=True)
+
+    got = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dedup.jaccard_prefix_pairs(hashed, threshold=0.4).collect()
+    }
+    all_pairs = (
+        hashed.select(F.col("doc_id").alias("id_a"))
+        .crossJoin(hashed.select(F.col("doc_id").alias("id_b")))
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
+    brute = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dedup.jaccard_verify_hashed(hashed, all_pairs)
+        .filter(F.col("jaccard") >= 0.4)
+        .collect()
+    }
+    assert got == brute
+    assert len(brute) > 0
+
+
+def test_duplicated_ngram_spans_merges_runs(spark):
+    shared = "one two three four five six seven eight nine ten".split()
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(["pre1a", "pre1b"] + shared + ["post1"])),
+            (2, " ".join(["pre2x"] + shared + ["post2a", "post2b"])),
+            (3, "totally different words with no overlap at all here now"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = {
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+        for r in dedup.duplicated_ngram_spans(docs, n=8).collect()
+    }
+    # the 10 shared tokens are a run of three duplicated 8-grams:
+    # doc 1 at token 3..12, doc 2 at token 2..11; doc 3 clean
+    assert (1, 3, 12, 10) in spans
+    assert (2, 2, 11, 10) in spans
+    assert not any(s[0] == 3 for s in spans)
+    assert len(spans) == 2
