@@ -789,3 +789,46 @@ def tfidf_top_terms(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def remove_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Rebuild each document's text WITHOUT the tokens covered by the
+    given span table — the scrub action that completes exact-substring
+    dedup (Lee et al. 2022 §4: cut the duplicated spans, keep the
+    rest; which occurrences to cut is policy and belongs upstream in
+    the span table, e.g. "all spans" for symmetric removal or
+    "non-canonical occurrences only" to keep one copy).
+
+    Scale shape: spans collapse to one array per doc (groupBy on the
+    doc key), join back on the same key (a 1:1 keyed join — spans are
+    sparse, AQE broadcasts when small), then the rebuild is pure array
+    expressions: an index-aware ``filter`` drops covered positions and
+    ``array_join`` re-concatenates — no shuffle beyond the one keyed
+    join, no UDF.
+
+    Returns (id, text_clean, n_removed).
+    """
+    sp = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+    )
+    t = tokens(text_col)
+    covered = lambda x, i: F.exists(  # noqa: E731 — HOF lambda pair
+        F.col("_spans"),
+        lambda s: (i + 1 >= s["span_start"]) & (i + 1 <= s["span_end"]),
+    )
+    kept = F.when(F.col("_spans").isNull(), t).otherwise(
+        F.filter(t, lambda x, i: ~covered(x, i))
+    )
+    return (
+        df.join(sp, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.array_join(kept, " ").alias("text_clean"),
+            (F.size(t) - F.size(kept)).alias("n_removed"),
+        )
+    )

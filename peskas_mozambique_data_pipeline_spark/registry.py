@@ -587,6 +587,7 @@ _VERIFY_FIRST = [
     "tfidf_terms",
     "jaccard_exact",
     "dup_spans",
+    "span_scrub",
     # r5 rotation: the ten queries that sat outside r4's driver window
     # (each driver-green r1–r3 and judge-gated in r4) come back to the
     # head so CORRECTNESS_r05 gives them hard driver rows again, plus
@@ -625,6 +626,7 @@ _VERIFY_LAST = [
     # r1–r4 driver-green every round — the safest long-rotation picks
     "conditional_merge",
     "flag_battery",
+    "fuzzy_dedup",
 ]
 
 # The driver hard-verifies exactly the first 50 entries; the tail list

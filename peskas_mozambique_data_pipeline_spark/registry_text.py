@@ -1341,10 +1341,78 @@ FROM isl2 GROUP BY doc_id, island
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: span scrub — remove every duplicated span's tokens (symmetric
+# exact-substring removal; pure integer span arithmetic + string
+# rebuild on both engines).
+
+
+def q_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    spans = dedup_ops.duplicated_ngram_spans(docs, n=_SPAN_N)
+    return text_ops.remove_spans(docs, spans)
+
+
+SQL_SPAN_SCRUB = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, i AS pos,
+         ('0x' || substr(md5(array_to_string(t[i:i+{_SPAN_N - 1}], ' ')), 1, 8))::BIGINT AS gh
+  FROM toks, UNNEST(generate_series(1, len(t) - {_SPAN_N - 1})) AS g(i)
+  WHERE len(t) >= {_SPAN_N}
+),
+dup AS (
+  SELECT gh FROM grams GROUP BY gh HAVING COUNT(*) >= 2
+),
+hits AS (
+  SELECT doc_id, pos FROM grams WHERE gh IN (SELECT gh FROM dup)
+),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER w IS NULL OR pos - lag(pos) OVER w > 1
+              THEN 1 ELSE 0 END AS newf
+  FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+isl2 AS (
+  SELECT doc_id, pos,
+         SUM(newf) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM isl
+),
+spans AS (
+  SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + {_SPAN_N - 1} AS span_end
+  FROM isl2 GROUP BY doc_id, island
+),
+tokpos AS (
+  SELECT doc_id, t[i] AS token, i AS pos, len(t) AS n_tok
+  FROM toks, UNNEST(generate_series(1, len(t))) AS g(i)
+),
+kept AS (
+  SELECT tp.doc_id, tp.token, tp.pos, tp.n_tok
+  FROM tokpos tp
+  WHERE NOT EXISTS (
+    SELECT 1 FROM spans s
+    WHERE s.doc_id = tp.doc_id AND tp.pos BETWEEN s.span_start AND s.span_end
+  )
+),
+rebuilt AS (
+  SELECT doc_id, string_agg(token, ' ' ORDER BY pos) AS text_clean,
+         MAX(n_tok) - COUNT(*) AS n_removed
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(r.text_clean, '') AS text_clean,
+       COALESCE(r.n_removed, len(string_split_regex(trim(d.text), '\\s+'))) AS n_removed
+FROM documents d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+"""
+
+
 SPARK_QUERIES = {
     "semantic_dedup": q_semantic_dedup,
     "jaccard_exact": q_jaccard_exact,
     "dup_spans": q_dup_spans,
+    "span_scrub": q_span_scrub,
     "bigram_pmi": q_bigram_pmi,
     "tfidf_terms": q_tfidf_terms,
     "unigram_logloss": q_unigram_logloss,
@@ -1376,6 +1444,7 @@ ORACLE_SQL = {
     "semantic_dedup": SQL_SEMANTIC_DEDUP,
     "jaccard_exact": SQL_JACCARD_EXACT,
     "dup_spans": SQL_DUP_SPANS,
+    "span_scrub": SQL_SPAN_SCRUB,
     "bigram_pmi": SQL_BIGRAM_PMI,
     "tfidf_terms": SQL_TFIDF_TERMS,
     "unigram_logloss": SQL_UNIGRAM_LOGLOSS,

@@ -578,3 +578,18 @@ def test_duplicated_ngram_spans_merges_runs(spark):
     assert (2, 2, 11, 10) in spans
     assert not any(s[0] == 3 for s in spans)
     assert len(spans) == 2
+
+
+def test_remove_spans_rebuilds_text(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "x y z")], "doc_id long, text string"
+    )
+    spans = spark.createDataFrame(
+        [(1, 3, 5)], "doc_id long, span_start int, span_end int"
+    )
+    got = {
+        (r.doc_id, r.text_clean, r.n_removed)
+        for r in text.remove_spans(docs, spans).collect()
+    }
+    # doc 1 loses tokens 3..5 (c d e); doc 2 has no spans → untouched
+    assert got == {(1, "a b f g h", 3), (2, "x y z", 0)}
