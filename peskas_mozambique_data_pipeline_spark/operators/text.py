@@ -832,3 +832,31 @@ def remove_spans(
             (F.size(t) - F.size(kept)).alias("n_removed"),
         )
     )
+
+
+def stratified_topk(
+    df: DataFrame,
+    k: int = 5,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-stratum quality selection: the top-``k`` documents of each
+    stratum by composite quality score — the "keep the best N per
+    domain/language" step of corpus mixing (the greedy counterpart of
+    :func:`stratified_sample`'s rate-based mix).
+
+    Scale shape: features are scan-local (``quality_features``), so
+    the only shuffle is the per-stratum window; ranks tie-break on the
+    doc id for cross-engine determinism, and the score is ROUNDED
+    before ranking so both engines order the same values.
+    """
+    feats = quality_features(df.select(id_col, strata_col, text_col), text_col)
+    w = Window.partitionBy(strata_col).orderBy(
+        F.col("quality_score").desc(), F.col(id_col).asc()
+    )
+    return (
+        feats.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(strata_col, id_col, "quality_score", "rank")
+    )

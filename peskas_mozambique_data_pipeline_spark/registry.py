@@ -588,6 +588,7 @@ _VERIFY_FIRST = [
     "jaccard_exact",
     "dup_spans",
     "span_scrub",
+    "quality_topk",
     # r5 rotation: the ten queries that sat outside r4's driver window
     # (each driver-green r1–r3 and judge-gated in r4) come back to the
     # head so CORRECTNESS_r05 gives them hard driver rows again, plus
@@ -627,6 +628,7 @@ _VERIFY_LAST = [
     "conditional_merge",
     "flag_battery",
     "fuzzy_dedup",
+    "quantile_coeffs",
 ]
 
 # The driver hard-verifies exactly the first 50 entries; the tail list

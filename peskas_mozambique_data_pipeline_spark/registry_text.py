@@ -1408,11 +1408,47 @@ FROM documents d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: per-stratum quality top-k — "keep the best N per language", the
+# greedy counterpart of sample_mix's rate-based mixing.
+
+
+def q_quality_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_ops.stratified_topk(_docs(spark, sf_dir), k=5, strata_col="lang")
+
+
+SQL_QUALITY_TOPK = """
+WITH feat AS (
+  SELECT doc_id, lang,
+         len(string_split_regex(trim(text), '\\s+')) AS n_tok,
+         length(text) AS n_chars,
+         length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct,
+         len(list_filter(string_split_regex(trim(text), '\\s+'),
+             x -> x IN ('the','a','of','and','to','in','is'))) AS n_stop
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, lang,
+         ROUND(LEAST(n_tok / 100.0, 1.0) * 0.5 + (n_stop / n_tok) * 2.0
+               - (n_punct / n_chars), 6) AS quality_score
+  FROM feat
+),
+ranked AS (
+  SELECT lang, doc_id, quality_score,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY quality_score DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT lang, doc_id, quality_score, rank FROM ranked WHERE rank <= 5
+"""
+
+
 SPARK_QUERIES = {
     "semantic_dedup": q_semantic_dedup,
     "jaccard_exact": q_jaccard_exact,
     "dup_spans": q_dup_spans,
     "span_scrub": q_span_scrub,
+    "quality_topk": q_quality_topk,
     "bigram_pmi": q_bigram_pmi,
     "tfidf_terms": q_tfidf_terms,
     "unigram_logloss": q_unigram_logloss,
@@ -1445,6 +1481,7 @@ ORACLE_SQL = {
     "jaccard_exact": SQL_JACCARD_EXACT,
     "dup_spans": SQL_DUP_SPANS,
     "span_scrub": SQL_SPAN_SCRUB,
+    "quality_topk": SQL_QUALITY_TOPK,
     "bigram_pmi": SQL_BIGRAM_PMI,
     "tfidf_terms": SQL_TFIDF_TERMS,
     "unigram_logloss": SQL_UNIGRAM_LOGLOSS,

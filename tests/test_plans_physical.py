@@ -208,3 +208,23 @@ def test_tfidf_scoring_join_is_broadcast(spark):
     plan = plan_of(registry.SPARK_QUERIES["tfidf_terms"](spark, SF), "simple")
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_quality_topk_single_exchange(spark):
+    # features are scan-local; the only shuffle is the stratum window
+    plan = plan_of(registry.SPARK_QUERIES["quality_topk"](spark, SF), "simple")
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_dup_spans_no_cartesian(spark):
+    plan = plan_of(registry.SPARK_QUERIES["dup_spans"](spark, SF), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_jaccard_exact_no_cartesian(spark):
+    # prefix filtering must stay an equi-join on the hash key — a plan
+    # regression to a cross product would be quadratic in the corpus
+    plan = plan_of(registry.SPARK_QUERIES["jaccard_exact"](spark, SF), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
