@@ -860,3 +860,43 @@ def stratified_topk(
         .filter(F.col("rank") <= k)
         .select(strata_col, id_col, "quality_score", "rank")
     )
+
+
+def domain_mixture_weights(
+    df: DataFrame,
+    strata_col: str = "source",
+    text_col: str = "text",
+    alpha: float = 0.7,
+) -> DataFrame:
+    """Temperature-scaled domain mixture weights: ``w_d ∝ share_d^α``
+    — the standard rebalancing between natural sampling (α=1) and
+    uniform-over-domains (α=0) used for multilingual/multi-domain
+    pretraining mixes (e.g. the α-smoothed sampling of XLM-R and the
+    mixture-reweighting setting DoReMi optimizes over).  ``boost`` is
+    the resampling factor each domain needs relative to its natural
+    share.
+
+    Scale shape: one groupBy on the domain key over scan-local token
+    counts (map-side combined), then two broadcast totals — the output
+    is domain-cardinality-sized, never corpus-sized.  ``pow`` is
+    transcendental, so outputs round to 6 decimals on both engines
+    (playbook rule).
+    """
+    tc = df.groupBy(strata_col).agg(
+        F.sum(token_count(text_col)).alias("n_tokens")
+    )
+    total = tc.agg(F.sum("n_tokens").cast("double").alias("_t"))
+    sh = tc.crossJoin(F.broadcast(total)).select(
+        strata_col,
+        "n_tokens",
+        (F.col("n_tokens") / F.col("_t")).alias("_share"),
+    )
+    sc = sh.withColumn("_sw", F.pow(F.col("_share"), F.lit(alpha)))
+    wsum = sc.agg(F.sum("_sw").alias("_s"))
+    return sc.crossJoin(F.broadcast(wsum)).select(
+        strata_col,
+        "n_tokens",
+        F.round(F.col("_share"), 6).alias("share"),
+        F.round(F.col("_sw") / F.col("_s"), 6).alias("weight"),
+        F.round((F.col("_sw") / F.col("_s")) / F.col("_share"), 6).alias("boost"),
+    )

@@ -589,6 +589,7 @@ _VERIFY_FIRST = [
     "dup_spans",
     "span_scrub",
     "quality_topk",
+    "domain_mix",
     # r5 rotation: the ten queries that sat outside r4's driver window
     # (each driver-green r1–r3 and judge-gated in r4) come back to the
     # head so CORRECTNESS_r05 gives them hard driver rows again, plus
@@ -629,6 +630,7 @@ _VERIFY_LAST = [
     "flag_battery",
     "fuzzy_dedup",
     "quantile_coeffs",
+    "lw_model",
 ]
 
 # The driver hard-verifies exactly the first 50 entries; the tail list

@@ -1443,12 +1443,50 @@ SELECT lang, doc_id, quality_score, rank FROM ranked WHERE rank <= 5
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: temperature-scaled domain mixture weights (α-smoothed sampling).
+# Sum of pow values is over DOMAIN cardinality (tiny), so float-order
+# effects sit ~10 decimal digits below the 1e-6 quantization.
+
+
+def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_ops.domain_mixture_weights(
+        _docs(spark, sf_dir), strata_col="source", alpha=0.7
+    )
+
+
+SQL_DOMAIN_MIX = """
+WITH tc AS (
+  SELECT source,
+         CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+tot AS (
+  SELECT CAST(SUM(n_tokens) AS DOUBLE) AS t FROM tc
+),
+sc AS (
+  SELECT source, n_tokens, n_tokens / t AS share,
+         pow(n_tokens / t, 0.7) AS sw
+  FROM tc, tot
+),
+ws AS (
+  SELECT SUM(sw) AS s FROM sc
+)
+SELECT source, n_tokens,
+       ROUND(share, 6) AS share,
+       ROUND(sw / s, 6) AS weight,
+       ROUND((sw / s) / share, 6) AS boost
+FROM sc, ws
+"""
+
+
 SPARK_QUERIES = {
     "semantic_dedup": q_semantic_dedup,
     "jaccard_exact": q_jaccard_exact,
     "dup_spans": q_dup_spans,
     "span_scrub": q_span_scrub,
     "quality_topk": q_quality_topk,
+    "domain_mix": q_domain_mix,
     "bigram_pmi": q_bigram_pmi,
     "tfidf_terms": q_tfidf_terms,
     "unigram_logloss": q_unigram_logloss,
@@ -1482,6 +1520,7 @@ ORACLE_SQL = {
     "dup_spans": SQL_DUP_SPANS,
     "span_scrub": SQL_SPAN_SCRUB,
     "quality_topk": SQL_QUALITY_TOPK,
+    "domain_mix": SQL_DOMAIN_MIX,
     "bigram_pmi": SQL_BIGRAM_PMI,
     "tfidf_terms": SQL_TFIDF_TERMS,
     "unigram_logloss": SQL_UNIGRAM_LOGLOSS,
