@@ -46,3 +46,19 @@ def test_load_dotenv(tmp_path, monkeypatch):
     load_dotenv(str(env))
     assert os.environ["DEMO_SECRET"] == "abc123"
     os.environ.pop("DEMO_SECRET", None)
+
+
+def test_registry_window_invariants():
+    """The driver hard-verifies the FIRST 50 registry entries; the
+    rotation must keep never/least-recently-verified queries inside
+    that window and only multiply-green queries outside it."""
+    from peskas_mozambique_data_pipeline_spark import registry
+
+    names = list(registry.SPARK_QUERIES)
+    window = set(names[: registry._DRIVER_WINDOW])
+    # everything explicitly prioritized is inside the driver window
+    assert set(registry._VERIFY_FIRST) <= window
+    # everything rotated out is exactly the declared tail
+    assert names[registry._DRIVER_WINDOW:] == registry._VERIFY_LAST
+    # oracle keys mirror the query keys in the same order
+    assert list(registry.ORACLE_SQL) == names
