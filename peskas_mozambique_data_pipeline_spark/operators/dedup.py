@@ -534,11 +534,23 @@ def jaccard_prefix_pairs(
     prefix = ranked.filter(
         F.col("_rn")
         <= F.col("_sz") - F.ceil(F.lit(threshold) * F.col("_sz")).cast("int") + 1
-    ).select("_id", "h").localCheckpoint()
+    ).select("_id", "_sz", "h").localCheckpoint()
+    # PPJoin size filter: J ≥ t forces t·|A| ≤ |B| ≤ |A|/t, so
+    # mismatched-size collisions never reach verification.  floor()
+    # (not the tight ceil bound) keeps the cut strictly conservative —
+    # a float-rounding wobble in t·|A| at an exact-boundary pair must
+    # widen the candidate set, never drop a true pair.
+    size_ok = (
+        F.col("b._sz").cast("double")
+        >= F.floor(F.lit(threshold) * F.col("a._sz")).cast("double")
+    ) & (
+        F.col("a._sz").cast("double")
+        >= F.floor(F.lit(threshold) * F.col("b._sz")).cast("double")
+    )
     cand = (
         prefix.alias("a")
         .join(prefix.alias("b"), "h")
-        .filter(F.col("a._id") < F.col("b._id"))
+        .filter((F.col("a._id") < F.col("b._id")) & size_ok)
         .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )

@@ -329,3 +329,46 @@ def test_pack_documents_conservation_and_order(spark, tok_counts, budget):
     for pid, first, last in spans:
         for i in range(first, last + 1):
             assert pack_of[i] == pid
+
+
+@SET
+@given(
+    st.lists(
+        # docs = small random token sequences over a tight vocab so
+        # overlapping shingle sets (and threshold-straddling Jaccards)
+        # actually occur
+        st.lists(st.sampled_from(list("abcdefgh")), min_size=5, max_size=12),
+        min_size=2,
+        max_size=10,
+    ),
+    st.sampled_from([0.3, 0.5, 0.8]),
+)
+def test_jaccard_prefix_join_complete_on_random_corpora(spark, token_lists, threshold):
+    """Prefix filtering + size filtering must be LOSSLESS at every
+    threshold: blocked result == brute force, including boundary
+    Jaccards like 3/10 at t=0.3."""
+    from peskas_mozambique_data_pipeline_spark.operators import dedup as dd
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(token_lists)],
+        "doc_id long, text string",
+    )
+    hashed = dd.shingle_hash_frame(docs, materialize=True)
+    if hashed.count() < 2:
+        return  # all docs under the shingle minimum — nothing to join
+    got = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dd.jaccard_prefix_pairs(hashed, threshold=threshold).collect()
+    }
+    all_pairs = (
+        hashed.select(F.col("doc_id").alias("id_a"))
+        .crossJoin(hashed.select(F.col("doc_id").alias("id_b")))
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
+    brute = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dd.jaccard_verify_hashed(hashed, all_pairs)
+        .filter(F.col("jaccard") >= threshold)
+        .collect()
+    }
+    assert got == brute
