@@ -157,3 +157,41 @@ def test_semantic_survivors_backend_parity(spark):
     # keep their minimum ids and the gate-failing docs 5/6 pass through
     # (semantic dedup drops only cluster losers, quality is upstream)
     assert arrow == jvm == {1, 3, 5, 6}
+
+
+def test_streaming_quality_gate_feeds_dedup_index(spark, tmp_path):
+    """Streaming curation composes: the C4 keep predicate is a
+    stateless filter ON the stream, so only gate-surviving documents
+    ever reach the incremental near-dup index (one query, no
+    intermediate landing)."""
+    from peskas_mozambique_data_pipeline_spark.operators import text as text_ops
+    from peskas_mozambique_data_pipeline_spark.streaming import dedup_index as di
+    from peskas_mozambique_data_pipeline_spark.streaming import ingest as si
+
+    doc = _mk_doc(["alpha", "beta", "gamma", "delta"])
+    rows = [
+        (1, doc, "en"),
+        (2, doc.replace("today", "tomorrow"), "en"),  # near-dup of 1
+        (3, "too short", "en"),                        # gate drops
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    landing = str(tmp_path / "landing")
+    df.coalesce(1).write.parquet(landing)
+
+    stream = si.stream_landing_zone(spark, landing, df.schema)
+    gated = stream.filter(text_ops.c4_keep_expr("text"))
+    q, index_dir, pairs_dir = di.stream_near_dup_index(
+        gated, str(tmp_path / "zone"), str(tmp_path / "ck"),
+        jaccard_threshold=0.5,
+    )
+    q.awaitTermination(120)
+
+    idx_docs = {
+        r.doc_id
+        for r in di.read_index(
+            spark, index_dir, str(tmp_path / "zone" / di.COMPACT_SUBDIR)
+        ).select("doc_id").distinct().collect()
+    }
+    assert idx_docs == {1, 2}  # doc 3 never entered the index
+    pairs = {(r.id_a, r.id_b) for r in di.read_pairs(spark, pairs_dir).collect()}
+    assert pairs == {(1, 2)}
