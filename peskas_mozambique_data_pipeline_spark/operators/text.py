@@ -900,3 +900,72 @@ def domain_mixture_weights(
         F.round(F.col("_sw") / F.col("_s"), 6).alias("weight"),
         F.round((F.col("_sw") / F.col("_s")) / F.col("_share"), 6).alias("boost"),
     )
+
+
+def tokenizer_fertility(
+    df: DataFrame,
+    strata_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-stratum tokenizer fertility: sub-word tokens per whitespace
+    word (the standard metric for how well a tokenizer fits each
+    language/domain — fertility ≫ 1 flags scripts the vocab splinters).
+    Uses the BPE-ish regex segmentation so the measure is deterministic
+    and engine-portable.  Scan-local counts + one groupBy — the output
+    is stratum-sized."""
+    ws = token_count(text_col)
+    bpe = F.size(bpe_ish_tokens(text_col))
+    agg = df.groupBy(strata_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(ws).alias("ws_tokens"),
+        F.sum(bpe).alias("bpe_tokens"),
+    )
+    return agg.select(
+        strata_col,
+        "n_docs",
+        "ws_tokens",
+        "bpe_tokens",
+        F.round(
+            F.col("bpe_tokens").cast("double") / F.col("ws_tokens"), 6
+        ).alias("fertility"),
+    )
+
+
+def bigram_logloss(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document cross-entropy under the corpus's own BIGRAM model
+    — the conditional upgrade of :func:`unigram_logloss` (CCNet scores
+    with a 5-gram KenLM; the self-trained bigram keeps the exact
+    pipeline shape with zero dependencies).  p(w₂|w₁) =
+    c(w₁w₂)/c(w₁·), so every corpus bigram has positive probability —
+    no smoothing needed for a self-trained filter signal.
+
+    Scale note: unlike the unigram model, the bigram table is NOT
+    vocab-bounded (worst case vocab²), so the scoring join shuffles on
+    the composite (w1, w2) key — which is also far less Zipf-skewed
+    than a single-token key; the left-count table IS vocab-bounded and
+    broadcasts into the model build.  ln rounds to 6 (playbook rule).
+    """
+    t = tokens(text_col)
+    n = F.size(t)
+    pairs = F.zip_with(
+        F.slice(t, 1, n - 1),
+        F.slice(t, 2, n - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    bg = df.select(F.col(id_col), F.explode(pairs).alias("bg")).select(
+        id_col, "bg.w1", "bg.w2"
+    )
+    model = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
+    left = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c_a"))
+    probs = model.join(F.broadcast(left), "w1").select(
+        "w1", "w2", (F.col("c_ab") / F.col("c_a")).alias("p")
+    )
+    scored = bg.join(probs, ["w1", "w2"])
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(-F.sum(F.log("p")) / F.count(F.lit(1)), 6).alias("cross_entropy"),
+    )

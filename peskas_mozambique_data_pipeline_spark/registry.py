@@ -590,6 +590,8 @@ _VERIFY_FIRST = [
     "span_scrub",
     "quality_topk",
     "domain_mix",
+    "tokenizer_fertility",
+    "bigram_logloss",
     # r5 rotation: the ten queries that sat outside r4's driver window
     # (each driver-green r1–r3 and judge-gated in r4) come back to the
     # head so CORRECTNESS_r05 gives them hard driver rows again, plus
@@ -631,6 +633,8 @@ _VERIFY_LAST = [
     "fuzzy_dedup",
     "quantile_coeffs",
     "lw_model",
+    "last_wins",
+    "events_hourly",
 ]
 
 # The driver hard-verifies exactly the first 50 entries; the tail list

@@ -1480,6 +1480,62 @@ FROM sc, ws
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: tokenizer fertility — BPE-ish sub-word tokens per whitespace word
+# per stratum (both regex segmentations verified engine-identical).
+
+
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_ops.tokenizer_fertility(_docs(spark, sf_dir), strata_col="lang")
+
+
+SQL_TOKENIZER_FERTILITY = r"""
+WITH feat AS (
+  SELECT lang,
+         len(string_split_regex(trim(text), '\s+')) AS ws,
+         len(string_split_regex(trim(regexp_replace(text,
+             '([a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s])', ' \1 ', 'g')), '\s+')) AS bpe
+  FROM documents
+)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+       CAST(SUM(bpe) AS BIGINT) AS bpe_tokens,
+       ROUND(CAST(SUM(bpe) AS BIGINT) / CAST(CAST(SUM(ws) AS BIGINT) AS DOUBLE), 6)
+         AS fertility
+FROM feat GROUP BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: bigram cross-entropy — the conditional-model upgrade of
+# unigram_logloss (same ln-round-6 convention).
+
+
+def q_bigram_logloss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_ops.bigram_logloss(_docs(spark, sf_dir))
+
+
+SQL_BIGRAM_LOGLOSS = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+),
+bg AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS g(i)
+),
+m AS (
+  SELECT w1, w2, COUNT(*) AS c_ab FROM bg GROUP BY w1, w2
+),
+lc AS (
+  SELECT w1, COUNT(*) AS c_a FROM bg GROUP BY w1
+)
+SELECT s.doc_id, COUNT(*) AS n_bigrams,
+       ROUND(-SUM(ln(m.c_ab / lc.c_a)) / COUNT(*), 6) AS cross_entropy
+FROM bg s JOIN m USING (w1, w2) JOIN lc USING (w1)
+GROUP BY s.doc_id
+"""
+
+
 SPARK_QUERIES = {
     "semantic_dedup": q_semantic_dedup,
     "jaccard_exact": q_jaccard_exact,
@@ -1487,6 +1543,8 @@ SPARK_QUERIES = {
     "span_scrub": q_span_scrub,
     "quality_topk": q_quality_topk,
     "domain_mix": q_domain_mix,
+    "tokenizer_fertility": q_tokenizer_fertility,
+    "bigram_logloss": q_bigram_logloss,
     "bigram_pmi": q_bigram_pmi,
     "tfidf_terms": q_tfidf_terms,
     "unigram_logloss": q_unigram_logloss,
@@ -1521,6 +1579,8 @@ ORACLE_SQL = {
     "span_scrub": SQL_SPAN_SCRUB,
     "quality_topk": SQL_QUALITY_TOPK,
     "domain_mix": SQL_DOMAIN_MIX,
+    "tokenizer_fertility": SQL_TOKENIZER_FERTILITY,
+    "bigram_logloss": SQL_BIGRAM_LOGLOSS,
     "bigram_pmi": SQL_BIGRAM_PMI,
     "tfidf_terms": SQL_TFIDF_TERMS,
     "unigram_logloss": SQL_UNIGRAM_LOGLOSS,
