@@ -130,6 +130,27 @@ def stage_semantic_dedup(
     )
 
 
+def stage_span_scrub(
+    spark: SparkSession,
+    zones: PipelineZones,
+    span_n: int = 8,
+    source: str = "corpus_deduped",
+) -> str:
+    """Exact-substring scrub: detect duplicated ≥``span_n``-token spans
+    WITHIN the surviving corpus and cut them (symmetric removal), then
+    republish with the cleaned text under the original column name so
+    downstream packing sees the reduced token counts."""
+    docs = zones.read(spark, source)
+    spans = dedup_ops.duplicated_ngram_spans(docs, n=span_n)
+    scrubbed = text_ops.remove_spans(docs, spans)
+    out = (
+        docs.drop("text")
+        .join(scrubbed.select("doc_id", "text_clean", "n_removed"), "doc_id")
+        .withColumnRenamed("text_clean", "text")
+    )
+    return zones.write(out, "corpus_scrubbed")
+
+
 def stage_pack(
     spark: SparkSession,
     zones: PipelineZones,
@@ -153,6 +174,8 @@ def run_corpus_pipeline(
     embeddings: DataFrame | None = None,
     semantic_threshold: float = 0.35,
     semantic_backend: str = "arrow",
+    scrub_spans: bool = False,
+    span_n: int = 8,
 ) -> dict[str, str]:
     """The full curation DAG through versioned zones.
 
@@ -163,7 +186,11 @@ def run_corpus_pipeline(
 
     With ``embeddings`` provided, a semantic-dedup stage (SemDeDup
     shape: cosine edges → CC → representative) runs between text dedup
-    and packing, on the Arrow/BLAS backend by default.
+    and packing, on the Arrow/BLAS backend by default.  With
+    ``scrub_spans`` the surviving corpus additionally has duplicated
+    ≥``span_n``-token substrings cut before packing (doc-level dedup
+    removes whole near-identical documents; span scrub removes the
+    repeated boilerplate INSIDE otherwise-unique documents).
     """
     from ..io import parquet_io
 
@@ -197,6 +224,18 @@ def run_corpus_pipeline(
             out["corpus_semantic"] = stage_semantic_dedup(
                 spark, zones, embeddings,
                 threshold=semantic_threshold, backend=semantic_backend,
+            )
+
+    if scrub_spans:
+        scrub_source = pack_source
+        pack_source = "corpus_scrubbed"
+        if skip_fresh and zones.is_fresh("corpus_scrubbed", scrub_source):
+            out["corpus_scrubbed"] = parquet_io.latest_version_path(
+                zone_root, "corpus_scrubbed"
+            )
+        else:
+            out["corpus_scrubbed"] = stage_span_scrub(
+                spark, zones, span_n=span_n, source=scrub_source
             )
 
     if skip_fresh and zones.is_fresh("corpus_packs", pack_source):

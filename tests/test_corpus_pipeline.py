@@ -195,3 +195,34 @@ def test_streaming_quality_gate_feeds_dedup_index(spark, tmp_path):
     assert idx_docs == {1, 2}  # doc 3 never entered the index
     pairs = {(r.id_a, r.id_b) for r in di.read_pairs(spark, pairs_dir).collect()}
     assert pairs == {(1, 2)}
+
+
+def test_corpus_pipeline_with_span_scrub(spark, tmp_path):
+    """Doc-level dedup keeps doc 4 (textually unique), but docs 1 and 4
+    share the _mk_doc boilerplate prefix — span scrub cuts that shared
+    run inside BOTH survivors before packing."""
+    docs = _corpus(spark)
+    out = corpus.run_corpus_pipeline(
+        spark,
+        docs,
+        str(tmp_path / "zones"),
+        budget=30,
+        jaccard_threshold=0.5,
+        scrub_spans=True,
+        span_n=8,
+    )
+    scrubbed = {
+        r.doc_id: (r.text, r.n_removed)
+        for r in spark.read.parquet(out["corpus_scrubbed"]).collect()
+    }
+    assert set(scrubbed) == {1, 4}
+    # the shared 15-token prefix ("the quick brown fox ... to in of")
+    # is duplicated between docs 1 and 4 → removed from both
+    for d in (1, 4):
+        text, n_removed = scrubbed[d]
+        assert n_removed > 0
+        assert "quick brown fox" not in text
+    # the unique seed words survive
+    assert "alpha" in scrubbed[1][0] and "omega" in scrubbed[4][0]
+    packs = spark.read.parquet(out["corpus_packs"])
+    assert packs.agg(F.sum("n_docs")).first()[0] == 2
