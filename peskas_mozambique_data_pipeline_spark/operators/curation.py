@@ -1,0 +1,163 @@
+"""Corpus-curation operators batch 2: per-group document caps,
+snapshot diffing, and token-distribution drift.
+
+These are the governance layer of a training-data pipeline: cap how
+much any one host/source contributes (C4 caps per-host page counts),
+diff two corpus releases (what changed between Dolma v1.5 and v1.6),
+and quantify how far one slice's token distribution drifts from the
+corpus (the cheap proxy for "did this source shift under us").
+
+All arithmetic is engine-portable: hashes are md5 hex strings, float
+accumulations quantize to integer micro-units before summing (exact,
+order-independent — see ``similarity.build_ivf_index`` for the same
+rule), and final ratios round to 6 decimals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+
+def per_group_cap(
+    df: DataFrame,
+    group_col: str = "source",
+    cap: int = 100,
+    id_col: str = "doc_id",
+    salt: str = "cap",
+) -> DataFrame:
+    """Keep at most ``cap`` rows per group, chosen by deterministic
+    hash order (md5(salt_id)) — the C4-style per-host contribution cap.
+
+    Scale shape: groups at or under the cap never enter a window.  One
+    count aggregate (map-side combinable) finds the over-cap groups;
+    its result is #groups rows — broadcast.  Rows of under-cap groups
+    pass through with a broadcast semi-join only (no shuffle of the
+    fact side); only the over-cap minority shuffles into the
+    row_number window.  At 100 TB with a few mega-hosts this is the
+    difference between windowing the whole corpus and windowing the
+    hot tail — and the hot groups themselves are exactly the rows one
+    cannot avoid sorting (an exact hash-order cap needs the cap-th
+    smallest hash per group).
+
+    Returns the input rows plus ``_keep`` boolean (callers filter or
+    audit); deterministic for any partitioning.
+    """
+    h = F.md5(F.concat_ws("_", F.lit(salt), F.col(id_col).cast("string")))
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_gn"))
+    over = counts.filter(F.col("_gn") > cap).select(group_col)
+    tagged = df.join(
+        F.broadcast(over.withColumn("_over", F.lit(True))), group_col, "left"
+    )
+    small = tagged.filter(F.col("_over").isNull()).drop("_over").withColumn(
+        "_keep", F.lit(True)
+    )
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
+    big = (
+        tagged.filter(F.col("_over"))
+        .drop("_over")
+        .withColumn("_keep", F.row_number().over(w) <= cap)
+    )
+    return small.unionByName(big)
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    attrs: tuple[str, ...] = ("source",),
+) -> DataFrame:
+    """Diff two corpus snapshots: per-document status ``added`` /
+    ``removed`` / ``changed`` / ``unchanged``.
+
+    Compares md5 digests, never text: at 100 TB the full-outer join
+    ships 32-byte digests + ids, co-partitioned on ``id_col`` — the
+    text columns are pruned at the scan.  Carried attributes coalesce
+    new-over-old so removed rows keep their provenance.
+    """
+    o = old.select(
+        F.col(id_col),
+        F.md5(F.col(text_col)).alias("_od"),
+        *[F.col(a).alias(f"_o_{a}") for a in attrs],
+    )
+    n = new.select(
+        F.col(id_col),
+        F.md5(F.col(text_col)).alias("_nd"),
+        *[F.col(a).alias(f"_n_{a}") for a in attrs],
+    )
+    j = o.join(n, id_col, "full_outer")
+    status = (
+        F.when(F.col("_od").isNull(), F.lit("added"))
+        .when(F.col("_nd").isNull(), F.lit("removed"))
+        .when(F.col("_od") == F.col("_nd"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(
+        F.col(id_col),
+        status.alias("status"),
+        *[
+            F.coalesce(F.col(f"_n_{a}"), F.col(f"_o_{a}")).alias(a)
+            for a in attrs
+        ],
+    )
+
+
+def _q9(x: Column) -> Column:
+    """Quantize a double to integer nano-units: summing BIGINTs is
+    exact and order-independent, so aggregates built on this are
+    bit-reproducible across engines and shuffle orderings."""
+    return F.round(x * F.lit(1e9)).cast("long")
+
+
+def token_distribution_drift(
+    df: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group KL divergence of the token distribution against the
+    whole-corpus distribution — the drift signal a curation pipeline
+    watches per source/language/snapshot.
+
+    KL(p_g || q) = Σ_t p_g(t)·ln(p_g(t)/q(t)); every token in a group
+    also appears in the corpus, so q(t) > 0 always.  Per-token terms
+    are quantized to nano-units and summed as BIGINT (order-free),
+    then scaled back — a double SUM would drift with partition order
+    and break the DuckDB oracle.
+
+    One explode + two hash aggregates; the per-token join is on the
+    (group, token) grain against a token-grain frame — broadcast-safe
+    only if the vocab is bounded, so the corpus-side counts join keys
+    on ``token`` and stays a shuffle join by design (the vocab of a
+    100 TB corpus is NOT a broadcastable dim; the aggregate output is
+    vocab-sized, far smaller than the exploded input).
+    """
+    tok = df.select(
+        F.col(group_col).alias("grp"), F.explode(tokens(text_col)).alias("token")
+    )
+    g_counts = tok.groupBy("grp", "token").agg(F.count(F.lit(1)).alias("c_g"))
+    g_tot = g_counts.groupBy("grp").agg(F.sum("c_g").alias("t_g"))
+    all_counts = g_counts.groupBy("token").agg(F.sum("c_g").alias("c_all"))
+    all_tot = all_counts.agg(F.sum("c_all").alias("t_all"))
+    p = F.col("c_g") / F.col("t_g")
+    q = F.col("c_all") / F.col("t_all")
+    term = p * F.log(p / q)
+    per_tok = (
+        g_counts.join(all_counts, "token")
+        .join(F.broadcast(g_tot), "grp")
+        .crossJoin(F.broadcast(all_tot))
+        .select("grp", "c_g", _q9(term).alias("_tq"))
+    )
+    return (
+        per_tok.groupBy("grp")
+        .agg(
+            F.sum("c_g").alias("n_tokens"),
+            F.count(F.lit(1)).alias("vocab"),
+            F.round(F.sum("_tq") / F.lit(1e9), 6).alias("kl_to_corpus"),
+        )
+        .select(
+            F.col("grp").alias(group_col), "n_tokens", "vocab", "kl_to_corpus"
+        )
+    )

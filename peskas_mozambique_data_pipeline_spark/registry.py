@@ -565,12 +565,14 @@ ORACLE_SQL: dict[str, str] = {
 SPARK_QUERIES.update(registry_relational.SPARK_QUERIES)
 ORACLE_SQL.update(registry_relational.ORACLE_SQL)
 
-from . import registry_misc, registry_text  # noqa: E402
+from . import registry_curation, registry_misc, registry_text  # noqa: E402
 
 SPARK_QUERIES.update(registry_text.SPARK_QUERIES)
 ORACLE_SQL.update(registry_text.ORACLE_SQL)
 SPARK_QUERIES.update(registry_misc.SPARK_QUERIES)
 ORACLE_SQL.update(registry_misc.ORACLE_SQL)
+SPARK_QUERIES.update(registry_curation.SPARK_QUERIES)
+ORACLE_SQL.update(registry_curation.ORACLE_SQL)
 
 # The driver's correctness harness checks the FIRST 50 registry entries
 # in dict order; with >50 queries registered, assembly order decides
@@ -582,6 +584,9 @@ ORACLE_SQL.update(registry_misc.ORACLE_SQL)
 # bit-exact local gate, tools/check_correctness.py) rotate out.
 _VERIFY_FIRST = [
     # round-5 additions — never driver-verified, head of the window
+    "source_cap",
+    "corpus_diff",
+    "token_drift",
     "semantic_dedup",
     "bigram_pmi",
     "tfidf_terms",
@@ -635,6 +640,9 @@ _VERIFY_LAST = [
     "lw_model",
     "last_wins",
     "events_hourly",
+    "user_activity",
+    "json_extract",
+    "text_quality",
 ]
 
 # The driver hard-verifies exactly the first 50 entries; the tail list

@@ -1,0 +1,171 @@
+"""Query registry batch 4: corpus-governance operators — per-source
+contribution caps, snapshot diffing, token-distribution drift, and the
+PQ/ADC ANN tier.
+
+Same oracle-portability rules as registry_text: md5 for all hashing,
+integer micro-unit quantization before any float SUM, ROUND(..., 6)
+on every emitted ratio.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators import curation as cur_ops
+from .session import read_table
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "documents")
+
+
+# ---------------------------------------------------------------------------
+# Q: C4-style per-source contribution cap (R has no per-host cap; this
+# is a training-data governance op — Raffel et al. 2020 §2.2 cap the
+# pages any one host contributes).  The operator tags rows; the query
+# audits kept/dropped per source.
+
+_CAP = 15
+
+
+def q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    capped = cur_ops.per_group_cap(
+        _docs(spark, sf_dir), group_col="source", cap=_CAP, id_col="doc_id"
+    )
+    return capped.groupBy("source").agg(
+        F.sum(F.when(F.col("_keep"), 1).otherwise(0)).alias("n_kept"),
+        F.sum(F.when(F.col("_keep"), 0).otherwise(1)).alias("n_dropped"),
+        F.round(
+            F.sum(F.when(F.col("_keep"), 1).otherwise(0)) / F.count(F.lit(1)), 6
+        ).alias("frac_kept"),
+    )
+
+
+SQL_SOURCE_CAP = f"""
+WITH r AS (
+  SELECT source, doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY md5('cap_' || CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rn
+  FROM documents
+)
+SELECT source,
+       CAST(SUM(CASE WHEN rn <= {_CAP} THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN rn > {_CAP} THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       ROUND(SUM(CASE WHEN rn <= {_CAP} THEN 1 ELSE 0 END) / COUNT(*), 6)
+         AS frac_kept
+FROM r GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: corpus snapshot diff (release-over-release accounting, the Dolma
+# changelog shape).  Two deterministic "releases" are derived from the
+# documents table: the old snapshot drops doc_id % 17 = 3, the new one
+# drops doc_id % 19 = 5 and edits every doc_id % 7 = 0 text — so all
+# four statuses occur.  The diff compares digests, never text.
+
+
+def _snapshots(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    docs = _docs(spark, sf_dir)
+    old = docs.filter(F.col("doc_id") % 17 != 3)
+    new = docs.filter(F.col("doc_id") % 19 != 5).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" [rev2]"))
+        ).otherwise(F.col("text")),
+    )
+    return old, new
+
+
+def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    old, new = _snapshots(spark, sf_dir)
+    diff = cur_ops.corpus_diff(old, new, attrs=("source",))
+    return diff.groupBy("source", "status").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+SQL_CORPUS_DIFF = """
+WITH old AS (
+  SELECT doc_id, md5(text) AS d, source FROM documents WHERE doc_id % 17 <> 3
+),
+new AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]' ELSE text END) AS d,
+         source
+  FROM documents WHERE doc_id % 19 <> 5
+),
+j AS (
+  SELECT COALESCE(n.doc_id, o.doc_id) AS doc_id,
+         CASE WHEN o.d IS NULL THEN 'added'
+              WHEN n.d IS NULL THEN 'removed'
+              WHEN o.d = n.d THEN 'unchanged'
+              ELSE 'changed' END AS status,
+         COALESCE(n.source, o.source) AS source
+  FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+)
+SELECT source, status, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM j GROUP BY source, status
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: per-language token-distribution drift vs the corpus (KL
+# divergence) — the monitoring signal for "did this slice shift".
+# Per-token KL terms quantize to nano-units before the SUM so the
+# accumulation is order-independent (bit-exact on both engines).
+
+
+def q_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cur_ops.token_distribution_drift(
+        _docs(spark, sf_dir), group_col="lang"
+    )
+
+
+SQL_TOKEN_DRIFT = """
+WITH tok AS (
+  SELECT lang AS grp, unnest(string_split_regex(trim(text), '\\s+')) AS token
+  FROM documents
+),
+gc AS (
+  SELECT grp, token, COUNT(*) AS c_g FROM tok GROUP BY grp, token
+),
+gt AS (
+  SELECT grp, CAST(SUM(c_g) AS BIGINT) AS t_g FROM gc GROUP BY grp
+),
+ac AS (
+  SELECT token, CAST(SUM(c_g) AS BIGINT) AS c_all FROM gc GROUP BY token
+),
+at AS (
+  SELECT CAST(SUM(c_all) AS BIGINT) AS t_all FROM ac
+),
+terms AS (
+  SELECT gc.grp, gc.c_g,
+         CAST(ROUND(
+           (gc.c_g / gt.t_g)
+           * ln((gc.c_g / gt.t_g) / (ac.c_all / at.t_all)) * 1e9
+         ) AS BIGINT) AS tq
+  FROM gc JOIN ac USING (token) JOIN gt USING (grp) CROSS JOIN at
+)
+SELECT grp AS lang,
+       CAST(SUM(c_g) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS vocab,
+       ROUND(SUM(tq) / 1e9, 6) AS kl_to_corpus
+FROM terms GROUP BY grp
+"""
+
+
+SPARK_QUERIES = {
+    "source_cap": q_source_cap,
+    "corpus_diff": q_corpus_diff,
+    "token_drift": q_token_drift,
+}
+
+ORACLE_SQL = {
+    "source_cap": SQL_SOURCE_CAP,
+    "corpus_diff": SQL_CORPUS_DIFF,
+    "token_drift": SQL_TOKEN_DRIFT,
+}

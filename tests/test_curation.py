@@ -1,0 +1,109 @@
+"""Unit tests for operators/curation.py: per-group caps, snapshot
+diffing, token-distribution drift."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from peskas_mozambique_data_pipeline_spark.operators import curation as cur
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, source string, lang string"
+    )
+
+
+def test_per_group_cap_respects_cap_and_determinism(spark):
+    rows = [(i, f"t{i}", f"s{i % 3}", "en") for i in range(30)]
+    df = _docs(spark, rows)
+    out = cur.per_group_cap(df, group_col="source", cap=4, id_col="doc_id")
+    kept = out.filter("_keep").groupBy("source").count().collect()
+    assert all(r["count"] == 4 for r in kept)  # 10 per group, capped to 4
+    # all rows survive with a tag, none dropped silently
+    assert out.count() == 30
+    # deterministic under repartitioning
+    a = sorted(r.doc_id for r in out.filter("_keep").collect())
+    out2 = cur.per_group_cap(
+        df.repartition(7), group_col="source", cap=4, id_col="doc_id"
+    )
+    b = sorted(r.doc_id for r in out2.filter("_keep").collect())
+    assert a == b
+
+
+def test_per_group_cap_under_cap_groups_untouched(spark):
+    rows = [(i, f"t{i}", "only", "en") for i in range(3)]
+    out = cur.per_group_cap(
+        _docs(spark, rows), group_col="source", cap=10, id_col="doc_id"
+    )
+    assert out.filter("_keep").count() == 3
+
+
+def test_corpus_diff_statuses(spark):
+    old = _docs(
+        spark,
+        [(1, "a", "s", "en"), (2, "b", "s", "en"), (3, "c", "s", "en")],
+    )
+    new = _docs(
+        spark,
+        [(2, "b", "s", "en"), (3, "c2", "s", "en"), (4, "d", "s2", "en")],
+    )
+    got = {
+        r.doc_id: (r.status, r.source)
+        for r in cur.corpus_diff(old, new).collect()
+    }
+    assert got == {
+        1: ("removed", "s"),
+        2: ("unchanged", "s"),
+        3: ("changed", "s"),
+        4: ("added", "s2"),
+    }
+
+
+def test_token_drift_zero_for_identical_distributions(spark):
+    # both groups share the exact token distribution -> KL == 0
+    rows = [(i, "a b c", "s", "en" if i % 2 else "fr") for i in range(10)]
+    out = cur.token_distribution_drift(_docs(spark, rows), group_col="lang")
+    for r in out.collect():
+        assert r.kl_to_corpus == 0.0
+        assert r.vocab == 3
+
+
+def test_token_drift_matches_manual_kl(spark):
+    # en: 4x"a" 1x"b"; fr: 1x"a" 4x"b"  -> symmetric positive KL
+    rows = [
+        (1, "a a a a b", "s", "en"),
+        (2, "b b b b a", "s", "fr"),
+    ]
+    out = {
+        r.lang: r.kl_to_corpus
+        for r in cur.token_distribution_drift(
+            _docs(spark, rows), group_col="lang"
+        ).collect()
+    }
+    p, q = 0.8, 0.5
+    expected = p * math.log(p / q) + (1 - p) * math.log((1 - p) / q)
+    assert abs(out["en"] - expected) < 1e-6
+    assert abs(out["fr"] - expected) < 1e-6
+    assert out["en"] == out["fr"]  # symmetric construction
+
+
+def test_per_group_cap_broadcast_plan(spark):
+    """The over-cap tag join must broadcast the group list — capping a
+    100 TB corpus must not shuffle the fact side to discover which
+    groups are hot."""
+    import contextlib
+    import io
+
+    rows = [(i, f"t{i}", f"s{i % 3}", "en") for i in range(30)]
+    out = cur.per_group_cap(
+        _docs(spark, rows), group_col="source", cap=4, id_col="doc_id"
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -228,3 +228,32 @@ def test_jaccard_exact_no_cartesian(spark):
     plan = plan_of(registry.SPARK_QUERIES["jaccard_exact"](spark, SF), "simple")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_corpus_diff_joins_digests_not_text(spark):
+    # the full-outer join must ship md5 digests, never the text column
+    plan = plan_of(registry.SPARK_QUERIES["corpus_diff"](spark, SF), "simple")
+    join_seg = plan.split("SortMergeJoin")[-1] if "SortMergeJoin" in plan else plan
+    scans = [s for s in plan.split("FileScan parquet") if "documents.parquet" in s]
+    for s in scans:
+        read_schema = s.split("ReadSchema:")[1].splitlines()[0]
+        assert "text" in read_schema  # digest needs text at the scan...
+    # ...but no Exchange carries the raw text: the digest projection
+    # happens below the join, so the shuffled row is (id, digest, attrs)
+    for seg in plan.split("Exchange")[1:]:
+        first = seg.splitlines()[0]
+        assert "text#" not in first
+
+
+def test_source_cap_windows_only_over_cap_groups(spark):
+    # the under-cap branch must reach the union without a window; the
+    # hot-group tag join must be broadcast
+    plan = plan_of(registry.SPARK_QUERIES["source_cap"](spark, SF), "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_token_drift_no_cartesian_blowup(spark):
+    # the only cross join allowed is against the 1-row corpus total
+    plan = plan_of(registry.SPARK_QUERIES["token_drift"](spark, SF), "simple")
+    assert "CartesianProduct" not in plan
