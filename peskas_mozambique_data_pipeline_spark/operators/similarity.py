@@ -581,3 +581,203 @@ def cosine_topk_pandas(
             F.round(F.col("_cos"), 6).alias("cosine_sim"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) + asymmetric distance computation (ADC) —
+# the memory-compression ANN tier (Jégou et al. 2011, "Product
+# quantization for nearest neighbor search").  A d-dim float vector
+# becomes m small codes (one per subspace), so a 100 TB embedding
+# column shrinks to m bytes/vector; queries score candidates from a
+# per-query distance table (ADC) without ever touching raw corpus
+# vectors.  Complements the IVF routing tier: IVF prunes WHO to score,
+# PQ compresses WHAT is scored.
+
+
+def _l2sq(a: Column, b: Column) -> Column:
+    """Sequential-fold squared L2 distance — same bit-reproducibility
+    contract as ``_dot`` (index-order double fold, DuckDB-replayable)."""
+    diff = F.zip_with(
+        a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double"))
+    )
+    return F.aggregate(diff, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _subspaces(df: DataFrame, vec_col: str, m: int, d_sub: int) -> DataFrame:
+    """Explode a vector column into m (subspace, subvec) rows."""
+    parts = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("subspace"),
+                F.slice(F.col(vec_col), s * d_sub + 1, d_sub).alias("subvec"),
+            )
+            for s in range(m)
+        ]
+    )
+    return df.select(
+        *[c for c in df.columns if c != vec_col],
+        F.explode(parts).alias("_sp"),
+    ).select(*[c for c in df.columns if c != vec_col], "_sp.subspace", "_sp.subvec")
+
+
+def build_pq_index(
+    corpus: DataFrame,
+    m: int = 2,
+    k: int = 4,
+    n_iters: int = 2,
+    dim: int = 64,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Train per-subspace codebooks (Lloyd's k-means on L2) and encode
+    the corpus.  Returns ``(codes, codebooks)``: codes is one row per
+    (vector, subspace) with the assigned centroid id; codebooks is
+    m·k rows of (subspace, centroid_id, centroid).
+
+    Scale shape mirrors ``build_ivf_index``: seed selection is the k
+    smallest md5(id) rows (TakeOrderedAndProject — no global sort, no
+    corpus-wide window); every assignment pass joins the exploded
+    (id, subspace, subvec) frame to the BROADCAST codebook (m·k·d_sub
+    floats — trivially small at any corpus size); centroid means
+    accumulate in integer micro-units so the build is bit-reproducible
+    across engines and shuffle orders.  All m subspaces train in ONE
+    pass per iteration (subspace is a join key, not a driver loop), so
+    the iteration cost is one broadcast join + one groupBy regardless
+    of m.
+    """
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
+    d_sub = dim // m
+    seeds = (
+        corpus.select(
+            F.md5(F.col(corpus_id).cast("string")).alias("_h"),
+            F.col(vec_col).alias("_v"),
+        )
+        .orderBy("_h")
+        .limit(k)
+    )
+    seed_rows = seeds.withColumn(
+        "centroid_id", (F.row_number().over(Window.orderBy("_h")) - 1).cast("int")
+    )
+    codebooks = _subspaces(
+        seed_rows.select("centroid_id", F.col("_v").alias("embedding")),
+        "embedding", m, d_sub,
+    ).select("subspace", "centroid_id", F.col("subvec").alias("centroid"))
+
+    subs = _subspaces(
+        corpus.select(corpus_id, vec_col), vec_col, m, d_sub
+    )
+
+    def assign(cb: DataFrame) -> DataFrame:
+        scored = subs.join(F.broadcast(cb), "subspace").withColumn(
+            "_d2", _l2sq(F.col("subvec"), F.col("centroid"))
+        )
+        w = Window.partitionBy(corpus_id, "subspace").orderBy(
+            F.col("_d2").asc(), F.col("centroid_id").asc()
+        )
+        return (
+            scored.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .select(corpus_id, "subspace", "subvec",
+                    F.col("centroid_id").alias("code"))
+        )
+
+    assignments = assign(codebooks)
+    for _ in range(n_iters - 1):
+        exploded = assignments.select(
+            "subspace", "code", F.posexplode("subvec").alias("pos", "val")
+        )
+        means = (
+            exploded.groupBy("subspace", "code", "pos")
+            .agg(
+                F.sum(
+                    F.round(F.col("val").cast("double") * 1e8).cast("long")
+                ).alias("_s"),
+                F.count(F.lit(1)).alias("_n"),
+            )
+            .select(
+                "subspace", "code", "pos",
+                (F.col("_s").cast("double") / F.col("_n") / F.lit(1e8)).alias("m"),
+            )
+        )
+        codebooks = (
+            means.groupBy("subspace", F.col("code").alias("centroid_id"))
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s.m.cast("float"),
+                ).alias("centroid")
+            )
+        )
+        assignments = assign(codebooks)
+    return assignments.select(corpus_id, "subspace", "code"), codebooks
+
+
+def pq_topk(
+    queries: DataFrame,
+    codes: DataFrame,
+    codebooks: DataFrame,
+    k_nn: int = 5,
+    m: int = 2,
+    k: int = 4,
+    dim: int = 64,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC search: per query, an m·k distance table (query subvector to
+    every codebook centroid); each corpus vector's approximate distance
+    is the sum of its m table entries — no corpus vector is ever read.
+
+    The distance table is |Q|·m·k doubles — broadcast by the same
+    bound that lets the queries broadcast in ``cosine_topk``.  The
+    candidate scoring is then a scan of the CODES table (m
+    small-int columns' worth of data per corpus row): the whole search
+    touches ~1/100th the bytes of brute force at dim=64, m=2.  The
+    per-row sum unrolls in subspace order (a fixed-order chain, not a
+    float SUM), keeping results engine-exact.
+    """
+    d_sub = dim // m
+    q_sub = _subspaces(
+        queries.select(query_id, vec_col), vec_col, m, d_sub
+    )
+    dtab_long = q_sub.join(F.broadcast(codebooks), "subspace").select(
+        query_id,
+        (F.col("subspace") * k + F.col("centroid_id")).alias("_idx"),
+        _l2sq(F.col("subvec"), F.col("centroid")).alias("_d2"),
+    )
+    dtab = dtab_long.groupBy(query_id).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_idx", "_d2"))),
+            lambda s: s._d2,
+        ).alias("_dt")
+    )
+    codes_wide = codes.groupBy(corpus_id).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("subspace", "code"))),
+            lambda s: s.code,
+        ).alias("_codes")
+    )
+    scored = codes_wide.crossJoin(F.broadcast(dtab)).filter(
+        F.col(query_id) != F.col(corpus_id)
+    )
+    approx = None
+    for s in range(m):
+        entry = F.element_at(
+            F.col("_dt"),
+            (F.lit(s * k) + F.element_at(F.col("_codes"), s + 1) + 1).cast("int"),
+        )
+        approx = entry if approx is None else approx + entry
+    scored = scored.withColumn("_ad", approx)
+    w = Window.partitionBy(query_id).orderBy(F.col("_ad").asc(), F.col(corpus_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k_nn)
+        .select(
+            query_id,
+            F.col(corpus_id).alias("neighbor_id"),
+            "rank",
+            F.round(F.col("_ad"), 6).alias("approx_dist"),
+        )
+    )

@@ -587,6 +587,7 @@ _VERIFY_FIRST = [
     "source_cap",
     "corpus_diff",
     "token_drift",
+    "ann_pq",
     "semantic_dedup",
     "bigram_pmi",
     "tfidf_terms",
@@ -643,6 +644,7 @@ _VERIFY_LAST = [
     "user_activity",
     "json_extract",
     "text_quality",
+    "lang_id",
 ]
 
 # The driver hard-verifies exactly the first 50 entries; the tail list

@@ -169,3 +169,131 @@ ORACLE_SQL = {
     "corpus_diff": SQL_CORPUS_DIFF,
     "token_drift": SQL_TOKEN_DRIFT,
 }
+
+
+# ---------------------------------------------------------------------------
+# Q: PQ/ADC approximate nearest neighbors (Jégou et al. 2011) — the
+# memory-compression ANN tier alongside brute/LSH/IVF.  m=2 subspaces
+# of 32 dims, k=4 centroids each, 2 Lloyd iterations.  Every step is
+# deterministic arithmetic (md5-ordered seeds, micro-unit means,
+# sequential L2 folds, fixed-order ADC sum), so DuckDB replays the
+# whole index build + search exactly.  The oracle keeps m=2 so the ADC
+# sum is a single commutative-safe addition of two doubles, mirrored
+# as an explicit two-term pivot.
+
+_PQ_M, _PQ_K, _PQ_DSUB = 2, 4, 32
+
+
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import similarity as sim
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    codes, codebooks = sim.build_pq_index(
+        emb, m=_PQ_M, k=_PQ_K, n_iters=2, dim=64
+    )
+    return sim.pq_topk(
+        queries, codes, codebooks, k_nn=5, m=_PQ_M, k=_PQ_K, dim=64
+    )
+
+
+def _sql_l2sq(a: str, b: str, dim: int = _PQ_DSUB) -> str:
+    """DuckDB twin of similarity._l2sq: sequential index-order fold of
+    squared differences in double precision."""
+    d = f"(CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
+    return (
+        f"list_reduce(list_transform(generate_series(1, {dim}),"
+        f" i -> {d} * {d}), (x, y) -> x + y)"
+    )
+
+
+def _sql_pq_assign(cb: str, out: str) -> str:
+    """One PQ assignment pass over the subspace-exploded corpus:
+    nearest codebook centroid by L2², tie-broken on centroid_id."""
+    return f"""{out} AS (
+  SELECT vec_id, subspace, subvec, code FROM (
+    SELECT s.vec_id, s.subspace, s.subvec, c.centroid_id AS code,
+           ROW_NUMBER() OVER (
+             PARTITION BY s.vec_id, s.subspace
+             ORDER BY {_sql_l2sq('s.subvec', 'c.centroid')}, c.centroid_id
+           ) AS rk
+    FROM subs s JOIN {cb} c ON c.subspace = s.subspace
+  ) WHERE rk = 1
+)"""
+
+
+SQL_ANN_PQ = f"""
+WITH seeds AS (
+  SELECT md5(CAST(vec_id AS VARCHAR)) AS h, embedding
+  FROM embeddings ORDER BY h LIMIT {_PQ_K}
+),
+srows AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY h) - 1 AS INTEGER) AS centroid_id,
+         embedding
+  FROM seeds
+),
+sp AS (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS subspace),
+cents0 AS (
+  SELECT sp.subspace, srows.centroid_id,
+         list_slice(embedding, sp.subspace * {_PQ_DSUB} + 1,
+                    sp.subspace * {_PQ_DSUB} + {_PQ_DSUB}) AS centroid
+  FROM srows CROSS JOIN sp
+),
+subs AS (
+  SELECT vec_id, sp.subspace,
+         list_slice(embedding, sp.subspace * {_PQ_DSUB} + 1,
+                    sp.subspace * {_PQ_DSUB} + {_PQ_DSUB}) AS subvec
+  FROM embeddings CROSS JOIN sp
+),
+{_sql_pq_assign('cents0', 'assign0')},
+exploded AS (
+  SELECT subspace, code, i AS pos,
+         CAST(round(CAST(subvec[i] AS DOUBLE) * 1e8) AS BIGINT) AS valq
+  FROM assign0 CROSS JOIN generate_series(1, {_PQ_DSUB}) AS t(i)
+),
+means AS (
+  SELECT subspace, code, pos,
+         CAST(SUM(valq) AS DOUBLE) / COUNT(*) / 1e8 AS mu
+  FROM exploded GROUP BY subspace, code, pos
+),
+cents1 AS (
+  SELECT subspace, code AS centroid_id,
+         list_transform(list(mu ORDER BY pos), x -> CAST(x AS FLOAT)) AS centroid
+  FROM means GROUP BY subspace, code
+),
+{_sql_pq_assign('cents1', 'assign1')},
+q AS (
+  SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id % 50 = 0
+),
+dt AS (
+  SELECT q.query_id, c.subspace, c.centroid_id,
+         {_sql_l2sq(
+             f'list_slice(q.embedding, c.subspace * {_PQ_DSUB} + 1,'
+             f' c.subspace * {_PQ_DSUB} + {_PQ_DSUB})',
+             'c.centroid')} AS d2
+  FROM q CROSS JOIN cents1 c
+),
+scored AS (
+  SELECT d.query_id, a.vec_id,
+         MAX(CASE WHEN a.subspace = 0 THEN d.d2 END)
+         + MAX(CASE WHEN a.subspace = 1 THEN d.d2 END) AS ad
+  FROM assign1 a
+  JOIN dt d ON d.subspace = a.subspace AND d.centroid_id = a.code
+  WHERE a.vec_id <> d.query_id
+  GROUP BY d.query_id, a.vec_id
+),
+ranked AS (
+  SELECT query_id, vec_id AS neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY ad, vec_id) AS rank,
+         ad
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
+       ROUND(ad, 6) AS approx_dist
+FROM ranked WHERE rank <= 5
+"""
+
+SPARK_QUERIES["ann_pq"] = q_ann_pq
+ORACLE_SQL["ann_pq"] = SQL_ANN_PQ

@@ -593,3 +593,50 @@ def test_remove_spans_rebuilds_text(spark):
     }
     # doc 1 loses tokens 3..5 (c d e); doc 2 has no spans → untouched
     assert got == {(1, "a b f g h", 3), (2, "x y z", 0)}
+
+
+def test_pq_topk_recall_on_clusters(spark):
+    # three tight clusters in 8-dim; PQ codes must keep ADC neighbors
+    # in-cluster and match brute force on the well-separated data
+    rng = np.random.default_rng(23)
+    bases = [rng.normal(size=8) * 5 for _ in range(3)]
+    rows = []
+    for ci, base in enumerate(bases):
+        for i in range(12):
+            vid = ci * 12 + i
+            rows.append((vid, [float(x) for x in base + rng.normal(0, 0.05, 8)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    codes, codebooks = similarity.build_pq_index(df, m=2, k=4, n_iters=2, dim=8)
+    # every vector got one code per subspace
+    assert codes.count() == 36 * 2
+    assert codebooks.count() == 2 * 4
+    queries = df.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.pq_topk(
+        queries, codes, codebooks, k_nn=3, m=2, k=4, dim=8
+    ).collect()
+    assert len(out) == 3
+    # PQ quantizes away within-cluster resolution (same-cluster rows
+    # share codes, distances tie, ids break the tie) — the contract is
+    # cluster-level recall, not exact brute-force order
+    assert all(r.neighbor_id < 12 for r in out)  # same-cluster only
+    brute = similarity.cosine_topk(queries, df, k=3).collect()
+    assert all(r.neighbor_id < 12 for r in brute)  # brute agrees on the cluster
+
+
+def test_pq_build_rejects_indivisible_dim(spark):
+    import pytest
+
+    df = spark.createDataFrame([(0, [0.0] * 7)], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError):
+        similarity.build_pq_index(df, m=2, dim=7)
+
+
+def test_pq_codes_deterministic_under_repartition(spark):
+    rng = np.random.default_rng(7)
+    rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    c1, _ = similarity.build_pq_index(df, m=2, k=4, n_iters=2, dim=8)
+    c2, _ = similarity.build_pq_index(df.repartition(7), m=2, k=4, n_iters=2, dim=8)
+    assert sorted(map(tuple, c1.collect())) == sorted(map(tuple, c2.collect()))

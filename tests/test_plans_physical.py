@@ -257,3 +257,13 @@ def test_token_drift_no_cartesian_blowup(spark):
     # the only cross join allowed is against the 1-row corpus total
     plan = plan_of(registry.SPARK_QUERIES["token_drift"](spark, SF), "simple")
     assert "CartesianProduct" not in plan
+
+
+def test_ann_pq_broadcasts_codebooks_no_global_sort(spark):
+    # codebook assignment joins must broadcast the m*k-row codebook;
+    # seed init must be TakeOrderedAndProject (never a corpus-wide
+    # sort); the only nested-loop join is the broadcast ADC table
+    plan = plan_of(registry.SPARK_QUERIES["ann_pq"](spark, SF), "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
