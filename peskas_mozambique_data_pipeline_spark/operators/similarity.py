@@ -781,3 +781,92 @@ def pq_topk(
             F.round(F.col("_ad"), 6).alias("approx_dist"),
         )
     )
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    ivf_assignments: DataFrame,
+    ivf_centroids: DataFrame,
+    pq_codes: DataFrame,
+    pq_codebooks: DataFrame,
+    k_nn: int = 5,
+    n_probe: int = 2,
+    m: int = 2,
+    k: int = 4,
+    dim: int = 64,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF+PQ composition (the FAISS ``IVFx,PQy`` shape): IVF routing
+    prunes WHO to score (n_probe/C of the corpus), PQ/ADC compresses
+    WHAT is scored (m codes per row, corpus vectors never read).
+
+    The probed candidate set is an equi-join of the IVF assignment
+    table with the broadcast probe list, then scored purely from the
+    codes table joined on ``corpus_id`` — co-partitioned narrow data
+    end-to-end.  At 100 TB this is the only tier whose query-time I/O
+    is independent of vector width.
+    """
+    d_sub = dim // m
+    q = queries.select(F.col(query_id), F.col(vec_col).alias("_qv"))
+    probes = q.crossJoin(F.broadcast(ivf_centroids)).select(
+        query_id,
+        "_qv",
+        "centroid_id",
+        (_dot(F.col("_qv"), F.col("centroid"))
+         / (_norm(F.col("_qv")) * _norm(F.col("centroid")))).alias("_csim"),
+    )
+    wq = Window.partitionBy(query_id).orderBy(
+        F.col("_csim").desc(), F.col("centroid_id")
+    )
+    probed = (
+        probes.withColumn("_rk", F.row_number().over(wq))
+        .filter(F.col("_rk") <= n_probe)
+        .select(query_id, "centroid_id")
+    )
+    cands = ivf_assignments.select(corpus_id, "centroid_id").join(
+        F.broadcast(probed), "centroid_id"
+    ).filter(F.col(query_id) != F.col(corpus_id)).select(query_id, corpus_id)
+
+    q_sub = _subspaces(queries.select(query_id, vec_col), vec_col, m, d_sub)
+    dtab_long = q_sub.join(F.broadcast(pq_codebooks), "subspace").select(
+        query_id,
+        (F.col("subspace") * k + F.col("centroid_id")).alias("_idx"),
+        _l2sq(F.col("subvec"), F.col("centroid")).alias("_d2"),
+    )
+    dtab = dtab_long.groupBy(query_id).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_idx", "_d2"))),
+            lambda s: s._d2,
+        ).alias("_dt")
+    )
+    codes_wide = pq_codes.groupBy(corpus_id).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("subspace", "code"))),
+            lambda s: s.code,
+        ).alias("_codes")
+    )
+    scored = (
+        cands.join(codes_wide, corpus_id)
+        .join(F.broadcast(dtab), query_id)
+    )
+    approx = None
+    for s in range(m):
+        entry = F.element_at(
+            F.col("_dt"),
+            (F.lit(s * k) + F.element_at(F.col("_codes"), s + 1) + 1).cast("int"),
+        )
+        approx = entry if approx is None else approx + entry
+    scored = scored.withColumn("_ad", approx)
+    w = Window.partitionBy(query_id).orderBy(F.col("_ad").asc(), F.col(corpus_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k_nn)
+        .select(
+            query_id,
+            F.col(corpus_id).alias("neighbor_id"),
+            "rank",
+            F.round(F.col("_ad"), 6).alias("approx_dist"),
+        )
+    )

@@ -588,6 +588,7 @@ _VERIFY_FIRST = [
     "corpus_diff",
     "token_drift",
     "ann_pq",
+    "predominant_mode",
     "semantic_dedup",
     "bigram_pmi",
     "tfidf_terms",
@@ -645,6 +646,7 @@ _VERIFY_LAST = [
     "json_extract",
     "text_quality",
     "lang_id",
+    "dedup_exact",
 ]
 
 # The driver hard-verifies exactly the first 50 entries; the tail list

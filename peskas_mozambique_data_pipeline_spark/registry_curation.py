@@ -297,3 +297,47 @@ FROM ranked WHERE rank <= 5
 
 SPARK_QUERIES["ann_pq"] = q_ann_pq
 ORACLE_SQL["ann_pq"] = SQL_ANN_PQ
+
+
+# ---------------------------------------------------------------------------
+# Q: W3 per-group mode under the oracle — plans/metrics.predominant_gear
+# (R/preprocessing-surveys.R:806-811) driven by lineitem mapped to the
+# trip shape (district=l_linestatus, landing_date=l_shipdate,
+# gear_type=l_returnflag), so the exact plan function users run on trips
+# is what the driver verifies.
+
+
+def q_predominant_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .plans.metrics import predominant_gear
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_linestatus").alias("district"),
+        F.col("l_shipdate").alias("landing_date"),
+        F.col("l_returnflag").alias("gear_type"),
+    )
+    return predominant_gear(li)
+
+
+SQL_PREDOMINANT_MODE = """
+WITH counts AS (
+  SELECT l_linestatus AS district,
+         CAST(date_trunc('month', l_shipdate) AS DATE) AS year_month,
+         l_returnflag AS gear_type,
+         COUNT(*) AS gear_count
+  FROM lineitem GROUP BY 1, 2, 3
+),
+ranked AS (
+  SELECT *,
+         ROW_NUMBER() OVER (
+           PARTITION BY district, year_month
+           ORDER BY gear_count DESC, gear_type
+         ) AS rk
+  FROM counts
+)
+SELECT district, year_month, gear_type AS predominant_gear,
+       CAST(gear_count AS BIGINT) AS gear_count
+FROM ranked WHERE rk = 1
+"""
+
+SPARK_QUERIES["predominant_mode"] = q_predominant_mode
+ORACLE_SQL["predominant_mode"] = SQL_PREDOMINANT_MODE

@@ -640,3 +640,29 @@ def test_pq_codes_deterministic_under_repartition(spark):
     c1, _ = similarity.build_pq_index(df, m=2, k=4, n_iters=2, dim=8)
     c2, _ = similarity.build_pq_index(df.repartition(7), m=2, k=4, n_iters=2, dim=8)
     assert sorted(map(tuple, c1.collect())) == sorted(map(tuple, c2.collect()))
+
+
+def test_ivfpq_topk_composes_routing_and_codes(spark):
+    # IVF routes to the query's cluster; PQ scores from codes — the
+    # composed search must return same-cluster neighbors only, and its
+    # candidate set must be a subset of the probed cluster
+    rng = np.random.default_rng(31)
+    bases = [rng.normal(size=8) * 5 for _ in range(3)]
+    rows = []
+    for ci, base in enumerate(bases):
+        for i in range(12):
+            vid = ci * 12 + i
+            rows.append((vid, [float(x) for x in base + rng.normal(0, 0.05, 8)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    ivf_a, ivf_c = similarity.build_ivf_index(df, n_centroids=3, n_iters=2)
+    codes, books = similarity.build_pq_index(df, m=2, k=4, n_iters=2, dim=8)
+    queries = df.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.ivfpq_topk(
+        queries, ivf_a, ivf_c, codes, books,
+        k_nn=3, n_probe=1, m=2, k=4, dim=8,
+    ).collect()
+    assert len(out) == 3
+    assert all(r.neighbor_id < 12 for r in out)
+    assert [r.rank for r in sorted(out, key=lambda r: r.rank)] == [1, 2, 3]

@@ -372,3 +372,42 @@ def test_jaccard_prefix_join_complete_on_random_corpora(spark, token_lists, thre
         .collect()
     }
     assert got == brute
+
+
+@SET
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 500), st.sampled_from(["a", "b", "c"])),
+        min_size=1,
+        max_size=25,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(1, 6),
+)
+def test_per_group_cap_properties(spark, rows_in, cap):
+    """For ANY corpus and cap: every group keeps min(cap, group size)
+    rows, no row is lost or invented, and the kept set is independent
+    of partitioning."""
+    from peskas_mozambique_data_pipeline_spark.operators import curation as cur
+
+    df = spark.createDataFrame(
+        [(i, f"t{i}", g, "en") for i, g in rows_in],
+        "doc_id long, text string, source string, lang string",
+    )
+    out = cur.per_group_cap(df, group_col="source", cap=cap, id_col="doc_id")
+    rows = out.collect()
+    assert len(rows) == len(rows_in)
+    by_group: dict[str, int] = {}
+    for r in rows:
+        if r._keep:
+            by_group[r.source] = by_group.get(r.source, 0) + 1
+    sizes: dict[str, int] = {}
+    for _, g in rows_in:
+        sizes[g] = sizes.get(g, 0) + 1
+    assert by_group == {g: min(cap, n) for g, n in sizes.items()}
+    out2 = cur.per_group_cap(
+        df.repartition(5), group_col="source", cap=cap, id_col="doc_id"
+    )
+    assert sorted(r.doc_id for r in rows if r._keep) == sorted(
+        r.doc_id for r in out2.collect() if r._keep
+    )
