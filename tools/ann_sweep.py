@@ -98,6 +98,38 @@ def main() -> None:
              "recall": round(_recall(rows, truth), 4)}
         )
 
+    # PQ/ADC: recall governed by m (code granularity); search reads
+    # codes only.  Build time is excluded (one-off, like IVF's).
+    results["pq"] = []
+    for m in (2, 4, 8):
+        codes, books = sim.build_pq_index(emb, m=m, k=16, n_iters=2, dim=64)
+        codes = codes.localCheckpoint()
+        books = books.localCheckpoint()
+        t0 = time.perf_counter()
+        rows = sim.pq_topk(
+            _queries(emb), codes, books, k_nn=K, m=m, k=16, dim=64
+        ).collect()
+        dt = time.perf_counter() - t0
+        results["pq"].append(
+            {"m": m, "sec": round(dt, 3),
+             "recall": round(_recall(rows, truth), 4)}
+        )
+
+    # IVF routing + PQ scoring composed (the FAISS IVFx,PQy shape)
+    codes, books = sim.build_pq_index(emb, m=8, k=16, n_iters=2, dim=64)
+    results["ivfpq"] = []
+    for n_probe in (2, 4):
+        t0 = time.perf_counter()
+        rows = sim.ivfpq_topk(
+            _queries(emb), assignments, centroids, codes, books,
+            k_nn=K, n_probe=n_probe, m=8, k=16, dim=64,
+        ).collect()
+        dt = time.perf_counter() - t0
+        results["ivfpq"].append(
+            {"n_probe": n_probe, "sec": round(dt, 3),
+             "recall": round(_recall(rows, truth), 4)}
+        )
+
     print(f"\nbrute force (ground truth): {brute_s:.2f}s  recall=1.0")
     print("tier  knob        sec   recall@5")
     for r in results["ivf"]:
@@ -106,6 +138,10 @@ def main() -> None:
         print(f"LSH   n_tables={r['n_tables']:<2} {r['sec']:>6.2f}  {r['recall']:.4f}")
     for r in results["lsh_probe"]:
         print(f"LSH   n_probe={r['n_probe']:<3} {r['sec']:>6.2f}  {r['recall']:.4f}")
+    for r in results["pq"]:
+        print(f"PQ    m={r['m']:<8} {r['sec']:>6.2f}  {r['recall']:.4f}")
+    for r in results["ivfpq"]:
+        print(f"IVFPQ n_probe={r['n_probe']:<3} {r['sec']:>6.2f}  {r['recall']:.4f}")
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                        "ann_sweep_last_run.json")
     with open(out, "w") as f:
