@@ -589,6 +589,7 @@ _VERIFY_FIRST = [
     "token_drift",
     "ann_pq",
     "predominant_mode",
+    "metrics_table",
     "semantic_dedup",
     "bigram_pmi",
     "tfidf_terms",
@@ -647,6 +648,7 @@ _VERIFY_LAST = [
     "text_quality",
     "lang_id",
     "dedup_exact",
+    "simhash_pairs",
 ]
 
 # The driver hard-verifies exactly the first 50 entries; the tail list

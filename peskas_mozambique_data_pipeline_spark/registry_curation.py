@@ -341,3 +341,158 @@ FROM ranked WHERE rk = 1
 
 SPARK_QUERIES["predominant_mode"] = q_predominant_mode
 ORACLE_SQL["predominant_mode"] = SQL_PREDOMINANT_MODE
+
+
+# ---------------------------------------------------------------------------
+# Q: the M6 combined long metrics table END-TO-END under the oracle —
+# plans/metrics.fishery_metrics (R/preprocessing-surveys.R:751-919):
+# monthly unpivoted site metrics + predominant gear + top-k species
+# shares, unioned by name with ragged columns.  catch_kg is fed as
+# whole units (integer-valued doubles) so every SUM is exact integer
+# arithmetic in doubles — order-independent, engine-exact; medians and
+# percents are single interpolations/divisions on those exact sums,
+# rounded to 6 at the edge.
+
+
+def _metric_inputs(spark: SparkSession, sf_dir: str):
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    base = (
+        li.select(
+            "l_orderkey", "l_shipdate", "l_extendedprice", "l_discount",
+            "l_returnflag",
+        )
+        .join(
+            orders.select("o_orderkey", "o_custkey", "o_totalprice",
+                          "o_orderpriority"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            customer.select("c_custkey", "c_acctbal", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+    )
+    trips = base.select(
+        F.col("n_name").alias("district"),
+        F.col("l_shipdate").alias("landing_date"),
+        F.round("l_extendedprice").alias("catch_kg"),
+        F.col("l_discount").alias("cpue"),
+        F.col("c_acctbal").alias("rpue"),
+        F.col("o_totalprice").alias("price_per_kg"),
+        F.col("o_orderpriority").alias("gear_type"),
+    )
+    catch = base.select(
+        F.col("n_name").alias("district"),
+        F.col("l_shipdate").alias("landing_date"),
+        F.col("l_returnflag").alias("catch_taxon"),
+        F.round("l_extendedprice").alias("catch_kg"),
+    )
+    return trips, catch
+
+
+def q_metrics_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .plans.metrics import fishery_metrics
+
+    trips, catch = _metric_inputs(spark, sf_dir)
+    out = fishery_metrics(trips, catch)
+    return out.select(
+        "district",
+        "year_month",
+        "metric_type",
+        F.round("metric_value", 6).alias("metric_value"),
+        "gear_type",
+        "species",
+        "rank",
+    )
+
+
+SQL_METRICS_TABLE = """
+WITH base AS (
+  SELECT n.n_name AS district, l.l_shipdate AS landing_date,
+         CAST(round(l.l_extendedprice) AS DOUBLE) AS catch_kg,
+         l.l_discount AS cpue, c.c_acctbal AS rpue,
+         o.o_totalprice AS price_per_kg, o.o_orderpriority AS gear_type,
+         l.l_returnflag AS catch_taxon
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+),
+monthly AS (
+  SELECT district,
+         CAST(date_trunc('month', landing_date) AS DATE) AS year_month,
+         SUM(catch_kg) AS total_catch_kg,
+         quantile_cont(cpue, 0.5) AS median_cpue,
+         quantile_cont(rpue, 0.5) AS median_rpue,
+         quantile_cont(price_per_kg, 0.5) AS median_price_kg,
+         CAST(COUNT(*) AS DOUBLE) AS n_submissions
+  FROM base GROUP BY 1, 2
+),
+site AS (
+  SELECT district, year_month, metric_type, metric_value
+  FROM monthly
+  UNPIVOT (metric_value FOR metric_type IN
+           (total_catch_kg, median_cpue, median_rpue,
+            median_price_kg, n_submissions))
+),
+gearc AS (
+  SELECT district,
+         CAST(date_trunc('month', landing_date) AS DATE) AS year_month,
+         gear_type, COUNT(*) AS gear_count
+  FROM base GROUP BY 1, 2, 3
+),
+gear AS (
+  SELECT district, year_month, 'predominant_gear' AS metric_type,
+         CAST(gear_count AS DOUBLE) AS metric_value, gear_type
+  FROM (SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY district, year_month
+          ORDER BY gear_count DESC, gear_type) AS rk
+        FROM gearc)
+  WHERE rk = 1
+),
+spec_sum AS (
+  SELECT district,
+         CAST(date_trunc('month', landing_date) AS DATE) AS year_month,
+         catch_taxon, SUM(catch_kg) AS species_catch_kg
+  FROM base GROUP BY 1, 2, 3
+),
+spec_pct AS (
+  SELECT *, species_catch_kg
+            / SUM(species_catch_kg) OVER (PARTITION BY district, year_month)
+            * 100.0 AS species_pct
+  FROM spec_sum
+),
+species AS (
+  SELECT district, year_month, 'species_pct' AS metric_type,
+         species_pct AS metric_value, catch_taxon AS species,
+         CAST(rk AS INTEGER) AS rank
+  FROM (SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY district, year_month
+          ORDER BY species_pct DESC, catch_taxon) AS rk
+        FROM spec_pct)
+  WHERE rk <= 2
+)
+SELECT district, year_month, metric_type,
+       ROUND(metric_value, 6) AS metric_value,
+       CAST(NULL AS VARCHAR) AS gear_type,
+       CAST(NULL AS VARCHAR) AS species,
+       CAST(NULL AS INTEGER) AS rank
+FROM site
+UNION ALL
+SELECT district, year_month, metric_type, ROUND(metric_value, 6),
+       gear_type, CAST(NULL AS VARCHAR), CAST(NULL AS INTEGER)
+FROM gear
+UNION ALL
+SELECT district, year_month, metric_type, ROUND(metric_value, 6),
+       CAST(NULL AS VARCHAR), species, rank
+FROM species
+"""
+
+SPARK_QUERIES["metrics_table"] = q_metrics_table
+ORACLE_SQL["metrics_table"] = SQL_METRICS_TABLE

@@ -267,3 +267,12 @@ def test_ann_pq_broadcasts_codebooks_no_global_sort(spark):
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_metrics_table_broadcasts_nation_single_expand(spark):
+    # the dim chain must broadcast; the wide->long melt must be one
+    # Expand node (no join-based unpivot)
+    plan = plan_of(registry.SPARK_QUERIES["metrics_table"](spark, SF), "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Expand") >= 1
