@@ -969,3 +969,91 @@ def bigram_logloss(
         F.count(F.lit(1)).alias("n_bigrams"),
         F.round(-F.sum(F.log("p")) / F.count(F.lit(1)), 6).alias("cross_entropy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge training (Sennrich et al. 2016) — the tokenizer-training
+# primitive, unrolled as pure DataFrame ops.  Each iteration is one
+# distributed pair-count over the (vocab-sized) word table, a 1-row
+# top-1, and a broadcast merge application — exactly how BPE trains on
+# a 100 TB corpus: the corpus is touched ONCE (word histogram); every
+# iteration after that runs on the histogram, whose size is the vocab,
+# not the corpus.  No floats anywhere, so any engine replays it
+# bit-exactly.
+
+BPE_SEP = "\x1f"  # unit separator — cannot occur in whitespace tokens
+
+
+def _bpe_encode(word: Column) -> Column:
+    """Word → separator-framed symbol string: ``␟␟c1␟␟c2␟␟``.  The
+    double separator between symbols plus the single-separator-framed
+    merge pattern (``␟l␟␟r␟`` → ``␟lr␟``) makes literal left-to-right
+    ``replace`` exactly the greedy non-overlapping BPE merge, with no
+    false matches across symbol boundaries."""
+    ss = BPE_SEP * 2
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length(word)), lambda i: word.substr(i, F.lit(1))
+    )
+    return F.concat(F.lit(ss), F.array_join(chars, ss), F.lit(ss))
+
+
+def bpe_merge_table(
+    df: DataFrame, text_col: str = "text", n_merges: int = 6
+) -> DataFrame:
+    """Learn the first ``n_merges`` BPE merges over the corpus.
+
+    Returns (step, left, right, pair_count) — count desc, then
+    (left, right) lexicographic tie-break, the deterministic variant
+    of the classic algorithm.  Pair counts weight by word frequency
+    and count every adjacent occurrence; application is greedy
+    left-to-right non-overlapping (so ``a a a`` under merge (a,a)
+    becomes ``aa a``).
+
+    Each iteration's word table and 1-row winner are localCheckpointed:
+    without the cut, iteration k's lineage re-derives every prior
+    iteration AND re-scans the corpus per branch (the self-join
+    exchange-reuse gap measured for the dedup family — NOTES r4)."""
+    s, ss = BPE_SEP, BPE_SEP * 2
+    words = (
+        df.select(F.explode(tokens(text_col)).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )
+    cur = words.select(_bpe_encode(F.col("word")).alias("enc"), "weight")
+    cur = cur.localCheckpoint()  # corpus touched once, here
+    merges = None
+    for step in range(1, n_merges + 1):
+        syms = F.filter(F.split(F.col("enc"), ss), lambda x: x != "")
+        pairs = F.when(
+            F.size(syms) > 1,
+            F.transform(
+                F.sequence(F.lit(1), F.size(syms) - 1),
+                lambda i: F.struct(
+                    F.element_at(syms, i).alias("l"),
+                    F.element_at(syms, (i + 1).cast("int")).alias("r"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
+        pc = (
+            cur.select(F.explode(pairs).alias("p"), "weight")
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("weight").alias("pair_count"))
+        )
+        top = (
+            pc.orderBy(F.col("pair_count").desc(), "l", "r")
+            .limit(1)
+            .select(F.lit(step).alias("step"), "l", "r", "pair_count")
+            .localCheckpoint()
+        )
+        merges = top if merges is None else merges.unionByName(top)
+        pat = F.concat(F.lit(s), F.col("l"), F.lit(ss), F.col("r"), F.lit(s))
+        rep = F.concat(F.lit(s), F.col("l"), F.col("r"), F.lit(s))
+        cur = (
+            cur.crossJoin(F.broadcast(top.select("l", "r")))
+            .select(F.replace(F.col("enc"), pat, rep).alias("enc"), "weight")
+            .localCheckpoint()
+        )
+    return merges.select(
+        "step", F.col("l").alias("left"), F.col("r").alias("right"), "pair_count"
+    )

@@ -590,6 +590,7 @@ _VERIFY_FIRST = [
     "ann_pq",
     "predominant_mode",
     "metrics_table",
+    "bpe_merges",
     "semantic_dedup",
     "bigram_pmi",
     "tfidf_terms",
@@ -649,6 +650,7 @@ _VERIFY_LAST = [
     "lang_id",
     "dedup_exact",
     "simhash_pairs",
+    "doc_fingerprint",
 ]
 
 # The driver hard-verifies exactly the first 50 entries; the tail list

@@ -496,3 +496,79 @@ FROM species
 
 SPARK_QUERIES["metrics_table"] = q_metrics_table
 ORACLE_SQL["metrics_table"] = SQL_METRICS_TABLE
+
+
+# ---------------------------------------------------------------------------
+# Q: BPE merge training (Sennrich et al. 2016) unrolled — the third
+# iterative algorithm under the oracle (after Lloyd's and connected
+# components).  Integer counts + literal left-to-right replace on
+# separator-framed symbol strings: no floats anywhere, so DuckDB
+# replays every iteration bit-exactly via scalar-subquery merge
+# application.
+
+_BPE_N = 6
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import bpe_merge_table
+
+    return bpe_merge_table(_docs(spark, sf_dir), n_merges=_BPE_N)
+
+
+def _bpe_oracle_sql(n_merges: int) -> str:
+    s = "\x1f"
+    ss = s * 2
+    parts = [
+        f"""wtab AS (
+  SELECT word, COUNT(*) AS weight FROM (
+    SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word
+    FROM documents)
+  WHERE word <> '' GROUP BY word
+),
+w0 AS MATERIALIZED (
+  SELECT '{ss}' || array_to_string(
+           list_transform(generate_series(1, length(word)),
+                          i -> substr(word, i, 1)), '{ss}') || '{ss}' AS enc,
+         weight
+  FROM wtab
+)"""
+    ]
+    for k in range(1, n_merges + 1):
+        parts.append(
+            f"""p{k} AS MATERIALIZED (
+  SELECT syms[i] AS l, syms[i + 1] AS r,
+         CAST(SUM(weight) AS BIGINT) AS pair_count
+  FROM (
+    SELECT syms, weight,
+           unnest(generate_series(1, len(syms) - 1)) AS i
+    FROM (SELECT list_filter(string_split(enc, '{ss}'), x -> x <> '') AS syms,
+                 weight
+          FROM w{k - 1})
+  ) GROUP BY 1, 2
+),
+m{k} AS MATERIALIZED (
+  SELECT l, r, pair_count FROM p{k}
+  ORDER BY pair_count DESC, l, r LIMIT 1
+),
+w{k} AS MATERIALIZED (
+  SELECT replace(enc,
+                 '{s}' || (SELECT l FROM m{k}) || '{ss}'
+                       || (SELECT r FROM m{k}) || '{s}',
+                 '{s}' || (SELECT l FROM m{k})
+                       || (SELECT r FROM m{k}) || '{s}') AS enc,
+         weight
+  FROM w{k - 1}
+)"""
+        )
+    selects = "\nUNION ALL\n".join(
+        f"SELECT CAST({k} AS INTEGER) AS step, l AS \"left\", r AS \"right\","
+        f" pair_count FROM m{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + selects
+
+
+SQL_BPE_MERGES = _bpe_oracle_sql(_BPE_N)
+
+SPARK_QUERIES["bpe_merges"] = q_bpe_merges
+ORACLE_SQL["bpe_merges"] = SQL_BPE_MERGES

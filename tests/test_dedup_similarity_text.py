@@ -666,3 +666,63 @@ def test_ivfpq_topk_composes_routing_and_codes(spark):
     assert len(out) == 3
     assert all(r.neighbor_id < 12 for r in out)
     assert [r.rank for r in sorted(out, key=lambda r: r.rank)] == [1, 2, 3]
+
+
+def _py_bpe(word_weights: dict[str, int], n_merges: int):
+    """Reference BPE: count desc, (l, r) lexicographic tie-break,
+    greedy left-to-right non-overlapping application."""
+    vocab = {tuple(w): c for w, c in word_weights.items()}
+    merges = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + c
+        if not counts:
+            break
+        (l, r), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((l, r, c))
+        new_vocab = {}
+        for syms, w in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + w
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_merge_table_matches_reference(spark):
+    corpus = [
+        (1, "low low low low low"),
+        (2, "lower lower widest widest widest"),
+        (3, "newest newest newest newest newest newest"),
+    ]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = [
+        (r.left, r.right, r.pair_count)
+        for r in sorted(
+            text.bpe_merge_table(df, n_merges=5).collect(), key=lambda r: r.step
+        )
+    ]
+    weights: dict[str, int] = {}
+    for _, t in corpus:
+        for w in t.split():
+            weights[w] = weights.get(w, 0) + 1
+    assert got == _py_bpe(weights, 5)
+
+
+def test_bpe_merge_application_greedy_nonoverlapping(spark):
+    # 'aaaa' under merge (a,a): greedy left-to-right -> aa aa, so the
+    # second merge must be (aa, aa), not (a, aa)
+    df = spark.createDataFrame([(1, "aaaa aaaa aaaa")], "doc_id long, text string")
+    out = sorted(text.bpe_merge_table(df, n_merges=2).collect(), key=lambda r: r.step)
+    assert (out[0].left, out[0].right) == ("a", "a")
+    assert out[0].pair_count == 9  # 3 occurrences per word x 3 words
+    assert (out[1].left, out[1].right) == ("aa", "aa")
