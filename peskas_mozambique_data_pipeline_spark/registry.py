@@ -591,6 +591,7 @@ _VERIFY_FIRST = [
     "predominant_mode",
     "metrics_table",
     "bpe_merges",
+    "data_split",
     "semantic_dedup",
     "bigram_pmi",
     "tfidf_terms",
@@ -651,6 +652,7 @@ _VERIFY_LAST = [
     "dedup_exact",
     "simhash_pairs",
     "doc_fingerprint",
+    "doc_winnow",
 ]
 
 # The driver hard-verifies exactly the first 50 entries; the tail list

@@ -572,3 +572,63 @@ SQL_BPE_MERGES = _bpe_oracle_sql(_BPE_N)
 
 SPARK_QUERIES["bpe_merges"] = q_bpe_merges
 ORACLE_SQL["bpe_merges"] = SQL_BPE_MERGES
+
+
+# ---------------------------------------------------------------------------
+# Q: deterministic stratified train/val/test split — md5-bucketed
+# assignment (engine-replayable, reshuffle-proof: a doc's split never
+# changes when the corpus grows), audited per (lang, split).  The
+# split column is a scan-local expression — zero-shuffle gating, same
+# posture as c4_filter.
+
+_SPLIT_SALT = "split"
+
+
+def q_data_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "_", F.lit(_SPLIT_SALT), F.col("doc_id").cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < 90, F.lit("train"))
+        .when(bucket < 95, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.select("lang", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+SQL_DATA_SPLIT = f"""
+WITH assigned AS (
+  SELECT lang,
+         CASE
+           WHEN ('0x' || substr(md5('{_SPLIT_SALT}_' || CAST(doc_id AS VARCHAR)),
+                                1, 8))::BIGINT % 100 < 90 THEN 'train'
+           WHEN ('0x' || substr(md5('{_SPLIT_SALT}_' || CAST(doc_id AS VARCHAR)),
+                                1, 8))::BIGINT % 100 < 95 THEN 'val'
+           ELSE 'test'
+         END AS split
+  FROM documents
+)
+SELECT lang, split, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM assigned GROUP BY lang, split
+"""
+
+SPARK_QUERIES["data_split"] = q_data_split
+ORACLE_SQL["data_split"] = SQL_DATA_SPLIT
