@@ -73,3 +73,47 @@ def latest_version_path(zone_dir: str, prefix: str) -> str:
 
 def read_latest(spark: SparkSession, zone_dir: str, prefix: str) -> DataFrame:
     return spark.read.parquet(latest_version_path(zone_dir, prefix))
+
+
+def write_sorted(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    n_files: int | None = None,
+) -> None:
+    """Globally range-partitioned sorted Parquet export.
+
+    ``repartitionByRange`` + ``sortWithinPartitions`` gives a total
+    order ACROSS files (file i's max key ≤ file i+1's min) with each
+    file internally sorted — the layout that makes parquet zone-map /
+    row-group pruning effective for range predicates downstream, at
+    the cost of one range-exchange (sampled boundaries, no single-task
+    global sort).  ``.write.sortBy`` needs a bucketed managed table;
+    this works for plain paths.
+    """
+    out = (
+        df.repartitionByRange(n_files, *sort_cols)
+        if n_files
+        else df.repartitionByRange(*sort_cols)
+    )
+    out.sortWithinPartitions(*sort_cols).write.mode("overwrite").parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 8,
+    sort: bool = True,
+) -> None:
+    """Persist as a hash-bucketed (optionally bucket-sorted) managed
+    table: two tables bucketed on the same key with the same bucket
+    count join WITHOUT any exchange (and without even a sort when both
+    are bucket-sorted) — the pre-shuffled layout for fact tables that
+    join repeatedly on one key at 100 TB.  One shuffle at write time
+    buys zero shuffles on every subsequent join/aggregate on that key.
+    """
+    w = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
+    if sort:
+        w = w.sortBy(*bucket_cols)
+    w.format("parquet").saveAsTable(table)

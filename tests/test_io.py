@@ -509,3 +509,58 @@ def test_kobo_fetcher_rejects_missing_count():
     fetch_page = connectors.kobo_page_fetcher(FakeClient(), "a1")
     with pytest.raises(ValueError, match="count"):
         fetch_page(0, 10)
+
+
+def test_write_sorted_nonoverlapping_file_ranges(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from peskas_mozambique_data_pipeline_spark.io.parquet_io import write_sorted
+
+    df = spark.range(0, 10_000).select(
+        (F.col("id") * 2654435761 % 10_000).alias("k"), F.col("id").alias("v")
+    )
+    path = str(tmp_path / "sorted")
+    write_sorted(df, path, ["k"], n_files=4)
+    back = spark.read.parquet(path).select(
+        "k", F.input_file_name().alias("f")
+    )
+    ranges = back.groupBy("f").agg(
+        F.min("k").alias("lo"), F.max("k").alias("hi"), F.count("*").alias("n")
+    ).collect()
+    assert len(ranges) >= 2
+    # files form disjoint key ranges -> range predicates prune files
+    spans = sorted((r.lo, r.hi) for r in ranges)
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    import contextlib
+    import io as _io
+
+    from pyspark.sql import functions as F
+
+    from peskas_mozambique_data_pipeline_spark.io.parquet_io import write_bucketed
+
+    left = spark.range(0, 2000).select(F.col("id").alias("k"), F.lit(1).alias("a"))
+    right = spark.range(0, 2000).select(F.col("id").alias("k"), F.lit(2).alias("b"))
+    write_bucketed(left, "t_bleft", ["k"], n_buckets=4)
+    write_bucketed(right, "t_bright", ["k"], n_buckets=4)
+    try:
+        # hint forces the merge path (AQE would broadcast a table this
+        # small, hiding the layout); at fact×fact scale SMJ is what
+        # the planner picks anyway and the bucket layout feeds it
+        # shuffle-free
+        joined = spark.table("t_bleft").hint("merge").join(
+            spark.table("t_bright").hint("merge"), "k"
+        )
+        buf = _io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        # co-located layout: the join runs with ZERO exchanges
+        assert "Exchange" not in plan
+        assert joined.count() == 2000
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_bleft")
+        spark.sql("DROP TABLE IF EXISTS t_bright")
