@@ -74,3 +74,29 @@ def test_stream_cap_batch_decision_deterministic(spark, tmp_path):
         for r in gov.read_kept(spark, str(tmp_path / "z2" / gov.KEPT_SUBDIR)).collect()
     )
     assert a == b and len(a) == 4
+
+
+def test_stream_cap_single_batch_equals_batch_operator(spark, tmp_path):
+    """With everything in one micro-batch there is no arrival-order
+    effect, so the streaming cap must keep EXACTLY the rows the batch
+    per_group_cap keeps (both rank by the same md5 order)."""
+    from peskas_mozambique_data_pipeline_spark.operators import curation as cur
+
+    rows = [(i, f"t{i}", f"s{i % 3}") for i in range(30)]
+    landing = str(tmp_path / "landing")
+    schema = _write(spark, landing, rows)
+    stream = si.stream_landing_zone(spark, landing, schema, max_files_per_trigger=10)
+    q, kept_dir, _ = gov.stream_source_cap(
+        stream, str(tmp_path / "zone"), str(tmp_path / "ck"), cap=4, id_col="doc_id"
+    )
+    q.awaitTermination(120)
+    streamed = sorted(r.doc_id for r in gov.read_kept(spark, kept_dir).collect())
+
+    batch_df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    batch = sorted(
+        r.doc_id
+        for r in cur.per_group_cap(
+            batch_df, group_col="source", cap=4, id_col="doc_id"
+        ).filter("_keep").collect()
+    )
+    assert streamed == batch
