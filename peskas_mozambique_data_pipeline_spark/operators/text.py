@@ -1057,3 +1057,56 @@ def bpe_merge_table(
     return merges.select(
         "step", F.col("l").alias("left"), F.col("r").alias("right"), "pair_count"
     )
+
+
+def bpe_apply_expr(word: Column, merges: list[tuple[str, str]]) -> Column:
+    """Segment one word with an ordered BPE merge list: encode,
+    apply each merge as a literal left-to-right replace (same greedy
+    semantics as training), split back to subword tokens.
+
+    ``merges`` is the MODEL — n_merges (l, r) pairs, driver-side by
+    design like any model coefficients (cf. the LW length-weight
+    a/b table): the whole application compiles to ONE nested string
+    expression, so segmenting a 100 TB corpus is a zero-shuffle scan.
+    """
+    s, ss = BPE_SEP, BPE_SEP * 2
+    enc = _bpe_encode(word)
+    for l, r in merges:
+        enc = F.replace(
+            enc, F.lit(f"{s}{l}{ss}{r}{s}"), F.lit(f"{s}{l}{r}{s}")
+        )
+    return F.filter(F.split(enc, ss), lambda x: x != "")
+
+
+def bpe_fertility(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    group_col: str = "lang",
+) -> DataFrame:
+    """Tokens-per-word under a LEARNED BPE merge table, per group —
+    the fertility audit run after tokenizer training (compare
+    ``tokenizer_fertility``, which measures the regex pre-tokenizer).
+
+    One explode + one aggregate; the segmentation itself is
+    expression-only.  Counts are integers, the ratio is a single
+    division — engine-exact.
+    """
+    seg = F.size(bpe_apply_expr(F.col("word"), merges))
+    words = df.select(
+        F.col(group_col).alias("grp"), F.explode(tokens(text_col)).alias("word")
+    ).filter(F.col("word") != "")
+    return (
+        words.select("grp", seg.alias("n_sub"))
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_sub").alias("n_subwords"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "n_words",
+            "n_subwords",
+            F.round(F.col("n_subwords") / F.col("n_words"), 6).alias("fertility"),
+        )
+    )

@@ -591,6 +591,7 @@ _VERIFY_FIRST = [
     "predominant_mode",
     "metrics_table",
     "bpe_merges",
+    "bpe_fertility",
     "data_split",
     "semantic_dedup",
     "bigram_pmi",
@@ -653,6 +654,7 @@ _VERIFY_LAST = [
     "simhash_pairs",
     "doc_fingerprint",
     "doc_winnow",
+    "token_rollup",
 ]
 
 # The driver hard-verifies exactly the first 50 entries; the tail list

@@ -632,3 +632,67 @@ FROM assigned GROUP BY lang, split
 
 SPARK_QUERIES["data_split"] = q_data_split
 ORACLE_SQL["data_split"] = SQL_DATA_SPLIT
+
+
+# ---------------------------------------------------------------------------
+# Q: fertility of the LEARNED tokenizer — closes the tokenizer loop:
+# bpe_merges trains the merge table on the corpus; this query applies
+# those merges back to every word (expression-only segmentation, zero
+# extra shuffle) and audits tokens-per-word per language.  The oracle
+# re-learns the merges in its CTE chain and applies them as nested
+# literal replaces via scalar subqueries — integers end-to-end.
+
+
+def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import bpe_fertility, bpe_merge_table
+
+    docs = _docs(spark, sf_dir)
+    merges = [
+        (r.left, r.right)
+        for r in sorted(
+            bpe_merge_table(docs, n_merges=_BPE_N).collect(),
+            key=lambda r: r.step,
+        )
+    ]
+    return bpe_fertility(docs, merges)
+
+
+def _bpe_fertility_sql(n_merges: int) -> str:
+    s = "\x1f"
+    ss = s * 2
+    base = _bpe_oracle_sql(n_merges)
+    ctes = base[len("WITH ") : base.rindex("\nSELECT CAST(1")]
+    enc = (
+        f"'{ss}' || array_to_string(list_transform("
+        f"generate_series(1, length(word)), i -> substr(word, i, 1)),"
+        f" '{ss}') || '{ss}'"
+    )
+    for k in range(1, n_merges + 1):
+        enc = (
+            f"replace({enc}, '{s}' || (SELECT l FROM m{k}) || '{ss}'"
+            f" || (SELECT r FROM m{k}) || '{s}',"
+            f" '{s}' || (SELECT l FROM m{k})"
+            f" || (SELECT r FROM m{k}) || '{s}')"
+        )
+    return f"""WITH {ctes},
+wl AS (
+  SELECT lang, unnest(string_split_regex(trim(text), '\\s+')) AS word
+  FROM documents
+),
+segd AS (
+  SELECT lang,
+         len(list_filter(string_split({enc}, '{ss}'), x -> x <> '')) AS n_sub
+  FROM wl WHERE word <> ''
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(n_sub) AS BIGINT) AS n_subwords,
+       ROUND(SUM(n_sub) / COUNT(*), 6) AS fertility
+FROM segd GROUP BY lang
+"""
+
+
+SQL_BPE_FERTILITY = _bpe_fertility_sql(_BPE_N)
+
+SPARK_QUERIES["bpe_fertility"] = q_bpe_fertility
+ORACLE_SQL["bpe_fertility"] = SQL_BPE_FERTILITY

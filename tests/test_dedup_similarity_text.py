@@ -726,3 +726,38 @@ def test_bpe_merge_application_greedy_nonoverlapping(spark):
     assert (out[0].left, out[0].right) == ("a", "a")
     assert out[0].pair_count == 9  # 3 occurrences per word x 3 words
     assert (out[1].left, out[1].right) == ("aa", "aa")
+
+
+def test_bpe_apply_expr_segments_with_learned_merges(spark):
+    # merges (l,o) then (lo,w): "low" -> [low] ... wait, chain:
+    # l+o -> "lo"; lo+w -> "low": "lower" -> [low, e, r]
+    df = spark.createDataFrame([(1, "lower low lowest")], "doc_id long, text string")
+    seg = df.select(
+        F.transform(
+            text.tokens("text"),
+            lambda w: text.bpe_apply_expr(w, [("l", "o"), ("lo", "w")]),
+        ).alias("segs")
+    ).first()
+    assert seg.segs == [
+        ["low", "e", "r"],
+        ["low"],
+        ["low", "e", "s", "t"],
+    ]
+
+
+def test_bpe_fertility_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "aa aa b", "en"), (2, "aa b b", "fr")],
+        "doc_id long, text string, lang string",
+    )
+    out = {
+        r.lang: (r.n_words, r.n_subwords, r.fertility)
+        for r in text.bpe_fertility(df, [("a", "a")]).collect()
+    }
+    # "aa" -> 1 subword after the merge, "b" -> 1
+    assert out["en"] == (3, 3, 1.0)
+    assert out["fr"] == (3, 3, 1.0)
+    out2 = {
+        r.lang: r.fertility for r in text.bpe_fertility(df, []).collect()
+    }
+    assert out2["en"] == round(5 / 3, 6)  # no merges: chars per word
