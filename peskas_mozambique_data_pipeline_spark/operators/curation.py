@@ -78,14 +78,18 @@ def corpus_diff(
     text columns are pruned at the scan.  Carried attributes coalesce
     new-over-old so removed rows keep their provenance.
     """
+    # NULL text must still count as "present" — md5(NULL) is NULL and
+    # would read as a missing row; the \x00 sentinel is outside md5's
+    # hex alphabet so it can never collide with a real digest
+    dig = lambda c: F.coalesce(F.md5(c), F.lit("\x00"))  # noqa: E731
     o = old.select(
         F.col(id_col),
-        F.md5(F.col(text_col)).alias("_od"),
+        dig(F.col(text_col)).alias("_od"),
         *[F.col(a).alias(f"_o_{a}") for a in attrs],
     )
     n = new.select(
         F.col(id_col),
-        F.md5(F.col(text_col)).alias("_nd"),
+        dig(F.col(text_col)).alias("_nd"),
         *[F.col(a).alias(f"_n_{a}") for a in attrs],
     )
     j = o.join(n, id_col, "full_outer")
