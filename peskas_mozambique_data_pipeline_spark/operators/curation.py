@@ -42,25 +42,35 @@ def per_group_cap(
     cannot avoid sorting (an exact hash-order cap needs the cap-th
     smallest hash per group).
 
+    NULL group keys are one group (SQL ``PARTITION BY`` semantics): the
+    over-cap tag joins on a NULL-coalesced key so a NULL group larger
+    than the cap is capped like any other — a plain equi-join would
+    never match NULL and wave the whole group through.
+
     Returns the input rows plus ``_keep`` boolean (callers filter or
     audit); deterministic for any partitioning.
     """
     h = F.md5(F.concat_ws("_", F.lit(salt), F.col(id_col).cast("string")))
-    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_gn"))
-    over = counts.filter(F.col("_gn") > cap).select(group_col)
-    tagged = df.join(
-        F.broadcast(over.withColumn("_over", F.lit(True))), group_col, "left"
+    # \x00 sentinel: outside any cast-to-string value's alphabet for
+    # the types used as group keys here; collapses all NULLs into one
+    # cappable group on both the count and the tag join
+    gk = F.coalesce(F.col(group_col).cast("string"), F.lit("\x00"))
+    keyed = df.withColumn("_gk", gk)
+    counts = keyed.groupBy("_gk").agg(F.count(F.lit(1)).alias("_gn"))
+    over = counts.filter(F.col("_gn") > cap).select("_gk")
+    tagged = keyed.join(
+        F.broadcast(over.withColumn("_over", F.lit(True))), "_gk", "left"
     )
     small = tagged.filter(F.col("_over").isNull()).drop("_over").withColumn(
         "_keep", F.lit(True)
     )
-    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
+    w = Window.partitionBy("_gk").orderBy(h.asc(), F.col(id_col).asc())
     big = (
         tagged.filter(F.col("_over"))
         .drop("_over")
         .withColumn("_keep", F.row_number().over(w) <= cap)
     )
-    return small.unionByName(big)
+    return small.unionByName(big).drop("_gk")
 
 
 def corpus_diff(

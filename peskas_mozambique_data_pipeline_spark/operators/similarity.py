@@ -701,13 +701,32 @@ def build_pq_index(
                 (F.col("_s").cast("double") / F.col("_n") / F.lit(1e8)).alias("m"),
             )
         )
-        codebooks = (
+        updated = (
             means.groupBy("subspace", F.col("code").alias("centroid_id"))
             .agg(
                 F.transform(
                     F.array_sort(F.collect_list(F.struct("pos", "m"))),
                     lambda s: s.m.cast("float"),
                 ).alias("centroid")
+            )
+        )
+        # A centroid that loses every assignment in the mean step would
+        # vanish here and leave a HOLE in the m·k codebook — the ADC
+        # search (pq_topk) indexes its distance table positionally as
+        # subspace·k + code, so a sparse codebook crashes the lookup or
+        # silently shifts distances.  Keep empty clusters alive by
+        # retaining their previous centroid (standard Lloyd's practice;
+        # degenerate inputs such as constant subspaces hit this on
+        # every iteration).  Both sides are m·k rows — driver-trivial.
+        codebooks = (
+            codebooks.alias("prev")
+            .join(updated.alias("upd"), ["subspace", "centroid_id"], "left")
+            .select(
+                "subspace",
+                "centroid_id",
+                F.coalesce(F.col("upd.centroid"), F.col("prev.centroid")).alias(
+                    "centroid"
+                ),
             )
         )
         assignments = assign(codebooks)

@@ -583,48 +583,10 @@ ORACLE_SQL.update(registry_curation.ORACLE_SQL)
 # queries with several green driver rounds (still covered by the
 # bit-exact local gate, tools/check_correctness.py) rotate out.
 _VERIFY_FIRST = [
-    # round-5 additions — never driver-verified, head of the window
-    "source_cap",
-    "corpus_diff",
-    "token_drift",
-    "ann_pq",
-    "predominant_mode",
-    "metrics_table",
-    "bpe_merges",
-    "bpe_fertility",
-    "data_split",
-    "semantic_dedup",
-    "bigram_pmi",
-    "tfidf_terms",
-    "jaccard_exact",
-    "dup_spans",
-    "span_scrub",
-    "quality_topk",
-    "domain_mix",
-    "tokenizer_fertility",
-    "bigram_logloss",
-    # r5 rotation: the ten queries that sat outside r4's driver window
-    # (each driver-green r1–r3 and judge-gated in r4) come back to the
-    # head so CORRECTNESS_r05 gives them hard driver rows again, plus
-    # any round-5 additions.
-    "trip_rollup",
-    "dim_enrichment",
-    "monthly_median",
-    "topk_other",
-    "robust_bounds",
-    "unpivot_metrics",
-    "pivot_status",
-    "semi_anti",
-    "pricing_summary",
-    "nary_full_join",
-]
-_VERIFY_LAST = [
-    # Rotation tail: everything here was driver-green in round 4 (the
-    # r4 head window), so sitting out one round keeps the "hard driver
-    # row at least every 2 rounds" invariant.  The assertion below
-    # forces this list to be resized whenever queries are added, so the
-    # rotation stays deliberate instead of silently pushing a
-    # once-verified mid query out.
+    # r6 rotation (VERDICT r5 instruction #1): all 29 queries that sat
+    # in the r5 tail (each driver-green in r4, judge-gated bit-exact in
+    # r5) come back to the head so CORRECTNESS_r06 gives every one a
+    # hard driver row again.
     "unigram_logloss",
     "vocab_coverage",
     "doc_pack",
@@ -638,7 +600,6 @@ _VERIFY_LAST = [
     "pii_scrub",
     "merge_upsert",
     "scd2_versions",
-    # r1–r4 driver-green every round — the safest long-rotation picks
     "conditional_merge",
     "flag_battery",
     "fuzzy_dedup",
@@ -655,6 +616,49 @@ _VERIFY_LAST = [
     "doc_fingerprint",
     "doc_winnow",
     "token_rollup",
+]
+_VERIFY_LAST = [
+    # Rotation tail: everything here was driver-green in round 5 (the
+    # r5 head/mid window), so sitting out one round keeps the "hard
+    # driver row at least every 2 rounds" invariant.  The assertion
+    # below forces this list to be resized whenever queries are added,
+    # so the rotation stays deliberate instead of silently pushing a
+    # once-verified mid query out.  The 21 slots between head and tail
+    # hold the round-5 additions (one driver-green round each — they
+    # get their second green row this round) plus trip_rollup /
+    # dim_enrichment (flagship composites, kept under the hard oracle
+    # every round).
+    # driver-green r1–r3 AND r5 — the safest long-rotation picks
+    "monthly_median",
+    "topk_other",
+    "robust_bounds",
+    "unpivot_metrics",
+    "pivot_status",
+    "semi_anti",
+    "pricing_summary",
+    "nary_full_join",
+    # driver-green r1–r5 (every round they were in the window)
+    "flag_battery_full",
+    "ann_cosine",
+    "embedding_near_dup",
+    "ann_ivf",
+    "repetition_filter",
+    "decontamination",
+    "sample_mix",
+    "doc_chunks",
+    "nested_series",
+    "rank_inference",
+    "string_ops",
+    "iso_format",
+    "except_keys",
+    "uniqueness_check",
+    "rank_lookup",
+    "pct_of_group",
+    "sessionization",
+    "rollup_summary",
+    "asof_join",
+    "running_total",
+    "geo_rollup_join",
 ]
 
 # The driver hard-verifies exactly the first 50 entries; the tail list

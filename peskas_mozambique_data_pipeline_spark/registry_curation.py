@@ -90,11 +90,16 @@ def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_CORPUS_DIFF = """
 WITH old AS (
-  SELECT doc_id, md5(text) AS d, source FROM documents WHERE doc_id % 17 <> 3
+  -- COALESCE to the \\x00 sentinel mirrors corpus_diff's NULL-text
+  -- handling: a NULL-text row is PRESENT (digest sentinel), not a
+  -- missing row, so NULL->NULL reads as 'unchanged' on both engines
+  SELECT doc_id, COALESCE(md5(text), chr(0)) AS d, source
+  FROM documents WHERE doc_id % 17 <> 3
 ),
 new AS (
   SELECT doc_id,
-         md5(CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]' ELSE text END) AS d,
+         COALESCE(md5(CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]'
+                           ELSE text END), chr(0)) AS d,
          source
   FROM documents WHERE doc_id % 19 <> 5
 ),
@@ -258,10 +263,20 @@ means AS (
          CAST(SUM(valq) AS DOUBLE) / COUNT(*) / 1e8 AS mu
   FROM exploded GROUP BY subspace, code, pos
 ),
-cents1 AS (
+cents1u AS (
   SELECT subspace, code AS centroid_id,
          list_transform(list(mu ORDER BY pos), x -> CAST(x AS FLOAT)) AS centroid
   FROM means GROUP BY subspace, code
+),
+-- mirror build_pq_index: a centroid with zero assignments keeps its
+-- previous value, so the codebook stays dense (m*k rows) and the
+-- engine's positional ADC lookup and this oracle agree
+cents1 AS (
+  SELECT c0.subspace, c0.centroid_id,
+         COALESCE(u.centroid, c0.centroid) AS centroid
+  FROM cents0 c0
+  LEFT JOIN cents1u u
+    ON u.subspace = c0.subspace AND u.centroid_id = c0.centroid_id
 ),
 {_sql_pq_assign('cents1', 'assign1')},
 q AS (

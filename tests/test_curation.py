@@ -33,6 +33,28 @@ def test_per_group_cap_respects_cap_and_determinism(spark):
     assert a == b
 
 
+def test_per_group_cap_null_group_is_capped(spark):
+    # NULL group keys form ONE group (SQL PARTITION BY semantics); an
+    # equi-join tag would never match NULL and leave the group uncapped
+    rows = [(i, f"t{i}", None, "en") for i in range(10)] + [
+        (100 + i, f"u{i}", "s0", "en") for i in range(2)
+    ]
+    out = cur.per_group_cap(
+        _docs(spark, rows), group_col="source", cap=4, id_col="doc_id"
+    )
+    assert out.count() == 12
+    kept_null = out.filter("_keep AND source IS NULL").count()
+    assert kept_null == 4  # NULL group capped like any other
+    assert out.filter("_keep AND source = 's0'").count() == 2  # under cap
+    # deterministic under repartitioning, NULLs included
+    a = sorted(r.doc_id for r in out.filter("_keep").collect())
+    out2 = cur.per_group_cap(
+        _docs(spark, rows).repartition(5), group_col="source", cap=4,
+        id_col="doc_id",
+    )
+    assert a == sorted(r.doc_id for r in out2.filter("_keep").collect())
+
+
 def test_per_group_cap_under_cap_groups_untouched(spark):
     rows = [(i, f"t{i}", "only", "en") for i in range(3)]
     out = cur.per_group_cap(

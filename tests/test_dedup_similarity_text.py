@@ -668,6 +668,29 @@ def test_ivfpq_topk_composes_routing_and_codes(spark):
     assert [r.rank for r in sorted(out, key=lambda r: r.rank)] == [1, 2, 3]
 
 
+def test_pq_codebook_stays_dense_on_degenerate_vectors(spark):
+    # a CONSTANT subspace collapses every assignment onto one centroid
+    # in the Lloyd mean step; the other k-1 centroids must survive
+    # (retain-previous rule) so the positional ADC lookup in pq_topk
+    # never indexes past the table (the r5 ADVICE crash:
+    # INVALID_ARRAY_INDEX_IN_ELEMENT_AT)
+    rng = np.random.default_rng(11)
+    rows = [
+        (i, [1.0, 2.0, 3.0, 4.0] + [float(x) for x in rng.normal(size=4)])
+        for i in range(24)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    codes, books = similarity.build_pq_index(df, m=2, k=4, n_iters=3, dim=8)
+    # dense codebook: exactly m*k rows, every (subspace, centroid_id)
+    got = sorted((r.subspace, r.centroid_id) for r in books.collect())
+    assert got == [(s, c) for s in range(2) for c in range(4)]
+    queries = df.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.pq_topk(queries, codes, books, k_nn=3, m=2, k=4, dim=8)
+    assert out.count() == 3  # no crash, full top-k
+
+
 def _py_bpe(word_weights: dict[str, int], n_merges: int):
     """Reference BPE: count desc, (l, r) lexicographic tie-break,
     greedy left-to-right non-overlapping application."""
