@@ -495,6 +495,7 @@ def jaccard_prefix_pairs(
     hashed: DataFrame,
     id_col: str = "doc_id",
     threshold: float = 0.8,
+    df_backend: str = "join",
 ) -> DataFrame:
     """EXACT Jaccard similarity self-join via prefix filtering — the
     AllPairs/PPJoin blocking (Bayardo et al. 2007, Xiao et al. 2008),
@@ -509,24 +510,43 @@ def jaccard_prefix_pairs(
     ``|S| − ⌈t·|S|⌉ + 1``-element prefix is a complete candidate
     generator (a longer-than-required prefix can only add candidates).
 
-    Scale shape: document frequency comes from a COUNT window over the
-    hash key — one shuffle on ``h``, where a groupBy + join-back would
-    shuffle on ``h`` twice (measured 2.51→1.42 s p50 at sf0.1; the
-    shingle vocabulary is corpus-sized, NOT broadcastable, unlike a
-    word vocab); set sizes ride along from ``size(_h32)`` before the
-    explode instead of a second per-doc window; the prefix rank is one
-    window per doc; candidates come from an inverted-index equi
-    self-join on PREFIX hashes only — and because the prefix prefers
-    globally-rare hashes, hot posting lists are exactly the ones the
-    filter excludes.  Verification intersects the full hash sets for
-    candidate pairs only.  No LSH tuning knobs, no recall loss — the
-    trade is the df shuffle versus MinHash's signature pass.
+    Scale shape: document frequency is a ``groupBy("h").count()`` +
+    join-back (``df_backend="join"``, the default).  Shingle frequency
+    is Zipfian — a COUNT window on ``h`` colocates EVERY instance of a
+    hash in one task, so at corpus scale the hottest shingles become
+    single-task stragglers, and AQE splits join skew but NOT window
+    skew.  The join-back costs one extra shuffle of the exploded frame
+    (measured +1.1 s p50 at sf0.1 vs the window) but the count side is
+    map-side-combinable and the join is AQE-skew-splittable — the shape
+    that survives 100×.  ``df_backend="window"`` keeps the single-
+    shuffle window variant for small/unskewed corpora; both backends
+    produce identical rows (parity-tested).  Set sizes ride along from
+    ``size(_h32)`` before the explode instead of a second per-doc
+    window; the prefix rank is one window per doc; candidates come
+    from an inverted-index equi self-join on PREFIX hashes only — and
+    because the prefix prefers globally-rare hashes, hot posting lists
+    are exactly the ones the filter excludes.  Verification intersects
+    the full hash sets for candidate pairs only.  No LSH tuning knobs,
+    no recall loss — the trade is the df pass versus MinHash's
+    signature pass.
     """
     ex = hashed.select(
         F.col(id_col).alias("_id"),
         F.size("_h32").alias("_sz"),
         F.explode("_h32").alias("h"),
-    ).withColumn("_df", F.count(F.lit(1)).over(Window.partitionBy("h")))
+    )
+    if df_backend == "window":
+        ex = ex.withColumn("_df", F.count(F.lit(1)).over(Window.partitionBy("h")))
+    elif df_backend == "join":
+        # ex feeds both the count aggregate and the join-back, but is
+        # NOT checkpointed: ``hashed`` is already materialized
+        # (shingle_hash_frame(materialize=True)), so recomputing ex is
+        # one explode of an in-memory frame — far cheaper than
+        # materializing the exploded per-shingle rows themselves
+        counts = ex.groupBy("h").agg(F.count(F.lit(1)).alias("_df"))
+        ex = ex.join(counts, "h")
+    else:
+        raise ValueError(f"unknown df_backend {df_backend!r}")
     w_doc = Window.partitionBy("_id").orderBy(F.col("_df").asc(), F.col("h").asc())
     ranked = ex.withColumn("_rn", F.row_number().over(w_doc))
     # prefix feeds both sides of the candidate self-join — same

@@ -956,9 +956,13 @@ def bigram_logloss(
         F.slice(t, 2, n - 1),
         lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
     )
+    # bg feeds THREE consumers (bigram model, left counts, scoring
+    # join) — the materialization rule (NOTES r4): without a hard
+    # checkpoint each branch re-tokenizes and re-explodes the corpus,
+    # three full scans at scale for one logical pass
     bg = df.select(F.col(id_col), F.explode(pairs).alias("bg")).select(
         id_col, "bg.w1", "bg.w2"
-    )
+    ).localCheckpoint()
     model = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
     left = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c_a"))
     probs = model.join(F.broadcast(left), "w1").select(

@@ -556,6 +556,15 @@ def test_jaccard_prefix_pairs_is_complete(spark):
     }
     assert got == brute
     assert len(brute) > 0
+    # both df backends (skew-safe join, single-shuffle window) produce
+    # the identical pair set
+    win = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dedup.jaccard_prefix_pairs(
+            hashed, threshold=0.4, df_backend="window"
+        ).collect()
+    }
+    assert win == brute
 
 
 def test_duplicated_ngram_spans_merges_runs(spark):

@@ -230,6 +230,20 @@ def test_jaccard_exact_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_jaccard_exact_no_window_on_shingle_hash(spark):
+    # document frequency must come from groupBy+join-back, never a
+    # COUNT window partitioned on the shingle-hash key: shingle
+    # frequency is Zipfian and a window colocates every instance of a
+    # hot hash in ONE task (AQE splits join skew, not window skew).
+    # The only window allowed on the hash key 'h' is none; the per-doc
+    # prefix-rank window (partition by _id) stays.
+    import re
+
+    plan = plan_of(registry.SPARK_QUERIES["jaccard_exact"](spark, SF), "simple")
+    for m in re.finditer(r"windowspecdefinition\((\w+)#", plan):
+        assert m.group(1) != "h", "COUNT window on shingle-hash key"
+
+
 def test_corpus_diff_joins_digests_not_text(spark):
     # the full-outer join must ship md5 digests, never the text column
     plan = plan_of(registry.SPARK_QUERIES["corpus_diff"](spark, SF), "simple")
