@@ -100,3 +100,48 @@ def test_stream_cap_single_batch_equals_batch_operator(spark, tmp_path):
         ).filter("_keep").collect()
     )
     assert streamed == batch
+
+
+def test_stream_cap_counts_compaction_bounds_dirs(spark, tmp_path):
+    """With compact_every=2 the counts deltas fold into an upto=<id>
+    snapshot and superseded dirs are deleted — bounded per-batch state
+    reads — while keeps stay identical to an uncompacted run."""
+    import os
+
+    landing = str(tmp_path / "landing")
+    batches = [
+        [(1, "a", "s1"), (2, "b", "s1"), (3, "c", "s2")],
+        [(4, "d", "s1"), (5, "e", "s2"), (6, "f", "s2")],
+        [(7, "g", "s1"), (8, "h", "s2"), (9, "i", "s3")],
+        [(10, "j", "s1"), (11, "k", "s3"), (12, "m", "s3")],
+    ]
+    schema = None
+    for rows in batches:
+        schema = _write(spark, landing, rows)
+
+    runs = {}
+    for name, compact_every in (("nc", None), ("cc", 2)):
+        zone = str(tmp_path / name)
+        ck = str(tmp_path / f"ck_{name}")
+        stream = si.stream_landing_zone(
+            spark, landing, schema, max_files_per_trigger=1
+        )
+        q, kept_dir, counts_dir = gov.stream_source_cap(
+            stream, zone, ck, cap=2, id_col="doc_id",
+            compact_every=compact_every,
+        )
+        q.awaitTermination(180)
+        runs[name] = sorted(
+            (r.doc_id, r.source) for r in gov.read_kept(spark, kept_dir).collect()
+        )
+        if compact_every:
+            # 4 batches, compact_every=2 → folds after batch 1 (upto=0)
+            # and batch 3 (upto=2): one surviving snapshot, ≤ compact
+            # window of delta dirs
+            n_deltas = len(gov._dir_ids(counts_dir, "batch"))
+            snaps = gov._dir_ids(
+                os.path.join(zone, gov.COUNTS_COMPACT_SUBDIR), "upto"
+            )
+            assert snaps == [2]
+            assert n_deltas <= compact_every, (n_deltas, snaps)
+    assert runs["nc"] == runs["cc"] and len(runs["nc"]) > 0
