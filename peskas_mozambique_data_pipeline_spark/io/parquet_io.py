@@ -34,6 +34,8 @@ def write_versioned(
     git_sha: str = "local",
     partition_by: list[str] | None = None,
     sort_by: list[str] | None = None,
+    range_by: list[str] | None = None,
+    n_files: int | None = None,
     compression: str = "lz4",
 ) -> str:
     """Write an immutable versioned snapshot into ``zone_dir``.
@@ -42,10 +44,25 @@ def write_versioned(
     ``sort_by`` sorts within output files so parquet row-group min/max
     statistics become selective — downstream range predicates on those
     columns skip row groups entirely (the cheap cousin of Z-ordering).
+    ``range_by`` additionally range-partitions ACROSS files first
+    (globally disjoint per-file key ranges — file-level pruning, not
+    just row-group-level); ``n_files`` bounds the file count.
     Returns the written path.
     """
     path = os.path.join(zone_dir, versioned_name(prefix, git_sha))
-    if sort_by:
+    if range_by:
+        # write_sorted's layout inside the versioned zone: files form
+        # disjoint key ranges (file i's max ≤ file i+1's min), so
+        # downstream range predicates on these columns prune whole
+        # files via parquet zone maps — one sampled range-exchange at
+        # write time, no single-task global sort
+        df = (
+            df.repartitionByRange(n_files, *range_by)
+            if n_files
+            else df.repartitionByRange(*range_by)
+        )
+        df = df.sortWithinPartitions(*range_by)
+    elif sort_by:
         df = df.sortWithinPartitions(*sort_by)
     writer = df.write.mode("errorifexists").option("compression", compression)
     if partition_by:
@@ -117,3 +134,53 @@ def write_bucketed(
     if sort:
         w = w.sortBy(*bucket_cols)
     w.format("parquet").saveAsTable(table)
+
+
+def bucket_table_name(versioned: str) -> str:
+    """Catalog-legal table name for a versioned zone directory name
+    (``prefix__ts_sha__`` → lowercase ``[a-z0-9_]``)."""
+    return re.sub(r"[^0-9a-zA-Z_]", "_", versioned).lower()
+
+
+def write_bucketed_versioned(
+    df: DataFrame,
+    zone_dir: str,
+    prefix: str,
+    bucket_cols: list[str],
+    n_buckets: int = 8,
+    git_sha: str = "local",
+    sort: bool = True,
+) -> str:
+    """Versioned snapshot persisted as an EXTERNAL hash-bucketed table:
+    the zone keeps its immutable ``prefix__ts_sha__`` directory layout
+    (``read_latest``/freshness logic unchanged) while the catalog entry
+    carries the bucket spec, so same-key joins and aggregates on
+    ``bucket_cols`` read the zone with ZERO exchange.  The bucket
+    metadata lives in the session catalog — on a cluster that is the
+    shared metastore; a fresh local session must re-register (or fall
+    back to ``read_latest``, which reads the same files without the
+    bucket-awareness).  Returns the written path.
+    """
+    name = versioned_name(prefix, git_sha)
+    path = os.path.join(zone_dir, name)
+    table = bucket_table_name(name)
+    w = df.write.mode("errorifexists").bucketBy(n_buckets, *bucket_cols)
+    if sort:
+        w = w.sortBy(*bucket_cols)
+    w.format("parquet").option("path", path).saveAsTable(table)
+    return path
+
+
+def read_latest_bucketed(
+    spark: SparkSession, zone_dir: str, prefix: str
+) -> DataFrame:
+    """Resolve the newest versioned snapshot and read it THROUGH the
+    catalog so the bucket layout feeds the planner (exchange-free
+    same-key joins).  Falls back to a plain parquet read when the
+    table is not in this session's catalog (correct, just unbucketed).
+    """
+    path = latest_version_path(zone_dir, prefix)
+    table = bucket_table_name(os.path.basename(path))
+    if spark.catalog.tableExists(table):
+        return spark.table(table)
+    return spark.read.parquet(path)

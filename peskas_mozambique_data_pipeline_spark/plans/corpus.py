@@ -103,7 +103,11 @@ def semantic_survivors(
 
 
 def stage_quality(spark: SparkSession, docs: DataFrame, zones: PipelineZones) -> str:
-    return zones.write(curate_quality(docs), "corpus_filtered")
+    # every doc-keyed corpus zone range-partitions on doc_id: the
+    # dedup/scrub/semantic stages all join or anti-join on doc_id, so
+    # disjoint per-file id ranges give file-level pruning and keep the
+    # zone mergeable without a global sort
+    return zones.write(curate_quality(docs), "corpus_filtered", range_by=["doc_id"])
 
 
 def stage_dedup(
@@ -113,6 +117,7 @@ def stage_dedup(
     return zones.write(
         dedup_survivors(filtered, jaccard_threshold=jaccard_threshold),
         "corpus_deduped",
+        range_by=["doc_id"],
     )
 
 
@@ -127,6 +132,7 @@ def stage_semantic_dedup(
     return zones.write(
         semantic_survivors(deduped, embeddings, threshold=threshold, backend=backend),
         "corpus_semantic",
+        range_by=["doc_id"],
     )
 
 
@@ -148,7 +154,7 @@ def stage_span_scrub(
         .join(scrubbed.select("doc_id", "text_clean", "n_removed"), "doc_id")
         .withColumnRenamed("text_clean", "text")
     )
-    return zones.write(out, "corpus_scrubbed")
+    return zones.write(out, "corpus_scrubbed", range_by=["doc_id"])
 
 
 def stage_pack(

@@ -42,8 +42,24 @@ class PipelineZones:
     def write(self, df: DataFrame, prefix: str, **kw) -> str:
         return parquet_io.write_versioned(df, self.root, prefix, self.git_sha, **kw)
 
+    def write_bucketed(
+        self, df: DataFrame, prefix: str, bucket_cols: list[str],
+        n_buckets: int = 8,
+    ) -> str:
+        """Versioned snapshot persisted hash-bucketed on
+        ``bucket_cols`` — the layout for curated tables that are
+        repeatedly joined on one key: one shuffle at write time buys
+        exchange-free joins on every downstream read via
+        ``read_bucketed``."""
+        return parquet_io.write_bucketed_versioned(
+            df, self.root, prefix, bucket_cols, n_buckets, self.git_sha
+        )
+
     def read(self, spark: SparkSession, prefix: str) -> DataFrame:
         return parquet_io.read_latest(spark, self.root, prefix)
+
+    def read_bucketed(self, spark: SparkSession, prefix: str) -> DataFrame:
+        return parquet_io.read_latest_bucketed(spark, self.root, prefix)
 
     def version_ts(self, prefix: str) -> str | None:
         """Timestamp (YYYYmmddHHMMSS) of the newest version, or None."""
@@ -69,8 +85,16 @@ class PipelineZones:
 def stage_preprocess(
     spark: SparkSession, raw: DataFrame, lw_coeffs: DataFrame, zones: PipelineZones
 ) -> str:
-    """Ingest+preprocess job (workflow: preprocess_landings_lurio)."""
-    return zones.write(preprocess_landings(raw, lw_coeffs), "preprocessed")
+    """Ingest+preprocess job (workflow: preprocess_landings_lurio).
+
+    The survey zones range-partition on ``landing_date``: every
+    downstream consumer (validation windows, monthly exports, trip
+    merges) filters or groups by date, so disjoint per-file date
+    ranges turn those predicates into file-level pruning."""
+    return zones.write(
+        preprocess_landings(raw, lw_coeffs), "preprocessed",
+        range_by=["landing_date"],
+    )
 
 
 def stage_validate(
@@ -80,7 +104,10 @@ def stage_validate(
     newest preprocessed snapshot, writes validated + flags zones."""
     preprocessed = zones.read(spark, "preprocessed")
     validated, flags = validate_surveys(preprocessed, taxa_bounds=taxa_bounds)
-    return zones.write(validated, "validated"), zones.write(flags, "flags")
+    return (
+        zones.write(validated, "validated", range_by=["landing_date"]),
+        zones.write(flags, "flags"),
+    )
 
 
 def stage_merge_trips(
