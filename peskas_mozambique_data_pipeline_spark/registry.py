@@ -666,6 +666,13 @@ _VERIFY_LAST = [
 # boundary lands somewhere unplanned.
 _DRIVER_WINDOW = 50
 
+# Rotation policy: a 50-row window on a 2-round cadence covers at most
+# 100 queries, so the registry CONSOLIDATES before crossing 100 —
+# overlapping queries (shared scaffolding, same operator family) merge
+# rather than the cadence stretching to 3 rounds.  Enforced here so a
+# 101st registration fails loudly at import, not silently in rotation.
+MAX_REGISTERED_QUERIES = 2 * _DRIVER_WINDOW
+
 
 def _window_order(d: dict) -> dict:
     head = {k: d[k] for k in _VERIFY_FIRST if k in d}
@@ -678,6 +685,12 @@ assert len(_VERIFY_LAST) == len(SPARK_QUERIES) - _DRIVER_WINDOW, (
     f"_VERIFY_LAST must hold exactly len(SPARK_QUERIES) - {_DRIVER_WINDOW} "
     f"= {len(SPARK_QUERIES) - _DRIVER_WINDOW} queries (has "
     f"{len(_VERIFY_LAST)}); resize the rotation tail when adding queries."
+)
+
+assert len(SPARK_QUERIES) <= MAX_REGISTERED_QUERIES, (
+    f"registry holds {len(SPARK_QUERIES)} queries, over the "
+    f"{MAX_REGISTERED_QUERIES} ceiling the 2-round rotation cadence can "
+    "cover; consolidate overlapping queries instead of adding."
 )
 
 SPARK_QUERIES = _window_order(SPARK_QUERIES)

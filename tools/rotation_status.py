@@ -51,6 +51,32 @@ def main() -> None:
     else:
         print("\nOK: every query outside the window has a driver-green round.")
 
+    # Registry-size policy (VERDICT r5 #7): with a 50-row driver window
+    # a 2-round rotation cadence can cover at most 100 queries.  The
+    # policy is CONSOLIDATE before crossing 100 — overlapping queries
+    # (shared scaffolding, same operator family) merge rather than the
+    # cadence stretching to 3 rounds.  registry.MAX_REGISTERED_QUERIES
+    # enforces the ceiling at import time; this reports the headroom.
+    total = len(names)
+    cap = registry.MAX_REGISTERED_QUERIES
+    print(
+        f"registry: {total}/{cap} queries "
+        f"({cap - total} additions left before consolidation is required; "
+        f"2-round cadence holds while total <= {cap})"
+    )
+    # staleness audit: with the 2-round cadence, nothing in the tail
+    # may be >1 round behind the newest artifact
+    if last_green:
+        newest = max(last_green.values())
+        lagging = [
+            n for n in names[50:]
+            if last_green.get(n, -1) < newest - 1
+        ]
+        if lagging:
+            print(f"WARNING: tail queries >1 round stale: {lagging}")
+        else:
+            print("OK: no tail query is more than 1 round stale.")
+
 
 if __name__ == "__main__":
     main()
