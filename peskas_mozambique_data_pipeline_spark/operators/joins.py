@@ -135,3 +135,65 @@ def except_keys(df: DataFrame, remove: DataFrame, on: str | Sequence[str]) -> Da
     """Set difference on keys (U2): ``setdiff(flagged, approved)``
     (R/validation.R:1035-1040)."""
     return anti_join(df, remove, on)
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    by: Sequence[str] = (),
+    bin_seconds: int = 21600,
+) -> DataFrame:
+    """Bucketized interval (range) join — an operator Spark's planner
+    has no native strategy for: each point row matches every interval
+    row with ``start <= point <= end`` (and equal ``by`` keys).  The
+    naive expression is a non-equi theta join, which Spark plans as a
+    broadcast nested loop or cartesian product — quadratic.
+
+    Bucketization makes it an EQUI join: time is cut into fixed
+    ``bin_seconds`` bins; every interval replicates to each bin it
+    overlaps (``sequence(floor(start/b), floor(end/b))`` — explode), a
+    point lands in exactly ONE bin, and the join runs on
+    (``by…``, bin) with the exact range predicate as a residual
+    filter.  Because the point side maps to a single bin and an
+    interval appears at most once per bin, each qualifying pair is
+    emitted exactly once — no dedup pass.
+
+    Scale shape: the only shuffle is the (by, bin) equi-join; interval
+    replication is ceil(duration / bin_seconds) + 1 copies, so
+    ``bin_seconds`` dials replication against join selectivity — set
+    it near the typical interval duration (replication ≈ 2) unless
+    intervals are wildly skewed, in which case a smaller bin turns one
+    hot bin into many splittable ones (AQE skew-join handles the
+    rest).  Timestamps compare at full precision in the residual;
+    binning only needs second resolution.
+    """
+    keys = list(by)
+    overlap = set(points.columns) & set(intervals.columns) - set(keys)
+    if overlap:
+        raise ValueError(
+            f"columns {sorted(overlap)} exist on both sides; rename first"
+        )
+    b = F.lit(bin_seconds)
+    pt = points.withColumn(
+        "_bin", F.floor(F.unix_timestamp(F.col(point_col)) / b)
+    )
+    iv = intervals.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp(F.col(start_col)) / b),
+                F.floor(F.unix_timestamp(F.col(end_col)) / b),
+            )
+        ),
+    )
+    return (
+        pt.join(iv, [*keys, "_bin"])
+        .filter(
+            (F.col(point_col) >= F.col(start_col))
+            & (F.col(point_col) <= F.col(end_col))
+        )
+        .drop("_bin")
+    )

@@ -589,6 +589,23 @@ SPARK_QUERIES["bpe_merges"] = q_bpe_merges
 ORACLE_SQL["bpe_merges"] = SQL_BPE_MERGES
 
 
+def q_bpe_merges_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental-trainer tier (text.bpe_merge_table_fast: one
+    distributed histogram pass + driver-side pair-delta learning — the
+    path that reaches realistic 32k-merge counts) against the SAME
+    unrolled-CTE oracle as ``bpe_merges``: the hash-exact match IS the
+    cross-tier parity proof, under the driver's gate."""
+    from .operators.text import bpe_merge_table_fast
+
+    return bpe_merge_table_fast(_docs(spark, sf_dir), n_merges=_BPE_N).select(
+        "step", "left", "right", "pair_count"
+    )
+
+
+SPARK_QUERIES["bpe_merges_fast"] = q_bpe_merges_fast
+ORACLE_SQL["bpe_merges_fast"] = SQL_BPE_MERGES
+
+
 # ---------------------------------------------------------------------------
 # Q: deterministic stratified train/val/test split — md5-bucketed
 # assignment (engine-replayable, reshuffle-proof: a doc's split never

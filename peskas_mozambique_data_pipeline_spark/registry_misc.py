@@ -805,8 +805,63 @@ FROM pass4 GROUP BY c_mktsegment
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: interval (range) join — every view within 24h AFTER a click by
+# the same user (attribution windows, sensor validity ranges, session
+# containment).  Spark has no native range-join strategy (a raw theta
+# join plans as a nested loop); operators/joins.interval_join
+# bucketizes time so the join is an equi-join on (user, bin) with the
+# exact range predicate as residual.  The oracle is DuckDB's plain
+# BETWEEN join — an independent first-class evaluation of the same
+# predicate.  The lag is integer microseconds (epoch_us difference),
+# exact on both engines.
+
+
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.joins import interval_join
+
+    events = _t(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 24 HOURS")).alias("w_end"),
+    )
+    views = events.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), "user_id", F.col("ts").alias("vts")
+    )
+    out = interval_join(
+        views, clicks, point_col="vts", start_col="w_start", end_col="w_end",
+        by=["user_id"], bin_seconds=21600,
+    )
+    return out.select(
+        "click_id",
+        "user_id",
+        "view_id",
+        (F.unix_micros(F.col("vts")) - F.unix_micros(F.col("w_start"))).alias(
+            "lag_us"
+        ),
+    )
+
+
+SQL_INTERVAL_JOIN = """
+WITH c AS (
+  SELECT event_id AS click_id, user_id, ts FROM events WHERE event_type = 'click'
+),
+v AS (
+  SELECT event_id AS view_id, user_id, ts FROM events WHERE event_type = 'view'
+)
+SELECT c.click_id, c.user_id, v.view_id,
+       epoch_us(v.ts) - epoch_us(c.ts) AS lag_us
+FROM c JOIN v
+  ON c.user_id = v.user_id
+ AND v.ts BETWEEN c.ts AND c.ts + INTERVAL 24 HOUR
+"""
+
+
 SPARK_QUERIES = {
     "nested_series": q_nested_series,
+    "interval_join": q_interval_join,
     "rank_inference": q_rank_inference,
     "string_ops": q_string_ops,
     "iso_format": q_iso_format,
@@ -827,6 +882,7 @@ SPARK_QUERIES = {
 
 ORACLE_SQL = {
     "nested_series": SQL_NESTED_SERIES,
+    "interval_join": SQL_INTERVAL_JOIN,
     "rank_inference": SQL_RANK_INFERENCE,
     "string_ops": SQL_STRING_OPS,
     "iso_format": SQL_ISO_FORMAT,

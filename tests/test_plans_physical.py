@@ -290,3 +290,12 @@ def test_metrics_table_broadcasts_nation_single_expand(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert plan.count("Expand") >= 1
+
+
+def test_interval_join_is_equi_join_not_nested_loop(spark):
+    # the bucketized range join must plan as an equi-join on
+    # (user_id, bin) — a raw theta join would fall into a
+    # BroadcastNestedLoopJoin / cartesian, quadratic in events
+    plan = plan_of(registry.SPARK_QUERIES["interval_join"](spark, SF), "simple")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
