@@ -707,6 +707,63 @@ def unigram_logloss(
     )
 
 
+def dsir_weights(
+    df: DataFrame,
+    target_pred: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every
+    document by the log-likelihood ratio of a TARGET-domain unigram LM
+    against the whole-corpus LM — documents that look like the target
+    domain get high weight, and sampling proportionally to the weight
+    reshapes the corpus toward the target.  ``target_pred`` is a
+    boolean column expression selecting the in-domain rows (DSIR's
+    "target distribution sample").
+
+    weight(d) = Σ_t c_t(d) · ln(p_tgt(t) / p_all(t)), with add-one
+    smoothing on the target counts over the CORPUS vocabulary so
+    out-of-target tokens contribute a finite negative term.  Per-token
+    terms quantize to nano-units and sum as BIGINT (order-free — the
+    same fixed-point rule as ``token_distribution_drift``), then scale
+    back at the end; only the final weight is rounded (6 dp).
+
+    Scale shape: both LMs are ONE groupBy over the exploded corpus
+    (the target counts ride the same aggregate via a conditional sum —
+    no second scan); the score table is vocab-bounded and
+    FORCE-broadcast into the per-instance scoring join, exactly the
+    ``unigram_logloss`` posture.
+    """
+    tok = df.select(
+        F.col(id_col),
+        target_pred.alias("_tgt"),
+        F.explode(tokens(text_col)).alias("token"),
+    ).filter(F.col("token") != "")
+    counts = tok.groupBy("token").agg(
+        F.count(F.lit(1)).alias("c_all"),
+        F.sum(F.when(F.col("_tgt"), 1).otherwise(0)).alias("c_tgt"),
+    )
+    tot = counts.agg(
+        F.sum("c_all").alias("t_all"),
+        F.sum("c_tgt").alias("t_tgt"),
+        F.count(F.lit(1)).alias("vocab"),
+    )
+    # p_tgt = (c_tgt + 1) / (t_tgt + V); p_all = c_all / t_all
+    ratio = F.log(
+        (F.col("c_tgt") + 1).cast("double")
+        / (F.col("t_tgt") + F.col("vocab")).cast("double")
+    ) - F.log(F.col("c_all").cast("double") / F.col("t_all").cast("double"))
+    scores = counts.crossJoin(F.broadcast(tot)).select(
+        "token", F.round(ratio * F.lit(1e9)).cast("long").alias("_rq")
+    )
+    scored = tok.join(F.broadcast(scores), "token")
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.sum("_rq") / F.lit(1e9), 6).alias("dsir_weight"),
+    )
+
+
 def bigram_pmi(
     df: DataFrame,
     text_col: str = "text",

@@ -103,3 +103,98 @@ def renumber_from_max(
     return df.withColumn(
         out_col, F.coalesce(F.col(base_max_col), F.lit(0)) + F.row_number().over(w)
     )
+
+
+def funnel_stages(
+    events: DataFrame,
+    stages: Sequence[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered conversion funnel: for each user, stage k counts only if
+    it happens strictly AFTER the user's stage-(k−1) completion time —
+    the product-analytics "signup → click → purchase" shape.
+
+    Scale shape: one conditional-min aggregate per stage, every one
+    keyed on the user — the whole chain is co-partitioned on
+    ``user_col`` (one shuffle, reused), and the final stage counts
+    reduce to a single row that ``stack``s into (stage, n_users)
+    output.  No windows, no self-joins on event grain.
+
+    Returns (stage_idx, stage, n_users, pct_of_first) with pct rounded
+    to 6 (engine-exact: integer counts, one division).
+    """
+    per_user = events.filter(F.col(type_col).isin(*stages)).groupBy(user_col)
+    agg_cols = []
+    for i, s in enumerate(stages):
+        agg_cols.append(
+            F.min(F.when(F.col(type_col) == s, F.col(ts_col))).alias(f"_t{i}")
+        )
+    u = per_user.agg(*agg_cols)
+    # stage k's completion time only counts when it is strictly after
+    # stage k-1's; re-derive the gated times left to right
+    gated = [F.col("_t0")]
+    for i in range(1, len(stages)):
+        prev = gated[i - 1]
+        gated.append(
+            F.when(
+                prev.isNotNull() & (F.col(f"_t{i}") > prev), F.col(f"_t{i}")
+            )
+        )
+    counted = u.agg(
+        *[F.count(g).alias(f"_n{i}") for i, g in enumerate(gated)]
+    )
+    stack_args = ", ".join(
+        f"{i}, '{s}', _n{i}" for i, s in enumerate(stages)
+    )
+    return counted.selectExpr(
+        f"stack({len(stages)}, {stack_args}) as (stage_idx, stage, n_users)"
+    ).select(
+        "stage_idx",
+        "stage",
+        "n_users",
+        F.round(
+            F.col("n_users")
+            / F.first("n_users").over(
+                Window.orderBy("stage_idx").rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            ),
+            6,
+        ).alias("pct_of_first"),
+    )
+
+
+def retention_matrix(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period_days: int = 7,
+) -> DataFrame:
+    """Cohort retention: users grouped by the period of their FIRST
+    event; for each (cohort, periods-since-cohort) cell, how many of
+    the cohort's users were active.
+
+    Scale shape: first-seen is one groupBy on the user; activity
+    periods dedupe per (user, period) BEFORE the cohort join (events
+    collapse to at most users × periods rows); the cohort frame joins
+    back on the user key — co-partitioned with the first aggregate.
+    All values are integral (dates floor to period indexes via epoch
+    day arithmetic), so both engines agree bit-exactly.
+    """
+    day = F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(86400))
+    first = events.groupBy(user_col).agg(F.min(day).alias("_d0"))
+    active = events.select(F.col(user_col), day.alias("_d")).distinct()
+    j = active.join(first, user_col)
+    cell = j.select(
+        user_col,
+        F.floor(F.col("_d0") / period_days).alias("cohort_period"),
+        F.floor((F.col("_d") - F.col("_d0")) / period_days).alias(
+            "periods_since"
+        ),
+    ).distinct()
+    return (
+        cell.groupBy("cohort_period", "periods_since")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )

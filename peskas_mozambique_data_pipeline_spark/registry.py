@@ -586,6 +586,9 @@ _VERIFY_FIRST = [
     # round-6 additions — never driver-verified, head of the window
     "interval_join",
     "bpe_merges_fast",
+    "conversion_funnel",
+    "retention_cohorts",
+    "dsir_weights",
     # r6 rotation (VERDICT r5 instruction #1): all 29 queries that sat
     # in the r5 tail (each driver-green in r4, judge-gated bit-exact in
     # r5) come back to the head so CORRECTNESS_r06 gives every one a
@@ -631,10 +634,13 @@ _VERIFY_LAST = [
     # get their second green row this round) plus trip_rollup /
     # dim_enrichment (flagship composites, kept under the hard oracle
     # every round).
-    # driver-green r5 (as r5 additions), simple scan-local plans —
-    # moved here to make room for the r6 additions at the head
+    # driver-green r5 (as r5 additions), simple plans — moved here to
+    # make room for the r6 additions at the head
     "data_split",
     "quality_topk",
+    "tokenizer_fertility",
+    "bigram_pmi",
+    "tfidf_terms",
     # driver-green r1–r3 AND r5 — the safest long-rotation picks
     "monthly_median",
     "topk_other",

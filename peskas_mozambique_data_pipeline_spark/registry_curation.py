@@ -728,3 +728,53 @@ SQL_BPE_FERTILITY = _bpe_fertility_sql(_BPE_N)
 
 SPARK_QUERIES["bpe_fertility"] = q_bpe_fertility
 ORACLE_SQL["bpe_fertility"] = SQL_BPE_FERTILITY
+
+
+# ---------------------------------------------------------------------------
+# Q: DSIR importance weights (Xie et al. 2023) — log-likelihood ratio
+# of the English-slice unigram LM vs the whole-corpus LM, per doc.
+# Both LMs come from ONE groupBy over the exploded corpus (the target
+# counts ride a conditional sum); the vocab-bounded score table is
+# force-broadcast into the instance-grain scoring join (the
+# unigram_logloss posture).  Per-token terms are nano-quantized
+# BIGINTs, so the per-doc sums are order-free and engine-exact.
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import dsir_weights
+
+    docs = _docs(spark, sf_dir)
+    return dsir_weights(docs, target_pred=F.col("lang") == "en")
+
+
+SQL_DSIR_WEIGHTS = r"""
+WITH tok AS (
+  SELECT doc_id, (lang = 'en') AS tgt,
+         unnest(string_split_regex(trim(text), '\s+')) AS token
+  FROM documents
+),
+tok2 AS (SELECT * FROM tok WHERE token <> ''),
+counts AS (
+  SELECT token, COUNT(*) AS c_all,
+         SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS c_tgt
+  FROM tok2 GROUP BY token
+),
+tot AS (
+  SELECT SUM(c_all) AS t_all, SUM(c_tgt) AS t_tgt, COUNT(*) AS vocab
+  FROM counts
+),
+scores AS (
+  SELECT token,
+         CAST(round((ln((c_tgt + 1) / CAST(t_tgt + vocab AS DOUBLE))
+                     - ln(c_all / CAST(t_all AS DOUBLE))) * 1e9) AS BIGINT)
+           AS rq
+  FROM counts CROSS JOIN tot
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND(SUM(rq) / 1e9, 6) AS dsir_weight
+FROM tok2 JOIN scores USING (token)
+GROUP BY doc_id
+"""
+
+SPARK_QUERIES["dsir_weights"] = q_dsir_weights
+ORACLE_SQL["dsir_weights"] = SQL_DSIR_WEIGHTS

@@ -859,9 +859,91 @@ FROM c JOIN v
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: ordered conversion funnel — signup → click → purchase, each stage
+# counting only users who completed it strictly AFTER the previous
+# stage (operators/windows.funnel_stages: one user-keyed conditional-
+# min aggregate chain, no event-grain self-joins).  Counts are
+# integers; the only division is the final pct (rounded 6).
+
+
+def q_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.windows import funnel_stages
+
+    events = _t(spark, sf_dir, "events")
+    return funnel_stages(events, ["signup", "click", "purchase"])
+
+
+SQL_CONVERSION_FUNNEL = """
+WITH u AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t0,
+         MIN(CASE WHEN event_type = 'click' THEN ts END) AS t1,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t2
+  FROM events
+  WHERE event_type IN ('signup', 'click', 'purchase')
+  GROUP BY user_id
+),
+g1 AS (
+  SELECT t0 AS g0,
+         CASE WHEN t0 IS NOT NULL AND t1 > t0 THEN t1 END AS g1, t2
+  FROM u
+),
+g2 AS (
+  SELECT g0, g1,
+         CASE WHEN g1 IS NOT NULL AND t2 > g1 THEN t2 END AS g2
+  FROM g1
+),
+c AS (
+  SELECT COUNT(g0) AS n0, COUNT(g1) AS n1, COUNT(g2) AS n2 FROM g2
+)
+SELECT CAST(0 AS INTEGER) AS stage_idx, 'signup' AS stage,
+       CAST(n0 AS BIGINT) AS n_users,
+       ROUND(n0 / CAST(n0 AS DOUBLE), 6) AS pct_of_first FROM c
+UNION ALL
+SELECT 1, 'click', n1, ROUND(n1 / CAST(n0 AS DOUBLE), 6) FROM c
+UNION ALL
+SELECT 2, 'purchase', n2, ROUND(n2 / CAST(n0 AS DOUBLE), 6) FROM c
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: cohort retention matrix — users bucketed by the week of their
+# first event; each (cohort, weeks-since) cell counts active users
+# (operators/windows.retention_matrix).  Day indexes via integer epoch
+# arithmetic so both engines floor identically.
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.windows import retention_matrix
+
+    events = _t(spark, sf_dir, "events")
+    return retention_matrix(events, period_days=7)
+
+
+SQL_RETENTION_COHORTS = """
+WITH d AS (
+  SELECT user_id, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS dd FROM events
+),
+first AS (
+  SELECT user_id, MIN(dd) AS d0 FROM d GROUP BY user_id
+),
+cell AS (
+  SELECT DISTINCT d.user_id,
+         CAST(floor(f.d0 / 7) AS BIGINT) AS cohort_period,
+         CAST(floor((d.dd - f.d0) / 7) AS BIGINT) AS periods_since
+  FROM d JOIN first f ON d.user_id = f.user_id
+)
+SELECT cohort_period, periods_since, CAST(COUNT(*) AS BIGINT) AS n_active
+FROM cell GROUP BY cohort_period, periods_since
+"""
+
+
 SPARK_QUERIES = {
     "nested_series": q_nested_series,
     "interval_join": q_interval_join,
+    "conversion_funnel": q_conversion_funnel,
+    "retention_cohorts": q_retention_cohorts,
     "rank_inference": q_rank_inference,
     "string_ops": q_string_ops,
     "iso_format": q_iso_format,
@@ -883,6 +965,8 @@ SPARK_QUERIES = {
 ORACLE_SQL = {
     "nested_series": SQL_NESTED_SERIES,
     "interval_join": SQL_INTERVAL_JOIN,
+    "conversion_funnel": SQL_CONVERSION_FUNNEL,
+    "retention_cohorts": SQL_RETENTION_COHORTS,
     "rank_inference": SQL_RANK_INFERENCE,
     "string_ops": SQL_STRING_OPS,
     "iso_format": SQL_ISO_FORMAT,

@@ -299,3 +299,24 @@ def test_interval_join_is_equi_join_not_nested_loop(spark):
     plan = plan_of(registry.SPARK_QUERIES["interval_join"](spark, SF), "simple")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_dsir_scoring_join_is_broadcast(spark):
+    # same posture as unigram_logloss: the vocab-bounded score table
+    # broadcasts into the instance-grain join; never a shuffle on the
+    # Zipf-skewed token key
+    plan = plan_of(registry.SPARK_QUERIES["dsir_weights"](spark, SF), "simple")
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_conversion_funnel_no_event_grain_join(spark):
+    # the funnel is a user-keyed conditional-min aggregate chain; a
+    # regression to per-stage self-joins on the events table would
+    # multiply the corpus scans
+    plan = plan_of(
+        registry.SPARK_QUERIES["conversion_funnel"](spark, SF), "simple"
+    )
+    assert "SortMergeJoin" not in plan
+    assert plan.count("FileScan parquet") == 1  # events scanned once
