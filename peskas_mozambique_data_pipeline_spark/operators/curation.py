@@ -119,6 +119,73 @@ def corpus_diff(
     )
 
 
+def temperature_resample(
+    df: DataFrame,
+    strata_col: str = "source",
+    text_col: str = "text",
+    alpha: float = 0.7,
+    id_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """The APPLY step of α-temperature domain mixing: materialize a
+    downsampled corpus whose domain shares follow ``w_d ∝ share_d^α``
+    (``text.domain_mixture_weights`` computes the weights; this
+    enforces them).  Per-domain keep probability is the domain's boost
+    normalized by the maximum boost (the largest-boost domain keeps
+    everything — pure downsampling, no replication), and membership is
+    a deterministic md5 bucket test, so a doc's fate never changes
+    when the corpus is repartitioned and the same doc is kept across
+    reruns (the ``data_split`` reshuffle-proof rule).
+
+    Engine-exactness: domain token shares are integer ratios; the
+    transcendental ``share^α`` quantizes to nano-units BEFORE the
+    weight normalization sums (a raw double Σ over domains would be
+    partition-order-dependent), and the final keep threshold is an
+    integer compare of a 32-bit hash bucket against
+    ``round(p_d · 2³²)``.
+
+    Scale shape: weights are domain-cardinality-sized and broadcast;
+    the corpus side is one scan + one broadcast join — zero shuffle of
+    the fact table.  Returns input rows plus ``_keep``.
+    """
+    tc = df.groupBy(strata_col).agg(
+        F.sum(F.size(tokens(text_col))).alias("_nt")
+    )
+    total = tc.agg(F.sum("_nt").cast("double").alias("_t"))
+    sh = tc.crossJoin(F.broadcast(total)).select(
+        strata_col, (F.col("_nt") / F.col("_t")).alias("_share")
+    )
+    swq = F.round(F.pow(F.col("_share"), F.lit(alpha)) * F.lit(1e9)).cast("long")
+    sc = sh.withColumn("_swq", swq)
+    wsum = sc.agg(F.sum("_swq").alias("_ws"))
+    boosted = sc.crossJoin(F.broadcast(wsum)).select(
+        strata_col,
+        (
+            (F.col("_swq").cast("double") / F.col("_ws").cast("double"))
+            / F.col("_share")
+        ).alias("_boost"),
+    )
+    maxb = boosted.agg(F.max("_boost").alias("_mb"))
+    thresholds = boosted.crossJoin(F.broadcast(maxb)).select(
+        strata_col,
+        F.round((F.col("_boost") / F.col("_mb")) * F.lit(4294967296.0))
+        .cast("long")
+        .alias("_thr"),
+    )
+    bucket = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("_", F.lit(salt), F.col(id_col).cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return df.join(F.broadcast(thresholds), strata_col).withColumn(
+        "_keep", bucket < F.col("_thr")
+    ).drop("_thr")
+
+
 def _q9(x: Column) -> Column:
     """Quantize a double to integer nano-units: summing BIGINTs is
     exact and order-independent, so aggregates built on this are

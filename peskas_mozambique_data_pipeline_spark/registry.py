@@ -589,6 +589,7 @@ _VERIFY_FIRST = [
     "conversion_funnel",
     "retention_cohorts",
     "dsir_weights",
+    "temperature_resample",
     # r6 rotation (VERDICT r5 instruction #1): all 29 queries that sat
     # in the r5 tail (each driver-green in r4, judge-gated bit-exact in
     # r5) come back to the head so CORRECTNESS_r06 gives every one a
@@ -641,6 +642,7 @@ _VERIFY_LAST = [
     "tokenizer_fertility",
     "bigram_pmi",
     "tfidf_terms",
+    "domain_mix",
     # driver-green r1–r3 AND r5 — the safest long-rotation picks
     "monthly_median",
     "topk_other",

@@ -778,3 +778,67 @@ GROUP BY doc_id
 
 SPARK_QUERIES["dsir_weights"] = q_dsir_weights
 ORACLE_SQL["dsir_weights"] = SQL_DSIR_WEIGHTS
+
+
+# ---------------------------------------------------------------------------
+# Q: α-temperature resampling APPLIED — domain_mix computes the target
+# mixture weights; this materializes it by deterministic md5-bucket
+# downsampling (largest-boost domain keeps all rows; every other
+# domain keeps boost_d/max_boost of its docs).  share^α quantizes to
+# nano-units before the normalization sum so the thresholds are
+# order-free; membership is an integer bucket-vs-threshold compare
+# (the data_split reshuffle-proof rule).
+
+
+def q_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    capped = cur_ops.temperature_resample(
+        _docs(spark, sf_dir), strata_col="source", alpha=0.7
+    )
+    return capped.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("_keep"), 1).otherwise(0)).alias("n_kept"),
+        F.round(
+            F.sum(F.when(F.col("_keep"), 1).otherwise(0)) / F.count(F.lit(1)), 6
+        ).alias("frac_kept"),
+    )
+
+
+SQL_TEMPERATURE_RESAMPLE = r"""
+WITH tc AS (
+  SELECT source,
+         SUM(len(string_split_regex(trim(text), '\s+'))) AS nt
+  FROM documents GROUP BY source
+),
+tot AS (SELECT CAST(SUM(nt) AS DOUBLE) AS t FROM tc),
+sh AS (SELECT source, nt / t AS share FROM tc CROSS JOIN tot),
+sq AS (
+  SELECT source, share,
+         CAST(round(power(share, 0.7) * 1e9) AS BIGINT) AS swq
+  FROM sh
+),
+ws AS (SELECT SUM(swq) AS wsq FROM sq),
+boost AS (
+  SELECT source,
+         (CAST(swq AS DOUBLE) / CAST(wsq AS DOUBLE)) / share AS b
+  FROM sq CROSS JOIN ws
+),
+mb AS (SELECT MAX(b) AS m FROM boost),
+thr AS (
+  SELECT source, CAST(round((b / m) * 4294967296.0) AS BIGINT) AS thr
+  FROM boost CROSS JOIN mb
+),
+k AS (
+  SELECT d.source,
+         (('0x' || substr(md5('mix_' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+          < t.thr) AS keep
+  FROM documents d JOIN thr t ON d.source = t.source
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       ROUND(SUM(CASE WHEN keep THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 6)
+         AS frac_kept
+FROM k GROUP BY source
+"""
+
+SPARK_QUERIES["temperature_resample"] = q_temperature_resample
+ORACLE_SQL["temperature_resample"] = SQL_TEMPERATURE_RESAMPLE

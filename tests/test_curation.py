@@ -129,3 +129,50 @@ def test_per_group_cap_broadcast_plan(spark):
     plan = buf.getvalue()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_temperature_resample_semantics(spark):
+    # 3 domains with very different sizes; alpha=0.5 compresses the
+    # share gap.  The largest-boost (smallest) domain keeps everything;
+    # keeps are deterministic under repartitioning.
+    rows = []
+    for i in range(300):
+        rows.append((i, "w " * 20, "big", "en"))
+    for i in range(300, 360):
+        rows.append((i, "w " * 20, "mid", "en"))
+    for i in range(360, 372):
+        rows.append((i, "w " * 20, "small", "en"))
+    df = _docs(spark, rows)
+    out = cur.temperature_resample(df, strata_col="source", alpha=0.5)
+    assert out.count() == 372
+    kept = {
+        r.source: r.n
+        for r in out.filter("_keep").groupBy("source").agg(
+            F.count("*").alias("n")
+        ).collect()
+    }
+    assert kept["small"] == 12  # max-boost domain keeps all rows
+    # smaller domains keep a larger fraction than bigger ones
+    assert kept["mid"] / 60 > kept["big"] / 300
+    out2 = cur.temperature_resample(
+        df.repartition(7), strata_col="source", alpha=0.5
+    )
+    a = sorted(r.doc_id for r in out.filter("_keep").collect())
+    b = sorted(r.doc_id for r in out2.filter("_keep").collect())
+    assert a == b
+
+
+def test_temperature_resample_no_corpus_shuffle(spark):
+    # the fact side must reach the output through a broadcast join
+    # only — no Exchange of the documents table
+    import contextlib
+    import io as _io
+
+    rows = [(i, "w " * 5, f"s{i % 3}", "en") for i in range(30)]
+    out = cur.temperature_resample(_docs(spark, rows), strata_col="source")
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("simple")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
