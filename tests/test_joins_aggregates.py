@@ -152,3 +152,81 @@ def test_approx_aggregates_within_tolerance(spark):
     ).first()
     assert abs(row.d - row.d_exact) / row.d_exact < 0.05
     assert abs(row.med - row.med_exact) <= 5.0
+
+
+def test_interval_join_equals_brute_force(spark):
+    """Bucketized range join must equal the naive theta join exactly,
+    across bin widths (including bins smaller and larger than the
+    interval length), emitting each pair exactly once."""
+    import datetime
+
+    from peskas_mozambique_data_pipeline_spark.operators.joins import interval_join
+
+    base = datetime.datetime(2024, 1, 1)
+    pts = [
+        (i, i % 3, base + datetime.timedelta(minutes=17 * i)) for i in range(60)
+    ]
+    ivs = [
+        (
+            100 + j,
+            j % 3,
+            base + datetime.timedelta(minutes=45 * j),
+            base + datetime.timedelta(minutes=45 * j + 90),
+        )
+        for j in range(20)
+    ]
+    points = spark.createDataFrame(pts, "pid long, k long, pts timestamp")
+    intervals = spark.createDataFrame(
+        ivs, "iid long, k long, s timestamp, e timestamp"
+    )
+    brute = {
+        (r.pid, r.iid)
+        for r in points.crossJoin(
+            intervals.withColumnRenamed("k", "k2")
+        )
+        .filter(
+            (F.col("k") == F.col("k2"))
+            & (F.col("pts") >= F.col("s"))
+            & (F.col("pts") <= F.col("e"))
+        )
+        .collect()
+    }
+    assert len(brute) > 0
+    for bin_seconds in (600, 5400, 86400):
+        rows = interval_join(
+            points, intervals, point_col="pts", start_col="s", end_col="e",
+            by=["k"], bin_seconds=bin_seconds,
+        ).collect()
+        got = [(r.pid, r.iid) for r in rows]
+        assert len(got) == len(set(got)), "duplicate pair emitted"
+        assert set(got) == brute, bin_seconds
+
+
+def test_funnel_stages_ordering_semantics(spark):
+    """Stage k counts only when strictly after stage k-1: a purchase
+    BEFORE the click must not count even when after signup."""
+    import datetime
+
+    from peskas_mozambique_data_pipeline_spark.operators.windows import (
+        funnel_stages,
+    )
+
+    t = lambda m: datetime.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        # u1 completes the funnel in order
+        (1, 1, "signup", t(0)), (2, 1, "click", t(5)), (3, 1, "purchase", t(9)),
+        # u2: purchase before click -> counts signup + click only
+        (4, 2, "signup", t(0)), (5, 2, "purchase", t(2)), (6, 2, "click", t(4)),
+        # u3: click before signup -> signup only
+        (7, 3, "click", t(0)), (8, 3, "signup", t(1)),
+        # u4: never signs up -> counted nowhere
+        (9, 4, "click", t(0)), (10, 4, "purchase", t(1)),
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    got = {
+        r.stage: r.n_users
+        for r in funnel_stages(events, ["signup", "click", "purchase"]).collect()
+    }
+    assert got == {"signup": 3, "click": 2, "purchase": 1}
