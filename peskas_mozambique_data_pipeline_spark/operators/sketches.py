@@ -1,0 +1,169 @@
+"""Deterministic distributed sketches: HyperLogLog distinct counts and
+count-min frequency estimates.
+
+At 100 TB, exact ``COUNT(DISTINCT)`` over a high-cardinality key and
+exact per-item frequencies both force a full shuffle on the key; the
+sketch versions reduce to FIXED-SIZE state (m registers / d·w cells)
+with map-side combinable aggregates — the classic accuracy-for-memory
+trade (Flajolet et al. 2007 "HyperLogLog"; Cormode & Muthukrishnan 2005
+count-min).  Spark's built-in ``approx_count_distinct`` is the same
+idea, but its HLL++ register layout is implementation-private — it
+cannot be replayed by another engine.  These sketches are built from
+md5 + integer arithmetic only, so DuckDB reproduces them bit-exactly
+and the driver's value-hash gate applies to an APPROXIMATE operator —
+the estimate is deterministic even though it is inexact.
+
+Engine-exactness rules: register indexes and hash windows come from md5
+hex substrings (exact integers); rank ``rho`` uses the length of the
+binary string (``bin``/``length`` agree across engines, no float log2);
+the harmonic denominator sums ``2^(49 − r)`` as BIGINT (dyadic terms —
+a double sum would round, order-dependently, once exponents spread past
+the 52-bit mantissa); only the final estimate sees float math, and it
+is rounded to 6 decimals.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HLL_M = 256  # 2-hex-char register index — exact on both engines
+# standard bias correction alpha_m for m >= 128
+HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
+# alpha_m * m^2 * 2^49 precomputed so both engines embed ONE double
+# literal (m^2 * 2^49 = 2^65 is itself an exact double)
+HLL_NUM = HLL_ALPHA * float(2**65)
+_W_BITS = 48  # 12 hex chars of rank window
+
+
+def _h(salt: str, value: Column) -> Column:
+    return F.md5(F.concat_ws("_", F.lit(salt), value.cast("string")))
+
+
+def hll_registers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    salt: str = "hll",
+) -> DataFrame:
+    """Per-group HLL register table: (group…, register j, max rank r).
+
+    One hash + two substring extractions per row, then a
+    map-side-combinable MAX aggregate — at most ``HLL_M`` rows per
+    group regardless of cardinality.  Registers that no value hit are
+    simply absent (the estimator accounts for them).
+    """
+    h = _h(salt, F.col(value_col))
+    j = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
+    w = F.conv(F.substring(h, 3, 12), 16, 10).cast("long")
+    # rho = leading zeros of the 48-bit window + 1; bin() strips
+    # leading zeros on both engines so rho = 49 - bitlength(w), with
+    # the all-zero window pinned to 49
+    rho = F.when(w == 0, F.lit(_W_BITS + 1)).otherwise(
+        F.lit(_W_BITS + 1) - F.length(F.bin(w))
+    )
+    return (
+        df.select(*group_cols, j.alias("j"), rho.alias("_rho"))
+        .groupBy(*group_cols, "j")
+        .agg(F.max("_rho").alias("r"))
+    )
+
+
+def hll_estimate(
+    regs: DataFrame, group_cols: Sequence[str] = ()
+) -> DataFrame:
+    """Distinct-count estimate from a register table: the HLL harmonic
+    mean with the small-range (linear counting) correction.
+
+    The denominator Σ 2^(49−r) accumulates as BIGINT — every term is an
+    exact power of two and the sum stays under 2^57 — so the estimate
+    is identical for ANY row order or partitioning.  Expected relative
+    error ≈ 1.04/√m ≈ 6.5 % at m=256.
+    """
+    # pyspark's shiftleft() only takes a literal shift amount; the SQL
+    # form accepts a column expression
+    term = F.expr(f"shiftleft(CAST(1 AS BIGINT), {_W_BITS + 1} - r)")
+    agg = regs.groupBy(*group_cols).agg(
+        F.sum(term).alias("_s_present"),
+        F.count(F.lit(1)).alias("_n_present"),
+    )
+    # absent registers carry r=0 → term 2^49 each
+    s = F.col("_s_present") + (F.lit(HLL_M) - F.col("_n_present")) * F.lit(
+        2**_W_BITS * 2
+    ).cast("long")
+    raw = F.lit(HLL_NUM) / s.cast("double")
+    v = F.lit(HLL_M) - F.col("_n_present")  # zero registers
+    est = F.when(
+        (raw <= F.lit(2.5 * HLL_M)) & (v > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v.cast("double")),
+    ).otherwise(raw)
+    return agg.select(*group_cols, F.round(est, 6).alias("hll_distinct"))
+
+
+def cms_sketch(
+    df: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 256,
+    salt: str = "cms",
+) -> DataFrame:
+    """Count-min sketch: d×w cell counts, each row of the sketch a
+    different salted md5 hash.  The sketch is d·w rows TOTAL (not per
+    value) — a fixed-size frequency summary built by one explode(d) +
+    one map-side-combinable SUM, broadcastable to any consumer."""
+    if width != 256:
+        raise ValueError("width must be 256 (2-hex-char cell index)")
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"),
+                F.conv(
+                    F.substring(_h(f"{salt}{i}", F.col(value_col)), 1, 2), 16, 10
+                )
+                .cast("int")
+                .alias("cell"),
+            )
+            for i in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(rows).alias("_rc"))
+        .select("_rc.i", "_rc.cell")
+        .groupBy("i", "cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def cms_lookup(
+    sketch: DataFrame,
+    values: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    salt: str = "cms",
+) -> DataFrame:
+    """Point estimates for ``values``: min over the d cells a value
+    hashes to — never under the true count (one-sided error).  The
+    sketch side is d·w rows and broadcast; integers end-to-end."""
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"),
+                F.conv(
+                    F.substring(_h(f"{salt}{i}", F.col(value_col)), 1, 2), 16, 10
+                )
+                .cast("int")
+                .alias("cell"),
+            )
+            for i in range(depth)
+        ]
+    )
+    probes = values.select(value_col, F.explode(rows).alias("_rc")).select(
+        value_col, "_rc.i", "_rc.cell"
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["i", "cell"], "left")
+        .groupBy(value_col)
+        .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).alias("cms_count"))
+    )

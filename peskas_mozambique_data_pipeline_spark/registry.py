@@ -590,6 +590,8 @@ _VERIFY_FIRST = [
     "retention_cohorts",
     "dsir_weights",
     "temperature_resample",
+    "hll_distinct",
+    "cms_topk",
     # r6 rotation (VERDICT r5 instruction #1): all 29 queries that sat
     # in the r5 tail (each driver-green in r4, judge-gated bit-exact in
     # r5) come back to the head so CORRECTNESS_r06 gives every one a
@@ -643,6 +645,8 @@ _VERIFY_LAST = [
     "bigram_pmi",
     "tfidf_terms",
     "domain_mix",
+    "dup_spans",
+    "span_scrub",
     # driver-green r1–r3 AND r5 — the safest long-rotation picks
     "monthly_median",
     "topk_other",

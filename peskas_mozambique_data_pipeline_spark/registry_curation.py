@@ -842,3 +842,130 @@ FROM k GROUP BY source
 
 SPARK_QUERIES["temperature_resample"] = q_temperature_resample
 ORACLE_SQL["temperature_resample"] = SQL_TEMPERATURE_RESAMPLE
+
+
+# ---------------------------------------------------------------------------
+# Q: deterministic sketches under the oracle.  Spark's built-in
+# approx_count_distinct is HLL++ with an implementation-private
+# register layout — unreplayable by another engine.  operators/
+# sketches.py builds HLL and count-min purely from md5 + integer
+# arithmetic, so DuckDB reproduces the EXACT estimate and the hard
+# value-hash gate applies to an approximate operator.  hll_distinct
+# audits the estimate against the exact distinct count per source;
+# cms_topk audits count-min point estimates (one-sided: never below
+# the true count) for the exact top-10 tokens.
+
+from .operators import sketches as sk_ops
+from .operators.text import tokens as _tokens
+
+
+def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _docs(spark, sf_dir)
+        .select("source", F.explode(_tokens("text")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+
+
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = _doc_tokens(spark, sf_dir)
+    regs = sk_ops.hll_registers(tok, "token", group_cols=["source"])
+    est = sk_ops.hll_estimate(regs, group_cols=["source"])
+    exact = tok.groupBy("source").agg(
+        F.countDistinct("token").alias("n_exact")
+    )
+    return exact.join(est, "source")
+
+
+def q_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = _doc_tokens(spark, sf_dir)
+    sketch = sk_ops.cms_sketch(tok, "token")
+    top = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .orderBy(F.col("n_exact").desc(), F.col("token").asc())
+        .limit(10)
+    )
+    est = sk_ops.cms_lookup(sketch, top.select("token"), "token")
+    return top.join(est, "token").select("token", "n_exact", "cms_count")
+
+
+SQL_HLL_DISTINCT = r"""
+WITH tok AS (
+  SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS token
+  FROM documents
+),
+t2 AS (SELECT * FROM tok WHERE token <> ''),
+jr AS (
+  SELECT source,
+         ('0x' || substr(md5('hll_' || token), 1, 2))::INTEGER AS j,
+         ('0x' || substr(md5('hll_' || token), 3, 12))::BIGINT AS w
+  FROM t2
+),
+rr AS (
+  SELECT source, j,
+         MAX(CASE WHEN w = 0 THEN 49 ELSE 49 - length(bin(w)) END) AS r
+  FROM jr GROUP BY source, j
+),
+agg AS (
+  SELECT source,
+         SUM((1::BIGINT) << (49 - r)) AS sp,
+         COUNT(*) AS np
+  FROM rr GROUP BY source
+),
+est AS (
+  SELECT source,
+         2.6499581405668102e+19 / CAST(sp + (256 - np) * ((1::BIGINT) << 49) AS DOUBLE)
+           AS raw,
+         256 - np AS v
+  FROM agg
+),
+fin AS (
+  SELECT source,
+         CASE WHEN raw <= 640.0 AND v > 0
+              THEN 256.0 * ln(256.0 / v) ELSE raw END AS e
+  FROM est
+),
+ex AS (
+  SELECT source, COUNT(DISTINCT token) AS n_exact FROM t2 GROUP BY source
+)
+SELECT ex.source, CAST(n_exact AS BIGINT) AS n_exact,
+       ROUND(e, 6) AS hll_distinct
+FROM ex JOIN fin USING (source)
+"""
+
+SQL_CMS_TOPK = r"""
+WITH tok AS (
+  SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+  FROM documents
+),
+t2 AS (SELECT token FROM tok WHERE token <> ''),
+cells AS (
+  SELECT t.i,
+         ('0x' || substr(md5('cms' || CAST(t.i AS VARCHAR) || '_' || token),
+                         1, 2))::INTEGER AS cell
+  FROM t2 CROSS JOIN unnest(generate_series(0, 3)) AS t(i)
+),
+sketch AS (
+  SELECT i, cell, CAST(COUNT(*) AS BIGINT) AS n FROM cells GROUP BY i, cell
+),
+top AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS n_exact
+  FROM t2 GROUP BY token
+  ORDER BY n_exact DESC, token ASC LIMIT 10
+),
+probe AS (
+  SELECT top.token, top.n_exact, t.i,
+         ('0x' || substr(md5('cms' || CAST(t.i AS VARCHAR) || '_' || token),
+                         1, 2))::INTEGER AS cell
+  FROM top CROSS JOIN unnest(generate_series(0, 3)) AS t(i)
+)
+SELECT p.token, p.n_exact, MIN(COALESCE(s.n, 0)) AS cms_count
+FROM probe p LEFT JOIN sketch s ON p.i = s.i AND p.cell = s.cell
+GROUP BY p.token, p.n_exact
+"""
+
+SPARK_QUERIES["hll_distinct"] = q_hll_distinct
+ORACLE_SQL["hll_distinct"] = SQL_HLL_DISTINCT
+SPARK_QUERIES["cms_topk"] = q_cms_topk
+ORACLE_SQL["cms_topk"] = SQL_CMS_TOPK
