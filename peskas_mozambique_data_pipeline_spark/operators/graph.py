@@ -1,0 +1,81 @@
+"""Iterative graph operators beyond connected components (which lives
+with the dedup family in ``operators/dedup.py``): fixed-iteration
+PageRank in engine-exact integer arithmetic.
+
+The Pregel shape on DataFrames: ranks and edges are plain frames; one
+iteration is a rank⋈edges join + a map-side-combinable SUM — the same
+join key both ways, so on a cluster the shuffle partitioning is reused
+across iterations.  Per-iteration ``localCheckpoint`` cuts the lineage
+exactly as ``connected_components`` does.
+
+Engine-exactness: float PageRank sums are partition-order-dependent.
+Here ranks live in integer nano-units; each edge's contribution is
+``rank_q div out_degree`` (integer floor division — exact), the
+damping multiply is ``(85 · Σ) div 100``, and the teleport term is a
+precomputed integer.  Any engine that replays the same arithmetic gets
+the same BIGINTs, so the DuckDB oracle unrolls the iterations as CTEs
+and matches bit-for-bit.  The quantization error per step is below
+1e-9·out_degree — irrelevant to ranking, essential to determinism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_SCALE = 1_000_000_000  # nano-unit fixed point
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iters: int = 3,
+    damping_pct: int = 85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration PageRank over a DIRECTED edge list (pass both
+    directions for an undirected graph).  Every node must appear as a
+    source at least once (no dangling mass — true for symmetrized
+    graphs); ``damping_pct`` is the damping factor in integer percent.
+
+    Returns (node, rank) with rank in [0, 1] summing to ≈1; ranks are
+    exact nano-unit integers divided out at the end.
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    nodes = e.select(F.col("src").alias("node")).distinct()
+    n = nodes.count()
+    # integer floor arithmetic, never float round(): Python rounds half
+    # to even, SQL engines half away from zero — floor division is the
+    # same everywhere
+    init_q = _SCALE // n
+    teleport_q = ((100 - damping_pct) * _SCALE) // (100 * n)
+    ranks = nodes.select(
+        "node", F.lit(init_q).cast("long").alias("rank_q")
+    ).localCheckpoint()
+    for _ in range(n_iters):
+        contribs = (
+            ranks.join(deg, ranks.node == deg.src)
+            .join(e, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank_q div out_deg").alias("c_q"),
+            )
+        )
+        ranks = (
+            contribs.groupBy("node")
+            .agg(F.sum("c_q").alias("_s"))
+            .select(
+                "node",
+                (
+                    F.lit(teleport_q).cast("long")
+                    + F.expr(f"({damping_pct} * _s) div 100")
+                ).alias("rank_q"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select(
+        "node", (F.col("rank_q") / F.lit(float(_SCALE))).alias("rank")
+    )

@@ -592,6 +592,7 @@ _VERIFY_FIRST = [
     "temperature_resample",
     "hll_distinct",
     "cms_topk",
+    "pagerank",
     # r6 rotation (VERDICT r5 instruction #1): all 29 queries that sat
     # in the r5 tail (each driver-green in r4, judge-gated bit-exact in
     # r5) come back to the head so CORRECTNESS_r06 gives every one a
@@ -647,6 +648,7 @@ _VERIFY_LAST = [
     "domain_mix",
     "dup_spans",
     "span_scrub",
+    "source_cap",
     # driver-green r1–r3 AND r5 — the safest long-rotation picks
     "monthly_median",
     "topk_other",

@@ -984,3 +984,69 @@ ORACLE_SQL = {
     "merge_upsert": SQL_MERGE_UPSERT,
     "scd2_versions": SQL_SCD2_VERSIONS,
 }
+
+
+# ---------------------------------------------------------------------------
+# Q: fixed-iteration PageRank (operators/graph.py) on the symmetrized
+# order–supplier bipartite graph from lineitem — the iterative-
+# algorithm family beyond connected components.  Ranks stay in integer
+# nano-units (contribution = rank div degree, damping = (85·Σ) div
+# 100), so the 3 unrolled iterations replay bit-exactly in DuckDB.
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.concat(F.lit("o"), F.col("l_orderkey").cast("string")).alias("o"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
+    ).distinct()
+    edges = base.select(F.col("o").alias("src"), F.col("s").alias("dst")).unionByName(
+        base.select(F.col("s").alias("src"), F.col("o").alias("dst"))
+    )
+    pr = pagerank(edges, n_iters=3)
+    return pr.filter(F.col("node").startswith("s")).select(
+        "node", F.round("rank", 9).alias("rank")
+    )
+
+
+def _sql_pagerank_iter(prev: str, out: str) -> str:
+    return f"""{out} AS (
+  SELECT e.dst AS node,
+         tp.t + (85 * SUM(r.rank_q // d.out_deg)) // 100 AS rank_q
+  FROM {prev} r
+  JOIN deg d ON r.node = d.src
+  JOIN e ON e.src = r.node
+  CROSS JOIN tp
+  GROUP BY e.dst, tp.t
+)"""
+
+
+SQL_PAGERANK = f"""
+WITH base AS (
+  SELECT DISTINCT 'o' || CAST(l_orderkey AS VARCHAR) AS o,
+                  's' || CAST(l_suppkey AS VARCHAR) AS s
+  FROM lineitem
+),
+e AS (
+  SELECT o AS src, s AS dst FROM base
+  UNION ALL
+  SELECT s AS src, o AS dst FROM base
+),
+deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS out_deg FROM e GROUP BY src),
+nodes AS (SELECT DISTINCT src AS node FROM e),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+tp AS (SELECT (15::BIGINT * 1000000000::BIGINT) // (100::BIGINT * n) AS t FROM nn),
+r0 AS (
+  SELECT node, (SELECT 1000000000::BIGINT // n FROM nn) AS rank_q FROM nodes
+),
+{_sql_pagerank_iter('r0', 'r1')},
+{_sql_pagerank_iter('r1', 'r2')},
+{_sql_pagerank_iter('r2', 'r3')}
+SELECT node, ROUND(rank_q / 1000000000.0, 9) AS rank
+FROM r3 WHERE node LIKE 's%'
+"""
+
+SPARK_QUERIES["pagerank"] = q_pagerank
+ORACLE_SQL["pagerank"] = SQL_PAGERANK

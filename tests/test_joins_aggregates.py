@@ -230,3 +230,24 @@ def test_funnel_stages_ordering_semantics(spark):
         for r in funnel_stages(events, ["signup", "click", "purchase"]).collect()
     }
     assert got == {"signup": 3, "click": 2, "purchase": 1}
+
+
+def test_pagerank_properties(spark):
+    """Star graph: the hub must outrank every leaf; ranks are
+    deterministic under repartitioning and sum to ~1."""
+    from peskas_mozambique_data_pipeline_spark.operators.graph import pagerank
+
+    rows = []
+    for leaf in range(1, 9):
+        rows.append(("hub", f"l{leaf}"))
+        rows.append((f"l{leaf}", "hub"))
+    edges = spark.createDataFrame(rows, "src string, dst string")
+    pr = {r.node: r.rank for r in pagerank(edges, n_iters=3).collect()}
+    assert len(pr) == 9
+    assert all(pr["hub"] > pr[f"l{i}"] for i in range(1, 9))
+    assert abs(sum(pr.values()) - 1.0) < 0.01
+    pr2 = {
+        r.node: r.rank
+        for r in pagerank(edges.repartition(5), n_iters=3).collect()
+    }
+    assert pr == pr2  # bit-identical: integer arithmetic end-to-end
