@@ -200,3 +200,45 @@ def read_stream_zone(spark: SparkSession, zone_dir: str, prefix: str) -> DataFra
     return reduce(
         lambda a, b: a.unionByName(b), (spark.read.parquet(p) for p in paths)
     )
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "l_ts",
+    right_ts: str = "r_ts",
+    lower: str = "0 seconds",
+    upper: str = "24 hours",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream interval join: each left event matches right
+    events of the same key whose timestamp falls in
+    ``[left_ts + lower, left_ts + upper]`` — the streaming twin of
+    ``operators/joins.interval_join`` (attribution windows computed AS
+    events arrive instead of in batch).
+
+    This is Spark's native watermarked stream-stream join: both sides
+    buffer in the state store, and the time-range condition PLUS the
+    watermarks bound that state — without the range bound the state
+    grows forever, so this wrapper refuses to build an unbounded join.
+    State per key ≈ events within (upper − lower) + watermark; late
+    rows beyond the watermark are dropped, exactly the semantics the
+    batch operator applies retroactively.
+
+    Both inputs must carry DISTINCT column names apart from the join
+    key (the batch operator's same rule).
+    """
+    overlap = (set(left.columns) & set(right.columns)) - {on}
+    if overlap:
+        raise ValueError(
+            f"columns {sorted(overlap)} exist on both sides; rename first"
+        )
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        (lw[on] == rw[on])
+        & (F.col(right_ts) >= F.col(left_ts) + F.expr(f"INTERVAL {lower}"))
+        & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {upper}"))
+    )
+    return lw.join(rw, cond).drop(rw[on])

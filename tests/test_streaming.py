@@ -242,3 +242,73 @@ def test_streaming_soak_bounded_state(spark, tmp_path):
     assert {"window_start", "window_end", "event_type", "n_events"} <= set(
         landed.columns
     )
+
+
+def test_stream_interval_join_matches_batch_operator(spark, tmp_path):
+    """The watermarked stream-stream interval join must produce the
+    batch interval_join's pair set once all data has flowed through
+    (no late rows here, so the watermark drops nothing)."""
+    from peskas_mozambique_data_pipeline_spark.operators.joins import interval_join
+
+    clicks = [
+        (1, 10, "2024-01-01 00:00:00"),
+        (2, 10, "2024-01-01 05:00:00"),
+        (3, 11, "2024-01-01 00:30:00"),
+    ]
+    views = [
+        (101, 10, "2024-01-01 00:40:00"),   # within 1h of click 1
+        (102, 10, "2024-01-01 05:30:00"),   # within 1h of click 2
+        (103, 10, "2024-01-01 03:00:00"),   # matches nothing
+        (104, 11, "2024-01-01 01:00:00"),   # within 1h of click 3
+    ]
+    cdf = spark.createDataFrame(
+        clicks, "click_id long, user_id long, c_ts string"
+    ).withColumn("c_ts", F.to_timestamp("c_ts"))
+    vdf = spark.createDataFrame(
+        views, "view_id long, user_id long, v_ts string"
+    ).withColumn("v_ts", F.to_timestamp("v_ts"))
+    cdir, vdir = str(tmp_path / "c"), str(tmp_path / "v")
+    cdf.coalesce(1).write.parquet(cdir)
+    vdf.coalesce(1).write.parquet(vdir)
+
+    cs = si.stream_landing_zone(spark, cdir, cdf.schema)
+    vs = si.stream_landing_zone(spark, vdir, vdf.schema)
+    joined = si.stream_interval_join(
+        cs, vs, on="user_id", left_ts="c_ts", right_ts="v_ts",
+        lower="0 seconds", upper="1 hour", watermark="10 minutes",
+    )
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    streamed = {
+        (r.click_id, r.view_id) for r in spark.read.parquet(out).collect()
+    }
+
+    batch = {
+        (r.click_id, r.view_id)
+        for r in interval_join(
+            vdf,
+            cdf.withColumn("c_end", F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+            point_col="v_ts", start_col="c_ts", end_col="c_end",
+            by=["user_id"], bin_seconds=3600,
+        ).collect()
+    }
+    assert streamed == batch == {(1, 101), (2, 102), (3, 104)}
+
+
+def test_stream_interval_join_rejects_column_overlap(spark, tmp_path):
+    cdf = spark.createDataFrame(
+        [(1, 10, "2024-01-01 00:00:00")], "a long, user_id long, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    d = str(tmp_path / "x")
+    cdf.coalesce(1).write.parquet(d)
+    s1 = si.stream_landing_zone(spark, d, cdf.schema)
+    s2 = si.stream_landing_zone(spark, d, cdf.schema)
+    with pytest.raises(ValueError, match="rename first"):
+        si.stream_interval_join(s1, s2, on="user_id", left_ts="ts", right_ts="ts")
