@@ -593,6 +593,7 @@ _VERIFY_FIRST = [
     "hll_distinct",
     "cms_topk",
     "pagerank",
+    "hist_quantiles",
     # r6 rotation (VERDICT r5 instruction #1): all 29 queries that sat
     # in the r5 tail (each driver-green in r4, judge-gated bit-exact in
     # r5) come back to the head so CORRECTNESS_r06 gives every one a
@@ -649,6 +650,7 @@ _VERIFY_LAST = [
     "dup_spans",
     "span_scrub",
     "source_cap",
+    "corpus_diff",
     # driver-green r1–r3 AND r5 — the safest long-rotation picks
     "monthly_median",
     "topk_other",

@@ -969,3 +969,58 @@ SPARK_QUERIES["hll_distinct"] = q_hll_distinct
 ORACLE_SQL["hll_distinct"] = SQL_HLL_DISTINCT
 SPARK_QUERIES["cms_topk"] = q_cms_topk
 ORACLE_SQL["cms_topk"] = SQL_CMS_TOPK
+
+
+# ---------------------------------------------------------------------------
+# Q: histogram-sketch quantiles — the single-pass-class approximate
+# percentile (two aggregate passes, no per-group sort), estimate error
+# ≤ one bin width.  Deterministic IEEE arithmetic end-to-end, so the
+# oracle replays the sketch and the hash gate covers it.
+
+
+def q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import sketches as _sk
+
+    orders = read_table(spark, sf_dir, "orders")
+    return _sk.histogram_quantiles(
+        orders, "o_totalprice", group_cols=["o_orderpriority"],
+        n_bins=64, quantiles=(0.5, 0.95),
+    )
+
+
+SQL_HIST_QUANTILES = """
+WITH rng AS (
+  SELECT o_orderpriority AS g, MIN(CAST(o_totalprice AS DOUBLE)) AS lo,
+         MAX(CAST(o_totalprice AS DOUBLE)) AS hi,
+         COUNT(o_totalprice) AS n
+  FROM orders GROUP BY o_orderpriority
+),
+b AS (
+  SELECT o.o_orderpriority AS g, r.lo, r.hi, r.n,
+         CASE WHEN r.hi = r.lo THEN 0
+              ELSE LEAST(63, CAST(floor(
+                (CAST(o.o_totalprice AS DOUBLE) - r.lo) / (r.hi - r.lo) * 64
+              ) AS INTEGER))
+         END AS bb
+  FROM orders o JOIN rng r ON o.o_orderpriority = r.g
+),
+c AS (
+  SELECT g, lo, hi, n, bb, COUNT(*) AS cc FROM b GROUP BY g, lo, hi, n, bb
+),
+cum AS (
+  SELECT *, SUM(cc) OVER (PARTITION BY g ORDER BY bb) AS cm FROM c
+),
+probe AS (
+  SELECT cum.*, qq.q,
+         GREATEST(1::BIGINT, CAST(ceil(qq.q * n) AS BIGINT)) AS tgt
+  FROM cum CROSS JOIN (SELECT CAST(unnest([0.5, 0.95]) AS DOUBLE) AS q) qq
+)
+SELECT g AS o_orderpriority, q AS quantile,
+       ROUND(lo + (CAST(bb AS DOUBLE)
+                   + CAST(tgt - (cm - cc) AS DOUBLE) / CAST(cc AS DOUBLE))
+                  * ((hi - lo) / 64), 6) AS estimate
+FROM probe WHERE cm >= tgt AND cm - cc < tgt
+"""
+
+SPARK_QUERIES["hist_quantiles"] = q_hist_quantiles
+ORACLE_SQL["hist_quantiles"] = SQL_HIST_QUANTILES

@@ -55,3 +55,39 @@ def test_cms_never_undercounts_and_is_tight_on_heavy_hitters(spark):
     # expected overcount per row ~ N/w = 700/256 < 3; min over 4 rows
     # makes a 5% slack comfortable
     assert j["hot"] <= 500 * 1.05
+
+
+def test_histogram_quantiles_close_to_exact(spark):
+    # uniform 0..9999: estimates within one bin width of the exact
+    # percentiles; deterministic under repartitioning
+    df = spark.range(0, 10000).select(
+        (F.col("id") % 2).alias("g"), F.col("id").cast("double").alias("v")
+    )
+    est = {
+        (r.g, r.quantile): r.estimate
+        for r in sk.histogram_quantiles(
+            df, "v", group_cols=["g"], n_bins=64, quantiles=(0.5, 0.95)
+        ).collect()
+    }
+    assert len(est) == 4
+    bin_w = 10000 / 64
+    for (g, q), e in est.items():
+        assert abs(e - q * 10000) <= bin_w + 2, (g, q, e)
+    est2 = {
+        (r.g, r.quantile): r.estimate
+        for r in sk.histogram_quantiles(
+            df.repartition(13), "v", group_cols=["g"], n_bins=64,
+            quantiles=(0.5, 0.95),
+        ).collect()
+    }
+    assert est == est2
+
+
+def test_histogram_quantiles_degenerate_single_value(spark):
+    df = spark.range(0, 50).select(
+        F.lit("a").alias("g"), F.lit(7.0).alias("v")
+    )
+    out = sk.histogram_quantiles(df, "v", group_cols=["g"]).collect()
+    assert {r.estimate for r in out} != set() and all(
+        abs(r.estimate - 7.0) < 0.2 for r in out
+    )
