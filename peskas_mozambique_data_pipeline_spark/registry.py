@@ -594,6 +594,7 @@ _VERIFY_FIRST = [
     "cms_topk",
     "pagerank",
     "hist_quantiles",
+    "trailing_window",
     # r6 rotation (VERDICT r5 instruction #1): all 29 queries that sat
     # in the r5 tail (each driver-green in r4, judge-gated bit-exact in
     # r5) come back to the head so CORRECTNESS_r06 gives every one a
@@ -651,6 +652,7 @@ _VERIFY_LAST = [
     "span_scrub",
     "source_cap",
     "corpus_diff",
+    "token_drift",
     # driver-green r1–r3 AND r5 — the safest long-rotation picks
     "monthly_median",
     "topk_other",

@@ -1050,3 +1050,74 @@ FROM r3 WHERE node LIKE 's%'
 
 SPARK_QUERIES["pagerank"] = q_pagerank
 ORACLE_SQL["pagerank"] = SQL_PAGERANK
+
+
+# ---------------------------------------------------------------------------
+# Q: RANGE-frame trailing window — 28-day trailing revenue per nation
+# at daily grain.  The frame is VALUE-based (rangeBetween over an
+# integer day index), not row-based: days with no orders simply don't
+# contribute, and gaps wider than the window drop out — semantics a
+# rowsBetween frame cannot express on sparse dates.  Cents-integer
+# sums keep both engines exact.
+
+
+def q_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    daily = (
+        orders.join(
+            F.broadcast(
+                customer.select(F.col("c_custkey").alias("o_custkey"), "c_nationkey")
+            ),
+            "o_custkey",
+        )
+        .join(
+            F.broadcast(
+                nation.select(F.col("n_nationkey").alias("c_nationkey"), "n_name")
+            ),
+            "c_nationkey",
+        )
+        .groupBy(
+            "n_name",
+            F.floor(F.unix_timestamp(F.col("o_orderdate")) / 86400)
+            .cast("long")
+            .alias("day_idx"),
+        )
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev_c"))
+    )
+    w = Window.partitionBy("n_name").orderBy("day_idx").rangeBetween(-27, 0)
+    return daily.select(
+        "n_name",
+        "day_idx",
+        (F.col("rev_c") / 100.0).alias("day_revenue"),
+        (F.sum("rev_c").over(w) / 100.0).alias("trailing_28d_revenue"),
+        F.count(F.lit(1)).over(w).alias("days_in_window"),
+    )
+
+
+SQL_TRAILING_WINDOW = """
+WITH daily AS (
+  SELECT n.n_name,
+         CAST(floor(epoch(o.o_orderdate) / 86400) AS BIGINT) AS day_idx,
+         SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS rev_c
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY n.n_name, day_idx
+)
+SELECT n_name, day_idx,
+       rev_c / 100.0 AS day_revenue,
+       SUM(rev_c) OVER (
+         PARTITION BY n_name ORDER BY day_idx
+         RANGE BETWEEN 27 PRECEDING AND CURRENT ROW
+       ) / 100.0 AS trailing_28d_revenue,
+       CAST(COUNT(*) OVER (
+         PARTITION BY n_name ORDER BY day_idx
+         RANGE BETWEEN 27 PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS days_in_window
+FROM daily
+"""
+
+SPARK_QUERIES["trailing_window"] = q_trailing_window
+ORACLE_SQL["trailing_window"] = SQL_TRAILING_WINDOW
