@@ -998,16 +998,21 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.graph import pagerank
 
     li = _t(spark, sf_dir, "lineitem")
+    # integer node ids (orders even, suppliers odd): long keys hash and
+    # shuffle far cheaper than 'o123' strings across the 3 iterations;
+    # the supplier label is reconstructed only on the final output rows
     base = li.select(
-        F.concat(F.lit("o"), F.col("l_orderkey").cast("string")).alias("o"),
-        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
+        (F.col("l_orderkey") * 2).alias("o"),
+        (F.col("l_suppkey") * 2 + 1).alias("s"),
     ).distinct()
     edges = base.select(F.col("o").alias("src"), F.col("s").alias("dst")).unionByName(
         base.select(F.col("s").alias("src"), F.col("o").alias("dst"))
     )
-    pr = pagerank(edges, n_iters=3)
-    return pr.filter(F.col("node").startswith("s")).select(
-        "node", F.round("rank", 9).alias("rank")
+    # base is distinct and the even/odd split keeps directions disjoint
+    pr = pagerank(edges, n_iters=3, assume_distinct=True)
+    return pr.filter(F.col("node") % 2 == 1).select(
+        F.concat(F.lit("s"), ((F.col("node") - 1) / 2).cast("long").cast("string")).alias("node"),
+        F.round("rank", 9).alias("rank"),
     )
 
 
@@ -1025,8 +1030,7 @@ def _sql_pagerank_iter(prev: str, out: str) -> str:
 
 SQL_PAGERANK = f"""
 WITH base AS (
-  SELECT DISTINCT 'o' || CAST(l_orderkey AS VARCHAR) AS o,
-                  's' || CAST(l_suppkey AS VARCHAR) AS s
+  SELECT DISTINCT l_orderkey * 2 AS o, l_suppkey * 2 + 1 AS s
   FROM lineitem
 ),
 e AS (
@@ -1044,8 +1048,9 @@ r0 AS (
 {_sql_pagerank_iter('r0', 'r1')},
 {_sql_pagerank_iter('r1', 'r2')},
 {_sql_pagerank_iter('r2', 'r3')}
-SELECT node, ROUND(rank_q / 1000000000.0, 9) AS rank
-FROM r3 WHERE node LIKE 's%'
+SELECT 's' || CAST((node - 1) // 2 AS VARCHAR) AS node,
+       ROUND(rank_q / 1000000000.0, 9) AS rank
+FROM r3 WHERE node % 2 = 1
 """
 
 SPARK_QUERIES["pagerank"] = q_pagerank
