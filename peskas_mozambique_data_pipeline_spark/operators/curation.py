@@ -148,9 +148,14 @@ def temperature_resample(
     the corpus side is one scan + one broadcast join — zero shuffle of
     the fact table.  Returns input rows plus ``_keep``.
     """
+    # tc is the ONLY corpus-derived frame in the weight chain; every
+    # downstream aggregate (total, wsum, maxb) would re-run the corpus
+    # token count through its lineage without this cut.  tc is
+    # domain-cardinality-sized — the checkpoint is free, and the
+    # corpus is scanned exactly twice (here + the final tag join).
     tc = df.groupBy(strata_col).agg(
         F.sum(F.size(tokens(text_col))).alias("_nt")
-    )
+    ).localCheckpoint()
     total = tc.agg(F.sum("_nt").cast("double").alias("_t"))
     sh = tc.crossJoin(F.broadcast(total)).select(
         strata_col, (F.col("_nt") / F.col("_t")).alias("_share")

@@ -740,10 +740,14 @@ def dsir_weights(
         target_pred.alias("_tgt"),
         F.explode(tokens(text_col)).alias("token"),
     ).filter(F.col("token") != "")
+    # counts feeds the totals AND the score table — without the cut
+    # each consumer re-explodes the corpus through counts' lineage;
+    # the frame itself is vocab-sized, so the corpus is exploded
+    # exactly twice (model build + scoring join, the unigram shape)
     counts = tok.groupBy("token").agg(
         F.count(F.lit(1)).alias("c_all"),
         F.sum(F.when(F.col("_tgt"), 1).otherwise(0)).alias("c_tgt"),
-    )
+    ).localCheckpoint()
     tot = counts.agg(
         F.sum("c_all").alias("t_all"),
         F.sum("c_tgt").alias("t_tgt"),

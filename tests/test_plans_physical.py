@@ -320,3 +320,13 @@ def test_conversion_funnel_no_event_grain_join(spark):
     )
     assert "SortMergeJoin" not in plan
     assert plan.count("FileScan parquet") == 1  # events scanned once
+
+
+def test_resample_and_dsir_scan_corpus_exactly_twice(spark):
+    # the stat frames (domain token counts / vocab model) are
+    # checkpointed, so the corpus parquet appears exactly twice per
+    # plan: the stat build + the row-grain join. A regression re-runs
+    # the corpus aggregate through every downstream lineage branch.
+    for name in ("temperature_resample", "dsir_weights"):
+        plan = plan_of(registry.SPARK_QUERIES[name](spark, SF), "formatted")
+        assert plan.count("Scan parquet") == 2, name
