@@ -1,0 +1,98 @@
+"""Time-series densification with gap filling: per-key daily spine +
+forward fill (LOCF) + integer-exact linear interpolation.
+
+The reference densifies monthly metric series before export
+(R/export.R:136-151 `complete(date, nesting(...))` — the
+`complete_months` operator covers that exact shape); this module is the
+general daily-grain version a curated feature store needs: missing
+days between two observations get a linearly interpolated value,
+trailing gaps get last-observation-carried-forward, leading gaps stay
+NULL.  That is `pandas.Series.interpolate(method="time")` +
+`ffill()` re-expressed declaratively — no UDF, no driver-side loop.
+
+Shape: the naive plan is bounds-agg → sequence() spine → left join
+observations → two window frames — four shuffles.  Here the spine is
+derived FROM each observation instead: ``lead(day)`` pairs every
+observation with its successor, ``sequence(day, next_day − 1)``
+explodes the gap days locally, and LOCF/interpolation are computed
+from the pair the row was exploded from.  One shuffle total (the
+window's partitionBy key), no join, no bounds pass; the explode is
+narrow and each key's cost is its own observed range.
+
+Engine-exactness: values are integer units and the interpolation is
+``prev + (next - prev) * (day - prev_day) DIV (next_day - prev_day)``
+— all BIGINT arithmetic (Spark ``div`` and DuckDB ``//`` both truncate
+toward zero, verified including negative deltas), so the oracle
+replays it bit-for-bit.  The sub-unit truncation error is irrelevant
+to analytics and essential to cross-engine determinism.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def gap_fill_interpolate(
+    observed: DataFrame,
+    key_cols: Sequence[str],
+    day_col: str,
+    value_q_col: str,
+) -> DataFrame:
+    """Densify ``observed`` (one row per key+day, BIGINT quantized
+    value) to every day between each key's first and last observation.
+
+    Returns key_cols + (day, value_q, locf_q, interp_q):
+      - ``value_q``  — the observation, NULL on filled days
+      - ``locf_q``   — last observation carried forward
+      - ``interp_q`` — linear interpolation between the neighbouring
+        observations (equals value_q on observed days; NULL on
+        leading/trailing gaps, where there is no bracket — leading
+        gaps never materialize because the spine starts at each key's
+        first observation)
+    """
+    keys = list(key_cols)
+    obs = observed.select(
+        *keys, F.col(day_col).alias("_obs_day"), F.col(value_q_col).alias("_obs_val")
+    )
+    w = Window.partitionBy(*keys).orderBy("_obs_day")
+    paired = obs.select(
+        *keys,
+        "_obs_day",
+        "_obs_val",
+        F.lead("_obs_day").over(w).alias("_next_day"),
+        F.lead("_obs_val").over(w).alias("_next_val"),
+    )
+    # each observation owns the half-open span [day, next_day); the
+    # last observation owns just itself — together exactly the spine
+    span = paired.select(
+        *keys,
+        "_obs_day",
+        "_obs_val",
+        "_next_day",
+        "_next_val",
+        F.explode(
+            F.sequence(
+                "_obs_day",
+                F.coalesce(F.date_sub("_next_day", 1), F.col("_obs_day")),
+            )
+        ).alias("day"),
+    )
+    is_obs = F.col("day") == F.col("_obs_day")
+    interp = F.when(is_obs, F.col("_obs_val")).when(
+        F.col("_next_val").isNotNull(),
+        F.col("_obs_val")
+        + F.expr(
+            "(_next_val - _obs_val) * datediff(day, _obs_day)"
+            " div datediff(_next_day, _obs_day)"
+        ),
+    )
+    return span.select(
+        *keys,
+        "day",
+        F.when(is_obs, F.col("_obs_val")).alias("value_q"),
+        F.col("_obs_val").alias("locf_q"),
+        interp.alias("interp_q"),
+    )

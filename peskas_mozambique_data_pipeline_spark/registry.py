@@ -584,6 +584,7 @@ ORACLE_SQL.update(registry_curation.ORACLE_SQL)
 # bit-exact local gate, tools/check_correctness.py) rotate out.
 _VERIFY_FIRST = [
     # round-6 additions — never driver-verified, head of the window
+    "gap_fill",
     "interval_join",
     "bpe_merges_fast",
     "conversion_funnel",
@@ -642,6 +643,7 @@ _VERIFY_LAST = [
     # every round).
     # driver-green r5 (as r5 additions), simple plans — moved here to
     # make room for the r6 additions at the head
+    "semantic_dedup",
     "data_split",
     "quality_topk",
     "tokenizer_fertility",

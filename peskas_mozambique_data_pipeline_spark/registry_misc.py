@@ -1126,3 +1126,80 @@ FROM daily
 
 SPARK_QUERIES["trailing_window"] = q_trailing_window
 ORACLE_SQL["trailing_window"] = SQL_TRAILING_WINDOW
+
+
+# ---------------------------------------------------------------------------
+# Q: time-series gap fill (operators/timeseries.py) — daily high-value
+# revenue per nation densified over each nation's observed range, with
+# LOCF and integer-exact linear interpolation.  The daily-grain
+# generalization of the reference's monthly `complete()` densification
+# (R/export.R:136-151).
+
+
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.timeseries import gap_fill_interpolate
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_nationkey") < 5)
+    obs = (
+        orders.filter(F.col("o_totalprice") > 250000)
+        .join(cust.select("c_custkey", "c_nationkey"), orders.o_custkey == F.col("c_custkey"))
+        .groupBy("c_nationkey", F.to_date("o_orderdate").alias("day"))
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("v_q"))
+    )
+    filled = gap_fill_interpolate(obs, ["c_nationkey"], "day", "v_q")
+    return filled.select(
+        F.col("c_nationkey").alias("nation"),
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        (F.col("value_q") / 100.0).alias("revenue"),
+        (F.col("locf_q") / 100.0).alias("locf_revenue"),
+        (F.col("interp_q") / 100.0).alias("interp_revenue"),
+    )
+
+
+SQL_GAP_FILL = """
+WITH obs AS (
+  SELECT c.c_nationkey AS nation, CAST(o.o_orderdate AS DATE) AS day,
+         SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS v_q
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE c.c_nationkey < 5 AND o.o_totalprice > 250000
+  GROUP BY 1, 2
+),
+bounds AS (SELECT nation, MIN(day) AS d0, MAX(day) AS d1 FROM obs GROUP BY 1),
+spine AS (
+  SELECT nation, CAST(UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM bounds
+),
+j AS (
+  SELECT s.nation, s.day, o.v_q
+  FROM spine s LEFT JOIN obs o ON s.nation = o.nation AND s.day = o.day
+),
+w AS (
+  SELECT nation, day, v_q,
+    last_value(v_q IGNORE NULLS) OVER (
+      PARTITION BY nation ORDER BY day
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+    last_value(CASE WHEN v_q IS NOT NULL THEN day END IGNORE NULLS) OVER (
+      PARTITION BY nation ORDER BY day
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+    first_value(v_q IGNORE NULLS) OVER (
+      PARTITION BY nation ORDER BY day
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+    first_value(CASE WHEN v_q IS NOT NULL THEN day END IGNORE NULLS) OVER (
+      PARTITION BY nation ORDER BY day
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+  FROM j
+)
+SELECT nation, strftime(day, '%Y-%m-%d') AS day,
+       v_q / 100.0 AS revenue,
+       pv / 100.0 AS locf_revenue,
+       (CASE WHEN v_q IS NOT NULL THEN v_q
+             WHEN pv IS NOT NULL AND nv IS NOT NULL
+             THEN pv + (nv - pv) * (day - pd) // (nd - pd)
+        END) / 100.0 AS interp_revenue
+FROM w
+"""
+
+SPARK_QUERIES["gap_fill"] = q_gap_fill
+ORACLE_SQL["gap_fill"] = SQL_GAP_FILL
