@@ -89,3 +89,55 @@ def pagerank(
     return ranks.select(
         "node", (F.col("rank_q") / F.lit(float(_SCALE))).alias("rank")
     )
+
+
+def triangle_counts(und_edges: DataFrame, a_col: str = "a", b_col: str = "b") -> DataFrame:
+    """Exact per-node triangle counts over an UNDIRECTED edge list
+    (one row per edge, ``a < b``, pre-deduplicated by the caller).
+
+    The scalable shape (node-iterator with degree ordering, the
+    standard MapReduce/Spark formulation): orient every edge from the
+    (degree, id)-smaller endpoint to the larger, enumerate wedges only
+    at each edge's out-neighbors, and close them with a semi-join back
+    to the oriented edges.  Degree orientation caps every node's
+    out-degree at O(sqrt(|E|)) regardless of hubs, so wedge fanout is
+    bounded even on power-law graphs — the naive per-node wedge join
+    explodes quadratically at hubs and dies at scale.  Degrees come
+    from groupBy + join-back, never a COUNT window (window skew rule).
+
+    Returns (node, triangles); nodes in no triangle are absent.
+    """
+    e = und_edges.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+    deg = (
+        e.select(F.col("a").alias("n"))
+        .unionAll(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    # total order: (degree, id) folded into one sortable BIGINT key
+    # (ids are table keys, far below 2^31)
+    key = (F.col("d") * F.lit(1 << 31) + F.col("n")).alias("k")
+    dk = deg.select("n", key)
+    ek = (
+        e.join(dk.withColumnsRenamed({"n": "a", "k": "ka"}), "a")
+        .join(dk.withColumnsRenamed({"n": "b", "k": "kb"}), "b")
+    )
+    o = ek.select(
+        F.when(F.col("ka") < F.col("kb"), F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(F.col("ka") < F.col("kb"), F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.least("ka", "kb").alias("ks"),
+        F.greatest("ka", "kb").alias("kd"),
+    )
+    # o feeds both wedge sides AND the closing semi-join — materialize
+    # once (the self-join rule: neither the static planner nor AQE
+    # reuses an exchange across self-join branches)
+    o = o.localCheckpoint()
+    w1 = o.select(F.col("src"), F.col("dst").alias("v"), F.col("kd").alias("kv"))
+    w2 = o.select(F.col("src"), F.col("dst").alias("w"), F.col("kd").alias("kw"))
+    wedges = w1.join(w2, "src").filter(F.col("kv") < F.col("kw"))
+    closing = o.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    tri = wedges.join(closing, ["v", "w"], "left_semi").select("src", "v", "w")
+    nodes = tri.select(
+        F.explode(F.array("src", "v", "w")).alias("node")
+    )
+    return nodes.groupBy("node").agg(F.count(F.lit(1)).alias("triangles"))

@@ -585,6 +585,7 @@ ORACLE_SQL.update(registry_curation.ORACLE_SQL)
 _VERIFY_FIRST = [
     # round-6 additions — never driver-verified, head of the window
     "gap_fill",
+    "triangle_count",
     "interval_join",
     "bpe_merges_fast",
     "conversion_funnel",
@@ -644,6 +645,7 @@ _VERIFY_LAST = [
     # driver-green r5 (as r5 additions), simple plans — moved here to
     # make room for the r6 additions at the head
     "semantic_dedup",
+    "jaccard_exact",
     "data_split",
     "quality_topk",
     "tokenizer_fertility",

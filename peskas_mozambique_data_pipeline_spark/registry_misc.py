@@ -1203,3 +1203,68 @@ FROM w
 
 SPARK_QUERIES["gap_fill"] = q_gap_fill
 ORACLE_SQL["gap_fill"] = SQL_GAP_FILL
+
+
+# ---------------------------------------------------------------------------
+# Q: exact triangle counting (operators/graph.py::triangle_counts) on
+# the part co-occurrence graph (parts sharing an order).  The engine
+# runs the degree-ordered node-iterator (hub-safe at scale); the
+# oracle brute-forces all a<b<c closed triples — algorithm-independent
+# ground truth.
+
+
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graph import triangle_counts
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        # feeds both sides of the pair self-join (self-join rule)
+        .localCheckpoint()
+    )
+    x, y = li.alias("x"), li.alias("y")
+    und = (
+        x.join(
+            y,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        )
+        .select(F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b"))
+        .distinct()
+    )
+    tc = triangle_counts(und)
+    return (
+        tc.orderBy(F.col("triangles").desc(), F.col("node").asc())
+        .limit(50)
+        .select(F.col("node").alias("part"), "triangles")
+    )
+
+
+SQL_TRIANGLE_COUNT = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+und AS (
+  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+  FROM li x
+  JOIN li y ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+),
+tri AS (
+  SELECT e1.a AS u, e1.b AS v, e2.b AS w
+  FROM und e1
+  JOIN und e2 ON e2.a = e1.b
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+nodes AS (
+  SELECT u AS node FROM tri
+  UNION ALL SELECT v FROM tri
+  UNION ALL SELECT w FROM tri
+)
+SELECT node AS part, CAST(COUNT(*) AS BIGINT) AS triangles
+FROM nodes
+GROUP BY node
+ORDER BY triangles DESC, part ASC
+LIMIT 50
+"""
+
+SPARK_QUERIES["triangle_count"] = q_triangle_count
+ORACLE_SQL["triangle_count"] = SQL_TRIANGLE_COUNT

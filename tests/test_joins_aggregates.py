@@ -251,3 +251,41 @@ def test_pagerank_properties(spark):
         for r in pagerank(edges.repartition(5), n_iters=3).collect()
     }
     assert pr == pr2  # bit-identical: integer arithmetic end-to-end
+
+
+def test_triangle_counts_known_graph(spark):
+    from peskas_mozambique_data_pipeline_spark.operators.graph import triangle_counts
+
+    # K4 on {1,2,3,4} (4 triangles, each node in 3) plus a pendant
+    # edge 4-5 (no triangle) and a disjoint triangle {6,7,8}
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    edges = spark.createDataFrame(
+        k4 + [(4, 5), (6, 7), (6, 8), (7, 8)], "a long, b long"
+    )
+    got = {r.node: r.triangles for r in triangle_counts(edges).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3, 6: 1, 7: 1, 8: 1}
+
+
+def test_triangle_counts_matches_brute_force(spark):
+    """Degree-ordered enumeration == brute force on a deterministic
+    pseudo-random graph with hubs (node 0 connected to everything)."""
+    import itertools
+
+    nodes = list(range(20))
+    edges = [(0, b) for b in range(1, 20)]  # hub
+    edges += [
+        (a, b)
+        for a, b in itertools.combinations(range(1, 20), 2)
+        if (a * 7 + b * 13) % 5 == 0
+    ]
+    es = set(edges)
+    brute = sum(
+        1
+        for a, b, c in itertools.combinations(nodes, 3)
+        if (a, b) in es and (b, c) in es and (a, c) in es
+    )
+    from peskas_mozambique_data_pipeline_spark.operators.graph import triangle_counts
+
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = triangle_counts(df).agg(F.sum("triangles")).collect()[0][0]
+    assert got == 3 * brute  # each triangle counted at all 3 nodes
