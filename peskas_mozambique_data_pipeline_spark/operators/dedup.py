@@ -643,3 +643,78 @@ def duplicated_ngram_spans(
         (F.max("pos") + F.lit(n - 1)).alias("span_end"),
         (F.max("pos") + F.lit(n - 1) - F.min("pos") + 1).alias("span_tokens"),
     ).drop("_island")
+
+
+def containment_prefix_pairs(
+    hashed: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """EXACT set-containment self-join: every ORDERED pair (a, b),
+    a ≠ b, with ``|A∩B| / |A| ≥ threshold`` — "at least t of document
+    a's shingles also appear in b".  The asymmetric cousin of
+    :func:`jaccard_prefix_pairs`: containment is what catches a quote
+    or a wholesale inclusion of a short document inside a long one,
+    which Jaccard misses because the union is dominated by the long
+    side.
+
+    The prefix lemma is ONE-SIDED here (Agrawal et al. 2006 / the
+    AllPairs probe-side bound): ``|A∩B| ≥ ⌈t·|A|⌉ = c`` means at most
+    ``|A| − c`` of A's elements fall outside B, so A's first
+    ``|A| − c + 1`` elements under ANY fixed global order must hit B.
+    Only the PROBE side is prefix-truncated; the index side keeps full
+    posting lists (B's size gives no bound — a huge B can contain all
+    of a tiny A).  The global order is ascending document frequency
+    (hash tie-break), so probes prefer globally-rare shingles and the
+    hot posting lists are exactly the ones the prefix excludes.  The
+    one usable size filter is ``|B| ≥ floor(t·|A|)`` (floor, not ceil:
+    conservative under float wobble — may admit an extra candidate,
+    can never drop a true pair).
+
+    Scale shape mirrors the Jaccard join: df via map-side-combinable
+    ``groupBy("h").count()`` + join-back (AQE-splittable; never a
+    COUNT window on the Zipfian hash key); the probe prefix is
+    checkpointed because it feeds the candidate join against the full
+    index; verification intersects full hash sets for candidates only.
+    """
+    ex = hashed.select(
+        F.col(id_col).alias("_id"),
+        F.size("_h32").alias("_sz"),
+        F.explode("_h32").alias("h"),
+    )
+    counts = ex.groupBy("h").agg(F.count(F.lit(1)).alias("_df"))
+    ex = ex.join(counts, "h")
+    w_doc = Window.partitionBy("_id").orderBy(F.col("_df").asc(), F.col("h").asc())
+    ranked = ex.withColumn("_rn", F.row_number().over(w_doc))
+    probe = (
+        ranked.filter(
+            F.col("_rn")
+            <= F.col("_sz") - F.ceil(F.lit(threshold) * F.col("_sz")).cast("int") + 1
+        )
+        .select(F.col("_id").alias("_qid"), F.col("_sz").alias("_qsz"), "h")
+        .localCheckpoint()
+    )
+    index = ranked.select(F.col("_id").alias("_tid"), F.col("_sz").alias("_tsz"), "h")
+    cand = (
+        probe.join(index, "h")
+        .filter(
+            (F.col("_qid") != F.col("_tid"))
+            & (
+                F.col("_tsz").cast("double")
+                >= F.floor(F.lit(threshold) * F.col("_qsz")).cast("double")
+            )
+        )
+        .select(F.col("_qid").alias("id_a"), F.col("_tid").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    j = cand.join(
+        hashed.select(F.col(id_col).alias("id_a"), F.col("_h32").alias("h_a")), "id_a"
+    ).join(hashed.select(F.col(id_col).alias("id_b"), F.col("_h32").alias("h_b")), "id_b")
+    containment = F.round(
+        F.size(F.array_intersect(F.col("h_a"), F.col("h_b"))).cast("double")
+        / F.size("h_a"),
+        6,
+    )
+    return j.select("id_a", "id_b", containment.alias("containment")).filter(
+        F.col("containment") >= threshold
+    )

@@ -586,6 +586,7 @@ _VERIFY_FIRST = [
     # round-6 additions — never driver-verified, head of the window
     "gap_fill",
     "triangle_count",
+    "containment",
     "interval_join",
     "bpe_merges_fast",
     "conversion_funnel",
@@ -646,6 +647,7 @@ _VERIFY_LAST = [
     # make room for the r6 additions at the head
     "semantic_dedup",
     "jaccard_exact",
+    "bigram_logloss",
     "data_split",
     "quality_topk",
     "tokenizer_fertility",

@@ -1607,3 +1607,32 @@ ORACLE_SQL = {
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "doc_chunks": SQL_DOC_CHUNKS,
 }
+
+
+# ---------------------------------------------------------------------------
+# Q: EXACT set-containment join (ordered pairs, |A∩B|/|A| ≥ t) — the
+# asymmetric near-dup tier that catches short-doc-inside-long-doc
+# inclusion, which Jaccard's union denominator hides.  The oracle is
+# brute force over ALL ordered pairs (the probe-side prefix filter is
+# a complete candidate generator — no recall knob).
+
+
+def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hashed = dedup_ops.shingle_hash_frame(
+        _docs(spark, sf_dir), shingle_k=5, materialize=True
+    )
+    return dedup_ops.containment_prefix_pairs(hashed, threshold=0.5)
+
+
+SQL_CONTAINMENT = f"""
+WITH {_hashed_sql()}
+SELECT id_a, id_b, containment FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         ROUND(CAST(len(list_intersect(a.h32, b.h32)) AS DOUBLE) / len(a.h32), 6)
+           AS containment
+  FROM hashed a JOIN hashed b ON a.doc_id <> b.doc_id
+) WHERE containment >= 0.5
+"""
+
+SPARK_QUERIES["containment"] = q_containment
+ORACLE_SQL["containment"] = SQL_CONTAINMENT

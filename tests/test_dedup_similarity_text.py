@@ -894,3 +894,49 @@ def test_bpe_arrow_segmenter_parity_with_expr(spark):
     fe = text.bpe_fertility(docs, learned, backend="expr").collect()
     fa = text.bpe_fertility(docs, learned, backend="arrow").collect()
     assert sorted(map(tuple, fe)) == sorted(map(tuple, fa))
+
+
+def test_containment_prefix_pairs_is_complete(spark):
+    """The probe-side prefix filter is lossless for asymmetric
+    containment: blocked join == brute force over ordered pairs,
+    including a short doc fully contained in a long one (the case
+    Jaccard misses)."""
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lam mu nu xi omicron pi rho sigma tau upsilon"
+    ).split()
+    rows = [(0, " ".join(base[:8]))]  # short doc, fully inside doc 1
+    rows.append((1, " ".join(base)))  # long superset
+    for i in range(2, 25):
+        words = list(base)
+        for j in range(i % 5):
+            words[j] = f"uniq{i}_{j}"
+        rows.append((i, " ".join(words)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    hashed = dedup.shingle_hash_frame(docs, materialize=True)
+
+    got = {
+        (r.id_a, r.id_b, r.containment)
+        for r in dedup.containment_prefix_pairs(hashed, threshold=0.6).collect()
+    }
+    ha = hashed.select(F.col("doc_id").alias("id_a"), F.col("_h32").alias("h_a"))
+    hb = hashed.select(F.col("doc_id").alias("id_b"), F.col("_h32").alias("h_b"))
+    brute = {
+        (r.id_a, r.id_b, r.c)
+        for r in ha.crossJoin(hb)
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.size(F.array_intersect("h_a", "h_b")).cast("double")
+                / F.size("h_a"),
+                6,
+            ).alias("c"),
+        )
+        .filter(F.col("c") >= 0.6)
+        .collect()
+    }
+    assert got == brute
+    assert (0, 1, 1.0) in got  # subset doc found in its superset
+    assert (1, 0, 1.0) not in got  # asymmetry: the long side is not contained
