@@ -247,3 +247,61 @@ def token_distribution_drift(
             F.col("grp").alias(group_col), "n_tokens", "vocab", "kl_to_corpus"
         )
     )
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    group_col: str | None = None,
+    id_col: str = "doc_id",
+    salt: str = "wsample",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement — the
+    Efraimidis–Spirakis (2006) exponential-jumps family, A-ES: each
+    row draws a reproducible uniform u from md5(salt, id) and gets
+    priority ``u^(1/w)``; the k largest priorities per group are an
+    exact weighted sample without replacement.  Ranking by the log
+    form ``ln(u)/w`` is monotone-equivalent and numerically tame.
+
+    This is how a corpus takes "sample 10k documents per language,
+    longer documents proportionally more likely" in ONE distributed
+    pass with no RNG state: reshuffle-proof (the draw depends only on
+    the id), restart-proof, and engine-replayable.  Scale shape:
+    priority is scan-local arithmetic; the only shuffle is the
+    per-group top-k (TakeOrderedAndProject-style window on the group
+    key).  Weights must be > 0 (rows with w ≤ 0 are dropped — zero
+    weight means zero inclusion probability anyway).
+
+    The priority is quantized to an integer (``floor(ln(u)·1e9 / w)``)
+    so ordering — and therefore the sample — is bit-identical across
+    engines; ties break on id.
+    """
+    c_w = F.col(weight_col)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("_", F.lit(salt), F.col(id_col).cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(0.5)  # (h + 0.5) / 2^32 keeps u strictly inside (0, 1)
+    ) / F.lit(4294967296.0)
+    scored = df.filter(c_w > 0).withColumn(
+        "priority_q",
+        F.floor(F.log(u) * F.lit(1000000000.0) / c_w).cast("long"),
+    )
+    order = [F.col("priority_q").desc(), F.col(id_col).asc()]
+    if group_col is None:
+        # global top-k: orderBy+limit plans as TakeOrderedAndProject
+        # (per-partition heaps + driver merge), not a one-task window
+        return scored.orderBy(*order).limit(k)
+    w = Window.partitionBy(group_col).orderBy(*order)
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

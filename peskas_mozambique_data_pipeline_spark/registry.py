@@ -587,6 +587,7 @@ _VERIFY_FIRST = [
     "gap_fill",
     "triangle_count",
     "containment",
+    "weighted_sample",
     "interval_join",
     "bpe_merges_fast",
     "conversion_funnel",
@@ -648,6 +649,7 @@ _VERIFY_LAST = [
     "semantic_dedup",
     "jaccard_exact",
     "bigram_logloss",
+    "ann_pq",
     "data_split",
     "quality_topk",
     "tokenizer_fertility",

@@ -1024,3 +1024,43 @@ FROM probe WHERE cm >= tgt AND cm - cc < tgt
 
 SPARK_QUERIES["hist_quantiles"] = q_hist_quantiles
 ORACLE_SQL["hist_quantiles"] = SQL_HIST_QUANTILES
+
+
+# ---------------------------------------------------------------------------
+# Q: deterministic weighted sampling without replacement (Efraimidis–
+# Spirakis A-ES) — 10 docs per source, inclusion odds proportional to
+# n_chars; md5-seeded priorities quantized to BIGINT so the sample is
+# reshuffle-proof and engine-exact.
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.curation import weighted_sample_topk
+
+    docs = _docs(spark, sf_dir)
+    out = weighted_sample_topk(
+        docs, k=10, weight_col="n_chars", group_col="source"
+    )
+    return out.select("source", "doc_id", "n_chars", "priority_q")
+
+
+SQL_WEIGHTED_SAMPLE = """
+WITH s AS (
+  SELECT source, doc_id, n_chars,
+         CAST(FLOOR(
+           ln((('0x' || substr(md5('wsample_' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               + 0.5) / 4294967296.0)
+           * 1000000000.0 / n_chars) AS BIGINT) AS priority_q
+  FROM documents
+  WHERE n_chars > 0
+),
+r AS (
+  SELECT source, doc_id, n_chars, priority_q,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY priority_q DESC, doc_id ASC) AS rn
+  FROM s
+)
+SELECT source, doc_id, n_chars, priority_q FROM r WHERE rn <= 10
+"""
+
+SPARK_QUERIES["weighted_sample"] = q_weighted_sample
+ORACLE_SQL["weighted_sample"] = SQL_WEIGHTED_SAMPLE

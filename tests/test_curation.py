@@ -176,3 +176,34 @@ def test_temperature_resample_no_corpus_shuffle(spark):
     plan = buf.getvalue()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_weighted_sample_topk_determinism_and_bias(spark):
+    from peskas_mozambique_data_pipeline_spark.operators.curation import (
+        weighted_sample_topk,
+    )
+
+    rows = [(i, "g", 1000 if i < 50 else 1) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, w long")
+    got = weighted_sample_topk(df, k=20, weight_col="w", group_col="source")
+    ids = {r.doc_id for r in got.collect()}
+    assert len(ids) == 20
+    # weight 1000 vs 1: the heavy minority should dominate the sample
+    heavy = sum(1 for i in ids if i < 50)
+    assert heavy >= 15
+
+    # reshuffle-proof: same sample from any partitioning
+    again = {
+        r.doc_id
+        for r in weighted_sample_topk(
+            df.repartition(13), k=20, weight_col="w", group_col="source"
+        ).collect()
+    }
+    assert again == ids
+
+    # zero/negative weights are excluded outright
+    dfz = spark.createDataFrame(
+        [(1, "g", 0), (2, "g", -5), (3, "g", 7)], "doc_id long, source string, w long"
+    )
+    kept = {r.doc_id for r in weighted_sample_topk(dfz, k=5, weight_col="w").collect()}
+    assert kept == {3}
