@@ -96,3 +96,49 @@ def gap_fill_interpolate(
         F.col("_obs_val").alias("locf_q"),
         interp.alias("interp_q"),
     )
+
+
+def rolling_zscore(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_col: str,
+    value_q_col: str,
+    window: int = 28,
+    min_obs: int = 8,
+) -> DataFrame:
+    """Per-key rolling z-score against the TRAILING window (the
+    current row excluded — an anomaly must not dilute its own
+    baseline): classic series anomaly scoring for ops metrics and
+    corpus-drift monitors.
+
+    Sum and sum-of-squares accumulate in exact BIGINT (the value is
+    pre-quantized by the caller), so the only float work is the final
+    mean/variance/z expression — written in the identical shape on
+    both engines and rounded to 6 decimals, per the repo's
+    transcendental-math rule.  One shuffle (the key partition); both
+    frames ride the same Window spec.
+
+    Returns input + (n_obs, zscore); zscore is NULL when the trailing
+    window has fewer than ``min_obs`` rows or zero variance.
+    """
+    keys = list(key_cols)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(order_col)
+        .rowsBetween(-window, -1)
+    )
+    v = F.col(value_q_col)
+    out = df.select(
+        "*",
+        F.count(v).over(w).alias("_n"),
+        F.sum(v).over(w).alias("_s"),
+        F.sum(v * v).over(w).alias("_q"),
+    )
+    mean = F.col("_s") / F.col("_n")
+    var = F.col("_q") / F.col("_n") - mean * mean
+    z = F.round((v - mean) / F.sqrt(var), 6)
+    return out.select(
+        *df.columns,
+        F.col("_n").alias("n_obs"),
+        F.when((F.col("_n") >= min_obs) & (var > 0), z).alias("zscore"),
+    )

@@ -588,6 +588,7 @@ _VERIFY_FIRST = [
     "triangle_count",
     "containment",
     "weighted_sample",
+    "rolling_zscore",
     "interval_join",
     "bpe_merges_fast",
     "conversion_funnel",
@@ -650,6 +651,7 @@ _VERIFY_LAST = [
     "jaccard_exact",
     "bigram_logloss",
     "ann_pq",
+    "predominant_mode",
     "data_split",
     "quality_topk",
     "tokenizer_fertility",

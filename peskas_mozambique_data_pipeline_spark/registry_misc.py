@@ -1268,3 +1268,67 @@ LIMIT 50
 
 SPARK_QUERIES["triangle_count"] = q_triangle_count
 ORACLE_SQL["triangle_count"] = SQL_TRIANGLE_COUNT
+
+
+# ---------------------------------------------------------------------------
+# Q: rolling z-score anomaly flags (operators/timeseries.py) — daily
+# nation revenue scored against its own trailing 28-day window.
+# Values are integer dollars (cents // 100) so the windowed sum /
+# sum-of-squares stay exact BIGINTs with ample headroom; only the
+# final z expression is float, shape-identical on both engines.
+
+
+def q_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.timeseries import rolling_zscore
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    obs = (
+        orders.join(cust.select("c_custkey", "c_nationkey"), orders.o_custkey == F.col("c_custkey"))
+        .groupBy("c_nationkey", F.to_date("o_orderdate").alias("day"))
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("_c"))
+        .select("c_nationkey", "day", F.expr("_c div 100").alias("v_q"))
+    )
+    scored = rolling_zscore(obs, ["c_nationkey"], "day", "v_q", window=28, min_obs=8)
+    return scored.filter(
+        F.col("zscore").isNotNull() & (F.abs(F.col("zscore")) >= 2.0)
+    ).select(
+        F.col("c_nationkey").alias("nation"),
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("v_q").alias("revenue_usd"),
+        "n_obs",
+        "zscore",
+    )
+
+
+SQL_ROLLING_ZSCORE = """
+WITH obs AS (
+  SELECT c.c_nationkey AS nation, CAST(o.o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) // 100 AS BIGINT) AS v_q
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+),
+w AS (
+  SELECT nation, day, v_q,
+         CAST(COUNT(v_q) OVER tw AS BIGINT) AS n,
+         CAST(SUM(v_q) OVER tw AS BIGINT) AS s,
+         CAST(SUM(v_q * v_q) OVER tw AS BIGINT) AS q
+  FROM obs
+  WINDOW tw AS (PARTITION BY nation ORDER BY day
+                ROWS BETWEEN 28 PRECEDING AND 1 PRECEDING)
+),
+z AS (
+  SELECT nation, day, v_q, n,
+         ROUND((v_q - s / n) / sqrt(q / n - (s / n) * (s / n)), 6) AS zscore
+  FROM w
+  WHERE n >= 8 AND (q / n - (s / n) * (s / n)) > 0
+)
+SELECT nation, strftime(day, '%Y-%m-%d') AS day,
+       v_q AS revenue_usd, n AS n_obs, zscore
+FROM z
+WHERE ABS(zscore) >= 2.0
+"""
+
+SPARK_QUERIES["rolling_zscore"] = q_rolling_zscore
+ORACLE_SQL["rolling_zscore"] = SQL_ROLLING_ZSCORE

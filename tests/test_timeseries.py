@@ -79,3 +79,39 @@ def test_gap_fill_is_one_shuffle_no_join(spark):
     n_exchange = len(re.findall(r"\bExchange hashpartitioning", plan))
     assert n_exchange == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_rolling_zscore_trailing_window_excludes_current(spark):
+    from peskas_mozambique_data_pipeline_spark.operators.timeseries import (
+        rolling_zscore,
+    )
+
+    # alternating baseline (positive variance) then a spike
+    rows = [("a", i, 10 if i % 2 == 0 else 12) for i in range(10)]
+    rows.append(("a", 10, 100))
+    df = spark.createDataFrame(rows, "k string, d int, v long")
+    out = rolling_zscore(df, ["k"], "d", "v", window=28, min_obs=8)
+    got = {r.d: (r.n_obs, r.zscore) for r in out.collect()}
+    # first 8 rows: fewer than min_obs trailing rows -> NULL
+    for d in range(8):
+        assert got[d][1] is None
+    # the spike scores high and the window counted 10 trailing rows
+    assert got[10][0] == 10 and got[10][1] > 10
+    # baseline excludes the current row: day 9's z uses days 0-8 only
+    base = [10 if i % 2 == 0 else 12 for i in range(9)]
+    mean = sum(base) / 9
+    var = sum((x - mean) ** 2 for x in base) / 9
+    expect = round((12 - mean) / var**0.5, 6)
+    assert abs(got[9][1] - expect) < 1e-9
+
+
+def test_rolling_zscore_zero_variance_is_null(spark):
+    from peskas_mozambique_data_pipeline_spark.operators.timeseries import (
+        rolling_zscore,
+    )
+
+    df = spark.createDataFrame(
+        [("a", i, 5) for i in range(12)], "k string, d int, v long"
+    )
+    out = rolling_zscore(df, ["k"], "d", "v", window=28, min_obs=8)
+    assert all(r.zscore is None for r in out.collect())
