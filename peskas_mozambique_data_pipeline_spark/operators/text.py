@@ -1382,3 +1382,61 @@ def bpe_fertility(
             F.round(F.col("n_subwords") / F.col("n_words"), 6).alias("fertility"),
         )
     )
+
+
+def char_entropy(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_chars: int = 512,
+) -> DataFrame:
+    """Per-document character-distribution Shannon entropy (bits) — a
+    cheap repetitiveness/garbage signal: keyboard mash, base64 blobs
+    and single-char runs sit far from natural text's ~4 bits/char, so
+    entropy thresholds catch junk that length/stopword heuristics
+    (c4_quality_filter) miss.
+
+    Only the first ``max_chars`` characters are scored: entropy of a
+    prefix converges fast, and the bound keeps the per-doc explode
+    cost constant at corpus scale (a 1 MB doc costs the same 512 rows
+    as a tweet).  Character extraction goes through
+    ``substring(text, i, 1)`` over a position sequence — identical
+    char-based (not byte) semantics on both engines.
+
+    Each ``−p·log2(p)`` term is quantized to integer nano-units
+    before the per-doc SUM (order-free, engine-exact — the
+    token_drift rule); the result rounds to 6 decimals.
+
+    Returns (id, n_scored, n_distinct, entropy_bits).
+    """
+    prefix = df.select(
+        F.col(id_col),
+        F.substring(F.col(text_col), 1, max_chars).alias("_pfx"),
+    ).filter(F.length("_pfx") > 0)
+    chars = prefix.select(
+        id_col,
+        F.length("_pfx").alias("_n"),
+        F.explode(F.sequence(F.lit(1), F.length("_pfx"))).alias("_i"),
+        F.col("_pfx"),
+    ).select(
+        id_col, "_n", F.expr("substring(_pfx, _i, 1)").alias("_ch")
+    )
+    counts = chars.groupBy(id_col, "_n", "_ch").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    p = F.col("_c") / F.col("_n")
+    term_q = F.round(-p * F.log2(p) * F.lit(1e9)).cast("long")
+    return (
+        counts.select(id_col, "_n", "_c", term_q.alias("_tq"))
+        .groupBy(id_col, "_n")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.round(F.sum("_tq") / F.lit(1e9), 6).alias("entropy_bits"),
+        )
+        .select(
+            id_col,
+            F.col("_n").alias("n_scored"),
+            "n_distinct",
+            "entropy_bits",
+        )
+    )

@@ -589,6 +589,7 @@ _VERIFY_FIRST = [
     "containment",
     "weighted_sample",
     "rolling_zscore",
+    "char_entropy",
     "interval_join",
     "bpe_merges_fast",
     "conversion_funnel",
@@ -652,6 +653,7 @@ _VERIFY_LAST = [
     "bigram_logloss",
     "ann_pq",
     "predominant_mode",
+    "metrics_table",
     "data_split",
     "quality_topk",
     "tokenizer_fertility",

@@ -1636,3 +1636,41 @@ SELECT id_a, id_b, containment FROM (
 
 SPARK_QUERIES["containment"] = q_containment
 ORACLE_SQL["containment"] = SQL_CONTAINMENT
+
+
+# ---------------------------------------------------------------------------
+# Q: per-document character entropy — the repetitiveness/garbage
+# signal; nano-quantized -p*log2(p) terms make the per-doc sum
+# order-free and engine-exact.
+
+
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_ops.char_entropy(_docs(spark, sf_dir), max_chars=512)
+
+
+SQL_CHAR_ENTROPY = """
+WITH pfx AS (
+  SELECT doc_id, substr(text, 1, 512) AS p FROM documents
+  WHERE len(substr(text, 1, 512)) > 0
+),
+chars AS (
+  SELECT doc_id, len(p) AS n, substr(p, i, 1) AS ch
+  FROM pfx, UNNEST(generate_series(1, len(p))) AS g(i)
+),
+counts AS (
+  SELECT doc_id, n, ch, COUNT(*) AS c FROM chars GROUP BY doc_id, n, ch
+),
+terms AS (
+  SELECT doc_id, n,
+         CAST(ROUND(-(c / n) * log2(c / n) * 1000000000.0) AS BIGINT) AS tq
+  FROM counts
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_scored,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       ROUND(CAST(SUM(tq) AS BIGINT) / 1000000000.0, 6) AS entropy_bits
+FROM terms
+GROUP BY doc_id, n
+"""
+
+SPARK_QUERIES["char_entropy"] = q_char_entropy
+ORACLE_SQL["char_entropy"] = SQL_CHAR_ENTROPY

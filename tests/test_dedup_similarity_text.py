@@ -940,3 +940,27 @@ def test_containment_prefix_pairs_is_complete(spark):
     assert got == brute
     assert (0, 1, 1.0) in got  # subset doc found in its superset
     assert (1, 0, 1.0) not in got  # asymmetry: the long side is not contained
+
+
+def test_char_entropy_known_values(spark):
+    from peskas_mozambique_data_pipeline_spark.operators import text as text_ops
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aaaaaaaa"),          # 0 bits
+            (2, "abababab"),          # 1 bit
+            (3, "abcdabcdabcdabcd"),  # 2 bits
+            (4, ""),                  # empty: dropped
+            (5, "x" * 600 + "y" * 600),  # prefix bound: only first 512 'x'
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.n_scored, r.n_distinct, r.entropy_bits)
+        for r in text_ops.char_entropy(docs, max_chars=512).collect()
+    }
+    assert out[1] == (8, 1, 0.0)
+    assert out[2] == (8, 2, 1.0)
+    assert out[3] == (16, 4, 2.0)
+    assert 4 not in out
+    assert out[5] == (512, 1, 0.0)  # the 'y's never enter the prefix
