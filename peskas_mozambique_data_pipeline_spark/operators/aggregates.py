@@ -176,3 +176,65 @@ def sum_not_null(col: str | Column) -> Column:
     are NULL (§1.2 NULL-semantics note; R/validation.R:348)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.coalesce(F.sum(c), F.lit(0.0))
+
+
+def association_rules(
+    baskets: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_pair_count: int = 2,
+) -> DataFrame:
+    """Pairwise association rules — the k=2 Apriori/market-basket
+    step: for every UNORDERED item pair {a, b} co-occurring in at
+    least ``min_pair_count`` baskets, support, confidence (both
+    directions' max is NOT taken — a→b and b→a are emitted as the
+    symmetric pair with per-item counts so the caller derives either)
+    and lift.
+
+    Input is (basket, item), pre-deduplicated.  Scale shape: the pair
+    generator is a per-basket self-join on the basket key — fanout is
+    C(basket_size, 2), bounded by the basket grain, never by corpus
+    size; item counts are one map-side-combinable groupBy; both count
+    joins key on a single item (AQE-splittable skew — popular items
+    are the hot keys).  Ratios are single divisions of exact BIGINTs,
+    shape-identical across engines after ROUND (no sum-order hazard).
+
+    Returns (item_a, item_b, n_ab, n_a, n_b, support, confidence_ab,
+    lift) with item_a < item_b.
+    """
+    b = baskets.select(
+        F.col(basket_col).alias("_bk"), F.col(item_col).alias("_it")
+    )
+    # feeds the pair self-join twice + item counts (self-join rule)
+    b = b.localCheckpoint()
+    n_baskets = b.select("_bk").distinct().count()
+    item_counts = b.groupBy("_it").agg(F.count(F.lit(1)).alias("n_i"))
+    x, y = b.alias("x"), b.alias("y")
+    pairs = (
+        x.join(
+            y,
+            (F.col("x._bk") == F.col("y._bk"))
+            & (F.col("x._it") < F.col("y._it")),
+        )
+        .groupBy(
+            F.col("x._it").alias("item_a"), F.col("y._it").alias("item_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= min_pair_count)
+    )
+    out = (
+        pairs.join(item_counts.withColumnsRenamed({"_it": "item_a", "n_i": "n_a"}), "item_a")
+        .join(item_counts.withColumnsRenamed({"_it": "item_b", "n_i": "n_b"}), "item_b")
+    )
+    return out.select(
+        "item_a",
+        "item_b",
+        "n_ab",
+        "n_a",
+        "n_b",
+        F.round(F.col("n_ab") / F.lit(n_baskets), 6).alias("support"),
+        F.round(F.col("n_ab") / F.col("n_a"), 6).alias("confidence_ab"),
+        F.round(
+            (F.col("n_ab") * F.lit(n_baskets)) / (F.col("n_a") * F.col("n_b")), 6
+        ).alias("lift"),
+    )

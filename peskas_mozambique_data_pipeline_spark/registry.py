@@ -590,6 +590,7 @@ _VERIFY_FIRST = [
     "weighted_sample",
     "rolling_zscore",
     "char_entropy",
+    "assoc_rules",
     "interval_join",
     "bpe_merges_fast",
     "conversion_funnel",
@@ -654,6 +655,7 @@ _VERIFY_LAST = [
     "ann_pq",
     "predominant_mode",
     "metrics_table",
+    "bpe_merges",
     "data_split",
     "quality_topk",
     "tokenizer_fertility",

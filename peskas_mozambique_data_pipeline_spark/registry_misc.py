@@ -1332,3 +1332,52 @@ WHERE ABS(zscore) >= 2.0
 
 SPARK_QUERIES["rolling_zscore"] = q_rolling_zscore
 ORACLE_SQL["rolling_zscore"] = SQL_ROLLING_ZSCORE
+
+
+# ---------------------------------------------------------------------------
+# Q: market-basket association rules (operators/aggregates.py) — the
+# k=2 Apriori step over order baskets: support / confidence / lift for
+# part pairs, top 100 by lift.  All ratios are single divisions of
+# exact BIGINT counts — no sum-order hazard.
+
+
+def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.aggregates import association_rules
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    rules = association_rules(
+        li, basket_col="l_orderkey", item_col="l_partkey", min_pair_count=2
+    )
+    return rules.orderBy(
+        F.col("lift").desc(), F.col("item_a").asc(), F.col("item_b").asc()
+    ).limit(100)
+
+
+SQL_ASSOC_RULES = """
+WITH li AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
+nb AS (SELECT COUNT(DISTINCT bk) AS n FROM li),
+ic AS (SELECT it, COUNT(*) AS n_i FROM li GROUP BY it),
+p AS (
+  SELECT x.it AS item_a, y.it AS item_b, COUNT(*) AS n_ab
+  FROM li x JOIN li y ON x.bk = y.bk AND x.it < y.it
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 2
+)
+SELECT item_a, item_b, p.n_ab, a.n_i AS n_a, b.n_i AS n_b,
+       ROUND(p.n_ab / nb.n, 6) AS support,
+       ROUND(p.n_ab / a.n_i, 6) AS confidence_ab,
+       ROUND((p.n_ab * nb.n) / (a.n_i * b.n_i), 6) AS lift
+FROM p
+JOIN ic a ON p.item_a = a.it
+JOIN ic b ON p.item_b = b.it
+CROSS JOIN nb
+ORDER BY lift DESC, item_a ASC, item_b ASC
+LIMIT 100
+"""
+
+SPARK_QUERIES["assoc_rules"] = q_assoc_rules
+ORACLE_SQL["assoc_rules"] = SQL_ASSOC_RULES

@@ -289,3 +289,28 @@ def test_triangle_counts_matches_brute_force(spark):
     df = spark.createDataFrame(edges, "a long, b long")
     got = triangle_counts(df).agg(F.sum("triangles")).collect()[0][0]
     assert got == 3 * brute  # each triangle counted at all 3 nodes
+
+
+def test_association_rules_known_counts(spark):
+    from peskas_mozambique_data_pipeline_spark.operators.aggregates import (
+        association_rules,
+    )
+
+    # 4 baskets: {a,b,c}, {a,b}, {a,c}, {d}
+    rows = [
+        (1, "a"), (1, "b"), (1, "c"),
+        (2, "a"), (2, "b"),
+        (3, "a"), (3, "c"),
+        (4, "d"),
+    ]
+    df = spark.createDataFrame(rows, "bk long, it string")
+    got = {
+        (r.item_a, r.item_b): r
+        for r in association_rules(df, "bk", "it", min_pair_count=2).collect()
+    }
+    assert set(got) == {("a", "b"), ("a", "c")}
+    ab = got[("a", "b")]
+    assert (ab.n_ab, ab.n_a, ab.n_b) == (2, 3, 2)
+    assert ab.support == 0.5          # 2 of 4 baskets
+    assert ab.confidence_ab == round(2 / 3, 6)
+    assert ab.lift == round(2 * 4 / (3 * 2), 6)
