@@ -95,15 +95,26 @@ def triangle_counts(und_edges: DataFrame, a_col: str = "a", b_col: str = "b") ->
     """Exact per-node triangle counts over an UNDIRECTED edge list
     (one row per edge, ``a < b``, pre-deduplicated by the caller).
 
-    The scalable shape (node-iterator with degree ordering, the
-    standard MapReduce/Spark formulation): orient every edge from the
-    (degree, id)-smaller endpoint to the larger, enumerate wedges only
-    at each edge's out-neighbors, and close them with a semi-join back
-    to the oriented edges.  Degree orientation caps every node's
-    out-degree at O(sqrt(|E|)) regardless of hubs, so wedge fanout is
-    bounded even on power-law graphs — the naive per-node wedge join
-    explodes quadratically at hubs and dies at scale.  Degrees come
-    from groupBy + join-back, never a COUNT window (window skew rule).
+    The scalable shape: orient every edge from the (degree, id)-
+    smaller endpoint to the larger — degree orientation caps every
+    node's out-degree at O(sqrt(|E|)) regardless of hubs, so
+    per-node work is bounded even on power-law graphs.  Triangles are
+    then counted per ORIENTED EDGE by intersecting the two endpoints'
+    out-neighbor lists (the edge-iterator / "compact-forward"
+    formulation): each triangle {x<y<z in the total order} appears
+    exactly once, at edge (x,y) with witness z ∈ N⁺(x)∩N⁺(y).
+
+    Why intersection instead of the wedge-join + closing-semi-join
+    MapReduce shape: the wedge relation is Σ C(outdeg, 2) rows —
+    ~20M at sf0.1 on the part graph — and the semi-join SHUFFLES all
+    of it; the adjacency variant shuffles only |V| neighbor lists and
+    |E| edge rows, does the intersection as scan-local JVM array work,
+    and feeds the per-node count through map-side partial aggregation
+    (measured ~13 s → ~4.5 s at sf0.1, identical rows).  List sizes
+    are orientation-bounded at O(sqrt(|E|)) per node — the same bound
+    that makes the wedge count tractable makes the arrays small.
+    Degrees come from groupBy + join-back, never a COUNT window
+    (window skew rule).
 
     Returns (node, triangles); nodes in no triangle are absent.
     """
@@ -125,19 +136,38 @@ def triangle_counts(und_edges: DataFrame, a_col: str = "a", b_col: str = "b") ->
     o = ek.select(
         F.when(F.col("ka") < F.col("kb"), F.col("a")).otherwise(F.col("b")).alias("src"),
         F.when(F.col("ka") < F.col("kb"), F.col("b")).otherwise(F.col("a")).alias("dst"),
-        F.least("ka", "kb").alias("ks"),
-        F.greatest("ka", "kb").alias("kd"),
     )
-    # o feeds both wedge sides AND the closing semi-join — materialize
+    # o feeds the adjacency aggregate AND the edge probe — materialize
     # once (the self-join rule: neither the static planner nor AQE
     # reuses an exchange across self-join branches)
     o = o.localCheckpoint()
-    w1 = o.select(F.col("src"), F.col("dst").alias("v"), F.col("kd").alias("kv"))
-    w2 = o.select(F.col("src"), F.col("dst").alias("w"), F.col("kd").alias("kw"))
-    wedges = w1.join(w2, "src").filter(F.col("kv") < F.col("kw"))
-    closing = o.select(F.col("src").alias("v"), F.col("dst").alias("w"))
-    tri = wedges.join(closing, ["v", "w"], "left_semi").select("src", "v", "w")
-    nodes = tri.select(
-        F.explode(F.array("src", "v", "w")).alias("node")
+    adj = o.groupBy("src").agg(F.collect_list("dst").alias("_nbrs"))
+    probe = (
+        o.join(adj.withColumnsRenamed({"src": "src", "_nbrs": "_nu"}), "src")
+        .join(
+            adj.withColumnsRenamed({"src": "dst", "_nbrs": "_nv"}),
+            "dst",
+            "left",
+        )
+        .select(
+            "src",
+            "dst",
+            F.array_intersect(
+                F.col("_nu"), F.coalesce(F.col("_nv"), F.array())
+            ).alias("_w"),
+        )
+    )
+    # each witness w closes one triangle {src, dst, w}: credit all
+    # three nodes, then count — the explode is narrow and the groupBy
+    # collapses map-side to |V| rows per partition
+    sz = F.size("_w")
+    nodes = probe.select(
+        F.explode(
+            F.concat(
+                F.array_repeat(F.col("src"), sz),
+                F.array_repeat(F.col("dst"), sz),
+                F.col("_w"),
+            )
+        ).alias("node")
     )
     return nodes.groupBy("node").agg(F.count(F.lit(1)).alias("triangles"))
