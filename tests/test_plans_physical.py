@@ -330,3 +330,13 @@ def test_resample_and_dsir_scan_corpus_exactly_twice(spark):
     for name in ("temperature_resample", "dsir_weights"):
         plan = plan_of(registry.SPARK_QUERIES[name](spark, SF), "formatted")
         assert plan.count("Scan parquet") == 2, name
+
+
+def test_round6_additions_no_cartesian(spark):
+    """The pair generators in the new graph/basket/containment queries
+    must all be equi-joins (basket key, shingle hash, adjacency key) —
+    a CartesianProduct would mean the blocking collapsed."""
+    for name in ("triangle_count", "assoc_rules", "containment"):
+        plan = plan_of(registry.SPARK_QUERIES[name](spark, SF), "simple")
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
