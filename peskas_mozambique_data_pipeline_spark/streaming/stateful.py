@@ -166,3 +166,80 @@ def trip_segments(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+ANOMALY_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("value", DoubleType()),
+        StructField("n_prior", LongType()),
+        StructField("zscore", DoubleType()),
+    ]
+)
+
+ANOMALY_STATE_SCHEMA = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("mean", DoubleType()),
+        StructField("m2", DoubleType()),
+    ]
+)
+
+
+def anomaly_flags(
+    stream: DataFrame, threshold: float = 3.0, min_obs: int = 8
+) -> DataFrame:
+    """Streaming per-key anomaly detection — the online twin of
+    ``operators/timeseries.rolling_zscore``: each event is scored
+    against the RUNNING mean/variance of the key's STRICTLY-PRIOR
+    events (Welford accumulation), then folded into the state.  Like
+    the batch operator, an anomaly never dilutes its own baseline;
+    unlike it, the baseline is all history rather than a trailing
+    window — state per key is three numbers (n, mean, M2), not a
+    buffer, which is what makes unbounded streams affordable.
+
+    Rows inside a micro-batch are folded in event-time order (id
+    tie-break), so replaying the same batches yields the same flags
+    regardless of partitioning.  Emits ONLY flagged events
+    (|z| ≥ threshold once the key has ``min_obs`` prior events).
+    """
+
+    def update(key, batches, state: GroupState):
+        import math
+
+        n, mean, m2 = state.get if state.exists else (0, 0.0, 0.0)
+        flagged: list[dict] = []
+        for pdf in batches:
+            pdf = pdf.sort_values(["ts", "value"])
+            for ts, v in zip(pdf["ts"], pdf["value"]):
+                v = float(v)
+                if n >= min_obs:
+                    var = m2 / n
+                    if var > 0:
+                        z = (v - mean) / math.sqrt(var)
+                        if abs(z) >= threshold:
+                            flagged.append(
+                                {
+                                    "user_id": key[0],
+                                    "ts": ts,
+                                    "value": v,
+                                    "n_prior": n,
+                                    "zscore": z,
+                                }
+                            )
+                n += 1
+                d = v - mean
+                mean += d / n
+                m2 += d * (v - mean)
+        state.update((n, mean, m2))
+        if flagged:
+            yield pd.DataFrame(flagged)
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=ANOMALY_OUTPUT_SCHEMA,
+        stateStructType=ANOMALY_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -108,3 +108,49 @@ def test_trip_segments_event_time_timeout(spark, tmp_path):
     assert t.n_events == 2
     assert str(t.trip_start) == "2024-01-01 00:00:00"
     assert str(t.trip_end) == "2024-01-01 00:05:00"
+
+
+def test_streaming_anomaly_flags_cross_batch_baseline(spark, tmp_path):
+    from peskas_mozambique_data_pipeline_spark.streaming.stateful import anomaly_flags
+
+    src = str(tmp_path / "vals")
+    out = str(tmp_path / "anoms")
+    ckpt = str(tmp_path / "ckpt3")
+    # batch 1: 10 calm readings alternating 10/12 -> establishes baseline
+    _write_batch(
+        spark,
+        src,
+        [(1, f"2024-01-01 00:{i:02d}:00", 10.0 if i % 2 == 0 else 12.0) for i in range(10)],
+    )
+    schema = spark.read.parquet(src).schema
+
+    def run_once():
+        stream = spark.readStream.format("parquet").schema(schema).load(src)
+        q = (
+            anomaly_flags(stream, threshold=3.0, min_obs=8)
+            .writeStream.foreachBatch(
+                lambda df, epoch: df.write.mode("append").parquet(out)
+            )
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    # batch 2: a spike plus one more calm reading — only the spike flags,
+    # and it scores against state carried over from batch 1
+    _write_batch(
+        spark,
+        src,
+        [(1, "2024-01-01 01:00:00", 100.0), (1, "2024-01-01 01:01:00", 11.0)],
+    )
+    run_once()
+
+    rows = spark.read.parquet(out).collect() if spark.read.parquet(out).count() else []
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.value == 100.0 and r.n_prior == 10 and r.zscore > 10
+    # calm readings never flagged; the spike IS in the baseline afterwards
+    # (n_prior counted only strictly-prior events)
