@@ -305,3 +305,65 @@ def weighted_sample_topk(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def ordering_mix_audit(
+    df: DataFrame,
+    group_col: str = "source",
+    pos_col: str = "doc_id",
+) -> DataFrame:
+    """Shuffle-quality audit of a corpus ORDERING: for each group, how
+    often is the next row (by position) the same group, versus the rate
+    a well-shuffled order would show (= the group's share of the
+    corpus)?  ``clump_ratio`` ≈ 1 means well mixed; ≫ 1 means runs of
+    same-source documents — which turns into correlated batches when
+    the file order feeds a trainer that shards sequentially.
+
+    Scale shape: adjacency comes from a self-equi-join on
+    ``pos + 1`` — NOT a ``lead()`` over a global ``orderBy`` window,
+    which would collapse the whole corpus into one task.  The join is
+    keyed (AQE-splittable) and both sides prune to two columns at the
+    scan.  ``pos_col`` must be a dense position (a row's ordinal in
+    the layout); gaps under-count pairs but never miscount them.
+
+    Ratios quantize only at the emit (ROUND 6 of exact-integer
+    operands), so both engines round the same doubles.
+
+    Returns (group, n_docs, share, n_pairs_from, n_same, same_rate,
+    clump_ratio) per group that starts at least one adjacent pair.
+    """
+    base = df.select(
+        F.col(pos_col).alias("_pos"), F.col(group_col).alias("_g")
+    )
+    nxt = base.select(
+        (F.col("_pos") - F.lit(1)).alias("_pos"),
+        F.col("_g").alias("_g_next"),
+    )
+    pairs = base.join(nxt, "_pos")
+    adj = pairs.groupBy("_g").agg(
+        F.count(F.lit(1)).alias("n_pairs_from"),
+        F.sum(
+            F.when(F.col("_g_next") == F.col("_g"), 1).otherwise(0)
+        ).alias("n_same"),
+    )
+    tot = base.groupBy("_g").agg(F.count(F.lit(1)).alias("n_docs"))
+    n_all = base.agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        adj.join(F.broadcast(tot), "_g")
+        .crossJoin(F.broadcast(n_all))
+        .select(
+            F.col("_g").alias(group_col),
+            "n_docs",
+            F.round(F.col("n_docs") / F.col("_n"), 6).alias("share"),
+            "n_pairs_from",
+            "n_same",
+            F.round(F.col("n_same") / F.col("n_pairs_from"), 6).alias(
+                "same_rate"
+            ),
+            F.round(
+                (F.col("n_same") * F.col("_n"))
+                / (F.col("n_pairs_from") * F.col("n_docs")),
+                6,
+            ).alias("clump_ratio"),
+        )
+    )

@@ -9,7 +9,7 @@ these operators generalize it to document corpora.
 
 from __future__ import annotations
 
-from collections.abc import Mapping
+from collections.abc import Mapping, Sequence
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
@@ -1439,4 +1439,94 @@ def char_entropy(
             "n_distinct",
             "entropy_bits",
         )
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: Sequence[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 keyword retrieval: top-k documents for a bag of query terms
+    (Robertson & Zaragoza 2009, the Lucene ``+1`` idf form so scores
+    stay positive: ``idf = ln(1 + (N - df + 0.5)/(df + 0.5))``).
+
+    The lexical complement to the ANN tiers: embedding search finds
+    semantic neighbours, BM25 finds keyword matches — a retrieval
+    pipeline needs both (hybrid search unions the two candidate sets).
+
+    Scale shape: ZERO corpus shuffle.  For a query-sized term set the
+    per-doc term frequencies come from array intrinsics
+    (``size(filter(tokens, …))``) in the scan projection — no explode,
+    no postings shuffle, no doc-length join (the naive
+    explode → tf groupBy → dl join ships corpus-wide rows through two
+    exchanges).  The corpus is scanned twice on pruned columns: once
+    for the 1-row stats aggregate (df per term, avgdl, N — broadcast
+    back), once for scoring; the global top-k is a TakeOrdered.
+    Per-term contributions quantize to integer nano-units and sum in
+    FIXED term order (engine-exact).
+
+    Returns (id, n_terms_hit, score) — ties broken on the id.
+    """
+    from functools import reduce
+    from operator import add
+
+    terms = [str(t) for t in query_terms]
+    toks = tokens(text_col)
+    def _is_term(term):
+        return lambda x: x == F.lit(term)
+
+    tf_cols = [
+        F.size(F.filter(toks, _is_term(t))).alias(f"_tf_{i}")
+        for i, t in enumerate(terms)
+    ]
+    base = df.select(
+        F.col(id_col), F.size(toks).alias("_dl"), *tf_cols
+    )
+    stats = base.agg(
+        (F.sum("_dl") / F.count(F.lit(1))).alias("_avgdl"),
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        *[
+            F.sum((F.col(f"_tf_{i}") > 0).cast("long")).alias(f"_df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    scored = base.crossJoin(F.broadcast(stats))
+    contribs, hits = [], []
+    for i in range(len(terms)):
+        tf = F.col(f"_tf_{i}")
+        dfreq = F.col(f"_df_{i}")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("_n") - dfreq + F.lit(0.5)) / (dfreq + F.lit(0.5))
+        )
+        part = (
+            tf
+            * F.lit(k1 + 1.0)
+            / (
+                tf
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * F.col("_dl") / F.col("_avgdl"))
+            )
+        )
+        contribs.append(
+            F.when(tf > 0, F.floor(idf * part * F.lit(1e9)).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+        )
+        hits.append(F.when(tf > 0, 1).otherwise(0))
+    score_q = reduce(add, contribs)
+    n_hit = reduce(add, hits)
+    return (
+        scored.select(
+            F.col(id_col),
+            n_hit.cast("long").alias("n_terms_hit"),
+            F.round(score_q / F.lit(1e9), 6).alias("score"),
+        )
+        .filter(F.col("n_terms_hit") > 0)
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
     )

@@ -142,3 +142,67 @@ def rolling_zscore(
         F.col("_n").alias("n_obs"),
         F.when((F.col("_n") >= min_obs) & (var > 0), z).alias("zscore"),
     )
+
+
+def time_weighted_mean(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Interval-weighted mean per key (the TWAP shape): each
+    observation's value holds until the key's next observation, and the
+    mean weights values by their holding duration in whole seconds —
+    the correct average for irregularly-sampled state (a sensor that
+    reports on change, a price that ticks sporadically).  A plain AVG
+    over-weights bursty periods; this does not.
+
+    Engine-exact arithmetic: values quantize to integer micro-units
+    and durations to whole seconds BEFORE the weighted sum, so both
+    sums are exact integers on any engine (order-free); only the final
+    division is floating point, on identical operands.  Magnitudes:
+    |value| ≤ ~9e9 with year-long holds stays inside BIGINT; beyond
+    that, escalate the sum to decimal(38,0) — noted, not needed for
+    survey-scale values.
+
+    Scale shape: one shuffle — the per-key window that pairs each
+    observation with its successor (``lead``); the weighted sum reuses
+    the same partitioning (groupBy on the window's partition keys, a
+    map-side-combinable agg with no second exchange of the raw rows).
+    The last observation per key has no successor and carries zero
+    weight (open-ended holds are policy; cap with a sentinel row
+    upstream if needed).
+
+    Returns keys + (n_obs, total_dur_s, tw_mean).
+    """
+    order = [F.col(ts_col).asc()]
+    if order_tiebreak:
+        order.append(F.col(order_tiebreak).asc())
+    w = Window.partitionBy(*keys).orderBy(*order)
+    us = F.unix_micros(F.col(ts_col))
+    paired = df.select(
+        *keys,
+        F.col(ts_col),
+        F.floor(F.col(value_col) * F.lit(1e6)).cast("long").alias("_vq"),
+        (
+            (F.lead(us).over(w) - us)
+            .cast("long")
+        ).alias("_dur_us"),
+    ).withColumn(
+        "_dur_s", F.expr("_dur_us div 1000000").cast("long")
+    )
+    return (
+        paired.groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.coalesce(F.sum("_dur_s"), F.lit(0)).alias("total_dur_s"),
+            F.round(
+                F.sum(F.col("_vq") * F.col("_dur_s"))
+                / F.sum("_dur_s")
+                / F.lit(1e6),
+                6,
+            ).alias("tw_mean"),
+        )
+        .filter(F.col("total_dur_s") > 0)
+    )

@@ -584,6 +584,9 @@ ORACLE_SQL.update(registry_curation.ORACLE_SQL)
 # bit-exact local gate, tools/check_correctness.py) rotate out.
 _VERIFY_FIRST = [
     # round-6 additions — never driver-verified, head of the window
+    "bm25_search",
+    "time_weighted_avg",
+    "mix_quality",
     "gap_fill",
     "triangle_count",
     "containment",
@@ -648,7 +651,13 @@ _VERIFY_LAST = [
     # dim_enrichment (flagship composites, kept under the hard oracle
     # every round).
     # driver-green r5 (as r5 additions), simple plans — moved here to
-    # make room for the r6 additions at the head
+    # make room for the r6 additions at the head; trip_rollup /
+    # dim_enrichment (driver-green r1–r5) and bpe_fertility
+    # (driver-green r5) rotate out for the first time now that the
+    # registry is at the 100-query ceiling — all multiply-verified.
+    "trip_rollup",
+    "dim_enrichment",
+    "bpe_fertility",
     "semantic_dedup",
     "jaccard_exact",
     "bigram_logloss",

@@ -1064,3 +1064,42 @@ SELECT source, doc_id, n_chars, priority_q FROM r WHERE rn <= 10
 
 SPARK_QUERIES["weighted_sample"] = q_weighted_sample
 ORACLE_SQL["weighted_sample"] = SQL_WEIGHTED_SAMPLE
+
+
+# ---------------------------------------------------------------------------
+# Q: ordering/shuffle-quality audit — per-source lag-1 clumping of the
+# corpus layout order vs the well-shuffled expectation (the source's
+# share).  Sequentially-sharded trainers turn clumped order into
+# correlated batches; this measures it.  Adjacency via a pos+1
+# self-equi-join, never a global-orderBy window.
+
+
+def q_mix_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = cur_ops.ordering_mix_audit(
+        _docs(spark, sf_dir), group_col="source", pos_col="doc_id"
+    )
+    return out
+
+
+SQL_MIX_QUALITY = """
+WITH b AS (SELECT doc_id AS pos, source AS g FROM documents),
+nx AS (SELECT pos - 1 AS pos, g AS g_next FROM b),
+adj AS (
+  SELECT b.g, COUNT(*) AS n_pairs_from,
+         CAST(SUM(CASE WHEN nx.g_next = b.g THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_same
+  FROM b JOIN nx USING (pos) GROUP BY b.g
+),
+tot AS (SELECT g, COUNT(*) AS n_docs FROM b GROUP BY g),
+n AS (SELECT COUNT(*) AS n_all FROM b)
+SELECT adj.g AS source, n_docs,
+       ROUND(CAST(n_docs AS DOUBLE) / n_all, 6) AS share,
+       n_pairs_from, n_same,
+       ROUND(CAST(n_same AS DOUBLE) / n_pairs_from, 6) AS same_rate,
+       ROUND(CAST(n_same * n_all AS DOUBLE)
+             / (n_pairs_from * n_docs), 6) AS clump_ratio
+FROM adj JOIN tot USING (g), n
+"""
+
+SPARK_QUERIES["mix_quality"] = q_mix_quality
+ORACLE_SQL["mix_quality"] = SQL_MIX_QUALITY

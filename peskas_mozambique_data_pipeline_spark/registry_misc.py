@@ -1381,3 +1381,48 @@ LIMIT 100
 
 SPARK_QUERIES["assoc_rules"] = q_assoc_rules
 ORACLE_SQL["assoc_rules"] = SQL_ASSOC_RULES
+
+
+# ---------------------------------------------------------------------------
+# Q: time-weighted mean (TWAP) of the event value stream per user —
+# each value holds until the user's next event, the mean weights by
+# holding duration.  The correct average for irregularly-sampled state;
+# a plain AVG over-weights bursty periods.  Integer micro-unit values ×
+# whole-second durations keep both sums engine-exact.
+
+
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.timeseries import time_weighted_mean
+
+    ev = _t(spark, sf_dir, "events")
+    return time_weighted_mean(
+        ev, ["user_id"], "ts", "value", order_tiebreak="event_id"
+    )
+
+
+SQL_TIME_WEIGHTED_AVG = """
+WITH p AS (
+  SELECT user_id,
+         CAST(FLOOR(value * 1000000.0) AS BIGINT) AS vq,
+         (epoch_us(LEAD(ts) OVER (PARTITION BY user_id
+                                  ORDER BY ts ASC, event_id ASC))
+          - epoch_us(ts)) // 1000000 AS dur_s
+  FROM events
+),
+a AS (
+  SELECT user_id,
+         COUNT(*) AS n_obs,
+         COALESCE(SUM(dur_s), 0) AS total_dur_s,
+         SUM(vq * dur_s) AS svd,
+         SUM(dur_s) AS sd
+  FROM p GROUP BY user_id
+)
+SELECT user_id, n_obs,
+       CAST(total_dur_s AS BIGINT) AS total_dur_s,
+       ROUND(CAST(svd AS DOUBLE) / CAST(sd AS DOUBLE) / 1000000.0, 6)
+         AS tw_mean
+FROM a WHERE total_dur_s > 0
+"""
+
+SPARK_QUERIES["time_weighted_avg"] = q_time_weighted_avg
+ORACLE_SQL["time_weighted_avg"] = SQL_TIME_WEIGHTED_AVG

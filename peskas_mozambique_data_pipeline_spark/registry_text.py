@@ -1674,3 +1674,78 @@ GROUP BY doc_id, n
 
 SPARK_QUERIES["char_entropy"] = q_char_entropy
 ORACLE_SQL["char_entropy"] = SQL_CHAR_ENTROPY
+
+
+# ---------------------------------------------------------------------------
+# Q: BM25 keyword retrieval (Robertson & Zaragoza 2009; Lucene +1 idf)
+# — the lexical complement to the ANN tiers: hybrid search unions BM25
+# and embedding candidates.  Per-term contributions quantize to
+# nano-unit BIGINTs before the per-doc sum (order-free, engine-exact).
+
+_BM25_TERMS = ("spark", "window", "merge")
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_ops.bm25_topk(
+        _docs(spark, sf_dir), query_terms=_BM25_TERMS, k=25
+    )
+
+
+_BM25_TOK = r"string_split_regex(trim(text), '\s+')"
+
+
+def _bm25_sql(terms, k):
+    """Mirror bm25_topk's scan-local shape: per-term tf via
+    list_filter, 1-row stats CTE, fixed-order nano-unit contribution
+    sum — generated from the same term list the Spark query uses so
+    the two can never drift."""
+    tf_defs = ",\n         ".join(
+        f"len(list_filter({_BM25_TOK}, x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    df_defs = ",\n         ".join(
+        f"CAST(SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS df{i}"
+        for i in range(len(terms))
+    )
+    hit_sum = " + ".join(
+        f"(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END)" for i in range(len(terms))
+    )
+    contrib_sum = "\n       + ".join(
+        f"(CASE WHEN tf{i} > 0 THEN CAST(FLOOR("
+        f"ln(1.0 + (n - df{i} + 0.5) / (df{i} + 0.5))"
+        f" * (tf{i} * 2.2 / (tf{i} + 1.2 * (0.25 + 0.75 * dl / avgdl)))"
+        f" * 1000000000.0) AS BIGINT) ELSE 0 END)"
+        for i in range(len(terms))
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         len({_BM25_TOK}) AS dl,
+         {tf_defs}
+  FROM documents
+),
+stats AS (
+  SELECT SUM(dl) / COUNT(*) AS avgdl,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         {df_defs}
+  FROM base
+),
+scored AS (
+  SELECT doc_id,
+         {hit_sum} AS n_terms_hit,
+         {contrib_sum} AS sq
+  FROM base, stats
+)
+SELECT doc_id, CAST(n_terms_hit AS BIGINT) AS n_terms_hit,
+       ROUND(CAST(sq AS DOUBLE) / 1000000000.0, 6) AS score
+FROM scored WHERE n_terms_hit > 0
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+SQL_BM25_SEARCH = _bm25_sql(_BM25_TERMS, k=25)
+
+SPARK_QUERIES["bm25_search"] = q_bm25_search
+ORACLE_SQL["bm25_search"] = SQL_BM25_SEARCH

@@ -207,3 +207,26 @@ def test_weighted_sample_topk_determinism_and_bias(spark):
     )
     kept = {r.doc_id for r in weighted_sample_topk(dfz, k=5, weight_col="w").collect()}
     assert kept == {3}
+
+
+def test_ordering_mix_audit_clumped_vs_alternating(spark):
+    from peskas_mozambique_data_pipeline_spark.operators.curation import (
+        ordering_mix_audit,
+    )
+
+    # clumped: AAAA BBBB -> same_rate 3/4 per source, share 1/2
+    clumped = spark.createDataFrame(
+        [(i, "a" if i < 4 else "b") for i in range(8)],
+        "doc_id long, source string",
+    )
+    out = {r["source"]: r for r in ordering_mix_audit(clumped).collect()}
+    assert out["a"]["n_same"] == 3 and out["a"]["n_pairs_from"] == 4
+    assert out["a"]["same_rate"] == 0.75
+    assert out["a"]["clump_ratio"] == 1.5  # 0.75 / 0.5
+    # alternating: ABABABAB -> zero same-source adjacency
+    alt = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(8)],
+        "doc_id long, source string",
+    )
+    out = {r["source"]: r for r in ordering_mix_audit(alt).collect()}
+    assert out["a"]["n_same"] == 0 and out["b"]["n_same"] == 0

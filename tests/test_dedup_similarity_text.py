@@ -964,3 +964,30 @@ def test_char_entropy_known_values(spark):
     assert out[3] == (16, 4, 2.0)
     assert 4 not in out
     assert out[5] == (512, 1, 0.0)  # the 'y's never enter the prefix
+
+
+def test_bm25_ranks_rarer_and_denser_matches_higher(spark):
+    from peskas_mozambique_data_pipeline_spark.operators.text import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "cat dog"),            # both terms, short doc
+            (2, "cat cat cat"),        # common term only, repeated
+            (3, "dog filler filler filler filler filler filler"),  # rare term, long doc
+            (4, "cat filler"),         # common term once
+            (5, "filler filler"),      # no match -> excluded
+        ],
+        "doc_id long, text string",
+    )
+    out = bm25_topk(docs, ["cat", "dog"], k=5).collect()
+    ids = [r["doc_id"] for r in out]
+    assert 5 not in ids
+    assert len(ids) == 4
+    # doc 1 matches BOTH terms in a short doc -> best score
+    assert ids[0] == 1
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[1]["n_terms_hit"] == 2
+    assert by_id[2]["n_terms_hit"] == 1
+    # saturation: tf=3 in doc 2 must not triple doc 4's tf=1 score
+    # (same term, k1 bounds the tf contribution)
+    assert by_id[2]["score"] < 3 * by_id[4]["score"]

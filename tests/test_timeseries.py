@@ -115,3 +115,56 @@ def test_rolling_zscore_zero_variance_is_null(spark):
     )
     out = rolling_zscore(df, ["k"], "d", "v", window=28, min_obs=8)
     assert all(r.zscore is None for r in out.collect())
+
+
+def test_time_weighted_mean_hand_computed(spark):
+    from peskas_mozambique_data_pipeline_spark.operators.timeseries import (
+        time_weighted_mean,
+    )
+
+    # u1: value 10 holds 10 s, value 20 holds 30 s, last event weightless
+    # -> (10*10 + 20*30) / 40 = 17.5
+    ev = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 1, 0, 0, 0), 10.0, 1),
+            (1, dt.datetime(2024, 1, 1, 0, 0, 10), 20.0, 2),
+            (1, dt.datetime(2024, 1, 1, 0, 0, 40), 99.0, 3),
+            (2, dt.datetime(2024, 1, 1, 0, 0, 0), 5.0, 4),  # lone event
+        ],
+        "user_id long, ts timestamp, value double, event_id long",
+    )
+    out = {
+        r["user_id"]: r
+        for r in time_weighted_mean(
+            ev, ["user_id"], "ts", "value", order_tiebreak="event_id"
+        ).collect()
+    }
+    assert out[1]["tw_mean"] == 17.5
+    assert out[1]["total_dur_s"] == 40
+    assert out[1]["n_obs"] == 3
+    # a key whose only event has no successor carries zero duration and
+    # is filtered (no defined time-weighted mean)
+    assert 2 not in out
+
+
+def test_time_weighted_mean_tiebreak_is_deterministic(spark):
+    from peskas_mozambique_data_pipeline_spark.operators.timeseries import (
+        time_weighted_mean,
+    )
+
+    # two events at the SAME ts: event_id order decides which value
+    # holds for the following 10 s (the first gets 0 s)
+    t0 = dt.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [
+            (1, t0, 100.0, 2),
+            (1, t0, 10.0, 1),
+            (1, dt.datetime(2024, 1, 1, 0, 0, 10), 0.0, 3),
+        ],
+        "user_id long, ts timestamp, value double, event_id long",
+    )
+    row = time_weighted_mean(
+        ev, ["user_id"], "ts", "value", order_tiebreak="event_id"
+    ).collect()[0]
+    # event_id=1 (value 10) holds 0 s; event_id=2 (value 100) holds 10 s
+    assert row["tw_mean"] == 100.0
