@@ -242,3 +242,47 @@ def stream_interval_join(
         & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {upper}"))
     )
     return lw.join(rw, cond).drop(rw[on])
+
+
+def stream_sessions(
+    stream: DataFrame,
+    gap: str = "30 minutes",
+    key: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming gap-based sessionization: Spark's native
+    ``session_window`` over a watermarked stream — the streaming twin
+    of the batch ``sessionization`` registry query (same gap, same
+    aggregates), computed incrementally as events arrive.
+
+    State per key = the one OPEN session (session_window state merges
+    overlapping windows as rows arrive); the watermark closes sessions
+    whose gap has provably expired and evicts their state, so memory is
+    bounded by active keys, not history.  Append mode emits each
+    session exactly once, on close — late rows beyond the watermark are
+    dropped, which the batch operator applies retroactively.
+
+    Session value sums centi-quantized integers (the batch twin's
+    rule), so replays and partial merges are order-free exact.
+    """
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.session_window(F.col(ts_col), gap).alias("w"), F.col(key)
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (
+                F.sum(F.round(F.col(value_col) * 100).cast("long")) / 100.0
+            ).alias("session_value"),
+        )
+        .select(
+            key,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )

@@ -312,3 +312,61 @@ def test_stream_interval_join_rejects_column_overlap(spark, tmp_path):
     s2 = si.stream_landing_zone(spark, d, cdf.schema)
     with pytest.raises(ValueError, match="rename first"):
         si.stream_interval_join(s1, s2, on="user_id", left_ts="ts", right_ts="ts")
+
+
+def test_stream_sessions_matches_batch_sessionization(spark, tmp_path):
+    """Streaming session_window must emit, over all micro-batches, the
+    SAME sessions the batch twin computes on the full data — the
+    batch↔streaming equivalence rule every streaming op here follows."""
+    rows = [
+        # user 10: two sessions (40-min gap splits them)
+        (1, "2024-01-01 00:00:00", 10, "click", 1.5),
+        (2, "2024-01-01 00:10:00", 10, "click", 2.5),
+        (3, "2024-01-01 00:50:00", 10, "view", 4.0),
+        # user 11: one session
+        (4, "2024-01-01 00:05:00", 11, "view", 10.0),
+    ]
+    schema_s = "event_id long, ts string, user_id long, event_type string, value double"
+    landing = str(tmp_path / "landing")
+    df = spark.createDataFrame(rows, schema_s).withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    df.coalesce(1).write.parquet(landing)
+    schema = spark.read.parquet(landing).schema
+    out_dir, ckpt = str(tmp_path / "sess"), str(tmp_path / "sckpt")
+
+    def run_batch():
+        stream = si.stream_landing_zone(spark, landing, schema)
+        sess = si.stream_sessions(stream, gap="30 minutes")
+        q = si.write_zone(sess, out_dir, ckpt)
+        q.awaitTermination(120)
+
+    run_batch()
+    # append mode holds sessions until the watermark passes; a later
+    # event advances it and closes the earlier sessions
+    late = spark.createDataFrame(
+        [(99, "2024-01-01 06:00:00", 12, "click", 0.0)], schema_s
+    ).withColumn("ts", F.to_timestamp("ts"))
+    late.coalesce(1).write.mode("append").parquet(landing)
+    run_batch()
+
+    got = {
+        (r.user_id, str(r.session_start)): (r.n_events, r.session_value)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    # batch twin on the same rows (the registry query's aggregates)
+    batch = (
+        df.groupBy(
+            F.session_window(F.col("ts"), "30 minutes").alias("w"), "user_id"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias("v"),
+        )
+        .select("user_id", F.col("w.start").alias("s"), "n", "v")
+        .collect()
+    )
+    expect = {(r.user_id, str(r.s)): (r.n, r.v) for r in batch}
+    assert expect == got
+    assert got[(10, "2024-01-01 00:00:00")] == (2, 4.0)
+    assert got[(10, "2024-01-01 00:50:00")] == (1, 4.0)
