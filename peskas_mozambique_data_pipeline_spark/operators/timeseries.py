@@ -166,6 +166,15 @@ def time_weighted_mean(
     that, escalate the sum to decimal(38,0) — noted, not needed for
     survey-scale values.
 
+    Sub-second resolution: durations TRUNCATE to whole seconds
+    (``_dur_us div 1_000_000``), so a hold shorter than 1 s weighs
+    ZERO, and a key whose every gap is sub-second has total_dur_s == 0
+    and is dropped by the output filter entirely.  That is the
+    documented contract for this operator (tick data at second-plus
+    cadence); for genuinely sub-second streams, weight in micro-units
+    instead — BIGINT micro-second sums hold ~292k years of duration,
+    so the only cost is re-deriving the oracle's constants.
+
     Scale shape: one shuffle — the per-key window that pairs each
     observation with its successor (``lead``); the weighted sum reuses
     the same partitioning (groupBy on the window's partition keys, a

@@ -583,78 +583,13 @@ ORACLE_SQL.update(registry_curation.ORACLE_SQL)
 # queries with several green driver rounds (still covered by the
 # bit-exact local gate, tools/check_correctness.py) rotate out.
 _VERIFY_FIRST = [
-    # round-6 additions — never driver-verified, head of the window
-    "bm25_search",
-    "time_weighted_avg",
-    "mix_quality",
-    "gap_fill",
-    "triangle_count",
-    "containment",
-    "weighted_sample",
-    "rolling_zscore",
-    "char_entropy",
-    "assoc_rules",
-    "interval_join",
-    "bpe_merges_fast",
-    "conversion_funnel",
-    "retention_cohorts",
-    "dsir_weights",
-    "temperature_resample",
-    "hll_distinct",
-    "cms_topk",
-    "pagerank",
-    "hist_quantiles",
-    "trailing_window",
-    # r6 rotation (VERDICT r5 instruction #1): all 29 queries that sat
-    # in the r5 tail (each driver-green in r4, judge-gated bit-exact in
-    # r5) come back to the head so CORRECTNESS_r06 gives every one a
-    # hard driver row again.
-    "unigram_logloss",
-    "vocab_coverage",
-    "doc_pack",
-    "boilerplate",
-    "c4_filter",
-    "embedding_clusters",
-    "minhash_dedup",
-    "dedup_clusters",
-    "ann_lsh",
-    "site_stats_full",
-    "pii_scrub",
-    "merge_upsert",
-    "scd2_versions",
-    "conditional_merge",
-    "flag_battery",
-    "fuzzy_dedup",
-    "quantile_coeffs",
-    "lw_model",
-    "last_wins",
-    "events_hourly",
-    "user_activity",
-    "json_extract",
-    "text_quality",
-    "lang_id",
-    "dedup_exact",
-    "simhash_pairs",
-    "doc_fingerprint",
-    "doc_winnow",
-    "token_rollup",
-]
-_VERIFY_LAST = [
-    # Rotation tail: everything here was driver-green in round 5 (the
-    # r5 head/mid window), so sitting out one round keeps the "hard
-    # driver row at least every 2 rounds" invariant.  The assertion
-    # below forces this list to be resized whenever queries are added,
-    # so the rotation stays deliberate instead of silently pushing a
-    # once-verified mid query out.  The 21 slots between head and tail
-    # hold the round-5 additions (one driver-green round each — they
-    # get their second green row this round) plus trip_rollup /
-    # dim_enrichment (flagship composites, kept under the hard oracle
-    # every round).
-    # driver-green r5 (as r5 additions), simple plans — moved here to
-    # make room for the r6 additions at the head; trip_rollup /
-    # dim_enrichment (driver-green r1–r5) and bpe_fertility
-    # (driver-green r5) rotate out for the first time now that the
-    # registry is at the 100-query ceiling — all multiply-verified.
+    # round-7 additions — never driver-verified, head of the window
+    "term_stats",
+    "ann_ivfpq",
+    # r7 rotation (VERDICT r6 Next #2): the 46 queries that sat in the
+    # r6 tail (each driver-green in r5, judge-gated bit-exact in r6,
+    # minus the 4 rows consolidated away this round) come back to the
+    # head so CORRECTNESS_r07 gives every one a hard driver row again.
     "trip_rollup",
     "dim_enrichment",
     "bpe_fertility",
@@ -664,19 +599,14 @@ _VERIFY_LAST = [
     "ann_pq",
     "predominant_mode",
     "metrics_table",
-    "bpe_merges",
     "data_split",
     "quality_topk",
-    "tokenizer_fertility",
-    "bigram_pmi",
-    "tfidf_terms",
     "domain_mix",
     "dup_spans",
     "span_scrub",
     "source_cap",
     "corpus_diff",
     "token_drift",
-    # driver-green r1–r3 AND r5 — the safest long-rotation picks
     "monthly_median",
     "topk_other",
     "robust_bounds",
@@ -685,7 +615,6 @@ _VERIFY_LAST = [
     "semi_anti",
     "pricing_summary",
     "nary_full_join",
-    # driver-green r1–r5 (every round they were in the window)
     "flag_battery_full",
     "ann_cosine",
     "embedding_near_dup",
@@ -707,6 +636,69 @@ _VERIFY_LAST = [
     "asof_join",
     "running_total",
     "geo_rollup_join",
+]
+# The two bench outliers from VERDICT r6 What's-wrong #1 sit in the
+# MID (neither list): they stay inside the 50-row driver window while
+# their regressions are re-measured, at no rotation cost — both were
+# driver-green in r6 so a second consecutive row is free coverage.
+# mid == {site_stats_full, ann_lsh}
+_VERIFY_LAST = [
+    # Rotation tail: everything here was driver-green in round 6 (the
+    # r6 head/mid window), so sitting out one round keeps the "hard
+    # driver row at least every 2 rounds" invariant.  The assertion
+    # below forces this list to be resized whenever queries are added,
+    # so the rotation stays deliberate.  NOTE (r6 ADVICE): the flagship
+    # composites (trip_rollup, dim_enrichment, metrics_table) rotate on
+    # the same 2-round cadence as everything else since r6 — nothing is
+    # pinned inside the window permanently.
+    "bm25_search",
+    "time_weighted_avg",
+    "mix_quality",
+    "gap_fill",
+    "triangle_count",
+    "containment",
+    "weighted_sample",
+    "rolling_zscore",
+    "char_entropy",
+    "assoc_rules",
+    "interval_join",
+    "bpe_merges_fast",
+    "conversion_funnel",
+    "retention_cohorts",
+    "dsir_weights",
+    "temperature_resample",
+    "hll_distinct",
+    "cms_topk",
+    "pagerank",
+    "hist_quantiles",
+    "trailing_window",
+    "unigram_logloss",
+    "vocab_coverage",
+    "doc_pack",
+    "boilerplate",
+    "c4_filter",
+    "embedding_clusters",
+    "minhash_dedup",
+    "dedup_clusters",
+    "pii_scrub",
+    "merge_upsert",
+    "scd2_versions",
+    "conditional_merge",
+    "flag_battery",
+    "fuzzy_dedup",
+    "quantile_coeffs",
+    "lw_model",
+    "last_wins",
+    "events_hourly",
+    "user_activity",
+    "json_extract",
+    "text_quality",
+    "lang_id",
+    "dedup_exact",
+    "simhash_pairs",
+    "doc_fingerprint",
+    "doc_winnow",
+    "token_rollup",
 ]
 
 # The driver hard-verifies exactly the first 50 entries; the tail list

@@ -1240,6 +1240,40 @@ def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.tfidf_top_terms(_docs(spark, sf_dir), k=3)
 
 
+# ---------------------------------------------------------------------------
+# Q: term statistics — the round-7 consolidation of the former
+# ``bigram_pmi`` and ``tfidf_terms`` registry rows (VERDICT r6 Next #1):
+# both operators run over ONE materialized corpus scan and their
+# results union under a normalized (stat, key1, key2, cnt, score)
+# schema, so each keeps full hash-exact oracle coverage while costing a
+# single registry slot.  PMI rows carry (w1, w2, n_ab, pmi); tfidf rows
+# carry (doc_id, term, tf, tfidf) with the per-doc top-3 filter already
+# applied (rank is derivable from the ordering and dropped to keep the
+# union schema tight).
+
+
+def q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # one corpus materialization feeds both operators — without it each
+    # operator's tokenize re-scans the parquet (the bigram_logloss
+    # materialization rule, NOTES r4)
+    docs = _docs(spark, sf_dir).select("doc_id", "text").localCheckpoint()
+    pmi = text_ops.bigram_pmi(docs, min_count=5).select(
+        F.lit("pmi").alias("stat"),
+        F.col("w1").alias("key1"),
+        F.col("w2").alias("key2"),
+        F.col("n_ab").alias("cnt"),
+        F.col("pmi").alias("score"),
+    )
+    tfidf = text_ops.tfidf_top_terms(docs, k=3).select(
+        F.lit("tfidf").alias("stat"),
+        F.col("doc_id").cast("string").alias("key1"),
+        F.col("term").alias("key2"),
+        F.col("tf").alias("cnt"),
+        F.col("tfidf").alias("score"),
+    )
+    return pmi.unionByName(tfidf)
+
+
 SQL_TFIDF_TERMS = """
 WITH tok AS (
   SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
@@ -1265,6 +1299,16 @@ ranked AS (
   FROM scored
 )
 SELECT doc_id, term, tf, tfidf, rank FROM ranked WHERE rank <= 3
+"""
+
+SQL_TERM_STATS = f"""
+SELECT 'pmi' AS stat, w1 AS key1, w2 AS key2,
+       CAST(n_ab AS BIGINT) AS cnt, pmi AS score
+FROM ({SQL_BIGRAM_PMI})
+UNION ALL
+SELECT 'tfidf' AS stat, CAST(doc_id AS VARCHAR) AS key1, term AS key2,
+       CAST(tf AS BIGINT) AS cnt, tfidf AS score
+FROM ({SQL_TFIDF_TERMS})
 """
 
 
@@ -1483,6 +1527,12 @@ FROM sc, ws
 # ---------------------------------------------------------------------------
 # Q: tokenizer fertility — BPE-ish sub-word tokens per whitespace word
 # per stratum (both regex segmentations verified engine-identical).
+# Round-7 consolidation: the registry row is dropped — the per-stratum
+# regex fertility is a strict subset of the scaffolding bpe_fertility
+# exercises under the hard oracle every rotation, and the operator
+# keeps direct pytest coverage (test_dedup_similarity_text.py::
+# test_tokenizer_fertility_*).  q_tokenizer_fertility and its SQL stay
+# importable for the local gate tooling.
 
 
 def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1543,10 +1593,8 @@ SPARK_QUERIES = {
     "span_scrub": q_span_scrub,
     "quality_topk": q_quality_topk,
     "domain_mix": q_domain_mix,
-    "tokenizer_fertility": q_tokenizer_fertility,
     "bigram_logloss": q_bigram_logloss,
-    "bigram_pmi": q_bigram_pmi,
-    "tfidf_terms": q_tfidf_terms,
+    "term_stats": q_term_stats,
     "unigram_logloss": q_unigram_logloss,
     "vocab_coverage": q_vocab_coverage,
     "doc_pack": q_doc_pack,
@@ -1579,10 +1627,8 @@ ORACLE_SQL = {
     "span_scrub": SQL_SPAN_SCRUB,
     "quality_topk": SQL_QUALITY_TOPK,
     "domain_mix": SQL_DOMAIN_MIX,
-    "tokenizer_fertility": SQL_TOKENIZER_FERTILITY,
     "bigram_logloss": SQL_BIGRAM_LOGLOSS,
-    "bigram_pmi": SQL_BIGRAM_PMI,
-    "tfidf_terms": SQL_TFIDF_TERMS,
+    "term_stats": SQL_TERM_STATS,
     "unigram_logloss": SQL_UNIGRAM_LOGLOSS,
     "vocab_coverage": SQL_VOCAB_COVERAGE,
     "doc_pack": SQL_DOC_PACK,
@@ -1694,11 +1740,13 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BM25_TOK = r"string_split_regex(trim(text), '\s+')"
 
 
-def _bm25_sql(terms, k):
+def _bm25_sql(terms, k, k1=1.2, b=0.75):
     """Mirror bm25_topk's scan-local shape: per-term tf via
     list_filter, 1-row stats CTE, fixed-order nano-unit contribution
-    sum — generated from the same term list the Spark query uses so
-    the two can never drift."""
+    sum — generated from the same term list AND the same (k1, b)
+    saturation constants as the Spark query (r6 ADVICE: the constants
+    were literals here, so changing them in q_bm25_search would have
+    silently desynced the oracle)."""
     tf_defs = ",\n         ".join(
         f"len(list_filter({_BM25_TOK}, x -> x = '{t}')) AS tf{i}"
         for i, t in enumerate(terms)
@@ -1714,7 +1762,8 @@ def _bm25_sql(terms, k):
     contrib_sum = "\n       + ".join(
         f"(CASE WHEN tf{i} > 0 THEN CAST(FLOOR("
         f"ln(1.0 + (n - df{i} + 0.5) / (df{i} + 0.5))"
-        f" * (tf{i} * 2.2 / (tf{i} + 1.2 * (0.25 + 0.75 * dl / avgdl)))"
+        f" * (tf{i} * {k1 + 1.0!r} / (tf{i} + {k1!r} * ({1.0 - b!r}"
+        f" + {b!r} * dl / avgdl)))"
         f" * 1000000000.0) AS BIGINT) ELSE 0 END)"
         for i in range(len(terms))
     )

@@ -991,3 +991,31 @@ def test_bm25_ranks_rarer_and_denser_matches_higher(spark):
     # saturation: tf=3 in doc 2 must not triple doc 4's tf=1 score
     # (same term, k1 bounds the tf contribution)
     assert by_id[2]["score"] < 3 * by_id[4]["score"]
+
+
+# ---------------------------------------------------------------------------
+# tokenizer_fertility — direct operator coverage (its registry row was
+# consolidated into bpe_fertility's rotation slot in round 7; the
+# operator itself stays first-class).
+
+
+def test_tokenizer_fertility_per_stratum(spark):
+    df = spark.createDataFrame(
+        [
+            # "hello, world" -> ws 2 tokens; bpe-ish: hello , world = 3
+            (1, "en", "hello, world"),
+            # "abc123" -> ws 1; bpe-ish: abc 123 = 2
+            (2, "en", "abc123"),
+            # pure words: fertility exactly 1.0
+            (3, "pt", "ola mundo"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    out = {r.lang: r for r in text.tokenizer_fertility(df, strata_col="lang").collect()}
+    assert out["en"].n_docs == 2
+    assert out["en"].ws_tokens == 3
+    assert out["en"].bpe_tokens == 5
+    assert out["en"].fertility == round(5 / 3, 6)
+    assert out["pt"].ws_tokens == 2
+    assert out["pt"].bpe_tokens == 2
+    assert out["pt"].fertility == 1.0
