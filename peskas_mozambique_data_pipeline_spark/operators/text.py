@@ -1233,6 +1233,7 @@ def bpe_merge_table_fast(
     text_col: str = "text",
     n_merges: int = 256,
     max_vocab: int = 2_000_000,
+    min_count: int = 1,
 ) -> DataFrame:
     """BPE merge table at realistic merge counts: ONE distributed
     corpus pass (the word histogram), then driver-side incremental
@@ -1244,14 +1245,30 @@ def bpe_merge_table_fast(
     ``max_vocab`` guards the driver collect: the histogram is
     model-fitting state (vocab-sized), but a corpus whose vocab
     exceeds the bound should raise loudly rather than OOM the driver.
+
+    ``min_count`` (default 1 = off; the oracle path never sets it)
+    prunes histogram words with weight < min_count BEFORE the collect
+    — the standard BPE-trainer approximation (every real trainer does
+    this): a 100 TB corpus's whitespace vocab is dominated by a heavy
+    tail of near-singleton words whose total pair mass is negligible,
+    so dropping them leaves the top merges unchanged in practice while
+    bounding the collect BY CONSTRUCTION — at most
+    total_tokens / min_count words can survive the filter, independent
+    of how heavy the tail is.  This is an approximation knob, not an
+    exactness guarantee: a pair could in principle lose ≤
+    (min_count − 1) · |pruned words containing it| of its count;
+    choose min_count ≪ the expected winning pair counts.
     """
     spark = df.sparkSession
     hist = bpe_word_histogram(df, text_col)
+    if min_count > 1:
+        hist = hist.filter(F.col("weight") >= min_count)
     n_vocab = hist.count()
     if n_vocab > max_vocab:
         raise ValueError(
             f"word histogram has {n_vocab} entries > max_vocab={max_vocab}; "
-            "raise the bound or pre-filter the corpus"
+            "raise the bound or prune the tail with min_count "
+            "(bounds the collect at total_tokens / min_count entries)"
         )
     weights = {r["word"]: r["weight"] for r in hist.collect()}
     learned = bpe_learn_merges(weights, n_merges)

@@ -24,15 +24,20 @@ Index layout (what actually bounds the per-batch read):
 * delta dirs ``index_dir/batch=<id>/band=<b>/`` — every write is
   ``partitionBy("band")``, so a band-selective read prunes directories
   instead of scanning whole files;
-* snapshot dirs ``compact_dir/upto=<id>/band=<b>/`` — every
-  ``compact_every`` batches the accumulated index (snapshot + deltas)
-  is rewritten into ONE partitioned snapshot and the merged delta dirs
-  plus superseded snapshots are deleted.  Without this, each
-  micro-batch re-lists and re-reads O(#batches) directories — reads
-  grow with corpus age; with it the read is one snapshot plus at most
-  ``compact_every − 1`` deltas, a bounded table.  Signatures are
-  immutable (documents are append-only), so compaction is a pure
-  rewrite — no upsert key resolution needed, unlike
+* snapshot dirs ``compact_dir/upto=<id>/`` — every ``compact_every``
+  batches the accumulated index (snapshot + deltas) is rewritten into
+  ONE snapshot, persisted as an EXTERNAL table hash-bucketed and
+  bucket-sorted on the ``(band, bucket)`` JOIN KEY, and the merged
+  delta dirs plus superseded snapshots (and their catalog entries) are
+  deleted.  Without compaction, each micro-batch re-lists and re-reads
+  O(#batches) directories — reads grow with corpus age; with it the
+  read is one snapshot plus at most ``compact_every − 1`` deltas, a
+  bounded table.  The bucketing means the corpus-sized snapshot side
+  of the per-batch candidate join carries its partitioning into the
+  join — ZERO Exchange on the corpus, only the new-batch rows shuffle
+  (one write-time shuffle per compaction buys every later join).
+  Signatures are immutable (documents are append-only), so compaction
+  is a pure rewrite — no upsert key resolution needed, unlike
   ``operators/merge.py``.
 
 Compaction is crash-safe by the same idempotency argument as the delta
@@ -48,6 +53,7 @@ duplicate can be detected.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import shutil
 
@@ -59,6 +65,19 @@ from ..operators import dedup as dedup_ops
 INDEX_SUBDIR = "minhash_index"
 COMPACT_SUBDIR = "minhash_index_compacted"
 PAIRS_SUBDIR = "near_dup_pairs"
+
+# bucket count for the compacted-snapshot table (see _snapshot_table);
+# joins against the snapshot require matching counts, so this is a
+# module constant rather than a per-call knob
+SNAPSHOT_BUCKETS = 8
+
+
+def _snapshot_table(compact_dir: str, upto: int) -> str:
+    """Deterministic catalog name for the ``upto=<id>`` snapshot of a
+    zone (md5 of the zone path — stable across sessions, unlike
+    ``hash()``)."""
+    digest = hashlib.md5(compact_dir.encode()).hexdigest()[:12]
+    return f"minhash_snap_{digest}_{upto}"
 
 
 def _index_frame(
@@ -133,33 +152,62 @@ def _dir_ids(root: str, key: str) -> list[int]:
     return sorted(out)
 
 
+def read_index_parts(
+    spark: SparkSession, index_dir: str, compact_dir: str
+) -> tuple[DataFrame | None, DataFrame | None]:
+    """The accumulated signature index as its two physically distinct
+    parts: ``(snapshot, deltas)`` — either may be ``None``.
+
+    Keeping them separate is the scale point (r6 VERDICT Next #7): the
+    snapshot is the CORPUS-sized side and is persisted as a table
+    hash-bucketed on the (band, bucket) join key, so joining new-batch
+    rows against it shuffles only the batch side — the snapshot scan
+    carries its bucket partitioning into the join with ZERO Exchange.
+    Unioning snapshot + deltas first (as a convenience read does)
+    destroys that partitioning and re-shuffles the whole corpus every
+    micro-batch.  Deltas are bounded (≤ compact_every − 1 batches) and
+    cheap to shuffle.
+    """
+    snaps = _dir_ids(compact_dir, "upto")
+    upto = snaps[-1] if snaps else -1
+    snapshot = None
+    if upto >= 0:
+        table = _snapshot_table(compact_dir, upto)
+        if spark.catalog.tableExists(table):
+            # through the catalog: the bucket spec feeds the planner
+            snapshot = spark.table(table)
+        else:
+            # fresh session / foreign zone: same files, no bucket
+            # metadata — correct, just unbucketed (read_latest_bucketed
+            # fallback posture)
+            snapshot = spark.read.parquet(os.path.join(compact_dir, f"upto={upto}"))
+    delta_ids = [b for b in _dir_ids(index_dir, "batch") if b > upto]
+    deltas = None
+    if delta_ids:
+        deltas = (
+            spark.read.option("basePath", index_dir)
+            .parquet(*[os.path.join(index_dir, f"batch={b}") for b in delta_ids])
+            .drop("batch")
+        )
+    return snapshot, deltas
+
+
 def read_index(
     spark: SparkSession, index_dir: str, compact_dir: str
 ) -> DataFrame | None:
     """The accumulated signature index: newest snapshot plus the delta
     dirs written after it.  Bounded read — at most one snapshot and
     ``compact_every − 1`` deltas exist at any time.  Returns ``None``
-    before the first batch."""
-    snaps = _dir_ids(compact_dir, "upto")
-    upto = snaps[-1] if snaps else -1
-    deltas = [b for b in _dir_ids(index_dir, "batch") if b > upto]
-    frames = []
-    if upto >= 0:
-        # reading the upto=<id> dir directly restores the band
-        # partition column from the directory names
-        frames.append(spark.read.parquet(os.path.join(compact_dir, f"upto={upto}")))
-    if deltas:
-        frames.append(
-            spark.read.option("basePath", index_dir)
-            .parquet(*[os.path.join(index_dir, f"batch={b}") for b in deltas])
-            .drop("batch")
-        )
-    if not frames:
-        return None
-    out = frames[0]
-    for f in frames[1:]:
-        out = out.unionByName(f)
-    return out
+    before the first batch.  (Convenience union — the incremental join
+    path uses :func:`read_index_parts` to keep the snapshot's bucket
+    partitioning.)"""
+    snapshot, deltas = read_index_parts(spark, index_dir, compact_dir)
+    if snapshot is None:
+        return deltas
+    if deltas is None:
+        return snapshot
+    return snapshot.unionByName(deltas.select(*snapshot.columns))
+
 
 
 def stream_near_dup_index(
@@ -197,16 +245,21 @@ def stream_near_dup_index(
             batch_df, text_col, id_col, shingle_k, n_hashes, bands
         ).localCheckpoint()  # several consumers below; compute once
 
-        # within-batch pairs + batch-vs-corpus pairs.  The index read
-        # is one snapshot + a bounded number of band-partitioned
-        # deltas; the batch side is the small side of the (band,
-        # bucket) equi-join.
+        # within-batch pairs + batch-vs-corpus pairs.  The corpus side
+        # is probed as TWO separate joins (read_index_parts): the
+        # bucketed snapshot joins exchange-free on (band, bucket) —
+        # only the batch side shuffles — and the bounded deltas join
+        # normally.  One unioned corpus frame would lose the
+        # snapshot's bucket partitioning and re-shuffle the whole
+        # corpus every micro-batch.
         pairs = _verified_pairs(new_rows, new_rows, id_col, jaccard_threshold)
-        existing = read_index(spark, index_dir, compact_dir)
-        if existing is not None:
-            pairs = pairs.unionByName(
-                _verified_pairs(new_rows, existing, id_col, jaccard_threshold)
-            ).dropDuplicates(["id_a", "id_b"])
+        snapshot, deltas = read_index_parts(spark, index_dir, compact_dir)
+        for existing in (snapshot, deltas):
+            if existing is not None:
+                pairs = pairs.unionByName(
+                    _verified_pairs(new_rows, existing, id_col, jaccard_threshold)
+                )
+        pairs = pairs.dropDuplicates(["id_a", "id_b"])
         pairs.write.mode("overwrite").parquet(
             os.path.join(pairs_dir, f"batch={batch_id}")
         )
@@ -218,10 +271,21 @@ def stream_near_dup_index(
             # Fold snapshot + all deltas ≤ batch_id (including the one
             # just written) into a new snapshot, THEN drop what it
             # supersedes.  Keyed overwrite makes a crash-replay rewrite
-            # the same snapshot rather than duplicate rows.
+            # the same snapshot rather than duplicate rows.  The
+            # snapshot is an EXTERNAL table hash-bucketed (and bucket-
+            # sorted) on the (band, bucket) join key: one shuffle here,
+            # at compaction, buys an exchange-free corpus side on every
+            # subsequent micro-batch join (PipelineZones.write_bucketed
+            # posture applied to the hottest join in the repo).
             full = read_index(spark, index_dir, compact_dir)
-            full.write.partitionBy("band").mode("overwrite").parquet(
-                os.path.join(compact_dir, f"upto={batch_id}")
+            table = _snapshot_table(compact_dir, batch_id)
+            (
+                full.write.mode("overwrite")
+                .bucketBy(SNAPSHOT_BUCKETS, "band", "bucket")
+                .sortBy("band", "bucket")
+                .format("parquet")
+                .option("path", os.path.join(compact_dir, f"upto={batch_id}"))
+                .saveAsTable(table)
             )
             for b in _dir_ids(index_dir, "batch"):
                 if b <= batch_id:
@@ -230,6 +294,9 @@ def stream_near_dup_index(
                     )
             for u in _dir_ids(compact_dir, "upto"):
                 if u < batch_id:
+                    spark.sql(
+                        f"DROP TABLE IF EXISTS {_snapshot_table(compact_dir, u)}"
+                    )
                     shutil.rmtree(
                         os.path.join(compact_dir, f"upto={u}"), ignore_errors=True
                     )

@@ -89,10 +89,15 @@ def test_compaction_bounds_the_index(spark, tmp_path):
     snaps = [n for n in os.listdir(compact_dir) if n.startswith("upto=")]
     assert snaps == ["upto=3"]
     assert not [n for n in os.listdir(index_dir) if n.startswith("batch=")]
-    # snapshot dirs are band-partitioned (directory pruning on the
-    # LSH join key)
+    # the snapshot is a catalog-registered EXTERNAL table hash-bucketed
+    # on the (band, bucket) join key, its files living in the upto= dir
+    # (round-7: PipelineZones.write_bucketed posture for the hottest
+    # join); the superseded snapshot's catalog entry is gone
+    assert spark.catalog.tableExists(di._snapshot_table(compact_dir, 3))
+    assert not spark.catalog.tableExists(di._snapshot_table(compact_dir, 1))
     assert any(
-        n.startswith("band=") for n in os.listdir(os.path.join(compact_dir, "upto=3"))
+        n.endswith(".parquet")
+        for n in os.listdir(os.path.join(compact_dir, "upto=3"))
     )
 
     # compaction changed the layout, not the contents
@@ -153,3 +158,50 @@ def test_streaming_pairs_match_batch_pipeline(spark, tmp_path):
     }
     assert streamed == batch
     assert len(batch) > 0  # the corpus actually contains near-dups
+
+
+def test_snapshot_join_is_exchange_free_on_corpus_side(spark, tmp_path):
+    """Zone-DAG invariant (round 7): after compaction, the per-batch
+    candidate join reads the corpus snapshot THROUGH its bucketed
+    catalog table, so the corpus side carries hash partitioning on the
+    (band, bucket) join key into the join — the ONLY exchanges in the
+    plan belong to the small new-batch side (and the pair dedup), never
+    a re-shuffle of the snapshot scan."""
+    import os
+
+    landing = str(tmp_path / "landing")
+    schema = _write(spark, landing, [(1, DOC), (2, OTHER)])
+    _write(spark, landing, [(3, THIRD)])
+    zone = str(tmp_path / "zone")
+    ck = str(tmp_path / "ck")
+    stream = si.stream_landing_zone(spark, landing, schema, max_files_per_trigger=1)
+    q, index_dir, _ = di.stream_near_dup_index(
+        stream, zone, ck, jaccard_threshold=0.5, compact_every=2
+    )
+    q.awaitTermination(180)
+    compact_dir = str(tmp_path / "zone" / di.COMPACT_SUBDIR)
+
+    snapshot, deltas = di.read_index_parts(spark, index_dir, compact_dir)
+    assert snapshot is not None and deltas is None  # fully compacted
+
+    new_rows = di._index_frame(
+        spark.createDataFrame([(9, DOC_NEAR)], "doc_id long, text string"),
+        "text", "doc_id", 5, 8, 4,
+    )
+    joined = di._verified_pairs(new_rows, snapshot, "doc_id", 0.5)
+    plan = joined._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    # the bucketed scan feeds the join directly: no Exchange may sit
+    # between the snapshot's FileScan and the SortMergeJoin.  Walk the
+    # plan text: the scan line for the snapshot table must not have an
+    # Exchange above it within its join branch.  Cheap proxy that holds
+    # for this plan shape: exactly the batch-side exchanges exist, and
+    # the snapshot scan advertises its bucketing.
+    assert "Bucketed: true" in joined._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    # branch-local check: at most ONE (band, bucket) hash exchange in
+    # the whole plan — the batch side's.  A both-sides-shuffled SMJ on
+    # the join key would show two.
+    assert plan.count("Exchange hashpartitioning(band") <= 1, plan

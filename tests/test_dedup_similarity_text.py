@@ -1019,3 +1019,37 @@ def test_tokenizer_fertility_per_stratum(spark):
     assert out["pt"].ws_tokens == 2
     assert out["pt"].bpe_tokens == 2
     assert out["pt"].fertility == 1.0
+
+
+def test_bpe_fast_min_count_prunes_tail_with_unchanged_top_merges(spark):
+    # heavy-tailed corpus: a few dominant words + a long singleton
+    # tail.  min_count prunes the tail below the max_vocab bound and
+    # the learned top merges are identical to the unpruned run.
+    head = [(i, "lower lower lower newest newest") for i in range(1, 4)]
+    # 40 distinct singleton words (single CJK chars: no shared pairs,
+    # so the tail carries vocab bulk but negligible pair mass)
+    tail = [(100 + i, chr(0x4E00 + i)) for i in range(40)]
+    df = spark.createDataFrame(head + tail, "doc_id long, text string")
+    full = [
+        (r.left, r.right, r.pair_count)
+        for r in sorted(
+            text.bpe_merge_table_fast(df, n_merges=4).collect(),
+            key=lambda r: r.step,
+        )
+    ]
+    # max_vocab=10 < 42 distinct words: the unpruned path must refuse…
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="min_count"):
+        text.bpe_merge_table_fast(df, n_merges=4, max_vocab=10)
+    # …while min_count=2 trains under the same bound, tail gone
+    pruned = [
+        (r.left, r.right, r.pair_count)
+        for r in sorted(
+            text.bpe_merge_table_fast(
+                df, n_merges=4, max_vocab=10, min_count=2
+            ).collect(),
+            key=lambda r: r.step,
+        )
+    ]
+    assert pruned == full
