@@ -1547,3 +1547,94 @@ def bm25_topk(
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def bm25_topk_indexed(
+    df: DataFrame,
+    query_terms: Sequence[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 top-k via an INVERTED-INDEX plan — the scale tier past the
+    scan-local :func:`bm25_topk` crossover (SCALE.md): that tier costs
+    one array scan per (doc, query term), so a 10k-term query multiset
+    re-walks every document 10k times; this tier explodes the corpus
+    to postings ONCE, keeps only rows whose term is in the (broadcast)
+    query vocabulary, and scores from the postings table — cost
+    proportional to matching postings, independent of query size.
+
+    Exact-parity contract: the per-(doc, term) contribution is the
+    SAME float expression on the same operands as ``bm25_topk``
+    (idf · saturation, floored to nano-units), and nano-unit integers
+    sum order-free — so both tiers hash-match the same DuckDB oracle
+    (the bpe fast/slow cross-tier pattern).  Duplicate query terms
+    contribute with multiplicity, exactly like the scan-local tier's
+    one-column-per-term-instance expansion.
+
+    Scale shape: one corpus scan for postings (explode + broadcast
+    semi-filter on the query vocab — filter BEFORE the tf groupBy so
+    only matching postings shuffle), one pruned-column scan for the
+    1-row corpus stats, a vocab-sized df table broadcast back, and a
+    TakeOrdered top-k.  The per-term df comes from groupBy + join-back
+    (window-skew rule: query vocabs contain stopword-class hot terms).
+    """
+    spark = df.sparkSession
+    terms = [str(t) for t in query_terms]
+    mult: dict[str, int] = {}
+    for t in terms:
+        mult[t] = mult.get(t, 0) + 1
+    tframe = spark.createDataFrame(
+        [(t, m) for t, m in sorted(mult.items())], "term string, _mult long"
+    )
+    toks = tokens(text_col)
+    base = df.select(F.col(id_col), F.size(toks).alias("_dl"))
+    stats = base.agg(
+        (F.sum("_dl") / F.count(F.lit(1))).alias("_avgdl"),
+        F.count(F.lit(1)).cast("double").alias("_n"),
+    )
+    # postings feeds TWO consumers (document frequencies + scoring) —
+    # the materialization rule: without a hard checkpoint each branch
+    # re-explodes the whole corpus (two full tokenize scans + two tf
+    # shuffles; observed in the plan).  The materialized frame is the
+    # MATCHED postings only — bounded by query vocab × docs, far below
+    # corpus size.
+    postings = (
+        df.select(F.col(id_col), F.size(toks).alias("_dl"),
+                  F.explode(toks).alias("term"))
+        .join(F.broadcast(tframe), "term")
+        .groupBy(id_col, "term", "_dl", "_mult")
+        .agg(F.count(F.lit(1)).alias("_tf"))
+    ).localCheckpoint()
+    dfreq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+    scored = (
+        postings.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+    )
+    tf = F.col("_tf").cast("double")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("_n") - F.col("_df") + F.lit(0.5)) / (F.col("_df") + F.lit(0.5))
+    )
+    part = (
+        tf
+        * F.lit(k1 + 1.0)
+        / (
+            tf
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * F.col("_dl") / F.col("_avgdl"))
+        )
+    )
+    contrib = F.floor(idf * part * F.lit(1e9)).cast("long") * F.col("_mult")
+    return (
+        scored.select(F.col(id_col), F.col("_mult"), contrib.alias("_cq"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("_mult").alias("n_terms_hit"),
+            F.round(F.sum("_cq") / F.lit(1e9), 6).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

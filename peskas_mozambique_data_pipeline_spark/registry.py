@@ -586,6 +586,7 @@ _VERIFY_FIRST = [
     # round-7 additions — never driver-verified, head of the window
     "term_stats",
     "ann_ivfpq",
+    "bm25_indexed",
     # r7 rotation (VERDICT r6 Next #2): the 46 queries that sat in the
     # r6 tail (each driver-green in r5, judge-gated bit-exact in r6,
     # minus the 4 rows consolidated away this round) come back to the
@@ -637,12 +638,15 @@ _VERIFY_FIRST = [
     "running_total",
     "geo_rollup_join",
 ]
-# The two bench outliers from VERDICT r6 What's-wrong #1 sit in the
-# MID (neither list): they stay inside the 50-row driver window while
-# their regressions are re-measured, at no rotation cost — both were
-# driver-green in r6 so a second consecutive row is free coverage.
-# mid == {site_stats_full, ann_lsh}
+# The r6 bench outlier ann_lsh sits in the MID (neither list): it
+# stays inside the 50-row driver window while its regression claim is
+# confirmed, at no rotation cost (driver-green r6, so the second
+# consecutive row is free coverage).  site_stats_full — the other
+# outlier, already re-measured back in band — rotates to the tail to
+# make room for the bm25_indexed addition.
+# mid == {ann_lsh}
 _VERIFY_LAST = [
+    "site_stats_full",
     # Rotation tail: everything here was driver-green in round 6 (the
     # r6 head/mid window), so sitting out one round keeps the "hard
     # driver row at least every 2 rounds" invariant.  The assertion

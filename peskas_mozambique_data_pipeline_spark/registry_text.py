@@ -1798,3 +1798,18 @@ SQL_BM25_SEARCH = _bm25_sql(_BM25_TERMS, k=25)
 
 SPARK_QUERIES["bm25_search"] = q_bm25_search
 ORACLE_SQL["bm25_search"] = SQL_BM25_SEARCH
+
+
+def q_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inverted-index BM25 tier (text.bm25_topk_indexed: postings
+    explode + broadcast vocab filter — query-size-independent corpus
+    cost) against the SAME oracle as ``bm25_search``: identical
+    nano-unit contributions sum order-free, so the hash-exact match IS
+    the cross-tier parity proof (the bpe fast/slow pattern)."""
+    return text_ops.bm25_topk_indexed(
+        _docs(spark, sf_dir), query_terms=_BM25_TERMS, k=25
+    )
+
+
+SPARK_QUERIES["bm25_indexed"] = q_bm25_indexed
+ORACLE_SQL["bm25_indexed"] = SQL_BM25_SEARCH

@@ -1053,3 +1053,25 @@ def test_bpe_fast_min_count_prunes_tail_with_unchanged_top_merges(spark):
         )
     ]
     assert pruned == full
+
+
+def test_bm25_indexed_matches_scan_local_tier(spark):
+    docs = [
+        (1, "cat dog"),
+        (2, "cat cat cat"),
+        (3, "dog filler filler filler filler filler filler"),
+        (4, "cat filler"),
+        (5, "filler filler"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    # duplicate query term: both tiers must weight it with multiplicity
+    terms = ["cat", "dog", "cat"]
+    scan = sorted(
+        (r.doc_id, r.n_terms_hit, r.score)
+        for r in text.bm25_topk(df, terms, k=10).collect()
+    )
+    indexed = sorted(
+        (r.doc_id, r.n_terms_hit, r.score)
+        for r in text.bm25_topk_indexed(df, terms, k=10).collect()
+    )
+    assert scan == indexed and len(scan) == 4

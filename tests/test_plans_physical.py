@@ -379,3 +379,18 @@ def test_mix_quality_no_global_window(spark):
     assert not re.search(r"Sort \[[^\]]*\], true", simple), (
         "global sort in mix_quality plan"
     )
+
+
+def test_bm25_indexed_broadcasts_vocab_and_dims(spark):
+    # the inverted tier's postings filter (query vocab), df table and
+    # 1-row stats all broadcast — a shuffled join on the Zipf-hot term
+    # key would move the postings table twice.  The postings frame is
+    # checkpointed (it feeds df counts AND scoring), so the plan after
+    # materialization holds only the vocab-sized df aggregate and the
+    # final per-doc rollup; the single corpus explode+tf shuffle
+    # happened once, inside the checkpoint.
+    plan = plan_of(registry.SPARK_QUERIES["bm25_indexed"](spark, SF), "simple")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert plan.count("Generate explode") == 0  # corpus exploded pre-plan
