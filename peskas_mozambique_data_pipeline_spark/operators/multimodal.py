@@ -126,3 +126,75 @@ def frame_sample(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     return df.filter(F.col("media_type") == "video").select(
         "asset_id", F.explode(ts).alias("frame_ms")
     )
+
+
+AUDIO_WINDOW_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("win_start_ms", IntegerType()),
+        StructField("n_samples", IntegerType()),
+        StructField("rms", FloatType()),
+        StructField("zero_crossings", IntegerType()),
+    ]
+)
+
+
+def audio_windows(
+    df: DataFrame,
+    window_ms: int = 25,
+    hop_ms: int = 10,
+    sample_rate: int = 16_000,
+    batch_size: int = 64,
+) -> DataFrame:
+    """Window raw PCM audio into overlapping frames with per-frame
+    features (RMS energy, zero-crossing count) — the front half of any
+    audio featurizer (VAD, fbank/MFCC, wav2vec chunking).
+
+    Unlike the image path this needs NO codec stub: 16-bit mono PCM is
+    ``np.frombuffer`` away from samples, so the whole operator is real
+    and deterministic in this container.  Compressed formats decode to
+    exactly this layout upstream.
+
+    Scale shape: ``mapInPandas`` fan-OUT — one input blob row becomes
+    ~duration/hop output rows, so the output is framed metadata + small
+    floats, never re-materialized waveforms.  Each Arrow batch is
+    sub-sliced to ``batch_size`` blobs (same bounded-memory contract as
+    :func:`decode_media`); frames of one asset never cross executors,
+    so no shuffle is needed at all — the operator is scan-local.
+    """
+    import numpy as np
+
+    win = max(1, int(sample_rate * window_ms / 1000))
+    hop = max(1, int(sample_rate * hop_ms / 1000))
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for lo in range(0, len(pdf), batch_size):
+                chunk = pdf.iloc[lo : lo + batch_size]
+                ids, starts, ns, rms, zc = [], [], [], [], []
+                for aid, content in zip(chunk["asset_id"], chunk["content"]):
+                    if content is None or len(content) < 2:
+                        continue
+                    pcm = np.frombuffer(
+                        content[: len(content) - (len(content) % 2)], dtype="<i2"
+                    ).astype(np.float64)
+                    for s in range(0, max(1, len(pcm) - win + 1), hop):
+                        w = pcm[s : s + win]
+                        ids.append(aid)
+                        starts.append(int(s * 1000 // sample_rate))
+                        ns.append(len(w))
+                        rms.append(float(np.sqrt(np.mean(w * w))))
+                        zc.append(int(np.count_nonzero(np.signbit(w[1:]) != np.signbit(w[:-1]))))
+                yield pd.DataFrame(
+                    {
+                        "asset_id": pd.Series(ids, dtype="int64"),
+                        "win_start_ms": pd.Series(starts, dtype="int32"),
+                        "n_samples": pd.Series(ns, dtype="int32"),
+                        "rms": pd.Series(rms, dtype="float32"),
+                        "zero_crossings": pd.Series(zc, dtype="int32"),
+                    }
+                )
+
+    return df.filter(F.col("media_type") == "audio").select(
+        "asset_id", "content"
+    ).mapInPandas(process, AUDIO_WINDOW_SCHEMA)
