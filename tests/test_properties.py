@@ -411,3 +411,144 @@ def test_per_group_cap_properties(spark, rows_in, cap):
     assert sorted(r.doc_id for r in rows if r._keep) == sorted(
         r.doc_id for r in out2.collect() if r._keep
     )
+
+
+@SET
+@given(
+    st.lists(  # intervals: (id, start_s, length_s)
+        st.tuples(
+            st.integers(min_value=0, max_value=86_400 * 2),
+            st.integers(min_value=0, max_value=86_400),
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+    st.lists(st.integers(min_value=0, max_value=86_400 * 3), min_size=1, max_size=12),
+    st.sampled_from([3600, 21_600, 90_000]),
+)
+def test_interval_join_equals_theta_join(spark, iv_in, pt_in, bin_seconds):
+    """interval_join must emit EXACTLY the (point, interval) pairs the
+    naive theta join defines, for any bin width — bins dial cost, never
+    semantics."""
+    import datetime
+
+    from peskas_mozambique_data_pipeline_spark.operators.joins import interval_join
+
+    epoch = datetime.datetime(2024, 1, 1)
+    ivs = [
+        (i, epoch + datetime.timedelta(seconds=s), epoch + datetime.timedelta(seconds=s + d))
+        for i, (s, d) in enumerate(iv_in)
+    ]
+    pts = [(j, epoch + datetime.timedelta(seconds=s)) for j, s in enumerate(pt_in)]
+    intervals = spark.createDataFrame(ivs, "iv_id long, t_start timestamp, t_end timestamp")
+    points = spark.createDataFrame(pts, "pt_id long, ts timestamp")
+    got = {
+        (r.pt_id, r.iv_id)
+        for r in interval_join(
+            points, intervals, "ts", "t_start", "t_end", bin_seconds=bin_seconds
+        ).select("pt_id", "iv_id").collect()
+    }
+    expect = {
+        (j, i)
+        for i, s, e in ivs
+        for j, p in pts
+        if s <= p <= e
+    }
+    assert got == expect
+
+
+@SET
+@given(
+    st.lists(  # (day offset, value) observations for one key
+        st.tuples(
+            st.integers(min_value=0, max_value=40),
+            st.integers(min_value=-1000, max_value=1000),
+        ),
+        min_size=1,
+        max_size=8,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_gap_fill_matches_python_reference(spark, obs_in):
+    """gap_fill_interpolate == the obvious python LOCF/interp per day."""
+    import datetime
+
+    from peskas_mozambique_data_pipeline_spark.operators.timeseries import (
+        gap_fill_interpolate,
+    )
+
+    d0 = datetime.date(2024, 1, 1)
+    obs = sorted((d0 + datetime.timedelta(days=d), v) for d, v in obs_in)
+    df = spark.createDataFrame(
+        [("k", d, v) for d, v in obs], "k string, day date, vq long"
+    )
+    out = {
+        r.day: (r.value_q, r.locf_q, r.interp_q)
+        for r in gap_fill_interpolate(df, ["k"], "day", "vq").collect()
+    }
+    days = [obs[0][0] + datetime.timedelta(days=i)
+            for i in range((obs[-1][0] - obs[0][0]).days + 1)]
+    assert set(out) == set(days)
+    lookup = dict(obs)
+    for day in days:
+        vq, locf, interp = out[day]
+        prev = max((d, v) for d, v in obs if d <= day)
+        nxt = min(((d, v) for d, v in obs if d >= day), default=None)
+        assert locf == prev[1]
+        assert vq == lookup.get(day)
+        if day in lookup:
+            assert interp == lookup[day]
+        else:
+            # bracketed: python floor-div interpolation, matching div
+            (pd_, pv), (nd, nv) = prev, nxt
+            num = (nv - pv) * (day - pd_).days
+            den = (nd - pd_).days
+            # Spark's `div` truncates toward zero like DuckDB //? No:
+            # div is integer division truncating toward zero on
+            # BIGINT; python // floors.  Use the same trunc semantics.
+            q = num // den if (num >= 0) == (den >= 0) else -((-num) // den)
+            assert interp == pv + q
+
+
+@SET
+@given(
+    st.lists(  # (seconds offset, value) ticks, unique ts
+        st.tuples(
+            st.integers(min_value=0, max_value=10_000),
+            st.integers(min_value=-10_000, max_value=10_000),
+        ),
+        min_size=1,
+        max_size=8,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_time_weighted_mean_matches_python_reference(spark, ticks_in):
+    import datetime
+
+    from peskas_mozambique_data_pipeline_spark.operators.timeseries import (
+        time_weighted_mean,
+    )
+
+    epoch = datetime.datetime(2024, 1, 1)
+    ticks = sorted(ticks_in)
+    df = spark.createDataFrame(
+        [("k", epoch + datetime.timedelta(seconds=s), float(v)) for s, v in ticks],
+        "k string, ts timestamp, v double",
+    )
+    rows = time_weighted_mean(df, ["k"], "ts", "v").collect()
+    # python reference: micro-unit values x whole-second holds
+    holds = [
+        (round(v * 1e6), ticks[i + 1][0] - s)
+        for i, (s, v) in enumerate(ticks[:-1])
+    ]
+    total = sum(d for _, d in holds)
+    if total == 0:
+        assert rows == []  # all-zero-duration keys are filtered
+    else:
+        (r,) = rows
+        assert r.n_obs == len(ticks)
+        assert r.total_dur_s == total
+        expect = (sum(q * d for q, d in holds) / total) / 1e6
+        # the operator emits ROUND(..., 6) (oracle convention) — allow
+        # one half-ulp of that rounding
+        assert abs(r.tw_mean - expect) <= 5.000001e-7
