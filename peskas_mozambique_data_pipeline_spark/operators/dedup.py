@@ -677,13 +677,13 @@ def containment_prefix_pairs(
     checkpointed because it feeds the candidate join against the full
     index; verification intersects full hash sets for candidates only.
     """
-    ex = hashed.select(
+    raw = hashed.select(
         F.col(id_col).alias("_id"),
         F.size("_h32").alias("_sz"),
         F.explode("_h32").alias("h"),
     )
-    counts = ex.groupBy("h").agg(F.count(F.lit(1)).alias("_df"))
-    ex = ex.join(counts, "h")
+    counts = raw.groupBy("h").agg(F.count(F.lit(1)).alias("_df"))
+    ex = raw.join(counts, "h")
     w_doc = Window.partitionBy("_id").orderBy(F.col("_df").asc(), F.col("h").asc())
     ranked = ex.withColumn("_rn", F.row_number().over(w_doc))
     probe = (
@@ -694,7 +694,15 @@ def containment_prefix_pairs(
         .select(F.col("_id").alias("_qid"), F.col("_sz").alias("_qsz"), "h")
         .localCheckpoint()
     )
-    index = ranked.select(F.col("_id").alias("_tid"), F.col("_sz").alias("_tsz"), "h")
+    # the index side needs ONLY (_id, _sz, h): building it from the
+    # pre-df/pre-rank frame skips the counts join AND the per-doc
+    # window on this branch — two full shuffles of the exploded corpus
+    # that only the probe's prefix rank actually requires (measured
+    # 5.1 → 4.9 s min at sf0.1 — the probe rank dominates locally, but
+    # at corpus scale the removed shuffles are the O(|shingles|) term;
+    # identical rows: the df order exists to TRUNCATE the probe,
+    # posting lists are order-insensitive)
+    index = raw.select(F.col("_id").alias("_tid"), F.col("_sz").alias("_tsz"), "h")
     cand = (
         probe.join(index, "h")
         .filter(
