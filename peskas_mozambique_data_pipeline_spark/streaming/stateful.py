@@ -25,8 +25,10 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
     TimestampType,
@@ -241,5 +243,105 @@ def anomaly_flags(
         outputStructType=ANOMALY_OUTPUT_SCHEMA,
         stateStructType=ANOMALY_STATE_SCHEMA,
         outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+DRIFT_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("grp", StringType()),
+        StructField("n_tokens", LongType()),
+        StructField("kl_to_ref", DoubleType()),
+    ]
+)
+
+DRIFT_STATE_SCHEMA = StructType(
+    [StructField("counts", ArrayType(LongType()))]
+)
+
+
+def _drift_bin(token: str, n_bins: int) -> int:
+    """md5-based bin — the same deterministic-hash convention as
+    ``operators/sketches.py`` (portable, seed-free)."""
+    import hashlib
+
+    return int(hashlib.md5(token.encode()).hexdigest()[:8], 16) % n_bins
+
+
+def binned_reference(ref_probs: dict[str, float], n_bins: int = 256) -> list[float]:
+    """Fold a token→probability reference distribution into the fixed
+    bin space the streaming monitor accumulates in."""
+    out = [0.0] * n_bins
+    for tok, p in ref_probs.items():
+        out[_drift_bin(tok, n_bins)] += float(p)
+    return out
+
+
+def stream_token_drift(
+    stream: DataFrame,
+    ref_probs: dict[str, float],
+    group_col: str = "grp",
+    token_col: str = "token",
+    n_bins: int = 256,
+    eps: float = 1e-9,
+) -> DataFrame:
+    """Streaming per-group token-distribution drift — the online twin
+    of ``operators/curation.token_distribution_drift``: each group's
+    RUNNING token distribution is scored (KL) against a fixed reference
+    distribution, re-emitted on every micro-batch.
+
+    The batch operator compares per-group vs whole-corpus exactly at
+    token grain; exact token-grain state on a stream is VOCAB-SIZED
+    (unbounded).  The affordable state is a fixed hashed-bin histogram
+    (``n_bins`` BIGINTs per group — the CMS/HLL bounded-sketch
+    posture): tokens md5-hash into bins, the reference distribution is
+    folded into the same bins (:func:`binned_reference`), and the KL
+    is computed bin-wise.  Binned KL is a LOWER BOUND of token-grain
+    KL (log-sum inequality — hash-merging cells can only cancel
+    differences), which is the right direction for an alerting signal:
+    it under-fires, never false-fires from binning.  ``eps`` smooths
+    reference bins so a group token in a zero-mass reference bin gives
+    a large-but-finite score.
+
+    State is additive, so N micro-batches and one batch reach the same
+    final (counts, KL) — the batch↔streaming equivalence the rest of
+    the streaming family proves in tests.  Input: token-grain rows
+    (group_col, token_col) — explode upstream, keeping the UDF free of
+    tokenizer coupling.
+    """
+    import math
+
+    ref = binned_reference(ref_probs, n_bins)
+    denom = 1.0 + eps * n_bins
+    q = [(ref[j] + eps) / denom for j in range(n_bins)]
+
+    def update(key, batches, state: GroupState):
+        (counts,) = state.get if state.exists else ([0] * n_bins,)
+        counts = list(counts)
+        for pdf in batches:
+            for tok in pdf[token_col]:
+                counts[_drift_bin(str(tok), n_bins)] += 1
+        state.update((counts,))
+        total = sum(counts)
+        kl = 0.0
+        if total:
+            # fixed bin order: deterministic float fold
+            for j in range(n_bins):
+                if counts[j]:
+                    p = counts[j] / total
+                    kl += p * math.log(p / q[j])
+        yield pd.DataFrame(
+            {
+                "grp": [str(key[0])],
+                "n_tokens": [total],
+                "kl_to_ref": [kl],
+            }
+        )
+
+    return stream.groupBy(group_col).applyInPandasWithState(
+        update,
+        outputStructType=DRIFT_OUTPUT_SCHEMA,
+        stateStructType=DRIFT_STATE_SCHEMA,
+        outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

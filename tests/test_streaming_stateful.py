@@ -154,3 +154,83 @@ def test_streaming_anomaly_flags_cross_batch_baseline(spark, tmp_path):
     assert r.value == 100.0 and r.n_prior == 10 and r.zscore > 10
     # calm readings never flagged; the spike IS in the baseline afterwards
     # (n_prior counted only strictly-prior events)
+
+
+def test_stream_token_drift_cross_batch_and_batch_equivalence(spark, tmp_path):
+    """Streaming drift monitor: (a) state accumulates across
+    micro-batches through the checkpoint, (b) the final KL equals a
+    python recomputation over the SAME binned arithmetic (additive
+    state => batch/stream equivalence), (c) a group matching the
+    reference scores ~0 while a shifted group scores well above it."""
+    import math
+
+    from peskas_mozambique_data_pipeline_spark.streaming.stateful import (
+        _drift_bin,
+        binned_reference,
+        stream_token_drift,
+    )
+
+    src = str(tmp_path / "tok")
+    out = str(tmp_path / "drift")
+    ckpt = str(tmp_path / "ckpt3")
+
+    # reference: uniform over 4 tokens
+    ref = {t: 0.25 for t in ["alpha", "beta", "gamma", "delta"]}
+    match = ["alpha", "beta", "gamma", "delta"] * 3   # matches ref
+    shifted = ["zeta"] * 10 + ["alpha", "beta"]       # mass off-reference
+
+    def write(rows):
+        spark.createDataFrame(rows, "grp string, token string").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    write([("m", t) for t in match[:6]] + [("s", t) for t in shifted[:6]])
+    schema = spark.read.parquet(src).schema
+
+    def run_once():
+        stream = spark.readStream.format("parquet").schema(schema).load(src)
+        drift = stream_token_drift(stream, ref, n_bins=64)
+        q = (
+            drift.writeStream.foreachBatch(
+                lambda df, epoch: df.write.mode("append").parquet(out)
+            )
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    write([("m", t) for t in match[6:]] + [("s", t) for t in shifted[6:]])
+    run_once()
+
+    rows = spark.read.parquet(out).collect()
+    latest = {}
+    for r in rows:
+        if r.grp not in latest or r.n_tokens > latest[r.grp].n_tokens:
+            latest[r.grp] = r
+    assert latest["m"].n_tokens == len(match)
+    assert latest["s"].n_tokens == len(shifted)
+
+    # python twin over the same binned arithmetic
+    n_bins, eps = 64, 1e-9
+    refb = binned_reference(ref, n_bins)
+    q_ = [(refb[j] + eps) / (1.0 + eps * n_bins) for j in range(n_bins)]
+
+    def py_kl(toks):
+        counts = [0] * n_bins
+        for t in toks:
+            counts[_drift_bin(t, n_bins)] += 1
+        total = sum(counts)
+        return sum(
+            (c / total) * math.log((c / total) / q_[j])
+            for j, c in enumerate(counts)
+            if c
+        )
+
+    assert abs(latest["m"].kl_to_ref - py_kl(match)) < 1e-12
+    assert abs(latest["s"].kl_to_ref - py_kl(shifted)) < 1e-12
+    # the signal: matching group ~0, shifted group clearly above
+    assert latest["m"].kl_to_ref < 0.1
+    assert latest["s"].kl_to_ref > 1.0
