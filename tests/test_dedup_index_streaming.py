@@ -205,3 +205,33 @@ def test_snapshot_join_is_exchange_free_on_corpus_side(spark, tmp_path):
     # the whole plan — the batch side's.  A both-sides-shuffled SMJ on
     # the join key would show two.
     assert plan.count("Exchange hashpartitioning(band") <= 1, plan
+
+
+def test_snapshot_fallback_without_catalog_entry(spark, tmp_path):
+    """A fresh session has no catalog entry for the snapshot table —
+    read_index_parts must fall back to a plain parquet read of the same
+    files (correct, just unbucketed).  Simulated by dropping the table
+    (external: DROP leaves the files)."""
+    landing = str(tmp_path / "landing")
+    schema = _write(spark, landing, [(1, DOC), (2, OTHER)])
+    _write(spark, landing, [(3, DOC_NEAR)])
+    zone = str(tmp_path / "zone")
+    ck = str(tmp_path / "ck")
+    stream = si.stream_landing_zone(spark, landing, schema, max_files_per_trigger=1)
+    q, index_dir, pairs_dir = di.stream_near_dup_index(
+        stream, zone, ck, jaccard_threshold=0.5, compact_every=2
+    )
+    q.awaitTermination(180)
+    compact_dir = str(tmp_path / "zone" / di.COMPACT_SUBDIR)
+    table = di._snapshot_table(compact_dir, 1)
+    assert spark.catalog.tableExists(table)
+    before = {r.doc_id for r in di.read_index(spark, index_dir, compact_dir)
+              .select("doc_id").distinct().collect()}
+
+    spark.sql(f"DROP TABLE {table}")  # external: files stay
+
+    snapshot, _ = di.read_index_parts(spark, index_dir, compact_dir)
+    assert snapshot is not None
+    after = {r.doc_id for r in di.read_index(spark, index_dir, compact_dir)
+             .select("doc_id").distinct().collect()}
+    assert after == before == {1, 2, 3}
