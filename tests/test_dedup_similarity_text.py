@@ -1075,3 +1075,38 @@ def test_bm25_indexed_matches_scan_local_tier(spark):
         for r in text.bm25_topk_indexed(df, terms, k=10).collect()
     )
     assert scan == indexed and len(scan) == 4
+
+
+def test_deterministic_shuffle_is_dense_reproducible_and_well_mixed(spark):
+    from peskas_mozambique_data_pipeline_spark.operators.curation import (
+        deterministic_shuffle,
+        ordering_mix_audit,
+    )
+
+    # 300 docs in 3 contiguous source blocks — maximally clumped input
+    rows = [(i, ["a", "b", "c"][i // 100]) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = deterministic_shuffle(df, "doc_id", salt="epoch0", n_parts=4)
+    got = out.select("doc_id", "shuffle_pos").collect()
+    # dense permutation of [0, 300)
+    assert sorted(r.shuffle_pos for r in got) == list(range(300))
+    # reproducible bit-identically
+    again = deterministic_shuffle(df, "doc_id", salt="epoch0", n_parts=4)
+    assert {(r.doc_id, r.shuffle_pos) for r in again.collect()} == {
+        (r.doc_id, r.shuffle_pos) for r in got
+    }
+    # a different salt is a different permutation
+    other = deterministic_shuffle(df, "doc_id", salt="epoch1", n_parts=4)
+    assert {(r.doc_id, r.shuffle_pos) for r in other.collect()} != {
+        (r.doc_id, r.shuffle_pos) for r in got
+    }
+    # and the result is WELL MIXED: clump_ratio ~ 1 for every source
+    # (the input order would show ~3: 100-run blocks of 1/3-share srcs)
+    audit = ordering_mix_audit(out, "source", "shuffle_pos").collect()
+    assert len(audit) == 3
+    for r in audit:
+        assert 0.6 <= r.clump_ratio <= 1.5, r
+    before = ordering_mix_audit(
+        df.withColumn("pos", F.col("doc_id")), "source", "pos"
+    ).collect()
+    assert all(r.clump_ratio > 2.5 for r in before)
