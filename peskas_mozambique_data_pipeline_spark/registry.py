@@ -587,6 +587,7 @@ _VERIFY_FIRST = [
     "term_stats",
     "ann_ivfpq",
     "bm25_indexed",
+    "corpus_shuffle",
     # r7 rotation (VERDICT r6 Next #2): the 46 queries that sat in the
     # r6 tail (each driver-green in r5, judge-gated bit-exact in r6,
     # minus the 4 rows consolidated away this round) come back to the
@@ -638,14 +639,13 @@ _VERIFY_FIRST = [
     "running_total",
     "geo_rollup_join",
 ]
-# The r6 bench outlier ann_lsh sits in the MID (neither list): it
-# stays inside the 50-row driver window while its regression claim is
-# confirmed, at no rotation cost (driver-green r6, so the second
-# consecutive row is free coverage).  site_stats_full — the other
-# outlier, already re-measured back in band — rotates to the tail to
-# make room for the bm25_indexed addition.
-# mid == {ann_lsh}
+# Both r6 bench outliers were re-measured back in band (isolated AND
+# in-suite, NOTES r7) and rotate to the tail with the rest of the r6
+# window; the corpus_shuffle addition takes the final head slot and
+# the registry sits exactly at the 100-query rotation ceiling — r8
+# MUST consolidate (shortlist in NOTES) before any addition.
 _VERIFY_LAST = [
+    "ann_lsh",
     "site_stats_full",
     # Rotation tail: everything here was driver-green in round 6 (the
     # r6 head/mid window), so sitting out one round keeps the "hard

@@ -1268,3 +1268,36 @@ FROM adj JOIN tot USING (g), n
 
 SPARK_QUERIES["mix_quality"] = q_mix_quality
 ORACLE_SQL["mix_quality"] = SQL_MIX_QUALITY
+
+
+# ---------------------------------------------------------------------------
+# Q: deterministic corpus shuffle — the training-order permutation.
+# The Spark side computes the dense global rank WITHOUT a global sort
+# window (range exchange + per-partition row_number + partition-offset
+# add-back); the oracle IS the single-node global window.  The
+# hash-exact match proves the distributed two-phase ordinal equals the
+# global rank bit-for-bit — the strongest possible check on the
+# construction.
+
+_SHUFFLE_SALT = "epoch0"
+
+
+def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = cur_ops.deterministic_shuffle(
+        _docs(spark, sf_dir).select("doc_id", "source"),
+        "doc_id",
+        salt=_SHUFFLE_SALT,
+    )
+    return out.select("doc_id", F.col("shuffle_pos").cast("long").alias("shuffle_pos"))
+
+
+SQL_CORPUS_SHUFFLE = f"""
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (
+           ORDER BY md5('{_SHUFFLE_SALT}_' || CAST(doc_id AS VARCHAR)), doc_id
+       ) - 1 AS BIGINT) AS shuffle_pos
+FROM documents
+"""
+
+SPARK_QUERIES["corpus_shuffle"] = q_corpus_shuffle
+ORACLE_SQL["corpus_shuffle"] = SQL_CORPUS_SHUFFLE
