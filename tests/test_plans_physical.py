@@ -394,3 +394,17 @@ def test_bm25_indexed_broadcasts_vocab_and_dims(spark):
     assert "BroadcastHashJoin" in plan
     assert plan.count("Exchange hashpartitioning") <= 2
     assert plan.count("Generate explode") == 0  # corpus exploded pre-plan
+
+
+def test_corpus_shuffle_no_global_window(spark):
+    # the dense rank must come from range exchange + per-partition
+    # row_number — a global-order window (empty partitionBy) would
+    # collapse the corpus into one task.  Spark prints a global sort
+    # as `Sort [...], true`; the only windows allowed are keyed by the
+    # partition id.
+    import re
+
+    df = registry.SPARK_QUERIES["corpus_shuffle"](spark, SF)
+    plan = plan_of(df, "simple")
+    assert not re.search(r"Sort \[[^\]]*\], true", plan), plan
+    assert "SinglePartition" not in plan
