@@ -66,9 +66,10 @@ INDEX_SUBDIR = "minhash_index"
 COMPACT_SUBDIR = "minhash_index_compacted"
 PAIRS_SUBDIR = "near_dup_pairs"
 
-# bucket count for the compacted-snapshot table (see _snapshot_table);
-# joins against the snapshot require matching counts, so this is a
-# module constant rather than a per-call knob
+# default bucket count for the compacted-snapshot table: a write-time
+# layout knob (the probe side of a join is shuffled to the table's
+# bucket count automatically) — size it so one bucket of signatures
+# fits an executor at the target corpus scale
 SNAPSHOT_BUCKETS = 8
 
 
@@ -222,6 +223,7 @@ def stream_near_dup_index(
     jaccard_threshold: float = 0.5,
     available_now: bool = True,
     compact_every: int | None = 8,
+    snapshot_buckets: int = SNAPSHOT_BUCKETS,
 ):
     """Start the incremental near-dup maintenance query over a document
     stream.  Returns ``(query, index_dir, pairs_dir)``.
@@ -281,7 +283,7 @@ def stream_near_dup_index(
             table = _snapshot_table(compact_dir, batch_id)
             (
                 full.write.mode("overwrite")
-                .bucketBy(SNAPSHOT_BUCKETS, "band", "bucket")
+                .bucketBy(snapshot_buckets, "band", "bucket")
                 .sortBy("band", "bucket")
                 .format("parquet")
                 .option("path", os.path.join(compact_dir, f"upto={batch_id}"))
