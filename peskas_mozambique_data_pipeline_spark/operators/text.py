@@ -1493,6 +1493,8 @@ def bm25_topk(
     from operator import add
 
     terms = [str(t) for t in query_terms]
+    if not terms:
+        raise ValueError("query_terms must be non-empty")
     toks = tokens(text_col)
     def _is_term(term):
         return lambda x: x == F.lit(term)
@@ -1583,6 +1585,8 @@ def bm25_topk_indexed(
     """
     spark = df.sparkSession
     terms = [str(t) for t in query_terms]
+    if not terms:
+        raise ValueError("query_terms must be non-empty")
     mult: dict[str, int] = {}
     for t in terms:
         mult[t] = mult.get(t, 0) + 1
