@@ -1110,3 +1110,85 @@ def test_deterministic_shuffle_is_dense_reproducible_and_well_mixed(spark):
         df.withColumn("pos", F.col("doc_id")), "source", "pos"
     ).collect()
     assert all(r.clump_ratio > 2.5 for r in before)
+
+
+def test_int8_quantization_roundtrip_preserves_ranking(spark):
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(30, 16)).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = similarity.quantize_embeddings_int8(df)
+    deq = similarity.dequantize_embeddings_int8(
+        q.drop("embedding"), out_col="embedding"
+    )
+    # per-element error bounded by half a quantization step
+    joined = (
+        df.select("vec_id", F.col("embedding").alias("orig"))
+        .join(deq.select("vec_id", "embedding", "q_scale"), "vec_id")
+        .select(
+            "vec_id",
+            F.aggregate(
+                F.zip_with(
+                    "orig", "embedding",
+                    lambda a, b: F.abs(a.cast("double") - b.cast("double")),
+                ),
+                F.lit(0.0),
+                lambda acc, x: F.greatest(acc, x),
+            ).alias("max_err"),
+            F.col("q_scale").cast("double").alias("s"),
+        )
+    )
+    for r in joined.collect():
+        assert r.max_err <= r.s / 2 + 1e-7
+    # cosine top-3 ranking unchanged on dequantized vectors
+    queries = df.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    brute = [r.neighbor_id for r in similarity.cosine_topk(queries, df, k=3).collect()]
+    deq_brute = [
+        r.neighbor_id
+        for r in similarity.cosine_topk(queries, deq.select("vec_id", "embedding"), k=3).collect()
+    ]
+    assert brute == deq_brute
+    # zero vector: scale 0, zeros back, no NaN
+    z = spark.createDataFrame([(99, [0.0] * 16)], "vec_id long, embedding array<float>")
+    zq = similarity.dequantize_embeddings_int8(
+        similarity.quantize_embeddings_int8(z).drop("embedding")
+    ).first()
+    assert zq.embedding == [0.0] * 16
+
+
+def test_mean_pool_embeddings_matches_numpy(spark):
+    rng = np.random.default_rng(9)
+    chunks = []
+    for doc in (1, 2):
+        for _ in range(3 if doc == 1 else 2):
+            chunks.append((doc, [float(x) for x in rng.normal(size=4)]))
+    df = spark.createDataFrame(chunks, "doc_id long, embedding array<float>")
+    out = {r.doc_id: r.embedding for r in similarity.mean_pool_embeddings(df).collect()}
+    for doc in (1, 2):
+        arrs = np.array([c for d, c in chunks if d == doc], dtype="float64")
+        expect = arrs.mean(axis=0)
+        got = np.array(out[doc], dtype="float64")
+        assert np.allclose(got, expect, atol=1e-6)
+        assert len(out[doc]) == 4
+
+
+def test_reciprocal_rank_fusion_prefers_consensus(spark):
+    lex = spark.createDataFrame(
+        [(10, 1), (20, 2), (30, 3)], "doc_id long, rank int"
+    )
+    sem = spark.createDataFrame(
+        [(20, 1), (40, 2), (10, 3)], "doc_id long, rank int"
+    )
+    out = similarity.reciprocal_rank_fusion([lex, sem], k=60, top_n=4).collect()
+    ids = [r.doc_id for r in out]
+    # docs in BOTH lists (10, 20) outrank single-list docs (30, 40)
+    assert set(ids[:2]) == {10, 20}
+    assert out[0].n_lists == 2
+    # doc 20 (ranks 1+2) beats doc 10 (ranks 1+3)
+    assert ids[0] == 20
+    # deterministic python twin
+    import math
+    expect20 = round(1 / 61 + 1 / 62, 9)
+    assert abs(out[0].rrf_score - expect20) < 1e-12
