@@ -552,3 +552,33 @@ def test_time_weighted_mean_matches_python_reference(spark, ticks_in):
         # the operator emits ROUND(..., 6) (oracle convention) — allow
         # one half-ulp of that rounding
         assert abs(r.tw_mean - expect) <= 5.000001e-7
+
+
+words = st.sampled_from(["cat", "dog", "fish", "net", "boat", "reef"])
+
+
+@SET
+@given(
+    st.lists(st.lists(words, min_size=1, max_size=12), min_size=1, max_size=6),
+    st.lists(words, min_size=1, max_size=4),
+)
+def test_bm25_tiers_agree_on_random_corpora(spark, docs_in, terms):
+    """Scan-local and inverted-index BM25 produce identical
+    (doc, n_terms_hit, score) sets for any corpus and any query term
+    multiset (duplicates included) — the cross-tier contract behind
+    their shared oracle row."""
+    from peskas_mozambique_data_pipeline_spark.operators import text as t
+
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs_in)],
+        "doc_id long, text string",
+    )
+    scan = sorted(
+        (r.doc_id, r.n_terms_hit, r.score)
+        for r in t.bm25_topk(df, terms, k=50).collect()
+    )
+    indexed = sorted(
+        (r.doc_id, r.n_terms_hit, r.score)
+        for r in t.bm25_topk_indexed(df, terms, k=50).collect()
+    )
+    assert scan == indexed
