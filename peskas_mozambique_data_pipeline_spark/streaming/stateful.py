@@ -308,21 +308,37 @@ def stream_token_drift(
     the streaming family proves in tests.  Input: token-grain rows
     (group_col, token_col) — explode upstream, keeping the UDF free of
     tokenizer coupling.
+
+    Hot-path split: the md5 binning runs JVM-SIDE as a column
+    expression (``conv(substring(md5(token), 1, 8), 16, 10) % n_bins``
+    — bit-identical to :func:`_drift_bin`, asserted in tests), so the
+    Python side of the stateful operator is a single ``np.bincount``
+    per batch plus a fixed-order KL fold — no per-token Python work.
     """
     import math
+
+    import numpy as np
+    from pyspark.sql import functions as F
 
     ref = binned_reference(ref_probs, n_bins)
     denom = 1.0 + eps * n_bins
     q = [(ref[j] + eps) / denom for j in range(n_bins)]
 
+    binned = stream.select(
+        F.col(group_col),
+        (
+            F.conv(F.substring(F.md5(F.col(token_col).cast("string")), 1, 8), 16, 10)
+            .cast("long") % n_bins
+        ).cast("int").alias("_bin"),
+    )
+
     def update(key, batches, state: GroupState):
         (counts,) = state.get if state.exists else ([0] * n_bins,)
-        counts = list(counts)
+        counts = np.asarray(counts, dtype="int64")
         for pdf in batches:
-            for tok in pdf[token_col]:
-                counts[_drift_bin(str(tok), n_bins)] += 1
-        state.update((counts,))
-        total = sum(counts)
+            counts += np.bincount(pdf["_bin"], minlength=n_bins)
+        state.update(([int(c) for c in counts],))
+        total = int(counts.sum())
         kl = 0.0
         if total:
             # fixed bin order: deterministic float fold
@@ -338,7 +354,7 @@ def stream_token_drift(
             }
         )
 
-    return stream.groupBy(group_col).applyInPandasWithState(
+    return binned.groupBy(group_col).applyInPandasWithState(
         update,
         outputStructType=DRIFT_OUTPUT_SCHEMA,
         stateStructType=DRIFT_STATE_SCHEMA,

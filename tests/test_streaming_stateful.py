@@ -234,3 +234,29 @@ def test_stream_token_drift_cross_batch_and_batch_equivalence(spark, tmp_path):
     # the signal: matching group ~0, shifted group clearly above
     assert latest["m"].kl_to_ref < 0.1
     assert latest["s"].kl_to_ref > 1.0
+
+
+def test_jvm_binning_matches_python_drift_bin(spark):
+    """The JVM md5-bin expression inside stream_token_drift must equal
+    the python _drift_bin that bins the reference distribution — if
+    they diverge, group histograms and reference mass land in
+    different bins silently."""
+    from pyspark.sql import functions as F
+
+    from peskas_mozambique_data_pipeline_spark.streaming.stateful import _drift_bin
+
+    toks = ["alpha", "beta", "zeta", "", "café", "0", "the quick"]
+    df = spark.createDataFrame([(t,) for t in toks], "token string")
+    for n_bins in (64, 256):
+        got = {
+            r.token: r.b
+            for r in df.select(
+                "token",
+                (
+                    F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10)
+                    .cast("long") % n_bins
+                ).cast("int").alias("b"),
+            ).collect()
+        }
+        for t in toks:
+            assert got[t] == _drift_bin(t, n_bins), (t, n_bins)
