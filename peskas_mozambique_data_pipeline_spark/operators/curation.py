@@ -415,3 +415,80 @@ def deterministic_shuffle(
         .withColumn("shuffle_pos", F.col("_off") + F.col("_rn") - 1)
         .drop("_sk", "_pid", "_rn", "_off")
     )
+
+
+def mixture_budget_rates(
+    counts: DataFrame,
+    target_weights: dict[str, float],
+    total_budget_tokens: int,
+    group_col: str = "source",
+    tokens_col: str = "n_tokens",
+    max_epochs: float = 4.0,
+) -> DataFrame:
+    """Solve the training-mix budget: given per-source available token
+    counts and target mixture weights, how many tokens to DRAW from
+    each source (and at how many epochs) to fill ``total_budget_tokens``
+    — the recipe computation behind published LLM data mixes, where a
+    small high-weight source is repeated up to ``max_epochs`` and any
+    remaining deficit is re-spread over the sources that still have
+    headroom (water-filling), proportionally to their target weights.
+
+    Pure driver-side arithmetic over a SOURCE-CARDINALITY aggregate
+    (the counts frame is the output of a corpus groupBy — dozens of
+    rows at any corpus size), so an exact iterative solve is free; the
+    result joins back to facts as a broadcast dim.  Returns one row
+    per source: (group, n_tokens, target_weight, draw_tokens, epochs,
+    capped).
+    """
+    rows = {r[group_col]: int(r[tokens_col]) for r in counts.collect()}
+    unknown = set(target_weights) - set(rows)
+    if unknown:
+        raise ValueError(f"target_weights name unknown sources: {sorted(unknown)}")
+    wsum = float(sum(target_weights.values()))
+    want = {g: target_weights[g] / wsum for g in target_weights}
+
+    draw = {g: 0.0 for g in want}
+    capped: set[str] = set()
+    remaining = float(total_budget_tokens)
+    active = dict(want)
+    # water-fill: allocate proportionally; sources hitting their epoch
+    # cap freeze and their unmet share re-spreads over the rest.
+    # Terminates: each pass either allocates all of `remaining` or
+    # permanently freezes >= 1 source (<= len(sources) passes).
+    while remaining > 1e-6 and active:
+        asum = sum(active.values())
+        next_active = {}
+        allocated = 0.0
+        for g, w in active.items():
+            room = max_epochs * rows[g] - draw[g]
+            share = remaining * w / asum
+            take = min(share, room)
+            draw[g] += take
+            allocated += take
+            if take < share - 1e-9:
+                capped.add(g)
+            else:
+                next_active[g] = w
+        remaining -= allocated
+        if not next_active and remaining > 1e-6:
+            break  # every source capped: budget not fillable
+        active = next_active if len(next_active) < len(active) else (
+            {} if remaining <= 1e-6 else next_active
+        )
+    spark = counts.sparkSession
+    out = [
+        (
+            g,
+            rows[g],
+            round(want[g], 9),
+            int(round(draw[g])),
+            round(draw[g] / rows[g], 6) if rows[g] else 0.0,
+            g in capped,
+        )
+        for g in sorted(want)
+    ]
+    return spark.createDataFrame(
+        out,
+        "source string, n_tokens long, target_weight double, "
+        "draw_tokens long, epochs double, capped boolean",
+    )

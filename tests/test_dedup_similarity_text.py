@@ -1235,3 +1235,51 @@ def test_hybrid_search_end_to_end_fuses_bm25_and_ann(spark):
             (r.rrf_score for r in rows if r.n_lists == 1), default=0.0
         )
         assert both[0].rrf_score > 0  # present and positive
+
+
+def test_mixture_budget_rates_water_fills_capped_sources(spark):
+    from peskas_mozambique_data_pipeline_spark.operators.curation import (
+        mixture_budget_rates,
+    )
+
+    counts = spark.createDataFrame(
+        [("web", 1000), ("code", 100), ("books", 500)],
+        "source string, n_tokens long",
+    )
+    # books wants 40% of 2000 = 800 > 500*1.0 cap -> capped at 500;
+    # the 300 deficit re-spreads over web/code by weight (web hits no
+    # cap; code caps at 100 if needed)
+    out = {
+        r.source: r
+        for r in mixture_budget_rates(
+            counts,
+            {"web": 0.5, "code": 0.1, "books": 0.4},
+            total_budget_tokens=2000,
+            max_epochs=1.0,
+        ).collect()
+    }
+    assert out["books"].capped and out["books"].draw_tokens == 500
+    assert out["books"].epochs == 1.0
+    # code: initial 200 > 100 cap -> capped at 100
+    assert out["code"].capped and out["code"].draw_tokens == 100
+    # web takes the rest: 2000 - 500 - 100 = 1400, beyond its own
+    # initial 1000 share but within its epoch room? 1400 > 1000*1.0 ->
+    # web caps too; total drawn = 1600 < budget (documented: budget not
+    # fillable under these caps)
+    assert out["web"].draw_tokens == 1000 and out["web"].capped
+    total = sum(r.draw_tokens for r in out.values())
+    assert total == 1600
+    # with headroom (max_epochs=4) the budget fills exactly
+    out2 = {
+        r.source: r
+        for r in mixture_budget_rates(
+            counts,
+            {"web": 0.5, "code": 0.1, "books": 0.4},
+            total_budget_tokens=2000,
+            max_epochs=4.0,
+        ).collect()
+    }
+    assert sum(r.draw_tokens for r in out2.values()) == 2000
+    assert not any(r.capped for r in out2.values())
+    assert out2["books"].draw_tokens == 800 and out2["books"].epochs == 1.6
+    assert out2["code"].draw_tokens == 200 and out2["code"].epochs == 2.0
