@@ -260,3 +260,44 @@ def test_jvm_binning_matches_python_drift_bin(spark):
         }
         for t in toks:
             assert got[t] == _drift_bin(t, n_bins), (t, n_bins)
+
+
+def test_binned_kl_lower_bounds_token_grain_kl():
+    """The log-sum inequality claim behind stream_token_drift: for any
+    token distribution p and reference q (q covering p's support),
+    KL of the md5-binned distributions never exceeds token-grain KL.
+    Pure python — no Spark needed."""
+    import math
+    import random
+
+    from peskas_mozambique_data_pipeline_spark.streaming.stateful import (
+        _drift_bin,
+        binned_reference,
+    )
+
+    rng = random.Random(13)
+    vocab = [f"tok{i}" for i in range(60)]
+    for n_bins in (8, 32):
+        for _ in range(20):
+            # random group counts over a subset; ref covers ALL vocab
+            toks = rng.sample(vocab, rng.randint(5, 40))
+            counts = {t: rng.randint(1, 50) for t in toks}
+            total = sum(counts.values())
+            ref_raw = {t: rng.random() + 0.01 for t in vocab}
+            z = sum(ref_raw.values())
+            ref = {t: v / z for t, v in ref_raw.items()}
+
+            token_kl = sum(
+                (c / total) * math.log((c / total) / ref[t])
+                for t, c in counts.items()
+            )
+            binned_c = [0] * n_bins
+            for t, c in counts.items():
+                binned_c[_drift_bin(t, n_bins)] += c
+            q = binned_reference(ref, n_bins)  # eps=0 path: ref covers all
+            binned_kl = sum(
+                (c / total) * math.log((c / total) / q[j])
+                for j, c in enumerate(binned_c)
+                if c
+            )
+            assert binned_kl <= token_kl + 1e-12, (n_bins, binned_kl, token_kl)
