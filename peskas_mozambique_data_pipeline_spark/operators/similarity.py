@@ -982,6 +982,7 @@ def reciprocal_rank_fusion(
     rank_col: str = "rank",
     k: int = 60,
     top_n: int | None = None,
+    nano_units: bool = False,
 ) -> DataFrame:
     """Hybrid-search fusion (Cormack et al. 2009): combine N ranked
     candidate lists (e.g. BM25 lexical + ANN semantic) by summing
@@ -992,24 +993,45 @@ def reciprocal_rank_fusion(
     Scale shape: union the (id, rank) lists, one groupBy on the id
     (map-side combinable), optional TakeOrdered top-n.  Ties break on
     the id for determinism.
+
+    ``nano_units=True`` switches each contribution to the integer
+    ``10^9 div (k + rank)`` (BIGINT), so the fused sum is order-free
+    and engine-exact — the registry's reproducibility posture for
+    float folds.  The quantization error per list is < 1e-9, far below
+    any rank-separating gap of 1/(k+r) − 1/(k+r+1) for practical k.
+    Output column becomes ``rrf_nano`` plus a derived ``rrf_score``
+    (the nano sum scaled back, deterministic because the sum is exact).
     """
     if not rankings:
         raise ValueError("rankings must be non-empty")
-    parts = [
-        r.select(
-            F.col(id_col),
-            (F.lit(1.0) / (F.lit(float(k)) + F.col(rank_col).cast("double"))).alias(
-                "_rrf"
-            ),
+    if nano_units:
+        contrib = F.expr(
+            f"CAST(1000000000 AS BIGINT) div "
+            f"(CAST({int(k)} AS BIGINT) + CAST({rank_col} AS BIGINT))"
         )
-        for r in rankings
+    else:
+        contrib = F.lit(1.0) / (F.lit(float(k)) + F.col(rank_col).cast("double"))
+    parts = [
+        r.select(F.col(id_col), contrib.alias("_rrf")) for r in rankings
     ]
     allr = parts[0]
     for p in parts[1:]:
         allr = allr.unionByName(p)
-    fused = allr.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_lists"),
-        F.round(F.sum("_rrf"), 9).alias("rrf_score"),
-    )
-    out = fused.orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
+    if nano_units:
+        fused = allr.groupBy(id_col).agg(
+            F.count(F.lit(1)).alias("n_lists"),
+            F.sum("_rrf").alias("rrf_nano"),
+        ).select(
+            id_col,
+            "n_lists",
+            "rrf_nano",
+            F.round(F.col("rrf_nano") / F.lit(1e9), 9).alias("rrf_score"),
+        )
+        out = fused.orderBy(F.col("rrf_nano").desc(), F.col(id_col).asc())
+    else:
+        fused = allr.groupBy(id_col).agg(
+            F.count(F.lit(1)).alias("n_lists"),
+            F.round(F.sum("_rrf"), 9).alias("rrf_score"),
+        )
+        out = fused.orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
     return out.limit(top_n) if top_n else out

@@ -1453,6 +1453,102 @@ FROM documents d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
 
 
 # ---------------------------------------------------------------------------
+# Q: dup-span audit — the r7 consolidation of ``dup_spans`` +
+# ``span_scrub`` into ONE registry row (the term_stats precedent):
+# both operators stay hash-verified, but the shared scaffolding (the
+# duplicated-n-gram island CTE chain, identical in both oracles) is
+# materialized once instead of twice.  Normalized union schema
+# (stat, doc_id, a, b, txt): span rows carry (span_start, span_end,
+# NULL); scrub rows carry (n_removed, NULL, text_clean).  span_tokens
+# is derivable (b − a + 1) and dropped to keep the union tight.
+
+
+def q_dup_span_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select("doc_id", "text").localCheckpoint()
+    spans = dedup_ops.duplicated_ngram_spans(docs, n=_SPAN_N).localCheckpoint()
+    span_rows = spans.select(
+        F.lit("span").alias("stat"),
+        "doc_id",
+        F.col("span_start").cast("long").alias("a"),
+        F.col("span_end").cast("long").alias("b"),
+        F.lit(None).cast("string").alias("txt"),
+    )
+    scrub_rows = text_ops.remove_spans(docs, spans).select(
+        F.lit("scrub").alias("stat"),
+        "doc_id",
+        F.col("n_removed").cast("long").alias("a"),
+        F.lit(None).cast("long").alias("b"),
+        F.col("text_clean").alias("txt"),
+    )
+    return span_rows.unionByName(scrub_rows)
+
+
+_SPAN_CTES = f"""toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, i AS pos,
+         ('0x' || substr(md5(array_to_string(t[i:i+{_SPAN_N - 1}], ' ')), 1, 8))::BIGINT AS gh
+  FROM toks, UNNEST(generate_series(1, len(t) - {_SPAN_N - 1})) AS g(i)
+  WHERE len(t) >= {_SPAN_N}
+),
+dup AS (
+  SELECT gh FROM grams GROUP BY gh HAVING COUNT(*) >= 2
+),
+hits AS (
+  SELECT doc_id, pos FROM grams WHERE gh IN (SELECT gh FROM dup)
+),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER w IS NULL OR pos - lag(pos) OVER w > 1
+              THEN 1 ELSE 0 END AS newf
+  FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+isl2 AS (
+  SELECT doc_id, pos,
+         SUM(newf) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM isl
+),
+spans AS (
+  SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + {_SPAN_N - 1} AS span_end
+  FROM isl2 GROUP BY doc_id, island
+)"""
+
+SQL_DUP_SPAN_AUDIT = f"""
+WITH {_SPAN_CTES},
+tokpos AS (
+  SELECT doc_id, t[i] AS token, i AS pos, len(t) AS n_tok
+  FROM toks, UNNEST(generate_series(1, len(t))) AS g(i)
+),
+kept AS (
+  SELECT tp.doc_id, tp.token, tp.pos, tp.n_tok
+  FROM tokpos tp
+  WHERE NOT EXISTS (
+    SELECT 1 FROM spans s
+    WHERE s.doc_id = tp.doc_id AND tp.pos BETWEEN s.span_start AND s.span_end
+  )
+),
+rebuilt AS (
+  SELECT doc_id, string_agg(token, ' ' ORDER BY pos) AS text_clean,
+         MAX(n_tok) - COUNT(*) AS n_removed
+  FROM kept GROUP BY doc_id
+)
+SELECT 'span' AS stat, doc_id,
+       CAST(span_start AS BIGINT) AS a,
+       CAST(span_end AS BIGINT) AS b,
+       CAST(NULL AS VARCHAR) AS txt
+FROM spans
+UNION ALL
+SELECT 'scrub' AS stat, d.doc_id,
+       CAST(COALESCE(r.n_removed,
+                     len(string_split_regex(trim(d.text), '\\s+'))) AS BIGINT) AS a,
+       CAST(NULL AS BIGINT) AS b,
+       COALESCE(r.text_clean, '') AS txt
+FROM documents d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q: per-stratum quality top-k — "keep the best N per language", the
 # greedy counterpart of sample_mix's rate-based mixing.
 
@@ -1589,8 +1685,7 @@ GROUP BY s.doc_id
 SPARK_QUERIES = {
     "semantic_dedup": q_semantic_dedup,
     "jaccard_exact": q_jaccard_exact,
-    "dup_spans": q_dup_spans,
-    "span_scrub": q_span_scrub,
+    "dup_span_audit": q_dup_span_audit,
     "quality_topk": q_quality_topk,
     "domain_mix": q_domain_mix,
     "bigram_logloss": q_bigram_logloss,
@@ -1623,8 +1718,7 @@ SPARK_QUERIES = {
 ORACLE_SQL = {
     "semantic_dedup": SQL_SEMANTIC_DEDUP,
     "jaccard_exact": SQL_JACCARD_EXACT,
-    "dup_spans": SQL_DUP_SPANS,
-    "span_scrub": SQL_SPAN_SCRUB,
+    "dup_span_audit": SQL_DUP_SPAN_AUDIT,
     "quality_topk": SQL_QUALITY_TOPK,
     "domain_mix": SQL_DOMAIN_MIX,
     "bigram_logloss": SQL_BIGRAM_LOGLOSS,
@@ -1796,8 +1890,10 @@ LIMIT {k}
 
 SQL_BM25_SEARCH = _bm25_sql(_BM25_TERMS, k=25)
 
-SPARK_QUERIES["bm25_search"] = q_bm25_search
-ORACLE_SQL["bm25_search"] = SQL_BM25_SEARCH
+# r7 session-2 consolidation: the bm25_search registry row is dropped —
+# bm25_indexed carries the SAME oracle (cross-tier parity), and the
+# scan-local tier stays covered by the multiplicity-parity pytest
+# (tests/test_text_ops.py) plus its role inside q_hybrid_rrf below.
 
 
 def q_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1813,3 +1909,109 @@ def q_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SPARK_QUERIES["bm25_indexed"] = q_bm25_indexed
 ORACLE_SQL["bm25_indexed"] = SQL_BM25_SEARCH
+
+
+# ---------------------------------------------------------------------------
+# Q: hybrid retrieval — BM25 lexical top-k and brute-cosine semantic
+# top-k fused by reciprocal-rank fusion (Cormack et al. 2009).  The
+# end-to-end retrieval-stack query: the two candidate lists come from
+# the ALREADY hash-verified tiers (bm25_topk and cosine_topk share
+# their oracle shapes with bm25_search / ann_cosine), and the fusion
+# sums integer nano-unit contributions 10^9 div (60 + rank) so the
+# fused score is order-free and engine-exact.  doc_id and vec_id share
+# the id space in the corpus (TESTDATA), so the fused key is doc_id.
+#
+# Scale shape: each retriever's cost is its own (verified) tier; the
+# fusion itself is a union of two k-row lists + one groupBy — driver-
+# trivial here, map-side-combinable at any k.  The rank windows run
+# over k-row candidate lists (bounded), never corpus-wide sorts.
+
+_HYBRID_K = 25
+_HYBRID_RRF_K = 60
+_HYBRID_QVEC = 100
+
+
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    emb = read_table(spark, sf_dir, "embeddings")
+    lex = text_ops.bm25_topk(docs, query_terms=_BM25_TERMS, k=_HYBRID_K)
+    lexr = lex.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("score").desc(), F.col("doc_id").asc()))
+        .alias("rank"),
+    )
+    q = emb.filter(F.col("vec_id") == _HYBRID_QVEC).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    sem = sim_ops.cosine_topk(q, emb, k=_HYBRID_K).select(
+        F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    return sim_ops.reciprocal_rank_fusion(
+        [lexr, sem], id_col="doc_id", k=_HYBRID_RRF_K, nano_units=True
+    )
+
+
+def _hybrid_rrf_sql(terms, k, k1=1.2, b=0.75, rrf_k=60, qvec=100):
+    """Replay both retrievers exactly: the bm25 CTE chain is generated
+    from the SAME term list and (k1, b) as ``_bm25_sql`` (so the two
+    oracles can never drift), the cosine fold is the ann_cosine
+    sequential double fold, and the fusion is pure BIGINT division."""
+    bm25 = _bm25_sql(terms, k=k, k1=k1, b=b)
+    # lift the bm25 statement's WITH-body back out as CTEs and rank its
+    # top-k SELECT
+    body = bm25.strip()
+    assert body.startswith("WITH ")
+    with_part, select_part = body.split("\nSELECT ", 1)
+    return f"""
+{with_part},
+lex AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM (SELECT {select_part})
+),
+qv AS (
+  SELECT vec_id AS query_id, embedding AS qvec
+  FROM embeddings WHERE vec_id = {qvec}
+),
+sem_scored AS (
+  SELECT c.vec_id,
+         list_reduce(list_transform(generate_series(1, 64),
+             i -> CAST(qv.qvec[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)),
+             (a, b) -> a + b)
+         / (sqrt(list_reduce(list_transform(generate_series(1, 64),
+                i -> CAST(qv.qvec[i] AS DOUBLE) * CAST(qv.qvec[i] AS DOUBLE)),
+                (a, b) -> a + b))
+            * sqrt(list_reduce(list_transform(generate_series(1, 64),
+                i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)),
+                (a, b) -> a + b))) AS cos
+  FROM embeddings c CROSS JOIN qv
+  WHERE c.vec_id <> qv.query_id
+),
+sem AS (
+  SELECT vec_id AS doc_id, rank FROM (
+    SELECT vec_id,
+           ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id ASC) AS rank
+    FROM sem_scored
+  ) WHERE rank <= {k}
+),
+unioned AS (
+  SELECT doc_id, 1000000000 // ({rrf_k} + rank) AS c FROM lex
+  UNION ALL
+  SELECT doc_id, 1000000000 // ({rrf_k} + rank) AS c FROM sem
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lists,
+       CAST(SUM(c) AS BIGINT) AS rrf_nano,
+       ROUND(CAST(SUM(c) AS BIGINT) / 1000000000.0, 9) AS rrf_score
+FROM unioned GROUP BY doc_id
+"""
+
+
+SQL_HYBRID_RRF = _hybrid_rrf_sql(
+    _BM25_TERMS, k=_HYBRID_K, rrf_k=_HYBRID_RRF_K, qvec=_HYBRID_QVEC
+)
+
+SPARK_QUERIES["hybrid_rrf"] = q_hybrid_rrf
+ORACLE_SQL["hybrid_rrf"] = SQL_HYBRID_RRF

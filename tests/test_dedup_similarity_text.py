@@ -1194,6 +1194,37 @@ def test_reciprocal_rank_fusion_prefers_consensus(spark):
     assert abs(out[0].rrf_score - expect20) < 1e-12
 
 
+def test_rrf_nano_units_match_float_ranking(spark):
+    """The engine-exact nano tier (10^9 div (k+rank), BIGINT sum) must
+    induce the SAME fused ordering as the float tier whenever the float
+    scores are separated by more than the quantization error (< 2e-9
+    for two lists) — i.e. on any list pair without pathological
+    near-ties."""
+    import random
+
+    rng = random.Random(41)
+    for _ in range(10):
+        ids = list(range(1, 30))
+        rng.shuffle(ids)
+        lex_rows = [(ids[i], i + 1) for i in range(15)]
+        rng.shuffle(ids)
+        sem_rows = [(ids[i], i + 1) for i in range(15)]
+        lex = spark.createDataFrame(lex_rows, "doc_id long, rank int")
+        sem = spark.createDataFrame(sem_rows, "doc_id long, rank int")
+        fl = similarity.reciprocal_rank_fusion([lex, sem], k=60).collect()
+        nano = similarity.reciprocal_rank_fusion(
+            [lex, sem], k=60, nano_units=True
+        ).collect()
+        assert [r.doc_id for r in fl] == [r.doc_id for r in nano]
+        for r in nano:
+            # nano sum is exactly the python integer twin
+            ranks = [rk for d, rk in lex_rows if d == r.doc_id] + [
+                rk for d, rk in sem_rows if d == r.doc_id
+            ]
+            assert r.rrf_nano == sum(10**9 // (60 + rk) for rk in ranks)
+            assert abs(r.rrf_score - r.rrf_nano / 1e9) < 1e-12
+
+
 def test_hybrid_search_end_to_end_fuses_bm25_and_ann(spark):
     """Composition check: BM25 lexical candidates + brute-force cosine
     semantic candidates over the harness tables, fused by RRF — the

@@ -214,7 +214,7 @@ def test_quality_topk_single_exchange(spark):
 
 
 def test_dup_spans_no_cartesian(spark):
-    plan = plan_of(registry.SPARK_QUERIES["dup_spans"](spark, SF), "simple")
+    plan = plan_of(registry.SPARK_QUERIES["dup_span_audit"](spark, SF), "simple")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 
@@ -345,7 +345,9 @@ def test_bm25_zero_corpus_shuffle(spark):
     of corpus rows — only the 1-row stats aggregate (single-partition
     exchange of partials), its broadcast back, and a TakeOrdered
     top-k."""
-    simple = plan_of(registry.SPARK_QUERIES["bm25_search"](spark, SF), "simple")
+    from peskas_mozambique_data_pipeline_spark.registry_text import q_bm25_search
+
+    simple = plan_of(q_bm25_search(spark, SF), "simple")
     assert "Generate" not in simple, "per-term tf must not explode"
     assert "SortMergeJoin" not in simple
     assert "Exchange hashpartitioning" not in simple
