@@ -305,6 +305,134 @@ def decontaminate(
     return flagged.filter(~F.col("contaminated")).drop("n_overlap", "contaminated")
 
 
+def _bloom_positions(gram: Column, k: int, n_bits: int) -> list[Column]:
+    """k deterministic bit positions for a gram: independent md5 draws
+    (gram salted with the probe index), 15 hex chars → 60-bit int,
+    modulo the filter width.  Engine-portable (md5 + conv), no JVM
+    hashing that another engine couldn't replay."""
+    return [
+        F.pmod(
+            F.conv(
+                F.substring(F.md5(F.concat_ws("#", gram, F.lit(str(j)))), 1, 15),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(n_bits).cast("long"),
+        )
+        for j in range(k)
+    ]
+
+
+def build_ngram_bloom(
+    benchmark: DataFrame,
+    text_col: str = "text",
+    n: int = 13,
+    n_words: int = 1024,
+    k: int = 3,
+) -> DataFrame:
+    """Build a Bloom bitmask over the benchmark's distinct token
+    n-grams as ONE row holding an ``array<long>`` of ``n_words``
+    64-bit words (``n_words * 64`` bits total).
+
+    The scale rationale (vs broadcasting raw gram digests, the
+    ``ngram_contamination`` shape): a digest set costs ~16 B/gram
+    broadcast; the Bloom costs ``n_words * 8`` bytes FIXED — at
+    ~10 bits/gram it holds ~6.5 grams/word at ~1% false positives, so
+    a 100 M-gram benchmark suite fits in ~128 MB instead of ~1.6 GB,
+    and the corpus-side probe is scan-local array arithmetic (no join
+    at all).  Membership errs only toward false POSITIVES — compose
+    with :func:`bloom_decontaminate`'s exact verify for end-to-end
+    exactness.
+
+    Shape: benchmark grams → (word, mask) pairs → one
+    map-side-combinable ``bit_or`` groupBy on word (≤ n_words groups)
+    → densified into the fixed-width array on a single row (the 1-row
+    broadcast-stats pattern; no driver collect).
+    """
+    n_bits = n_words * 64
+    grams = (
+        benchmark.select(
+            F.explode(F.array_distinct(token_ngrams(text_col, n))).alias("gram")
+        )
+        .select(F.md5("gram").alias("_gh"))
+        .distinct()
+    )
+    bits = grams.select(
+        F.explode(F.array(*_bloom_positions(F.col("_gh"), k, n_bits))).alias("_pos")
+    ).select(
+        F.expr("_pos div 64").alias("_word"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(_pos % 64 AS INT))").alias("_mask"),
+    )
+    words = bits.groupBy("_word").agg(F.bit_or("_mask").alias("_bits"))
+    return words.agg(
+        F.map_from_entries(F.collect_list(F.struct("_word", "_bits"))).alias("_m")
+    ).select(
+        F.transform(
+            F.sequence(F.lit(0).cast("long"), F.lit(n_bits // 64 - 1).cast("long")),
+            lambda w: F.coalesce(F.col("_m")[w], F.lit(0).cast("long")),
+        ).alias("bloom_words")
+    )
+
+
+def bloom_decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+    n_words: int = 1024,
+    k: int = 3,
+) -> DataFrame:
+    """Two-phase EXACT decontamination: Bloom prefilter, then the
+    exact gram join only over bloom-positive documents.
+
+    Phase 1 (scan-local, no join): every doc probes its distinct
+    n-grams against the broadcast Bloom row — a doc is ``maybe``
+    contaminated iff some gram has all ``k`` bits set.  The Bloom
+    never misses a true gram (no false negatives), so phase 1 is a
+    complete candidate generator; clean docs — the overwhelming
+    majority of a 100 TB corpus — never reach a shuffle.
+
+    Phase 2: :func:`ngram_contamination`'s broadcast equi-join runs
+    only on the ``maybe`` subset, striking the Bloom's false
+    positives.  Output schema matches ``ngram_contamination`` (every
+    train row + ``n_overlap`` + ``contaminated``) — equivalence with
+    the single-phase exact operator is property-tested.
+    """
+    n_bits = n_words * 64
+    bloom = build_ngram_bloom(benchmark, text_col, n, n_words, k)
+
+    # the probe predicate is one SQL expression over the gram array so
+    # it stays inside whole-stage codegen; positions are the same
+    # salted-md5 arithmetic as build_ngram_bloom (on the gram digest)
+    probes = []
+    for j in range(k):
+        h = f"CAST(conv(substring(md5(concat_ws('#', md5(g), '{j}')), 1, 15), 16, 10) AS BIGINT) % {n_bits}"
+        probes.append(
+            f"(element_at(bloom_words, CAST(({h}) div 64 AS INT) + 1) & "
+            f"shiftleft(CAST(1 AS BIGINT), CAST(({h}) % 64 AS INT))) <> 0"
+        )
+    gram_hit = " AND ".join(probes)
+    maybe_expr = F.expr(
+        f"exists(_grams, g -> {gram_hit})"
+    )
+
+    with_grams = train.crossJoin(F.broadcast(bloom)).withColumn(
+        "_grams", F.array_distinct(token_ngrams(text_col, n))
+    )
+    flagged = with_grams.withColumn("_maybe", maybe_expr)
+    maybe_docs = flagged.filter(F.col("_maybe")).drop(
+        "_grams", "_maybe", "bloom_words"
+    )
+    verified = ngram_contamination(maybe_docs, benchmark, text_col, id_col, n)
+    hits = verified.select(id_col, "n_overlap").filter(F.col("n_overlap") > 0)
+    return (
+        train.join(hits, id_col, "left")
+        .withColumn("n_overlap", F.coalesce(F.col("n_overlap"), F.lit(0)))
+        .withColumn("contaminated", F.col("n_overlap") > 0)
+    )
+
+
 def deterministic_uniform(id_col: str | Column, salt: str = "sample") -> Column:
     """Reproducible per-row uniform in [0, 1): md5 of (salt, id) — the
     same row draws the same number on any engine, any run, any

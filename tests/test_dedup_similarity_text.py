@@ -227,6 +227,82 @@ def test_ngram_contamination_and_decontaminate(spark):
     assert clean.columns == train.columns  # passthrough schema
 
 
+def test_bloom_decontaminate_matches_exact_join(spark):
+    """The two-phase Bloom path (scan-local prefilter + exact verify on
+    positives) must be row-for-row identical to the single-phase exact
+    join — the Bloom has no false negatives, and the verify strikes
+    its false positives."""
+    import random
+
+    from peskas_mozambique_data_pipeline_spark.operators.text import (
+        bloom_decontaminate,
+        ngram_contamination,
+    )
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(40)]
+    bench_rows = [
+        (100 + i, " ".join(rng.choice(vocab) for _ in range(12)))
+        for i in range(5)
+    ]
+    train_rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(20))) for i in range(30)
+    ]
+    # plant guaranteed contamination: two train docs embed a benchmark
+    # 5-gram verbatim
+    planted = bench_rows[0][1].split()[2:7]
+    train_rows[3] = (3, "pad1 " + " ".join(planted) + " pad2")
+    train_rows[17] = (17, " ".join(planted))
+    bench = spark.createDataFrame(bench_rows, "doc_id long, text string")
+    train = spark.createDataFrame(train_rows, "doc_id long, text string")
+
+    exact = {
+        r.doc_id: (r.n_overlap, r.contaminated)
+        for r in ngram_contamination(train, bench, n=5).collect()
+    }
+    bloomed = {
+        r.doc_id: (r.n_overlap, r.contaminated)
+        for r in bloom_decontaminate(
+            train, bench, n=5, n_words=8, k=3
+        ).collect()
+    }
+    assert bloomed == exact
+    assert exact[3][1] and exact[17][1]  # the planted docs are caught
+
+
+def test_bloom_prefilter_is_superset_of_exact_hits(spark):
+    """Bloom positives must contain every exactly-contaminated doc even
+    when the filter is deliberately saturated (tiny n_words forces
+    false positives — errors may only point toward 'maybe')."""
+    from peskas_mozambique_data_pipeline_spark.operators.text import (
+        bloom_decontaminate,
+        ngram_contamination,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "x alpha beta gamma y"),
+            (2, "nothing shared at all here"),
+            (3, "gamma delta epsilon tail words"),
+        ],
+        "doc_id long, text string",
+    )
+    # n_words=1 (64 bits) saturates quickly; equivalence must still hold
+    exact = {
+        r.doc_id: r.n_overlap
+        for r in ngram_contamination(train, bench, n=3).collect()
+    }
+    got = {
+        r.doc_id: r.n_overlap
+        for r in bloom_decontaminate(train, bench, n=3, n_words=1, k=2).collect()
+    }
+    assert got == exact
+
+
 def test_stratified_sample_deterministic_and_weighted(spark):
     from peskas_mozambique_data_pipeline_spark.operators.text import stratified_sample
 
