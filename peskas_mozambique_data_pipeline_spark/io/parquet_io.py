@@ -184,3 +184,96 @@ def read_latest_bucketed(
     if spark.catalog.tableExists(table):
         return spark.table(table)
     return spark.read.parquet(path)
+
+
+def zone_file_stats(zone_dir: str, prefix: str) -> tuple[int, int]:
+    """(n_data_files, total_bytes) of the newest snapshot — a
+    driver-side listing (metadata only), the signal a compaction
+    scheduler watches."""
+    src = latest_version_path(zone_dir, prefix)
+    n, total = 0, 0
+    for root, _dirs, files in os.walk(src):
+        for f in files:
+            if f.endswith(".parquet"):
+                n += 1
+                total += os.path.getsize(os.path.join(root, f))
+    return n, total
+
+
+def compact_zone(
+    spark: SparkSession,
+    zone_dir: str,
+    prefix: str,
+    target_mb: int = 256,
+    git_sha: str = "compact",
+    range_by: list[str] | None = None,
+    sort_by: list[str] | None = None,
+    compression: str = "lz4",
+) -> str:
+    """Small-file compaction: rewrite the newest snapshot as a NEW
+    version with ~``target_mb`` output files sized from the actual
+    on-disk bytes.
+
+    Streaming micro-batches and fine-grained partitioned appends leave
+    zones as thousands of KB-scale files; at 100 TB that costs a task
+    per file, a name-node/listing storm, and useless row groups.
+    Compaction is the standing maintenance operator every incremental
+    zone needs (the OPTIMIZE of table formats, expressed on the plain
+    versioned-parquet zone).
+
+    Shape: file count = ceil(bytes / target) from a driver-side
+    listing; without a layout request the rewrite is a ``coalesce``
+    (merges read partitions, NO shuffle — the cheap path); ``range_by``
+    instead pays one sampled range exchange to ALSO establish disjoint
+    per-file key ranges (file-level pruning) while it's rewriting.
+    The zone stays immutable — compaction lands as a new version and
+    ``read_latest`` flips over; old versions remain for time travel /
+    in-flight readers (retention is the zone owner's policy).
+    """
+    src = latest_version_path(zone_dir, prefix)
+    _, n_bytes = zone_file_stats(zone_dir, prefix)
+    n_files = max(1, -(-n_bytes // (target_mb * 1024 * 1024)))
+    df = spark.read.parquet(src)
+    # a same-second rewrite must still version-sort AFTER the source:
+    # bump the timestamp past the source snapshot's
+    src_ts = VERSION_RE.search(os.path.basename(src)).group(1)
+    now = datetime.now(timezone.utc)
+    if now.strftime("%Y%m%d%H%M%S") <= src_ts:
+        from datetime import timedelta
+
+        now = datetime.strptime(src_ts, "%Y%m%d%H%M%S").replace(
+            tzinfo=timezone.utc
+        ) + timedelta(seconds=1)
+    if range_by:
+        return _write_versioned_at(
+            df, zone_dir, prefix, git_sha, now,
+            range_by=range_by, n_files=n_files, compression=compression,
+        )
+    out = df.coalesce(n_files)
+    if sort_by:
+        out = out.sortWithinPartitions(*sort_by)
+    return _write_versioned_at(
+        out, zone_dir, prefix, git_sha, now, compression=compression
+    )
+
+
+def _write_versioned_at(
+    df: DataFrame,
+    zone_dir: str,
+    prefix: str,
+    git_sha: str,
+    now: datetime,
+    range_by: list[str] | None = None,
+    n_files: int | None = None,
+    compression: str = "lz4",
+) -> str:
+    path = os.path.join(zone_dir, versioned_name(prefix, git_sha, now))
+    if range_by:
+        df = (
+            df.repartitionByRange(n_files, *range_by)
+            if n_files
+            else df.repartitionByRange(*range_by)
+        )
+        df = df.sortWithinPartitions(*range_by)
+    df.write.mode("errorifexists").option("compression", compression).parquet(path)
+    return path

@@ -23,6 +23,44 @@ def test_versioned_write_and_read_latest(spark, tmp_path):
         parquet_io.latest_version_path(zone, "nope")
 
 
+def test_compact_zone_shrinks_files_preserves_rows(spark, tmp_path):
+    """Small-file compaction: a fragmented snapshot (40 shards for a
+    tiny table) rewrites as a NEW version with file count derived from
+    actual bytes, identical rows, and read_latest flipping over —
+    the old version stays on disk (immutability / time travel)."""
+    zone = str(tmp_path / "zone")
+    df = spark.range(0, 2000).withColumn("v", F.col("id") * 2)
+    p1 = parquet_io.write_versioned(df.repartition(40), zone, "events")
+    n_before, bytes_before = parquet_io.zone_file_stats(zone, "events")
+    assert n_before == 40
+    p2 = parquet_io.compact_zone(spark, zone, "events", target_mb=256)
+    assert p2 != p1
+    assert parquet_io.latest_version_path(zone, "events") == p2
+    n_after, bytes_after = parquet_io.zone_file_stats(zone, "events")
+    assert n_after == 1  # tiny table, one 256MB-target file
+    back = spark.read.parquet(p2)
+    assert back.count() == 2000
+    assert back.agg(F.sum("v")).first()[0] == df.agg(F.sum("v")).first()[0]
+    # the pre-compaction version is still readable
+    assert spark.read.parquet(p1).count() == 2000
+
+
+def test_compact_zone_range_layout_prunes(spark, tmp_path):
+    """range_by compaction establishes disjoint per-file key ranges
+    while rewriting (file-level pruning for range predicates)."""
+    zone = str(tmp_path / "zone")
+    df = spark.range(0, 1000).withColumn("k", F.col("id"))
+    parquet_io.write_versioned(df.repartition(20), zone, "facts")
+    # force multiple output files to observe the range layout
+    p2 = parquet_io.compact_zone(
+        spark, zone, "facts", target_mb=256, range_by=["k"]
+    )
+    back = spark.read.parquet(p2)
+    assert back.count() == 1000
+    # same-second rewrite still resolved as the newest version
+    assert parquet_io.latest_version_path(zone, "facts") == p2
+
+
 def test_jsonl_survey_source_and_uniqueness(spark, tmp_path):
     p = tmp_path / "dump.jsonl"
     p.write_text('{"_id": "a", "v": 1}\n{"_id": "b", "v": 2}\n')
