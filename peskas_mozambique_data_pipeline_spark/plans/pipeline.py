@@ -61,6 +61,18 @@ class PipelineZones:
     def read_bucketed(self, spark: SparkSession, prefix: str) -> DataFrame:
         return parquet_io.read_latest_bucketed(spark, self.root, prefix)
 
+    def compact(
+        self, spark: SparkSession, prefix: str, target_mb: int = 256, **kw
+    ) -> str:
+        """Maintenance: rewrite the newest snapshot of ``prefix`` with
+        byte-targeted file sizes (see ``parquet_io.compact_zone``).
+        Lands as a new version, so ``read``/``is_fresh`` flip over
+        atomically and in-flight readers of the old version are
+        unaffected."""
+        return parquet_io.compact_zone(
+            spark, self.root, prefix, target_mb, git_sha=self.git_sha, **kw
+        )
+
     def version_ts(self, prefix: str) -> str | None:
         """Timestamp (YYYYmmddHHMMSS) of the newest version, or None."""
         try:

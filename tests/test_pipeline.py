@@ -344,6 +344,35 @@ def test_full_pipeline_zone_dag(spark, raw, lw_coeffs, tmp_path):
     assert parquet_io.latest_version_path(zone_root, "preprocessed") == p2
 
 
+def test_zone_compact_keeps_dag_fresh(spark, raw, lw_coeffs, tmp_path):
+    """Compaction in the live zone DAG: compacting a stage's zone lands
+    a new version that read() resolves and that does NOT mark
+    downstream products stale-by-content (it is the same data) — but
+    is_fresh correctly reports downstream as older, so an orchestrator
+    may choose to skip recompute after a pure compaction by comparing
+    content, or simply re-run (idempotent either way)."""
+    import os
+
+    from peskas_mozambique_data_pipeline_spark.io import parquet_io
+    from peskas_mozambique_data_pipeline_spark.plans import pipeline as pl
+
+    zone_root = str(tmp_path / "zones_cmp")
+    os.makedirs(zone_root)
+    zones = pl.PipelineZones(zone_root, "aaa")
+    p1 = pl.stage_preprocess(spark, raw, lw_coeffs, zones)
+    before = zones.read(spark, "preprocessed")
+    n_before = before.count()
+
+    p2 = zones.compact(spark, "preprocessed", target_mb=128)
+    assert p2 != p1
+    assert parquet_io.latest_version_path(zone_root, "preprocessed") == p2
+    after = zones.read(spark, "preprocessed")
+    assert after.count() == n_before
+    assert set(after.columns) == set(before.columns)
+    n_files, _ = parquet_io.zone_file_stats(zone_root, "preprocessed")
+    assert n_files == 1
+
+
 def test_pipeline_skip_fresh_is_incremental(spark, raw, lw_coeffs, tmp_path):
     import os
     import time as _time
