@@ -279,6 +279,43 @@ def test_contamination_matches_python_set_overlap(spark, train_in, bench_in):
 
 
 @SET
+@given(
+    st.lists(st.lists(words, min_size=3, max_size=12), min_size=1, max_size=4),
+    st.lists(st.lists(words, min_size=3, max_size=12), min_size=1, max_size=2),
+    st.sampled_from([1, 4]),  # n_words: saturated 64-bit and roomy filters
+)
+def test_bloom_decontaminate_equals_exact_for_any_corpus(
+    spark, train_in, bench_in, n_words
+):
+    """Two-phase bloom decontamination ≡ single-phase exact join for
+    arbitrary corpora and filter widths (the bloom may only ADD
+    phase-1 candidates, never drop one — phase 2 restores exactness)."""
+    from peskas_mozambique_data_pipeline_spark.operators.text import (
+        bloom_decontaminate,
+        ngram_contamination,
+    )
+
+    train = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(train_in)], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame(
+        [(1000 + i, " ".join(ws)) for i, ws in enumerate(bench_in)],
+        "doc_id long, text string",
+    )
+    exact = {
+        r.doc_id: (r.n_overlap, r.contaminated)
+        for r in ngram_contamination(train, bench, n=3).collect()
+    }
+    got = {
+        r.doc_id: (r.n_overlap, r.contaminated)
+        for r in bloom_decontaminate(
+            train, bench, n=3, n_words=n_words, k=2
+        ).collect()
+    }
+    assert got == exact
+
+
+@SET
 @given(st.integers(min_value=1, max_value=500), st.sampled_from([0.25, 0.5, 1.0]))
 def test_stratified_sample_is_exact_subset_semantics(spark, n, frac):
     from peskas_mozambique_data_pipeline_spark.operators.text import (
