@@ -410,3 +410,44 @@ def test_corpus_shuffle_no_global_window(spark):
     plan = plan_of(df, "simple")
     assert not re.search(r"Sort \[[^\]]*\], true", plan), plan
     assert "SinglePartition" not in plan
+
+
+def test_bloom_probe_phase_is_joinless_and_codegen(spark):
+    """Phase 1 of bloom decontamination: the corpus side must probe
+    the broadcast bitmask with pure scan-local arithmetic — the only
+    join in the probe plan is the 1-row bloom broadcast (nested-loop
+    on a literal single row), never a shuffled or hashed join of the
+    corpus, and no Python evaluation anywhere."""
+    from peskas_mozambique_data_pipeline_spark.operators.text import (
+        build_ngram_bloom,
+        token_ngrams,
+    )
+    from peskas_mozambique_data_pipeline_spark.session import read_table
+    from pyspark.sql import functions as F
+
+    docs = read_table(spark, SF, "documents")
+    bloom = build_ngram_bloom(docs.limit(5), n=5, n_words=16, k=3)
+    probed = docs.crossJoin(F.broadcast(bloom)).withColumn(
+        "_grams", F.array_distinct(token_ngrams("text", 5))
+    )
+    plan = plan_of(probed, "simple")
+    assert "SortMergeJoin" not in plan
+    assert "Exchange hashpartitioning" not in plan.split("BroadcastNestedLoopJoin")[0]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_compact_zone_default_is_shuffle_free(spark, tmp_path):
+    """The coalesce compaction path must add NO exchange — merging
+    read partitions is the whole point (a shuffle would re-move every
+    byte of a 100 TB zone)."""
+    from pyspark.sql import functions as F
+
+    from peskas_mozambique_data_pipeline_spark.io import parquet_io
+
+    zone = str(tmp_path / "z")
+    df = spark.range(0, 500).withColumn("v", F.col("id"))
+    parquet_io.write_versioned(df.repartition(10), zone, "t")
+    src = parquet_io.latest_version_path(zone, "t")
+    compacted = spark.read.parquet(src).coalesce(1)
+    plan = plan_of(compacted, "simple")
+    assert "Exchange" not in plan
