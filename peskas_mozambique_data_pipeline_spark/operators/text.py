@@ -1529,6 +1529,18 @@ def bpe_fertility(
     )
 
 
+def log2_nano_table(n: int) -> tuple[int, ...]:
+    """``round(log2(c) * 1e9)`` for c in 1..n — the single source of
+    truth for integer-argument log2 in nano-units.  Evaluated once in
+    Python and embedded as a literal array in BOTH the Spark plan and
+    the DuckDB oracle, so neither engine's libm is ever consulted at
+    query time (1-ulp libm disagreements straddling the nano rounding
+    boundary were an observed cross-engine hazard — see char_entropy)."""
+    import math
+
+    return tuple(round(math.log2(c) * 1e9) for c in range(1, n + 1))
+
+
 def char_entropy(
     df: DataFrame,
     text_col: str = "text",
@@ -1548,12 +1560,23 @@ def char_entropy(
     ``substring(text, i, 1)`` over a position sequence — identical
     char-based (not byte) semantics on both engines.
 
-    Each ``−p·log2(p)`` term is quantized to integer nano-units
-    before the per-doc SUM (order-free, engine-exact — the
-    token_drift rule); the result rounds to 6 decimals.
+    Exactness: ``H = log2(n) − (1/n)·Σ c·log2(c)`` — every transcendental
+    argument is a small integer in [1, max_chars], so log2 is evaluated
+    ONCE in Python into a shared nano-unit lookup table
+    (:func:`log2_nano_table`) embedded as the SAME literal array in the
+    Spark plan and the DuckDB oracle.  The per-doc sum and the
+    numerator ``lut[n]·n − Σ c·lut[c]`` are pure BIGINT arithmetic
+    (order-free, bounded by ~2^43 — exact in double for the final
+    division).  The earlier formulation quantized ``−p·log2(p)`` per
+    term with engine-local libm log2; a whole-registry sf0.1 gate run
+    (round 7 session 3) caught 3/5000 docs where a 1-ulp libm
+    disagreement straddled the nano rounding boundary — the LUT removes
+    query-time transcendentals entirely, so no boundary exists to
+    straddle.
 
     Returns (id, n_scored, n_distinct, entropy_bits).
     """
+    lut = log2_nano_table(max_chars)
     prefix = df.select(
         F.col(id_col),
         F.substring(F.col(text_col), 1, max_chars).alias("_pfx"),
@@ -1569,20 +1592,27 @@ def char_entropy(
     counts = chars.groupBy(id_col, "_n", "_ch").agg(
         F.count(F.lit(1)).alias("_c")
     )
-    p = F.col("_c") / F.col("_n")
-    term_q = F.round(-p * F.log2(p) * F.lit(1e9)).cast("long")
+    lut_arr = F.array(*[F.lit(v).cast("long") for v in lut])
+    term = F.col("_c") * F.element_at(lut_arr, F.col("_c").cast("int"))
     return (
-        counts.select(id_col, "_n", "_c", term_q.alias("_tq"))
+        counts.select(id_col, "_n", "_c", term.alias("_t"))
         .groupBy(id_col, "_n")
         .agg(
             F.count(F.lit(1)).alias("n_distinct"),
-            F.round(F.sum("_tq") / F.lit(1e9), 6).alias("entropy_bits"),
+            F.sum("_t").alias("_s"),
         )
         .select(
             id_col,
             F.col("_n").alias("n_scored"),
             "n_distinct",
-            "entropy_bits",
+            F.round(
+                (
+                    F.element_at(lut_arr, F.col("_n").cast("int")) * F.col("_n")
+                    - F.col("_s")
+                ).cast("double")
+                / (F.col("_n").cast("double") * F.lit(1e9)),
+                6,
+            ).alias("entropy_bits"),
         )
     )
 

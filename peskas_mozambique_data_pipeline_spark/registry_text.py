@@ -1788,8 +1788,16 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.char_entropy(_docs(spark, sf_dir), max_chars=512)
 
 
-SQL_CHAR_ENTROPY = """
-WITH pfx AS (
+# the log2 nano LUT is the SAME Python-evaluated literal as the Spark
+# plan's (text_ops.log2_nano_table) — H = log2(n) − (1/n)·Σ c·log2(c)
+# becomes pure BIGINT arithmetic on both engines; no query-time
+# transcendental, no libm-ulp rounding boundary (r7 session-3 fix: the
+# old per-term round(−p·log2(p)·1e9) diverged on 3/5000 docs at sf0.1)
+_LOG2_LUT = ", ".join(str(v) for v in text_ops.log2_nano_table(512))
+
+SQL_CHAR_ENTROPY = f"""
+WITH lut AS (SELECT [{_LOG2_LUT}] AS a),
+pfx AS (
   SELECT doc_id, substr(text, 1, 512) AS p FROM documents
   WHERE len(substr(text, 1, 512)) > 0
 ),
@@ -1800,16 +1808,17 @@ chars AS (
 counts AS (
   SELECT doc_id, n, ch, COUNT(*) AS c FROM chars GROUP BY doc_id, n, ch
 ),
-terms AS (
-  SELECT doc_id, n,
-         CAST(ROUND(-(c / n) * log2(c / n) * 1000000000.0) AS BIGINT) AS tq
-  FROM counts
+agg AS (
+  SELECT doc_id, n, COUNT(*) AS n_distinct,
+         CAST(SUM(c * a[CAST(c AS INTEGER)]) AS BIGINT) AS s
+  FROM counts, lut
+  GROUP BY doc_id, n
 )
 SELECT doc_id, CAST(n AS BIGINT) AS n_scored,
-       CAST(COUNT(*) AS BIGINT) AS n_distinct,
-       ROUND(CAST(SUM(tq) AS BIGINT) / 1000000000.0, 6) AS entropy_bits
-FROM terms
-GROUP BY doc_id, n
+       CAST(n_distinct AS BIGINT) AS n_distinct,
+       ROUND(CAST(a[CAST(n AS INTEGER)] * n - s AS DOUBLE)
+             / (CAST(n AS DOUBLE) * 1000000000.0), 6) AS entropy_bits
+FROM agg, lut
 """
 
 SPARK_QUERIES["char_entropy"] = q_char_entropy
