@@ -983,6 +983,7 @@ def reciprocal_rank_fusion(
     k: int = 60,
     top_n: int | None = None,
     nano_units: bool = False,
+    weights: list[float] | None = None,
 ) -> DataFrame:
     """Hybrid-search fusion (Cormack et al. 2009): combine N ranked
     candidate lists (e.g. BM25 lexical + ANN semantic) by summing
@@ -1001,18 +1002,33 @@ def reciprocal_rank_fusion(
     any rank-separating gap of 1/(k+r) − 1/(k+r+1) for practical k.
     Output column becomes ``rrf_nano`` plus a derived ``rrf_score``
     (the nano sum scaled back, deterministic because the sum is exact).
+
+    ``weights`` (one per list) biases the fusion toward a retriever —
+    the standard weighted-RRF knob for tuning lexical vs semantic
+    influence.  In nano mode weights must be integers so the sum stays
+    exact; in float mode any positive floats work.
     """
     if not rankings:
         raise ValueError("rankings must be non-empty")
-    if nano_units:
-        contrib = F.expr(
-            f"CAST(1000000000 AS BIGINT) div "
-            f"(CAST({int(k)} AS BIGINT) + CAST({rank_col} AS BIGINT))"
-        )
-    else:
-        contrib = F.lit(1.0) / (F.lit(float(k)) + F.col(rank_col).cast("double"))
+    if weights is not None and len(weights) != len(rankings):
+        raise ValueError("weights must match rankings 1:1")
+    if weights is not None and nano_units and any(
+        w != int(w) for w in weights
+    ):
+        raise ValueError("nano_units fusion needs integer weights")
+
+    def contrib(i: int):
+        w = 1 if weights is None else weights[i]
+        if nano_units:
+            return F.expr(
+                f"CAST({int(w)} AS BIGINT) * (CAST(1000000000 AS BIGINT) div "
+                f"(CAST({int(k)} AS BIGINT) + CAST({rank_col} AS BIGINT)))"
+            )
+        return F.lit(float(w)) / (F.lit(float(k)) + F.col(rank_col).cast("double"))
+
     parts = [
-        r.select(F.col(id_col), contrib.alias("_rrf")) for r in rankings
+        r.select(F.col(id_col), contrib(i).alias("_rrf"))
+        for i, r in enumerate(rankings)
     ]
     allr = parts[0]
     for p in parts[1:]:

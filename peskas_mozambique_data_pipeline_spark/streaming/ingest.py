@@ -286,3 +286,91 @@ def stream_sessions(
             "session_value",
         )
     )
+
+
+def stream_bloom_decontaminate(
+    stream: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+    n_words: int = 1024,
+    k: int = 3,
+    exact_verify: bool = True,
+) -> DataFrame:
+    """Streaming twin of ``operators.text.bloom_decontaminate`` —
+    completes the batch↔streaming symmetry table (rolling_zscore↔
+    anomaly_flags, source_cap↔stream_source_cap, token_drift↔
+    stream_token_drift, batch dedup↔dedup_index, decontamination↔this).
+
+    The Bloom bitmask is built ONCE from the static benchmark side
+    (one batch job) and enters the stream as a stream-static broadcast
+    cross join of a single row — per micro-batch the probe is the same
+    scan-local codegen predicate as the batch operator, so throughput
+    is scan-bound and NO streaming state is held at all (the filter is
+    stateless; watermarks/state belong to downstream aggregations).
+
+    ``exact_verify=True`` additionally strikes Bloom false positives
+    with an exact membership check — but streaming forbids the batch
+    operator's join-back shape (it would be a stream-stream self-join
+    / stateful distinct), so the exact check is ROW-LOCAL: the
+    benchmark gram digests fold into a one-row broadcast MAP and each
+    bloom-positive row probes it with ``map_contains_key`` (hash O(1)
+    per gram, no state, no shuffle).  Bloom-negative rows skip even
+    that.  With ``exact_verify=False`` the op is a pure prefilter
+    whose output may drop a clean doc only with Bloom-FP probability
+    (use when the digest map is too large to broadcast and a
+    downstream batch audit reconciles).
+
+    Returns the stream of CLEAN documents (contaminated rows dropped).
+    """
+    from ..operators.text import build_ngram_bloom, token_ngrams
+
+    n_bits = n_words * 64
+    bloom = build_ngram_bloom(benchmark, text_col, n, n_words, k)
+    probes = []
+    for j in range(k):
+        h = (
+            f"CAST(conv(substring(md5(concat_ws('#', md5(g), '{j}')), 1, 15),"
+            f" 16, 10) AS BIGINT) % {n_bits}"
+        )
+        probes.append(
+            f"(element_at(bloom_words, CAST(({h}) div 64 AS INT) + 1) & "
+            f"shiftleft(CAST(1 AS BIGINT), CAST(({h}) % 64 AS INT))) <> 0"
+        )
+    maybe = F.expr(f"exists(_grams, g -> {' AND '.join(probes)})")
+    flagged = (
+        stream.crossJoin(F.broadcast(bloom))
+        .withColumn("_grams", F.array_distinct(token_ngrams(text_col, n)))
+        .withColumn("_maybe", maybe)
+    )
+    if not exact_verify:
+        return flagged.filter(~F.col("_maybe")).drop(
+            "_grams", "_maybe", "bloom_words"
+        )
+    bench_map = (
+        benchmark.select(
+            F.explode(F.array_distinct(token_ngrams(text_col, n))).alias("gram")
+        )
+        .select(F.md5("gram").alias("_gh"))
+        .distinct()
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("_gh"), F.lit(True)))
+            ).alias("bench_map")
+        )
+    )
+    # row-local exact verdict: a bloom-positive row is contaminated
+    # iff some gram is REALLY in the benchmark map; bloom-negative
+    # rows short-circuit (the when() guard keeps them off the map)
+    exact_hit = F.expr(
+        "exists(_grams, g -> map_contains_key(bench_map, md5(g)))"
+    )
+    return (
+        flagged.crossJoin(F.broadcast(bench_map))
+        .withColumn(
+            "_dirty", F.when(F.col("_maybe"), exact_hit).otherwise(F.lit(False))
+        )
+        .filter(~F.col("_dirty"))
+        .drop("_grams", "_maybe", "_dirty", "bloom_words", "bench_map")
+    )

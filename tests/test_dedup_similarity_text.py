@@ -1270,6 +1270,26 @@ def test_reciprocal_rank_fusion_prefers_consensus(spark):
     assert abs(out[0].rrf_score - expect20) < 1e-12
 
 
+def test_weighted_rrf_biases_toward_heavier_list(spark):
+    """A 3:1 lexical weight must outrank a semantic-only doc that
+    plain RRF would prefer, in both float and integer-nano modes."""
+    lex = spark.createDataFrame([(10, 3)], "doc_id long, rank int")
+    sem = spark.createDataFrame([(20, 1)], "doc_id long, rank int")
+    plain = similarity.reciprocal_rank_fusion([lex, sem], k=60).collect()
+    assert plain[0].doc_id == 20  # rank 1 beats rank 3 unweighted
+    for kw in ({"weights": [3.0, 1.0]}, {"weights": [3, 1], "nano_units": True}):
+        fused = similarity.reciprocal_rank_fusion([lex, sem], k=60, **kw).collect()
+        assert fused[0].doc_id == 10  # 3/63 > 1/61
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        similarity.reciprocal_rank_fusion(
+            [lex, sem], k=60, nano_units=True, weights=[1.5, 1.0]
+        )
+    with _pytest.raises(ValueError):
+        similarity.reciprocal_rank_fusion([lex, sem], weights=[1.0])
+
+
 def test_rrf_nano_units_match_float_ranking(spark):
     """The engine-exact nano tier (10^9 div (k+rank), BIGINT sum) must
     induce the SAME fused ordering as the float tier whenever the float

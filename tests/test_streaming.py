@@ -370,3 +370,84 @@ def test_stream_sessions_matches_batch_sessionization(spark, tmp_path):
     assert expect == got
     assert got[(10, "2024-01-01 00:00:00")] == (2, 4.0)
     assert got[(10, "2024-01-01 00:50:00")] == (1, 4.0)
+
+
+def test_stream_bloom_decontaminate_matches_batch(spark, tmp_path):
+    """Streaming bloom decontamination (stateless: broadcast bitmask
+    probe + row-local exact map verify) must keep exactly the docs the
+    batch exact operator keeps."""
+    import random
+
+    from peskas_mozambique_data_pipeline_spark.operators.text import decontaminate
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(30)]
+    bench_rows = [
+        (100 + i, " ".join(rng.choice(vocab) for _ in range(10)))
+        for i in range(3)
+    ]
+    train_rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(15))) for i in range(25)
+    ]
+    planted = bench_rows[1][1].split()[1:6]
+    train_rows[4] = (4, "x " + " ".join(planted) + " y")
+    bench = spark.createDataFrame(bench_rows, "doc_id long, text string")
+    train = spark.createDataFrame(train_rows, "doc_id long, text string")
+
+    src = str(tmp_path / "docs_landing")
+    train.coalesce(1).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    stream = si.stream_landing_zone(spark, src, schema)
+    clean_stream = si.stream_bloom_decontaminate(
+        stream, bench, n=5, n_words=4, k=2
+    )
+    assert clean_stream.isStreaming
+    out_dir, ckpt = str(tmp_path / "clean"), str(tmp_path / "ckpt_dec")
+    q = (
+        clean_stream.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {r.doc_id for r in spark.read.parquet(out_dir).collect()}
+    expect = {r.doc_id for r in decontaminate(train, bench, n=5).collect()}
+    assert got == expect
+    assert 4 not in got  # the planted contaminated doc is dropped
+    # schema passthrough: no helper columns leak
+    assert set(spark.read.parquet(out_dir).columns) == {"doc_id", "text"}
+
+
+def test_stream_bloom_prefilter_only_never_false_negative(spark, tmp_path):
+    """With exact_verify=False the prefilter may drop clean docs
+    (bloom FPs) but must NEVER pass a contaminated one."""
+    from peskas_mozambique_data_pipeline_spark.operators.text import decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+    )
+    rows = [(1, "alpha beta gamma pad pad"), (2, "clean words only here now")]
+    train = spark.createDataFrame(rows, "doc_id long, text string")
+    src = str(tmp_path / "docs2")
+    train.coalesce(1).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = si.stream_landing_zone(spark, src, schema)
+    clean_stream = si.stream_bloom_decontaminate(
+        stream, bench, n=3, n_words=1, k=2, exact_verify=False
+    )
+    out_dir, ckpt = str(tmp_path / "clean2"), str(tmp_path / "ckpt2")
+    q = (
+        clean_stream.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.doc_id for r in spark.read.parquet(out_dir).collect()}
+    exact_clean = {r.doc_id for r in decontaminate(train, bench, n=3).collect()}
+    assert got <= exact_clean  # prefilter output ⊆ truly-clean set
+    assert 1 not in got
