@@ -111,9 +111,12 @@ def stage_quality(spark: SparkSession, docs: DataFrame, zones: PipelineZones) ->
 
 
 def stage_dedup(
-    spark: SparkSession, zones: PipelineZones, jaccard_threshold: float = 0.8
+    spark: SparkSession,
+    zones: PipelineZones,
+    jaccard_threshold: float = 0.8,
+    source: str = "corpus_filtered",
 ) -> str:
-    filtered = zones.read(spark, "corpus_filtered")
+    filtered = zones.read(spark, source)
     return zones.write(
         dedup_survivors(filtered, jaccard_threshold=jaccard_threshold),
         "corpus_deduped",
@@ -157,6 +160,60 @@ def stage_span_scrub(
     return zones.write(out, "corpus_scrubbed", range_by=["doc_id"])
 
 
+def stage_decontaminate(
+    spark: SparkSession,
+    zones: PipelineZones,
+    benchmark: DataFrame,
+    n: int = 13,
+    n_words: int = 1024,
+    source: str = "corpus_filtered",
+) -> str:
+    """Benchmark decontamination between the quality gate and dedup
+    (the standard order: cheap scan filters first, then eval-overlap
+    removal, then the expensive pair generation runs on the smallest
+    surviving corpus).  Uses the Bloom-prefiltered EXACT path: clean
+    docs never reach a join; false positives are struck by the exact
+    gram join over the bloom-positive subset only."""
+    docs = zones.read(spark, source)
+    clean = text_ops.bloom_decontaminate(
+        docs, benchmark, n=n, n_words=n_words
+    )
+    keep = clean.filter(~F.col("contaminated")).drop("n_overlap", "contaminated")
+    return zones.write(keep, "corpus_decontaminated", range_by=["doc_id"])
+
+
+def stage_shuffle(
+    spark: SparkSession,
+    zones: PipelineZones,
+    salt: str = "epoch0",
+    source: str = "corpus_packs",
+) -> str:
+    """Final training-order permutation: dense global ``shuffle_pos``
+    under md5(salt, id) — change ``salt`` per epoch.  Written
+    range-partitioned on the position so a sequential trainer read
+    streams the permuted order with file-level locality."""
+    from ..operators import curation as cur_ops
+
+    packs = zones.read(spark, source)
+    if "pack_id" in packs.columns:
+        # pack_id is per-stratum — shuffle on the globally-unique
+        # (stratum, pack_id) composite so the md5 order is total
+        strata = "lang" if "lang" in packs.columns else None
+        if strata:
+            packs = packs.withColumn(
+                "_sid", F.concat_ws("#", F.col(strata), F.col("pack_id"))
+            )
+            id_col = "_sid"
+        else:
+            id_col = "pack_id"
+    else:
+        id_col = "doc_id"
+    shuffled = cur_ops.deterministic_shuffle(packs, id_col=id_col, salt=salt)
+    if id_col == "_sid":
+        shuffled = shuffled.drop("_sid")
+    return zones.write(shuffled, "corpus_shuffled", range_by=["shuffle_pos"])
+
+
 def stage_pack(
     spark: SparkSession,
     zones: PipelineZones,
@@ -182,6 +239,9 @@ def run_corpus_pipeline(
     semantic_backend: str = "arrow",
     scrub_spans: bool = False,
     span_n: int = 8,
+    benchmark: DataFrame | None = None,
+    decontam_n: int = 13,
+    shuffle_salt: str | None = None,
 ) -> dict[str, str]:
     """The full curation DAG through versioned zones.
 
@@ -197,6 +257,13 @@ def run_corpus_pipeline(
     ≥``span_n``-token substrings cut before packing (doc-level dedup
     removes whole near-identical documents; span scrub removes the
     repeated boilerplate INSIDE otherwise-unique documents).
+
+    With ``benchmark`` provided, eval-set decontamination (the
+    Bloom-prefiltered exact path) runs between the quality gate and
+    dedup — contaminated docs must not reach pair generation or packs.
+    With ``shuffle_salt`` set, the packed corpus gets its final
+    deterministic training-order permutation as a ``corpus_shuffled``
+    zone (one salt per epoch).
     """
     from ..io import parquet_io
 
@@ -210,13 +277,26 @@ def run_corpus_pipeline(
     else:
         out["corpus_filtered"] = stage_quality(spark, docs, zones)
 
-    if skip_fresh and zones.is_fresh("corpus_deduped", "corpus_filtered"):
+    dedup_source = "corpus_filtered"
+    if benchmark is not None:
+        dedup_source = "corpus_decontaminated"
+        if skip_fresh and zones.is_fresh("corpus_decontaminated", "corpus_filtered"):
+            out["corpus_decontaminated"] = parquet_io.latest_version_path(
+                zone_root, "corpus_decontaminated"
+            )
+        else:
+            out["corpus_decontaminated"] = stage_decontaminate(
+                spark, zones, benchmark, n=decontam_n
+            )
+
+    if skip_fresh and zones.is_fresh("corpus_deduped", dedup_source):
         out["corpus_deduped"] = parquet_io.latest_version_path(
             zone_root, "corpus_deduped"
         )
     else:
         out["corpus_deduped"] = stage_dedup(
-            spark, zones, jaccard_threshold=jaccard_threshold
+            spark, zones, jaccard_threshold=jaccard_threshold,
+            source=dedup_source,
         )
 
     pack_source = "corpus_deduped"
@@ -248,4 +328,14 @@ def run_corpus_pipeline(
         out["corpus_packs"] = parquet_io.latest_version_path(zone_root, "corpus_packs")
     else:
         out["corpus_packs"] = stage_pack(spark, zones, budget=budget, source=pack_source)
+
+    if shuffle_salt is not None:
+        if skip_fresh and zones.is_fresh("corpus_shuffled", "corpus_packs"):
+            out["corpus_shuffled"] = parquet_io.latest_version_path(
+                zone_root, "corpus_shuffled"
+            )
+        else:
+            out["corpus_shuffled"] = stage_shuffle(
+                spark, zones, salt=shuffle_salt
+            )
     return out

@@ -289,3 +289,40 @@ def test_bucketed_zone_join_has_no_exchange(spark, tmp_path):
     assert joined.count() == 2000
     # the zone dir still resolves through the normal versioned reader
     assert zones.read(spark, "docs_b").count() == 2000
+
+
+def test_corpus_pipeline_with_decontamination_and_shuffle(spark, tmp_path):
+    """The full curation DAG with the two new optional stages: the
+    benchmark-contaminated doc is removed BEFORE dedup (so its
+    near-dup partner survives as its own cluster), and the packed
+    corpus gets a dense deterministic training-order permutation."""
+    docs = _corpus(spark)
+    # benchmark shares a 5-gram with doc 4 ("omega sigma theta kappa"
+    # run); docs 1-3 are unrelated to it
+    bench = spark.createDataFrame(
+        [(100, "fox omega sigma theta kappa again words")],
+        ["doc_id", "text"],
+    )
+    out = corpus.run_corpus_pipeline(
+        spark, docs, str(tmp_path / "zones"), budget=30,
+        jaccard_threshold=0.5, benchmark=bench, decontam_n=5,
+        shuffle_salt="epoch0",
+    )
+    decon = spark.read.parquet(out["corpus_decontaminated"])
+    assert set(r.doc_id for r in decon.collect()) == {1, 2, 3}  # doc 4 cut
+    deduped = spark.read.parquet(out["corpus_deduped"])
+    assert set(r.doc_id for r in deduped.collect()) == {1}
+    shuffled = spark.read.parquet(out["corpus_shuffled"])
+    rows = shuffled.collect()
+    # dense permutation 0..n-1 over the packs
+    assert sorted(r.shuffle_pos for r in rows) == list(range(len(rows)))
+    # epoch salt changes the permutation deterministically: same salt →
+    # identical positions on a re-run
+    out2 = corpus.run_corpus_pipeline(
+        spark, docs, str(tmp_path / "zones2"), budget=30,
+        jaccard_threshold=0.5, benchmark=bench, decontam_n=5,
+        shuffle_salt="epoch0",
+    )
+    shuffled2 = spark.read.parquet(out2["corpus_shuffled"])
+    key = lambda rws: sorted((r.lang, r.pack_id, r.shuffle_pos) for r in rws)
+    assert key(rows) == key(shuffled2.collect())
