@@ -208,11 +208,19 @@ def compact_zone(
     git_sha: str = "compact",
     range_by: list[str] | None = None,
     sort_by: list[str] | None = None,
+    partition_by: list[str] | None = None,
     compression: str = "lz4",
 ) -> str:
     """Small-file compaction: rewrite the newest snapshot as a NEW
     version with ~``target_mb`` output files sized from the actual
     on-disk bytes.
+
+    A hive-partitioned snapshot must pass its ``partition_by`` columns
+    again or the rewrite flattens the directory layout (the partition
+    values survive as ordinary columns either way — layout, not data,
+    is at stake).  With ``partition_by`` the file-count target applies
+    per written task, so pair it with ``range_by`` on the partition
+    columns when per-partition file counts matter.
 
     Streaming micro-batches and fine-grained partitioned appends leave
     zones as thousands of KB-scale files; at 100 TB that costs a task
@@ -248,12 +256,14 @@ def compact_zone(
         return _write_versioned_at(
             df, zone_dir, prefix, git_sha, now,
             range_by=range_by, n_files=n_files, compression=compression,
+            partition_by=partition_by,
         )
     out = df.coalesce(n_files)
     if sort_by:
         out = out.sortWithinPartitions(*sort_by)
     return _write_versioned_at(
-        out, zone_dir, prefix, git_sha, now, compression=compression
+        out, zone_dir, prefix, git_sha, now, compression=compression,
+        partition_by=partition_by,
     )
 
 
@@ -266,6 +276,7 @@ def _write_versioned_at(
     range_by: list[str] | None = None,
     n_files: int | None = None,
     compression: str = "lz4",
+    partition_by: list[str] | None = None,
 ) -> str:
     path = os.path.join(zone_dir, versioned_name(prefix, git_sha, now))
     if range_by:
@@ -275,5 +286,8 @@ def _write_versioned_at(
             else df.repartitionByRange(*range_by)
         )
         df = df.sortWithinPartitions(*range_by)
-    df.write.mode("errorifexists").option("compression", compression).parquet(path)
+    writer = df.write.mode("errorifexists").option("compression", compression)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
     return path

@@ -602,3 +602,21 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_bleft")
         spark.sql("DROP TABLE IF EXISTS t_bright")
+
+
+def test_compact_zone_preserves_hive_partitioning(spark, tmp_path):
+    zone = str(tmp_path / "zone")
+    df = spark.range(0, 400).withColumn("part", (F.col("id") % 2).cast("string"))
+    parquet_io.write_versioned(
+        df.repartition(8), zone, "t", partition_by=["part"]
+    )
+    p2 = parquet_io.compact_zone(
+        spark, zone, "t", target_mb=64, partition_by=["part"]
+    )
+    import os
+
+    subdirs = {d for d in os.listdir(p2) if d.startswith("part=")}
+    assert subdirs == {"part=0", "part=1"}
+    back = spark.read.parquet(p2)
+    assert back.count() == 400
+    assert back.filter(F.col("part") == "1").count() == 200
