@@ -1410,3 +1410,16 @@ def test_mixture_budget_rates_water_fills_capped_sources(spark):
     assert not any(r.capped for r in out2.values())
     assert out2["books"].draw_tokens == 800 and out2["books"].epochs == 1.6
     assert out2["code"].draw_tokens == 200 and out2["code"].epochs == 2.0
+
+
+def test_log2_nano_table_exact_powers_and_monotone():
+    from peskas_mozambique_data_pipeline_spark.operators.text import (
+        log2_nano_table,
+    )
+
+    lut = log2_nano_table(512)
+    assert len(lut) == 512
+    # dyadic arguments are exact in any libm — fixed anchors
+    for c, bits in ((1, 0), (2, 1), (4, 2), (8, 3), (256, 8), (512, 9)):
+        assert lut[c - 1] == bits * 1_000_000_000
+    assert list(lut) == sorted(lut)  # log2 is monotone
