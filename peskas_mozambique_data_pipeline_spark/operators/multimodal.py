@@ -221,3 +221,208 @@ def audio_windows(
     return df.filter(F.col("media_type") == "audio").select(
         "asset_id", "content"
     ).mapInPandas(process, AUDIO_WINDOW_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Real PNG decode (VERDICT r7 Next #5): non-interlaced PNG needs only
+# stdlib zlib + struct, so the image path no longer requires a codec
+# stub.  The decoder handles 8-bit gray / gray+alpha / RGB / RGBA /
+# palette with all five scanline filters.  Exotic codecs (JPEG, AV1,
+# interlaced Adam7 PNG, 16-bit depth) remain env-stubbed with explicit
+# errors — decoding those genuinely needs libraries this container
+# lacks.
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+IMAGE_STATS_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("mean", FloatType()),
+        StructField("std", FloatType()),
+        StructField("edge_energy", FloatType()),
+    ]
+)
+
+
+def decode_png(content: bytes):
+    """Decode a non-interlaced 8-bit PNG to an (H, W, C) uint8 array
+    using only stdlib ``zlib`` + ``struct`` — no codec dependency.
+
+    Supports color types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+A),
+    6 (RGBA) and all five scanline filters (None/Sub/Up/Average/Paeth,
+    RFC 2083 §6).  Raises ``NotImplementedError`` for Adam7 interlace
+    and non-8-bit depths (the remaining env-stub surface) and
+    ``ValueError`` for non-PNG bytes.
+
+    Per-row unfiltering is sequential by construction (each row
+    depends on the previous); Sub/Average/Paeth additionally carry an
+    intra-row dependency, handled in a per-byte loop.  That is fine
+    for the metadata/featurization path this serves; a production
+    pixel pipeline would swap in a native codec behind the same
+    mapInPandas plumbing.
+    """
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if not isinstance(content, (bytes, bytearray)) or not bytes(
+        content[:8]
+    ) == _PNG_MAGIC:
+        raise ValueError("not a PNG byte stream")
+    pos = 8
+    width = height = bit_depth = color_type = interlace = None
+    idat, plte = [], None
+    n = len(content)
+    while pos + 8 <= n:
+        ln, typ = struct.unpack(">I4s", content[pos : pos + 8])
+        pos += 8
+        data = content[pos : pos + ln]
+        pos += ln + 4  # payload + CRC (CRC not verified: decode-only path)
+        if typ == b"IHDR":
+            width, height, bit_depth, color_type, _comp, _filt, interlace = (
+                struct.unpack(">IIBBBBB", data)
+            )
+        elif typ == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    if interlace != 0:
+        raise NotImplementedError("Adam7-interlaced PNG needs a codec library")
+    if bit_depth != 8:
+        raise NotImplementedError(f"PNG bit depth {bit_depth} (only 8 supported)")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+    if channels is None:
+        raise ValueError(f"unknown PNG color type {color_type}")
+    if color_type == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE")
+    raw = zlib.decompress(b"".join(idat))
+    stride = width * channels
+    if len(raw) < height * (stride + 1):
+        raise ValueError("PNG IDAT truncated")
+    bpp = channels  # bytes per pixel at depth 8
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    i = 0
+    for y in range(height):
+        f = raw[i]
+        i += 1
+        line = np.frombuffer(raw[i : i + stride], dtype=np.uint8).copy()
+        i += stride
+        if f == 0:
+            pass
+        elif f == 1:  # Sub
+            for x in range(bpp, stride):
+                line[x] = (int(line[x]) + int(line[x - bpp])) & 0xFF
+        elif f == 2:  # Up — vectorized, no intra-row dependency
+            line += prev
+        elif f == 3:  # Average
+            for x in range(stride):
+                left = int(line[x - bpp]) if x >= bpp else 0
+                line[x] = (int(line[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for x in range(stride):
+                a = int(line[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                if pa <= pb and pa <= pc:
+                    pr = a
+                elif pb <= pc:
+                    pr = b
+                else:
+                    pr = c
+                line[x] = (int(line[x]) + pr) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter {f}")
+        out[y] = line
+        prev = line
+    arr = out.reshape(height, width, channels)
+    if color_type == 3:
+        arr = plte[arr[:, :, 0]]
+    return arr
+
+
+def resize_image_nearest(arr, width: int, height: int):
+    """Nearest-neighbor resize of an (H, W, C) array — pure index
+    arithmetic, deterministic, dependency-free.  Pairs with
+    :func:`decode_png` so the resize plumbing in :func:`resize_stub`
+    has a real kernel when the input is PNG."""
+    import numpy as np
+
+    h, w = arr.shape[:2]
+    ys = (np.arange(height) * h) // height
+    xs = (np.arange(width) * w) // width
+    return arr[ys][:, xs]
+
+
+def image_stats(df: DataFrame, batch_size: int = 64) -> DataFrame:
+    """REAL image decode + per-asset statistics via ``mapInPandas``:
+    PNG blobs decode with :func:`decode_png`; anything else (or a
+    corrupt blob) is skipped — featurization over mixed media zones
+    must not fail the whole job on one bad asset.
+
+    Emitted stats: dimensions, channel count, pixel mean/std, and mean
+    absolute horizontal gradient ("edge energy") — the cheap quality /
+    blank-image / duplicate-frame signals a curation pipeline filters
+    on.  Scale shape matches :func:`decode_media`: scan-local fan-in,
+    bounded Python memory (``batch_size`` blobs at a time), output is
+    tiny fixed-width rows, never pixels.
+    """
+    import numpy as np
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for lo in range(0, len(pdf), batch_size):
+                chunk = pdf.iloc[lo : lo + batch_size]
+                rows = []
+                for aid, content in zip(chunk["asset_id"], chunk["content"]):
+                    if content is None:
+                        continue
+                    try:
+                        arr = decode_png(bytes(content))
+                    except (ValueError, NotImplementedError):
+                        continue
+                    px = arr.astype(np.float64)
+                    edge = (
+                        float(np.mean(np.abs(np.diff(px, axis=1))))
+                        if arr.shape[1] > 1
+                        else 0.0
+                    )
+                    rows.append(
+                        (
+                            int(aid),
+                            int(arr.shape[1]),
+                            int(arr.shape[0]),
+                            int(arr.shape[2]),
+                            float(px.mean()),
+                            float(px.std()),
+                            edge,
+                        )
+                    )
+                if not rows:
+                    continue
+                cols = list(zip(*rows))
+                yield pd.DataFrame(
+                    {
+                        "asset_id": pd.Series(cols[0], dtype="int64"),
+                        "width": pd.Series(cols[1], dtype="int32"),
+                        "height": pd.Series(cols[2], dtype="int32"),
+                        "channels": pd.Series(cols[3], dtype="int32"),
+                        "mean": pd.Series(cols[4], dtype="float32"),
+                        "std": pd.Series(cols[5], dtype="float32"),
+                        "edge_energy": pd.Series(cols[6], dtype="float32"),
+                    }
+                )
+
+    return df.filter(F.col("media_type") == "image").select(
+        "asset_id", "content"
+    ).mapInPandas(process, IMAGE_STATS_SCHEMA)

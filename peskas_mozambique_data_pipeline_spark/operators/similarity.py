@@ -931,6 +931,80 @@ def quantize_embeddings_int8(
     return df.withColumn(out_col, q)
 
 
+def cosine_topk_int8(
+    queries_q: DataFrame,
+    corpus_q: DataFrame,
+    k: int = 5,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    code_col: str = "embedding_q",
+) -> DataFrame:
+    """Exact top-k cosine ranking over symmetric-int8 codes — the
+    retrieval tier that reads ONLY the quantized zone (4× less IO than
+    float32; see :func:`quantize_embeddings_int8`).
+
+    The per-vector scales cancel out of the quantized cosine::
+
+        cos_q8 = (s_q·s_c·Σ q_i c_i) / (s_q·√Σq_i² · s_c·√Σc_i²)
+               = Σ q_i c_i / (√Σq_i² · √Σc_i²)
+
+    so scoring touches only the tinyint codes: the dot product and
+    both norms are EXACT order-free BIGINT folds, and the only float
+    operations are two correctly-rounded IEEE sqrts and one division —
+    bit-reproducible on any IEEE-754 engine, which is what lets the
+    DuckDB oracle hash-verify an int8 index end to end.
+
+    Scale shape mirrors :func:`cosine_topk`: queries broadcast against
+    the corpus (zero corpus shuffle), norms precomputed per row (N
+    integer folds, not N²), per-query top-k as one window rank with
+    ``corpus_id`` as the deterministic tie-break.
+    """
+
+    def _inorm2(col: Column) -> Column:
+        sq = F.transform(col, lambda x: x.cast("bigint") * x.cast("bigint"))
+        return F.aggregate(sq, F.lit(0).cast("bigint"), lambda acc, v: acc + v)
+
+    q = queries_q.select(
+        F.col(query_id), F.col(code_col).alias("_qc")
+    ).withColumn("_qn2", _inorm2(F.col("_qc")))
+    c = corpus_q.select(
+        F.col(corpus_id), F.col(code_col).alias("_cc")
+    ).withColumn("_cn2", _inorm2(F.col("_cc")))
+    idot = F.aggregate(
+        F.zip_with(
+            F.col("_qc"), F.col("_cc"),
+            lambda x, y: x.cast("bigint") * y.cast("bigint"),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col(query_id) != F.col(corpus_id))
+        .filter((F.col("_qn2") > 0) & (F.col("_cn2") > 0))
+        .select(
+            query_id,
+            corpus_id,
+            (
+                idot.cast("double")
+                / (F.sqrt(F.col("_qn2").cast("double"))
+                   * F.sqrt(F.col("_cn2").cast("double")))
+            ).alias("_cos"),
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("_cos").desc(), F.col(corpus_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id,
+            F.col(corpus_id).alias("neighbor_id"),
+            "rank",
+            F.round(F.col("_cos"), 6).alias("cosine_q8"),
+        )
+    )
+
+
 def dequantize_embeddings_int8(
     df: DataFrame,
     q_col: str = "embedding_q",
@@ -952,6 +1026,7 @@ def mean_pool_embeddings(
     group_col: str = "doc_id",
     vec_col: str = "embedding",
     out_col: str = "embedding",
+    nano_units: bool = False,
 ) -> DataFrame:
     """Mean-pool chunk embeddings back to one vector per document —
     the standard doc-representation step after chunked embedding.
@@ -961,13 +1036,28 @@ def mean_pool_embeddings(
     the vector with an ordered ``collect_list`` fold — the same
     micro-pattern as the PQ codebook mean step.  Means accumulate in
     double and cast to float at the end.
+
+    ``nano_units=True`` accumulates ``round(val·1e9)`` BIGINTs instead
+    of doubles, so the per-position sum is exact and order-free (a
+    float32 value times 1e9 is exact in double: 24 mantissa bits +
+    ~30 bits of 1e9 < 53) and the pooled mean is the correctly-rounded
+    double of an exact rational — bit-reproducible across engines,
+    which is what lets the DuckDB oracle hash-verify pooled retrieval.
     """
     ex = chunks.select(
         F.col(group_col), F.posexplode(F.col(vec_col)).alias("pos", "val")
     )
-    means = ex.groupBy(group_col, "pos").agg(
-        (F.sum(F.col("val").cast("double")) / F.count(F.lit(1))).alias("m")
-    )
+    if nano_units:
+        means = ex.groupBy(group_col, "pos").agg(
+            (
+                F.sum(F.round(F.col("val").cast("double") * 1e9).cast("bigint"))
+                / (F.count(F.lit(1)) * F.lit(1e9))
+            ).alias("m")
+        )
+    else:
+        means = ex.groupBy(group_col, "pos").agg(
+            (F.sum(F.col("val").cast("double")) / F.count(F.lit(1))).alias("m")
+        )
     return means.groupBy(group_col).agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("pos", "m"))),

@@ -583,17 +583,82 @@ ORACLE_SQL.update(registry_curation.ORACLE_SQL)
 # queries with several green driver rounds (still covered by the
 # bit-exact local gate, tools/check_correctness.py) rotate out.
 _VERIFY_FIRST = [
-    # round-7 additions — never driver-verified, head of the window
+    # round-8 additions — never driver-verified, head of the window:
+    # the int8 retrieval tier + nano mean pooling (VERDICT r7 Next #3 /
+    # "What's missing" #2) and the two r8 consolidation union rows
+    # (VERDICT r7 Next #4 — each replaces two r6-green tail rows, so
+    # the merged operators get a fresh hard driver row immediately).
+    "ann_int8",
+    "pooled_ann",
+    "sketch_audit",
+    "ts_audit",
+    # hybrid_rrf carries over from the r7 head: the RRF core was
+    # refactored late in r7 session 3 (weighted tiers), so it takes the
+    # one spare head slot for a second consecutive driver row rather
+    # than rotating out right after a refactor.
+    "hybrid_rrf",
+    # r8 rotation (VERDICT r7 Next #1): the 45 queries that sat in the
+    # r7 tail (driver-green in r6, judge-gated bit-exact in r7, minus
+    # the 4 rows consolidated into sketch_audit/ts_audit) come back to
+    # the head so CORRECTNESS_r08 gives every one a hard driver row.
+    "ann_lsh",
+    "site_stats_full",
+    "time_weighted_avg",
+    "mix_quality",
+    "triangle_count",
+    "containment",
+    "weighted_sample",
+    "char_entropy",
+    "assoc_rules",
+    "interval_join",
+    "bpe_merges_fast",
+    "conversion_funnel",
+    "retention_cohorts",
+    "dsir_weights",
+    "temperature_resample",
+    "pagerank",
+    "hist_quantiles",
+    "trailing_window",
+    "unigram_logloss",
+    "vocab_coverage",
+    "doc_pack",
+    "boilerplate",
+    "c4_filter",
+    "embedding_clusters",
+    "minhash_dedup",
+    "dedup_clusters",
+    "pii_scrub",
+    "merge_upsert",
+    "scd2_versions",
+    "conditional_merge",
+    "flag_battery",
+    "fuzzy_dedup",
+    "quantile_coeffs",
+    "lw_model",
+    "last_wins",
+    "events_hourly",
+    "user_activity",
+    "json_extract",
+    "text_quality",
+    "lang_id",
+    "dedup_exact",
+    "simhash_pairs",
+    "doc_fingerprint",
+    "doc_winnow",
+    "token_rollup",
+]
+# Rotation tail: the 49 r7-window queries (every one driver-green in
+# CORRECTNESS_r07) minus hybrid_rrf, which stays in the head one more
+# round after its session-3 refactor.  Sitting out one round keeps the
+# "hard driver row at least every 2 rounds" invariant; the assertion
+# below forces this list to be resized whenever queries are added, so
+# the rotation stays deliberate.
+_VERIFY_LAST = [
     "term_stats",
     "ann_ivfpq",
     "bm25_indexed",
     "corpus_shuffle",
     "dup_span_audit",
-    "hybrid_rrf",
-    # r7 rotation (VERDICT r6 Next #2): the 46 queries that sat in the
-    # r6 tail (each driver-green in r5, judge-gated bit-exact in r6,
-    # minus the 4 rows consolidated away this round) come back to the
-    # head so CORRECTNESS_r07 gives every one a hard driver row again.
     "trip_rollup",
     "dim_enrichment",
     "bpe_fertility",
@@ -638,73 +703,6 @@ _VERIFY_FIRST = [
     "asof_join",
     "running_total",
     "geo_rollup_join",
-]
-# Both r6 bench outliers were re-measured back in band (isolated AND
-# in-suite, NOTES r7) and rotate to the tail with the rest of the r6
-# window.  r7 session-2 pre-executed the r8 consolidation shortlist:
-# dup_spans + span_scrub merged into the dup_span_audit union row (both
-# still in the head, so nothing lost its r7 driver slot), and the
-# bm25_search tail row dropped (bm25_indexed keeps the SAME oracle;
-# the scan-local tier stays pytest- and hybrid_rrf-covered).  That
-# freed the slots for hybrid_rrf with one to spare — registry at 99.
-_VERIFY_LAST = [
-    "ann_lsh",
-    "site_stats_full",
-    # Rotation tail: everything here was driver-green in round 6 (the
-    # r6 head/mid window), so sitting out one round keeps the "hard
-    # driver row at least every 2 rounds" invariant.  The assertion
-    # below forces this list to be resized whenever queries are added,
-    # so the rotation stays deliberate.  NOTE (r6 ADVICE): the flagship
-    # composites (trip_rollup, dim_enrichment, metrics_table) rotate on
-    # the same 2-round cadence as everything else since r6 — nothing is
-    # pinned inside the window permanently.
-    "time_weighted_avg",
-    "mix_quality",
-    "gap_fill",
-    "triangle_count",
-    "containment",
-    "weighted_sample",
-    "rolling_zscore",
-    "char_entropy",
-    "assoc_rules",
-    "interval_join",
-    "bpe_merges_fast",
-    "conversion_funnel",
-    "retention_cohorts",
-    "dsir_weights",
-    "temperature_resample",
-    "hll_distinct",
-    "cms_topk",
-    "pagerank",
-    "hist_quantiles",
-    "trailing_window",
-    "unigram_logloss",
-    "vocab_coverage",
-    "doc_pack",
-    "boilerplate",
-    "c4_filter",
-    "embedding_clusters",
-    "minhash_dedup",
-    "dedup_clusters",
-    "pii_scrub",
-    "merge_upsert",
-    "scd2_versions",
-    "conditional_merge",
-    "flag_battery",
-    "fuzzy_dedup",
-    "quantile_coeffs",
-    "lw_model",
-    "last_wins",
-    "events_hourly",
-    "user_activity",
-    "json_extract",
-    "text_quality",
-    "lang_id",
-    "dedup_exact",
-    "simhash_pairs",
-    "doc_fingerprint",
-    "doc_winnow",
-    "token_rollup",
 ]
 
 # The driver hard-verifies exactly the first 50 entries; the tail list

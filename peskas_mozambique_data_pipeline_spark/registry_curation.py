@@ -1032,18 +1032,26 @@ def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tok = _doc_tokens(spark, sf_dir)
+# r8 consolidation (VERDICT r7 Next #4): hll_distinct + cms_topk merge
+# into ONE sketch-audit union row — the shared exploded-token corpus
+# materializes once (localCheckpoint, the dup_span_audit precedent)
+# and feeds both sketches; both operators stay hash-verified inside
+# the normalized (sketch, key, n_exact, estimate) schema.
+
+
+def q_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = _doc_tokens(spark, sf_dir).localCheckpoint()
     regs = sk_ops.hll_registers(tok, "token", group_cols=["source"])
     est = sk_ops.hll_estimate(regs, group_cols=["source"])
     exact = tok.groupBy("source").agg(
         F.countDistinct("token").alias("n_exact")
     )
-    return exact.join(est, "source")
-
-
-def q_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tok = _doc_tokens(spark, sf_dir)
+    hll = exact.join(est, "source").select(
+        F.lit("hll").alias("sketch"),
+        F.col("source").alias("key"),
+        F.col("n_exact").cast("long").alias("n_exact"),
+        F.col("hll_distinct").cast("double").alias("estimate"),
+    )
     sketch = sk_ops.cms_sketch(tok, "token")
     top = (
         tok.groupBy("token")
@@ -1051,11 +1059,17 @@ def q_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_exact").desc(), F.col("token").asc())
         .limit(10)
     )
-    est = sk_ops.cms_lookup(sketch, top.select("token"), "token")
-    return top.join(est, "token").select("token", "n_exact", "cms_count")
+    cms_est = sk_ops.cms_lookup(sketch, top.select("token"), "token")
+    cms = top.join(cms_est, "token").select(
+        F.lit("cms").alias("sketch"),
+        F.col("token").alias("key"),
+        F.col("n_exact").cast("long").alias("n_exact"),
+        F.col("cms_count").cast("double").alias("estimate"),
+    )
+    return hll.unionByName(cms)
 
 
-SQL_HLL_DISTINCT = r"""
+SQL_SKETCH_AUDIT = r"""
 WITH tok AS (
   SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS token
   FROM documents
@@ -1093,18 +1107,7 @@ fin AS (
 ),
 ex AS (
   SELECT source, COUNT(DISTINCT token) AS n_exact FROM t2 GROUP BY source
-)
-SELECT ex.source, CAST(n_exact AS BIGINT) AS n_exact,
-       ROUND(e, 6) AS hll_distinct
-FROM ex JOIN fin USING (source)
-"""
-
-SQL_CMS_TOPK = r"""
-WITH tok AS (
-  SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
-  FROM documents
 ),
-t2 AS (SELECT token FROM tok WHERE token <> ''),
 cells AS (
   SELECT t.i,
          ('0x' || substr(md5('cms' || CAST(t.i AS VARCHAR) || '_' || token),
@@ -1125,15 +1128,18 @@ probe AS (
                          1, 2))::INTEGER AS cell
   FROM top CROSS JOIN unnest(generate_series(0, 3)) AS t(i)
 )
-SELECT p.token, p.n_exact, MIN(COALESCE(s.n, 0)) AS cms_count
+SELECT 'hll' AS sketch, ex.source AS key, CAST(n_exact AS BIGINT) AS n_exact,
+       ROUND(e, 6) AS estimate
+FROM ex JOIN fin USING (source)
+UNION ALL
+SELECT 'cms', p.token, p.n_exact,
+       CAST(MIN(COALESCE(s.n, 0)) AS DOUBLE)
 FROM probe p LEFT JOIN sketch s ON p.i = s.i AND p.cell = s.cell
 GROUP BY p.token, p.n_exact
 """
 
-SPARK_QUERIES["hll_distinct"] = q_hll_distinct
-ORACLE_SQL["hll_distinct"] = SQL_HLL_DISTINCT
-SPARK_QUERIES["cms_topk"] = q_cms_topk
-ORACLE_SQL["cms_topk"] = SQL_CMS_TOPK
+SPARK_QUERIES["sketch_audit"] = q_sketch_audit
+ORACLE_SQL["sketch_audit"] = SQL_SKETCH_AUDIT
 
 
 # ---------------------------------------------------------------------------
@@ -1301,3 +1307,152 @@ FROM documents
 
 SPARK_QUERIES["corpus_shuffle"] = q_corpus_shuffle
 ORACLE_SQL["corpus_shuffle"] = SQL_CORPUS_SHUFFLE
+
+
+# ---------------------------------------------------------------------------
+# Q: int8-quantized retrieval (operators/similarity.py::
+# quantize_embeddings_int8 + cosine_topk_int8) — the 4×-cheaper
+# embedding-zone tier.  This is the one operator family that CHANGES
+# STORED BITS (float32 → tinyint codes + one float scale), so the
+# oracle replays the symmetric quantization exactly: max-abs fold →
+# float32 scale → half-up rounded codes; ranking then needs only
+# integer dot/norm folds (exact BIGINT, order-free) plus two IEEE
+# sqrts and one division — bit-reproducible across engines.
+
+
+def q_ann_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import similarity as sim
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    quantized = sim.quantize_embeddings_int8(emb)
+    queries = quantized.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding_q"
+    )
+    return sim.cosine_topk_int8(queries, quantized, k=5)
+
+
+def _sql_int8_dot(a: str, b: str, dim: int = 64) -> str:
+    return (
+        f"list_reduce(list_transform(generate_series(1, {dim}),"
+        f" i -> CAST({a}[i] AS BIGINT) * CAST({b}[i] AS BIGINT)),"
+        f" (x, y) -> x + y)"
+    )
+
+
+SQL_ANN_INT8 = f"""
+WITH base AS (
+  SELECT vec_id, embedding,
+         CAST(list_reduce(list_transform(embedding,
+                  x -> abs(CAST(x AS DOUBLE))), (a, b) -> greatest(a, b))
+              / 127.0 AS REAL) AS scale
+  FROM embeddings
+),
+codes AS (
+  SELECT vec_id,
+         CASE WHEN scale > 0 THEN
+           list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) / CAST(scale AS DOUBLE))
+                       AS TINYINT))
+         ELSE list_transform(embedding, x -> CAST(0 AS TINYINT))
+         END AS qc
+  FROM base
+),
+n2 AS (
+  SELECT vec_id, qc,
+         list_reduce(list_transform(qc, x -> CAST(x AS BIGINT) * CAST(x AS BIGINT)),
+                     (a, b) -> a + b) AS nrm2
+  FROM codes
+),
+q AS (
+  SELECT vec_id AS query_id, qc AS qqc, nrm2 AS qn2
+  FROM n2 WHERE vec_id % 50 = 0 AND nrm2 > 0
+),
+scored AS (
+  SELECT q.query_id, c.vec_id,
+         CAST({_sql_int8_dot('q.qqc', 'c.qc')} AS DOUBLE)
+         / (sqrt(CAST(q.qn2 AS DOUBLE)) * sqrt(CAST(c.nrm2 AS DOUBLE))) AS cos
+  FROM n2 c CROSS JOIN q
+  WHERE c.vec_id <> q.query_id AND c.nrm2 > 0
+),
+ranked AS (
+  SELECT query_id, vec_id AS neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank,
+         cos
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
+       ROUND(cos, 6) AS cosine_q8
+FROM ranked WHERE rank <= 5
+"""
+
+SPARK_QUERIES["ann_int8"] = q_ann_int8
+ORACLE_SQL["ann_int8"] = SQL_ANN_INT8
+
+
+# ---------------------------------------------------------------------------
+# Q: pooled-document retrieval (operators/similarity.py::
+# mean_pool_embeddings nano tier + cosine_topk) — chunk embeddings
+# mean-pooled back to one vector per document (vec_id div 5 as the
+# synthetic chunk→doc map), then brute-cosine top-5 over the POOLED
+# corpus.  Pooling accumulates round(val·1e9) BIGINTs (exact for
+# float32·1e9 in double: 24 + 30 bits < 53), so the per-position mean
+# is the correctly-rounded double of an exact rational and the pooled
+# float32 vector is bit-identical on both engines; the cosine is the
+# established sequential index-order fold.
+
+
+def q_pooled_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import similarity as sim
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    chunks = emb.select(
+        F.expr("vec_id div 5").alias("doc_id"), "embedding"
+    )
+    pooled = sim.mean_pool_embeddings(chunks, group_col="doc_id", nano_units=True)
+    queries = pooled.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("query_id"), "embedding"
+    )
+    return sim.cosine_topk(queries, pooled, k=5, corpus_id="doc_id")
+
+
+def _sql_pool_ann() -> str:
+    from .registry_text import _sql_dot, _sql_norm
+
+    return f"""
+WITH ex AS (
+  SELECT vec_id // 5 AS doc_id, t.i AS pos,
+         CAST(round(CAST(embedding[t.i] AS DOUBLE) * 1e9) AS BIGINT) AS nano
+  FROM embeddings CROSS JOIN generate_series(1, 64) AS t(i)
+),
+pool AS (
+  SELECT doc_id, pos,
+         CAST(CAST(SUM(nano) AS BIGINT) / (COUNT(*) * 1e9) AS REAL) AS m
+  FROM ex GROUP BY doc_id, pos
+),
+vecs AS (
+  SELECT doc_id, list(m ORDER BY pos) AS embedding FROM pool GROUP BY doc_id
+),
+q AS (SELECT doc_id AS query_id, embedding AS qv FROM vecs WHERE doc_id % 10 = 0),
+scored AS (
+  SELECT q.query_id, c.doc_id,
+         {_sql_dot('q.qv', 'c.embedding')}
+         / ({_sql_norm('q.qv')} * {_sql_norm('c.embedding')}) AS cos
+  FROM vecs c CROSS JOIN q
+  WHERE c.doc_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, doc_id AS neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, doc_id) AS rank,
+         cos
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
+       ROUND(cos, 6) AS cosine_sim
+FROM ranked WHERE rank <= 5
+"""
+
+
+SQL_POOLED_ANN = _sql_pool_ann()
+
+SPARK_QUERIES["pooled_ann"] = q_pooled_ann
+ORACLE_SQL["pooled_ann"] = SQL_POOLED_ANN

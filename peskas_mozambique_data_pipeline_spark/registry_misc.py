@@ -1128,81 +1128,6 @@ SPARK_QUERIES["trailing_window"] = q_trailing_window
 ORACLE_SQL["trailing_window"] = SQL_TRAILING_WINDOW
 
 
-# ---------------------------------------------------------------------------
-# Q: time-series gap fill (operators/timeseries.py) — daily high-value
-# revenue per nation densified over each nation's observed range, with
-# LOCF and integer-exact linear interpolation.  The daily-grain
-# generalization of the reference's monthly `complete()` densification
-# (R/export.R:136-151).
-
-
-def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.timeseries import gap_fill_interpolate
-
-    orders = _t(spark, sf_dir, "orders")
-    cust = _t(spark, sf_dir, "customer").filter(F.col("c_nationkey") < 5)
-    obs = (
-        orders.filter(F.col("o_totalprice") > 250000)
-        .join(cust.select("c_custkey", "c_nationkey"), orders.o_custkey == F.col("c_custkey"))
-        .groupBy("c_nationkey", F.to_date("o_orderdate").alias("day"))
-        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("v_q"))
-    )
-    filled = gap_fill_interpolate(obs, ["c_nationkey"], "day", "v_q")
-    return filled.select(
-        F.col("c_nationkey").alias("nation"),
-        F.date_format("day", "yyyy-MM-dd").alias("day"),
-        (F.col("value_q") / 100.0).alias("revenue"),
-        (F.col("locf_q") / 100.0).alias("locf_revenue"),
-        (F.col("interp_q") / 100.0).alias("interp_revenue"),
-    )
-
-
-SQL_GAP_FILL = """
-WITH obs AS (
-  SELECT c.c_nationkey AS nation, CAST(o.o_orderdate AS DATE) AS day,
-         SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS v_q
-  FROM orders o
-  JOIN customer c ON o.o_custkey = c.c_custkey
-  WHERE c.c_nationkey < 5 AND o.o_totalprice > 250000
-  GROUP BY 1, 2
-),
-bounds AS (SELECT nation, MIN(day) AS d0, MAX(day) AS d1 FROM obs GROUP BY 1),
-spine AS (
-  SELECT nation, CAST(UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
-  FROM bounds
-),
-j AS (
-  SELECT s.nation, s.day, o.v_q
-  FROM spine s LEFT JOIN obs o ON s.nation = o.nation AND s.day = o.day
-),
-w AS (
-  SELECT nation, day, v_q,
-    last_value(v_q IGNORE NULLS) OVER (
-      PARTITION BY nation ORDER BY day
-      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
-    last_value(CASE WHEN v_q IS NOT NULL THEN day END IGNORE NULLS) OVER (
-      PARTITION BY nation ORDER BY day
-      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
-    first_value(v_q IGNORE NULLS) OVER (
-      PARTITION BY nation ORDER BY day
-      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
-    first_value(CASE WHEN v_q IS NOT NULL THEN day END IGNORE NULLS) OVER (
-      PARTITION BY nation ORDER BY day
-      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
-  FROM j
-)
-SELECT nation, strftime(day, '%Y-%m-%d') AS day,
-       v_q / 100.0 AS revenue,
-       pv / 100.0 AS locf_revenue,
-       (CASE WHEN v_q IS NOT NULL THEN v_q
-             WHEN pv IS NOT NULL AND nv IS NOT NULL
-             THEN pv + (nv - pv) * (day - pd) // (nd - pd)
-        END) / 100.0 AS interp_revenue
-FROM w
-"""
-
-SPARK_QUERIES["gap_fill"] = q_gap_fill
-ORACLE_SQL["gap_fill"] = SQL_GAP_FILL
 
 
 # ---------------------------------------------------------------------------
@@ -1271,67 +1196,137 @@ ORACLE_SQL["triangle_count"] = SQL_TRIANGLE_COUNT
 
 
 # ---------------------------------------------------------------------------
-# Q: rolling z-score anomaly flags (operators/timeseries.py) — daily
-# nation revenue scored against its own trailing 28-day window.
-# Values are integer dollars (cents // 100) so the windowed sum /
-# sum-of-squares stay exact BIGINTs with ample headroom; only the
-# final z expression is float, shape-identical on both engines.
+# Q: time-series audit — r8 consolidation (VERDICT r7 Next #4) of the
+# gap_fill and rolling_zscore rows onto ONE shared daily spine: high-
+# value (>250k) nation revenue, materialized once (localCheckpoint,
+# the dup_span_audit precedent) and fed to both operators.  The gap
+# branch densifies nations 0-4 with LOCF + integer-exact interpolation
+# (the daily-grain generalization of the reference's monthly
+# `complete()`, R/export.R:136-151); the z branch scores every nation
+# against its trailing 28-observation window (integer-dollar sums stay
+# exact BIGINTs).  Normalized (stat, nation, day, value, aux1, aux2)
+# schema — gap: value/locf/interp revenue; z: revenue/n_obs/zscore.
 
 
-def q_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.timeseries import rolling_zscore
+def q_ts_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.timeseries import gap_fill_interpolate, rolling_zscore
 
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
     obs = (
-        orders.join(cust.select("c_custkey", "c_nationkey"), orders.o_custkey == F.col("c_custkey"))
+        orders.filter(F.col("o_totalprice") > 250000)
+        .join(
+            cust.select("c_custkey", "c_nationkey"),
+            orders.o_custkey == F.col("c_custkey"),
+        )
         .groupBy("c_nationkey", F.to_date("o_orderdate").alias("day"))
-        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("_c"))
-        .select("c_nationkey", "day", F.expr("_c div 100").alias("v_q"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("v_c")
+        )
+    ).localCheckpoint()
+
+    filled = gap_fill_interpolate(
+        obs.filter(F.col("c_nationkey") < 5).select(
+            "c_nationkey", "day", F.col("v_c").alias("v_q")
+        ),
+        ["c_nationkey"],
+        "day",
+        "v_q",
     )
-    scored = rolling_zscore(obs, ["c_nationkey"], "day", "v_q", window=28, min_obs=8)
-    return scored.filter(
-        F.col("zscore").isNotNull() & (F.abs(F.col("zscore")) >= 2.0)
-    ).select(
+    gap = filled.select(
+        F.lit("gap").alias("stat"),
         F.col("c_nationkey").alias("nation"),
         F.date_format("day", "yyyy-MM-dd").alias("day"),
-        F.col("v_q").alias("revenue_usd"),
-        "n_obs",
-        "zscore",
+        (F.col("value_q") / 100.0).alias("value"),
+        (F.col("locf_q") / 100.0).alias("aux1"),
+        (F.col("interp_q") / 100.0).alias("aux2"),
     )
 
+    zin = obs.select("c_nationkey", "day", F.expr("v_c div 100").alias("v_q"))
+    scored = rolling_zscore(zin, ["c_nationkey"], "day", "v_q", window=28, min_obs=8)
+    z = scored.filter(
+        F.col("zscore").isNotNull() & (F.abs(F.col("zscore")) >= 2.0)
+    ).select(
+        F.lit("z").alias("stat"),
+        F.col("c_nationkey").alias("nation"),
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("v_q").cast("double").alias("value"),
+        F.col("n_obs").cast("double").alias("aux1"),
+        F.col("zscore").alias("aux2"),
+    )
+    return gap.unionByName(z)
 
-SQL_ROLLING_ZSCORE = """
+
+SQL_TS_AUDIT = """
 WITH obs AS (
   SELECT c.c_nationkey AS nation, CAST(o.o_orderdate AS DATE) AS day,
-         CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) // 100 AS BIGINT) AS v_q
+         SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS v_c
   FROM orders o
   JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE o.o_totalprice > 250000
   GROUP BY 1, 2
 ),
+gobs AS (SELECT nation, day, v_c AS v_q FROM obs WHERE nation < 5),
+bounds AS (SELECT nation, MIN(day) AS d0, MAX(day) AS d1 FROM gobs GROUP BY 1),
+spine AS (
+  SELECT nation, CAST(UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM bounds
+),
+j AS (
+  SELECT s.nation, s.day, o.v_q
+  FROM spine s LEFT JOIN gobs o ON s.nation = o.nation AND s.day = o.day
+),
 w AS (
+  SELECT nation, day, v_q,
+    last_value(v_q IGNORE NULLS) OVER (
+      PARTITION BY nation ORDER BY day
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+    last_value(CASE WHEN v_q IS NOT NULL THEN day END IGNORE NULLS) OVER (
+      PARTITION BY nation ORDER BY day
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+    first_value(v_q IGNORE NULLS) OVER (
+      PARTITION BY nation ORDER BY day
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+    first_value(CASE WHEN v_q IS NOT NULL THEN day END IGNORE NULLS) OVER (
+      PARTITION BY nation ORDER BY day
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+  FROM j
+),
+zobs AS (SELECT nation, day, CAST(v_c // 100 AS BIGINT) AS v_q FROM obs),
+zw AS (
   SELECT nation, day, v_q,
          CAST(COUNT(v_q) OVER tw AS BIGINT) AS n,
          CAST(SUM(v_q) OVER tw AS BIGINT) AS s,
          CAST(SUM(v_q * v_q) OVER tw AS BIGINT) AS q
-  FROM obs
+  FROM zobs
   WINDOW tw AS (PARTITION BY nation ORDER BY day
                 ROWS BETWEEN 28 PRECEDING AND 1 PRECEDING)
 ),
 z AS (
   SELECT nation, day, v_q, n,
          ROUND((v_q - s / n) / sqrt(q / n - (s / n) * (s / n)), 6) AS zscore
-  FROM w
+  FROM zw
   WHERE n >= 8 AND (q / n - (s / n) * (s / n)) > 0
 )
-SELECT nation, strftime(day, '%Y-%m-%d') AS day,
-       v_q AS revenue_usd, n AS n_obs, zscore
+SELECT 'gap' AS stat, nation, strftime(day, '%Y-%m-%d') AS day,
+       v_q / 100.0 AS value,
+       pv / 100.0 AS aux1,
+       (CASE WHEN v_q IS NOT NULL THEN v_q
+             WHEN pv IS NOT NULL AND nv IS NOT NULL
+             THEN pv + (nv - pv) * (day - pd) // (nd - pd)
+        END) / 100.0 AS aux2
+FROM w
+UNION ALL
+SELECT 'z' AS stat, nation, strftime(day, '%Y-%m-%d') AS day,
+       CAST(v_q AS DOUBLE) AS value, CAST(n AS DOUBLE) AS aux1, zscore AS aux2
 FROM z
 WHERE ABS(zscore) >= 2.0
 """
 
-SPARK_QUERIES["rolling_zscore"] = q_rolling_zscore
-ORACLE_SQL["rolling_zscore"] = SQL_ROLLING_ZSCORE
+SPARK_QUERIES["ts_audit"] = q_ts_audit
+ORACLE_SQL["ts_audit"] = SQL_TS_AUDIT
+
+
 
 
 # ---------------------------------------------------------------------------
