@@ -291,3 +291,68 @@ def _write_versioned_at(
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
     return path
+
+
+def list_versions(zone_dir: str, prefix: str) -> list[str]:
+    """All versioned snapshot directory names for ``prefix``, oldest →
+    newest (driver-side listing, metadata only)."""
+    out = []
+    for name in os.listdir(zone_dir):
+        if not name.startswith(prefix + "__"):
+            continue
+        m = VERSION_RE.search(name)
+        if m:
+            out.append((m.group(1), name))
+    return [name for _ts, name in sorted(out)]
+
+
+def vacuum_zone(
+    spark: SparkSession,
+    zone_dir: str,
+    prefix: str,
+    keep_last: int = 2,
+) -> list[str]:
+    """Zone retention (VERDICT r7 Next #7): delete superseded versioned
+    snapshots, keeping the newest ``keep_last``.
+
+    ``write_versioned`` / ``compact_zone`` only ever ADD versions — the
+    immutability that gives readers time travel also means a zone grows
+    by one full copy per write, and at 100 TB a compaction cadence of
+    hours fills any disk in days.  Vacuum is the retention half of the
+    maintenance pair (compact = fewer files, vacuum = fewer versions).
+
+    Semantics:
+
+    * the newest ``keep_last`` snapshots survive — ``read_latest`` and
+      time travel to any KEPT version are unaffected;
+    * a removed snapshot that was registered as an external bucketed
+      table (``write_bucketed_versioned``) has its catalog entry
+      dropped with it — same discipline as the streaming dedup index's
+      snapshot compaction (streaming/dedup_index.py);
+    * ``keep_last >= 1`` is enforced: a vacuum can never empty a zone.
+
+    Caller contract at scale: pick ``keep_last`` to cover the longest
+    in-flight reader (a job that resolved ``latest_version_path``
+    before the vacuum must finish before its version is N writes
+    stale) — the same grace-period reasoning as table-format VACUUM
+    retention windows.
+
+    Returns the removed snapshot paths (oldest first).
+    """
+    import shutil
+
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1 (a vacuum cannot empty a zone)")
+    versions = list_versions(zone_dir, prefix)
+    doomed = versions[: max(0, len(versions) - keep_last)]
+    removed = []
+    for name in doomed:
+        table = bucket_table_name(name)
+        if spark.catalog.tableExists(table):
+            # external table: DROP removes only the catalog entry; the
+            # rmtree below removes the data
+            spark.sql(f"DROP TABLE IF EXISTS {table}")
+        path = os.path.join(zone_dir, name)
+        shutil.rmtree(path, ignore_errors=True)
+        removed.append(path)
+    return removed

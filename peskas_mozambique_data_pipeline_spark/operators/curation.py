@@ -374,6 +374,7 @@ def deterministic_shuffle(
     id_col: str = "doc_id",
     salt: str = "shuffle",
     n_parts: int | None = None,
+    eager_unpersist: bool = False,
 ) -> DataFrame:
     """Deterministic corpus shuffle for training order: every row gets
     a dense global position ``shuffle_pos`` under the md5(salt, id)
@@ -390,15 +391,38 @@ def deterministic_shuffle(
     parallelism, the model-fit collect precedent) and added back via a
     broadcast join.  The md5 key tie-breaks on the id itself so the
     order is total even under hash collisions.
+
+    Checkpoint storage (SCALE.md "Deterministic shuffle" note): the
+    ranged frame is materialized because it feeds TWO jobs (the
+    offset count and the final rank), so during the run the corpus
+    occupies executor storage twice — once as the materialized blocks,
+    once as the downstream write.  By default (localCheckpoint) the
+    blocks are released only when the returned frame is
+    garbage-collected; ``eager_unpersist=True`` instead caches the
+    ranged frame through the cache manager (MEMORY_AND_DISK persist —
+    the releasable kind; localCheckpoint blocks are NOT freed by
+    ``Dataset.unpersist``), materializes the final positions, and
+    frees the ranged copy IMMEDIATELY.  Persist semantics are safe
+    here: block loss triggers recompute, and the recompute reproduces
+    identical partitions because the range sampler is seeded per RDD
+    and the (_sk, id) sort order is total.  Positions are identical
+    either way (pytest-pinned).
     """
     key = F.md5(F.concat_ws("_", F.lit(salt), F.col(id_col).cast("string")))
     parts = n_parts or df.sparkSession.sparkContext.defaultParallelism
-    ranged = (
+    ranged_plan = (
         df.withColumn("_sk", key)
         .repartitionByRange(parts, F.col("_sk"), F.col(id_col))
         .sortWithinPartitions("_sk", id_col)
         .withColumn("_pid", F.spark_partition_id())
-    ).localCheckpoint()  # feeds the offset count AND the final rank
+    )
+    # materialized because it feeds the offset count AND the final rank
+    if eager_unpersist:
+        from pyspark import StorageLevel
+
+        ranged = ranged_plan.persist(StorageLevel.MEMORY_AND_DISK)
+    else:
+        ranged = ranged_plan.localCheckpoint()
     counts = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_c"))
     rows = sorted((r["_pid"], r["_c"]) for r in counts.collect())
     offsets, acc = {}, 0
@@ -409,12 +433,18 @@ def deterministic_shuffle(
         [(int(p), int(o)) for p, o in offsets.items()], "_pid int, _off long"
     )
     w = Window.partitionBy("_pid").orderBy("_sk", id_col)
-    return (
+    out = (
         ranged.withColumn("_rn", F.row_number().over(w))
         .join(F.broadcast(off), "_pid")
         .withColumn("shuffle_pos", F.col("_off") + F.col("_rn") - 1)
         .drop("_sk", "_pid", "_rn", "_off")
     )
+    if eager_unpersist:
+        out = out.localCheckpoint()
+        # blocking so the storage really is gone when this returns —
+        # the whole point of the knob is a bounded residency window
+        ranged.unpersist(blocking=True)
+    return out
 
 
 def mixture_budget_rates(

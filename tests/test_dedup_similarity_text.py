@@ -1423,3 +1423,35 @@ def test_log2_nano_table_exact_powers_and_monotone():
     for c, bits in ((1, 0), (2, 1), (4, 2), (8, 3), (256, 8), (512, 9)):
         assert lut[c - 1] == bits * 1_000_000_000
     assert list(lut) == sorted(lut)  # log2 is monotone
+
+
+def test_deterministic_shuffle_eager_unpersist_identical_and_freed(spark):
+    """eager_unpersist=True (SCALE.md r8): positions identical to the
+    default path, and the intermediate ranged checkpoint is released
+    immediately (persistent-RDD census grows by at most the output)."""
+    from peskas_mozambique_data_pipeline_spark.operators.curation import (
+        deterministic_shuffle,
+    )
+
+    rows = [(i, "s") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    base = {
+        (r.doc_id, r.shuffle_pos)
+        for r in deterministic_shuffle(df, "doc_id", salt="e2", n_parts=4)
+        .select("doc_id", "shuffle_pos").collect()
+    }
+
+    spark.sparkContext._jsc.sc().getPersistentRDDs()  # warm the census
+    before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    eager = deterministic_shuffle(
+        df, "doc_id", salt="e2", n_parts=4, eager_unpersist=True
+    )
+    after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    got = {
+        (r.doc_id, r.shuffle_pos)
+        for r in eager.select("doc_id", "shuffle_pos").collect()
+    }
+    assert got == base
+    # the ranged intermediate was unpersisted; only the materialized
+    # output may remain in the block store
+    assert after - before <= 1, (before, after)

@@ -620,3 +620,48 @@ def test_compact_zone_preserves_hive_partitioning(spark, tmp_path):
     back = spark.read.parquet(p2)
     assert back.count() == 400
     assert back.filter(F.col("part") == "1").count() == 200
+
+
+def test_vacuum_zone_retention_and_catalog_cleanup(spark, tmp_path):
+    """vacuum_zone (r8): superseded snapshots and their bucketed
+    catalog entries go; kept versions (read_latest + time travel) are
+    untouched; keep_last >= 1 is enforced."""
+    import os
+
+    zone = str(tmp_path / "zone")
+    os.makedirs(zone)
+    paths = []
+    # v1 is a bucketed external snapshot -> catalog entry must be
+    # dropped with it; v2/v3/v4 plain versioned writes
+    df = spark.createDataFrame([(i, i % 4) for i in range(100)], "k long, b int")
+    paths.append(
+        parquet_io.write_bucketed_versioned(
+            df, zone, "trips", bucket_cols=["b"], n_buckets=2, git_sha="v1"
+        )
+    )
+    for sha in ("v2", "v3", "v4"):
+        time.sleep(1.1)
+        paths.append(parquet_io.write_versioned(df, zone, "trips", git_sha=sha))
+    # an unrelated prefix in the same zone must survive any vacuum
+    other = parquet_io.write_versioned(df, zone, "trips_extra", git_sha="x")
+
+    t1 = parquet_io.bucket_table_name(os.path.basename(paths[0]))
+    assert spark.catalog.tableExists(t1)
+    assert parquet_io.list_versions(zone, "trips") == [
+        os.path.basename(p) for p in paths
+    ]
+
+    removed = parquet_io.vacuum_zone(spark, zone, "trips", keep_last=2)
+    assert removed == paths[:2]
+    assert not os.path.exists(paths[0]) and not os.path.exists(paths[1])
+    assert not spark.catalog.tableExists(t1)  # catalog entry dropped
+    # read_latest unaffected; time travel to KEPT versions unaffected
+    assert parquet_io.latest_version_path(zone, "trips") == paths[3]
+    assert spark.read.parquet(paths[2]).count() == 100
+    assert parquet_io.read_latest(spark, zone, "trips").count() == 100
+    assert os.path.exists(other)  # other prefix untouched
+
+    # idempotent: nothing left to remove at keep_last=2
+    assert parquet_io.vacuum_zone(spark, zone, "trips", keep_last=2) == []
+    with pytest.raises(ValueError):
+        parquet_io.vacuum_zone(spark, zone, "trips", keep_last=0)
