@@ -208,7 +208,13 @@ def stage_shuffle(
             id_col = "pack_id"
     else:
         id_col = "doc_id"
-    shuffled = cur_ops.deterministic_shuffle(packs, id_col=id_col, salt=salt)
+    # eager_unpersist: the shuffled frame is consumed exactly once (the
+    # zone write below), so the ranged copy frees as soon as positions
+    # materialize instead of lingering for the whole write job — the
+    # bounded-residency knob from SCALE.md "Deterministic shuffle"
+    shuffled = cur_ops.deterministic_shuffle(
+        packs, id_col=id_col, salt=salt, eager_unpersist=True
+    )
     if id_col == "_sid":
         shuffled = shuffled.drop("_sid")
     return zones.write(shuffled, "corpus_shuffled", range_by=["shuffle_pos"])

@@ -73,6 +73,17 @@ class PipelineZones:
             spark, self.root, prefix, target_mb, git_sha=self.git_sha, **kw
         )
 
+    def vacuum(
+        self, spark: SparkSession, prefix: str, keep_last: int = 2
+    ) -> list[str]:
+        """Maintenance: retention for ``prefix`` — delete superseded
+        versions beyond the newest ``keep_last`` and drop any bucketed
+        catalog entries with them (see ``parquet_io.vacuum_zone``).
+        Compact + vacuum are the standing maintenance pair every
+        incremental zone needs: compact bounds file counts, vacuum
+        bounds version counts."""
+        return parquet_io.vacuum_zone(spark, self.root, prefix, keep_last)
+
     def version_ts(self, prefix: str) -> str | None:
         """Timestamp (YYYYmmddHHMMSS) of the newest version, or None."""
         try:

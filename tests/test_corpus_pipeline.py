@@ -326,3 +326,31 @@ def test_corpus_pipeline_with_decontamination_and_shuffle(spark, tmp_path):
     shuffled2 = spark.read.parquet(out2["corpus_shuffled"])
     key = lambda rws: sorted((r.lang, r.pack_id, r.shuffle_pos) for r in rws)
     assert key(rows) == key(shuffled2.collect())
+
+
+def test_zone_vacuum_via_pipeline_zones(spark, tmp_path):
+    """PipelineZones.vacuum (r8): the maintenance pair completes —
+    compact bounds files, vacuum bounds versions; read() keeps working
+    through both."""
+    import os
+    import time
+
+    from peskas_mozambique_data_pipeline_spark.plans.pipeline import PipelineZones
+
+    zones = PipelineZones(str(tmp_path / "zones"), git_sha="g1")
+    os.makedirs(zones.root, exist_ok=True)
+    df = spark.range(0, 500).withColumn("v", F.col("id") * 3)
+    p1 = zones.write(df.repartition(8), "corpus_packs")
+    time.sleep(1.1)
+    p2 = zones.compact(spark, "corpus_packs", target_mb=64)
+    time.sleep(1.1)
+    p3 = zones.compact(spark, "corpus_packs", target_mb=256)
+    assert zones.read(spark, "corpus_packs").count() == 500
+
+    removed = zones.vacuum(spark, "corpus_packs", keep_last=1)
+    assert removed == [p1, p2]
+    assert not os.path.exists(p1) and not os.path.exists(p2)
+    assert os.path.exists(p3)
+    assert zones.read(spark, "corpus_packs").count() == 500
+    # freshness logic still sees the surviving version
+    assert zones.is_fresh("corpus_packs")
