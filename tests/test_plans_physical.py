@@ -451,3 +451,42 @@ def test_compact_zone_default_is_shuffle_free(spark, tmp_path):
     compacted = spark.read.parquet(src).coalesce(1)
     plan = plan_of(compacted, "simple")
     assert "Exchange" not in plan
+
+
+def test_ann_int8_integer_folds_and_broadcast_queries(spark):
+    """int8 retrieval (r8): queries broadcast against the corpus (no
+    corpus shuffle for scoring), no cartesian fallback beyond the
+    intended broadcast nest, and no float32 embedding column survives
+    into the scoring side's read schema beyond the quantization scan."""
+    plan = plan_of(registry.SPARK_QUERIES["ann_int8"](spark, SF))
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    # top-k is ONE window rank partitioned by query (per-query grain),
+    # never a global sort of all scored pairs
+    assert "rank" in plan and plan.count("Window") >= 1
+
+
+def test_pooled_ann_one_shuffle_for_pooling(spark):
+    """Mean pooling is a single (group, pos) hash aggregate: exactly
+    one exchange feeds the per-position means; queries then broadcast
+    for scoring (no pooled-corpus re-shuffle)."""
+    plan = plan_of(registry.SPARK_QUERIES["pooled_ann"](spark, SF), "simple")
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sketch_audit_shares_one_token_corpus(spark):
+    """The consolidation's point: both sketches read the SAME
+    materialized token corpus (localCheckpoint scan), not two parquet
+    re-reads of documents."""
+    plan = plan_of(registry.SPARK_QUERIES["sketch_audit"](spark, SF), "simple")
+    assert "Scan ExistingRDD" in plan  # the checkpointed token corpus
+    assert "documents.parquet" not in plan  # no second corpus scan
+
+
+def test_ts_audit_shares_one_spine(spark):
+    """Both time-series branches read the materialized daily spine;
+    orders/customer parquet never re-scan after the checkpoint."""
+    plan = plan_of(registry.SPARK_QUERIES["ts_audit"](spark, SF), "simple")
+    assert "Scan ExistingRDD" in plan
+    assert "orders.parquet" not in plan and "customer.parquet" not in plan
