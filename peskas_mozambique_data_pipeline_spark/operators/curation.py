@@ -522,3 +522,140 @@ def mixture_budget_rates(
         "source string, n_tokens long, target_weight double, "
         "draw_tokens long, epochs double, capped boolean",
     )
+
+
+def mixture_budget_closed(
+    counts: DataFrame,
+    target_weights: dict[str, int],
+    total_budget_tokens: int,
+    group_col: str = "source",
+    tokens_col: str = "n_tokens",
+    max_epochs: int = 4,
+) -> DataFrame:
+    """Closed-form token-budget mixture solve — the DISTRIBUTED twin of
+    :func:`mixture_budget_rates` (r8: upgrades the driver-side
+    iterative water-fill to pure window arithmetic, so the solve is an
+    oracle-verifiable DataFrame op and works unchanged if the "counts"
+    frame is ever large, e.g. per-(source, lang, shard) strata).
+
+    Water-filling with per-source epoch caps has a closed form: with
+    cap_i = max_epochs·n_i and weight w_i, the allocation is
+    draw_i = min(λ·w_i, cap_i) where λ is the water level solving
+    Σ_i min(λ·w_i, cap_i) = B.  Sources sorted by r_i = cap_i/w_i cap
+    in exactly that order as λ rises, so λ comes from one prefix-sum
+    pass: for each candidate breakpoint k (first k sources capped),
+    λ_k = (B − Σ_{j≤k} cap_j) / Σ_{j>k} w_j, and the valid k is the
+    unique one with r_k ≤ λ_k (< r_{k+1}) — equivalently the LARGEST k
+    with r_k·(remaining weight) ≤ remaining budget.  One sort by
+    (cap/weight) over a source-cardinality frame + running sums: no
+    iteration, no driver loop.
+
+    Determinism contract (oracle posture): ``target_weights`` are
+    INTEGER weights (parts-per-anything — only ratios matter), caps
+    and budget are exact BIGINTs, so the breakpoint predicate
+    r_k ≤ λ_k evaluates as the exact integer cross-multiplication
+    cap_k·Σw_rest ≤ (B − Σcap)·w_k — NO floats anywhere in the
+    branch decision.  Only the final λ·w_i draw is float (one
+    correctly-rounded division and multiplication, identical on any
+    IEEE engine), rounded half-up to whole tokens.
+
+    Returns one row per source: (group, n_tokens, weight, cap_tokens,
+    draw_tokens, epochs, capped), epochs rounded to 6.
+    """
+    if any(w <= 0 or w != int(w) for w in target_weights.values()):
+        raise ValueError("target_weights must be positive integers")
+    if max_epochs <= 0 or max_epochs != int(max_epochs):
+        raise ValueError("max_epochs must be a positive integer")
+    spark = counts.sparkSession
+    wdf = spark.createDataFrame(
+        [(g, int(w)) for g, w in sorted(target_weights.items())],
+        f"{group_col} string, weight long",
+    )
+    base = (
+        counts.select(group_col, F.col(tokens_col).cast("long").alias("n_tokens"))
+        .join(F.broadcast(wdf), group_col, "inner")
+        .withColumn("cap_tokens", F.lit(int(max_epochs)) * F.col("n_tokens"))
+    )
+    # sort by r_i = cap/weight ascending: exact integer ordering via the
+    # (cap·LCM-free) fraction compare — window over (cap*1.0/weight)
+    # would be float; instead order by the exact rational using two
+    # BIGINT sort keys is impossible in general, BUT ordering by the
+    # double cap/weight ties-broken by group is safe here because a
+    # float-order inversion can only occur between near-equal ratios,
+    # and for EQUAL-ratio sources the breakpoint predicate (exact
+    # integers) admits either order: both sources cap (or neither), so
+    # the allocation is order-invariant.  Near-equal-but-unequal ratios
+    # differ in well under 1 ulp only if cap_a·w_b = cap_b·w_a ± 1 at
+    # magnitudes > 2^53 — caps beyond 9e15 tokens; documented bound.
+    w_ord = Window.orderBy((F.col("cap_tokens") / F.col("weight")).asc(),
+                           F.col(group_col).asc())
+    ranked = base.withColumn("_k", F.row_number().over(w_ord))
+    w_cum = (
+        Window.orderBy("_k").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.orderBy("_k").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    B = F.lit(int(total_budget_tokens)).cast("long")
+    annotated = (
+        ranked
+        .withColumn("_cap_cum", F.sum("cap_tokens").over(w_cum))
+        .withColumn("_w_cum", F.sum("weight").over(w_cum))
+        .withColumn("_cap_tot", F.sum("cap_tokens").over(w_all))
+        .withColumn("_w_tot", F.sum("weight").over(w_all))
+        # source k caps iff, with sources 1..k capped, the water level
+        # still clears its ratio: cap_k·(Σw − Σw_cum_k) ≤
+        # (B − Σcap_cum_k)·w_k  — exact BIGINT cross-multiply
+        .withColumn(
+            "capped",
+            (F.col("cap_tokens") * (F.col("_w_tot") - F.col("_w_cum")))
+            <= (B - F.col("_cap_cum")) * F.col("weight"),
+        )
+    )
+    # budget not fillable: every source caps; clamp via greatest(0)
+    w_capped = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    solved = (
+        annotated
+        .withColumn(
+            "_cap_sum",
+            F.coalesce(
+                F.sum(F.when(F.col("capped"), F.col("cap_tokens"))).over(w_capped),
+                F.lit(0).cast("long"),
+            ),
+        )
+        .withColumn(
+            "_w_rest",
+            F.coalesce(
+                F.sum(F.when(~F.col("capped"), F.col("weight"))).over(w_capped),
+                F.lit(0).cast("long"),
+            ),
+        )
+        # λ as ONE double division of exact BIGINTs (0 when all capped)
+        .withColumn(
+            "_lambda",
+            F.when(
+                F.col("_w_rest") > 0,
+                F.greatest(B - F.col("_cap_sum"), F.lit(0).cast("long"))
+                .cast("double") / F.col("_w_rest").cast("double"),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "draw_tokens",
+            F.when(F.col("capped"), F.col("cap_tokens")).otherwise(
+                F.round(F.col("_lambda") * F.col("weight").cast("double"))
+                .cast("long")
+            ),
+        )
+        .withColumn(
+            "epochs",
+            F.round(
+                F.col("draw_tokens").cast("double") / F.col("n_tokens"), 6
+            ),
+        )
+    )
+    return solved.select(
+        group_col, "n_tokens", "weight", "cap_tokens",
+        "draw_tokens", "epochs", "capped",
+    )

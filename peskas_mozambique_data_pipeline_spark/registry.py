@@ -592,11 +592,7 @@ _VERIFY_FIRST = [
     "pooled_ann",
     "sketch_audit",
     "ts_audit",
-    # hybrid_rrf carries over from the r7 head: the RRF core was
-    # refactored late in r7 session 3 (weighted tiers), so it takes the
-    # one spare head slot for a second consecutive driver row rather
-    # than rotating out right after a refactor.
-    "hybrid_rrf",
+    "mixture_budget",
     # r8 rotation (VERDICT r7 Next #1): the 45 queries that sat in the
     # r7 tail (driver-green in r6, judge-gated bit-exact in r7, minus
     # the 4 rows consolidated into sketch_audit/ts_audit) come back to
@@ -647,13 +643,14 @@ _VERIFY_FIRST = [
     "doc_winnow",
     "token_rollup",
 ]
-# Rotation tail: the 49 r7-window queries (every one driver-green in
-# CORRECTNESS_r07) minus hybrid_rrf, which stays in the head one more
-# round after its session-3 refactor.  Sitting out one round keeps the
-# "hard driver row at least every 2 rounds" invariant; the assertion
-# below forces this list to be resized whenever queries are added, so
-# the rotation stays deliberate.
+# Rotation tail: the 50 r7-window queries (every one driver-green in
+# CORRECTNESS_r07).  Sitting out one round keeps the "hard driver row
+# at least every 2 rounds" invariant; the assertion below forces this
+# list to be resized whenever queries are added, so the rotation stays
+# deliberate.  The registry is AT the 100-query ceiling — r9 additions
+# require consolidation first (candidates in NOTES "r9 START HERE").
 _VERIFY_LAST = [
+    "hybrid_rrf",
     "term_stats",
     "ann_ivfpq",
     "bm25_indexed",

@@ -1456,3 +1456,97 @@ SQL_POOLED_ANN = _sql_pool_ann()
 
 SPARK_QUERIES["pooled_ann"] = q_pooled_ann
 ORACLE_SQL["pooled_ann"] = SQL_POOLED_ANN
+
+
+# ---------------------------------------------------------------------------
+# Q: token-budget mixture solve (operators/curation.py::
+# mixture_budget_closed) — the closed-form water-fill that turns
+# per-source token counts + integer target weights + a total budget
+# into per-source draw counts with epoch caps (the recipe computation
+# behind published LLM data mixes).  r8: closes the last r7
+# "pytest-only" operator — the capped/uncapped branch decisions are
+# exact BIGINT cross-multiplications and the only float is one λ
+# division + one multiply per source, so DuckDB replays the whole
+# solve hash-exactly.  Weights derive from the source name
+# ((N % 5) + 1) and the budget is 2× the corpus's total tokens with
+# max_epochs=3, which caps the high-weight sources and water-fills the
+# rest at every SF.
+
+_MIX_EPOCHS = 3
+
+
+def q_mixture_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.curation import mixture_budget_closed
+    from .operators.text import tokens as _tok
+
+    docs = _docs(spark, sf_dir)
+    counts = docs.groupBy("source").agg(
+        F.sum(F.size(_tok("text"))).cast("long").alias("n_tokens")
+    )
+    rows = counts.collect()  # source-cardinality: dims-sized collect
+    total = sum(int(r.n_tokens) for r in rows)
+    weights = {
+        r.source: (int(r.source[3:]) % 5) + 1 for r in rows
+    }
+    return mixture_budget_closed(
+        counts, weights, total_budget_tokens=2 * total,
+        max_epochs=_MIX_EPOCHS,
+    )
+
+
+SQL_MIXTURE_BUDGET = rf"""
+WITH counts AS (
+  SELECT source,
+         CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+           AS n_tokens
+  FROM documents GROUP BY source
+),
+tot AS (SELECT 2 * CAST(SUM(n_tokens) AS BIGINT) AS B FROM counts),
+base AS (
+  SELECT source, n_tokens,
+         CAST((CAST(substr(source, 4) AS INTEGER) % 5) + 1 AS BIGINT) AS weight,
+         {_MIX_EPOCHS} * n_tokens AS cap_tokens
+  FROM counts
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    ORDER BY CAST(cap_tokens AS DOUBLE) / weight ASC, source ASC) AS k
+  FROM base
+),
+ann AS (
+  SELECT r.*, tot.B,
+         CAST(SUM(cap_tokens) OVER (ORDER BY k) AS BIGINT) AS cap_cum,
+         CAST(SUM(weight) OVER (ORDER BY k) AS BIGINT) AS w_cum,
+         CAST(SUM(weight) OVER () AS BIGINT) AS w_tot
+  FROM ranked r, tot
+),
+flag AS (
+  SELECT *,
+         (cap_tokens * (w_tot - w_cum)) <= (B - cap_cum) * weight AS capped
+  FROM ann
+),
+lvl AS (
+  SELECT *,
+     CAST(COALESCE(SUM(CASE WHEN capped THEN cap_tokens END) OVER (), 0)
+          AS BIGINT) AS cap_sum,
+     CAST(COALESCE(SUM(CASE WHEN NOT capped THEN weight END) OVER (), 0)
+          AS BIGINT) AS w_rest
+  FROM flag
+),
+solved AS (
+  SELECT source, n_tokens, weight, cap_tokens, capped,
+         CASE WHEN capped THEN cap_tokens
+              ELSE CAST(round(
+                (CAST(GREATEST(B - cap_sum, 0) AS DOUBLE)
+                 / CAST(w_rest AS DOUBLE)) * CAST(weight AS DOUBLE)
+              ) AS BIGINT)
+         END AS draw_tokens
+  FROM lvl
+)
+SELECT source, n_tokens, weight, cap_tokens, draw_tokens,
+       ROUND(CAST(draw_tokens AS DOUBLE) / n_tokens, 6) AS epochs, capped
+FROM solved
+"""
+
+SPARK_QUERIES["mixture_budget"] = q_mixture_budget
+ORACLE_SQL["mixture_budget"] = SQL_MIXTURE_BUDGET

@@ -1455,3 +1455,87 @@ def test_deterministic_shuffle_eager_unpersist_identical_and_freed(spark):
     # the ranged intermediate was unpersisted; only the materialized
     # output may remain in the block store
     assert after - before <= 1, (before, after)
+
+
+def test_mixture_budget_closed_matches_iterative(spark):
+    """The r8 closed-form waterfill (sort by cap/weight + exact-integer
+    breakpoint predicate) reproduces the iterative solver's fixpoint,
+    including the all-capped unfillable case."""
+    import random
+
+    from peskas_mozambique_data_pipeline_spark.operators.curation import (
+        mixture_budget_closed,
+        mixture_budget_rates,
+    )
+
+    rng = random.Random(42)
+    for trial in range(8):
+        n_src = rng.randint(2, 7)
+        names = [f"s{i}" for i in range(n_src)]
+        counts_rows = [(g, rng.randint(50, 5000)) for g in names]
+        weights = {g: rng.randint(1, 20) for g in names}
+        budget = rng.randint(100, 40000)
+        epochs = rng.choice([1, 2, 4])
+        counts = spark.createDataFrame(
+            counts_rows, "source string, n_tokens long"
+        )
+        closed = {
+            r.source: r
+            for r in mixture_budget_closed(
+                counts, weights, budget, max_epochs=epochs
+            ).collect()
+        }
+        wsum = sum(weights.values())
+        iterative = {
+            r.source: r
+            for r in mixture_budget_rates(
+                counts,
+                {g: w / wsum for g, w in weights.items()},
+                budget,
+                max_epochs=float(epochs),
+            ).collect()
+        }
+        assert set(closed) == set(iterative)
+        for g in names:
+            # float-epsilon bookkeeping in the iterative path vs exact
+            # integers in the closed form: draws agree to the token
+            assert abs(closed[g].draw_tokens - iterative[g].draw_tokens) <= 1, (
+                trial, g, closed[g], iterative[g])
+        total_cap = sum(epochs * n for _, n in counts_rows)
+        drawn = sum(r.draw_tokens for r in closed.values())
+        if total_cap >= budget:
+            # fillable: draws exhaust the budget (±1 rounding per src)
+            assert abs(drawn - budget) <= n_src
+        else:
+            assert drawn == total_cap
+            assert all(r.capped for r in closed.values())
+
+
+def test_mixture_budget_closed_breakpoint_exactness(spark):
+    """The capped/uncapped decision is an integer cross-multiply: a
+    source exactly AT the water level caps (<=), and the pivot source
+    below it does not."""
+    from peskas_mozambique_data_pipeline_spark.operators.curation import (
+        mixture_budget_closed,
+    )
+
+    counts = spark.createDataFrame(
+        [("a", 100), ("b", 1000)], "source string, n_tokens long"
+    )
+    # caps: a=100, b=1000.  weights 1:1, budget 200 -> lambda with a
+    # capped: (200-100)/1 = 100 = b's draw; a's ratio r_a = 100 <= 100
+    # boundary: a capped exactly at the level
+    out = {
+        r.source: r
+        for r in mixture_budget_closed(
+            counts, {"a": 1, "b": 1}, 200, max_epochs=1
+        ).collect()
+    }
+    assert out["a"].capped and out["a"].draw_tokens == 100
+    assert not out["b"].capped and out["b"].draw_tokens == 100
+    import pytest
+
+    with pytest.raises(ValueError):
+        mixture_budget_closed(counts, {"a": 0.5, "b": 1}, 100)
+    with pytest.raises(ValueError):
+        mixture_budget_closed(counts, {"a": 1, "b": 1}, 100, max_epochs=0)
