@@ -451,3 +451,52 @@ def test_stream_bloom_prefilter_only_never_false_negative(spark, tmp_path):
     exact_clean = {r.doc_id for r in decontaminate(train, bench, n=3).collect()}
     assert got <= exact_clean  # prefilter output ⊆ truly-clean set
     assert 1 not in got
+
+
+def test_streaming_image_stats_matches_batch(spark, tmp_path):
+    """The PNG featurizer is a stateless mapInPandas, so the SAME
+    operator runs unchanged in a streaming plan (the multimodal entry
+    in the batch<->streaming symmetry table): per-asset stats from the
+    stream equal the batch run bit-for-bit."""
+    from peskas_mozambique_data_pipeline_spark.operators import multimodal
+    from test_multimodal import _checkerboard, _png_encode
+
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    blobs = [
+        (1, "image", bytearray(_png_encode(_checkerboard(8, 8), 0))),
+        (2, "image", bytearray(_png_encode(
+            rng.randint(0, 256, size=(5, 7, 3), dtype=np.uint8), 2))),
+        (3, "image", bytearray(b"not a png")),  # skipped in both modes
+        (4, "audio", bytearray(b"\x00" * 64)),  # filtered in both modes
+    ]
+    src = str(tmp_path / "media")
+    df = spark.createDataFrame(
+        blobs, "asset_id long, media_type string, content binary"
+    )
+    df.coalesce(1).write.parquet(src)
+
+    batch = {
+        r.asset_id: r for r in multimodal.image_stats(
+            spark.read.parquet(src)).collect()
+    }
+
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    q = (
+        multimodal.image_stats(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir).option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        r.asset_id: r for r in spark.read.parquet(out_dir).collect()
+    }
+    assert set(streamed) == set(batch) == {1, 2}
+    for aid in batch:
+        assert streamed[aid] == batch[aid], aid
