@@ -291,6 +291,22 @@ def main() -> int:
             f"{name:24} {r['n_values']:>9} {r['kind']:>6} "
             f"{r['min_margin_ulps']:>12.1f} {str(r['worst_key'])[:40]}{flag}"
         )
+    if "--json" in sys.argv:
+        # persist margins so round-over-round drift is mechanical to
+        # diff — a collapsing margin is the early warning the audit
+        # exists for (act BEFORE a hash flips)
+        import json
+
+        out = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "boundary_margins.json",
+        )
+        with open(out, "w") as f:
+            json.dump(
+                {"sf_dir": sf_dir, "results": results}, f, indent=1,
+                sort_keys=True,
+            )
+        print(f"wrote {out}")
     return 1 if red else 0
 
 
