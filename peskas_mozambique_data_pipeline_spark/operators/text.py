@@ -637,6 +637,88 @@ def boilerplate_sentences(
     )
 
 
+def scrub_boilerplate_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 3,
+    min_chars: int = 20,
+    sep: str = "\n",
+) -> DataFrame:
+    """Corpus-wide exact line/paragraph scrub — the REMOVAL half of
+    :func:`boilerplate_sentences` (RefinedWeb-style line dedup,
+    Penedo et al. 2023 §3: lines repeated across the corpus are
+    chrome/disclaimers; cut them from every document, keep the rest).
+
+    A line is scrubbed when its normalized (lower/trim) digest occurs
+    in ``min_docs``+ DISTINCT documents and the line has at least
+    ``min_chars`` characters (short lines — headings, blanks, list
+    bullets — repeat legitimately and are never candidates).
+
+    Scale shape, all JVM expressions: ``posexplode`` the split text →
+    ONE groupBy on the line digest (map-side combinable countDistinct
+    approximated exactly via two-level agg) → the flagged-digest set
+    joins back to the exploded lines on the digest equi-key (no
+    broadcast assumption: boilerplate tables can be corpus-scale) →
+    per-doc ordered reassembly with one groupBy on the id.  Three
+    shuffles total, each on a natural key; no UDF, no window over the
+    corpus.
+
+    Returns (id, text_clean, n_lines, n_scrubbed).
+    """
+    import re as _re
+
+    sep_re = _re.escape(sep)
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep_re, -1)).alias("pos", "line"),
+    )
+    norm_digest = F.md5(F.lower(F.trim(F.col("line"))))
+    keyed = lines.withColumn(
+        "_d",
+        F.when(F.length(F.trim(F.col("line"))) >= min_chars, norm_digest),
+    )
+    # distinct (digest, doc) first, then count docs per digest — two
+    # map-side-combinable aggregates instead of a countDistinct whose
+    # partials cannot combine
+    flagged = (
+        keyed.filter(F.col("_d").isNotNull())
+        .select("_d", id_col).distinct()
+        .groupBy("_d").agg(F.count(F.lit(1)).alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("_d", F.lit(True).alias("_scrub"))
+    )
+    marked = keyed.join(flagged, "_d", "left")
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.when(F.col("_scrub"), 1).otherwise(0)).alias("n_scrubbed"),
+            F.array_join(
+                F.transform(
+                    F.filter(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(
+                                    "pos",
+                                    F.coalesce(F.col("_scrub"), F.lit(False)).alias(
+                                        "scrub"
+                                    ),
+                                    "line",
+                                )
+                            )
+                        ),
+                        lambda s: ~s["scrub"],
+                    ),
+                    lambda s: s["line"],
+                ),
+                sep,
+            ).alias("text_clean"),
+        )
+        .select(id_col, "text_clean", "n_lines", "n_scrubbed")
+    )
+
+
 def c4_rule_flags(
     text_col: str = "text",
     min_tokens: int = 20,

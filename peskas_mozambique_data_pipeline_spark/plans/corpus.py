@@ -160,6 +160,32 @@ def stage_span_scrub(
     return zones.write(out, "corpus_scrubbed", range_by=["doc_id"])
 
 
+def stage_line_scrub(
+    spark: SparkSession,
+    zones: PipelineZones,
+    min_docs: int = 3,
+    min_chars: int = 20,
+    source: str = "corpus_filtered",
+) -> str:
+    """Line-grain boilerplate scrub (r8): cut lines repeated across
+    ``min_docs``+ documents BEFORE pair-generation dedup — shared
+    chrome/disclaimers otherwise inflate shingle overlap and create
+    spurious near-dup pairs (the RefinedWeb ordering: line dedup, then
+    document dedup)."""
+    docs = zones.read(spark, source)
+    scrubbed = text_ops.scrub_boilerplate_lines(
+        docs, min_docs=min_docs, min_chars=min_chars
+    )
+    out = (
+        docs.drop("text")
+        .join(
+            scrubbed.select("doc_id", "text_clean", "n_scrubbed"), "doc_id"
+        )
+        .withColumnRenamed("text_clean", "text")
+    )
+    return zones.write(out, "corpus_line_scrubbed", range_by=["doc_id"])
+
+
 def stage_decontaminate(
     spark: SparkSession,
     zones: PipelineZones,
@@ -245,6 +271,8 @@ def run_corpus_pipeline(
     semantic_backend: str = "arrow",
     scrub_spans: bool = False,
     span_n: int = 8,
+    scrub_lines: bool = False,
+    line_min_docs: int = 3,
     benchmark: DataFrame | None = None,
     decontam_n: int = 13,
     shuffle_salt: str | None = None,
@@ -267,6 +295,10 @@ def run_corpus_pipeline(
     With ``benchmark`` provided, eval-set decontamination (the
     Bloom-prefiltered exact path) runs between the quality gate and
     dedup — contaminated docs must not reach pair generation or packs.
+    With ``scrub_lines`` a line-grain boilerplate cut
+    (``text.scrub_boilerplate_lines``) runs first of all the dedup-side
+    stages — the RefinedWeb ordering (line dedup before document
+    dedup), so shared chrome can't inflate shingle overlap.
     With ``shuffle_salt`` set, the packed corpus gets its final
     deterministic training-order permutation as a ``corpus_shuffled``
     zone (one salt per epoch).
@@ -284,15 +316,26 @@ def run_corpus_pipeline(
         out["corpus_filtered"] = stage_quality(spark, docs, zones)
 
     dedup_source = "corpus_filtered"
+    if scrub_lines:
+        if skip_fresh and zones.is_fresh("corpus_line_scrubbed", dedup_source):
+            out["corpus_line_scrubbed"] = parquet_io.latest_version_path(
+                zone_root, "corpus_line_scrubbed"
+            )
+        else:
+            out["corpus_line_scrubbed"] = stage_line_scrub(
+                spark, zones, min_docs=line_min_docs, source=dedup_source
+            )
+        dedup_source = "corpus_line_scrubbed"
     if benchmark is not None:
+        decon_source = dedup_source
         dedup_source = "corpus_decontaminated"
-        if skip_fresh and zones.is_fresh("corpus_decontaminated", "corpus_filtered"):
+        if skip_fresh and zones.is_fresh("corpus_decontaminated", decon_source):
             out["corpus_decontaminated"] = parquet_io.latest_version_path(
                 zone_root, "corpus_decontaminated"
             )
         else:
             out["corpus_decontaminated"] = stage_decontaminate(
-                spark, zones, benchmark, n=decontam_n
+                spark, zones, benchmark, n=decontam_n, source=decon_source
             )
 
     if skip_fresh and zones.is_fresh("corpus_deduped", dedup_source):

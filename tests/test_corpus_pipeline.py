@@ -354,3 +354,30 @@ def test_zone_vacuum_via_pipeline_zones(spark, tmp_path):
     assert zones.read(spark, "corpus_packs").count() == 500
     # freshness logic still sees the surviving version
     assert zones.is_fresh("corpus_packs")
+
+
+def test_corpus_pipeline_line_scrub_stage(spark, tmp_path):
+    """scrub_lines=True (r8): the line-grain boilerplate cut runs
+    between quality and dedup, downstream stages read the scrubbed
+    zone, and the shared chrome line is gone from every survivor."""
+    chrome = "subscribe to our mailing list for weekly updates"
+    rows = [
+        (1, _mk_doc(["alpha", "beta", "gamma", "delta"]) + "\n" + chrome, "en"),
+        (4, _mk_doc(["omega", "sigma", "theta", "kappa"]) + "\n" + chrome, "en"),
+        (7, _mk_doc(["eins", "zwei", "drei", "vier"]) + "\n" + chrome, "en"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    out = corpus.run_corpus_pipeline(
+        spark, docs, str(tmp_path / "zones"), budget=40,
+        jaccard_threshold=0.5, scrub_lines=True, line_min_docs=3,
+    )
+    assert "corpus_line_scrubbed" in out
+    scrubbed = spark.read.parquet(out["corpus_line_scrubbed"])
+    texts = {r.doc_id: r.text for r in scrubbed.collect()}
+    assert set(texts) == {1, 4, 7}
+    assert all(chrome not in t for t in texts.values())
+    assert all(r.n_scrubbed == 1 for r in scrubbed.collect())
+    # dedup consumed the scrubbed zone (bodies unique -> all survive)
+    deduped = spark.read.parquet(out["corpus_deduped"])
+    assert set(r.doc_id for r in deduped.collect()) == {1, 4, 7}
+    assert all(chrome not in r.text for r in deduped.collect())

@@ -1539,3 +1539,69 @@ def test_mixture_budget_closed_breakpoint_exactness(spark):
         mixture_budget_closed(counts, {"a": 0.5, "b": 1}, 100)
     with pytest.raises(ValueError):
         mixture_budget_closed(counts, {"a": 1, "b": 1}, 100, max_epochs=0)
+
+
+def test_scrub_boilerplate_lines_removes_corpus_repeats(spark):
+    """Line-grain scrub (r8): lines repeated across >= min_docs
+    distinct docs go; short repeats and unique lines stay; per-doc
+    line order is preserved in the rebuilt text."""
+    from peskas_mozambique_data_pipeline_spark.operators.text import (
+        scrub_boilerplate_lines,
+    )
+
+    chrome = "subscribe to our newsletter for updates"
+    legal = "all rights reserved by the original author"
+    rows = [
+        (1, f"unique alpha content\n{chrome}\nmore unique text"),
+        (2, f"{chrome}\nbeta body paragraph here\n{legal}"),
+        (3, f"{legal}\ngamma text of doc three\n{chrome}"),
+        (4, f"{legal}\ndelta only appears once\n-"),
+        # the short repeat "-" is under min_chars in every doc: kept
+        (5, "-\nepsilon closing body text"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in scrub_boilerplate_lines(df, min_docs=3, min_chars=20).collect()
+    }
+    # chrome appears in docs 1,2,3 and legal in 2,3,4 -> both scrubbed
+    assert out[1].text_clean == "unique alpha content\nmore unique text"
+    assert out[2].text_clean == "beta body paragraph here"
+    assert out[3].text_clean == "gamma text of doc three"
+    assert out[4].text_clean == "delta only appears once\n-"
+    assert out[5].text_clean == "-\nepsilon closing body text"
+    assert out[2].n_lines == 3 and out[2].n_scrubbed == 2
+    assert out[5].n_scrubbed == 0
+    # normalization: case/whitespace variants of a boilerplate line
+    # still match the digest
+    df2 = spark.createDataFrame(
+        [
+            (1, f"  {chrome.upper()}  \nkept line one of this document"),
+            (2, f"{chrome}\nkept line two of this document"),
+            (3, f"{chrome}\nkept line three of this document"),
+        ],
+        "doc_id long, text string",
+    )
+    out2 = {r.doc_id: r for r in scrub_boilerplate_lines(
+        df2, min_docs=3, min_chars=20).collect()}
+    assert out2[1].text_clean == "kept line one of this document"
+    assert out2[1].n_scrubbed == 1
+
+
+def test_scrub_boilerplate_lines_no_udf_and_shuffle_bound(spark):
+    from peskas_mozambique_data_pipeline_spark.operators.text import (
+        scrub_boilerplate_lines,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "line a\nline b") for i in range(10)], "doc_id long, text string"
+    )
+    plan_buf = []
+    import contextlib, io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        scrub_boilerplate_lines(df).explain("simple")
+    plan = buf.getvalue()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
