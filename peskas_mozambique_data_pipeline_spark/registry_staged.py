@@ -1,0 +1,215 @@
+"""Round-9 consolidation staging: union rows pre-built and parity-
+tested one round ahead of their registration.
+
+The registry sits at the 100-query ceiling and the rotation window is
+exactly full this round, so these consolidated rows CANNOT be
+registered yet — swapping them in now would demote a driver-stale row
+out of the verification window (see NOTES "r9 START HERE").  They are
+therefore staged here, outside ``SPARK_QUERIES`` / ``ORACLE_SQL``, with
+two kinds of evidence already attached:
+
+* parity pytest — each union row reproduces the exact values of the
+  two currently-registered rows it replaces
+  (``tests/test_registry_staged.py``);
+* oracle pytest — each staged DuckDB twin matches the staged Spark
+  plan bit-for-bit at sf0.001, using the same normalize/compare as
+  ``tools/check_correctness.py``.
+
+r9 registration is then a mechanical diff: move the pair's names out
+of the registry dicts, add the staged name, resize ``_VERIFY_LAST``.
+
+Consolidation shapes (the ``dup_span_audit`` / ``sketch_audit`` /
+``ts_audit`` precedent — one shared materialization feeding both
+operators, both still hash-verified):
+
+* ``doc_profile`` = ``text_quality`` + ``lang_id``: both are
+  single-pass per-document column expressions over the same token
+  split, so they CHAIN — one documents scan, zero joins, zero
+  shuffles, versus two full scans today.
+* ``doc_signature`` = ``doc_fingerprint`` + ``doc_winnow``: same
+  chaining argument (k-min-sketch and winnowing fingerprints are both
+  per-row array expressions over the token array).
+* ``funnel_cohorts`` = ``conversion_funnel`` + ``retention_cohorts``:
+  both consume the same 3-column projection of ``events``; the
+  projection is localCheckpointed once and feeds both branches, whose
+  outputs normalize onto a (stat, stage, k1, k2, n, ratio) union
+  schema.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators import text as text_ops
+from .operators.windows import funnel_stages, retention_matrix
+from .registry_text import (
+    SQL_DOC_FINGERPRINT,
+    SQL_DOC_WINNOW,
+    SQL_LANG_ID,
+    SQL_TEXT_QUALITY,
+)
+from .session import read_table
+
+
+# ---------------------------------------------------------------------------
+# doc_profile = text_quality + lang_id, one scan.
+
+
+def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    out = text_ops.language_id(text_ops.quality_features(docs))
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "mean_token_len",
+        "punct_ratio",
+        "stopword_ratio",
+        "quality_score",
+        "lang",
+        "pred_lang",
+        "score_de",
+        "score_en",
+        "score_es",
+        "score_fr",
+    )
+
+
+# The oracle replays the two registered oracles verbatim and joins on
+# the document key (1:1 by construction), so staged-vs-registered
+# drift is impossible: any future edit to the registered SQL flows
+# into this union row automatically.
+SQL_DOC_PROFILE = f"""
+WITH quality AS ({SQL_TEXT_QUALITY}),
+langid AS ({SQL_LANG_ID})
+SELECT q.doc_id, q.n_tokens, q.mean_token_len, q.punct_ratio,
+       q.stopword_ratio, q.quality_score,
+       l.lang, l.pred_lang, l.score_de, l.score_en, l.score_es, l.score_fr
+FROM quality q JOIN langid l ON q.doc_id = l.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# doc_signature = doc_fingerprint + doc_winnow, one scan.
+
+
+def q_doc_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    out = text_ops.winnow_fingerprint(
+        text_ops.fingerprint(docs, k=4), gram_k=3, window=8
+    )
+    return out.select("doc_id", "fingerprint", "winnow_fp")
+
+
+SQL_DOC_SIGNATURE = f"""
+WITH kmin AS ({SQL_DOC_FINGERPRINT}),
+winnow AS ({SQL_DOC_WINNOW})
+SELECT k.doc_id, k.fingerprint, w.winnow_fp
+FROM kmin k JOIN winnow w ON k.doc_id = w.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# funnel_cohorts = conversion_funnel + retention_cohorts, one events
+# projection materialized once.
+
+_FUNNEL_STAGES = ("signup", "click", "purchase")
+
+
+def q_funnel_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_type")
+        .localCheckpoint()
+    )
+    funnel = funnel_stages(ev, list(_FUNNEL_STAGES)).select(
+        F.lit("funnel").alias("stat"),
+        F.col("stage"),
+        F.col("stage_idx").cast("long").alias("k1"),
+        F.lit(None).cast("long").alias("k2"),
+        F.col("n_users").cast("long").alias("n"),
+        F.col("pct_of_first").alias("ratio"),
+    )
+    cohorts = retention_matrix(ev, period_days=7).select(
+        F.lit("cohort").alias("stat"),
+        F.lit(None).cast("string").alias("stage"),
+        F.col("cohort_period").cast("long").alias("k1"),
+        F.col("periods_since").cast("long").alias("k2"),
+        F.col("n_active").cast("long").alias("n"),
+        F.lit(None).cast("double").alias("ratio"),
+    )
+    return funnel.unionByName(cohorts)
+
+
+SQL_FUNNEL_COHORTS = """
+WITH u AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t0,
+         MIN(CASE WHEN event_type = 'click' THEN ts END) AS t1,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t2
+  FROM events
+  WHERE event_type IN ('signup', 'click', 'purchase')
+  GROUP BY user_id
+),
+g1 AS (
+  SELECT t0 AS g0,
+         CASE WHEN t0 IS NOT NULL AND t1 > t0 THEN t1 END AS g1, t2
+  FROM u
+),
+g2 AS (
+  SELECT g0, g1,
+         CASE WHEN g1 IS NOT NULL AND t2 > g1 THEN t2 END AS g2
+  FROM g1
+),
+c AS (
+  SELECT COUNT(g0) AS n0, COUNT(g1) AS n1, COUNT(g2) AS n2 FROM g2
+),
+funnel AS (
+  SELECT 'funnel' AS stat, 'signup' AS stage, CAST(0 AS BIGINT) AS k1,
+         CAST(NULL AS BIGINT) AS k2, CAST(n0 AS BIGINT) AS n,
+         ROUND(n0 / CAST(n0 AS DOUBLE), 6) AS ratio FROM c
+  UNION ALL
+  SELECT 'funnel', 'click', 1, NULL, CAST(n1 AS BIGINT),
+         ROUND(n1 / CAST(n0 AS DOUBLE), 6) FROM c
+  UNION ALL
+  SELECT 'funnel', 'purchase', 2, NULL, CAST(n2 AS BIGINT),
+         ROUND(n2 / CAST(n0 AS DOUBLE), 6) FROM c
+),
+d AS (
+  SELECT user_id, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS dd FROM events
+),
+first AS (
+  SELECT user_id, MIN(dd) AS d0 FROM d GROUP BY user_id
+),
+cell AS (
+  SELECT DISTINCT d.user_id,
+         CAST(floor(f.d0 / 7) AS BIGINT) AS cohort_period,
+         CAST(floor((d.dd - f.d0) / 7) AS BIGINT) AS periods_since
+  FROM d JOIN first f ON d.user_id = f.user_id
+)
+SELECT stat, stage, k1, k2, n, ratio FROM funnel
+UNION ALL
+SELECT 'cohort', CAST(NULL AS VARCHAR), cohort_period, periods_since,
+       CAST(COUNT(*) AS BIGINT), CAST(NULL AS DOUBLE)
+FROM cell GROUP BY cohort_period, periods_since
+"""
+
+
+STAGED_QUERIES = {
+    "doc_profile": q_doc_profile,
+    "doc_signature": q_doc_signature,
+    "funnel_cohorts": q_funnel_cohorts,
+}
+
+STAGED_ORACLE_SQL = {
+    "doc_profile": SQL_DOC_PROFILE,
+    "doc_signature": SQL_DOC_SIGNATURE,
+    "funnel_cohorts": SQL_FUNNEL_COHORTS,
+}
+
+# The pairs each staged row replaces at r9 registration time.
+STAGED_REPLACES = {
+    "doc_profile": ("text_quality", "lang_id"),
+    "doc_signature": ("doc_fingerprint", "doc_winnow"),
+    "funnel_cohorts": ("conversion_funnel", "retention_cohorts"),
+}

@@ -1,0 +1,160 @@
+"""Evidence for the staged r9 consolidation rows (registry_staged):
+
+1. parity — each staged union row reproduces the exact values of the
+   two registered rows it will replace (so consolidation cannot change
+   any hash-verified answer);
+2. oracle — each staged DuckDB twin matches the staged Spark plan
+   bit-for-bit at sf0.001 under the same normalize/compare rules as
+   ``tools/check_correctness.py`` (so r9 registration starts green);
+3. single-materialization — the chained document rows read the
+   documents parquet ONCE (the point of consolidating).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pytest
+
+from peskas_mozambique_data_pipeline_spark import registry, registry_staged
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(f"{SF_DIR}/documents.parquet"),
+    reason="driver testdata not present",
+)
+
+
+def _norm(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float) and math.isnan(v):
+                v = "NaN"
+            vals.append(v)
+        out.append(tuple(vals))
+    out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
+    return out
+
+
+def _exact(a, b):
+    if a is None or b is None:
+        return a is b
+    if isinstance(a, float) or isinstance(b, float):
+        fa, fb = float(a), float(b)
+        return fa == fb or (math.isnan(fa) and math.isnan(fb))
+    return str(a) == str(b)
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        path = f"{SF_DIR}/{t}.parquet"
+        if os.path.exists(path):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
+            )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", sorted(registry_staged.STAGED_QUERIES))
+def test_staged_oracle_bit_exact(spark, duck, name):
+    sdf = registry_staged.STAGED_QUERIES[name](spark, SF_DIR)
+    srows = _norm([tuple(r) for r in sdf.collect()], sdf.columns)
+    res = duck.execute(registry_staged.STAGED_ORACLE_SQL[name])
+    dcols = [d[0] for d in res.description]
+    drows = _norm(res.fetchall(), dcols)
+    assert sorted(c.lower() for c in sdf.columns) == sorted(
+        c.lower() for c in dcols
+    )
+    assert len(srows) == len(drows)
+    for rs, rd in zip(srows, drows):
+        assert len(rs) == len(rd)
+        assert all(_exact(a, b) for a, b in zip(rs, rd)), (rs, rd)
+
+
+def _replaced_pair(spark, name):
+    """The union of the two registered rows, normalized onto the staged
+    row's schema, collected for exact comparison."""
+    a_name, b_name = registry_staged.STAGED_REPLACES[name]
+    a = registry.SPARK_QUERIES[a_name](spark, SF_DIR)
+    b = registry.SPARK_QUERIES[b_name](spark, SF_DIR)
+    return a, b
+
+
+def test_doc_profile_parity(spark):
+    staged = registry_staged.q_doc_profile(spark, SF_DIR)
+    quality, lang = _replaced_pair(spark, "doc_profile")
+    joined = quality.join(lang, "doc_id").select(*staged.columns)
+    assert _norm(
+        [tuple(r) for r in staged.collect()], staged.columns
+    ) == _norm([tuple(r) for r in joined.collect()], joined.columns)
+
+
+def test_doc_signature_parity(spark):
+    staged = registry_staged.q_doc_signature(spark, SF_DIR)
+    kmin, winnow = _replaced_pair(spark, "doc_signature")
+    joined = kmin.join(winnow, "doc_id").select(*staged.columns)
+    assert _norm(
+        [tuple(r) for r in staged.collect()], staged.columns
+    ) == _norm([tuple(r) for r in joined.collect()], joined.columns)
+
+
+def test_funnel_cohorts_parity(spark):
+    staged = registry_staged.q_funnel_cohorts(spark, SF_DIR).collect()
+    funnel, cohorts = _replaced_pair(spark, "funnel_cohorts")
+    f = {(r["stage_idx"], r["stage"]): r for r in funnel.collect()}
+    got_f = {
+        (r["k1"], r["stage"]): r for r in staged if r["stat"] == "funnel"
+    }
+    assert set(f) == set(got_f)
+    for k, r in f.items():
+        assert got_f[k]["n"] == r["n_users"]
+        assert got_f[k]["ratio"] == r["pct_of_first"]
+        assert got_f[k]["k2"] is None
+    c = {
+        (r["cohort_period"], r["periods_since"]): r["n_active"]
+        for r in cohorts.collect()
+    }
+    got_c = {
+        (r["k1"], r["k2"]): r["n"] for r in staged if r["stat"] == "cohort"
+    }
+    assert c == got_c
+    assert all(
+        r["stage"] is None and r["ratio"] is None
+        for r in staged
+        if r["stat"] == "cohort"
+    )
+
+
+@pytest.mark.parametrize("name", ["doc_profile", "doc_signature"])
+def test_staged_doc_rows_scan_once(spark, name):
+    plan = (
+        registry_staged.STAGED_QUERIES[name](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Scan parquet") == 1, plan
+
+
+def test_staged_names_not_registered_yet():
+    # staging is deliberate: the r8 window has no room (NOTES "r9 START
+    # HERE"); this tripwire flips when r9 does the registration swap so
+    # the staged module gets dismantled rather than double-registered
+    for name, pair in registry_staged.STAGED_REPLACES.items():
+        assert name not in registry.SPARK_QUERIES
+        for old in pair:
+            assert old in registry.SPARK_QUERIES
