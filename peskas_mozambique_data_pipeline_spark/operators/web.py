@@ -1,0 +1,222 @@
+"""Web-corpus URL operators: canonicalization, registrable-domain
+extraction, URL-keyed dedup, and per-domain corpus stats.
+
+Every large crawled-text pipeline dedups and caps by URL before any
+content-grain pass (it is orders of magnitude cheaper than MinHash and
+removes the bulk of refetch duplicates), so these sit in front of the
+content dedup family in ``operators/dedup.py``.
+
+All transforms are pure JVM column expressions built on the built-in
+``parse_url`` — no Python UDFs, no shuffles except the one hash
+partition a URL-keyed groupBy inherently needs.  At 100 TB the
+canonical key collapses refetches BEFORE text ever shuffles: dedup
+moves (url, score) pairs, never document bodies, and the winner set
+joins back to the corpus on the id key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Query parameters that never change page content — analytics and
+# click-tracking state.  Dropped wholesale during canonicalization.
+TRACKING_PARAM_PREFIXES: tuple[str, ...] = ("utm_", "uta_", "pk_", "mtm_")
+TRACKING_PARAMS: tuple[str, ...] = (
+    "gclid",
+    "gclsrc",
+    "dclid",
+    "fbclid",
+    "msclkid",
+    "twclid",
+    "igshid",
+    "mc_cid",
+    "mc_eid",
+    "yclid",
+    "wbraid",
+    "gbraid",
+    "ref",
+    "ref_src",
+    "spm",
+    "cmpid",
+    "s_kwcid",
+)
+
+# Public-suffix-lite: second-level suffixes under which the registrable
+# domain takes THREE labels (example.co.uk) instead of two.  The full
+# Mozilla public-suffix list is a data file a deployment would mount;
+# the operator shape (label arithmetic against a broadcast literal set)
+# is identical at any list size.
+SECOND_LEVEL_SUFFIXES: tuple[str, ...] = (
+    "co.uk",
+    "org.uk",
+    "ac.uk",
+    "gov.uk",
+    "co.jp",
+    "ne.jp",
+    "or.jp",
+    "com.au",
+    "net.au",
+    "org.au",
+    "com.br",
+    "com.cn",
+    "com.mx",
+    "co.in",
+    "co.za",
+    "com.sg",
+    "co.kr",
+    "com.tr",
+    "com.ar",
+    "co.nz",
+)
+
+
+def _part(url: Column, part: str) -> Column:
+    # try_ variant: crawl frontiers always contain malformed URLs, and
+    # under ANSI mode plain parse_url fails the whole task on one
+    return F.try_parse_url(url, F.lit(part))
+
+
+def host_of(url: str | Column) -> Column:
+    """Lowercased host with any ``www.`` prefix dropped (port is
+    already excluded by ``parse_url('HOST')``)."""
+    c = F.col(url) if isinstance(url, str) else url
+    h = F.lower(_part(c, "HOST"))
+    return F.regexp_replace(h, r"^www\.", "")
+
+
+def _is_tracking(p: Column) -> Column:
+    key = F.lower(F.split(p, "=", 2).getItem(0))
+    hit = key.isin(*TRACKING_PARAMS)
+    for pref in TRACKING_PARAM_PREFIXES:
+        hit = hit | key.startswith(pref)
+    return hit
+
+
+def canonical_url(url: str | Column) -> Column:
+    """Scheme-insensitive canonical form for dedup keys:
+
+    * host lowercased, ``www.`` stripped, port stripped;
+    * fragment dropped;
+    * tracking query params dropped (``utm_*``, gclid, fbclid, …),
+      survivors sorted so param order doesn't split a key;
+    * trailing slashes trimmed from the path;
+    * scheme omitted entirely — http/https refetches of one page are
+      the most common crawl duplicate.
+
+    Pure string/array expressions over ``parse_url`` — whole-stage
+    codegen, no UDF, no shuffle.
+    """
+    c = F.col(url) if isinstance(url, str) else url
+    host = host_of(c)
+    path = F.regexp_replace(F.coalesce(_part(c, "PATH"), F.lit("")), r"/+$", "")
+    q = _part(c, "QUERY")
+    kept = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(F.coalesce(q, F.lit("")), "&"),
+                lambda p: (p != "") & ~_is_tracking(p),
+            )
+        ),
+        "&",
+    )
+    return F.when(host.isNull(), F.lit(None).cast("string")).otherwise(
+        F.concat(
+            host,
+            path,
+            F.when(kept == "", F.lit("")).otherwise(F.concat(F.lit("?"), kept)),
+        )
+    )
+
+
+def registrable_domain(host: str | Column) -> Column:
+    """Registrable ("pay-level") domain of a host: the last two labels,
+    or three when the two-label suffix is a known second-level public
+    suffix (``example.co.uk``).  The suffix set compiles to an ``IN``
+    literal — broadcast-free, codegen-friendly."""
+    h = F.col(host) if isinstance(host, str) else host
+    labels = F.split(h, r"\.")
+    n = F.size(labels)
+    last2 = F.array_join(F.slice(labels, n - 1, 2), ".")
+    last3 = F.array_join(F.slice(labels, n - 2, 3), ".")
+    return F.when(n <= 2, h).otherwise(
+        F.when(last2.isin(*SECOND_LEVEL_SUFFIXES), last3).otherwise(last2)
+    )
+
+
+def url_dedup(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    score_col: str | None = None,
+) -> DataFrame:
+    """Keep one representative row per canonical URL.
+
+    Winner per key = highest ``score_col`` (ties and the unscored case
+    fall to the smallest ``id_col``) — a deterministic choice, computed
+    as one ``max(struct(...))`` aggregate so the groupBy stays a
+    partial-aggregating single shuffle of (key, score, id) triples;
+    document text never moves.  Returns the input rows annotated with
+    ``canonical_url``, ``n_url_dups`` and boolean ``is_url_canonical``
+    via a join-back on the id key (the skew-safe groupBy+join-back
+    shape used across the dedup family — no window over hot URLs).
+    """
+    keyed = df.withColumn("canonical_url", canonical_url(url_col))
+    score = (
+        F.col(score_col).cast("double")
+        if score_col
+        else F.lit(0.0)
+    )
+    slim = keyed.select(
+        "canonical_url",
+        score.alias("_s"),
+        F.col(id_col).alias("_id"),
+    )
+    winners = slim.groupBy("canonical_url").agg(
+        F.count(F.lit(1)).alias("n_url_dups"),
+        F.max(F.struct(F.col("_s"), (-F.col("_id")).alias("_nid"))).alias("_w"),
+    )
+    winners = winners.select(
+        "canonical_url",
+        "n_url_dups",
+        (-F.col("_w._nid")).alias("_keep_id"),
+    )
+    out = keyed.join(winners, "canonical_url")
+    return out.withColumn(
+        "is_url_canonical", F.col(id_col) == F.col("_keep_id")
+    ).drop("_keep_id")
+
+
+def domain_stats(
+    df: DataFrame,
+    url_col: str = "url",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Per-registrable-domain corpus profile: page count, distinct
+    canonical URLs, optional weight sum (e.g. token counts), and each
+    domain's share of the corpus — the table a per-domain cap
+    (``curation.per_group_cap``) is tuned against.
+
+    One groupBy on the domain; the corpus share reuses a 1-row
+    broadcast total (crossJoin of a single aggregated row) rather than
+    a global window.
+    """
+    w = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
+    keyed = df.select(
+        registrable_domain(host_of(url_col)).alias("domain"),
+        canonical_url(url_col).alias("_cu"),
+        w.alias("_w"),
+    )
+    per = keyed.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.countDistinct("_cu").alias("n_canonical_urls"),
+        F.sum("_w").alias("weight"),
+    )
+    total = per.agg(F.sum("weight").alias("_tot"))
+    return (
+        per.crossJoin(F.broadcast(total))
+        .withColumn(
+            "weight_share", F.round(F.col("weight") / F.col("_tot"), 6)
+        )
+        .drop("_tot")
+    )

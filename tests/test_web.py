@@ -1,0 +1,139 @@
+"""URL toolkit (operators/web): canonicalization, registrable domain,
+URL-keyed dedup, per-domain stats — exact expected values on crafted
+URLs plus plan-shape assertions (no UDF, no cartesian on data)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from peskas_mozambique_data_pipeline_spark.operators import web
+
+
+def _one(spark, url, expr):
+    return (
+        spark.createDataFrame([(url,)], ["url"]).select(expr.alias("v")).first()["v"]
+    )
+
+
+@pytest.mark.parametrize(
+    "url,want",
+    [
+        # scheme dropped, host lowercased, www/port/fragment stripped,
+        # tracking params dropped, survivors sorted, trailing / trimmed
+        (
+            "https://WWW.Example.com:443/a/b/?utm_source=x&b=2&a=1#frag",
+            "example.com/a/b?a=1&b=2",
+        ),
+        ("http://example.com", "example.com"),
+        ("http://example.com/", "example.com"),
+        ("https://example.com/x?gclid=abc&fbclid=z", "example.com/x"),
+        ("https://example.com/x?UTM_CAMPAIGN=q", "example.com/x"),
+        # non-tracking params survive; '=' inside values preserved
+        ("https://example.com/x?q=a=b&p=1", "example.com/x?p=1&q=a=b"),
+        # http vs https collapse to the same key
+        ("http://a.org/p?z=1", "a.org/p?z=1"),
+        ("https://a.org/p?z=1", "a.org/p?z=1"),
+        ("not a url", None),
+    ],
+)
+def test_canonical_url(spark, url, want):
+    assert _one(spark, url, web.canonical_url("url")) == want
+
+
+@pytest.mark.parametrize(
+    "host,want",
+    [
+        ("news.example.com", "example.com"),
+        ("example.com", "example.com"),
+        ("a.b.news.example.co.uk", "example.co.uk"),
+        ("example.co.uk", "example.co.uk"),
+        ("deep.sub.example.com.au", "example.com.au"),
+        ("localhost", "localhost"),
+    ],
+)
+def test_registrable_domain(spark, host, want):
+    df = spark.createDataFrame([(host,)], ["h"])
+    assert df.select(web.registrable_domain("h").alias("v")).first()["v"] == want
+
+
+@pytest.fixture()
+def crawl(spark):
+    rows = [
+        # three refetches of one page (scheme/tracking/slash variants)
+        (1, "https://www.site.com/page?utm_source=a", 0.9),
+        (2, "http://site.com/page/", 0.5),
+        (3, "https://site.com/page#top", 0.9),
+        # distinct page on same domain
+        (4, "https://site.com/other", 0.1),
+        # different registrable domain
+        (5, "https://blog.example.co.uk/x?b=2&a=1", 0.7),
+        (6, "https://blog.example.co.uk/x?a=1&b=2", 0.2),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "url", "score"])
+
+
+def test_url_dedup_keeps_best_scored_then_smallest_id(spark, crawl):
+    out = web.url_dedup(crawl, score_col="score")
+    keep = {
+        r["doc_id"]
+        for r in out.filter("is_url_canonical").select("doc_id").collect()
+    }
+    # site.com/page: docs 1 and 3 tie at 0.9 -> smallest id (1) wins
+    # blog.example.co.uk/x?a=1&b=2: doc 5 (0.7) beats doc 6 (0.2)
+    assert keep == {1, 4, 5}
+    dups = {
+        r["canonical_url"]: r["n_url_dups"]
+        for r in out.select("canonical_url", "n_url_dups").distinct().collect()
+    }
+    assert dups == {
+        "site.com/page": 3,
+        "site.com/other": 1,
+        "blog.example.co.uk/x?a=1&b=2": 2,
+    }
+    # every input row comes back exactly once, annotated
+    assert out.count() == 6
+
+
+def test_url_dedup_unscored_is_min_id(spark, crawl):
+    out = web.url_dedup(crawl.drop("score"))
+    keep = {
+        r["doc_id"]
+        for r in out.filter("is_url_canonical").select("doc_id").collect()
+    }
+    assert keep == {1, 4, 5}
+
+
+def test_domain_stats(spark, crawl):
+    withw = crawl.withColumn("n_tok", F.lit(10) * F.col("doc_id"))
+    out = web.domain_stats(withw, weight_col="n_tok")
+    got = {
+        r["domain"]: (
+            r["n_pages"],
+            r["n_canonical_urls"],
+            r["weight"],
+            r["weight_share"],
+        )
+        for r in out.collect()
+    }
+    assert got == {
+        "site.com": (4, 2, 100, round(100 / 210, 6)),
+        "example.co.uk": (2, 1, 110, round(110 / 210, 6)),
+    }
+
+
+def test_plans_no_udf_no_data_cartesian(spark, crawl):
+    dedup_plan = (
+        web.url_dedup(crawl, score_col="score")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    stats_plan = (
+        web.domain_stats(crawl)._jdf.queryExecution().executedPlan().toString()
+    )
+    for plan in (dedup_plan, stats_plan):
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+    # the only nested-loop join allowed is the 1-row broadcast total
+    assert "CartesianProduct" not in stats_plan
