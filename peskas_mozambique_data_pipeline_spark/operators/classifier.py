@@ -1,0 +1,156 @@
+"""Hashed linear text classifier — the fastText-shaped quality scorer
+large corpus pipelines run over every document (e.g. the "looks like a
+reference page" classifiers used to curate web crawls).
+
+Two halves, both pure DataFrame ops:
+
+* :func:`fit_hashed_nb` — closed-form Naive-Bayes log-odds training
+  over hashed bag-of-words features.  Counts are exact integers from
+  one groupBy; the only floats are the final per-feature log-odds,
+  which are nano-quantized to BIGINT so the fitted model is a plain
+  (feature, w_nano) table with deterministic values.
+* :func:`score_hashed_linear` — inference: explode tokens, hash into
+  the feature space, broadcast-join the weight table, sum weights per
+  document as exact BIGINTs (order-free), then one division and a
+  sigmoid.
+
+Scale shape: training shuffles (label, feature) count pairs — bounded
+by ``dim``, not the corpus; inference broadcasts the model (a 2^18
+feature table is ~4 MB) and aggregates per document on the id key, so
+the corpus is read once and shuffles only (id, partial-sum) pairs.
+Feature hashing (Weinberger et al., ICML'09) keeps the model fixed-size
+regardless of vocabulary growth — the property that matters at 100 TB.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import bpe_ish_tokens
+
+NANO = 1_000_000_000
+
+
+def hashed_feature(token: Column, dim: int) -> Column:
+    """Stable token → [0, dim) feature id: xxhash64 folded by pmod
+    (non-negative even for negative hashes)."""
+    return F.pmod(F.xxhash64(token), F.lit(dim)).cast("long")
+
+
+def _doc_features(
+    df: DataFrame, text_col: str, id_col: str, dim: int
+) -> DataFrame:
+    """(id, feature, n) token-multiplicity triples — the shared explode
+    both halves consume."""
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(bpe_ish_tokens(text_col)).alias("_tok"),
+    ).filter(F.col("_tok") != "")
+    return (
+        toks.select("_id", hashed_feature(F.col("_tok"), dim).alias("feature"))
+        .groupBy("_id", "feature")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def fit_hashed_nb(
+    df: DataFrame,
+    text_col: str = "text",
+    label_col: str = "label",
+    dim: int = 2**18,
+    alpha: float = 1.0,
+) -> tuple[DataFrame, int]:
+    """Closed-form multinomial Naive-Bayes in log-odds form over hashed
+    features.  ``label_col`` must be 0/1 (1 = positive class).
+
+    Per feature f:  w(f) = ln((c1+α)/(T1+α·dim)) − ln((c0+α)/(T0+α·dim))
+    with cℓ the token-occurrence count of f under label ℓ and Tℓ the
+    label's total token count.  The bias is the class log-prior ratio.
+    Returns ``(weights, bias_nano)`` where ``weights`` is a
+    (feature BIGINT, w_nano BIGINT) table and ``bias_nano`` an int —
+    the model is fully described by integers, so a fitted model
+    round-trips through parquet without float drift.
+
+    The class totals and priors are two tiny aggregate rows collected
+    driver-side (the model-coefficient pattern — bounded by the label
+    count, never the corpus).
+    """
+    # token-occurrence counts need only (label, feature) grain — no doc
+    # id, so multiplicities collapse straight onto the label
+    lab = df.select(
+        F.col(label_col).cast("int").alias("_y"),
+        F.explode(bpe_ish_tokens(text_col)).alias("_tok"),
+    ).filter(F.col("_tok") != "")
+    counts = (
+        lab.select("_y", hashed_feature(F.col("_tok"), dim).alias("feature"))
+        .groupBy("feature")
+        .agg(
+            F.sum(F.when(F.col("_y") == 1, 1).otherwise(0)).alias("c1"),
+            F.sum(F.when(F.col("_y") == 0, 1).otherwise(0)).alias("c0"),
+        )
+    )
+    totals = lab.agg(
+        F.sum(F.when(F.col("_y") == 1, 1).otherwise(0)).alias("t1"),
+        F.sum(F.when(F.col("_y") == 0, 1).otherwise(0)).alias("t0"),
+    ).first()
+    t1, t0 = int(totals["t1"]), int(totals["t0"])
+    n_docs = df.groupBy().agg(
+        F.sum(F.when(F.col(label_col).cast("int") == 1, 1).otherwise(0)).alias(
+            "d1"
+        ),
+        F.count(F.lit(1)).alias("d"),
+    ).first()
+    d1, d = int(n_docs["d1"]), int(n_docs["d"])
+    if d1 == 0 or d1 == d:
+        raise ValueError("fit_hashed_nb needs both classes present")
+    bias_nano = round(
+        (math.log((d1 + alpha) / (d - d1 + alpha))) * NANO
+    )
+    denom1 = float(t1) + alpha * dim
+    denom0 = float(t0) + alpha * dim
+    w = (
+        F.log((F.col("c1") + F.lit(alpha)) / F.lit(denom1))
+        - F.log((F.col("c0") + F.lit(alpha)) / F.lit(denom0))
+    )
+    weights = counts.select(
+        "feature", F.round(w * NANO).cast("long").alias("w_nano")
+    )
+    return weights, bias_nano
+
+
+def score_hashed_linear(
+    df: DataFrame,
+    weights: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 2**18,
+    bias_nano: int = 0,
+) -> DataFrame:
+    """Score every document under a (feature, w_nano) linear model:
+    ``score = bias + Σ_tokens w(feature(token))``, plus the sigmoid
+    ``prob``.  Weight sums are exact BIGINT folds (order-free, so the
+    score is bit-deterministic under any shuffle ordering); the only
+    floats are the final /1e9 and the sigmoid.
+
+    Unseen features score 0 (left join + coalesce), and documents with
+    no tokens keep a bias-only score rather than dropping out.
+    """
+    feats = _doc_features(df, text_col, id_col, dim)
+    hit = feats.join(F.broadcast(weights), "feature").groupBy("_id").agg(
+        F.sum(F.col("n") * F.col("w_nano")).alias("_sum_nano")
+    )
+    score_nano = F.coalesce(F.col("_sum_nano"), F.lit(0)) + F.lit(bias_nano)
+    out = df.join(
+        hit.select(F.col("_id").alias(id_col), "_sum_nano"), id_col, "left"
+    )
+    score = (score_nano.cast("double") / NANO).alias("score")
+    return out.select(
+        "*",
+        score,
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-score_nano.cast("double") / NANO))).alias(
+            "prob"
+        ),
+    ).drop("_sum_nano")
