@@ -726,3 +726,96 @@ def containment_prefix_pairs(
     return j.select("id_a", "id_b", containment.alias("containment")).filter(
         F.col("containment") >= threshold
     )
+
+
+def cross_corpus_near_dups(
+    new_df: DataFrame,
+    ref_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 5,
+    n_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-duplicate matches of NEW documents against a REFERENCE
+    corpus — the batch "is this incoming shard already in the training
+    set" pass (the streaming twin lives in ``streaming/dedup_index``;
+    this is the one-shot backfill shape).
+
+    Same LSH discipline as the self-dedup family, but the band-bucket
+    join is NEW×REF instead of a self-join: candidates = equi-join of
+    the two (band, bucket) tables, verification = exact shingle-set
+    Jaccard over the two materialized hash frames, so each corpus is
+    tokenized and hashed exactly once.  Nothing is all-pairs — the
+    shuffle keys are LSH buckets and doc ids, so at 100 TB a small
+    incoming shard probes a huge reference at cost proportional to the
+    shard, not the reference (the reference side prunes to buckets the
+    shard actually hits via the join).
+
+    Returns one row per matched new doc: ``(new_id, ref_id, jaccard,
+    n_ref_matches)`` with ``ref_id``/``jaccard`` the best match
+    (highest Jaccard, ties to the smallest reference id — the
+    deterministic max(struct) pick) and ``n_ref_matches`` the number of
+    reference docs at or above ``threshold``.
+    """
+    new_h = shingle_hash_frame(
+        new_df, text_col, id_col, shingle_k, materialize=True
+    )
+    ref_h = shingle_hash_frame(
+        ref_df, text_col, id_col, shingle_k, materialize=True
+    )
+    new_b = band_buckets(new_h, id_col, n_hashes, bands).select(
+        F.col(id_col).alias("_nid"), "band", "bucket"
+    )
+    ref_b = band_buckets(ref_h, id_col, n_hashes, bands).select(
+        F.col(id_col).alias("_rid"), "band", "bucket"
+    )
+    cand = (
+        new_b.join(ref_b, ["band", "bucket"])
+        .select("_nid", "_rid")
+        .distinct()
+    )
+    j = cand.join(
+        new_h.select(F.col(id_col).alias("_nid"), F.col("_h32").alias("h_n")),
+        "_nid",
+    ).join(
+        ref_h.select(F.col(id_col).alias("_rid"), F.col("_h32").alias("h_r")),
+        "_rid",
+    )
+    inter = F.size(F.array_intersect(F.col("h_n"), F.col("h_r")))
+    union = F.size("h_n") + F.size("h_r") - inter
+    scored = j.select(
+        "_nid",
+        "_rid",
+        F.round(inter.cast("double") / union, 6).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
+    best = scored.groupBy("_nid").agg(
+        F.max(F.struct(F.col("jaccard"), (-F.col("_rid")).alias("_nr"))).alias(
+            "_b"
+        ),
+        F.count(F.lit(1)).alias("n_ref_matches"),
+    )
+    return best.select(
+        F.col("_nid").alias("new_id"),
+        (-F.col("_b._nr")).alias("ref_id"),
+        F.col("_b.jaccard").alias("jaccard"),
+        "n_ref_matches",
+    )
+
+
+def filter_against_reference(
+    new_df: DataFrame,
+    ref_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **kw,
+) -> DataFrame:
+    """Drop incoming documents near-duplicate of the reference corpus:
+    anti-join of ``new_df`` against :func:`cross_corpus_near_dups`
+    matches on the id key — survivors keep their full rows, and the
+    anti-join shuffles only (id) keys against the matched set."""
+    matches = cross_corpus_near_dups(new_df, ref_df, text_col, id_col, **kw)
+    return new_df.join(
+        matches.select(F.col("new_id").alias(id_col)), id_col, "left_anti"
+    )
