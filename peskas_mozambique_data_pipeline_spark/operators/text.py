@@ -1882,3 +1882,63 @@ def bm25_topk_indexed(
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Text normalization -- the canonical pre-dedup cleanup pass.
+
+
+def normalize_whitespace_expr(col: str | Column) -> Column:
+    """JVM-side text cleanup: strip C0 control characters and DEL
+    (newline/tab first collapse into the whitespace run), squash every
+    whitespace run -- including NBSP and the Unicode space block -- to
+    one space, trim.  Running this before any digest/shingle pass
+    stops formatting-only variants (CRLF vs LF, tab indents, trailing
+    blanks) from splitting exact-dup groups.
+
+    Pure ``regexp_replace`` chain -- codegen, no UDF, no shuffle.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    no_ctl = F.regexp_replace(
+        c, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", " "
+    )
+    return F.trim(
+        F.regexp_replace(no_ctl, "[\\s\\u00A0\\u2000-\\u200B\\u3000]+", " ")
+    )
+
+
+def normalize_unicode(
+    df: DataFrame,
+    text_col: str = "text",
+    form: str = "NFKC",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Unicode normalization (NFC/NFKC/NFD/NFKD) via an Arrow-batched
+    pandas UDF -- Spark has no built-in normalizer, and byte-identical
+    text is a precondition for exact dedup across sources that encode
+    the same characters differently (composed vs combining accents,
+    fullwidth forms, compatibility ligatures).
+
+    The UDF is per-row-independent (``pandas_udf`` over string series,
+    Arrow transfer, no state), so it rides inside the scan stage --
+    no shuffle, parallel by partition.  This operator is deliberately
+    OUTSIDE the oracle registry: normalization output depends on the
+    Python runtime's Unicode tables, which is exactly the class of
+    engine-local dependency the registry bans (see the char_entropy
+    LUT precedent); its tests pin known codepoint fixtures instead.
+    """
+    import unicodedata
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+
+    @pandas_udf("string")
+    def _norm(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda t: unicodedata.normalize(form, t) if t is not None else None
+        )
+
+    return df.withColumn(out_col or text_col, _norm(F.col(text_col)))
