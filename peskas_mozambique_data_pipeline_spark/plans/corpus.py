@@ -102,6 +102,47 @@ def semantic_survivors(
     return docs.join(losers, id_col, "left_anti")
 
 
+def stage_normalize(
+    spark: SparkSession,
+    docs: DataFrame,
+    zones: PipelineZones,
+    unicode_form: str | None = None,
+) -> str:
+    """Text canonicalization at the very front of the DAG (the
+    CCNet/RefinedWeb ordering): unicode normalization first when
+    requested (NFKC folds fullwidth/compat forms — a pandas-UDF scan
+    stage), then the JVM whitespace/control cleanup, so every
+    downstream digest/shingle/token pass sees one canonical byte
+    encoding per text.  Scan-shaped: zero shuffles before the zone
+    write's range partition."""
+    out = docs
+    if unicode_form is not None:
+        out = text_ops.normalize_unicode(out, form=unicode_form)
+    out = out.withColumn("text", text_ops.normalize_whitespace_expr("text"))
+    return zones.write(out, "corpus_normalized", range_by=["doc_id"])
+
+
+def stage_url_dedup(
+    spark: SparkSession,
+    zones: PipelineZones,
+    url_col: str,
+    source: str = "corpus_normalized",
+) -> str:
+    """URL-keyed refetch removal ahead of the content passes — orders
+    of magnitude cheaper than MinHash (the dedup moves (key, id) pairs,
+    never text), so it runs as early as possible.  Winner per canonical
+    URL is the smallest doc id (no quality scores exist this early);
+    survivors keep their full rows minus the bookkeeping columns."""
+    from ..operators import web as web_ops
+
+    docs = zones.read(spark, source)
+    marked = web_ops.url_dedup(docs, url_col=url_col)
+    keep = marked.filter(F.col("is_url_canonical")).drop(
+        "canonical_url", "n_url_dups", "is_url_canonical"
+    )
+    return zones.write(keep, "corpus_url_deduped", range_by=["doc_id"])
+
+
 def stage_quality(spark: SparkSession, docs: DataFrame, zones: PipelineZones) -> str:
     # every doc-keyed corpus zone range-partitions on doc_id: the
     # dedup/scrub/semantic stages all join or anti-join on doc_id, so
@@ -276,6 +317,9 @@ def run_corpus_pipeline(
     benchmark: DataFrame | None = None,
     decontam_n: int = 13,
     shuffle_salt: str | None = None,
+    normalize: bool = False,
+    unicode_form: str | None = None,
+    url_col: str | None = None,
 ) -> dict[str, str]:
     """The full curation DAG through versioned zones.
 
@@ -302,11 +346,44 @@ def run_corpus_pipeline(
     With ``shuffle_salt`` set, the packed corpus gets its final
     deterministic training-order permutation as a ``corpus_shuffled``
     zone (one salt per epoch).
+    With ``normalize`` (optionally ``unicode_form="NFKC"``) the corpus
+    is byte-canonicalized up front; with ``url_col`` refetch duplicates
+    collapse on the canonical URL before any content pass (requires
+    ``normalize`` — the stage reads the normalized zone).
     """
     from ..io import parquet_io
 
     zones = PipelineZones(zone_root, git_sha)
     out: dict[str, str] = {}
+
+    # front-door stages (r8): normalization, then URL refetch removal,
+    # both BEFORE the quality gate — cheapest first, and every
+    # downstream digest assumes canonical text
+    if normalize or unicode_form is not None:
+        if skip_fresh and zones.is_fresh("corpus_normalized"):
+            out["corpus_normalized"] = parquet_io.latest_version_path(
+                zone_root, "corpus_normalized"
+            )
+        else:
+            out["corpus_normalized"] = stage_normalize(
+                spark, docs, zones, unicode_form=unicode_form
+            )
+        docs = zones.read(spark, "corpus_normalized")
+    if url_col is not None:
+        if not (normalize or unicode_form is not None):
+            raise ValueError(
+                "url_col requires the normalize stage (url dedup reads "
+                "the corpus_normalized zone)"
+            )
+        if skip_fresh and zones.is_fresh("corpus_url_deduped", "corpus_normalized"):
+            out["corpus_url_deduped"] = parquet_io.latest_version_path(
+                zone_root, "corpus_url_deduped"
+            )
+        else:
+            out["corpus_url_deduped"] = stage_url_dedup(
+                spark, zones, url_col=url_col
+            )
+        docs = zones.read(spark, "corpus_url_deduped")
 
     if skip_fresh and zones.is_fresh("corpus_filtered"):
         out["corpus_filtered"] = parquet_io.latest_version_path(

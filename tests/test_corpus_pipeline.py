@@ -381,3 +381,61 @@ def test_corpus_pipeline_line_scrub_stage(spark, tmp_path):
     deduped = spark.read.parquet(out["corpus_deduped"])
     assert set(r.doc_id for r in deduped.collect()) == {1, 4, 7}
     assert all(chrome not in r.text for r in deduped.collect())
+
+
+def test_corpus_pipeline_front_door_normalize_and_url_dedup(spark, tmp_path):
+    import pytest
+
+    doc = _mk_doc(["alpha", "beta", "gamma", "delta"])
+    other = _mk_doc(["omega", "sigma", "theta", "kappa"])
+    rows = [
+        # doc 1 and 2: same content modulo CRLF/tab formatting AND the
+        # same page refetched over http/https with tracking params ->
+        # the URL stage collapses them before any content pass
+        (1, doc, "en", "https://www.site.com/page?utm_source=a"),
+        (2, doc.replace(" ", "\t", 3) + "\r\n", "en", "http://site.com/page/"),
+        (3, other, "en", "https://site.com/other"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang", "url"])
+    out = corpus.run_corpus_pipeline(
+        spark,
+        docs,
+        str(tmp_path / "zones"),
+        budget=40,
+        jaccard_threshold=0.5,
+        normalize=True,
+        url_col="url",
+    )
+    normalized = spark.read.parquet(out["corpus_normalized"])
+    url_deduped = spark.read.parquet(out["corpus_url_deduped"])
+    deduped = spark.read.parquet(out["corpus_deduped"])
+
+    # normalization made docs 1 and 2 byte-identical
+    texts = {r.doc_id: r.text for r in normalized.collect()}
+    assert texts[1] == texts[2]
+    # URL stage kept the smallest id per canonical URL
+    assert {r.doc_id for r in url_deduped.collect()} == {1, 3}
+    # bookkeeping columns do not leak into the zone
+    assert set(url_deduped.columns) == {"doc_id", "text", "lang", "url"}
+    assert {r.doc_id for r in deduped.collect()} == {1, 3}
+
+    # url_col without the normalize stage is a wiring error
+    with pytest.raises(ValueError):
+        corpus.run_corpus_pipeline(
+            spark, docs, str(tmp_path / "z2"), url_col="url"
+        )
+
+
+def test_corpus_pipeline_normalize_skip_fresh(spark, tmp_path):
+    doc = _mk_doc(["alpha", "beta", "gamma", "delta"])
+    docs = spark.createDataFrame([(1, doc, "en")], ["doc_id", "text", "lang"])
+    root = str(tmp_path / "zones")
+    first = corpus.run_corpus_pipeline(
+        spark, docs, root, budget=40, normalize=True
+    )
+    second = corpus.run_corpus_pipeline(
+        spark, docs, root, budget=40, normalize=True, skip_fresh=True
+    )
+    # fresh zones are reused, not rewritten
+    assert second["corpus_normalized"] == first["corpus_normalized"]
+    assert second["corpus_filtered"] == first["corpus_filtered"]
