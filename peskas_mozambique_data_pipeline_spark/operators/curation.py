@@ -659,3 +659,54 @@ def mixture_budget_closed(
         group_col, "n_tokens", "weight", "cap_tokens",
         "draw_tokens", "epochs", "capped",
     )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    components: DataFrame,
+    fractions: dict[str, float],
+    salt: str = "split",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Train/val/test assignment that can never leak near-duplicates
+    across splits: the split key is the document's duplicate-cluster
+    component id (``dedup.connected_components`` output), falling back
+    to the doc's own id for singletons — so an entire near-dup cluster
+    lands on one side of every boundary.  Per-doc hash splits (the
+    ``data_split`` registry row) put one member of a duplicate pair in
+    train and its twin in test, which silently inflates eval scores;
+    this is the split the dedup pipeline exists to enable.
+
+    Assignment is ``deterministic_uniform(salt, key)`` against the
+    cumulative fraction boundaries — reproducible on any engine, any
+    partitioning, any rerun, and STABLE UNDER CORPUS GROWTH for
+    singletons (a new doc never moves an old doc's split; a doc
+    joining a cluster adopts the cluster's split).
+
+    Scale shape: one left join docs⋈components on the id key (the
+    components frame is cluster-members only — tiny next to the
+    corpus), then pure column expressions.  No shuffle beyond the
+    join.
+    """
+    from .text import deterministic_uniform
+
+    total = sum(fractions.values())
+    if not fractions or abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    comp = components.select(
+        F.col("node").alias(id_col), F.col("component_id").alias("_comp")
+    )
+    keyed = docs.join(comp, id_col, "left").withColumn(
+        "_split_key",
+        F.coalesce(F.col("_comp"), F.col(id_col)).cast("string"),
+    )
+    u = deterministic_uniform(F.col("_split_key"), salt=salt)
+    expr = None
+    cum = 0.0
+    *head, (last_name, _) = list(fractions.items())
+    for name, frac in head:
+        cum += frac
+        cond = u < F.lit(cum)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    expr = F.lit(last_name) if expr is None else expr.otherwise(F.lit(last_name))
+    return keyed.withColumn("split", expr).drop("_comp", "_split_key")

@@ -230,3 +230,73 @@ def test_ordering_mix_audit_clumped_vs_alternating(spark):
     )
     out = {r["source"]: r for r in ordering_mix_audit(alt).collect()}
     assert out["a"]["n_same"] == 0 and out["b"]["n_same"] == 0
+
+
+# ---------------------------------------------------------------------------
+# leakage_safe_split
+
+
+def _split_fixture(spark):
+    from peskas_mozambique_data_pipeline_spark.operators import curation
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(200)], ["doc_id", "text"]
+    )
+    # clusters {0,1,2} and {10,11}; everything else singleton
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11)], ["id_a", "id_b"]
+    )
+    from peskas_mozambique_data_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+
+    comp = connected_components(edges)
+    return curation, docs, comp
+
+
+def test_leakage_safe_split_clusters_never_straddle(spark):
+    curation, docs, comp = _split_fixture(spark)
+    out = curation.leakage_safe_split(
+        docs, comp, {"train": 0.6, "val": 0.2, "test": 0.2}
+    )
+    by_id = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert len(by_id) == 200
+    assert by_id[0] == by_id[1] == by_id[2]
+    assert by_id[10] == by_id[11]
+    # all three splits are populated at n=200 and the shares are sane
+    from collections import Counter
+
+    shares = Counter(by_id.values())
+    assert set(shares) == {"train", "val", "test"}
+    assert shares["train"] > shares["val"]
+
+
+def test_leakage_safe_split_deterministic_and_growth_stable(spark):
+    curation, docs, comp = _split_fixture(spark)
+    fr = {"train": 0.8, "test": 0.2}
+    a = {
+        r["doc_id"]: r["split"]
+        for r in curation.leakage_safe_split(docs, comp, fr).collect()
+    }
+    b = {
+        r["doc_id"]: r["split"]
+        for r in curation.leakage_safe_split(docs, comp, fr).collect()
+    }
+    assert a == b
+    # growing the corpus never moves an existing singleton's split
+    bigger = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(400)], ["doc_id", "text"]
+    )
+    c = {
+        r["doc_id"]: r["split"]
+        for r in curation.leakage_safe_split(bigger, comp, fr).collect()
+    }
+    assert all(c[i] == a[i] for i in range(200))
+
+
+def test_leakage_safe_split_validates_fractions(spark):
+    import pytest
+
+    curation, docs, comp = _split_fixture(spark)
+    with pytest.raises(ValueError):
+        curation.leakage_safe_split(docs, comp, {"train": 0.5, "test": 0.4})
