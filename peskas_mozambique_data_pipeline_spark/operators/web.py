@@ -220,3 +220,46 @@ def domain_stats(
         )
         .drop("_tot")
     )
+
+
+def filter_blocked_domains(
+    df: DataFrame,
+    blocklist: DataFrame,
+    url_col: str = "url",
+    domain_col: str = "domain",
+) -> DataFrame:
+    """Drop rows whose registrable domain appears in a blocklist frame
+    — the standard crawl hygiene gate (spam/SEO-farm/adult lists).
+    One left_anti join on the domain key; the blocklist is tiny next to
+    the corpus, so Spark broadcasts it and the corpus never shuffles.
+    Matching is on the REGISTRABLE domain, so a ``spam.example.com``
+    entry in the corpus is caught by a blocklist row ``example.com``.
+    """
+    keyed = df.withColumn("_rd", registrable_domain(host_of(url_col)))
+    bl = blocklist.select(
+        F.lower(F.col(domain_col)).alias("_rd")
+    ).distinct()
+    return keyed.join(F.broadcast(bl), "_rd", "left_anti").drop("_rd")
+
+
+def stream_url_dedup(
+    stream: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming twin of :func:`url_dedup`: first-seen-wins refetch
+    removal on the canonical URL within the watermark horizon.
+
+    The batch winner-per-key aggregate is illegal in an append-mode
+    stream (the winner can change until the key closes), so streaming
+    uses ``dropDuplicatesWithinWatermark`` — first arrival wins, state
+    per key is bounded by the watermark, exactly the bounded-state
+    discipline of ``streaming/ingest.streaming_dedup`` (reference
+    parity: the same at-most-once ingest guarantee the fisheries
+    pipeline's submission-id dedup provides).
+    """
+    keyed = stream.withColumn("canonical_url", canonical_url(url_col))
+    return keyed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        ["canonical_url"]
+    )

@@ -137,3 +137,44 @@ def test_plans_no_udf_no_data_cartesian(spark, crawl):
         assert "ArrowEvalPython" not in plan
     # the only nested-loop join allowed is the 1-row broadcast total
     assert "CartesianProduct" not in stats_plan
+
+
+def test_filter_blocked_domains(spark, crawl):
+    blocklist = spark.createDataFrame(
+        [("example.co.uk",), ("Unrelated.org",)], ["domain"]
+    )
+    kept = web.filter_blocked_domains(crawl, blocklist)
+    # subdomain blog.example.co.uk is caught via its registrable domain
+    assert {r["doc_id"] for r in kept.collect()} == {1, 2, 3, 4}
+    assert kept.columns == crawl.columns
+
+
+def test_stream_url_dedup_first_seen_wins(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from peskas_mozambique_data_pipeline_spark.streaming import ingest as si
+
+    rows = [
+        (1, "2024-01-01 00:00:01", "https://www.site.com/page?utm_source=a"),
+        (2, "2024-01-01 00:00:02", "http://site.com/page/"),   # refetch
+        (3, "2024-01-01 00:00:03", "https://site.com/other"),
+    ]
+    src = str(tmp_path / "landing")
+    df = spark.createDataFrame(
+        rows, "doc_id long, ts string, url string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    df.coalesce(1).write.parquet(src)
+
+    stream = si.stream_landing_zone(spark, src, spark.read.parquet(src).schema)
+    deduped = web.stream_url_dedup(stream)
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = si.write_zone(deduped, out_dir, ckpt)
+    q.awaitTermination(120)
+    out = spark.read.parquet(out_dir)
+    assert {r["doc_id"] for r in out.collect()} == {1, 3}
+    # streaming canonical keys match the batch operator's
+    batch_keys = {
+        r["canonical_url"]
+        for r in df.select(web.canonical_url("url").alias("canonical_url")).collect()
+    }
+    assert {r["canonical_url"] for r in out.collect()} <= batch_keys
