@@ -151,6 +151,33 @@ def stage_quality(spark: SparkSession, docs: DataFrame, zones: PipelineZones) ->
     return zones.write(curate_quality(docs), "corpus_filtered", range_by=["doc_id"])
 
 
+def stage_classify(
+    spark: SparkSession,
+    zones: PipelineZones,
+    weights: DataFrame,
+    bias_nano: int = 0,
+    threshold: float = 0.0,
+    dim: int = 2**18,
+    source: str = "corpus_filtered",
+) -> str:
+    """Model-based quality gate (the fastText-classifier pass): score
+    every surviving doc under a fitted hashed linear model
+    (``operators/classifier``) and keep docs at or above ``threshold``.
+    Runs AFTER the heuristic gate (cheap scan rules first) and BEFORE
+    the pair-generation stages, so the expensive dedup input shrinks by
+    the classifier's rejection rate.  The model broadcasts; per-doc
+    scores are exact BIGINT folds, so the stage is deterministic under
+    any partitioning."""
+    from ..operators import classifier as clf
+
+    docs = zones.read(spark, source)
+    scored = clf.score_hashed_linear(
+        docs, weights, dim=dim, bias_nano=bias_nano
+    )
+    keep = scored.filter(F.col("score") >= threshold).drop("score", "prob")
+    return zones.write(keep, "corpus_classified", range_by=["doc_id"])
+
+
 def stage_dedup(
     spark: SparkSession,
     zones: PipelineZones,
@@ -320,6 +347,10 @@ def run_corpus_pipeline(
     normalize: bool = False,
     unicode_form: str | None = None,
     url_col: str | None = None,
+    classifier_weights: DataFrame | None = None,
+    classifier_bias: int = 0,
+    classifier_threshold: float = 0.0,
+    classifier_dim: int = 2**18,
 ) -> dict[str, str]:
     """The full curation DAG through versioned zones.
 
@@ -350,6 +381,9 @@ def run_corpus_pipeline(
     is byte-canonicalized up front; with ``url_col`` refetch duplicates
     collapse on the canonical URL before any content pass (requires
     ``normalize`` — the stage reads the normalized zone).
+    With ``classifier_weights`` a fitted hashed-linear model gates the
+    corpus right after the heuristic quality filter (model-based
+    quality pass before the expensive pair-generation stages).
     """
     from ..io import parquet_io
 
@@ -393,6 +427,22 @@ def run_corpus_pipeline(
         out["corpus_filtered"] = stage_quality(spark, docs, zones)
 
     dedup_source = "corpus_filtered"
+    if classifier_weights is not None:
+        if skip_fresh and zones.is_fresh("corpus_classified", dedup_source):
+            out["corpus_classified"] = parquet_io.latest_version_path(
+                zone_root, "corpus_classified"
+            )
+        else:
+            out["corpus_classified"] = stage_classify(
+                spark,
+                zones,
+                classifier_weights,
+                bias_nano=classifier_bias,
+                threshold=classifier_threshold,
+                dim=classifier_dim,
+                source=dedup_source,
+            )
+        dedup_source = "corpus_classified"
     if scrub_lines:
         if skip_fresh and zones.is_fresh("corpus_line_scrubbed", dedup_source):
             out["corpus_line_scrubbed"] = parquet_io.latest_version_path(

@@ -439,3 +439,40 @@ def test_corpus_pipeline_normalize_skip_fresh(spark, tmp_path):
     # fresh zones are reused, not rewritten
     assert second["corpus_normalized"] == first["corpus_normalized"]
     assert second["corpus_filtered"] == first["corpus_filtered"]
+
+
+def test_corpus_pipeline_classifier_gate(spark, tmp_path):
+    from peskas_mozambique_data_pipeline_spark.operators import classifier
+
+    good = _mk_doc(["alpha", "beta", "gamma", "delta"])
+    bad = _mk_doc(["casino", "casino", "jackpot", "winnings"])
+    seed = spark.createDataFrame(
+        [
+            (100, "casino jackpot winnings casino bonus spins", 0),
+            (101, "casino winnings jackpot deal", 0),
+            (102, "alpha beta gamma delta report analysis", 1),
+            (103, "delta gamma figures alpha beta summary", 1),
+        ],
+        ["doc_id", "text", "label"],
+    )
+    weights, bias = classifier.fit_hashed_nb(seed, dim=256)
+    docs = spark.createDataFrame(
+        [(1, good, "en"), (2, bad, "en")], ["doc_id", "text", "lang"]
+    )
+    out = corpus.run_corpus_pipeline(
+        spark,
+        docs,
+        str(tmp_path / "zones"),
+        budget=40,
+        classifier_weights=weights,
+        classifier_bias=bias,
+        classifier_threshold=0.0,
+        classifier_dim=256,
+    )
+    classified = spark.read.parquet(out["corpus_classified"])
+    # the casino doc scores below the good doc and falls under the gate
+    assert {r.doc_id for r in classified.collect()} == {1}
+    # score/prob bookkeeping does not leak into the zone
+    assert set(classified.columns) == {"doc_id", "text", "lang"}
+    deduped = spark.read.parquet(out["corpus_deduped"])
+    assert {r.doc_id for r in deduped.collect()} == {1}
