@@ -619,3 +619,64 @@ def test_bm25_tiers_agree_on_random_corpora(spark, docs_in, terms):
         for r in t.bm25_topk_indexed(df, terms, k=50).collect()
     )
     assert scan == indexed
+
+
+_url_path_seg = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyz0123456789-_", min_size=1, max_size=8
+)
+_url_param_key = st.text(alphabet="abcdefghijklmnopqrstuvwxyz", min_size=1, max_size=6)
+
+
+@SET
+@given(
+    scheme=st.sampled_from(["http", "https"]),
+    www=st.booleans(),
+    host_case=st.booleans(),
+    segs=st.lists(_url_path_seg, max_size=3),
+    trailing=st.booleans(),
+    params=st.lists(
+        st.tuples(_url_param_key, st.integers(0, 99)), max_size=3, unique_by=lambda t: t[0]
+    ),
+    tracking=st.lists(st.sampled_from(["utm_source=x", "gclid=1", "fbclid=2"]), max_size=2),
+    fragment=st.booleans(),
+    data=st.data(),
+)
+def test_canonical_url_invariant_under_refetch_variants(
+    spark, scheme, www, host_case, segs, trailing, params, tracking, fragment, data
+):
+    """Any two refetch variants of one logical page — differing scheme,
+    www prefix, host case, trailing slash, param order, tracking params,
+    fragment — canonicalize to the SAME key, and canonicalization is
+    stable (applying the variant generator twice changes nothing)."""
+    from peskas_mozambique_data_pipeline_spark.operators import web
+
+    def build(scheme, www, upper, order, with_tracking, frag, trail):
+        host = "Example.COM" if upper else "example.com"
+        if www:
+            host = "www." + host
+        path = "/" + "/".join(segs) if segs else ""
+        if trail and path:
+            path += "/"
+        qs = [f"{k}={v}" for k, v in order]
+        if with_tracking:
+            qs += tracking
+        q = ("?" + "&".join(qs)) if qs else ""
+        f = "#frag" if frag else ""
+        return f"{scheme}://{host}{path}{q}{f}"
+
+    # a second, independently drawn variant of the same logical page
+    perm = data.draw(st.permutations(params))
+    u1 = build(scheme, www, host_case, params, True, fragment, trailing)
+    u2 = build(
+        "https" if scheme == "http" else "http",
+        not www,
+        not host_case,
+        perm,
+        False,
+        not fragment,
+        False,
+    )
+    df = spark.createDataFrame([(u1,), (u2,)], ["url"])
+    keys = [r["v"] for r in df.select(web.canonical_url("url").alias("v")).collect()]
+    assert keys[0] == keys[1]
+    assert keys[0] is not None
