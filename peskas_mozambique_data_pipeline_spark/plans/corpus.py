@@ -393,6 +393,7 @@ def run_corpus_pipeline(
     # front-door stages (r8): normalization, then URL refetch removal,
     # both BEFORE the quality gate — cheapest first, and every
     # downstream digest assumes canonical text
+    filter_upstreams: list[str] = []
     if normalize or unicode_form is not None:
         if skip_fresh and zones.is_fresh("corpus_normalized"):
             out["corpus_normalized"] = parquet_io.latest_version_path(
@@ -403,6 +404,7 @@ def run_corpus_pipeline(
                 spark, docs, zones, unicode_form=unicode_form
             )
         docs = zones.read(spark, "corpus_normalized")
+        filter_upstreams = ["corpus_normalized"]
     if url_col is not None:
         if not (normalize or unicode_form is not None):
             raise ValueError(
@@ -418,8 +420,11 @@ def run_corpus_pipeline(
                 spark, zones, url_col=url_col
             )
         docs = zones.read(spark, "corpus_url_deduped")
+        filter_upstreams = ["corpus_url_deduped"]
 
-    if skip_fresh and zones.is_fresh("corpus_filtered"):
+    # the quality gate's freshness depends on whichever front-door zone
+    # feeds it (none when docs come straight from the caller)
+    if skip_fresh and zones.is_fresh("corpus_filtered", *filter_upstreams):
         out["corpus_filtered"] = parquet_io.latest_version_path(
             zone_root, "corpus_filtered"
         )

@@ -476,3 +476,30 @@ def test_corpus_pipeline_classifier_gate(spark, tmp_path):
     assert set(classified.columns) == {"doc_id", "text", "lang"}
     deduped = spark.read.parquet(out["corpus_deduped"])
     assert {r.doc_id for r in deduped.collect()} == {1}
+
+
+def test_quality_gate_goes_stale_when_normalized_zone_refreshes(
+    spark, tmp_path
+):
+    import time
+
+    doc = _mk_doc(["alpha", "beta", "gamma", "delta"])
+    docs = spark.createDataFrame([(1, doc, "en")], ["doc_id", "text", "lang"])
+    root = str(tmp_path / "zones")
+    first = corpus.run_corpus_pipeline(
+        spark, docs, root, budget=40, normalize=True
+    )
+    # a new normalized version lands (e.g. upstream refetch); the
+    # filtered zone derives from it and must be rebuilt, not reused
+    time.sleep(1.1)  # version timestamps are second-granularity
+    from peskas_mozambique_data_pipeline_spark.plans.pipeline import (
+        PipelineZones,
+    )
+
+    zones = PipelineZones(root, "local")
+    zones.write(docs, "corpus_normalized", range_by=["doc_id"])
+    second = corpus.run_corpus_pipeline(
+        spark, docs, root, budget=40, normalize=True, skip_fresh=True
+    )
+    assert second["corpus_normalized"] != first["corpus_normalized"]
+    assert second["corpus_filtered"] != first["corpus_filtered"]
