@@ -161,14 +161,18 @@ def url_dedup(
     via a join-back on the id key (the skew-safe groupBy+join-back
     shape used across the dedup family — no window over hot URLs).
     """
-    keyed = df.withColumn("canonical_url", canonical_url(url_col))
     score = (
         F.col(score_col).cast("double")
         if score_col
         else F.lit(0.0)
     )
-    slim = keyed.select(
-        "canonical_url",
+    # text stays behind from the start: the URL key lives only on a
+    # slim (key, score, id) projection; winner resolution and the
+    # per-id annotation shuffle key-sized rows on the URL key, and the
+    # corpus joins the annotation back on the ID key it is typically
+    # already partitioned by (and which has no hot-URL skew)
+    slim = df.select(
+        canonical_url(url_col).alias("canonical_url"),
         score.alias("_s"),
         F.col(id_col).alias("_id"),
     )
@@ -181,10 +185,13 @@ def url_dedup(
         "n_url_dups",
         (-F.col("_w._nid")).alias("_keep_id"),
     )
-    out = keyed.join(winners, "canonical_url")
-    return out.withColumn(
-        "is_url_canonical", F.col(id_col) == F.col("_keep_id")
-    ).drop("_keep_id")
+    ann = slim.join(winners, "canonical_url").select(
+        F.col("_id").alias(id_col),
+        "canonical_url",
+        "n_url_dups",
+        (F.col("_id") == F.col("_keep_id")).alias("is_url_canonical"),
+    )
+    return df.join(ann, id_col)
 
 
 def domain_stats(
