@@ -154,3 +154,55 @@ def score_hashed_linear(
             "prob"
         ),
     ).drop("_sum_nano")
+
+
+def score_hashed_linear_map(
+    df: DataFrame,
+    weights: dict[int, int],
+    text_col: str = "text",
+    dim: int = 2**18,
+    bias_nano: int = 0,
+) -> DataFrame:
+    """Shuffle-FREE scoring tier: the model rides into the plan as a
+    map literal and every document folds its own token array —
+    ``score = bias + aggregate(tokens, w[feature(token)])`` — entirely
+    inside the scan stage.  No explode, no join, no groupBy; works
+    UNCHANGED on a streaming DataFrame because it is stateless (the
+    join tier's per-doc aggregate is a stateful shuffle in a stream).
+
+    The trade: the weight map is serialized into the plan/codegen, so
+    this tier is for compact models (<= ~64k populated features —
+    distilled or pruned scorers).  Bigger models use
+    :func:`score_hashed_linear`'s broadcast join.  Same exact BIGINT
+    arithmetic as the join tier: for identical weights the two tiers
+    agree bit-for-bit (pytest-pinned), the cross-tier parity
+    discipline of the BM25 scan-local/indexed pair.
+    """
+    if len(weights) > 65536:
+        raise ValueError(
+            f"{len(weights)} weights is too large for a plan-embedded "
+            "map literal; use score_hashed_linear (broadcast join tier)"
+        )
+    pairs = []
+    for k in sorted(weights):
+        pairs.append(F.lit(int(k)).cast("long"))
+        pairs.append(F.lit(int(weights[k])).cast("long"))
+    wmap = F.create_map(*pairs) if pairs else F.create_map().cast("map<bigint,bigint>")
+    toks = F.filter(bpe_ish_tokens(text_col), lambda t: t != "")
+    score_nano = F.aggregate(
+        toks,
+        F.lit(int(bias_nano)).cast("long"),
+        lambda acc, t: acc
+        + F.coalesce(
+            F.element_at(wmap, hashed_feature(t, dim)), F.lit(0).cast("long")
+        ),
+    )
+    score = (score_nano.cast("double") / NANO).alias("score")
+    return df.select(
+        "*",
+        score,
+        (
+            F.lit(1.0)
+            / (F.lit(1.0) + F.exp(-(score_nano.cast("double") / NANO)))
+        ).alias("prob"),
+    )

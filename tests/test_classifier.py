@@ -148,3 +148,80 @@ def test_inference_plan_broadcasts_model(spark, labeled):
     )
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_map_tier_bit_equal_to_join_tier(spark, labeled):
+    weights, bias = classifier.fit_hashed_nb(labeled, dim=DIM)
+    wdict = {r["feature"]: r["w_nano"] for r in weights.collect()}
+    join_tier = classifier.score_hashed_linear(
+        labeled, weights, dim=DIM, bias_nano=bias
+    )
+    map_tier = classifier.score_hashed_linear_map(
+        labeled, wdict, dim=DIM, bias_nano=bias
+    )
+    a = {r["doc_id"]: (r["score"], r["prob"]) for r in join_tier.collect()}
+    b = {r["doc_id"]: (r["score"], r["prob"]) for r in map_tier.collect()}
+    assert a == b  # exact, including the float division and sigmoid
+
+
+def test_map_tier_plan_is_shuffle_free(spark, labeled):
+    plan = (
+        classifier.score_hashed_linear_map(labeled, {1: 10}, dim=DIM)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_map_tier_rejects_oversized_models(spark, labeled):
+    big = {i: 1 for i in range(65537)}
+    with pytest.raises(ValueError):
+        classifier.score_hashed_linear_map(labeled, big, dim=DIM)
+
+
+def test_map_tier_scores_a_stream(spark, tmp_path):
+    from peskas_mozambique_data_pipeline_spark.streaming import ingest as si
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "2024-01-01 00:00:01", "buy cheap pills now"),
+        (2, "2024-01-01 00:00:02", "the annual report shows growth"),
+    ]
+    src = str(tmp_path / "landing")
+    df = spark.createDataFrame(
+        rows, "doc_id long, ts string, text string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    df.coalesce(1).write.parquet(src)
+
+    seed = spark.createDataFrame(
+        [
+            (100, "buy cheap pills now deal", 0),
+            (101, "cheap pills now", 0),
+            (102, "the annual report shows growth", 1),
+            (103, "quarterly report growth figures", 1),
+        ],
+        ["doc_id", "text", "label"],
+    )
+    weights, bias = classifier.fit_hashed_nb(seed, dim=DIM)
+    wdict = {r["feature"]: r["w_nano"] for r in weights.collect()}
+
+    stream = si.stream_landing_zone(spark, src, spark.read.parquet(src).schema)
+    scored = classifier.score_hashed_linear_map(
+        stream, wdict, dim=DIM, bias_nano=bias
+    )
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = si.write_zone(scored, out_dir, ckpt)
+    q.awaitTermination(120)
+    out = {r["doc_id"]: r["score"] for r in spark.read.parquet(out_dir).collect()}
+    assert set(out) == {1, 2}
+    assert out[1] < out[2]
+    # stream scores equal the batch map tier's (stateless => identical)
+    batch = {
+        r["doc_id"]: r["score"]
+        for r in classifier.score_hashed_linear_map(
+            df, wdict, dim=DIM, bias_nano=bias
+        ).collect()
+    }
+    assert out == batch
