@@ -1,0 +1,162 @@
+"""WARC connector tests: synthetic archives written in-test (plain and
+member-gzip), read back through the real ``binaryFile`` → ``mapInPandas``
+path, HTTP envelope split, and documents projection."""
+
+from __future__ import annotations
+
+import gzip
+import os
+
+from pyspark.sql import functions as F
+
+from peskas_mozambique_data_pipeline_spark.io.warc import (
+    digest_doc_id,
+    gunzip_members,
+    http_payload,
+    parse_warc_records,
+    read_warc,
+    split_http_payload,
+    warc_to_documents,
+)
+
+
+def _record(warc_type: str, payload: bytes, **headers: str) -> bytes:
+    lines = [b"WARC/1.0"]
+    hdrs = {
+        "WARC-Type": warc_type,
+        "WARC-Record-ID": f"<urn:uuid:{warc_type}-{len(payload)}>",
+        "Content-Length": str(len(payload)),
+        **headers,
+    }
+    for k, v in hdrs.items():
+        lines.append(f"{k}: {v}".encode())
+    return b"\r\n".join(lines) + b"\r\n\r\n" + payload + b"\r\n\r\n"
+
+
+def _http(body: bytes, status: int = 200, ctype: str = "text/html") -> bytes:
+    return (
+        f"HTTP/1.1 {status} X\r\nContent-Type: {ctype}\r\n"
+        f"Content-Length: {len(body)}\r\n\r\n"
+    ).encode() + body
+
+
+def _archive() -> list[bytes]:
+    return [
+        _record("warcinfo", b"software: test\r\n"),
+        _record(
+            "response",
+            _http("<html>alpha page é</html>".encode()),
+            **{
+                "WARC-Target-URI": "http://a.example/x",
+                "WARC-Date": "2026-08-15T00:00:00Z",
+                "Content-Type": "application/http; msgtype=response",
+            },
+        ),
+        _record(
+            "response",
+            _http(b"not found", status=404),
+            **{"WARC-Target-URI": "http://a.example/missing"},
+        ),
+        _record(
+            "response",
+            _http(b"\x89PNG pixels", ctype="image/png"),
+            **{"WARC-Target-URI": "http://a.example/img.png"},
+        ),
+        _record(
+            "request",
+            b"GET /x HTTP/1.1\r\nHost: a.example\r\n\r\n",
+            **{"WARC-Target-URI": "http://a.example/x"},
+        ),
+    ]
+
+
+def test_parse_warc_records_plain():
+    data = b"".join(_archive())
+    recs = list(parse_warc_records(data))
+    assert [h["warc-type"] for _, h, _ in recs] == [
+        "warcinfo",
+        "response",
+        "response",
+        "response",
+        "request",
+    ]
+    # Content-Length framing is exact: payload of the 404 record.
+    assert recs[2][2].endswith(b"not found")
+
+
+def test_gunzip_members_roundtrip():
+    members = [gzip.compress(r) for r in _archive()]
+    assert gunzip_members(b"".join(members)) == b"".join(_archive())
+
+
+def test_split_http_payload():
+    status, head, body = split_http_payload(_http(b"hello"))
+    assert status == 200 and b"hello" == body
+    assert "Content-Type: text/html" in head
+    # Non-HTTP payloads pass through untouched.
+    assert split_http_payload(b"raw") == (None, None, b"raw")
+
+
+def test_read_warc_spark_both_layouts(spark, tmp_path):
+    plain_dir = tmp_path / "warc"
+    plain_dir.mkdir()
+    (plain_dir / "a.warc").write_bytes(b"".join(_archive()))
+    (plain_dir / "b.warc.gz").write_bytes(
+        b"".join(gzip.compress(r) for r in _archive())
+    )
+    df = read_warc(spark, str(plain_dir)).cache()
+    # Both layouts parse identically: 5 records each.
+    counts = {
+        os.path.basename(r["warc_file"]): r["n"]
+        for r in df.groupBy("warc_file").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts == {"a.warc": 5, "b.warc.gz": 5}
+    row = (
+        df.filter(df.target_uri == "http://a.example/x")
+        .filter(df.warc_type == "response")
+        .first()
+    )
+    assert row["warc_date"] == "2026-08-15T00:00:00Z"
+    assert bytes(row["payload"]).startswith(b"HTTP/1.1 200")
+
+    http = http_payload(df).cache()
+    # request + warcinfo records never reach the HTTP split.
+    assert http.count() == 6  # 3 responses per file
+    ok = http.filter(http.http_status == 200)
+    assert ok.count() == 4  # html + png per file
+
+    docs = warc_to_documents(http)
+    got = docs.collect()
+    # Only 200-status text/* responses survive; both files carry the
+    # same body bytes, so the content-addressed doc_id collapses them.
+    assert len(got) == 2
+    assert len({r["doc_id"] for r in got}) == 1
+    body = "<html>alpha page é</html>".encode()
+    assert got[0]["doc_id"] == digest_doc_id(body)
+    assert got[0]["text"] == body.decode()
+    assert got[0]["n_chars"] == len(body.decode())
+    assert got[0]["url"] == "http://a.example/x"
+    df.unpersist()
+    http.unpersist()
+
+
+def test_read_warc_batches_bound_arrow(spark, tmp_path):
+    """A file with more records than batch_records still yields all of
+    them (the bounded-batch yield path)."""
+    d = tmp_path / "many"
+    d.mkdir()
+    recs = []
+    for i in range(20):
+        recs.append(
+            _record(
+                "response",
+                _http(f"doc {i}".encode(), ctype="text/plain"),
+                **{"WARC-Target-URI": f"http://m.example/{i}"},
+            )
+        )
+    (d / "m.warc").write_bytes(b"".join(recs))
+    df = read_warc(spark, str(d), batch_records=7)
+    assert df.count() == 20
+    docs = warc_to_documents(http_payload(df, batch_records=3))
+    assert docs.count() == 20
+    assert docs.select("doc_id").distinct().count() == 20
