@@ -426,3 +426,165 @@ def image_stats(df: DataFrame, batch_size: int = 64) -> DataFrame:
     return df.filter(F.col("media_type") == "image").select(
         "asset_id", "content"
     ).mapInPandas(process, IMAGE_STATS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual hashing + hamming near-dup (r8 session 3).  Image dedup is
+# the multimodal twin of MinHash/LSH text dedup: a 64-bit dHash per
+# asset, then banded equi-join candidates verified by exact hamming —
+# never an all-pairs comparison.
+
+DHASH_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("dhash", LongType()),
+    ]
+)
+
+
+def grayscale_u8(arr):
+    """Exact integer luma: (299·R + 587·G + 114·B) // 1000 for 3/4
+    channel images, channel 0 for gray/gray+alpha.  Pure integer
+    arithmetic so the hash is bit-reproducible across numpy builds
+    (no float rounding anywhere in the hash path)."""
+    import numpy as np
+
+    if arr.shape[2] >= 3:
+        a = arr.astype(np.int64)
+        return (
+            (299 * a[:, :, 0] + 587 * a[:, :, 1] + 114 * a[:, :, 2]) // 1000
+        ).astype(np.uint8)
+    return arr[:, :, 0]
+
+
+def dhash64(arr, hash_size: int = 8) -> int:
+    """Difference hash (dHash): nearest-resize the grayscale image to
+    (hash_size, hash_size+1) and emit one bit per horizontal neighbor
+    pair (left < right).  Row-major bit order, bit 0 = MSB; returned as
+    a SIGNED 64-bit int so it lands in a Spark BIGINT unchanged.
+
+    Deterministic by construction: integer luma + integer nearest
+    resize + integer compare — identical bytes hash identically on any
+    worker.  hash_size=8 → 64 bits, the standard dHash width."""
+    gray = grayscale_u8(arr)
+    small = resize_image_nearest(
+        gray[:, :, None], width=hash_size + 1, height=hash_size
+    )[:, :, 0]
+    bits = (small[:, 1:] < small[:, :-1]).flatten()
+    v = 0
+    for b in bits:
+        v = (v << 1) | int(b)
+    if v >= 1 << 63:
+        v -= 1 << 64
+    return v
+
+
+def image_dhash(
+    df: DataFrame, hash_size: int = 8, batch_size: int = 64
+) -> DataFrame:
+    """Per-asset perceptual hash over a media frame: PNG blobs decode
+    via :func:`decode_png`; undecodable assets are skipped (same
+    contract as :func:`image_stats`).  Output is the slimmest possible
+    frame — (asset_id, dhash BIGINT) — so everything downstream
+    (banding, joins) is JVM-side on 16-byte rows regardless of how
+    large the source images were."""
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for lo in range(0, len(pdf), batch_size):
+                chunk = pdf.iloc[lo : lo + batch_size]
+                ids, hashes = [], []
+                for aid, content in zip(chunk["asset_id"], chunk["content"]):
+                    if content is None:
+                        continue
+                    try:
+                        arr = decode_png(bytes(content))
+                    except (ValueError, NotImplementedError):
+                        continue
+                    ids.append(int(aid))
+                    hashes.append(dhash64(arr, hash_size))
+                if ids:
+                    yield pd.DataFrame(
+                        {
+                            "asset_id": pd.Series(ids, dtype="int64"),
+                            "dhash": pd.Series(hashes, dtype="int64"),
+                        }
+                    )
+
+    return (
+        df.filter(F.col("media_type") == "image")
+        .select("asset_id", "content")
+        .mapInPandas(process, DHASH_SCHEMA)
+    )
+
+
+def _hash_bands(hash_col: str, n_bands: int, total_bits: int = 64):
+    """Split a 64-bit hash column into ``n_bands`` disjoint bit slices
+    (as evenly as possible) — JVM shift/mask expressions only."""
+    base, extra = divmod(total_bits, n_bands)
+    out, start = [], 0
+    for i in range(n_bands):
+        width = base + (1 if i < extra else 0)
+        sliced = F.shiftrightunsigned(F.col(hash_col), start)
+        if width < 64:  # a 64-bit mask would overflow signed BIGINT
+            sliced = sliced.bitwiseAND(F.lit((1 << width) - 1))
+        out.append(sliced)
+        start += width
+    return out
+
+
+def hamming_near_dup_pairs(
+    hashes: DataFrame,
+    max_hamming: int = 4,
+    id_col: str = "asset_id",
+    hash_col: str = "dhash",
+    n_bands: int | None = None,
+) -> DataFrame:
+    """Near-duplicate image pairs by hamming distance on perceptual
+    hashes: band the 64 bits into ``n_bands`` slices, equi-join on any
+    equal (band_idx, band_val), verify candidates with exact
+    ``bit_count(a XOR b)``.
+
+    Pigeonhole guarantee: with ``n_bands = max_hamming + 1`` (the
+    default), any pair within ``max_hamming`` differs in at most
+    ``max_hamming`` bands, so at least one band matches exactly —
+    recall is 1.0, not probabilistic.  Passing a smaller ``n_bands``
+    trades recall for fewer candidates (LSH-style).
+
+    Scale shape: the input frame is (id, hash) — 16 bytes/row even for
+    a petabyte image zone; the explode is ×n_bands on that slim frame;
+    the join is a hash equi-join on (band_idx, band_val); verification
+    is codegen ``bit_count``.  No all-pairs product anywhere, and a
+    degenerate band value (e.g. all-zero hashes from blank images)
+    skews only its own band bucket, which AQE skew-join splits.
+    """
+    if n_bands is None:
+        n_bands = max_hamming + 1
+    bands = _hash_bands(hash_col, n_bands)
+    exploded = hashes.select(
+        F.col(id_col).alias("id"),
+        F.col(hash_col).alias("h"),
+        F.posexplode(F.array(*bands)).alias("band_idx", "band_val"),
+    )
+    right = (
+        exploded.select(
+            F.col("id").alias("id_b"),
+            F.col("h").alias("h_b"),
+            "band_idx",
+            "band_val",
+        )
+    )
+    pairs = (
+        exploded.join(right, ["band_idx", "band_val"])
+        .filter(F.col("id") < F.col("id_b"))
+        .select(
+            F.col("id").alias("id_a"),
+            "id_b",
+            F.bit_count(
+                F.col("h").bitwiseXOR(F.col("h_b"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    return pairs
