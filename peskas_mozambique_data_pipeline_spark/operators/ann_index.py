@@ -1,0 +1,232 @@
+"""Persistent IVF index zone: inverted lists as hive partitions.
+
+The ANN operators in ``operators/similarity.py`` separate index BUILD
+(`build_ivf_index` — Lloyd's k-means over the corpus) from PROBE
+(`ivf_topk`), but both live in one job: every query session re-trains
+the coarse quantizer, which at 100 TB means re-scanning the whole
+embedding zone per session.  This module gives the index a *home* —
+the same versioned-zone discipline every other curated product uses
+(``io/parquet_io.py``, reference naming R/utils.R:30-52) — so the
+k-means passes run once and every later session probes the stored
+index.
+
+Layout (the FAISS inverted-file shape [Johnson, Douze & Jégou 2017,
+"Billion-scale similarity search with GPUs"] mapped onto parquet):
+
+* ``{prefix}_centroids`` — the (C × d) coarse quantizer.  Tiny;
+  plain versioned snapshot.
+* ``{prefix}_postings`` — one row per corpus vector, written
+  ``partitionBy("centroid_id")``: **each hive partition IS one
+  inverted list.**  A probe that routes to ``n_probe`` of ``C``
+  centroids reads only those directories — Spark turns the
+  ``centroid_id IN (...)`` predicate into PartitionFilters, so probe
+  I/O is ~``n_probe/C`` of the index instead of all of it
+  (plan-asserted in ``tests/test_ann_index.py``).
+* ``{prefix}_postings_delta`` — incremental adds.  New vectors are
+  assigned to their nearest FROZEN centroid
+  (``similarity.assign_to_centroids`` — the exact expression training
+  used) and land as small versioned delta snapshots, also
+  centroid-partitioned.  Readers union snapshot + all deltas;
+  ``compact_ivf_index`` periodically folds deltas into a new postings
+  snapshot — the snapshot+delta discipline of the streaming dedup
+  index (``streaming/dedup_index.py``), minus the streaming.
+
+Frozen-centroid semantics match FAISS ``IndexIVF.add``: appends never
+move centroids (recall drifts as the corpus distribution drifts; the
+remedy is a periodic re-train, which is just ``build_ivf_index`` +
+``save_ivf_index`` writing the next version).  Because the assignment
+rule is shared code, a compacted snapshot after appends is
+row-identical to a frozen-centroid rebuild over the full corpus
+(pytest-pinned).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import parquet_io
+from . import similarity as sim_ops
+
+_CENTROIDS = "_centroids"
+_POSTINGS = "_postings"
+_DELTA = "_postings_delta"
+
+
+def save_ivf_index(
+    zones,
+    assignments: DataFrame,
+    centroids: DataFrame,
+    prefix: str = "ann_ivf",
+) -> dict[str, str]:
+    """Persist a built IVF index (the ``build_ivf_index`` output pair)
+    as two versioned zones.  Postings are hive-partitioned on
+    ``centroid_id`` — the inverted-list layout that makes probe-time
+    partition pruning possible.  Returns ``{zone_prefix: path}``.
+    """
+    paths = {}
+    paths[prefix + _CENTROIDS] = zones.write(centroids, prefix + _CENTROIDS)
+    paths[prefix + _POSTINGS] = zones.write(
+        assignments, prefix + _POSTINGS, partition_by=["centroid_id"]
+    )
+    return paths
+
+
+def load_ivf_centroids(spark: SparkSession, zones, prefix: str = "ann_ivf") -> DataFrame:
+    return zones.read(spark, prefix + _CENTROIDS)
+
+
+def _delta_paths(zones, prefix: str) -> list[str]:
+    try:
+        names = parquet_io.list_versions(zones.root, prefix + _DELTA)
+    except FileNotFoundError:
+        return []
+    return [os.path.join(zones.root, n) for n in names]
+
+
+def load_ivf_postings(
+    spark: SparkSession,
+    zones,
+    prefix: str = "ann_ivf",
+    centroid_ids: list[int] | None = None,
+) -> DataFrame:
+    """The accumulated posting lists: newest snapshot plus every delta
+    written after it.  With ``centroid_ids`` the read is pruned to
+    those inverted lists BEFORE the union — the filter lands in each
+    scan's PartitionFilters, so unprobed lists contribute zero I/O.
+
+    Bounded read: one snapshot + however many deltas have accumulated
+    since the last ``compact_ivf_index`` (the compaction cadence bounds
+    the count, exactly like the dedup index's ``compact_every``).
+    """
+    # each versioned dir is its own partitioned-table root, so deltas
+    # load separately and union (Spark refuses multi-root partition
+    # discovery in one read); delta count is compaction-bounded, so the
+    # union width is too
+    parts = [zones.read(spark, prefix + _POSTINGS)]
+    parts.extend(spark.read.parquet(d) for d in _delta_paths(zones, prefix))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    if centroid_ids is not None:
+        out = out.filter(F.col("centroid_id").isin([int(c) for c in centroid_ids]))
+    return out
+
+
+def append_ivf_vectors(
+    spark: SparkSession,
+    zones,
+    new_vectors: DataFrame,
+    prefix: str = "ann_ivf",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """Incremental add: assign ``new_vectors`` to their nearest FROZEN
+    centroid and land them as a centroid-partitioned delta snapshot.
+
+    Cost is one broadcast-assignment pass over the NEW rows only — the
+    existing index is not read, let alone rebuilt.  The version name
+    carries a per-append suffix so rapid appends in the same second
+    can't collide on the timestamp.
+    """
+    centroids = load_ivf_centroids(spark, zones, prefix)
+    assigned = sim_ops.assign_to_centroids(new_vectors, centroids, corpus_id, vec_col)
+    n_existing = len(_delta_paths(zones, prefix))
+    return parquet_io.write_versioned(
+        assigned,
+        zones.root,
+        prefix + _DELTA,
+        git_sha=f"{zones.git_sha}d{n_existing}",
+        partition_by=["centroid_id"],
+    )
+
+
+def compact_ivf_index(
+    spark: SparkSession, zones, prefix: str = "ann_ivf", keep_last: int = 1
+) -> str:
+    """Fold snapshot + deltas into one new postings snapshot, then
+    delete the folded delta dirs and vacuum superseded postings
+    versions down to ``keep_last``.
+
+    Crash-safe in the dedup-index sense: the new snapshot is fully
+    written before any deletion, and a re-run after a crash between
+    the two steps just folds an empty/smaller delta set again.
+    """
+    deltas = _delta_paths(zones, prefix)
+    folded = load_ivf_postings(spark, zones, prefix)
+    # per-compaction sha suffix: version names stay unique even when a
+    # save and its first compaction land within the same second
+    n_versions = len(parquet_io.list_versions(zones.root, prefix + _POSTINGS))
+    path = parquet_io.write_versioned(
+        folded,
+        zones.root,
+        prefix + _POSTINGS,
+        git_sha=f"{zones.git_sha}c{n_versions}",
+        partition_by=["centroid_id"],
+    )
+    for d in deltas:
+        shutil.rmtree(d, ignore_errors=True)
+    parquet_io.vacuum_zone(spark, zones.root, prefix + _POSTINGS, keep_last=keep_last)
+    return path
+
+
+def ivf_topk_from_zone(
+    spark: SparkSession,
+    zones,
+    queries: DataFrame,
+    prefix: str = "ann_ivf",
+    k: int = 5,
+    n_probe: int = 2,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search against the stored index: route queries on the tiny
+    centroid zone, read ONLY the probed inverted lists, then score with
+    the standard ``ivf_topk`` probe join.
+
+    The probed-centroid set is collected to the driver first — it is
+    bounded by ``min(C, |Q|·n_probe)`` ids (index-constant, never
+    corpus-sized) and turning it into literals is what lets the parquet
+    source prune unprobed partitions; a join key alone cannot prune
+    file listings.
+    """
+    centroids = load_ivf_centroids(spark, zones, prefix)
+    q = queries.select(F.col(query_id), F.col(vec_col).alias("_qv"))
+    probes = q.crossJoin(F.broadcast(centroids)).select(
+        query_id,
+        "centroid_id",
+        (
+            sim_ops._dot(F.col("_qv"), F.col("centroid"))
+            / (sim_ops._norm(F.col("_qv")) * sim_ops._norm(F.col("centroid")))
+        ).alias("_csim"),
+    )
+    from pyspark.sql import Window
+
+    wq = Window.partitionBy(query_id).orderBy(
+        F.col("_csim").desc(), F.col("centroid_id")
+    )
+    probed_ids = sorted(
+        {
+            int(r["centroid_id"])
+            for r in probes.withColumn("_rk", F.row_number().over(wq))
+            .filter(F.col("_rk") <= n_probe)
+            .select("centroid_id")
+            .distinct()
+            .collect()
+        }
+    )
+    postings = load_ivf_postings(spark, zones, prefix, centroid_ids=probed_ids)
+    return sim_ops.ivf_topk(
+        queries,
+        postings,
+        centroids,
+        k=k,
+        n_probe=n_probe,
+        query_id=query_id,
+        corpus_id=corpus_id,
+        vec_col=vec_col,
+    )

@@ -710,3 +710,83 @@ def leakage_safe_split(
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
     expr = F.lit(last_name) if expr is None else expr.otherwise(F.lit(last_name))
     return keyed.withColumn("split", expr).drop("_comp", "_split_key")
+
+
+def token_shard_ids(
+    df: DataFrame,
+    order_col: str = "shuffle_pos",
+    tokens_col: str = "n_tokens",
+    shard_tokens: int = 1_000_000,
+    n_parts: int | None = None,
+    eager_unpersist: bool = False,
+) -> DataFrame:
+    """Token-budget shard assignment over a TOTAL corpus order: a
+    document's shard is ``floor(tokens-before-it / shard_tokens)`` —
+    the trainer-facing layout where every output shard holds ~budget
+    tokens of CONTIGUOUS training order (documents never split).  Pair
+    with :func:`deterministic_shuffle` for ``order_col``.
+
+    Single-node semantics are a global running sum (``SUM(tokens) OVER
+    (ORDER BY pos ROWS UNBOUNDED PRECEDING AND 1 PRECEDING)``); a
+    global window funnels 100 TB through one task, so this computes the
+    prefix sum with the two-phase shape of ``deterministic_shuffle``:
+    range-exchange on the order key, per-partition running sums
+    (parallel windows keyed by partition id), then one bounded collect
+    of per-partition token TOTALS whose prefix sums become broadcast
+    offsets.  ``order_col`` must be globally unique (a shuffle_pos or
+    any total-ordering key) — uniqueness makes the in-partition order
+    total, so cum-before is well-defined.
+
+    Token counts quantize to BIGINT by construction (counts); the
+    shard id is exact integer arithmetic end to end — bit-reproducible
+    across engines and partitionings (staged oracle row
+    ``train_shards`` proves the distributed prefix sum equals the
+    single-node window).
+
+    ``eager_unpersist`` is the same bounded-residency knob as
+    :func:`deterministic_shuffle` (SCALE.md "Deterministic shuffle"):
+    the ranged frame feeds two jobs (totals + final ids), so it is
+    materialized; with the knob on it goes through the releasable
+    cache manager and frees as soon as the result materializes.
+    """
+    parts = n_parts or df.sparkSession.sparkContext.defaultParallelism
+    ranged_plan = (
+        df.withColumn("_tk", F.col(tokens_col).cast("long"))
+        .repartitionByRange(parts, F.col(order_col))
+        .sortWithinPartitions(order_col)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    if eager_unpersist:
+        from pyspark import StorageLevel
+
+        ranged = ranged_plan.persist(StorageLevel.MEMORY_AND_DISK)
+    else:
+        ranged = ranged_plan.localCheckpoint()
+    totals = ranged.groupBy("_pid").agg(F.sum("_tk").alias("_t"))
+    acc = 0
+    offsets = []
+    for pid, t in sorted((r["_pid"], r["_t"]) for r in totals.collect()):
+        offsets.append((int(pid), int(acc)))
+        acc += t
+    off = df.sparkSession.createDataFrame(offsets, "_pid int, _off long")
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = (
+        ranged.withColumn("_cum_local", F.coalesce(F.sum("_tk").over(w), F.lit(0)))
+        .join(F.broadcast(off), "_pid")
+        .withColumn(
+            # exact BIGINT division (never a double quotient — a
+            # float-rounded cum/budget near a shard boundary could
+            # flip the id; `div` is exact at any corpus size)
+            "shard_id",
+            F.expr(f"(_off + _cum_local) div {int(shard_tokens)}"),
+        )
+        .drop("_tk", "_pid", "_cum_local", "_off")
+    )
+    if eager_unpersist:
+        out = out.localCheckpoint()
+        ranged.unpersist(blocking=True)
+    return out

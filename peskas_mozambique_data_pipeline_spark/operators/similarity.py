@@ -82,6 +82,40 @@ def cosine_topk(
     )
 
 
+def assign_to_centroids(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-centroid assignment — the IVF posting-list membership
+    rule, shared verbatim by the index BUILD (each Lloyd iteration) and
+    by INCREMENTAL APPEND (`operators/ann_index.py`): frozen-centroid
+    adds must use the exact expression training used, or the appended
+    postings would not match a from-scratch rebuild.
+
+    One broadcast of the (C×d) centroid table against the corpus, a
+    per-row top-1 window on the corpus id (each partition holds whole
+    id-groups of C rows — no skew), ties broken on ``centroid_id`` so
+    the assignment is total and engine-reproducible.
+    """
+    scored = corpus.crossJoin(F.broadcast(centroids)).select(
+        F.col(corpus_id),
+        F.col(vec_col),
+        F.col("centroid_id"),
+        _dot(F.col(vec_col), F.col("centroid")).alias("_sim"),
+        (_norm(F.col(vec_col)) * _norm(F.col("centroid"))).alias("_nn"),
+    )
+    w = Window.partitionBy(corpus_id).orderBy(
+        (F.col("_sim") / F.col("_nn")).desc(), F.col("centroid_id")
+    )
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select(corpus_id, vec_col, "centroid_id")
+    )
+
+
 def build_ivf_index(
     corpus: DataFrame,
     n_centroids: int = 16,
@@ -131,21 +165,7 @@ def build_ivf_index(
     ).select("centroid_id", "centroid")
 
     def assign(cents: DataFrame) -> DataFrame:
-        scored = corpus.crossJoin(F.broadcast(cents)).select(
-            F.col(corpus_id),
-            F.col(vec_col),
-            F.col("centroid_id"),
-            _dot(F.col(vec_col), F.col("centroid")).alias("_sim"),
-            (_norm(F.col(vec_col)) * _norm(F.col("centroid"))).alias("_nn"),
-        )
-        w = Window.partitionBy(corpus_id).orderBy(
-            (F.col("_sim") / F.col("_nn")).desc(), F.col("centroid_id")
-        )
-        return (
-            scored.withColumn("_rk", F.row_number().over(w))
-            .filter(F.col("_rk") == 1)
-            .select(corpus_id, vec_col, "centroid_id")
-        )
+        return assign_to_centroids(corpus, cents, corpus_id, vec_col)
 
     assignments = assign(centroids)
     for _ in range(n_iters - 1):

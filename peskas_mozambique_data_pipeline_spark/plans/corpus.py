@@ -314,6 +314,42 @@ def stage_shuffle(
     return zones.write(shuffled, "corpus_shuffled", range_by=["shuffle_pos"])
 
 
+def stage_export_shards(
+    spark: SparkSession,
+    zones: PipelineZones,
+    shard_tokens: int = 1_000_000,
+    source: str = "corpus_shuffled",
+) -> str:
+    """Trainer-facing export: cut the shuffled corpus into contiguous
+    token-budget shards (``operators/curation.token_shard_ids`` — the
+    distributed prefix sum, no global window) and write hive-partitioned
+    on ``shard_id``, so a trainer's data loader maps shard → directory
+    and a sequential epoch read streams files in training order.
+    Documents/packs never split across shards; each shard holds the
+    first rows whose cumulative token count fits the budget.
+    """
+    from ..operators import curation as cur_ops
+
+    shuffled = zones.read(spark, source)
+    tokens_col = next(
+        (c for c in ("pack_tokens", "n_tokens") if c in shuffled.columns), None
+    )
+    if tokens_col is None:
+        shuffled = shuffled.withColumn(
+            "n_tokens", text_ops.token_count("text").cast("long")
+        )
+        tokens_col = "n_tokens"
+    # consumed exactly once (the zone write) — bounded-residency knob on
+    sharded = cur_ops.token_shard_ids(
+        shuffled,
+        order_col="shuffle_pos",
+        tokens_col=tokens_col,
+        shard_tokens=shard_tokens,
+        eager_unpersist=True,
+    )
+    return zones.write(sharded, "training_shards", partition_by=["shard_id"])
+
+
 def stage_pack(
     spark: SparkSession,
     zones: PipelineZones,
@@ -344,6 +380,7 @@ def run_corpus_pipeline(
     benchmark: DataFrame | None = None,
     decontam_n: int = 13,
     shuffle_salt: str | None = None,
+    shard_tokens: int | None = None,
     normalize: bool = False,
     unicode_form: str | None = None,
     url_col: str | None = None,
@@ -376,7 +413,10 @@ def run_corpus_pipeline(
     dedup), so shared chrome can't inflate shingle overlap.
     With ``shuffle_salt`` set, the packed corpus gets its final
     deterministic training-order permutation as a ``corpus_shuffled``
-    zone (one salt per epoch).
+    zone (one salt per epoch); adding ``shard_tokens`` additionally
+    cuts that order into contiguous token-budget shards written
+    hive-partitioned on ``shard_id`` (``training_shards`` zone — the
+    directory-per-shard layout a trainer's loader consumes).
     With ``normalize`` (optionally ``unicode_form="NFKC"``) the corpus
     is byte-canonicalized up front; with ``url_col`` refetch duplicates
     collapse on the canonical URL before any content pass (requires
@@ -519,4 +559,13 @@ def run_corpus_pipeline(
             out["corpus_shuffled"] = stage_shuffle(
                 spark, zones, salt=shuffle_salt
             )
+        if shard_tokens is not None:
+            if skip_fresh and zones.is_fresh("training_shards", "corpus_shuffled"):
+                out["training_shards"] = parquet_io.latest_version_path(
+                    zone_root, "training_shards"
+                )
+            else:
+                out["training_shards"] = stage_export_shards(
+                    spark, zones, shard_tokens=shard_tokens
+                )
     return out

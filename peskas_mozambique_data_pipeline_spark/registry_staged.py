@@ -195,19 +195,75 @@ FROM cell GROUP BY cohort_period, periods_since
 """
 
 
+# ---------------------------------------------------------------------------
+# train_shards — NEW-query candidate for a slot the consolidations
+# above free at r9 (not a consolidation itself, hence no REPLACES
+# entry).  Token-budget shard assignment over the deterministic
+# training order: the Spark side composes deterministic_shuffle (dense
+# rank, no global window) with token_shard_ids (distributed prefix sum
+# of token counts, no global window); the oracle IS the single-node
+# global running-sum window — a hash match proves the two-phase prefix
+# sum equals the global cumulative sum bit-for-bit, the corpus_shuffle
+# proof extended from ranks to weighted prefix sums.
+
+_SHARD_SALT = "r9shards"
+_SHARD_TOKENS = 5_000
+
+
+def q_train_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import curation as cur_ops
+    from .operators.text import token_count
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").cast("long").alias("n_tok")
+    )
+    ordered = cur_ops.deterministic_shuffle(docs, "doc_id", salt=_SHARD_SALT)
+    out = cur_ops.token_shard_ids(
+        ordered, order_col="shuffle_pos", tokens_col="n_tok",
+        shard_tokens=_SHARD_TOKENS,
+    )
+    return out.select(
+        "doc_id",
+        F.col("shuffle_pos").cast("long").alias("shuffle_pos"),
+        "n_tok",
+        F.col("shard_id").cast("long").alias("shard_id"),
+    )
+
+
+SQL_TRAIN_SHARDS = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tok,
+         md5('{_SHARD_SALT}_' || CAST(doc_id AS VARCHAR)) AS sk
+  FROM documents
+)
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (ORDER BY sk, doc_id) - 1 AS BIGINT) AS shuffle_pos,
+       n_tok,
+       CAST(COALESCE(SUM(n_tok) OVER (
+           ORDER BY sk, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+       ), 0) // {_SHARD_TOKENS} AS BIGINT) AS shard_id
+FROM t
+"""
+
+
 STAGED_QUERIES = {
     "doc_profile": q_doc_profile,
     "doc_signature": q_doc_signature,
     "funnel_cohorts": q_funnel_cohorts,
+    "train_shards": q_train_shards,
 }
 
 STAGED_ORACLE_SQL = {
     "doc_profile": SQL_DOC_PROFILE,
     "doc_signature": SQL_DOC_SIGNATURE,
     "funnel_cohorts": SQL_FUNNEL_COHORTS,
+    "train_shards": SQL_TRAIN_SHARDS,
 }
 
-# The pairs each staged row replaces at r9 registration time.
+# The pairs each staged row replaces at r9 registration time
+# (new-query candidates like train_shards fill slots the replacements
+# free, so they carry no entry here).
 STAGED_REPLACES = {
     "doc_profile": ("text_quality", "lang_id"),
     "doc_signature": ("doc_fingerprint", "doc_winnow"),

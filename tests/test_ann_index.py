@@ -1,0 +1,115 @@
+"""Persistent IVF index zone (operators/ann_index.py): save/load
+round-trip, frozen-centroid incremental add, compaction, and the
+partition-pruned probe read."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+
+from pyspark.sql import functions as F
+
+from peskas_mozambique_data_pipeline_spark.io import parquet_io
+from peskas_mozambique_data_pipeline_spark.operators import ann_index
+from peskas_mozambique_data_pipeline_spark.operators import similarity as sim_ops
+from peskas_mozambique_data_pipeline_spark.plans.pipeline import PipelineZones
+
+SF = "/root/testdata/sf0.001"
+
+
+def rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _emb(spark):
+    return spark.read.parquet(os.path.join(SF, "embeddings.parquet")).select(
+        "vec_id", "embedding"
+    )
+
+
+def _queries(emb):
+    return emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+
+def _plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_save_load_probe_round_trip(spark, tmp_path):
+    emb = _emb(spark)
+    zones = PipelineZones(str(tmp_path))
+    assignments, centroids = sim_ops.build_ivf_index(emb, n_centroids=4, n_iters=2)
+    ann_index.save_ivf_index(zones, assignments, centroids)
+
+    in_memory = sim_ops.ivf_topk(_queries(emb), assignments, centroids, k=5, n_probe=2)
+    from_zone = ann_index.ivf_topk_from_zone(spark, zones, _queries(emb), k=5, n_probe=2)
+    assert rows(from_zone) == rows(in_memory)
+
+
+def test_incremental_add_matches_frozen_rebuild(spark, tmp_path):
+    emb = _emb(spark)
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    extra = emb.filter(F.col("vec_id") % 5 == 0)
+    zones = PipelineZones(str(tmp_path))
+
+    assignments, centroids = sim_ops.build_ivf_index(base, n_centroids=4, n_iters=2)
+    ann_index.save_ivf_index(zones, assignments, centroids)
+    ann_index.append_ivf_vectors(spark, zones, extra)
+
+    # frozen-centroid ground truth: assign the FULL corpus to the
+    # base-trained centroids with the shared assignment rule
+    full_assign = sim_ops.assign_to_centroids(emb, centroids)
+    assert rows(
+        ann_index.load_ivf_postings(spark, zones).select("vec_id", "centroid_id")
+    ) == rows(full_assign.select("vec_id", "centroid_id"))
+
+    expected = sim_ops.ivf_topk(_queries(emb), full_assign, centroids, k=5, n_probe=2)
+    got = ann_index.ivf_topk_from_zone(spark, zones, _queries(emb), k=5, n_probe=2)
+    assert rows(got) == rows(expected)
+
+
+def test_compaction_folds_deltas_and_preserves_results(spark, tmp_path):
+    emb = _emb(spark)
+    base = emb.filter(F.col("vec_id") < 400)
+    extra1 = emb.filter((F.col("vec_id") >= 400) & (F.col("vec_id") < 450))
+    extra2 = emb.filter(F.col("vec_id") >= 450)
+    zones = PipelineZones(str(tmp_path))
+
+    assignments, centroids = sim_ops.build_ivf_index(base, n_centroids=4, n_iters=2)
+    ann_index.save_ivf_index(zones, assignments, centroids)
+    ann_index.append_ivf_vectors(spark, zones, extra1)
+    ann_index.append_ivf_vectors(spark, zones, extra2)
+    assert len(ann_index._delta_paths(zones, "ann_ivf")) == 2
+
+    before = rows(ann_index.ivf_topk_from_zone(spark, zones, _queries(emb)))
+    ann_index.compact_ivf_index(spark, zones)
+
+    # deltas folded + removed; exactly one postings snapshot survives
+    assert ann_index._delta_paths(zones, "ann_ivf") == []
+    assert len(parquet_io.list_versions(str(tmp_path), "ann_ivf_postings")) == 1
+    assert rows(ann_index.ivf_topk_from_zone(spark, zones, _queries(emb))) == before
+    # and the folded snapshot is row-identical to a frozen rebuild
+    assert rows(
+        ann_index.load_ivf_postings(spark, zones).select("vec_id", "centroid_id")
+    ) == rows(sim_ops.assign_to_centroids(emb, centroids).select("vec_id", "centroid_id"))
+
+
+def test_probe_read_prunes_unprobed_partitions(spark, tmp_path):
+    emb = _emb(spark)
+    zones = PipelineZones(str(tmp_path))
+    assignments, centroids = sim_ops.build_ivf_index(emb, n_centroids=4, n_iters=2)
+    ann_index.save_ivf_index(zones, assignments, centroids)
+
+    pruned = ann_index.load_ivf_postings(spark, zones, centroid_ids=[0, 2])
+    plan = _plan_of(pruned)
+    seg = plan.split("PartitionFilters")[1][:200]
+    assert "centroid_id" in seg
+    # the pruned scan must really skip the other inverted lists
+    found = {r["centroid_id"] for r in pruned.select("centroid_id").distinct().collect()}
+    assert found <= {0, 2}

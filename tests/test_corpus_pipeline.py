@@ -503,3 +503,28 @@ def test_quality_gate_goes_stale_when_normalized_zone_refreshes(
     )
     assert second["corpus_normalized"] != first["corpus_normalized"]
     assert second["corpus_filtered"] != first["corpus_filtered"]
+
+
+def test_corpus_pipeline_training_shards_stage(spark, tmp_path):
+    """shard_tokens cuts the shuffled corpus into contiguous
+    token-budget shards written hive-partitioned on shard_id."""
+    import os
+
+    docs = _corpus(spark)
+    out = corpus.run_corpus_pipeline(
+        spark, docs, str(tmp_path / "zones"), budget=10,
+        jaccard_threshold=0.5, shuffle_salt="epoch0", shard_tokens=25,
+    )
+    assert "training_shards" in out
+    sharded = spark.read.parquet(out["training_shards"])
+    rows = sorted(sharded.collect(), key=lambda r: r.shuffle_pos)
+    # cum-before / budget, computed against the written pack token counts
+    cum = 0
+    for r in rows:
+        assert r.shard_id == cum // 25
+        cum += r.pack_tokens
+    # hive layout: one shard_id=N directory per shard
+    dirs = {
+        d for d in os.listdir(out["training_shards"]) if d.startswith("shard_id=")
+    }
+    assert dirs == {f"shard_id={r.shard_id}" for r in rows}

@@ -300,3 +300,31 @@ def test_leakage_safe_split_validates_fractions(spark):
     curation, docs, comp = _split_fixture(spark)
     with pytest.raises(ValueError):
         curation.leakage_safe_split(docs, comp, {"train": 0.5, "test": 0.4})
+
+
+def test_token_shard_ids_equals_global_window(spark):
+    """The two-phase distributed prefix sum must equal the single-node
+    global running sum for ANY partitioning (here: forced to 7 range
+    partitions over 200 rows with lumpy token counts)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from peskas_mozambique_data_pipeline_spark.operators.curation import (
+        token_shard_ids,
+    )
+
+    rng = random.Random(77)
+    data = [(i, rng.randint(1, 500)) for i in range(200)]
+    df = spark.createDataFrame(data, "pos long, n_tok long").repartition(5)
+    got = {
+        r["pos"]: r["shard_id"]
+        for r in token_shard_ids(
+            df, order_col="pos", tokens_col="n_tok", shard_tokens=1000, n_parts=7
+        ).collect()
+    }
+    cum = 0
+    for pos, tok in data:  # already in pos order
+        assert got[pos] == cum // 1000, pos
+        cum += tok
+    assert len(got) == 200

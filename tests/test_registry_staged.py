@@ -158,3 +158,20 @@ def test_staged_names_not_registered_yet():
         assert name not in registry.SPARK_QUERIES
         for old in pair:
             assert old in registry.SPARK_QUERIES
+
+
+def test_train_shards_not_registered_and_invariants(spark):
+    from peskas_mozambique_data_pipeline_spark import registry_staged as st
+
+    assert "train_shards" not in registry.SPARK_QUERIES
+    out = st.q_train_shards(spark, SF_DIR).collect()
+    budget = st._SHARD_TOKENS
+    # shards are contiguous in training order and cut at the token
+    # budget: a doc starts a new shard iff cum-before crossed the line
+    by_pos = sorted(out, key=lambda r: r["shuffle_pos"])
+    cum = 0
+    for r in by_pos:
+        assert r["shard_id"] == cum // budget
+        cum += r["n_tok"]
+    shard_ids = [r["shard_id"] for r in by_pos]
+    assert shard_ids == sorted(shard_ids)  # monotone along the order
