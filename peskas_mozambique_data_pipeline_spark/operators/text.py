@@ -1852,6 +1852,28 @@ def bm25_topk_indexed(
         .groupBy(id_col, "term", "_dl", "_mult")
         .agg(F.count(F.lit(1)).alias("_tf"))
     ).localCheckpoint()
+    return score_bm25_postings(postings, stats, k=k, k1=k1, b=b, id_col=id_col)
+
+
+def score_bm25_postings(
+    postings: DataFrame,
+    stats: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The shared BM25 scoring tail: ``postings`` holds the MATCHED
+    (id, term, _tf, _dl, _mult) rows (query-vocab-bounded), ``stats``
+    the 1-row (_n, _avgdl) corpus aggregate.  Used by
+    :func:`bm25_topk_indexed` (postings built in-job) and by the
+    persistent index tier (``operators/text_index.py`` — postings read
+    bucket-pruned from a zone), so both tiers score with the IDENTICAL
+    float expression and keep the cross-tier hash-parity contract.
+    Per-term document frequencies come from the matched postings
+    themselves (each row is a distinct (doc, term)), via groupBy +
+    broadcast join-back — never a window.
+    """
     dfreq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
     scored = (
         postings.join(F.broadcast(dfreq), "term")
