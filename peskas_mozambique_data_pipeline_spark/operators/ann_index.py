@@ -230,3 +230,127 @@ def ivf_topk_from_zone(
         corpus_id=corpus_id,
         vec_col=vec_col,
     )
+
+
+def save_ivf_index_int8(
+    zones,
+    assignments: DataFrame,
+    centroids: DataFrame,
+    prefix: str = "ann_ivf8",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict[str, str]:
+    """Persist the IVF index with int8-QUANTIZED posting vectors — the
+    4× probe-I/O cut of ``similarity.quantize_embeddings_int8``
+    composed with the inverted-list layout: at query time only the
+    probed partitions are read AND each read row is a quarter the
+    bytes.  Centroids stay float (C×d — routing precision is free).
+
+    Cosine ranking over the codes needs no scales (they cancel —
+    see ``similarity.cosine_topk_int8``); the per-vector ``q_scale``
+    is stored anyway so the zone can also serve dequantize-style reads.
+    """
+    q = sim_ops.quantize_embeddings_int8(assignments, vec_col=vec_col)
+    postings = q.select(corpus_id, "embedding_q", "q_scale", "centroid_id")
+    paths = {}
+    paths[prefix + _CENTROIDS] = zones.write(centroids, prefix + _CENTROIDS)
+    paths[prefix + _POSTINGS] = zones.write(
+        postings, prefix + _POSTINGS, partition_by=["centroid_id"]
+    )
+    return paths
+
+
+def ivf_topk_int8_from_zone(
+    spark: SparkSession,
+    zones,
+    queries: DataFrame,
+    prefix: str = "ann_ivf8",
+    k: int = 5,
+    n_probe: int = 2,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search over the quantized zone: float-centroid routing →
+    partition-pruned int8 postings read → exact integer-fold cosine
+    over the codes (scales cancel; the only floats are IEEE sqrt/div —
+    engine-exact, the ``ann_int8`` contract).
+
+    With ``n_probe == C`` this is pytest-pinned row-identical to the
+    brute-force ``cosine_topk_int8`` over the same quantization —
+    the probe tier adds routing, not a different scorer.
+    """
+    from pyspark.sql import Window
+
+    centroids = load_ivf_centroids(spark, zones, prefix)
+    q = queries.select(F.col(query_id), F.col(vec_col).alias("_qv"))
+    probes = q.crossJoin(F.broadcast(centroids)).select(
+        query_id,
+        "_qv",
+        "centroid_id",
+        (
+            sim_ops._dot(F.col("_qv"), F.col("centroid"))
+            / (sim_ops._norm(F.col("_qv")) * sim_ops._norm(F.col("centroid")))
+        ).alias("_csim"),
+    )
+    wq = Window.partitionBy(query_id).orderBy(
+        F.col("_csim").desc(), F.col("centroid_id")
+    )
+    probed = (
+        probes.withColumn("_rk", F.row_number().over(wq))
+        .filter(F.col("_rk") <= n_probe)
+        .select(query_id, "_qv", "centroid_id")
+    )
+    probed_ids = sorted(
+        {int(r["centroid_id"]) for r in probed.select("centroid_id").distinct().collect()}
+    )
+    postings = load_ivf_postings(spark, zones, prefix, centroid_ids=probed_ids)
+
+    # quantize the queries with the SAME rule the index stored
+    qq = sim_ops.quantize_embeddings_int8(
+        probed.select(query_id, F.col("_qv").alias(vec_col), "centroid_id"),
+        vec_col=vec_col,
+    ).select(query_id, F.col("embedding_q").alias("_qc"), "centroid_id")
+
+    def _inorm2(col):
+        sq = F.transform(col, lambda x: x.cast("bigint") * x.cast("bigint"))
+        return F.aggregate(sq, F.lit(0).cast("bigint"), lambda a, v: a + v)
+
+    cands = (
+        postings.join(F.broadcast(qq), "centroid_id")
+        .filter(F.col(query_id) != F.col(corpus_id))
+        .withColumn("_qn2", _inorm2(F.col("_qc")))
+        .withColumn("_cn2", _inorm2(F.col("embedding_q")))
+        .filter((F.col("_qn2") > 0) & (F.col("_cn2") > 0))
+    )
+    idot = F.aggregate(
+        F.zip_with(
+            F.col("_qc"), F.col("embedding_q"),
+            lambda x, y: x.cast("bigint") * y.cast("bigint"),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda a, v: a + v,
+    )
+    scored = cands.select(
+        query_id,
+        corpus_id,
+        (
+            idot.cast("double")
+            / (F.sqrt(F.col("_qn2").cast("double")) * F.sqrt(F.col("_cn2").cast("double")))
+        ).alias("_cos"),
+    )
+    # a vector assigned to 2+ probed lists appears once per postings row
+    # (rows are unique per corpus_id by construction), but a query
+    # probing multiple lists meets each candidate at most once — rank
+    # directly
+    w = Window.partitionBy(query_id).orderBy(F.col("_cos").desc(), F.col(corpus_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id,
+            F.col(corpus_id).alias("neighbor_id"),
+            "rank",
+            F.round(F.col("_cos"), 6).alias("cosine_sim"),
+        )
+    )

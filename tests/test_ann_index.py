@@ -113,3 +113,40 @@ def test_probe_read_prunes_unprobed_partitions(spark, tmp_path):
     # the pruned scan must really skip the other inverted lists
     found = {r["centroid_id"] for r in pruned.select("centroid_id").distinct().collect()}
     assert found <= {0, 2}
+
+
+def test_int8_zone_full_probe_equals_brute_int8(spark, tmp_path):
+    """With n_probe == C the quantized-zone tier must be row-identical
+    to brute-force cosine_topk_int8 over the same quantization — the
+    probe tier adds routing, never a different scorer."""
+    emb = _emb(spark)
+    zones = PipelineZones(str(tmp_path))
+    assignments, centroids = sim_ops.build_ivf_index(emb, n_centroids=4, n_iters=2)
+    ann_index.save_ivf_index_int8(zones, assignments, centroids)
+
+    got = ann_index.ivf_topk_int8_from_zone(
+        spark, zones, _queries(emb), k=5, n_probe=4
+    )
+    q8 = sim_ops.quantize_embeddings_int8(_queries(emb).select("query_id", "embedding"))
+    c8 = sim_ops.quantize_embeddings_int8(emb)
+    expected = sim_ops.cosine_topk_int8(q8, c8, k=5)
+    assert rows(got) == rows(expected)
+
+
+def test_int8_zone_probe_prunes_and_ranks(spark, tmp_path):
+    """At n_probe < C the read is partition-pruned and results stay
+    well-formed (per-query dense ranks, k rows)."""
+    emb = _emb(spark)
+    zones = PipelineZones(str(tmp_path))
+    assignments, centroids = sim_ops.build_ivf_index(emb, n_centroids=4, n_iters=2)
+    ann_index.save_ivf_index_int8(zones, assignments, centroids)
+
+    got = ann_index.ivf_topk_int8_from_zone(
+        spark, zones, _queries(emb), k=5, n_probe=2
+    ).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    for q, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), q
+        assert len(ranks) <= 5
