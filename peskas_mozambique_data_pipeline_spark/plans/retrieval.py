@@ -1,0 +1,122 @@
+"""Retrieval-index orchestration: keep the persistent BM25 + IVF
+zones built, fresh, and bounded — the index counterpart of the corpus
+DAG (``plans/corpus.py``), with the same skip-if-fresh incremental
+semantics and the compact/vacuum maintenance pair.
+
+Lifecycle a production retrieval stack runs on a schedule:
+
+1. ``ensure_bm25_index`` / ``ensure_ivf_index`` — (re)build ONLY when
+   the index is missing or older than its corpus zone (``is_fresh`` on
+   the version timestamps — metadata-only check, no data read).
+   Between rebuilds the indexes stay current through the batch
+   appenders (``operators/*_index``) or the streaming sinks
+   (``streaming/index_sink``).
+2. ``maintain_indexes`` — fold accumulated deltas into new snapshots
+   and vacuum superseded versions (compact = bounded read fan-in,
+   vacuum = bounded storage; the standing maintenance pair every
+   incremental zone needs).
+
+A rebuild is a NEW VERSION of the index zones — readers flip
+atomically, in-flight probes of the old version are unaffected (the
+repo-wide immutable-zone contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from ..io import parquet_io
+from ..operators import ann_index, text_index
+from ..operators import similarity as sim_ops
+from .pipeline import PipelineZones
+
+
+def _clear_deltas(zones: PipelineZones, zone_prefix: str) -> None:
+    import os
+    import shutil
+
+    try:
+        names = parquet_io.list_versions(zones.root, zone_prefix)
+    except FileNotFoundError:
+        return
+    for n in names:
+        shutil.rmtree(os.path.join(zones.root, n), ignore_errors=True)
+
+
+def ensure_bm25_index(
+    spark: SparkSession,
+    zones: PipelineZones,
+    corpus_zone: str = "corpus_shuffled",
+    prefix: str = "bm25",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict[str, str] | None:
+    """(Re)build the BM25 index iff it is missing or staler than the
+    corpus zone it indexes.  Returns the written paths, or ``None``
+    when the index was already fresh (no data touched)."""
+    if zones.is_fresh(prefix + "_postings", corpus_zone):
+        return None
+    docs = zones.read(spark, corpus_zone)
+    postings, stats = text_index.build_bm25_postings(docs, text_col, id_col)
+    out = text_index.save_bm25_index(zones, postings, stats, prefix=prefix)
+    # a rebuild mirrors the corpus zone — deltas from the previous index
+    # generation are subsumed (and a stale stats delta would silently
+    # double-count into the additive merge)
+    _clear_deltas(zones, prefix + "_postings_delta")
+    _clear_deltas(zones, prefix + "_stats_delta")
+    return out
+
+
+def ensure_ivf_index(
+    spark: SparkSession,
+    zones: PipelineZones,
+    embeddings_zone: str = "corpus_embeddings",
+    prefix: str = "ann_ivf",
+    n_centroids: int = 16,
+    n_iters: int = 2,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    int8: bool = False,
+) -> dict[str, str] | None:
+    """(Re)build the IVF index iff missing or staler than its embedding
+    zone.  ``int8=True`` persists quantized postings (the 4× probe-I/O
+    tier).  Rebuild = re-trained centroids — the periodic answer to
+    frozen-centroid recall drift from incremental adds."""
+    if zones.is_fresh(prefix + "_postings", embeddings_zone):
+        return None
+    emb = zones.read(spark, embeddings_zone)
+    assignments, centroids = sim_ops.build_ivf_index(
+        emb, n_centroids=n_centroids, n_iters=n_iters,
+        corpus_id=corpus_id, vec_col=vec_col,
+    )
+    if int8:
+        out = ann_index.save_ivf_index_int8(
+            zones, assignments, centroids, prefix=prefix,
+            corpus_id=corpus_id, vec_col=vec_col,
+        )
+    else:
+        out = ann_index.save_ivf_index(zones, assignments, centroids, prefix=prefix)
+    _clear_deltas(zones, prefix + "_postings_delta")
+    return out
+
+
+def maintain_indexes(
+    spark: SparkSession,
+    zones: PipelineZones,
+    bm25_prefix: str = "bm25",
+    ivf_prefix: str = "ann_ivf",
+    keep_last: int = 1,
+) -> dict[str, bool]:
+    """Compaction pass: fold deltas (batch or streaming) into fresh
+    snapshots and vacuum superseded versions.  Skips an index whose
+    zone doesn't exist yet; skips compaction when there are no deltas
+    (nothing to fold — the no-op guard that makes this safe to run on
+    every schedule tick)."""
+    out = {"bm25": False, "ivf": False}
+    if text_index._delta_paths(zones, bm25_prefix + "_postings_delta"):
+        text_index.compact_bm25_index(spark, zones, bm25_prefix, keep_last=keep_last)
+        out["bm25"] = True
+    if ann_index._delta_paths(zones, ivf_prefix):
+        ann_index.compact_ivf_index(spark, zones, ivf_prefix, keep_last=keep_last)
+        out["ivf"] = True
+    return out

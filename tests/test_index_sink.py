@@ -1,0 +1,145 @@
+"""Streaming appends into the persistent retrieval indexes
+(streaming/index_sink.py): stream-fed zone == batch index over the
+same corpus, and replayed batches don't double-count."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from peskas_mozambique_data_pipeline_spark.operators import ann_index, text_index
+from peskas_mozambique_data_pipeline_spark.operators import similarity as sim_ops
+from peskas_mozambique_data_pipeline_spark.operators import text as text_ops
+from peskas_mozambique_data_pipeline_spark.plans.pipeline import PipelineZones
+from peskas_mozambique_data_pipeline_spark.streaming import index_sink
+
+SF = "/root/testdata/sf0.001"
+TERMS = ["spark", "window", "merge"]
+
+
+def rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _docs(spark):
+    return spark.read.parquet(os.path.join(SF, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+
+
+def test_streamed_bm25_appends_match_batch_index(spark, tmp_path):
+    docs = _docs(spark)
+    base = docs.filter(F.col("doc_id") % 3 == 0)
+    extra = docs.filter(F.col("doc_id") % 3 != 0)
+    zones = PipelineZones(str(tmp_path / "zones"))
+    p, s = text_index.build_bm25_postings(base)
+    text_index.save_bm25_index(zones, p, s)
+
+    # feed the remaining docs through a file stream into the index sink
+    src = str(tmp_path / "incoming")
+    extra.repartition(3).write.parquet(src)
+    stream = spark.readStream.schema(extra.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = (
+        stream.writeStream.foreachBatch(index_sink.bm25_index_sink(zones))
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = text_index.bm25_topk_from_zone(spark, zones, TERMS, k=25)
+    expected = text_ops.bm25_topk_indexed(docs, TERMS, k=25)
+    assert rows(got) == rows(expected)
+    n_docs, _ = text_index.load_bm25_stats(spark, zones)
+    assert n_docs == docs.count()
+
+    # streaming deltas fold through the ordinary batch compactor
+    text_index.compact_bm25_index(spark, zones)
+    assert text_index._delta_paths(zones, "bm25_postings_delta") == []
+    assert rows(
+        text_index.bm25_topk_from_zone(spark, zones, TERMS, k=25)
+    ) == rows(expected)
+
+
+def test_bm25_sink_replay_is_idempotent(spark, tmp_path):
+    """A batch replayed after a failure must overwrite its own delta —
+    the stats row is additive, so a duplicate would skew every idf."""
+    docs = _docs(spark)
+    base = docs.filter(F.col("doc_id") < 250)
+    extra = docs.filter(F.col("doc_id") >= 250)
+    zones = PipelineZones(str(tmp_path))
+    p, s = text_index.build_bm25_postings(base)
+    text_index.save_bm25_index(zones, p, s)
+
+    handle = index_sink.bm25_index_sink(zones)
+    handle(extra, 0)
+    once = rows(text_index.bm25_topk_from_zone(spark, zones, TERMS, k=25))
+    n_once, dl_once = text_index.load_bm25_stats(spark, zones)
+    handle(extra, 0)  # replay
+    assert text_index.load_bm25_stats(spark, zones) == (n_once, dl_once)
+    assert rows(text_index.bm25_topk_from_zone(spark, zones, TERMS, k=25)) == once
+
+
+def test_streamed_ivf_appends_match_frozen_rebuild(spark, tmp_path):
+    emb = spark.read.parquet(os.path.join(SF, "embeddings.parquet")).select(
+        "vec_id", "embedding"
+    )
+    base = emb.filter(F.col("vec_id") % 4 != 0)
+    extra = emb.filter(F.col("vec_id") % 4 == 0)
+    zones = PipelineZones(str(tmp_path / "zones"))
+    assignments, centroids = sim_ops.build_ivf_index(base, n_centroids=4, n_iters=2)
+    ann_index.save_ivf_index(zones, assignments, centroids)
+
+    src = str(tmp_path / "vectors")
+    extra.repartition(2).write.parquet(src)
+    stream = spark.readStream.schema(extra.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = (
+        stream.writeStream.foreachBatch(index_sink.ivf_index_sink(zones))
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    full_assign = sim_ops.assign_to_centroids(emb, centroids)
+    assert rows(
+        ann_index.load_ivf_postings(spark, zones).select("vec_id", "centroid_id")
+    ) == rows(full_assign.select("vec_id", "centroid_id"))
+
+
+def test_ensure_indexes_skip_if_fresh_and_maintain(spark, tmp_path):
+    """plans/retrieval.py: ensure_* builds once, no-ops while fresh,
+    rebuilds after the corpus zone moves; maintain folds only when
+    deltas exist."""
+    import time
+
+    from peskas_mozambique_data_pipeline_spark.plans import retrieval
+
+    docs = _docs(spark)
+    zones = PipelineZones(str(tmp_path))
+    zones.write(docs, "corpus_shuffled")
+
+    built = retrieval.ensure_bm25_index(spark, zones)
+    assert built is not None
+    assert retrieval.ensure_bm25_index(spark, zones) is None  # fresh → no-op
+
+    # nothing to fold → maintain is a no-op
+    assert retrieval.maintain_indexes(spark, zones) == {"bm25": False, "ivf": False}
+
+    # an append creates deltas → maintain folds them
+    handle = index_sink.bm25_index_sink(zones)
+    handle(docs.limit(10), 0)
+    assert retrieval.maintain_indexes(spark, zones)["bm25"] is True
+    assert text_index._delta_paths(zones, "bm25_postings_delta") == []
+
+    # corpus zone moves forward → the index is stale → rebuild fires
+    time.sleep(1.1)  # version timestamps have 1s granularity
+    zones.write(docs.limit(400), "corpus_shuffled")
+    assert retrieval.ensure_bm25_index(spark, zones) is not None
+    n_docs, _ = text_index.load_bm25_stats(spark, zones)
+    assert n_docs == 400
