@@ -409,6 +409,7 @@ def connected_components(
     node_out: str = "node",
     comp_out: str = "component_id",
     max_iter: int = 20,
+    probe_every: int = 1,
 ) -> DataFrame:
     """Distributed connected components over a pair graph — the step
     that turns near-dup PAIRS into actionable duplicate CLUSTERS (keep
@@ -428,6 +429,18 @@ def connected_components(
     GraphX/Pregel cost model.  Raises if ``max_iter`` is hit before the
     fixpoint so an unconverged labeling can never masquerade as a
     result.
+
+    ``probe_every`` stretches the checkpoint + convergence-probe
+    cadence (the ``pagerank`` ``checkpoint_every`` knob): between
+    probes, iterations chain as lineage and execute inside one job.
+    Correctness is cadence-independent — labels only DECREASE toward a
+    UNIQUE fixpoint, so iterations past convergence are no-ops and a
+    probe delayed by ≤ probe_every−1 iterations detects the same
+    fixpoint (parity-pinned in pytest).  Trade-off measured at sf0.1
+    (NOTES r8 s3): the label frame is read TWICE per iteration (the
+    neighbor join and the merge join), so an unmaterialized iteration
+    recomputes its join+groupBy subtree — cadence 2 only pays when
+    iterations are cheap relative to job overhead.
     """
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -438,9 +451,11 @@ def connected_components(
         # not re-execute per loop
         .localCheckpoint()
     )
+    if probe_every < 1:
+        raise ValueError("probe_every must be >= 1")
     labels = sym.select(F.col("a").alias("n")).distinct().withColumn("comp", F.col("n"))
     labels = labels.localCheckpoint()
-    for _ in range(max_iter):
+    for i in range(max_iter):
         nbr_min = (
             sym.join(
                 labels.select(F.col("n").alias("b"), F.col("comp").alias("nbr_comp")),
@@ -452,36 +467,47 @@ def connected_components(
         )
         # labels only ever DECREASE, so "changed" falls out of the same
         # row — no separate old-vs-new join per iteration
-        new_labels = (
-            labels.join(nbr_min, "n", "left")
-            .select(
-                "n",
-                F.least(
-                    F.col("comp"), F.coalesce(F.col("nbr_min"), F.col("comp"))
-                ).alias("comp"),
-                (F.coalesce(F.col("nbr_min"), F.col("comp")) < F.col("comp")).alias(
-                    "_changed"
-                ),
-            )
-            .localCheckpoint()
+        new_labels = labels.join(nbr_min, "n", "left").select(
+            "n",
+            F.least(
+                F.col("comp"), F.coalesce(F.col("nbr_min"), F.col("comp"))
+            ).alias("comp"),
+            (F.coalesce(F.col("nbr_min"), F.col("comp")) < F.col("comp")).alias(
+                "_changed"
+            ),
         )
-        changed = new_labels.filter(F.col("_changed")).limit(1).count()
-        labels = new_labels.drop("_changed")
-        if changed == 0:
-            return labels.select(
-                F.col("n").alias(node_out), F.col("comp").alias(comp_out)
-            )
+        if (i + 1) % probe_every == 0 or i == max_iter - 1:
+            new_labels = new_labels.localCheckpoint()
+            changed = new_labels.filter(F.col("_changed")).limit(1).count()
+            labels = new_labels.drop("_changed")
+            if changed == 0:
+                return labels.select(
+                    F.col("n").alias(node_out), F.col("comp").alias(comp_out)
+                )
+        else:
+            labels = new_labels.drop("_changed")
     raise ValueError(f"connected_components did not converge in {max_iter} iterations")
 
 
 def duplicate_clusters(
-    edges: DataFrame, src: str = "id_a", dst: str = "id_b", max_iter: int = 20
+    edges: DataFrame, src: str = "id_a", dst: str = "id_b", max_iter: int = 20,
+    probe_every: int = 2,
 ) -> DataFrame:
     """Component rollup: one row per duplicate cluster with its size
     and sorted member list (the canonical representative is the
     component id itself — the minimum member).  ``max_iter`` passes
-    through to :func:`connected_components` for deep chains."""
-    comp = connected_components(edges, src, dst, max_iter=max_iter)
+    through to :func:`connected_components` for deep chains.
+
+    ``probe_every=2`` by default: near-dup cluster graphs are shallow
+    (few, cheap iterations), so halving the checkpoint/probe cadence
+    trades a bounded ≤2× recompute of one iteration's joins for half
+    the materializations — measured 7.34→5.66 s min on the sf0.1
+    registry row with identical output (NOTES r8 s3).  For DEEP or
+    very wide graphs prefer ``probe_every=1`` (the recompute factor
+    compounds per unmaterialized iteration)."""
+    comp = connected_components(
+        edges, src, dst, max_iter=max_iter, probe_every=probe_every
+    )
     return comp.groupBy("component_id").agg(
         F.count(F.lit(1)).alias("n_members"),
         F.array_join(

@@ -63,7 +63,9 @@ def dedup_survivors(
     verified = dedup_ops.jaccard_verify_hashed(hashed, pairs, id_col=id_col).filter(
         F.col("jaccard") >= jaccard_threshold
     )
-    comp = dedup_ops.connected_components(verified)
+    # probe_every=2: near-dup components are shallow — see
+    # duplicate_clusters' cadence rationale (measured sf0.1 win)
+    comp = dedup_ops.connected_components(verified, probe_every=2)
     losers = comp.filter(F.col("node") != F.col("component_id")).select(
         F.col("node").alias(id_col)
     )
@@ -95,7 +97,7 @@ def semantic_survivors(
         embeddings, block_col=block_col, id_col=emb_id_col,
         threshold=threshold, backend=backend,
     ).select("id_a", "id_b")
-    comp = dedup_ops.connected_components(edges)
+    comp = dedup_ops.connected_components(edges, probe_every=2)
     losers = comp.filter(F.col("node") != F.col("component_id")).select(
         F.col("node").alias(id_col)
     )

@@ -1605,3 +1605,26 @@ def test_scrub_boilerplate_lines_no_udf_and_shuffle_bound(spark):
     plan = buf.getvalue()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_connected_components_probe_cadence_parity(spark):
+    """probe_every stretches the checkpoint/convergence cadence without
+    changing the fixpoint: labels only decrease, so delayed probes find
+    the identical unique labeling (chain + star + isolated pair)."""
+    from peskas_mozambique_data_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (10, 12), (10, 13), (20, 21)],
+        "id_a long, id_b long",
+    )
+    base = sorted(
+        tuple(r) for r in connected_components(edges, probe_every=1).collect()
+    )
+    for cadence in (2, 3):
+        got = sorted(
+            tuple(r)
+            for r in connected_components(edges, probe_every=cadence).collect()
+        )
+        assert got == base, cadence
