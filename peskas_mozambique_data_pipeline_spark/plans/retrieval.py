@@ -119,4 +119,15 @@ def maintain_indexes(
     if ann_index._delta_paths(zones, ivf_prefix):
         ann_index.compact_ivf_index(spark, zones, ivf_prefix, keep_last=keep_last)
         out["ivf"] = True
+    # rebuilds version up the centroid/stats zones too — retention
+    # applies to every index zone, not just postings (a zone nobody
+    # vacuums grows one full copy per rebuild)
+    for zone_prefix in (
+        bm25_prefix + "_stats",
+        ivf_prefix + "_centroids",
+    ):
+        try:
+            parquet_io.vacuum_zone(spark, zones.root, zone_prefix, keep_last=keep_last)
+        except FileNotFoundError:
+            pass
     return out

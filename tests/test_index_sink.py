@@ -143,3 +143,12 @@ def test_ensure_indexes_skip_if_fresh_and_maintain(spark, tmp_path):
     assert retrieval.ensure_bm25_index(spark, zones) is not None
     n_docs, _ = text_index.load_bm25_stats(spark, zones)
     assert n_docs == 400
+
+    # maintenance also bounds the rebuild-versioned stats zone
+    from peskas_mozambique_data_pipeline_spark.io import parquet_io
+
+    assert len(parquet_io.list_versions(str(tmp_path), "bm25_stats")) >= 2
+    retrieval.maintain_indexes(spark, zones)
+    assert len(parquet_io.list_versions(str(tmp_path), "bm25_stats")) == 1
+    n_docs, _ = text_index.load_bm25_stats(spark, zones)
+    assert n_docs == 400  # retention kept the newest stats
