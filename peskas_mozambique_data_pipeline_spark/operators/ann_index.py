@@ -354,3 +354,129 @@ def ivf_topk_int8_from_zone(
             F.round(F.col("_cos"), 6).alias("cosine_sim"),
         )
     )
+
+
+def save_ivfpq_index(
+    zones,
+    ivf_assignments: DataFrame,
+    ivf_centroids: DataFrame,
+    pq_codes: DataFrame,
+    pq_codebooks: DataFrame,
+    prefix: str = "ann_ivfpq",
+    corpus_id: str = "vec_id",
+) -> dict[str, str]:
+    """Persist the composed IVF+PQ index (the FAISS ``IVFx,PQy`` shape,
+    ``similarity.ivfpq_topk``'s four frames) as zones.
+
+    The two corpus-sized frames collapse into ONE: codes are stored
+    WIDE (the m-array a probe actually consumes) and pre-joined with
+    their IVF list id, hive-partitioned on ``centroid_id`` — so query
+    time is a single partition-pruned scan of (id, codes m-array)
+    rows.  ivfpq_topk's in-job plan pays that codes join per query
+    session; the zone pays it once at save.  Codebooks (m·k rows) and
+    centroids (C rows) are tiny plain zones.
+
+    Per-row probe bytes: m small ints — narrower even than the int8
+    tier; this is the layout whose probe I/O is independent of the
+    original vector width.
+    """
+    codes_wide = pq_codes.groupBy(corpus_id).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("subspace", "code"))),
+            lambda s: s.code,
+        ).alias("_codes")
+    )
+    member = ivf_assignments.select(corpus_id, "centroid_id")
+    postings = codes_wide.join(member, corpus_id)
+    paths = {}
+    paths[prefix + _CENTROIDS] = zones.write(ivf_centroids, prefix + _CENTROIDS)
+    paths[prefix + "_codebooks"] = zones.write(pq_codebooks, prefix + "_codebooks")
+    paths[prefix + _POSTINGS] = zones.write(
+        postings, prefix + _POSTINGS, partition_by=["centroid_id"]
+    )
+    return paths
+
+
+def ivfpq_topk_from_zone(
+    spark: SparkSession,
+    zones,
+    queries: DataFrame,
+    prefix: str = "ann_ivfpq",
+    k_nn: int = 5,
+    n_probe: int = 2,
+    m: int = 2,
+    k: int = 4,
+    dim: int = 64,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF+PQ search against the stored index: float-centroid routing →
+    ONE partition-pruned scan of the wide codes → ADC from broadcast
+    distance tables.  The ADC expression chain is identical to
+    ``similarity.ivfpq_topk`` (fixed subspace order), so from-zone
+    results are row-identical to the in-job tier over the same built
+    index (pytest-pinned)."""
+    from pyspark.sql import Window
+
+    d_sub = dim // m
+    centroids = load_ivf_centroids(spark, zones, prefix)
+    codebooks = zones.read(spark, prefix + "_codebooks")
+    q = queries.select(F.col(query_id), F.col(vec_col).alias("_qv"))
+    probes = q.crossJoin(F.broadcast(centroids)).select(
+        query_id,
+        "centroid_id",
+        (
+            sim_ops._dot(F.col("_qv"), F.col("centroid"))
+            / (sim_ops._norm(F.col("_qv")) * sim_ops._norm(F.col("centroid")))
+        ).alias("_csim"),
+    )
+    wq = Window.partitionBy(query_id).orderBy(
+        F.col("_csim").desc(), F.col("centroid_id")
+    )
+    probed = (
+        probes.withColumn("_rk", F.row_number().over(wq))
+        .filter(F.col("_rk") <= n_probe)
+        .select(query_id, "centroid_id")
+    )
+    probed_ids = sorted(
+        {int(r["centroid_id"]) for r in probed.select("centroid_id").distinct().collect()}
+    )
+    postings = load_ivf_postings(spark, zones, prefix, centroid_ids=probed_ids)
+    cands = (
+        postings.join(F.broadcast(probed), "centroid_id")
+        .filter(F.col(query_id) != F.col(corpus_id))
+        .select(query_id, corpus_id, "_codes")
+    )
+    q_sub = sim_ops._subspaces(queries.select(query_id, vec_col), vec_col, m, d_sub)
+    dtab_long = q_sub.join(F.broadcast(codebooks), "subspace").select(
+        query_id,
+        (F.col("subspace") * k + F.col("centroid_id")).alias("_idx"),
+        sim_ops._l2sq(F.col("subvec"), F.col("centroid")).alias("_d2"),
+    )
+    dtab = dtab_long.groupBy(query_id).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_idx", "_d2"))),
+            lambda s: s._d2,
+        ).alias("_dt")
+    )
+    scored = cands.join(F.broadcast(dtab), query_id)
+    approx = None
+    for s in range(m):
+        entry = F.element_at(
+            F.col("_dt"),
+            (F.lit(s * k) + F.element_at(F.col("_codes"), s + 1) + 1).cast("int"),
+        )
+        approx = entry if approx is None else approx + entry
+    scored = scored.withColumn("_ad", approx)
+    w = Window.partitionBy(query_id).orderBy(F.col("_ad").asc(), F.col(corpus_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k_nn)
+        .select(
+            query_id,
+            F.col(corpus_id).alias("neighbor_id"),
+            "rank",
+            F.round(F.col("_ad"), 6).alias("approx_dist"),
+        )
+    )

@@ -1,11 +1,13 @@
-"""Round-9 consolidation staging: union rows pre-built and parity-
-tested one round ahead of their registration.
+"""Round-9 registration staging: rows pre-built and parity-tested one
+round ahead — three CONSOLIDATION union rows (each replaces two
+registered rows, freeing slots) plus one NEW-query candidate
+(``train_shards``) to spend a freed slot on.
 
 The registry sits at the 100-query ceiling and the rotation window is
-exactly full this round, so these consolidated rows CANNOT be
-registered yet — swapping them in now would demote a driver-stale row
-out of the verification window (see NOTES "r9 START HERE").  They are
-therefore staged here, outside ``SPARK_QUERIES`` / ``ORACLE_SQL``, with
+exactly full this round, so these rows CANNOT be registered yet —
+swapping them in now would demote a driver-stale row out of the
+verification window (see NOTES "r9 START HERE").  They are therefore
+staged here, outside ``SPARK_QUERIES`` / ``ORACLE_SQL``, with
 two kinds of evidence already attached:
 
 * parity pytest — each union row reproduces the exact values of the

@@ -150,3 +150,25 @@ def test_int8_zone_probe_prunes_and_ranks(spark, tmp_path):
     for q, ranks in by_q.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1)), q
         assert len(ranks) <= 5
+
+
+def test_ivfpq_zone_matches_in_job_tier(spark, tmp_path):
+    """The persisted IVF+PQ index (wide codes pre-joined to their
+    inverted list) must reproduce similarity.ivfpq_topk row-for-row
+    over the same built index — the zone changes layout, not scoring
+    (same fixed-order ADC chain)."""
+    emb = _emb(spark)
+    queries = _queries(emb)
+    zones = PipelineZones(str(tmp_path))
+    ivf_assign, ivf_cents = sim_ops.build_ivf_index(emb, n_centroids=8, n_iters=2)
+    pq_codes, pq_books = sim_ops.build_pq_index(emb, m=2, k=4, n_iters=2, dim=64)
+
+    ann_index.save_ivfpq_index(zones, ivf_assign, ivf_cents, pq_codes, pq_books)
+    got = ann_index.ivfpq_topk_from_zone(
+        spark, zones, queries, k_nn=5, n_probe=2, m=2, k=4, dim=64
+    )
+    expected = sim_ops.ivfpq_topk(
+        queries, ivf_assign, ivf_cents, pq_codes, pq_books,
+        k_nn=5, n_probe=2, m=2, k=4, dim=64,
+    )
+    assert rows(got) == rows(expected)

@@ -3,12 +3,13 @@ optional stage enabled — over the driver testdata plus synthetic
 refetch/boilerplate noise, and print per-zone row counts and timings.
 
     normalize → url_dedup → quality → classify → line_scrub →
-    decontaminate → dedup → semantic → span_scrub → pack → shuffle
+    decontaminate → dedup → semantic → span_scrub → pack → shuffle →
+    export_shards
 
 Usage: python tools/corpus_demo.py [sf_dir]   (default /root/testdata/sf0.001)
 
-Proves the plans/corpus.py DAG composes end to end with all eleven
-stages active, that each stage's zone lands versioned and
+Proves the plans/corpus.py DAG composes end to end with all twelve
+stages active (incl. the token-budget training-shard export), that each stage's zone lands versioned and
 range-partitioned, and that nothing in the composition collects a
 corpus to the driver (timings stay flat in the doc count).
 """
@@ -92,6 +93,7 @@ def main() -> int:
         semantic_threshold=0.2,
         scrub_spans=True,
         shuffle_salt="epoch0",
+        shard_tokens=2048,
     )
     wall = time.time() - t0
 
@@ -107,6 +109,7 @@ def main() -> int:
         "corpus_scrubbed",
         "corpus_packs",
         "corpus_shuffled",
+        "training_shards",
     ]
     print(f"input docs: {n0}   wall: {wall:.1f}s   zones: {len(out)}")
     missing = [z for z in order if z not in out]
