@@ -329,7 +329,17 @@ def stage_export_shards(
     and a sequential epoch read streams files in training order.
     Documents/packs never split across shards; each shard holds the
     first rows whose cumulative token count fits the budget.
+
+    A ``_manifest.json`` sidecar lands inside the zone version: one
+    entry per shard (row count, token total, min/max position) plus
+    the budget — the file a trainer's loader reads to plan an epoch
+    without listing or scanning parquet.  The aggregate is
+    shard-grained (bounded by corpus_tokens/budget — a metadata-sized
+    collect, never row-grained).
     """
+    import json
+    import os
+
     from ..operators import curation as cur_ops
 
     shuffled = zones.read(spark, source)
@@ -349,7 +359,39 @@ def stage_export_shards(
         shard_tokens=shard_tokens,
         eager_unpersist=True,
     )
-    return zones.write(sharded, "training_shards", partition_by=["shard_id"])
+    path = zones.write(sharded, "training_shards", partition_by=["shard_id"])
+    stats = (
+        spark.read.parquet(path)
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col(tokens_col).cast("long")).alias("n_tokens"),
+            F.min("shuffle_pos").alias("first_pos"),
+            F.max("shuffle_pos").alias("last_pos"),
+        )
+        .orderBy("shard_id")
+        .collect()
+    )
+    manifest = {
+        "shard_tokens": int(shard_tokens),
+        "tokens_col": tokens_col,
+        "n_shards": len(stats),
+        "total_tokens": int(sum(r["n_tokens"] for r in stats)),
+        "shards": [
+            {
+                "shard_id": int(r["shard_id"]),
+                "path": f"shard_id={int(r['shard_id'])}",
+                "n_rows": int(r["n_rows"]),
+                "n_tokens": int(r["n_tokens"]),
+                "first_pos": int(r["first_pos"]),
+                "last_pos": int(r["last_pos"]),
+            }
+            for r in stats
+        ],
+    }
+    with open(os.path.join(path, "_manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1)
+    return path
 
 
 def stage_pack(

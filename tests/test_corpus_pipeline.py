@@ -528,3 +528,13 @@ def test_corpus_pipeline_training_shards_stage(spark, tmp_path):
         d for d in os.listdir(out["training_shards"]) if d.startswith("shard_id=")
     }
     assert dirs == {f"shard_id={r.shard_id}" for r in rows}
+    # manifest sidecar: loader-facing shard plan, totals consistent
+    import json
+
+    with open(os.path.join(out["training_shards"], "_manifest.json")) as f:
+        manifest = json.load(f)
+    assert manifest["n_shards"] == len(dirs)
+    assert manifest["total_tokens"] == sum(r.pack_tokens for r in rows)
+    assert {s["path"] for s in manifest["shards"]} == dirs
+    for s in manifest["shards"]:
+        assert s["first_pos"] <= s["last_pos"]
