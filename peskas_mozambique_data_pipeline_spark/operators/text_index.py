@@ -148,16 +148,19 @@ def load_bm25_postings(
 
 def load_bm25_stats(spark: SparkSession, zones, prefix: str = "bm25") -> tuple[int, int]:
     """Fully-merged (n_docs, sum_dl) — snapshot plus every delta, in
-    exact integer addition.  1-row frames; the collect is bounded by
-    the append count since last compaction."""
-    n_docs, sum_dl = 0, 0
+    exact integer addition.  All 1-row frames union into ONE aggregate
+    job (a collect per delta would schedule a job each — needless
+    latency when appends have accumulated)."""
     frames = [zones.read(spark, prefix + _STATS)]
     frames.extend(spark.read.parquet(p) for p in _delta_paths(zones, prefix + _SDELTA))
-    for f in frames:
-        for r in f.collect():
-            n_docs += int(r["n_docs"])
-            sum_dl += int(r["sum_dl"])
-    return n_docs, sum_dl
+    merged = frames[0]
+    for f in frames[1:]:
+        merged = merged.unionByName(f)
+    row = merged.agg(
+        F.sum("n_docs").cast("long").alias("n"),
+        F.sum("sum_dl").cast("long").alias("s"),
+    ).first()
+    return int(row["n"]), int(row["s"])
 
 
 def compact_bm25_index(
