@@ -394,6 +394,25 @@ def stage_export_shards(
     return path
 
 
+def stage_augment(
+    spark: SparkSession,
+    zones: PipelineZones,
+    fim_rate: float = 0.5,
+    fim_salt: str = "fim0",
+    source: str = "corpus_deduped",
+) -> str:
+    """Training-format augmentation (FIM rewrite on an md5-selected
+    ``fim_rate`` fraction — Bavarian et al. 2022's joint objective mix)
+    applied to the curated survivors right before packing, so packs and
+    shards carry the transformed text.  Scan-shaped and deterministic
+    per (salt, doc_id); re-salting per epoch re-draws the cut points."""
+    from ..operators import augment as aug_ops
+
+    docs = zones.read(spark, source)
+    out = aug_ops.fim_transform(docs, rate=fim_rate, salt=fim_salt)
+    return zones.write(out, "corpus_augmented", range_by=["doc_id"])
+
+
 def stage_pack(
     spark: SparkSession,
     zones: PipelineZones,
@@ -425,6 +444,7 @@ def run_corpus_pipeline(
     decontam_n: int = 13,
     shuffle_salt: str | None = None,
     shard_tokens: int | None = None,
+    fim_rate: float | None = None,
     normalize: bool = False,
     unicode_form: str | None = None,
     url_col: str | None = None,
@@ -461,6 +481,10 @@ def run_corpus_pipeline(
     cuts that order into contiguous token-budget shards written
     hive-partitioned on ``shard_id`` (``training_shards`` zone — the
     directory-per-shard layout a trainer's loader consumes).
+    With ``fim_rate`` a fill-in-the-middle augmentation stage rewrites
+    that fraction of the curated survivors before packing
+    (``corpus_augmented`` zone; salt follows ``shuffle_salt`` so an
+    epoch re-salt re-draws cut points).
     With ``normalize`` (optionally ``unicode_form="NFKC"``) the corpus
     is byte-canonicalized up front; with ``url_col`` refetch duplicates
     collapse on the canonical URL before any content pass (requires
@@ -587,6 +611,19 @@ def run_corpus_pipeline(
         else:
             out["corpus_scrubbed"] = stage_span_scrub(
                 spark, zones, span_n=span_n, source=scrub_source
+            )
+
+    if fim_rate is not None:
+        aug_source = pack_source
+        pack_source = "corpus_augmented"
+        if skip_fresh and zones.is_fresh("corpus_augmented", aug_source):
+            out["corpus_augmented"] = parquet_io.latest_version_path(
+                zone_root, "corpus_augmented"
+            )
+        else:
+            out["corpus_augmented"] = stage_augment(
+                spark, zones, fim_rate=fim_rate,
+                fim_salt=shuffle_salt or "fim0", source=aug_source,
             )
 
     if skip_fresh and zones.is_fresh("corpus_packs", pack_source):

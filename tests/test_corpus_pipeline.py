@@ -538,3 +538,23 @@ def test_corpus_pipeline_training_shards_stage(spark, tmp_path):
     assert {s["path"] for s in manifest["shards"]} == dirs
     for s in manifest["shards"]:
         assert s["first_pos"] <= s["last_pos"]
+
+
+def test_corpus_pipeline_fim_stage(spark, tmp_path):
+    """fim_rate inserts the augmentation stage before packing: the
+    augmented zone carries FIM-rewritten text for selected docs and
+    downstream packs consume it."""
+    from peskas_mozambique_data_pipeline_spark.operators import augment
+
+    docs = _corpus(spark)
+    out = corpus.run_corpus_pipeline(
+        spark, docs, str(tmp_path / "zones"), budget=50,
+        jaccard_threshold=0.5, fim_rate=1.0,
+    )
+    assert "corpus_augmented" in out
+    aug = spark.read.parquet(out["corpus_augmented"]).collect()
+    assert all(r.fim_applied for r in aug)  # 26-token docs, rate 1.0
+    assert all(r.text.startswith(augment.FIM_PRE) for r in aug)
+    # packs read the augmented zone (doc count carried through)
+    packs = spark.read.parquet(out["corpus_packs"])
+    assert packs.agg(F.sum("n_docs")).first()[0] == len(aug)
