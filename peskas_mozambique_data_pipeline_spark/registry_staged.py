@@ -249,11 +249,70 @@ FROM t
 """
 
 
+# ---------------------------------------------------------------------------
+# fim_audit — second NEW-query candidate (operators/augment.py): the
+# fill-in-the-middle rewrite is fully oracle-replayable because every
+# random choice is md5 modular arithmetic and every string operation is
+# a token-array slice.  A hash match proves selection, both cut points,
+# and the byte-exact sentinel layout cross-engine.
+
+_FIM_SALT = "fim0"
+_FIM_RATE = 0.5
+
+
+def q_fim_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import augment as aug_ops
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = aug_ops.fim_transform(
+        docs, rate=_FIM_RATE, salt=_FIM_SALT, out_col="aug_text"
+    )
+    return out.select("doc_id", "fim_applied", "aug_text")
+
+
+SQL_FIM_AUDIT = f"""
+WITH t AS (
+  SELECT doc_id, text,
+         string_split_regex(trim(text), '\\s+') AS toks,
+         len(string_split_regex(trim(text), '\\s+')) AS n
+  FROM documents
+),
+u AS (
+  SELECT doc_id, text, toks, n,
+         ('0x' || substr(md5('{_FIM_SALT}_pick_' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+             % 1000000000 AS pick,
+         ('0x' || substr(md5('{_FIM_SALT}_a_' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS ua,
+         ('0x' || substr(md5('{_FIM_SALT}_b_' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS ub
+  FROM t
+),
+v AS (
+  SELECT doc_id, text, toks, n, ub,
+         (pick < {int(round(_FIM_RATE * 1_000_000_000))} AND n >= 8) AS sel,
+         ua % (n - 1) + 1 AS a
+  FROM u
+),
+w AS (
+  SELECT doc_id, text, toks, n, sel, a, a + (ub % (n - a)) + 1 AS b FROM v
+)
+SELECT doc_id, sel AS fim_applied,
+       CASE WHEN sel THEN
+         '<|fim_prefix|>' || array_to_string(list_slice(toks, 1, a), ' ')
+         || ' <|fim_suffix|> '
+         -- b can equal n (empty suffix): duckdb's out-of-range slice is
+         -- NULL, spark's is an empty array — coalesce to ''
+         || COALESCE(array_to_string(list_slice(toks, b + 1, n), ' '), '')
+         || ' <|fim_middle|> ' || array_to_string(list_slice(toks, a + 1, b), ' ')
+       ELSE text END AS aug_text
+FROM w
+"""
+
+
 STAGED_QUERIES = {
     "doc_profile": q_doc_profile,
     "doc_signature": q_doc_signature,
     "funnel_cohorts": q_funnel_cohorts,
     "train_shards": q_train_shards,
+    "fim_audit": q_fim_audit,
 }
 
 STAGED_ORACLE_SQL = {
@@ -261,6 +320,7 @@ STAGED_ORACLE_SQL = {
     "doc_signature": SQL_DOC_SIGNATURE,
     "funnel_cohorts": SQL_FUNNEL_COHORTS,
     "train_shards": SQL_TRAIN_SHARDS,
+    "fim_audit": SQL_FIM_AUDIT,
 }
 
 # The pairs each staged row replaces at r9 registration time
