@@ -307,12 +307,87 @@ FROM w
 """
 
 
+# ---------------------------------------------------------------------------
+# span_audit — third NEW-query candidate: T5-style span corruption
+# (operators/augment.py::span_corrupt).  Same replayability argument as
+# fim_audit: md5 modular span placement + list slicing; the oracle
+# reproduces inputs AND targets byte-exactly, covering the second
+# augmentation transform's selection, both span starts, and the
+# sentinel assembly.
+
+_SPAN_SALT = "t5_0"
+_SPAN_N = 2
+_SPAN_LEN = 3
+
+
+def q_span_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import augment as aug_ops
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = aug_ops.span_corrupt(
+        docs, n_spans=_SPAN_N, span_len=_SPAN_LEN, salt=_SPAN_SALT
+    )
+    return out.select("doc_id", "corrupt_applied", "inputs", "targets")
+
+
+def _sql_span_audit() -> str:
+    # starts: s_i = i*seg + (u_i % (seg - span_len)); same closed-form
+    # disjoint-segment placement as the Spark expression chain
+    u = (
+        "('0x' || substr(md5('{salt}_s{i}_' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT"
+    )
+    starts = [
+        f"(({i} * seg) + ({u.format(salt=_SPAN_SALT, i=i)} % (seg - {_SPAN_LEN}))) AS s{i}"
+        for i in range(_SPAN_N)
+    ]
+    sent = ["<|extra_id_0|>", "<|extra_id_1|>"]
+    inputs = (
+        f"COALESCE(array_to_string(list_slice(toks, 1, s0), ' '), '')"
+        f" || ' {sent[0]} ' ||"
+        f" COALESCE(array_to_string(list_slice(toks, s0 + {_SPAN_LEN} + 1, s1), ' '), '')"
+        f" || ' {sent[1]} ' ||"
+        f" COALESCE(array_to_string(list_slice(toks, s1 + {_SPAN_LEN} + 1, n), ' '), '')"
+    )
+    targets = (
+        f"'{sent[0]} ' || array_to_string(list_slice(toks, s0 + 1, s0 + {_SPAN_LEN}), ' ')"
+        f" || ' {sent[1]} ' || array_to_string(list_slice(toks, s1 + 1, s1 + {_SPAN_LEN}), ' ')"
+    )
+    min_ok = max(16, _SPAN_N * (_SPAN_LEN + 1))
+    return f"""
+WITH t AS (
+  SELECT doc_id, text,
+         string_split_regex(trim(text), '\\s+') AS toks,
+         len(string_split_regex(trim(text), '\\s+')) AS n
+  FROM documents
+),
+g AS (
+  SELECT doc_id, text, toks, n,
+         CAST(floor(n / {_SPAN_N}) AS INT) AS seg
+  FROM t
+),
+p AS (
+  SELECT doc_id, text, toks, n, seg,
+         (n >= {min_ok} AND seg > {_SPAN_LEN}) AS ok,
+         {', '.join(starts)}
+  FROM g
+)
+SELECT doc_id, ok AS corrupt_applied,
+       CASE WHEN ok THEN {inputs} ELSE text END AS inputs,
+       CASE WHEN ok THEN {targets} END AS targets
+FROM p
+"""
+
+
+SQL_SPAN_AUDIT = _sql_span_audit()
+
+
 STAGED_QUERIES = {
     "doc_profile": q_doc_profile,
     "doc_signature": q_doc_signature,
     "funnel_cohorts": q_funnel_cohorts,
     "train_shards": q_train_shards,
     "fim_audit": q_fim_audit,
+    "span_audit": q_span_audit,
 }
 
 STAGED_ORACLE_SQL = {
@@ -321,6 +396,7 @@ STAGED_ORACLE_SQL = {
     "funnel_cohorts": SQL_FUNNEL_COHORTS,
     "train_shards": SQL_TRAIN_SHARDS,
     "fim_audit": SQL_FIM_AUDIT,
+    "span_audit": SQL_SPAN_AUDIT,
 }
 
 # The pairs each staged row replaces at r9 registration time
