@@ -781,9 +781,11 @@ def cross_corpus_near_dups(
 
     Returns one row per matched new doc: ``(new_id, ref_id, jaccard,
     n_ref_matches)`` with ``ref_id``/``jaccard`` the best match
-    (highest Jaccard, ties to the smallest reference id — the
-    deterministic max(struct) pick) and ``n_ref_matches`` the number of
-    reference docs at or above ``threshold``.
+    (highest Jaccard, ties to the smallest reference id — a
+    ``min_by(…, struct(-jaccard, ref_id))`` pick: only the score is
+    negated, so string reference ids order correctly too) and
+    ``n_ref_matches`` the number of reference docs at or above
+    ``threshold``.
     """
     new_h = shingle_hash_frame(
         new_df, text_col, id_col, shingle_k, materialize=True
@@ -817,14 +819,15 @@ def cross_corpus_near_dups(
         F.round(inter.cast("double") / union, 6).alias("jaccard"),
     ).filter(F.col("jaccard") >= threshold)
     best = scored.groupBy("_nid").agg(
-        F.max(F.struct(F.col("jaccard"), (-F.col("_rid")).alias("_nr"))).alias(
-            "_b"
-        ),
+        F.min_by(
+            F.struct(F.col("_rid").alias("ref_id"), F.col("jaccard").alias("jaccard")),
+            F.struct((-F.col("jaccard")).alias("_nj"), F.col("_rid").alias("_r")),
+        ).alias("_b"),
         F.count(F.lit(1)).alias("n_ref_matches"),
     )
     return best.select(
         F.col("_nid").alias("new_id"),
-        (-F.col("_b._nr")).alias("ref_id"),
+        F.col("_b.ref_id").alias("ref_id"),
         F.col("_b.jaccard").alias("jaccard"),
         "n_ref_matches",
     )

@@ -154,15 +154,24 @@ def url_dedup(
 
     Winner per key = highest ``score_col`` (ties and the unscored case
     fall to the smallest ``id_col``) — a deterministic choice, computed
-    as one ``max(struct(...))`` aggregate so the groupBy stays a
-    partial-aggregating single shuffle of (key, score, id) triples;
-    document text never moves.  Returns the input rows annotated with
-    ``canonical_url``, ``n_url_dups`` and boolean ``is_url_canonical``
-    via a join-back on the id key (the skew-safe groupBy+join-back
-    shape used across the dedup family — no window over hot URLs).
+    as one ``min_by(id, struct(-score, id))`` aggregate so the groupBy
+    stays a partial-aggregating single shuffle of (key, score, id)
+    triples; document text never moves.  Only the score is negated, so
+    the construction works for ANY orderable id type (string doc ids
+    included), not just numeric ones.  Rows whose URL fails to parse
+    (``canonical_url`` NULL) are grouped under a per-row fallback key,
+    so they survive as their own singleton groups
+    (``is_url_canonical = true``, ``n_url_dups = 1``) instead of being
+    dropped by the equi-join — the operator annotates, never shrinks.
+    Returns the input rows annotated with ``canonical_url``,
+    ``n_url_dups`` and boolean ``is_url_canonical`` via a join-back on
+    the id key (the skew-safe groupBy+join-back shape used across the
+    dedup family — no window over hot URLs).
     """
     score = (
-        F.col(score_col).cast("double")
+        # NULL scores rank below every real score (ties then fall to
+        # the id), matching the documented (score desc, id asc) order
+        F.coalesce(F.col(score_col).cast("double"), F.lit(float("-inf")))
         if score_col
         else F.lit(0.0)
     )
@@ -175,17 +184,23 @@ def url_dedup(
         canonical_url(url_col).alias("canonical_url"),
         score.alias("_s"),
         F.col(id_col).alias("_id"),
+    ).withColumn(
+        # NULL-safe group key: unparseable URLs get a singleton key so
+        # the inner join-back cannot drop them
+        "_key",
+        F.coalesce(
+            F.col("canonical_url"),
+            F.concat(F.lit("_noUrl_"), F.col("_id").cast("string")),
+        ),
     )
-    winners = slim.groupBy("canonical_url").agg(
+    winners = slim.groupBy("_key").agg(
         F.count(F.lit(1)).alias("n_url_dups"),
-        F.max(F.struct(F.col("_s"), (-F.col("_id")).alias("_nid"))).alias("_w"),
+        F.min_by(
+            F.col("_id"),
+            F.struct((-F.col("_s")).alias("_ns"), F.col("_id").alias("_i")),
+        ).alias("_keep_id"),
     )
-    winners = winners.select(
-        "canonical_url",
-        "n_url_dups",
-        (-F.col("_w._nid")).alias("_keep_id"),
-    )
-    ann = slim.join(winners, "canonical_url").select(
+    ann = slim.join(winners, "_key").select(
         F.col("_id").alias(id_col),
         "canonical_url",
         "n_url_dups",

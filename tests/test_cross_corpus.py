@@ -89,6 +89,34 @@ def test_matches_equal_brute_force(spark, corpora):
     assert 3 not in got
 
 
+def test_string_ids_best_match(spark, corpora):
+    # the min_by(struct(ref, j), struct(-j, ref)) pick never negates
+    # the id, so string doc ids work; lexicographic tie-break is the
+    # string order analogue of "smallest reference id"
+    from pyspark.sql import functions as F
+
+    new, ref = corpora
+    new_s = new.withColumn(
+        "doc_id", F.concat(F.lit("n"), F.col("doc_id").cast("string"))
+    )
+    ref_s = ref.withColumn(
+        "doc_id", F.concat(F.lit("r"), F.col("doc_id").cast("string"))
+    )
+    got = {
+        r["new_id"]: (r["ref_id"], r["jaccard"], r["n_ref_matches"])
+        for r in dedup.cross_corpus_near_dups(
+            new_s, ref_s, threshold=0.5
+        ).collect()
+    }
+    num = {
+        r["new_id"]: (r["ref_id"], r["jaccard"], r["n_ref_matches"])
+        for r in dedup.cross_corpus_near_dups(new, ref, threshold=0.5).collect()
+    }
+    assert got == {
+        f"n{n}": (f"r{rid}", j, c) for n, (rid, j, c) in num.items()
+    }
+
+
 def test_filter_against_reference(spark, corpora):
     new, ref = corpora
     kept = dedup.filter_against_reference(new, ref, threshold=0.5)

@@ -104,6 +104,56 @@ def test_url_dedup_unscored_is_min_id(spark, crawl):
     assert keep == {1, 4, 5}
 
 
+def test_url_dedup_string_ids(spark, crawl):
+    # same winners with STRING doc ids: the min_by(id, struct(-score, id))
+    # tie-break never negates the id, so any orderable id type works
+    # (the old max(struct(score, -id)) silently NULLed string ids)
+    s = crawl.withColumn(
+        "doc_id", F.concat(F.lit("doc-"), F.col("doc_id").cast("string"))
+    )
+    out = web.url_dedup(s, score_col="score")
+    keep = {
+        r["doc_id"]
+        for r in out.filter("is_url_canonical").select("doc_id").collect()
+    }
+    assert keep == {"doc-1", "doc-4", "doc-5"}
+    assert out.count() == 6
+
+
+def test_url_dedup_null_and_malformed_urls_survive(spark, crawl):
+    # rows whose canonical_url is NULL (malformed or missing URL) must
+    # come back as their own singleton groups, not vanish in the join
+    extra = spark.createDataFrame(
+        [(7, "not a url at all", 0.3), (8, None, 0.4)],
+        ["doc_id", "url", "score"],
+    )
+    out = web.url_dedup(crawl.unionByName(extra), score_col="score")
+    assert out.count() == 8
+    rows = {r["doc_id"]: r for r in out.collect()}
+    for did in (7, 8):
+        assert rows[did]["canonical_url"] is None
+        assert rows[did]["n_url_dups"] == 1
+        assert rows[did]["is_url_canonical"] is True
+
+
+def test_url_dedup_null_scores_rank_last(spark, crawl):
+    # a NULL score loses to any real score; all-NULL groups fall back
+    # to the smallest id
+    nulled = crawl.withColumn(
+        "score",
+        F.when(F.col("doc_id") == 1, F.lit(None).cast("double")).otherwise(
+            F.col("score")
+        ),
+    )
+    out = web.url_dedup(nulled, score_col="score")
+    keep = {
+        r["doc_id"]
+        for r in out.filter("is_url_canonical").select("doc_id").collect()
+    }
+    # site.com/page: doc 1's score is NULL -> doc 3 (0.9) wins now
+    assert keep == {3, 4, 5}
+
+
 def test_domain_stats(spark, crawl):
     withw = crawl.withColumn("n_tok", F.lit(10) * F.col("doc_id"))
     out = web.domain_stats(withw, weight_col="n_tok")
