@@ -34,14 +34,32 @@ from .text import bpe_ish_tokens
 NANO = 1_000_000_000
 
 
-def hashed_feature(token: Column, dim: int) -> Column:
-    """Stable token → [0, dim) feature id: xxhash64 folded by pmod
-    (non-negative even for negative hashes)."""
-    return F.pmod(F.xxhash64(token), F.lit(dim)).cast("long")
+def hashed_feature(
+    token: Column, dim: int, method: str = "xxhash64"
+) -> Column:
+    """Stable token → [0, dim) feature id.
+
+    ``xxhash64`` (default): fastest JVM path, folded by pmod so the id
+    is non-negative even for negative hashes.  ``md5``: first 8 hex
+    digits → BIGINT mod dim — ~2× slower but engine-portable (DuckDB,
+    Python hashlib produce the identical id), which is what the oracle
+    row and any cross-engine model exchange need.  Both are uniform;
+    models are NOT interchangeable across methods (the feature space
+    permutes), so fit and score must agree on one.
+    """
+    if method == "xxhash64":
+        return F.pmod(F.xxhash64(token), F.lit(dim)).cast("long")
+    if method == "md5":
+        return (
+            F.conv(F.substring(F.md5(token), 1, 8), 16, 10).cast("long")
+            % F.lit(dim)
+        ).cast("long")
+    raise ValueError(f"unknown feature hash method: {method!r}")
 
 
 def _doc_features(
-    df: DataFrame, text_col: str, id_col: str, dim: int
+    df: DataFrame, text_col: str, id_col: str, dim: int,
+    feature_hash: str = "xxhash64",
 ) -> DataFrame:
     """(id, feature, n) token-multiplicity triples — the shared explode
     both halves consume."""
@@ -50,7 +68,9 @@ def _doc_features(
         F.explode(bpe_ish_tokens(text_col)).alias("_tok"),
     ).filter(F.col("_tok") != "")
     return (
-        toks.select("_id", hashed_feature(F.col("_tok"), dim).alias("feature"))
+        toks.select(
+            "_id", hashed_feature(F.col("_tok"), dim, feature_hash).alias("feature")
+        )
         .groupBy("_id", "feature")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -62,6 +82,7 @@ def fit_hashed_nb(
     label_col: str = "label",
     dim: int = 2**18,
     alpha: float = 1.0,
+    feature_hash: str = "xxhash64",
 ) -> tuple[DataFrame, int]:
     """Closed-form multinomial Naive-Bayes in log-odds form over hashed
     features.  ``label_col`` must be 0/1 (1 = positive class).
@@ -85,7 +106,9 @@ def fit_hashed_nb(
         F.explode(bpe_ish_tokens(text_col)).alias("_tok"),
     ).filter(F.col("_tok") != "")
     counts = (
-        lab.select("_y", hashed_feature(F.col("_tok"), dim).alias("feature"))
+        lab.select(
+            "_y", hashed_feature(F.col("_tok"), dim, feature_hash).alias("feature")
+        )
         .groupBy("feature")
         .agg(
             F.sum(F.when(F.col("_y") == 1, 1).otherwise(0)).alias("c1"),
@@ -128,6 +151,7 @@ def score_hashed_linear(
     id_col: str = "doc_id",
     dim: int = 2**18,
     bias_nano: int = 0,
+    feature_hash: str = "xxhash64",
 ) -> DataFrame:
     """Score every document under a (feature, w_nano) linear model:
     ``score = bias + Σ_tokens w(feature(token))``, plus the sigmoid
@@ -138,7 +162,7 @@ def score_hashed_linear(
     Unseen features score 0 (left join + coalesce), and documents with
     no tokens keep a bias-only score rather than dropping out.
     """
-    feats = _doc_features(df, text_col, id_col, dim)
+    feats = _doc_features(df, text_col, id_col, dim, feature_hash)
     hit = feats.join(F.broadcast(weights), "feature").groupBy("_id").agg(
         F.sum(F.col("n") * F.col("w_nano")).alias("_sum_nano")
     )
@@ -162,6 +186,7 @@ def score_hashed_linear_map(
     text_col: str = "text",
     dim: int = 2**18,
     bias_nano: int = 0,
+    feature_hash: str = "xxhash64",
 ) -> DataFrame:
     """Shuffle-FREE scoring tier: the model rides into the plan as a
     map literal and every document folds its own token array —
@@ -194,7 +219,8 @@ def score_hashed_linear_map(
         F.lit(int(bias_nano)).cast("long"),
         lambda acc, t: acc
         + F.coalesce(
-            F.element_at(wmap, hashed_feature(t, dim)), F.lit(0).cast("long")
+            F.element_at(wmap, hashed_feature(t, dim, feature_hash)),
+            F.lit(0).cast("long"),
         ),
     )
     score = (score_nano.cast("double") / NANO).alias("score")

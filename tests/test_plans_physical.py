@@ -28,7 +28,9 @@ def test_lw_model_filter_pushed_to_scan(spark):
 
 
 def test_dim_enrichment_broadcasts_dims(spark):
-    plan = plan_of(registry.SPARK_QUERIES["dim_enrichment"](spark, SF))
+    # retired registry row (r9 consolidation) — same enrich chain as
+    # topk_other; the plan property is still asserted on the original
+    plan = plan_of(registry.RETIRED_QUERIES["dim_enrichment"](spark, SF))
     assert plan.count("BroadcastHashJoin") >= 3
     assert "SortMergeJoin" not in plan
 
@@ -274,7 +276,7 @@ def test_ann_pq_broadcasts_codebooks_no_global_sort(spark):
     # codebook assignment joins must broadcast the m*k-row codebook;
     # seed init must be TakeOrderedAndProject (never a corpus-wide
     # sort); the only nested-loop join is the broadcast ADC table
-    plan = plan_of(registry.SPARK_QUERIES["ann_pq"](spark, SF), "simple")
+    plan = plan_of(registry.RETIRED_QUERIES["ann_pq"](spark, SF), "simple")
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
@@ -313,7 +315,7 @@ def test_conversion_funnel_no_event_grain_join(spark):
     # regression to per-stage self-joins on the events table would
     # multiply the corpus scans
     plan = plan_of(
-        registry.SPARK_QUERIES["conversion_funnel"](spark, SF), "simple"
+        registry.RETIRED_QUERIES["conversion_funnel"](spark, SF), "simple"
     )
     assert "SortMergeJoin" not in plan
     assert plan.count("FileScan parquet") == 1  # events scanned once

@@ -89,8 +89,11 @@ def _replaced_pair(spark, name):
     """The union of the two registered rows, normalized onto the staged
     row's schema, collected for exact comparison."""
     a_name, b_name = registry_staged.STAGED_REPLACES[name]
-    a = registry.SPARK_QUERIES[a_name](spark, SF_DIR)
-    b = registry.SPARK_QUERIES[b_name](spark, SF_DIR)
+    # the replaced rows are retired from the registry dict in r9 but
+    # stay importable for exactly this parity check
+    reg = {**registry.SPARK_QUERIES, **registry.RETIRED_QUERIES}
+    a = reg[a_name](spark, SF_DIR)
+    b = reg[b_name](spark, SF_DIR)
     return a, b
 
 
@@ -150,20 +153,24 @@ def test_staged_doc_rows_scan_once(spark, name):
     assert plan.count("Scan parquet") == 1, plan
 
 
-def test_staged_names_not_registered_yet():
-    # staging is deliberate: the r8 window has no room (NOTES "r9 START
-    # HERE"); this tripwire flips when r9 does the registration swap so
-    # the staged module gets dismantled rather than double-registered
+def test_staged_swap_landed_r9():
+    # the r9 registration swap happened: each staged union row is
+    # registered VERBATIM (same function object, same SQL string — no
+    # staged-vs-registered drift possible) and both rows it replaces
+    # are retired but still importable for the gate/parity tooling
     for name, pair in registry_staged.STAGED_REPLACES.items():
-        assert name not in registry.SPARK_QUERIES
+        assert registry.SPARK_QUERIES[name] is registry_staged.STAGED_QUERIES[name]
+        assert registry.ORACLE_SQL[name] == registry_staged.STAGED_ORACLE_SQL[name]
         for old in pair:
-            assert old in registry.SPARK_QUERIES
+            assert old not in registry.SPARK_QUERIES
+            assert old in registry.RETIRED_QUERIES
+            assert old in registry.RETIRED_ORACLE_SQL
 
 
-def test_train_shards_not_registered_and_invariants(spark):
+def test_train_shards_registered_and_invariants(spark):
     from peskas_mozambique_data_pipeline_spark import registry_staged as st
 
-    assert "train_shards" not in registry.SPARK_QUERIES
+    assert registry.SPARK_QUERIES["train_shards"] is st.STAGED_QUERIES["train_shards"]
     out = st.q_train_shards(spark, SF_DIR).collect()
     budget = st._SHARD_TOKENS
     # shards are contiguous in training order and cut at the token

@@ -90,8 +90,15 @@ def main() -> int:
         if os.path.exists(path):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
 
-    qs = entry_mod.queries()
-    oracles = entry_mod.oracle_sql()
+    qs = dict(entry_mod.queries())
+    oracles = dict(entry_mod.oracle_sql())
+    # retired rows (consolidated out of the driver registry) stay
+    # verifiable by explicit name
+    from peskas_mozambique_data_pipeline_spark import registry as _reg
+
+    for _n in only & set(getattr(_reg, "RETIRED_QUERIES", {})):
+        qs[_n] = _reg.RETIRED_QUERIES[_n]
+        oracles[_n] = _reg.RETIRED_ORACLE_SQL[_n]
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:
