@@ -133,7 +133,14 @@ def registrable_domain(host: str | Column) -> Column:
     """Registrable ("pay-level") domain of a host: the last two labels,
     or three when the two-label suffix is a known second-level public
     suffix (``example.co.uk``).  The suffix set compiles to an ``IN``
-    literal — broadcast-free, codegen-friendly."""
+    literal — broadcast-free, codegen-friendly.
+
+    This is the fast path over the built-in suffix-lite set; a crawl
+    deployment with the full Mozilla public-suffix list should use
+    :func:`registrable_domain_psl`, which implements the complete PSL
+    algorithm (longest match, wildcard and exception rules) from a
+    rule table of any size.
+    """
     h = F.col(host) if isinstance(host, str) else host
     labels = F.split(h, r"\.")
     n = F.size(labels)
@@ -141,6 +148,113 @@ def registrable_domain(host: str | Column) -> Column:
     last3 = F.array_join(F.slice(labels, n - 2, 3), ".")
     return F.when(n <= 2, h).otherwise(
         F.when(last2.isin(*SECOND_LEVEL_SUFFIXES), last3).otherwise(last2)
+    )
+
+
+def parse_suffix_rules(rules) -> dict:
+    """Normalize public-suffix-list rules into matcher sets.
+
+    ``rules``: an iterable of rule strings in PSL file format —
+    ``co.uk`` (normal), ``*.ck`` (wildcard: any single label under
+    ``ck`` is a public suffix), ``!www.ck`` (exception: overrides a
+    wildcard, the rule minus its first label is the suffix).  Comment
+    (``//``), section-marker and blank lines are skipped, so the raw
+    https://publicsuffix.org/list/ file body can be passed verbatim.
+
+    Returns ``{"exact": {k: set}, "wild": {k: set}, "exc": {k: set}}``
+    keyed by rule label count (for wildcards, the label count of the
+    tail after ``*.``).
+    """
+    exact: dict[int, set[str]] = {}
+    wild: dict[int, set[str]] = {}
+    exc: dict[int, set[str]] = {}
+    for raw in rules:
+        r = raw.strip().lower()
+        if not r or r.startswith("//"):
+            continue
+        if r.startswith("!"):
+            body = r[1:]
+            exc.setdefault(body.count(".") + 1, set()).add(body)
+        elif r.startswith("*."):
+            tail = r[2:]
+            wild.setdefault(tail.count(".") + 1, set()).add(tail)
+        else:
+            exact.setdefault(r.count(".") + 1, set()).add(r)
+    return {"exact": exact, "wild": wild, "exc": exc}
+
+
+def load_public_suffix_list(spark, path: str) -> "DataFrame":
+    """Read a PSL text file (the published ``public_suffix_list.dat``
+    format) into a one-column ``rule`` DataFrame for
+    :func:`registrable_domain_psl`.  Comments and blanks are dropped
+    here so the frame holds only live rules (~9k rows for the full
+    Mozilla list)."""
+    lines = spark.read.text(path).select(F.trim(F.col("value")).alias("rule"))
+    return lines.filter(
+        (F.col("rule") != "") & ~F.col("rule").startswith("//")
+    )
+
+
+def registrable_domain_psl(host: str | Column, rules) -> Column:
+    """Registrable domain under the FULL public-suffix algorithm
+    (https://publicsuffix.org/list/ semantics): among all matching
+    rules the exception rule prevails, else the longest; the public
+    suffix is the matched labels (for an exception, the rule minus its
+    first label; if nothing matches, the implicit ``*`` rule makes the
+    TLD the suffix); the registrable domain is the suffix plus one
+    label — NULL when the host IS a public suffix (``co.uk`` has no
+    registrable domain, unlike the fast path's best-effort passthrough).
+
+    ``rules`` may be a one-column DataFrame (e.g. from
+    :func:`load_public_suffix_list`) or an iterable of rule strings.  A
+    DataFrame is collected driver-side — bounded by construction: the
+    PSL is a ~9k-row reference table, the probed-centroid/BPE-histogram
+    precedent — and each label-count stratum compiles to an ``InSet``
+    hash probe, so matching stays whole-stage-codegen with ZERO joins
+    and ZERO shuffles: the scale-optimal shape for annotating 100 TB of
+    URLs with a dictionary that fits in every plan.
+    """
+    if isinstance(rules, DataFrame):
+        rules = [r[0] for r in rules.select(rules.columns[0]).collect()]
+    parsed = parse_suffix_rules(rules)
+    h = F.lower(F.col(host) if isinstance(host, str) else host)
+    labels = F.split(h, r"\.")
+    n = F.size(labels)
+
+    def last_k(k: int) -> Column:
+        # last k labels of the host, joined — comparable to a rule
+        return F.array_join(F.slice(labels, n - F.lit(k - 1), F.lit(k)), ".")
+
+    # public-suffix label count: greatest matching rule length, with
+    # the implicit "*" rule (TLD is always a suffix) as the floor
+    cands = [F.lit(1)]
+    for k, s in parsed["exact"].items():
+        cands.append(
+            F.when((n >= k) & last_k(k).isin(*sorted(s)), F.lit(k)).otherwise(
+                F.lit(0)
+            )
+        )
+    for t, s in parsed["wild"].items():
+        # "*.tail" (tail has t labels) matches any host whose last
+        # t labels equal the tail AND that has the wildcard label too
+        cands.append(
+            F.when(
+                (n >= t + 1) & last_k(t).isin(*sorted(s)), F.lit(t + 1)
+            ).otherwise(F.lit(0))
+        )
+    ps_n = F.greatest(*cands) if len(cands) > 1 else cands[0]
+    # exception rules prevail over everything: suffix = rule minus its
+    # first label
+    exc_ps = F.lit(None).cast("int")
+    for k, s in sorted(parsed["exc"].items(), reverse=True):
+        exc_ps = F.coalesce(
+            exc_ps,
+            F.when((n >= k) & last_k(k).isin(*sorted(s)), F.lit(k - 1)),
+        )
+    ps_n = F.coalesce(exc_ps, ps_n)
+    return F.when(
+        h.isNotNull() & (n > ps_n),
+        F.array_join(F.slice(labels, n - ps_n, ps_n + F.lit(1)), "."),
     )
 
 
@@ -213,6 +327,7 @@ def domain_stats(
     df: DataFrame,
     url_col: str = "url",
     weight_col: str | None = None,
+    suffix_rules=None,
 ) -> DataFrame:
     """Per-registrable-domain corpus profile: page count, distinct
     canonical URLs, optional weight sum (e.g. token counts), and each
@@ -221,11 +336,18 @@ def domain_stats(
 
     One groupBy on the domain; the corpus share reuses a 1-row
     broadcast total (crossJoin of a single aggregated row) rather than
-    a global window.
+    a global window.  ``suffix_rules`` (optional): a PSL rule frame or
+    iterable for :func:`registrable_domain_psl`; default is the
+    suffix-lite fast path.
     """
+    rd = (
+        (lambda c: registrable_domain_psl(c, suffix_rules))
+        if suffix_rules is not None
+        else registrable_domain
+    )
     w = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
     keyed = df.select(
-        registrable_domain(host_of(url_col)).alias("domain"),
+        rd(host_of(url_col)).alias("domain"),
         canonical_url(url_col).alias("_cu"),
         w.alias("_w"),
     )
@@ -249,6 +371,7 @@ def filter_blocked_domains(
     blocklist: DataFrame,
     url_col: str = "url",
     domain_col: str = "domain",
+    suffix_rules=None,
 ) -> DataFrame:
     """Drop rows whose registrable domain appears in a blocklist frame
     — the standard crawl hygiene gate (spam/SEO-farm/adult lists).
@@ -256,8 +379,14 @@ def filter_blocked_domains(
     the corpus, so Spark broadcasts it and the corpus never shuffles.
     Matching is on the REGISTRABLE domain, so a ``spam.example.com``
     entry in the corpus is caught by a blocklist row ``example.com``.
+    ``suffix_rules`` switches domain extraction to the full-PSL matcher.
     """
-    keyed = df.withColumn("_rd", registrable_domain(host_of(url_col)))
+    rd = (
+        (lambda c: registrable_domain_psl(c, suffix_rules))
+        if suffix_rules is not None
+        else registrable_domain
+    )
+    keyed = df.withColumn("_rd", rd(host_of(url_col)))
     bl = blocklist.select(
         F.lower(F.col(domain_col)).alias("_rd")
     ).distinct()
