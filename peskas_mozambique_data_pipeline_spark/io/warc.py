@@ -60,7 +60,9 @@ WARC_SCHEMA = StructType(
         StructField("target_uri", StringType()),
         StructField("warc_date", StringType()),
         StructField("content_type", StringType()),
-        StructField("content_length", IntegerType()),
+        # LONG, not INT: single WARC records can exceed 2 GiB (video
+        # payloads in archive crawls)
+        StructField("content_length", LongType()),
         StructField("payload", BinaryType()),
     ]
 )
@@ -82,7 +84,7 @@ def gunzip_members(data: bytes) -> bytes:
     return b"".join(out)
 
 
-def parse_warc_records(data: bytes):
+def parse_warc_records(data: bytes, on_error: str = "raise"):
     """Yield ``(offset, headers: dict, payload: bytes)`` per WARC record.
 
     ``offset`` is the record's byte offset in the (decompressed)
@@ -91,7 +93,17 @@ def parse_warc_records(data: bytes):
     by ``Content-Length`` exactly — no payload sniffing — then the
     mandatory CRLF CRLF record separator is skipped tolerantly (some
     writers emit only one CRLF pair at EOF).
+
+    ``on_error``: ``"raise"`` (default — exact files, fail loud) or
+    ``"skip"`` — resync at the next ``WARC/`` version line and keep
+    going, so one corrupt record in a crawl-scale file loses only the
+    bytes up to the next record instead of the whole job.  Skipped
+    stretches are invisible in the output; a deployment that must
+    account for them should quarantine files where the record count
+    disagrees with the crawl manifest.
     """
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be 'raise' or 'skip': {on_error!r}")
     pos, n = 0, len(data)
     while pos < n:
         # Tolerate leading blank lines between records.
@@ -106,6 +118,12 @@ def parse_warc_records(data: bytes):
         head = data[pos:head_end].decode("latin-1", "replace")
         lines = head.split("\r\n")
         if not lines or not lines[0].startswith("WARC/"):
+            if on_error == "skip":
+                nxt = data.find(b"\r\nWARC/", pos)
+                if nxt < 0:
+                    break
+                pos = nxt + 2
+                continue
             raise ValueError(f"not a WARC record at offset {start}")
         headers: dict[str, str] = {}
         for ln in lines[1:]:
@@ -141,7 +159,8 @@ def split_http_payload(payload: bytes):
 
 
 def read_warc(
-    spark: SparkSession, path: str, batch_records: int = 512
+    spark: SparkSession, path: str, batch_records: int = 512,
+    on_error: str = "raise",
 ) -> DataFrame:
     """Read WARC files (plain or member-gzip, detected per file by the
     gzip magic) into one row per record.
@@ -150,6 +169,10 @@ def read_warc(
     out inside ``mapInPandas`` with the output yielded every
     ``batch_records`` records so Arrow batches stay bounded even for
     million-record files.  Payload bytes pass through untouched.
+    ``on_error="skip"`` resyncs past malformed records instead of
+    failing the job (see :func:`parse_warc_records`) — the right mode
+    for crawl-scale archives where one corrupt file among thousands
+    must not kill the read.
     """
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -159,7 +182,7 @@ def read_warc(
                 data = bytes(content)
                 if data[:2] == b"\x1f\x8b":
                     data = gunzip_members(data)
-                for off, hdrs, payload in parse_warc_records(data):
+                for off, hdrs, payload in parse_warc_records(data, on_error):
                     rows.append(
                         (
                             fpath,
@@ -190,7 +213,7 @@ def read_warc(
                 "target_uri": cols[4],
                 "warc_date": cols[5],
                 "content_type": cols[6],
-                "content_length": pd.Series(cols[7], dtype="int32"),
+                "content_length": pd.Series(cols[7], dtype="int64"),
                 "payload": cols[8],
             }
         )
@@ -273,9 +296,10 @@ def warc_to_documents(http_df: DataFrame) -> DataFrame:
     the testdata ``documents`` table — plus ``url`` so the DAG's URL
     front-door stage (``stage_url_dedup``) can run on crawl output.
 
-    * ``doc_id`` = first 16 hex digits of the body's sha256 as a
-      BIGINT — content-addressed, so refetches of identical bytes get
-      identical ids and the exact-dedup stage collapses them for free.
+    * ``doc_id`` = first 15 hex digits of the body's sha256 as a
+      BIGINT (15, not 16: a 16th digit could overflow signed BIGINT) —
+      content-addressed, so refetches of identical bytes get identical
+      ids and the exact-dedup stage collapses them for free.
     * text = permissive UTF-8 decode (JVM ``decode`` with
       round-trippable failure → non-UTF-8 bytes become replacement
       chars rather than failing the scan).

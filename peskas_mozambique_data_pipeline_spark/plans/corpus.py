@@ -104,6 +104,33 @@ def semantic_survivors(
     return docs.join(losers, id_col, "left_anti")
 
 
+def stage_ingest_warc(
+    spark: SparkSession,
+    warc_path: str,
+    zones: PipelineZones,
+    on_error: str = "skip",
+) -> str:
+    """Crawl front door (VERDICT r8 Next #5): WARC bytes →
+    ``documents``-shaped ``corpus_ingested`` zone, so a crawl archive
+    enters the SAME DAG the parquet corpus does.
+
+    ``read_warc`` (whole-file ``binaryFile`` rows, record fan-out in a
+    bounded ``mapInPandas``) → ``http_payload`` (200/text responses
+    only, filtered JVM-side before the envelope split) →
+    ``warc_to_documents`` (content-addressed sha256 doc ids, permissive
+    UTF-8 decode, ``url`` column for the URL front door).  The zone
+    write's range partition on doc_id is the pipeline's only shuffle;
+    ``on_error="skip"`` is the default here because a crawl archive at
+    scale always contains some malformed records and ingest must not
+    fail the whole DAG on one of them.
+    """
+    from ..io import warc as warc_io
+
+    records = warc_io.read_warc(spark, warc_path, on_error=on_error)
+    docs = warc_io.warc_to_documents(warc_io.http_payload(records))
+    return zones.write(docs, "corpus_ingested", range_by=["doc_id"])
+
+
 def stage_normalize(
     spark: SparkSession,
     docs: DataFrame,
@@ -427,7 +454,7 @@ def stage_pack(
 
 def run_corpus_pipeline(
     spark: SparkSession,
-    docs: DataFrame,
+    docs: DataFrame | None,
     zone_root: str,
     git_sha: str = "local",
     budget: int = 1024,
@@ -452,6 +479,8 @@ def run_corpus_pipeline(
     classifier_bias: int = 0,
     classifier_threshold: float = 0.0,
     classifier_dim: int = 2**18,
+    warc_path: str | None = None,
+    warc_on_error: str = "skip",
 ) -> dict[str, str]:
     """The full curation DAG through versioned zones.
 
@@ -498,12 +527,28 @@ def run_corpus_pipeline(
     zones = PipelineZones(zone_root, git_sha)
     out: dict[str, str] = {}
 
-    # front-door stages (r8): normalization, then URL refetch removal,
-    # both BEFORE the quality gate — cheapest first, and every
-    # downstream digest assumes canonical text
+    # crawl front door (r9): with ``warc_path`` the corpus ENTERS as
+    # WARC bytes — ingest writes the documents-shaped corpus_ingested
+    # zone and the rest of the DAG proceeds identically.  The external
+    # archive isn't a zone, so skip_fresh only checks zone existence.
     filter_upstreams: list[str] = []
+    if warc_path is not None:
+        if docs is not None:
+            raise ValueError("pass docs OR warc_path, not both")
+        if skip_fresh and zones.is_fresh("corpus_ingested"):
+            out["corpus_ingested"] = parquet_io.latest_version_path(
+                zone_root, "corpus_ingested"
+            )
+        else:
+            out["corpus_ingested"] = stage_ingest_warc(
+                spark, warc_path, zones, on_error=warc_on_error
+            )
+        docs = zones.read(spark, "corpus_ingested")
+        filter_upstreams = ["corpus_ingested"]
+    elif docs is None:
+        raise ValueError("docs is required when warc_path is not given")
     if normalize or unicode_form is not None:
-        if skip_fresh and zones.is_fresh("corpus_normalized"):
+        if skip_fresh and zones.is_fresh("corpus_normalized", *filter_upstreams):
             out["corpus_normalized"] = parquet_io.latest_version_path(
                 zone_root, "corpus_normalized"
             )

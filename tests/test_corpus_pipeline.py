@@ -558,3 +558,68 @@ def test_corpus_pipeline_fim_stage(spark, tmp_path):
     # packs read the augmented zone (doc count carried through)
     packs = spark.read.parquet(out["corpus_packs"])
     assert packs.agg(F.sum("n_docs")).first()[0] == len(aug)
+
+
+def test_warc_front_door_end_to_end(spark, tmp_path):
+    """VERDICT r8 Next #5: crawl bytes enter the SAME curation DAG —
+    WARC ingest → normalize → URL refetch dedup → quality → dedup →
+    pack, end to end from a synthetic member-gzip archive with a
+    malformed stretch (skip mode) and an http/https refetch pair."""
+    import gzip
+
+    from tests.test_warc import _http, _record
+
+    body_a = ("alpha document with plenty of genuine words to pass the "
+              "quality gate. " * 8).encode()
+    body_b = ("bravo document entirely different content and also long "
+              "enough to pass the gate. " * 8).encode()
+    recs = [
+        _record("warcinfo", b"software: test\r\n"),
+        _record(
+            "response", _http(body_a),
+            **{"WARC-Target-URI": "http://site.example/page?utm_source=x"},
+        ),
+        # refetch of the SAME canonical URL, different bytes — the URL
+        # front door must collapse it (winner = smaller content doc id)
+        _record(
+            "response", _http(body_a + b" trailing refetch delta"),
+            **{"WARC-Target-URI": "https://www.site.example/page"},
+        ),
+        _record(
+            "response", _http(body_b),
+            **{"WARC-Target-URI": "https://other.example/b"},
+        ),
+    ]
+    blob = recs[0] + b"CORRUPT\r\nstretch\r\n" + b"".join(recs[1:])
+    p = tmp_path / "crawl.warc.gz"
+    p.write_bytes(b"".join(gzip.compress(m) for m in [blob]))
+
+    out = corpus.run_corpus_pipeline(
+        spark,
+        None,
+        str(tmp_path / "zones"),
+        budget=10_000,
+        jaccard_threshold=0.5,
+        normalize=True,
+        url_col="url",
+        warc_path=str(p),
+    )
+    assert "corpus_ingested" in out and "corpus_url_deduped" in out
+    ingested = spark.read.parquet(out["corpus_ingested"])
+    assert ingested.count() == 3  # 3 text/200 responses survive ingest
+    url_deduped = spark.read.parquet(out["corpus_url_deduped"])
+    assert url_deduped.count() == 2  # refetch collapsed on canonical URL
+    urls = {r["url"] for r in url_deduped.collect()}
+    assert len(urls) == 2
+    packs = spark.read.parquet(out["corpus_packs"])
+    assert packs.agg(F.sum("n_docs")).first()[0] >= 1
+
+    # docs XOR warc_path is enforced
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        corpus.run_corpus_pipeline(
+            spark, ingested, str(tmp_path / "z2"), warc_path=str(p)
+        )
+    with _pytest.raises(ValueError):
+        corpus.run_corpus_pipeline(spark, None, str(tmp_path / "z3"))

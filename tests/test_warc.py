@@ -160,3 +160,37 @@ def test_read_warc_batches_bound_arrow(spark, tmp_path):
     docs = warc_to_documents(http_payload(df, batch_records=3))
     assert docs.count() == 20
     assert docs.select("doc_id").distinct().count() == 20
+
+
+def test_parse_warc_records_tolerant_resync():
+    recs = _archive()
+    # corrupt stretch between two valid records: strict raises, skip
+    # resyncs at the next WARC/ line and loses only the garbage
+    blob = recs[0] + b"GARBAGE not a record\r\nmore junk\r\n" + recs[1]
+    try:
+        list(parse_warc_records(blob))
+        raised = False
+    except ValueError:
+        raised = True
+    assert raised
+    got = list(parse_warc_records(blob, on_error="skip"))
+    types = [h.get("warc-type") for _, h, _ in got]
+    assert types == ["warcinfo", "response"]
+    # and an unknown mode is rejected loudly
+    try:
+        list(parse_warc_records(blob, on_error="quarantine"))
+        assert False
+    except ValueError:
+        pass
+
+
+def test_read_warc_skip_mode_and_long_content_length(spark, tmp_path):
+    recs = _archive()
+    blob = recs[0] + b"JUNKJUNK\r\nnoise\r\n" + recs[1] + recs[4]
+    p = tmp_path / "dirty.warc"
+    p.write_bytes(blob)
+    df = read_warc(spark, str(p), on_error="skip")
+    # content_length survives as BIGINT (>2 GiB records at crawl scale)
+    assert dict(df.dtypes)["content_length"] == "bigint"
+    rows = df.collect()
+    assert [r["warc_type"] for r in rows] == ["warcinfo", "response", "request"]
