@@ -306,6 +306,58 @@ def list_versions(zone_dir: str, prefix: str) -> list[str]:
     return [name for _ts, name in sorted(out)]
 
 
+FOLDED_LEDGER = "_FOLDED"
+
+
+def stream_batch_id(version_name: str) -> int | None:
+    """Streaming-delta batch id embedded in a version dir name
+    (``prefix__00000000000042_stream__`` → 42), or None for batch
+    (wall-clock) versions."""
+    m = VERSION_RE.search(version_name)
+    if m and m.group(2) == "stream":
+        return int(m.group(1))
+    return None
+
+
+def folded_ledger(zone_dir: str, snapshot_prefix: str) -> tuple[set[str], int]:
+    """The compaction ledger of the LATEST snapshot of
+    ``snapshot_prefix``: the delta version-dir names already folded
+    into it, plus the folded streaming batch-id high-water mark (−1
+    when no stream delta has ever been folded).
+
+    This is what makes index compaction safe against BOTH replay races
+    (ADVICE r8): a streaming micro-batch replayed after its delta was
+    folded+deleted is skipped by the sink (``batch_id <= hwm``), and a
+    compaction crash between snapshot write and delta deletion leaves
+    dirs that every loader and the next compaction ignore because the
+    ledger already names them.
+    """
+    try:
+        latest = latest_version_path(zone_dir, snapshot_prefix)
+    except FileNotFoundError:
+        return set(), -1
+    path = os.path.join(latest, FOLDED_LEDGER)
+    if not os.path.exists(path):
+        return set(), -1
+    with open(path, encoding="utf-8") as f:
+        lines = [ln.strip() for ln in f if ln.strip()]
+    return set(lines[1:]), int(lines[0])
+
+
+def write_folded_ledger(
+    snapshot_path: str, folded_names: set[str], stream_hwm: int
+) -> None:
+    """Record the folded-delta ledger INSIDE a snapshot version dir
+    (underscore-prefixed: invisible to parquet reads, travels and dies
+    with its version through vacuum)."""
+    with open(
+        os.path.join(snapshot_path, FOLDED_LEDGER), "w", encoding="utf-8"
+    ) as f:
+        f.write(str(int(stream_hwm)) + "\n")
+        for n in sorted(folded_names):
+            f.write(n + "\n")
+
+
 def vacuum_zone(
     spark: SparkSession,
     zone_dir: str,

@@ -79,11 +79,22 @@ def load_ivf_centroids(spark: SparkSession, zones, prefix: str = "ann_ivf") -> D
     return zones.read(spark, prefix + _CENTROIDS)
 
 
-def _delta_paths(zones, prefix: str) -> list[str]:
+def _delta_names(zones, prefix: str) -> list[str]:
     try:
-        names = parquet_io.list_versions(zones.root, prefix + _DELTA)
+        return parquet_io.list_versions(zones.root, prefix + _DELTA)
     except FileNotFoundError:
         return []
+
+
+def _live_delta_names(zones, prefix: str) -> list[str]:
+    """Delta dirs not yet folded into the latest postings snapshot per
+    its ledger — compaction-crash leftovers would double-count."""
+    folded, _ = parquet_io.folded_ledger(zones.root, prefix + _POSTINGS)
+    return [n for n in _delta_names(zones, prefix) if n not in folded]
+
+
+def _delta_paths(zones, prefix: str, live: bool = True) -> list[str]:
+    names = _live_delta_names(zones, prefix) if live else _delta_names(zones, prefix)
     return [os.path.join(zones.root, n) for n in names]
 
 
@@ -134,7 +145,8 @@ def append_ivf_vectors(
     """
     centroids = load_ivf_centroids(spark, zones, prefix)
     assigned = sim_ops.assign_to_centroids(new_vectors, centroids, corpus_id, vec_col)
-    n_existing = len(_delta_paths(zones, prefix))
+    # raw count (crash leftovers included) so sha suffixes never collide
+    n_existing = len(_delta_paths(zones, prefix, live=False))
     return parquet_io.write_versioned(
         assigned,
         zones.root,
@@ -151,11 +163,16 @@ def compact_ivf_index(
     delete the folded delta dirs and vacuum superseded postings
     versions down to ``keep_last``.
 
-    Crash-safe in the dedup-index sense: the new snapshot is fully
-    written before any deletion, and a re-run after a crash between
-    the two steps just folds an empty/smaller delta set again.
+    Crash/replay-safe via the folded ledger written inside the new
+    snapshot BEFORE any deletion (see ``text_index.compact_bm25_index``
+    for the full rationale): leftover folded dirs are never re-read,
+    and the streaming sink skips batches at or below the ledger's
+    high-water mark.
     """
-    deltas = _delta_paths(zones, prefix)
+    names = _live_delta_names(zones, prefix)
+    prev_folded, prev_hwm = parquet_io.folded_ledger(
+        zones.root, prefix + _POSTINGS
+    )
     folded = load_ivf_postings(spark, zones, prefix)
     # per-compaction sha suffix: version names stay unique even when a
     # save and its first compaction land within the same second
@@ -167,8 +184,17 @@ def compact_ivf_index(
         git_sha=f"{zones.git_sha}c{n_versions}",
         partition_by=["centroid_id"],
     )
-    for d in deltas:
-        shutil.rmtree(d, ignore_errors=True)
+    hwm = prev_hwm
+    for n in names:
+        b = parquet_io.stream_batch_id(n)
+        if b is not None:
+            hwm = max(hwm, b)
+    existing = set(os.listdir(zones.root))
+    parquet_io.write_folded_ledger(
+        path, (prev_folded & existing) | set(names), hwm
+    )
+    for n in set(names) | (prev_folded & existing):
+        shutil.rmtree(os.path.join(zones.root, n), ignore_errors=True)
     parquet_io.vacuum_zone(spark, zones.root, prefix + _POSTINGS, keep_last=keep_last)
     return path
 

@@ -94,13 +94,30 @@ def save_bm25_index(
     return paths
 
 
-def _delta_paths(zones, zone_prefix: str) -> list[str]:
-    import os
-
+def _delta_names(zones, zone_prefix: str) -> list[str]:
     try:
-        names = parquet_io.list_versions(zones.root, zone_prefix)
+        return parquet_io.list_versions(zones.root, zone_prefix)
     except FileNotFoundError:
         return []
+
+
+def _live_delta_names(zones, zone_prefix: str, snapshot_prefix: str) -> list[str]:
+    """Delta dirs NOT yet folded into the latest snapshot (per the
+    snapshot's ledger) — what loaders and compaction must read.  A dir
+    in the ledger but still on disk is a compaction-crash leftover:
+    reading it would double-count."""
+    folded, _ = parquet_io.folded_ledger(zones.root, snapshot_prefix)
+    return [n for n in _delta_names(zones, zone_prefix) if n not in folded]
+
+
+def _delta_paths(zones, zone_prefix: str, snapshot_prefix: str | None = None) -> list[str]:
+    import os
+
+    names = (
+        _live_delta_names(zones, zone_prefix, snapshot_prefix)
+        if snapshot_prefix
+        else _delta_names(zones, zone_prefix)
+    )
     return [os.path.join(zones.root, n) for n in names]
 
 
@@ -136,7 +153,10 @@ def load_bm25_postings(
     The snapshot reads through the catalog so the ``term IN`` literal
     becomes bucket pruning; deltas are small plain reads."""
     parts = [zones.read_bucketed(spark, prefix + _POSTINGS)]
-    parts.extend(spark.read.parquet(p) for p in _delta_paths(zones, prefix + _PDELTA))
+    parts.extend(
+        spark.read.parquet(p)
+        for p in _delta_paths(zones, prefix + _PDELTA, prefix + _POSTINGS)
+    )
     if terms is not None:
         vocab = sorted(set(terms))
         parts = [p.filter(F.col("term").isin(vocab)) for p in parts]
@@ -152,7 +172,10 @@ def load_bm25_stats(spark: SparkSession, zones, prefix: str = "bm25") -> tuple[i
     job (a collect per delta would schedule a job each — needless
     latency when appends have accumulated)."""
     frames = [zones.read(spark, prefix + _STATS)]
-    frames.extend(spark.read.parquet(p) for p in _delta_paths(zones, prefix + _SDELTA))
+    frames.extend(
+        spark.read.parquet(p)
+        for p in _delta_paths(zones, prefix + _SDELTA, prefix + _STATS)
+    )
     merged = frames[0]
     for f in frames[1:]:
         merged = merged.unionByName(f)
@@ -171,11 +194,27 @@ def compact_bm25_index(
     n_buckets: int = 8,
 ) -> dict[str, str]:
     """Fold postings + stats deltas into new snapshots, delete the
-    folded delta dirs, vacuum superseded snapshot versions.  New
-    snapshots are fully written before any deletion (crash-safe in the
-    dedup-index sense)."""
-    pdeltas = _delta_paths(zones, prefix + _PDELTA)
-    sdeltas = _delta_paths(zones, prefix + _SDELTA)
+    folded delta dirs, vacuum superseded snapshot versions.
+
+    Crash/replay safety is the folded LEDGER (``parquet_io
+    .folded_ledger``), written inside each new snapshot BEFORE any
+    deletion: it names every delta dir the snapshot contains plus the
+    streaming batch-id high-water mark.  A crash between snapshot
+    write and delta deletion leaves dirs the ledger already names —
+    loaders and the next compaction ignore them (no double fold), and
+    the next compaction sweeps them.  A streaming batch replayed after
+    its delta was folded+deleted is skipped by the sink via the
+    high-water mark (``streaming/index_sink.py``), so the ADDITIVE
+    stats row can never be counted twice.
+    """
+    import os
+
+    pnames = _live_delta_names(zones, prefix + _PDELTA, prefix + _POSTINGS)
+    snames = _live_delta_names(zones, prefix + _SDELTA, prefix + _STATS)
+    prev_p_folded, prev_hwm = parquet_io.folded_ledger(
+        zones.root, prefix + _POSTINGS
+    )
+    prev_s_folded, _ = parquet_io.folded_ledger(zones.root, prefix + _STATS)
     folded = load_bm25_postings(spark, zones, prefix)
     n_docs, sum_dl = load_bm25_stats(spark, zones, prefix)
     stats = spark.createDataFrame([(n_docs, sum_dl)], "n_docs long, sum_dl long")
@@ -188,8 +227,24 @@ def compact_bm25_index(
     out[prefix + _STATS] = parquet_io.write_versioned(
         stats, zones.root, prefix + _STATS, git_sha=f"{zones.git_sha}c{nv}"
     )
-    for d in pdeltas + sdeltas:
-        shutil.rmtree(d, ignore_errors=True)
+    # ledger before any deletion: carry forward still-on-disk leftovers
+    # from prior crashes, add this fold's names, advance the hwm
+    hwm = prev_hwm
+    for n in pnames + snames:
+        b = parquet_io.stream_batch_id(n)
+        if b is not None:
+            hwm = max(hwm, b)
+    existing = set(os.listdir(zones.root))
+    parquet_io.write_folded_ledger(
+        out[prefix + _POSTINGS], (prev_p_folded & existing) | set(pnames), hwm
+    )
+    parquet_io.write_folded_ledger(
+        out[prefix + _STATS], (prev_s_folded & existing) | set(snames), hwm
+    )
+    for n in set(pnames) | set(snames) | (prev_p_folded & existing) | (
+        prev_s_folded & existing
+    ):
+        shutil.rmtree(os.path.join(zones.root, n), ignore_errors=True)
     parquet_io.vacuum_zone(spark, zones.root, prefix + _POSTINGS, keep_last=keep_last)
     parquet_io.vacuum_zone(spark, zones.root, prefix + _STATS, keep_last=keep_last)
     return out

@@ -19,6 +19,14 @@ batch id satisfies the zone version regex, so ``list_versions`` and
 the batch compactors see streaming deltas exactly like batch deltas:
 ``compact_bm25_index`` / ``compact_ivf_index`` fold them unchanged.
 
+The replay window extends past compaction via the FOLDED LEDGER
+(ADVICE r8): compaction records, inside the new snapshot, the delta
+dir names it folded plus the max folded stream batch id.  A batch
+replayed AFTER its delta was folded+deleted would otherwise re-write
+the delta and be double-counted at the next fold; the sink skips any
+``batch_id <= hwm`` instead, so ``maintain_indexes`` may run at any
+time — no coordination with in-flight micro-batches required.
+
 IVF streaming adds are frozen-centroid (``assign_to_centroids`` with
 the stored centroids, re-read per batch — C×d, negligible), identical
 to the batch append semantics: the stream never moves centroids;
@@ -31,6 +39,7 @@ import os
 
 from pyspark.sql import DataFrame
 
+from ..io import parquet_io
 from ..operators import ann_index, text_index
 from ..operators import similarity as sim_ops
 
@@ -56,6 +65,13 @@ def bm25_index_sink(
     """
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
+        # replay-after-compaction guard: a batch at or below the folded
+        # high-water mark is already IN the snapshot (its delta was
+        # folded and deleted) — rewriting it would double-count the
+        # additive stats row at the next fold
+        _, hwm = parquet_io.folded_ledger(zones.root, prefix + "_postings")
+        if batch_id <= hwm:
+            return
         postings, stats = text_index.build_bm25_postings(
             batch_df, text_col=text_col, id_col=id_col
         )
@@ -79,6 +95,9 @@ def ivf_index_sink(
     vectors to the IVF index zone (frozen-centroid assignment)."""
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
+        _, hwm = parquet_io.folded_ledger(zones.root, prefix + "_postings")
+        if batch_id <= hwm:
+            return
         spark = batch_df.sparkSession
         centroids = ann_index.load_ivf_centroids(spark, zones, prefix)
         assigned = sim_ops.assign_to_centroids(

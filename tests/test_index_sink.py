@@ -152,3 +152,91 @@ def test_ensure_indexes_skip_if_fresh_and_maintain(spark, tmp_path):
     assert len(parquet_io.list_versions(str(tmp_path), "bm25_stats")) == 1
     n_docs, _ = text_index.load_bm25_stats(spark, zones)
     assert n_docs == 400  # retention kept the newest stats
+
+
+def test_bm25_replay_after_compaction_not_double_counted(spark, tmp_path):
+    """ADVICE r8: the exactly-once window must survive compaction.  A
+    batch whose delta was folded+deleted and then REPLAYED (checkpoint
+    hadn't committed) must be skipped via the folded high-water mark —
+    otherwise the next fold double-counts its postings and the additive
+    stats row."""
+    docs = _docs(spark)
+    base = docs.filter(F.col("doc_id") < 250)
+    extra = docs.filter(F.col("doc_id") >= 250)
+    zones = PipelineZones(str(tmp_path))
+    p, s = text_index.build_bm25_postings(base)
+    text_index.save_bm25_index(zones, p, s)
+
+    handle = index_sink.bm25_index_sink(zones)
+    handle(extra, 0)
+    text_index.compact_bm25_index(spark, zones)  # folds + deletes delta 0
+    stats_after = text_index.load_bm25_stats(spark, zones)
+    topk_after = rows(text_index.bm25_topk_from_zone(spark, zones, TERMS, k=25))
+
+    handle(extra, 0)  # replay of the already-folded batch
+    # the sink must NOT re-write the delta...
+    assert text_index._delta_paths(zones, "bm25_postings_delta") == []
+    assert text_index.load_bm25_stats(spark, zones) == stats_after
+    # ...and a subsequent compaction still can't double-count
+    text_index.compact_bm25_index(spark, zones)
+    assert text_index.load_bm25_stats(spark, zones) == stats_after
+    assert rows(text_index.bm25_topk_from_zone(spark, zones, TERMS, k=25)) == topk_after
+
+
+def test_bm25_compaction_crash_leftover_not_refolded(spark, tmp_path):
+    """Crash between snapshot write and delta deletion: the leftover
+    delta dir is named in the new snapshot's ledger, so loaders ignore
+    it and the next compaction sweeps it without refolding."""
+    import shutil
+
+    docs = _docs(spark)
+    base = docs.filter(F.col("doc_id") < 250)
+    extra = docs.filter(F.col("doc_id") >= 250)
+    zones = PipelineZones(str(tmp_path))
+    p, s = text_index.build_bm25_postings(base)
+    text_index.save_bm25_index(zones, p, s)
+
+    handle = index_sink.bm25_index_sink(zones)
+    handle(extra, 0)
+    # snapshot the delta dirs, compact, then "crash-restore" them as if
+    # deletion never ran
+    deltas = text_index._delta_paths(zones, "bm25_postings_delta") + \
+        text_index._delta_paths(zones, "bm25_stats_delta")
+    saved = {d: str(tmp_path / ("bak%d" % i)) for i, d in enumerate(deltas)}
+    for d, b in saved.items():
+        shutil.copytree(d, b)
+    text_index.compact_bm25_index(spark, zones)
+    stats_clean = text_index.load_bm25_stats(spark, zones)
+    for d, b in saved.items():
+        shutil.copytree(b, d)  # leftover dirs reappear
+
+    # loaders ignore ledgered leftovers
+    assert text_index.load_bm25_stats(spark, zones) == stats_clean
+    assert text_index._delta_paths(
+        zones, "bm25_postings_delta", "bm25_postings"
+    ) == []
+    # next compaction sweeps them and the totals stay exact
+    text_index.compact_bm25_index(spark, zones)
+    assert text_index.load_bm25_stats(spark, zones) == stats_clean
+    import os as _os
+
+    assert not any(_os.path.exists(d) for d in saved)
+
+
+def test_ivf_replay_after_compaction_skipped(spark, tmp_path):
+    emb = spark.read.parquet(os.path.join(SF, "embeddings.parquet")).select(
+        "vec_id", "embedding"
+    )
+    base = emb.filter(F.col("vec_id") % 4 != 0)
+    extra = emb.filter(F.col("vec_id") % 4 == 0)
+    zones = PipelineZones(str(tmp_path))
+    assignments, centroids = sim_ops.build_ivf_index(base, n_centroids=4, n_iters=2)
+    ann_index.save_ivf_index(zones, assignments, centroids)
+
+    handle = index_sink.ivf_index_sink(zones)
+    handle(extra, 0)
+    ann_index.compact_ivf_index(spark, zones)
+    n_after = ann_index.load_ivf_postings(spark, zones).count()
+    handle(extra, 0)  # replay post-fold: must be skipped
+    assert ann_index._delta_paths(zones, "ann_ivf") == []
+    assert ann_index.load_ivf_postings(spark, zones).count() == n_after
