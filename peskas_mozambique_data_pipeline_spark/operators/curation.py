@@ -712,6 +712,65 @@ def leakage_safe_split(
     return keyed.withColumn("split", expr).drop("_comp", "_split_key")
 
 
+def token_cum_before(
+    df: DataFrame,
+    order_col: str = "shuffle_pos",
+    tokens_col: str = "n_tokens",
+    n_parts: int | None = None,
+    eager_unpersist: bool = False,
+    out_col: str = "tok_before",
+) -> DataFrame:
+    """Exact-BIGINT tokens-before-this-doc over a TOTAL corpus order —
+    the distributed prefix sum shared by :func:`token_shard_ids` and
+    :func:`concat_split_layout`.
+
+    Single-node semantics are ``SUM(tokens) OVER (ORDER BY pos ROWS
+    UNBOUNDED PRECEDING AND 1 PRECEDING)``; a global window funnels
+    100 TB through one task, so this computes it two-phase: range
+    exchange on the order key, per-partition running sums (parallel
+    windows keyed by partition id), then one bounded collect of
+    per-partition token TOTALS whose prefix sums become broadcast
+    offsets.  ``order_col`` must be globally unique so cum-before is
+    well-defined.  ``eager_unpersist`` is the bounded-residency knob of
+    :func:`deterministic_shuffle` (the ranged frame feeds two jobs).
+    """
+    parts = n_parts or df.sparkSession.sparkContext.defaultParallelism
+    ranged_plan = (
+        df.withColumn("_tk", F.col(tokens_col).cast("long"))
+        .repartitionByRange(parts, F.col(order_col))
+        .sortWithinPartitions(order_col)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    if eager_unpersist:
+        from pyspark import StorageLevel
+
+        ranged = ranged_plan.persist(StorageLevel.MEMORY_AND_DISK)
+    else:
+        ranged = ranged_plan.localCheckpoint()
+    totals = ranged.groupBy("_pid").agg(F.sum("_tk").alias("_t"))
+    acc = 0
+    offsets = []
+    for pid, t in sorted((r["_pid"], r["_t"]) for r in totals.collect()):
+        offsets.append((int(pid), int(acc)))
+        acc += t
+    off = df.sparkSession.createDataFrame(offsets, "_pid int, _off long")
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = (
+        ranged.withColumn("_cum_local", F.coalesce(F.sum("_tk").over(w), F.lit(0)))
+        .join(F.broadcast(off), "_pid")
+        .withColumn(out_col, (F.col("_off") + F.col("_cum_local")).cast("long"))
+        .drop("_tk", "_pid", "_cum_local", "_off")
+    )
+    if eager_unpersist:
+        out = out.localCheckpoint()
+        ranged.unpersist(blocking=True)
+    return out
+
+
 def token_shard_ids(
     df: DataFrame,
     order_col: str = "shuffle_pos",
@@ -749,44 +808,104 @@ def token_shard_ids(
     materialized; with the knob on it goes through the releasable
     cache manager and frees as soon as the result materializes.
     """
-    parts = n_parts or df.sparkSession.sparkContext.defaultParallelism
-    ranged_plan = (
-        df.withColumn("_tk", F.col(tokens_col).cast("long"))
-        .repartitionByRange(parts, F.col(order_col))
-        .sortWithinPartitions(order_col)
-        .withColumn("_pid", F.spark_partition_id())
+    cum = token_cum_before(
+        df, order_col, tokens_col, n_parts, eager_unpersist, out_col="_cum"
     )
-    if eager_unpersist:
-        from pyspark import StorageLevel
+    return cum.withColumn(
+        # exact BIGINT division (never a double quotient — a
+        # float-rounded cum/budget near a shard boundary could
+        # flip the id; `div` is exact at any corpus size)
+        "shard_id",
+        F.expr(f"_cum div {int(shard_tokens)}"),
+    ).drop("_cum")
 
-        ranged = ranged_plan.persist(StorageLevel.MEMORY_AND_DISK)
-    else:
-        ranged = ranged_plan.localCheckpoint()
-    totals = ranged.groupBy("_pid").agg(F.sum("_tk").alias("_t"))
-    acc = 0
-    offsets = []
-    for pid, t in sorted((r["_pid"], r["_t"]) for r in totals.collect()):
-        offsets.append((int(pid), int(acc)))
-        acc += t
-    off = df.sparkSession.createDataFrame(offsets, "_pid int, _off long")
-    w = (
-        Window.partitionBy("_pid")
-        .orderBy(order_col)
-        .rowsBetween(Window.unboundedPreceding, -1)
+
+def concat_split_layout(
+    df: DataFrame,
+    order_col: str = "shuffle_pos",
+    tokens_col: str = "n_tokens",
+    seq_len: int = 2048,
+    n_parts: int | None = None,
+    eager_unpersist: bool = False,
+) -> DataFrame:
+    """GPT-style concat-and-split placement: the training stream is the
+    documents CONCATENATED in corpus order and cut into fixed
+    ``seq_len``-token sequences, documents splitting across sequence
+    boundaries (the standard causal-LM pretraining layout — vs
+    :func:`token_shard_ids`, which never splits a document).
+
+    Each document gets its exact placement, all in BIGINT arithmetic on
+    the shared distributed prefix sum (:func:`token_cum_before`):
+
+    * ``tok_before`` — tokens in the stream before this doc;
+    * ``seq_id``     — sequence holding the doc's first token
+      (``tok_before div seq_len``);
+    * ``seq_offset`` — position of that token within the sequence;
+    * ``end_seq``    — sequence holding the doc's LAST token (equals
+      ``seq_id`` for empty docs, which occupy no tokens);
+    * ``n_seqs``     — sequences the doc spans.
+
+    This is the full layout a loader needs to materialize any sequence
+    (and its attention-mask document boundaries) by reading only the
+    docs whose ``[seq_id, end_seq]`` range covers it; pair with
+    :func:`sequence_manifest` for the per-sequence span table.  Exact
+    integer end to end → bit-reproducible across engines and
+    partitionings.
+    """
+    L = int(seq_len)
+    if L <= 0:
+        raise ValueError(f"seq_len must be positive: {seq_len}")
+    cum = token_cum_before(
+        df, order_col, tokens_col, n_parts, eager_unpersist
     )
-    out = (
-        ranged.withColumn("_cum_local", F.coalesce(F.sum("_tk").over(w), F.lit(0)))
-        .join(F.broadcast(off), "_pid")
+    tok = F.col(tokens_col).cast("long")
+    seq_id = F.expr(f"tok_before div {L}")
+    return (
+        cum.withColumn("seq_id", seq_id)
+        .withColumn("seq_offset", F.pmod(F.col("tok_before"), F.lit(L)).cast("long"))
         .withColumn(
-            # exact BIGINT division (never a double quotient — a
-            # float-rounded cum/budget near a shard boundary could
-            # flip the id; `div` is exact at any corpus size)
-            "shard_id",
-            F.expr(f"(_off + _cum_local) div {int(shard_tokens)}"),
+            "end_seq",
+            F.when(tok > 0, F.expr(f"(tok_before + {tokens_col} - 1) div {L}"))
+            .otherwise(F.col("seq_id"))
+            .cast("long"),
         )
-        .drop("_tk", "_pid", "_cum_local", "_off")
+        .withColumn("n_seqs", (F.col("end_seq") - F.col("seq_id") + 1).cast("long"))
     )
-    if eager_unpersist:
-        out = out.localCheckpoint()
-        ranged.unpersist(blocking=True)
-    return out
+
+
+def sequence_manifest(
+    layout: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    seq_len: int = 2048,
+) -> DataFrame:
+    """Per-sequence document spans from a :func:`concat_split_layout`
+    frame: one row per (sequence, document) with the doc's token range
+    inside that sequence — exactly the table an attention-mask builder
+    or a seek-free loader consumes.
+
+    A doc spanning k sequences explodes to k rows (``sequence(seq_id,
+    end_seq)`` — bounded: a doc spans ``ceil(n_tok/seq_len)+1``
+    sequences), then pure arithmetic clamps its global token interval
+    to each sequence window.  One shuffle (the groupBy-free explode is
+    scan-shaped; callers usually write this hive-partitioned or sorted
+    by ``seq_id``).
+    """
+    L = int(seq_len)
+    tok = F.col(tokens_col).cast("long")
+    exploded = layout.filter(tok > 0).select(
+        id_col,
+        "tok_before",
+        tok.alias("_n"),
+        F.explode(F.sequence(F.col("seq_id"), F.col("end_seq"))).alias("seq_id"),
+    )
+    seq_start = F.col("seq_id") * L
+    begin = F.greatest(F.lit(0).cast("long"), F.col("tok_before") - seq_start)
+    end = F.least(F.lit(L).cast("long"), F.col("tok_before") + F.col("_n") - seq_start)
+    return exploded.select(
+        "seq_id",
+        F.col(id_col),
+        begin.alias("begin_in_seq"),
+        end.alias("end_in_seq"),
+        (end - begin).alias("n_tok_in_seq"),
+    )

@@ -292,6 +292,57 @@ def ngram_contamination(
     )
 
 
+def contamination_score(
+    train: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+) -> DataFrame:
+    """Graded contamination: per training document, its DISTINCT token
+    n-gram count, how many appear in the benchmark, and the overlap
+    fraction — the severity signal behind partial-overlap policies
+    (e.g. "drop > 50 % overlapped, keep but downweight 1-gram-hit
+    docs"), where :func:`ngram_contamination`'s boolean only supports
+    drop/keep.
+
+    One pass over the exploded grams: the benchmark's distinct digests
+    broadcast with a hit marker, a LEFT join preserves non-hit grams
+    (bg is distinct, so the join never multiplies rows), and a single
+    groupBy(doc) counts totals and hits together — same scale shape as
+    the boolean operator (corpus shuffles once, on the id key, narrow
+    rows), one extra column.  Zero-gram docs (shorter than n tokens)
+    keep frac 0.0 rather than NULL-dividing.
+    """
+    tg = train.select(
+        id_col, F.explode(F.array_distinct(token_ngrams(text_col, n))).alias("gram")
+    ).select(id_col, F.md5("gram").alias("_gh"))
+    bg = (
+        benchmark.select(
+            F.explode(F.array_distinct(token_ngrams(text_col, n))).alias("gram")
+        )
+        .select(F.md5("gram").alias("_gh"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    per_doc = tg.join(F.broadcast(bg), "_gh", "left").groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long").alias("n_overlap"),
+    )
+    return (
+        train.join(per_doc, id_col, "left")
+        .withColumn("n_grams", F.coalesce(F.col("n_grams"), F.lit(0)).cast("long"))
+        .withColumn("n_overlap", F.coalesce(F.col("n_overlap"), F.lit(0)).cast("long"))
+        .withColumn(
+            "overlap_frac",
+            F.when(
+                F.col("n_grams") > 0,
+                F.round(F.col("n_overlap") / F.col("n_grams"), 9),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+
+
 def decontaminate(
     train: DataFrame,
     benchmark: DataFrame,

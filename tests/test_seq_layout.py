@@ -1,0 +1,119 @@
+"""Concat-and-split sequence layout (operators/curation.py):
+the GPT-style pretraining placement — docs concatenated in training
+order, cut into fixed-length sequences — plus the per-sequence span
+manifest, and the graded contamination score."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from peskas_mozambique_data_pipeline_spark.operators import curation, text as text_ops
+
+
+def _docs(spark, toks):
+    return spark.createDataFrame(
+        [(i, i, t) for i, t in enumerate(toks)],
+        "doc_id long, shuffle_pos long, n_tokens long",
+    )
+
+
+def _python_layout(toks, L):
+    out, cum = [], 0
+    for i, t in enumerate(toks):
+        seq_id = cum // L
+        end_seq = (cum + t - 1) // L if t > 0 else seq_id
+        out.append((i, cum, seq_id, cum % L, end_seq, end_seq - seq_id + 1))
+        cum += t
+    return out
+
+
+@pytest.mark.parametrize("L", [4, 7, 100])
+def test_concat_split_layout_matches_python_twin(spark, L):
+    toks = [3, 0, 9, 1, 4, 25, 2, 0, 6]
+    got = {
+        r["doc_id"]: (
+            r["doc_id"], r["tok_before"], r["seq_id"], r["seq_offset"],
+            r["end_seq"], r["n_seqs"],
+        )
+        for r in curation.concat_split_layout(
+            _docs(spark, toks), seq_len=L, n_parts=3
+        ).collect()
+    }
+    for want in _python_layout(toks, L):
+        assert got[want[0]] == want
+
+
+def test_concat_split_layout_partitioning_invariant(spark):
+    toks = [5, 13, 1, 8, 2, 21, 3]
+    a = curation.concat_split_layout(_docs(spark, toks), seq_len=8, n_parts=1)
+    b = curation.concat_split_layout(
+        _docs(spark, toks).repartition(5), seq_len=8, n_parts=4
+    )
+    key = lambda df: sorted(tuple(r) for r in df.collect())
+    assert key(a) == key(b)
+
+
+def test_sequence_manifest_covers_every_token_exactly_once(spark):
+    toks = [3, 9, 1, 4, 25, 2, 6]
+    L = 8
+    layout = curation.concat_split_layout(_docs(spark, toks), seq_len=L)
+    man = curation.sequence_manifest(layout, seq_len=L).collect()
+    total = sum(toks)
+    # spans tile the token stream: per sequence they abut, begin<end,
+    # and the summed span lengths equal the corpus token count
+    assert sum(r["n_tok_in_seq"] for r in man) == total
+    by_seq: dict[int, list] = {}
+    for r in man:
+        assert 0 <= r["begin_in_seq"] < r["end_in_seq"] <= L
+        by_seq.setdefault(r["seq_id"], []).append(r)
+    n_seqs = (total + L - 1) // L
+    assert set(by_seq) == set(range(n_seqs))
+    for sid, rows in by_seq.items():
+        rows.sort(key=lambda r: r["begin_in_seq"])
+        assert rows[0]["begin_in_seq"] == 0
+        for a, b in zip(rows, rows[1:]):
+            assert a["end_in_seq"] == b["begin_in_seq"]
+        want_end = L if sid < n_seqs - 1 else total - sid * L
+        assert rows[-1]["end_in_seq"] == want_end
+    # empty docs occupy no span
+    assert all(r["n_tok_in_seq"] > 0 for r in man)
+
+
+def test_token_shard_ids_unchanged_by_refactor(spark):
+    # the shared prefix sum must reproduce the pre-refactor semantics:
+    # shard = tokens-before div budget over the total order
+    toks = [10, 10, 10, 10, 10]
+    out = curation.token_shard_ids(
+        _docs(spark, toks), shard_tokens=25, n_parts=2
+    ).collect()
+    got = {r["doc_id"]: r["shard_id"] for r in out}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 1, 4: 1}
+
+
+def test_contamination_score_fraction_and_boolean_agree(spark):
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog entirely"),
+            (2, "completely unrelated words about maritime navigation charts"),
+            (3, "tiny"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(1, "quick brown fox jumps over")], "doc_id long, text string"
+    )
+    scored = {
+        r["doc_id"]: r
+        for r in text_ops.contamination_score(train, bench, n=5).collect()
+    }
+    flagged = {
+        r["doc_id"]: r
+        for r in text_ops.ngram_contamination(train, bench, n=5).collect()
+    }
+    for d in (1, 2, 3):
+        assert scored[d]["n_overlap"] == flagged[d]["n_overlap"]
+        assert (scored[d]["overlap_frac"] > 0) == flagged[d]["contaminated"]
+    assert scored[1]["n_overlap"] == 1  # exactly the shared 5-gram
+    assert scored[1]["n_grams"] == 6    # 10 tokens -> 6 distinct 5-grams
+    assert scored[3]["n_grams"] == 0 and scored[3]["overlap_frac"] == 0.0
