@@ -327,3 +327,122 @@ def digest_doc_id(body_bytes: bytes) -> int:
     """Python twin of the ``doc_id`` expression in
     :func:`warc_to_documents`, for tests."""
     return int(hashlib.sha256(body_bytes).hexdigest()[:15], 16)
+
+
+CDX_SCHEMA = StructType(
+    [
+        StructField("canonical_url", StringType()),
+        StructField("url", StringType()),
+        StructField("warc_date", StringType()),
+        StructField("warc_file", StringType()),
+        StructField("record_offset", LongType()),
+        StructField("content_length", LongType()),
+        StructField("digest", StringType()),
+    ]
+)
+
+
+def build_cdx(records: DataFrame) -> DataFrame:
+    """CDX-style capture index over ``read_warc`` output: one row per
+    ``response`` record — the lookup table that makes a WARC archive
+    randomly accessible (the role of the CDX(J) files that ship next
+    to Common Crawl's WARCs).
+
+    Columns: canonical URL key (the dedup-family key, so index lookups
+    and URL dedup agree on identity), raw URL, capture date, the
+    (file, offset-in-decompressed-stream) locator, payload length and
+    the payload's sha256 — all JVM-side column expressions over the
+    already-parsed record frame; no second pass over the bytes.
+
+    At crawl scale, persist with ``save_cdx_zone`` (bucketed by the
+    URL key) so point lookups prune to one bucket instead of scanning
+    the index.
+    """
+    from ..operators.web import canonical_url as _canon
+
+    return records.filter(F.col("warc_type") == "response").select(
+        _canon(F.col("target_uri")).alias("canonical_url"),
+        F.col("target_uri").alias("url"),
+        "warc_date",
+        "warc_file",
+        "record_offset",
+        "content_length",
+        F.sha2(F.col("payload"), 256).alias("digest"),
+    )
+
+
+def save_cdx_zone(zones, cdx: DataFrame, prefix: str = "cdx", n_buckets: int = 8) -> str:
+    """Persist a CDX frame bucketed on ``canonical_url`` — point
+    lookups and URL-keyed joins against the archive index read one
+    bucket, not the index."""
+    return zones.write_bucketed(cdx, prefix, ["canonical_url"], n_buckets)
+
+
+def fetch_by_cdx(
+    spark: SparkSession, cdx: DataFrame, warc_root: str
+) -> DataFrame:
+    """Random-access record extraction: given CDX rows (``warc_file``,
+    ``record_offset``), re-read ONLY the referenced records from the
+    archive under ``warc_root``.
+
+    Distributed shape: offsets aggregate per file (one shuffle over
+    the — tiny — CDX selection), join the whole-file ``binaryFile``
+    scan on path, then a bounded ``mapInPandas`` decompresses each
+    matched file once and parses records ONLY at the requested
+    offsets (no full-archive record fan-out, no driver collect).
+    Files the selection never references are dropped by the inner
+    join before any byte is decompressed.
+    """
+    wants = cdx.groupBy("warc_file").agg(
+        F.collect_set("record_offset").alias("_offs")
+    )
+    raw = (
+        spark.read.format("binaryFile")
+        .load(warc_root)
+        .select(F.col("path").alias("warc_file"), "content")
+        .join(wants, "warc_file")
+    )
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for fpath, content, offs in zip(
+                pdf["warc_file"], pdf["content"], pdf["_offs"]
+            ):
+                data = bytes(content)
+                if data[:2] == b"\x1f\x8b":
+                    data = gunzip_members(data)
+                want = {int(o) for o in offs}
+                for off, hdrs, payload in parse_warc_records(data, "skip"):
+                    if off not in want:
+                        continue
+                    rows.append(
+                        (
+                            fpath,
+                            off,
+                            hdrs.get("warc-type"),
+                            hdrs.get("warc-record-id"),
+                            hdrs.get("warc-target-uri"),
+                            hdrs.get("warc-date"),
+                            hdrs.get("content-type"),
+                            len(payload),
+                            payload,
+                        )
+                    )
+            if rows:
+                cols = list(zip(*rows))
+                yield pd.DataFrame(
+                    {
+                        "warc_file": cols[0],
+                        "record_offset": pd.Series(cols[1], dtype="int64"),
+                        "warc_type": cols[2],
+                        "record_id": cols[3],
+                        "target_uri": cols[4],
+                        "warc_date": cols[5],
+                        "content_type": cols[6],
+                        "content_length": pd.Series(cols[7], dtype="int64"),
+                        "payload": cols[8],
+                    }
+                )
+
+    return raw.mapInPandas(process, WARC_SCHEMA)

@@ -194,3 +194,72 @@ def test_read_warc_skip_mode_and_long_content_length(spark, tmp_path):
     assert dict(df.dtypes)["content_length"] == "bigint"
     rows = df.collect()
     assert [r["warc_type"] for r in rows] == ["warcinfo", "response", "request"]
+
+
+def test_cdx_index_and_random_access_fetch(spark, tmp_path):
+    """CDX capture index + fetch_by_cdx: the index locates records by
+    canonical URL, and the fetch re-reads ONLY the referenced records
+    from the archive (member-gzip layout included)."""
+    import gzip
+
+    from peskas_mozambique_data_pipeline_spark.io.warc import (
+        build_cdx,
+        fetch_by_cdx,
+    )
+
+    recs = _archive()
+    root = tmp_path / "archive"
+    root.mkdir()
+    (root / "a.warc").write_bytes(b"".join(recs))
+    (root / "b.warc.gz").write_bytes(
+        b"".join(gzip.compress(m) for m in recs)
+    )
+    records = read_warc(spark, str(root))
+    cdx = build_cdx(records)
+    rows = cdx.collect()
+    # one CDX row per response record per file (3 responses x 2 files)
+    assert len(rows) == 6
+    assert all(r["digest"] is not None and len(r["digest"]) == 64 for r in rows)
+    # canonical key matches the URL-dedup family's key function
+    assert {r["canonical_url"] for r in rows} == {
+        "a.example/x", "a.example/missing", "a.example/img.png"
+    }
+
+    # point lookup -> fetch only that record from the archive
+    want = cdx.filter(F.col("canonical_url") == "a.example/x")
+    got = fetch_by_cdx(spark, want, str(root)).collect()
+    assert len(got) == 2  # same capture in both files
+    assert all(r["warc_type"] == "response" for r in got)
+    assert all(b"alpha page" in bytes(r["payload"]) for r in got)
+    # offsets round-trip exactly
+    want_keys = {(r["warc_file"], r["record_offset"]) for r in want.collect()}
+    assert {(r["warc_file"], r["record_offset"]) for r in got} == want_keys
+
+
+def test_cdx_zone_bucketed_lookup(spark, tmp_path):
+    from peskas_mozambique_data_pipeline_spark.io.warc import (
+        build_cdx,
+        save_cdx_zone,
+    )
+    from peskas_mozambique_data_pipeline_spark.plans.pipeline import (
+        PipelineZones,
+    )
+
+    p = tmp_path / "c.warc"
+    p.write_bytes(b"".join(_archive()))
+    zones = PipelineZones(str(tmp_path / "zones"))
+    save_cdx_zone(zones, build_cdx(read_warc(spark, str(p))))
+    back = zones.read_bucketed(spark, "cdx")
+    assert back.count() == 3
+    # bucketed-by-key zone: a key-grouped lookup prunes buckets (the
+    # groupBy keeps the bucketed scan alive — Spark's
+    # DisableUnnecessaryBucketedScan drops it for filter-only reads)
+    plan = (
+        back.filter(F.col("canonical_url") == "a.example/x")
+        .groupBy("canonical_url")
+        .agg(F.count(F.lit(1)))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SelectedBucketsCount" in plan
