@@ -421,6 +421,57 @@ def stage_export_shards(
     return path
 
 
+def stage_seq_layout(
+    spark: SparkSession,
+    zones: PipelineZones,
+    seq_len: int = 2048,
+    source: str = "corpus_shuffled",
+) -> str:
+    """Trainer-facing export, causal-LM flavor: the GPT-style
+    concat-and-split placement over the shuffled corpus
+    (``curation.concat_split_layout``) plus the per-sequence span
+    manifest (``curation.sequence_manifest``), written as two products
+    of ONE zone version: the layout at the root and the spans
+    hive-partitioned under ``_spans`` ordered by sequence — the pair a
+    loader needs to materialize any fixed-length training sequence
+    (and its attention-mask document boundaries) without a scan.
+
+    Unlike ``stage_export_shards`` documents DO split across sequence
+    boundaries here — the standard pretraining layout; both exports can
+    coexist on one shuffled order.
+    """
+    import os
+
+    from ..operators import curation as cur_ops
+
+    shuffled = zones.read(spark, source)
+    tokens_col = next(
+        (c for c in ("pack_tokens", "n_tokens") if c in shuffled.columns), None
+    )
+    if tokens_col is None:
+        shuffled = shuffled.withColumn(
+            "n_tokens", text_ops.token_count("text").cast("long")
+        )
+        tokens_col = "n_tokens"
+    id_col = "pack_id" if "pack_id" in shuffled.columns else "doc_id"
+    layout = cur_ops.concat_split_layout(
+        shuffled, order_col="shuffle_pos", tokens_col=tokens_col,
+        seq_len=seq_len, eager_unpersist=True,
+    )
+    path = zones.write(layout, "sequence_layout", range_by=["seq_id"])
+    spans = cur_ops.sequence_manifest(
+        spark.read.parquet(path), id_col=id_col, tokens_col=tokens_col,
+        seq_len=seq_len,
+    )
+    spans.repartitionByRange(
+        max(2, spans.sparkSession.sparkContext.defaultParallelism // 4),
+        "seq_id",
+    ).sortWithinPartitions("seq_id", "begin_in_seq").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(path, "_spans"))
+    return path
+
+
 def stage_augment(
     spark: SparkSession,
     zones: PipelineZones,
@@ -471,6 +522,7 @@ def run_corpus_pipeline(
     decontam_n: int = 13,
     shuffle_salt: str | None = None,
     shard_tokens: int | None = None,
+    seq_len: int | None = None,
     fim_rate: float | None = None,
     normalize: bool = False,
     unicode_form: str | None = None,
@@ -506,7 +558,11 @@ def run_corpus_pipeline(
     dedup), so shared chrome can't inflate shingle overlap.
     With ``shuffle_salt`` set, the packed corpus gets its final
     deterministic training-order permutation as a ``corpus_shuffled``
-    zone (one salt per epoch); adding ``shard_tokens`` additionally
+    zone (one salt per epoch); ``seq_len`` additionally exports the
+    concat-and-split sequence layout + per-sequence span manifest
+    (``sequence_layout`` zone, docs splitting across fixed-length
+    sequences — the causal-LM pretraining view; can coexist with the
+    no-split shard export below); adding ``shard_tokens`` additionally
     cuts that order into contiguous token-budget shards written
     hive-partitioned on ``shard_id`` (``training_shards`` zone — the
     directory-per-shard layout a trainer's loader consumes).
@@ -693,5 +749,14 @@ def run_corpus_pipeline(
             else:
                 out["training_shards"] = stage_export_shards(
                     spark, zones, shard_tokens=shard_tokens
+                )
+        if seq_len is not None:
+            if skip_fresh and zones.is_fresh("sequence_layout", "corpus_shuffled"):
+                out["sequence_layout"] = parquet_io.latest_version_path(
+                    zone_root, "sequence_layout"
+                )
+            else:
+                out["sequence_layout"] = stage_seq_layout(
+                    spark, zones, seq_len=seq_len
                 )
     return out

@@ -117,3 +117,36 @@ def test_contamination_score_fraction_and_boolean_agree(spark):
     assert scored[1]["n_overlap"] == 1  # exactly the shared 5-gram
     assert scored[1]["n_grams"] == 6    # 10 tokens -> 6 distinct 5-grams
     assert scored[3]["n_grams"] == 0 and scored[3]["overlap_frac"] == 0.0
+
+
+def test_stage_seq_layout_in_corpus_dag(spark, tmp_path):
+    from peskas_mozambique_data_pipeline_spark.plans import corpus
+
+    docs = spark.createDataFrame(
+        [
+            (i, "w%d " % i + "a genuinely informative sentence with "
+             "plenty of distinct words ends here. " * (3 + i % 4), "en")
+            for i in range(12)
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = corpus.run_corpus_pipeline(
+        spark,
+        docs,
+        str(tmp_path / "zones"),
+        budget=10_000,
+        jaccard_threshold=0.99,
+        shuffle_salt="e1",
+        seq_len=16,
+    )
+    assert "sequence_layout" in out
+    layout = spark.read.parquet(out["sequence_layout"])
+    tok_col = "pack_tokens" if "pack_tokens" in layout.columns else "n_tokens"
+    total = layout.agg(F.sum(tok_col)).first()[0]
+    spans = spark.read.parquet(out["sequence_layout"] + "/_spans")
+    # spans tile the packed token stream exactly
+    assert spans.agg(F.sum("n_tok_in_seq")).first()[0] == total
+    n_seqs = (total + 15) // 16
+    assert spans.select("seq_id").distinct().count() == n_seqs
+    # reading the zone root does NOT pick up the _spans side dir
+    assert "begin_in_seq" not in layout.columns
