@@ -150,3 +150,39 @@ def test_stage_seq_layout_in_corpus_dag(spark, tmp_path):
     assert spans.select("seq_id").distinct().count() == n_seqs
     # reading the zone root does NOT pick up the _spans side dir
     assert "begin_in_seq" not in layout.columns
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_concat_split_layout_plan_shape(spark):
+    # post-checkpoint the visible plan is: broadcast offsets join +
+    # per-partition windows — never a sort-merge join, never Python.
+    # (The range exchange sits BEFORE the lineage-truncating
+    # checkpoint, so it can't appear here; its effect — the total
+    # order — is what the python-twin/partitioning-invariance tests
+    # pin.)
+    toks = list(range(50))
+    lay = curation.concat_split_layout(_docs(spark, toks), seq_len=7, n_parts=4)
+    plan = _plan(lay)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_contamination_score_broadcasts_benchmark(spark):
+    # the GRAM join must broadcast the benchmark digests — a shuffle on
+    # the Zipf-skewed gram key (_gh) is the anti-pattern; the doc-id
+    # join-back is corpus-grain on both sides, so a sort-merge there
+    # is legitimate
+    train = spark.createDataFrame(
+        [(i, "some words repeated across documents %d" % i) for i in range(50)],
+        "doc_id long, text string",
+    )
+    bench = train.filter(F.col("doc_id") % 7 == 0)
+    plan = _plan(text_ops.contamination_score(train, bench, n=3))
+    assert "BroadcastHashJoin" in plan
+    for line in plan.splitlines():
+        if "SortMergeJoin" in line:
+            assert "_gh" not in line, line
