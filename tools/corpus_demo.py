@@ -3,13 +3,14 @@ optional stage enabled — over the driver testdata plus synthetic
 refetch/boilerplate noise, and print per-zone row counts and timings.
 
     normalize → url_dedup → quality → classify → line_scrub →
-    decontaminate → dedup → semantic → span_scrub → pack → shuffle →
-    export_shards
+    decontaminate → dedup → semantic → span_scrub → augment → pack →
+    shuffle → export_shards → seq_layout
 
 Usage: python tools/corpus_demo.py [sf_dir]   (default /root/testdata/sf0.001)
 
-Proves the plans/corpus.py DAG composes end to end with all twelve
-stages active (incl. the token-budget training-shard export), that each stage's zone lands versioned and
+Proves the plans/corpus.py DAG composes end to end with all fourteen
+stages active (incl. the token-budget training-shard export and the
+concat-and-split sequence layout), that each stage's zone lands versioned and
 range-partitioned, and that nothing in the composition collects a
 corpus to the driver (timings stay flat in the doc count).
 """
@@ -94,6 +95,8 @@ def main() -> int:
         scrub_spans=True,
         shuffle_salt="epoch0",
         shard_tokens=2048,
+        seq_len=512,
+        fim_rate=0.25,
     )
     wall = time.time() - t0
 
@@ -108,8 +111,10 @@ def main() -> int:
         "corpus_semantic",
         "corpus_scrubbed",
         "corpus_packs",
+        "corpus_augmented",
         "corpus_shuffled",
         "training_shards",
+        "sequence_layout",
     ]
     print(f"input docs: {n0}   wall: {wall:.1f}s   zones: {len(out)}")
     missing = [z for z in order if z not in out]
