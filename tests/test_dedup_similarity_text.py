@@ -1628,3 +1628,58 @@ def test_connected_components_probe_cadence_parity(spark):
             for r in connected_components(edges, probe_every=cadence).collect()
         )
         assert got == base, cadence
+
+
+def test_luhn_card_redaction(spark):
+    from peskas_mozambique_data_pipeline_spark.operators.text import (
+        luhn_valid,
+        redact_cards,
+        redact_pii,
+    )
+
+    rows = [
+        # 4111111111111111 is the canonical Luhn-valid test PAN;
+        # ...1112 fails the checksum; 123456789012 is too short
+        (1, "pay with 4111111111111111 now"),
+        (2, "order 4111111111111112 shipped"),
+        (3, "ref 123456789012 and card 5500005555555559."),
+        (4, "no digits here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in redact_cards(df).collect()}
+    assert got[1]["redacted"] == "pay with [CARD] now"
+    assert got[1]["n_cards"] == 1
+    assert got[2]["redacted"] == rows[1][1]  # Luhn-invalid: untouched
+    assert got[2]["n_cards"] == 0
+    assert got[3]["redacted"] == "ref 123456789012 and card [CARD]."
+    assert got[4]["n_cards"] == 0
+
+    # python-twin check of the validator itself
+    def luhn_py(s):
+        total = 0
+        for i, ch in enumerate(reversed(s)):
+            d = int(ch)
+            if i % 2 == 1:
+                d = d * 2
+                if d > 9:
+                    d -= 9
+            total += d
+        return total % 10 == 0
+
+    nums = ["4111111111111111", "4111111111111112", "5500005555555559",
+            "79927398713", "79927398710"]
+    vdf = spark.createDataFrame([(n,) for n in nums], "n string")
+    got_v = {
+        r["n"]: r["v"]
+        for r in vdf.select("n", luhn_valid("n").alias("v")).collect()
+    }
+    for n in nums:
+        assert got_v[n] == luhn_py(n), n
+
+    # composition: cards first, then the generic patterns
+    composed = redact_pii(
+        redact_cards(df), text_col="redacted", out_col="final"
+    ).collect()
+    final = {r["doc_id"]: r["final"] for r in composed}
+    assert "[CARD]" in final[1]          # card survived as [CARD]
+    assert "[NUM]" in final[2]           # invalid run became [NUM]
