@@ -423,6 +423,58 @@ def save_ivfpq_index(
     return paths
 
 
+def append_ivfpq_vectors(
+    spark: SparkSession,
+    zones,
+    new_vectors: DataFrame,
+    prefix: str = "ann_ivfpq",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 2,
+    dim: int = 64,
+) -> str:
+    """Incremental add to the IVF+PQ zone under FROZEN structures (the
+    FAISS add semantics): route each new vector to its nearest stored
+    IVF centroid, PQ-encode it against the stored codebooks
+    (``similarity.pq_encode`` — the build's exact assignment rule), and
+    land (id, wide codes, list id) as a centroid-partitioned delta.
+
+    Cost is two broadcast joins over the NEW rows only; the existing
+    index is never read.  The delta schema matches the snapshot, so
+    ``ivfpq_topk_from_zone`` sees appended vectors immediately (its
+    ``load_ivf_postings`` unions snapshot + deltas) and
+    ``compact_ivf_index(prefix="ann_ivfpq")`` folds them with the
+    ledger's replay/crash guarantees — every ANN tier now has the same
+    build → append → probe → compact lifecycle.
+    """
+    centroids = load_ivf_centroids(spark, zones, prefix)
+    codebooks = zones.read(spark, prefix + "_codebooks")
+    assigned = sim_ops.assign_to_centroids(
+        new_vectors, centroids, corpus_id, vec_col
+    )
+    codes = sim_ops.pq_encode(
+        new_vectors, codebooks, m=m, dim=dim,
+        corpus_id=corpus_id, vec_col=vec_col,
+    )
+    codes_wide = codes.groupBy(corpus_id).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("subspace", "code"))),
+            lambda s: s.code,
+        ).alias("_codes")
+    )
+    postings = codes_wide.join(
+        assigned.select(corpus_id, "centroid_id"), corpus_id
+    )
+    n_existing = len(_delta_paths(zones, prefix, live=False))
+    return parquet_io.write_versioned(
+        postings,
+        zones.root,
+        prefix + _DELTA,
+        git_sha=f"{zones.git_sha}d{n_existing}",
+        partition_by=["centroid_id"],
+    )
+
+
 def ivfpq_topk_from_zone(
     spark: SparkSession,
     zones,

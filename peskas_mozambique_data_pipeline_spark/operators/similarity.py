@@ -641,6 +641,45 @@ def _subspaces(df: DataFrame, vec_col: str, m: int, d_sub: int) -> DataFrame:
     ).select(*[c for c in df.columns if c != vec_col], "_sp.subspace", "_sp.subvec")
 
 
+def _pq_assign(subs: DataFrame, codebooks: DataFrame, corpus_id: str) -> DataFrame:
+    """Nearest-centroid code per (vector, subspace) against a broadcast
+    codebook — the assignment kernel shared by the k-means build and
+    the frozen-codebook encode."""
+    scored = subs.join(F.broadcast(codebooks), "subspace").withColumn(
+        "_d2", _l2sq(F.col("subvec"), F.col("centroid"))
+    )
+    w = Window.partitionBy(corpus_id, "subspace").orderBy(
+        F.col("_d2").asc(), F.col("centroid_id").asc()
+    )
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select(corpus_id, "subspace", "subvec",
+                F.col("centroid_id").alias("code"))
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    m: int = 2,
+    dim: int = 64,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode vectors under FROZEN codebooks — the FAISS add-time
+    semantics (training moved the centroids; adds never do).  One
+    broadcast join + per-(vector, subspace) argmin over the NEW rows
+    only; identical assignment rule to the build's final pass, so an
+    incrementally-encoded vector gets exactly the code a full rebuild
+    with the same codebooks would give it (pytest-pinned).
+    """
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
+    subs = _subspaces(corpus.select(corpus_id, vec_col), vec_col, m, dim // m)
+    return _pq_assign(subs, codebooks, corpus_id)
+
+
 def build_pq_index(
     corpus: DataFrame,
     m: int = 2,
@@ -698,18 +737,7 @@ def build_pq_index(
     )
 
     def assign(cb: DataFrame) -> DataFrame:
-        scored = subs.join(F.broadcast(cb), "subspace").withColumn(
-            "_d2", _l2sq(F.col("subvec"), F.col("centroid"))
-        )
-        w = Window.partitionBy(corpus_id, "subspace").orderBy(
-            F.col("_d2").asc(), F.col("centroid_id").asc()
-        )
-        return (
-            scored.withColumn("_rk", F.row_number().over(w))
-            .filter(F.col("_rk") == 1)
-            .select(corpus_id, "subspace", "subvec",
-                    F.col("centroid_id").alias("code"))
-        )
+        return _pq_assign(subs, cb, corpus_id)
 
     assignments = assign(codebooks)
     for _ in range(n_iters - 1):

@@ -108,3 +108,48 @@ def ivf_index_sink(
         )
 
     return handle
+
+
+def ivfpq_index_sink(
+    zones,
+    prefix: str = "ann_ivfpq",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 2,
+    dim: int = 64,
+):
+    """A ``foreachBatch`` handler appending each micro-batch of NEW
+    vectors to the IVF+PQ zone (frozen centroids AND codebooks) — the
+    same exactly-once shape as the other sinks: batch-id delta path +
+    overwrite + the folded high-water-mark skip."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        _, hwm = parquet_io.folded_ledger(zones.root, prefix + "_postings")
+        if batch_id <= hwm:
+            return
+        spark = batch_df.sparkSession
+        centroids = ann_index.load_ivf_centroids(spark, zones, prefix)
+        codebooks = zones.read(spark, prefix + "_codebooks")
+        assigned = sim_ops.assign_to_centroids(
+            batch_df, centroids, corpus_id, vec_col
+        )
+        codes = sim_ops.pq_encode(
+            batch_df, codebooks, m=m, dim=dim,
+            corpus_id=corpus_id, vec_col=vec_col,
+        )
+        from pyspark.sql import functions as F
+
+        codes_wide = codes.groupBy(corpus_id).agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("subspace", "code"))),
+                lambda s: s.code,
+            ).alias("_codes")
+        )
+        postings = codes_wide.join(
+            assigned.select(corpus_id, "centroid_id"), corpus_id
+        )
+        postings.write.mode("overwrite").partitionBy("centroid_id").parquet(
+            _delta_dir(zones, prefix + "_postings_delta", batch_id)
+        )
+
+    return handle

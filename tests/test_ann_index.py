@@ -172,3 +172,59 @@ def test_ivfpq_zone_matches_in_job_tier(spark, tmp_path):
         k_nn=5, n_probe=2, m=2, k=4, dim=64,
     )
     assert rows(got) == rows(expected)
+
+
+def test_ivfpq_append_matches_frozen_rebuild(spark, tmp_path):
+    """Frozen-structure IVF+PQ appends: base index built on part of the
+    corpus, the rest appended; the zone must equal a from-scratch
+    ENCODE of the full corpus under the SAME centroids/codebooks (the
+    FAISS add semantics), and the probe must see appended vectors both
+    before and after compaction."""
+    emb = _emb(spark)
+    base = emb.filter(F.col("vec_id") % 4 != 0)
+    extra = emb.filter(F.col("vec_id") % 4 == 0)
+    queries = _queries(emb)
+    zones = PipelineZones(str(tmp_path))
+    ivf_assign, ivf_cents = sim_ops.build_ivf_index(base, n_centroids=8, n_iters=2)
+    pq_codes, pq_books = sim_ops.build_pq_index(base, m=2, k=4, n_iters=2, dim=64)
+    ann_index.save_ivfpq_index(zones, ivf_assign, ivf_cents, pq_codes, pq_books)
+
+    ann_index.append_ivfpq_vectors(spark, zones, extra, m=2, dim=64)
+
+    # expected: encode the FULL corpus under the same frozen structures
+    full_assign = sim_ops.assign_to_centroids(emb, ivf_cents)
+    full_codes = sim_ops.pq_encode(emb, pq_books, m=2, dim=64)
+    got_members = rows(
+        ann_index.load_ivf_postings(spark, zones, "ann_ivfpq").select(
+            "vec_id", "centroid_id"
+        )
+    )
+    assert got_members == rows(full_assign.select("vec_id", "centroid_id"))
+    expected = sim_ops.ivfpq_topk(
+        queries, full_assign, ivf_cents, full_codes, pq_books,
+        k_nn=5, n_probe=2, m=2, k=4, dim=64,
+    )
+    got = ann_index.ivfpq_topk_from_zone(
+        spark, zones, queries, k_nn=5, n_probe=2, m=2, k=4, dim=64
+    )
+    assert rows(got) == rows(expected)
+
+    # compaction folds the delta; results identical afterwards
+    ann_index.compact_ivf_index(spark, zones, prefix="ann_ivfpq")
+    assert ann_index._delta_paths(zones, "ann_ivfpq") == []
+    got2 = ann_index.ivfpq_topk_from_zone(
+        spark, zones, queries, k_nn=5, n_probe=2, m=2, k=4, dim=64
+    )
+    assert rows(got2) == rows(expected)
+
+
+def test_pq_encode_matches_build_final_assignment(spark):
+    """pq_encode under the build's own codebooks must reproduce the
+    build's final assignment exactly — the frozen-encode rule IS the
+    build's last pass."""
+    emb = _emb(spark)
+    codes, books = sim_ops.build_pq_index(emb, m=2, k=4, n_iters=2, dim=64)
+    re_encoded = sim_ops.pq_encode(emb, books, m=2, dim=64)
+    assert rows(codes.select("vec_id", "subspace", "code")) == rows(
+        re_encoded.select("vec_id", "subspace", "code")
+    )

@@ -240,3 +240,42 @@ def test_ivf_replay_after_compaction_skipped(spark, tmp_path):
     handle(extra, 0)  # replay post-fold: must be skipped
     assert ann_index._delta_paths(zones, "ann_ivf") == []
     assert ann_index.load_ivf_postings(spark, zones).count() == n_after
+
+
+def test_streamed_ivfpq_appends_match_frozen_rebuild(spark, tmp_path):
+    """IVF+PQ streaming sink: stream-fed zone == frozen-structure
+    encode of the full corpus, with the replay-after-compaction skip."""
+    emb = spark.read.parquet(os.path.join(SF, "embeddings.parquet")).select(
+        "vec_id", "embedding"
+    )
+    base = emb.filter(F.col("vec_id") % 4 != 0)
+    extra = emb.filter(F.col("vec_id") % 4 == 0)
+    zones = PipelineZones(str(tmp_path))
+    ivf_assign, ivf_cents = sim_ops.build_ivf_index(base, n_centroids=4, n_iters=2)
+    pq_codes, pq_books = sim_ops.build_pq_index(base, m=2, k=4, n_iters=2, dim=64)
+    ann_index.save_ivfpq_index(zones, ivf_assign, ivf_cents, pq_codes, pq_books)
+
+    handle = index_sink.ivfpq_index_sink(zones, m=2, dim=64)
+    handle(extra, 0)
+    full_assign = sim_ops.assign_to_centroids(emb, ivf_cents)
+    got = rows(
+        ann_index.load_ivf_postings(spark, zones, "ann_ivfpq").select(
+            "vec_id", "centroid_id"
+        )
+    )
+    assert got == rows(full_assign.select("vec_id", "centroid_id"))
+
+    # replay pre-compaction: overwrite, not duplicate
+    handle(extra, 0)
+    assert (
+        ann_index.load_ivf_postings(spark, zones, "ann_ivfpq").count()
+        == emb.count()
+    )
+    # replay post-compaction: skipped via the ledger hwm
+    ann_index.compact_ivf_index(spark, zones, prefix="ann_ivfpq")
+    handle(extra, 0)
+    assert ann_index._delta_paths(zones, "ann_ivfpq") == []
+    assert (
+        ann_index.load_ivf_postings(spark, zones, "ann_ivfpq").count()
+        == emb.count()
+    )
