@@ -286,6 +286,37 @@ def save_ivf_index_int8(
     return paths
 
 
+def append_ivf_vectors_int8(
+    spark: SparkSession,
+    zones,
+    new_vectors: DataFrame,
+    prefix: str = "ann_ivf8",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """Incremental add to the int8 IVF zone: route new vectors to their
+    nearest FROZEN centroid, quantize them (per-vector symmetric scale
+    — independent of every other row, so incremental quantization IS
+    the rebuild's), and land the codes as a centroid-partitioned
+    delta.  Same lifecycle as the float and PQ tiers: probes see the
+    delta immediately, ``compact_ivf_index(prefix="ann_ivf8")`` folds
+    it under the ledger guarantees."""
+    centroids = load_ivf_centroids(spark, zones, prefix)
+    assigned = sim_ops.assign_to_centroids(
+        new_vectors, centroids, corpus_id, vec_col
+    )
+    q = sim_ops.quantize_embeddings_int8(assigned, vec_col=vec_col)
+    postings = q.select(corpus_id, "embedding_q", "q_scale", "centroid_id")
+    n_existing = len(_delta_paths(zones, prefix, live=False))
+    return parquet_io.write_versioned(
+        postings,
+        zones.root,
+        prefix + _DELTA,
+        git_sha=f"{zones.git_sha}d{n_existing}",
+        partition_by=["centroid_id"],
+    )
+
+
 def ivf_topk_int8_from_zone(
     spark: SparkSession,
     zones,

@@ -228,3 +228,37 @@ def test_pq_encode_matches_build_final_assignment(spark):
     assert rows(codes.select("vec_id", "subspace", "code")) == rows(
         re_encoded.select("vec_id", "subspace", "code")
     )
+
+
+def test_int8_append_matches_frozen_rebuild(spark, tmp_path):
+    """int8 IVF appends: per-vector symmetric quantization is
+    row-independent, so base+append must equal a from-scratch quantize
+    of the full corpus under the same frozen centroids — probed results
+    identical before and after compaction."""
+    emb = _emb(spark)
+    base = emb.filter(F.col("vec_id") % 4 != 0)
+    extra = emb.filter(F.col("vec_id") % 4 == 0)
+    queries = _queries(emb)
+    zones = PipelineZones(str(tmp_path))
+    assignments, centroids = sim_ops.build_ivf_index(base, n_centroids=4, n_iters=2)
+    ann_index.save_ivf_index_int8(zones, assignments, centroids)
+
+    ann_index.append_ivf_vectors_int8(spark, zones, extra)
+
+    full_assign = sim_ops.assign_to_centroids(emb, centroids)
+    zone_members = rows(
+        ann_index.load_ivf_postings(spark, zones, "ann_ivf8").select(
+            "vec_id", "centroid_id"
+        )
+    )
+    assert zone_members == rows(full_assign.select("vec_id", "centroid_id"))
+
+    before = rows(
+        ann_index.ivf_topk_int8_from_zone(spark, zones, queries, k=5, n_probe=2)
+    )
+    ann_index.compact_ivf_index(spark, zones, prefix="ann_ivf8")
+    assert ann_index._delta_paths(zones, "ann_ivf8") == []
+    after = rows(
+        ann_index.ivf_topk_int8_from_zone(spark, zones, queries, k=5, n_probe=2)
+    )
+    assert before == after
