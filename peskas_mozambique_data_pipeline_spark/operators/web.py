@@ -414,3 +414,128 @@ def stream_url_dedup(
     return keyed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         ["canonical_url"]
     )
+
+
+ROBOTS_RULES_SCHEMA = "host string, allow boolean, prefix string"
+
+
+def parse_robots(
+    df: DataFrame,
+    host_col: str = "host",
+    text_col: str = "robots_txt",
+    user_agent: str = "*",
+) -> DataFrame:
+    """Parse robots.txt bodies into (host, allow, prefix) rules for one
+    user agent — original-standard prefix rules (RFC 9309 ``*``/``$``
+    wildcard extensions are out of scope and documented as such; a
+    conservative crawler treats a wildcard rule it can't evaluate as a
+    disallow by pre-normalizing upstream).
+
+    Group attribution is stateful (rules belong to the nearest
+    preceding ``User-agent`` block, specific-agent groups override
+    ``*``), so the parse runs in an Arrow-batched ``mapInPandas`` —
+    the WARC-parser convention for connector-side stateful byte/text
+    work; everything downstream (:func:`filter_robots_disallowed`) is
+    pure JVM.  One robots.txt per HOST, so this frame is tiny next to
+    the corpus it gates.
+    """
+    import pandas as pd
+
+    ua = user_agent.lower()
+
+    def parse_one(text: str) -> list[tuple[bool, str]]:
+        groups: list[tuple[list[str], list[tuple[bool, str]]]] = []
+        agents: list[str] = []
+        rules: list[tuple[bool, str]] = []
+        in_rules = False
+        for raw in (text or "").splitlines():
+            line = raw.split("#", 1)[0].strip()
+            if not line or ":" not in line:
+                continue
+            key, val = (s.strip() for s in line.split(":", 1))
+            key = key.lower()
+            if key == "user-agent":
+                if in_rules and agents:
+                    groups.append((agents, rules))
+                    agents, rules = [], []
+                in_rules = False
+                agents.append(val.lower())
+            elif key in ("allow", "disallow"):
+                in_rules = True
+                if val:
+                    rules.append((key == "allow", val))
+                elif key == "disallow":
+                    # "Disallow:" empty means allow everything
+                    rules.append((True, "/"))
+        if agents:
+            groups.append((agents, rules))
+        # specific-agent group beats the wildcard group
+        for want_specific in (True, False):
+            for ags, rs in groups:
+                if want_specific and any(a != "*" and a in ua for a in ags):
+                    return rs
+                if not want_specific and "*" in ags:
+                    return rs
+        return []
+
+    def process(batches):
+        for pdf in batches:
+            out = []
+            for host, text in zip(pdf[host_col], pdf[text_col]):
+                for allow, prefix in parse_one(text):
+                    out.append((host, allow, prefix))
+            yield pd.DataFrame(
+                out, columns=["host", "allow", "prefix"]
+            ) if out else pd.DataFrame(
+                {"host": pd.Series(dtype="object"),
+                 "allow": pd.Series(dtype="bool"),
+                 "prefix": pd.Series(dtype="object")}
+            )
+
+    return df.select(host_col, text_col).mapInPandas(
+        process, ROBOTS_RULES_SCHEMA
+    )
+
+
+def filter_robots_disallowed(
+    df: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+) -> DataFrame:
+    """Drop rows whose URL a robots rule set disallows — longest-match
+    precedence with allow winning ties (the Google/RFC 9309 rule), as
+    pure JVM expressions.
+
+    Per-host rules aggregate to ONE array row and broadcast (robots is
+    host-grained — tiny next to the corpus), so the corpus never
+    shuffles: a left join on the host key, then an array ``filter`` +
+    ``array_max`` pick the most specific matching rule.  URLs with no
+    rules (or no parseable host) pass — robots gates what it names,
+    nothing else.
+    """
+    per_host = rules.groupBy("host").agg(
+        F.collect_list(F.struct("allow", "prefix")).alias("_rules")
+    )
+    keyed = df.withColumn("_h", host_of(url_col)).withColumn(
+        "_p",
+        F.coalesce(_part(F.col(url_col) if isinstance(url_col, str) else url_col, "PATH"), F.lit("/")),
+    )
+    joined = keyed.join(F.broadcast(per_host), keyed["_h"] == per_host["host"], "left")
+    matched = F.filter(
+        F.col("_rules"), lambda r: F.col("_p").startswith(r.prefix)
+    )
+    # most specific rule wins; at equal length allow (true) sorts above
+    # disallow in the struct ordering, implementing allow-wins-ties
+    best = F.array_max(
+        F.transform(
+            matched,
+            lambda r: F.struct(
+                F.length(r.prefix).alias("n"), r.allow.alias("allow")
+            ),
+        )
+    )
+    return (
+        joined.withColumn("_best", best)
+        .filter(F.col("_best").isNull() | F.col("_best.allow"))
+        .drop("_h", "_p", "host", "_rules", "_best")
+    )

@@ -317,3 +317,82 @@ def test_psl_matcher_stays_jvm_side_no_join(spark):
     )
     for bad in ("Join", "Exchange", "BatchEvalPython", "ArrowEvalPython"):
         assert bad not in plan
+
+
+_ROBOTS = """
+# crawl policy
+User-agent: megabot
+Disallow: /private/
+Allow: /private/ok/
+
+User-agent: *
+Disallow: /tmp/
+Disallow: /private/
+Allow: /private/public/
+"""
+
+
+def test_parse_robots_group_attribution(spark):
+    df = spark.createDataFrame(
+        [("site.example", _ROBOTS), ("empty.example", ""),
+         ("open.example", "User-agent: *\nDisallow:\n")],
+        "host string, robots_txt string",
+    )
+    star = {
+        (r["host"], r["allow"], r["prefix"])
+        for r in web.parse_robots(df).collect()
+    }
+    # wildcard group rules; empty Disallow: means allow-all
+    assert ("site.example", False, "/tmp/") in star
+    assert ("site.example", False, "/private/") in star
+    assert ("site.example", True, "/private/public/") in star
+    assert ("open.example", True, "/") in star
+    assert not any(h == "empty.example" for h, _, _ in star)
+    # the specific agent gets ITS group, not the wildcard's
+    mega = {
+        (r["allow"], r["prefix"])
+        for r in web.parse_robots(df, user_agent="megabot/2.1").collect()
+        if r["host"] == "site.example"
+    }
+    assert mega == {(False, "/private/"), (True, "/private/ok/")}
+
+
+def test_filter_robots_disallowed_longest_match(spark):
+    rules_src = spark.createDataFrame(
+        [("site.example", _ROBOTS)], "host string, robots_txt string"
+    )
+    rules = web.parse_robots(rules_src)
+    urls = spark.createDataFrame(
+        [
+            (1, "https://site.example/tmp/x"),          # disallowed
+            (2, "https://site.example/private/doc"),    # disallowed
+            (3, "https://site.example/private/public/a"),  # allow overrides
+            (4, "https://site.example/index.html"),     # no rule -> pass
+            (5, "https://other.example/tmp/x"),         # no robots -> pass
+            (6, "not a url"),                           # unparseable -> pass
+        ],
+        "doc_id long, url string",
+    )
+    kept = {r["doc_id"] for r in web.filter_robots_disallowed(urls, rules).collect()}
+    assert kept == {3, 4, 5, 6}
+    # annotation-free: schema preserved
+    assert web.filter_robots_disallowed(urls, rules).columns == urls.columns
+
+
+def test_filter_robots_plan_broadcasts_rules(spark):
+    rules_src = spark.createDataFrame(
+        [("site.example", _ROBOTS)], "host string, robots_txt string"
+    )
+    rules = web.parse_robots(rules_src)
+    urls = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("https://site.example/p/"), F.col("id")).alias("url"),
+    )
+    plan = (
+        web.filter_robots_disallowed(urls, rules)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
