@@ -158,6 +158,26 @@ def split_http_payload(payload: bytes):
     return status, "\r\n".join(lines[1:]), payload[sep + 4 :]
 
 
+def _records_pdf(rows):
+    """WARC_SCHEMA-shaped pandas frame from parsed record tuples — the
+    Arrow batch builder shared by the batch scan, the CDX fetch, and
+    the streaming twin."""
+    cols = list(zip(*rows))
+    return pd.DataFrame(
+        {
+            "warc_file": cols[0],
+            "record_offset": pd.Series(cols[1], dtype="int64"),
+            "warc_type": cols[2],
+            "record_id": cols[3],
+            "target_uri": cols[4],
+            "warc_date": cols[5],
+            "content_type": cols[6],
+            "content_length": pd.Series(cols[7], dtype="int64"),
+            "payload": cols[8],
+        }
+    )
+
+
 def read_warc(
     spark: SparkSession, path: str, batch_records: int = 512,
     on_error: str = "raise",
@@ -197,26 +217,10 @@ def read_warc(
                         )
                     )
                     if len(rows) >= batch_records:
-                        yield _to_pdf(rows)
+                        yield _records_pdf(rows)
                         rows = []
             if rows:
-                yield _to_pdf(rows)
-
-    def _to_pdf(rows):
-        cols = list(zip(*rows))
-        return pd.DataFrame(
-            {
-                "warc_file": cols[0],
-                "record_offset": pd.Series(cols[1], dtype="int64"),
-                "warc_type": cols[2],
-                "record_id": cols[3],
-                "target_uri": cols[4],
-                "warc_date": cols[5],
-                "content_type": cols[6],
-                "content_length": pd.Series(cols[7], dtype="int64"),
-                "payload": cols[8],
-            }
-        )
+                yield _records_pdf(rows)
 
     raw = (
         spark.read.format("binaryFile")
@@ -446,3 +450,61 @@ def fetch_by_cdx(
                 )
 
     return raw.mapInPandas(process, WARC_SCHEMA)
+
+
+def stream_warc_documents(
+    spark: SparkSession,
+    landing_dir: str,
+    batch_records: int = 512,
+    on_error: str = "skip",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming twin of the WARC→documents front door: watch a landing
+    directory for NEW archive files and emit ``documents``-shaped rows
+    as they arrive — continuous crawl ingest instead of batch backfill.
+
+    The ``binaryFile`` file-stream source gives the same whole-file
+    rows as the batch scan, so the identical stateless
+    ``mapInPandas``/projection chain runs per micro-batch; the file is
+    the unit of progress (a half-written archive must be moved into
+    the landing dir atomically, the standard file-source contract).
+    Compose with ``streaming.ingest.write_zone`` or the dedup/URL
+    front-door streaming twins; content-addressed doc ids mean a
+    re-delivered file dedups downstream exactly like a batch refetch.
+    """
+    reader = spark.readStream.format("binaryFile")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    raw = reader.schema(
+        "path string, modificationTime timestamp, length long, content binary"
+    ).load(landing_dir).select("path", "content")
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[tuple] = []
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                data = bytes(content)
+                if data[:2] == b"\x1f\x8b":
+                    data = gunzip_members(data)
+                for off, hdrs, payload in parse_warc_records(data, on_error):
+                    rows.append(
+                        (
+                            fpath,
+                            off,
+                            hdrs.get("warc-type"),
+                            hdrs.get("warc-record-id"),
+                            hdrs.get("warc-target-uri"),
+                            hdrs.get("warc-date"),
+                            hdrs.get("content-type"),
+                            len(payload),
+                            payload,
+                        )
+                    )
+                    if len(rows) >= batch_records:
+                        yield _records_pdf(rows)
+                        rows = []
+            if rows:
+                yield _records_pdf(rows)
+
+    records = raw.mapInPandas(process, WARC_SCHEMA)
+    return warc_to_documents(http_payload(records))

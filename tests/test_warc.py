@@ -263,3 +263,43 @@ def test_cdx_zone_bucketed_lookup(spark, tmp_path):
         .toString()
     )
     assert "SelectedBucketsCount" in plan
+
+
+def test_stream_warc_documents_matches_batch(spark, tmp_path):
+    """Streaming WARC ingest == batch ingest over the same archives."""
+    import gzip
+
+    from peskas_mozambique_data_pipeline_spark.io.warc import (
+        http_payload as _hp,
+        stream_warc_documents,
+        warc_to_documents as _w2d,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    recs = _archive()
+    (landing / "a.warc").write_bytes(b"".join(recs))
+    (landing / "b.warc.gz").write_bytes(
+        b"".join(gzip.compress(m) for m in recs)
+    )
+
+    docs_stream = stream_warc_documents(
+        spark, str(landing), max_files_per_trigger=1
+    )
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        docs_stream.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out_dir)
+    batch = _w2d(_hp(read_warc(spark, str(landing))))
+    key = lambda df: sorted(
+        (r["doc_id"], r["url"], r["text"]) for r in df.collect()
+    )
+    assert key(got) == key(batch)
+    assert got.count() == 2  # one text/200 response per file
