@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import bpe_ish_tokens
@@ -231,4 +231,67 @@ def score_hashed_linear_map(
             F.lit(1.0)
             / (F.lit(1.0) + F.exp(-(score_nano.cast("double") / NANO)))
         ).alias("prob"),
+    )
+
+
+def calibrate_threshold(
+    scored: DataFrame,
+    label_col: str = "label",
+    score_col: str = "score_nano",
+) -> DataFrame:
+    """Operating-point table for a scored validation set: one row per
+    DISTINCT score with the exact confusion counts and nano-unit
+    precision/recall/F1 of the rule ``predict positive iff score >=
+    that score`` — pick a row, use its score as the production
+    threshold (e.g. max f1_nano, or the first row whose precision
+    clears a floor).
+
+    Exact integers end to end: per-score (pos, neg) counts, cumulative
+    sums down the score order, and metrics as BIGINT ``div`` nano
+    ratios — no float comparisons anywhere, so the chosen threshold is
+    engine- and partitioning-independent.  The cumulative window runs
+    over DISTINCT scores (bounded by the validation set, which is
+    small by construction — calibration data is hand-labeled); the
+    corpus-grain aggregation below it is one groupBy.
+    """
+    per = scored.groupBy(score_col).agg(
+        F.sum(F.when(F.col(label_col) == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("_pos"),
+        F.sum(F.when(F.col(label_col) == 1, 0).otherwise(1))
+        .cast("long")
+        .alias("_neg"),
+    )
+    w = (
+        Window.orderBy(F.col(score_col).desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    total_pos = F.sum("_pos").over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    cum = (
+        per.withColumn("tp", F.sum("_pos").over(w).cast("long"))
+        .withColumn("fp", F.sum("_neg").over(w).cast("long"))
+        .withColumn("fn", (total_pos - F.col("tp")).cast("long"))
+    )
+    nano = F.lit(1_000_000_000).cast("long")
+    precision = F.expr("(tp * 1000000000L) div (tp + fp)")
+    recall = F.expr("(tp * 1000000000L) div (tp + fn)")
+    # F1 = 2tp / (2tp + fp + fn), computed directly from counts so the
+    # nano rounding happens ONCE (never compounding p/r roundings)
+    f1 = F.expr("(2 * tp * 1000000000L) div (2 * tp + fp + fn)")
+    return cum.select(
+        F.col(score_col).alias("threshold"),
+        "tp",
+        "fp",
+        "fn",
+        F.when(F.col("tp") + F.col("fp") > 0, precision)
+        .otherwise(nano)
+        .alias("precision_nano"),
+        F.when(F.col("tp") + F.col("fn") > 0, recall)
+        .otherwise(nano)
+        .alias("recall_nano"),
+        F.when(
+            2 * F.col("tp") + F.col("fp") + F.col("fn") > 0, f1
+        ).otherwise(F.lit(0).cast("long")).alias("f1_nano"),
     )

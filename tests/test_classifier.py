@@ -225,3 +225,38 @@ def test_map_tier_scores_a_stream(spark, tmp_path):
         ).collect()
     }
     assert out == batch
+
+
+def test_calibrate_threshold_exact_counts(spark):
+    from peskas_mozambique_data_pipeline_spark.operators.classifier import (
+        calibrate_threshold,
+    )
+
+    # scores with a clean separation point at 30: labels 1 above it
+    rows = [
+        (100, 1), (80, 1), (80, 1), (50, 0), (30, 1), (10, 0), (10, 0), (5, 0),
+    ]
+    df = spark.createDataFrame(rows, "score_nano long, label int")
+    got = {r["threshold"]: r for r in calibrate_threshold(df).collect()}
+
+    # python twin over the same definition
+    import collections
+    per = collections.Counter()
+    for s_, y in rows:
+        per[s_] = per[s_]
+    scores = sorted({s_ for s_, _ in rows}, reverse=True)
+    total_pos = sum(1 for _, y in rows if y == 1)
+    tp = fp = 0
+    for t in scores:
+        tp += sum(1 for s_, y in rows if s_ == t and y == 1)
+        fp += sum(1 for s_, y in rows if s_ == t and y == 0)
+        fn = total_pos - tp
+        r = got[t]
+        assert (r["tp"], r["fp"], r["fn"]) == (tp, fp, fn), t
+        assert r["precision_nano"] == (tp * 10**9) // (tp + fp)
+        assert r["recall_nano"] == (tp * 10**9) // (tp + fn)
+        assert r["f1_nano"] == (2 * tp * 10**9) // (2 * tp + fp + fn)
+
+    # the best-F1 operating point is the separation threshold
+    best = max(got.values(), key=lambda r: (r["f1_nano"], r["threshold"]))
+    assert best["threshold"] == 30
