@@ -1,0 +1,128 @@
+"""Streaming curation composition (streaming/curate.py): the
+stream-safe DAG subset runs as ONE continuous query and admits exactly
+the documents the batch operators admit."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from peskas_mozambique_data_pipeline_spark.operators import (
+    classifier as clf_ops,
+    text as text_ops,
+    web as web_ops,
+)
+from peskas_mozambique_data_pipeline_spark.streaming import curate as sc
+from peskas_mozambique_data_pipeline_spark.streaming import ingest as si
+
+GOOD = (
+    "This is a genuinely informative paragraph with plenty of distinct "
+    "words and proper sentences that ends correctly. " * 3
+)
+CONTAM = "the secret benchmark passage hides right here in plain sight."
+
+
+def _rows():
+    return [
+        # survives everything
+        (1, "2024-01-01 00:00:01", "http://site.example/ok/1", GOOD + "alpha."),
+        # robots-disallowed path
+        (2, "2024-01-01 00:00:02", "http://site.example/private/x", GOOD + "beta."),
+        # fails the quality gate (no terminal punctuation, tiny)
+        (3, "2024-01-01 00:00:03", "http://site.example/ok/3", "tiny fragment"),
+        # contaminated against the benchmark
+        (4, "2024-01-01 00:00:04", "http://site.example/ok/4",
+         GOOD + " " + CONTAM),
+        # URL refetch of doc 1's page (tracking param): first-seen wins
+        (5, "2024-01-01 00:00:05",
+         "https://www.site.example/ok/1?utm_source=x", GOOD + "gamma."),
+        # exact content duplicate of doc 1 at a new URL
+        (6, "2024-01-01 00:00:06", "http://site.example/ok/6", GOOD + "alpha."),
+        # independent survivor
+        (7, "2024-01-01 00:00:07", "http://site.example/ok/7", GOOD + "delta."),
+    ]
+
+
+@pytest.fixture()
+def parts(spark):
+    docs = spark.createDataFrame(
+        _rows(), "doc_id long, ts string, url string, text string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    robots = web_ops.parse_robots(
+        spark.createDataFrame(
+            [("site.example", "User-agent: *\nDisallow: /private/\n")],
+            "host string, robots_txt string",
+        )
+    )
+    benchmark = spark.createDataFrame([(99, CONTAM)], "doc_id long, text string")
+    return docs, robots, benchmark
+
+
+def test_stream_curate_matches_batch_gates(spark, parts, tmp_path):
+    docs, robots, benchmark = parts
+    src = str(tmp_path / "landing")
+    docs.repartition(3).write.parquet(src)
+    stream = si.stream_landing_zone(spark, src, spark.read.parquet(src).schema)
+
+    curated = sc.stream_curate(
+        stream,
+        url_col="url",
+        robots_rules=robots,
+        benchmark=benchmark,
+        decontam_n=5,
+    )
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = si.write_zone(curated, out_dir, ckpt)
+    q.awaitTermination(180)
+    got = {r["doc_id"] for r in spark.read.parquet(out_dir).collect()}
+
+    # 2 robots, 3 quality, 4 contamination, and within-watermark dedup
+    # kills one of {1,5} (URL refetch) and one of {1,6} (exact dup);
+    # doc 7 survives.  With single-batch delivery order 1 wins both.
+    assert 7 in got
+    assert got & {2, 3, 4} == set()
+    assert len(got & {1, 5}) == 1   # one canonical-URL representative
+    assert len(got & {1, 6}) == 1   # one content representative
+
+    # batch-operator parity on the stateless gates
+    batch_robots = web_ops.filter_robots_disallowed(docs, robots, "url")
+    assert 2 not in {r["doc_id"] for r in batch_robots.collect()}
+    batch_quality = docs.filter(text_ops.c4_keep_expr("text"))
+    assert 3 not in {r["doc_id"] for r in batch_quality.collect()}
+    batch_contam = text_ops.ngram_contamination(docs, benchmark, n=5)
+    assert {
+        r["doc_id"] for r in batch_contam.filter("contaminated").collect()
+    } == {4}
+
+
+def test_stream_curate_classifier_gate(spark, parts, tmp_path):
+    docs, _, _ = parts
+    # a 2-feature model that votes on a marker token
+    weights, bias = clf_ops.fit_hashed_nb(
+        docs.sparkSession.createDataFrame(
+            [(1, "alpha " * 6), (0, "delta " * 6)], "label int, text string"
+        ),
+        dim=256,
+    )
+    wmap = {int(r["feature"]): int(r["w_nano"]) for r in weights.collect()}
+    src = str(tmp_path / "landing")
+    docs.filter(F.col("doc_id").isin(1, 7)).write.parquet(src)
+    stream = si.stream_landing_zone(spark, src, spark.read.parquet(src).schema)
+    curated = sc.stream_curate(
+        stream,
+        classifier_weights=wmap,
+        classifier_bias=bias,
+        classifier_dim=256,
+        content_dedup=False,
+        quality=False,
+    )
+    out_dir, ckpt = str(tmp_path / "o2"), str(tmp_path / "c2")
+    q = si.write_zone(curated, out_dir, ckpt)
+    q.awaitTermination(180)
+    got = {r["doc_id"] for r in spark.read.parquet(out_dir).collect()}
+    # doc 1 carries "alpha." (positive marker), doc 7 "delta." (negative)
+    assert got == {1}
+
+    # robots without url_col is rejected loudly
+    with pytest.raises(ValueError):
+        sc.stream_curate(stream, robots_rules=docs)
