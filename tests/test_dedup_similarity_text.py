@@ -1683,3 +1683,29 @@ def test_luhn_card_redaction(spark):
     final = {r["doc_id"]: r["final"] for r in composed}
     assert "[CARD]" in final[1]          # card survived as [CARD]
     assert "[NUM]" in final[2]           # invalid run became [NUM]
+
+
+def test_compression_ratio_signal(spark):
+    import zlib
+
+    from peskas_mozambique_data_pipeline_spark.operators.text import (
+        compression_ratio,
+    )
+
+    rows = [
+        (1, "spam spam spam spam " * 50),                 # highly repetitive
+        (2, "The committee weighed seventeen distinct proposals before "
+            "narrowing its focus to coastal infrastructure, fisheries "
+            "management, and adaptive climate policy instruments."),
+        (3, ""),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["compression_ratio"]
+           for r in compression_ratio(df).collect()}
+    # repetitive text compresses far below prose
+    assert got[1] < 0.15 < got[2]
+    assert got[3] == 1.0 and got[4] == 1.0
+    # pinned to the exact zlib arithmetic
+    raw = rows[0][1].encode()
+    assert got[1] == len(zlib.compress(raw, 6)) / len(raw)
