@@ -848,3 +848,46 @@ def filter_against_reference(
     return new_df.join(
         matches.select(F.col("new_id").alias(id_col)), id_col, "left_anti"
     )
+
+
+def lsh_banding_plan(
+    n_hashes: int,
+    target_threshold: float,
+    thresholds: tuple[float, ...] = (0.5, 0.6, 0.7, 0.8, 0.9),
+) -> dict:
+    """Choose MinHash banding parameters for a Jaccard threshold —
+    driver-side arithmetic over the S-curve ``P(candidate | s) =
+    1 − (1 − s^r)^b`` (r rows/band, b bands, b·r = n_hashes).
+
+    Returns the banding whose S-curve midpoint ``(1/b)^(1/r)`` lands
+    closest to ``target_threshold``, plus the candidate probability at
+    each reference similarity — what a pipeline owner reads to size
+    recall (P at the threshold) against verify cost (P at low s =
+    false-candidate rate; every candidate pays an exact-Jaccard
+    verify).  Pure math, no Spark: call it when configuring
+    ``minhash_candidates_from_hashes(n_hashes=, bands=)`` or the
+    streaming index; exact-verify downstream means banding choice
+    affects COST and RECALL, never correctness.
+    """
+    if not 0 < target_threshold < 1:
+        raise ValueError(f"target_threshold must be in (0,1): {target_threshold}")
+    best = None
+    for b in range(1, n_hashes + 1):
+        if n_hashes % b:
+            continue
+        r = n_hashes // b
+        midpoint = (1.0 / b) ** (1.0 / r)
+        cand = {
+            round(s, 2): 1.0 - (1.0 - s**r) ** b for s in thresholds
+        }
+        plan = {
+            "bands": b,
+            "rows_per_band": r,
+            "midpoint": midpoint,
+            "p_candidate": cand,
+            "p_at_target": 1.0 - (1.0 - target_threshold**r) ** b,
+        }
+        key = abs(midpoint - target_threshold)
+        if best is None or key < best[0]:
+            best = (key, plan)
+    return best[1]

@@ -348,6 +348,7 @@ def stage_export_shards(
     zones: PipelineZones,
     shard_tokens: int = 1_000_000,
     source: str = "corpus_shuffled",
+    fmt: str = "parquet",
 ) -> str:
     """Trainer-facing export: cut the shuffled corpus into contiguous
     token-budget shards (``operators/curation.token_shard_ids`` — the
@@ -386,9 +387,26 @@ def stage_export_shards(
         shard_tokens=shard_tokens,
         eager_unpersist=True,
     )
-    path = zones.write(sharded, "training_shards", partition_by=["shard_id"])
+    if fmt == "parquet":
+        path = zones.write(sharded, "training_shards", partition_by=["shard_id"])
+        read_back = spark.read.parquet(path)
+    elif fmt == "jsonl":
+        # loader-facing text shards (many trainer data loaders consume
+        # gzip jsonl directly): same versioned-zone naming, gzip codec,
+        # one directory per shard
+        from ..io import parquet_io as _pio
+
+        path = os.path.join(
+            zones.root, _pio.versioned_name("training_shards", zones.git_sha)
+        )
+        sharded.write.partitionBy("shard_id").option(
+            "compression", "gzip"
+        ).json(path)
+        read_back = spark.read.json(path)
+    else:
+        raise ValueError(f"fmt must be 'parquet' or 'jsonl': {fmt!r}")
     stats = (
-        spark.read.parquet(path)
+        read_back
         .groupBy("shard_id")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),

@@ -1709,3 +1709,27 @@ def test_compression_ratio_signal(spark):
     # pinned to the exact zlib arithmetic
     raw = rows[0][1].encode()
     assert got[1] == len(zlib.compress(raw, 6)) / len(raw)
+
+
+def test_lsh_banding_plan():
+    from peskas_mozambique_data_pipeline_spark.operators.dedup import (
+        lsh_banding_plan,
+    )
+
+    plan = lsh_banding_plan(8, 0.8)
+    assert plan["bands"] * plan["rows_per_band"] == 8
+    # midpoint formula honored
+    assert abs(
+        plan["midpoint"] - (1 / plan["bands"]) ** (1 / plan["rows_per_band"])
+    ) < 1e-12
+    # S-curve is monotone in s and the plan catches the target region
+    ps = [plan["p_candidate"][s] for s in (0.5, 0.6, 0.7, 0.8, 0.9)]
+    assert ps == sorted(ps)
+    assert plan["p_at_target"] > 0.5  # midpoint ~ threshold => P > 1/2
+    # a low-threshold ask picks more bands (lower midpoint)
+    low = lsh_banding_plan(8, 0.3)
+    assert low["bands"] > plan["bands"]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        lsh_banding_plan(8, 1.5)

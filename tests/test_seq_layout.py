@@ -186,3 +186,39 @@ def test_contamination_score_broadcasts_benchmark(spark):
     for line in plan.splitlines():
         if "SortMergeJoin" in line:
             assert "_gh" not in line, line
+
+
+def test_export_shards_jsonl_format(spark, tmp_path):
+    import glob
+    import gzip as _gzip
+    import json as _json
+
+    from peskas_mozambique_data_pipeline_spark.operators import curation
+    from peskas_mozambique_data_pipeline_spark.plans import corpus
+    from peskas_mozambique_data_pipeline_spark.plans.pipeline import (
+        PipelineZones,
+    )
+
+    zones = PipelineZones(str(tmp_path / "zones"))
+    shuffled = spark.createDataFrame(
+        [(i, i, "doc %d body" % i, 10) for i in range(8)],
+        "doc_id long, shuffle_pos long, text string, n_tokens long",
+    )
+    zones.write(shuffled, "corpus_shuffled")
+    path = corpus.stage_export_shards(
+        spark, zones, shard_tokens=30, fmt="jsonl"
+    )
+    # gzip jsonl files under shard_id dirs, manifest alongside
+    files = glob.glob(path + "/shard_id=*/*.json.gz")
+    assert files
+    with _gzip.open(files[0], "rt") as f:
+        row = _json.loads(f.readline())
+    assert "text" in row and "doc_id" in row
+    man = _json.load(open(path + "/_manifest.json"))
+    assert man["n_shards"] == 3  # 80 tokens / 30 budget
+    assert spark.read.json(path).count() == 8
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        corpus.stage_export_shards(spark, zones, fmt="csv")
