@@ -105,27 +105,41 @@ def maintain_indexes(
     zones: PipelineZones,
     bm25_prefix: str = "bm25",
     ivf_prefix: str = "ann_ivf",
+    ann_prefixes: tuple[str, ...] | None = None,
     keep_last: int = 1,
 ) -> dict[str, bool]:
     """Compaction pass: fold deltas (batch or streaming) into fresh
     snapshots and vacuum superseded versions.  Skips an index whose
     zone doesn't exist yet; skips compaction when there are no deltas
     (nothing to fold — the no-op guard that makes this safe to run on
-    every schedule tick)."""
-    out = {"bm25": False, "ivf": False}
+    every schedule tick).  The ledger makes this safe to run while
+    streams are mid-batch (``streaming/index_sink.py``).
+
+    ``ann_prefixes`` maintains every IVF-layout tier in one pass —
+    defaults to (``ivf_prefix``, ``ann_ivf8``, ``ann_ivfpq``), the
+    float/int8/PQ zones, all of which share the centroid-partitioned
+    delta lifecycle and ``compact_ivf_index``.
+    """
+    prefixes = ann_prefixes or (ivf_prefix, "ann_ivf8", "ann_ivfpq")
+    out: dict[str, bool] = {"bm25": False}
     if text_index._delta_paths(zones, bm25_prefix + "_postings_delta"):
         text_index.compact_bm25_index(spark, zones, bm25_prefix, keep_last=keep_last)
         out["bm25"] = True
-    if ann_index._delta_paths(zones, ivf_prefix):
-        ann_index.compact_ivf_index(spark, zones, ivf_prefix, keep_last=keep_last)
-        out["ivf"] = True
-    # rebuilds version up the centroid/stats zones too — retention
-    # applies to every index zone, not just postings (a zone nobody
-    # vacuums grows one full copy per rebuild)
-    for zone_prefix in (
-        bm25_prefix + "_stats",
-        ivf_prefix + "_centroids",
-    ):
+    for p in prefixes:
+        compacted = False
+        if ann_index._delta_paths(zones, p):
+            ann_index.compact_ivf_index(spark, zones, p, keep_last=keep_last)
+            compacted = True
+        out[p] = compacted
+    out["ivf"] = out.get(ivf_prefix, False)  # back-compat key
+    # rebuilds version up the centroid/stats/codebook zones too —
+    # retention applies to every index zone, not just postings (a zone
+    # nobody vacuums grows one full copy per rebuild)
+    side_zones = [bm25_prefix + "_stats"]
+    for p in prefixes:
+        side_zones.append(p + "_centroids")
+        side_zones.append(p + "_codebooks")
+    for zone_prefix in side_zones:
         try:
             parquet_io.vacuum_zone(spark, zones.root, zone_prefix, keep_last=keep_last)
         except FileNotFoundError:
