@@ -26,6 +26,11 @@ Staged here:
   oracle derives the registrable domain ANALYTICALLY from the host
   generator — ground truth independent of the matcher, the
   ``url_dedup`` precedent.
+* ``card_audit`` — NEW row: Luhn-validated card redaction
+  (``text.luhn_valid``/``redact_cards``).  One 16-digit run per doc
+  (4100…+doc_id — consecutive integers are Luhn-valid exactly
+  one-in-ten, so validity coverage is structural); the oracle replays
+  the mod-10 checksum and the literal replacement.
 """
 
 from __future__ import annotations
@@ -263,6 +268,66 @@ FROM documents
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# card_audit — Luhn-validated card redaction under the hard oracle.
+# Host text embeds one 16-digit run per doc (4100…+doc_id); consecutive
+# integers are Luhn-valid exactly one-in-ten, so validity coverage is
+# structural, not hand-picked.  The oracle replays the mod-10 checksum
+# digit-by-digit (reverse → alternate doubling → sum) and the literal
+# replacement — all exact integer/string work.
+
+
+def q_card_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import luhn_valid, redact_cards
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("ref "),
+            (F.lit(4100000000000000) + F.col("doc_id")).cast("string"),
+            F.lit(" end"),
+        ).alias("text"),
+    )
+    out = redact_cards(docs)
+    return out.select(
+        "doc_id",
+        F.col("n_cards").cast(_L).alias("n_cards"),
+        "redacted",
+        luhn_valid(
+            (F.lit(4100000000000000) + F.col("doc_id")).cast("string")
+        ).alias("is_valid"),
+    )
+
+
+SQL_CARD_AUDIT = """
+WITH t AS (
+  SELECT doc_id,
+         CAST(4100000000000000 + doc_id AS VARCHAR) AS num,
+         'ref ' || CAST(4100000000000000 + doc_id AS VARCHAR) || ' end' AS text
+  FROM documents
+),
+v AS (
+  SELECT *,
+         (list_reduce(list_transform(generate_series(1, len(num)),
+            i -> CASE WHEN i % 2 = 0 THEN
+                   CASE WHEN 2 * CAST(substr(reverse(num), i, 1) AS INT) > 9
+                        THEN 2 * CAST(substr(reverse(num), i, 1) AS INT) - 9
+                        ELSE 2 * CAST(substr(reverse(num), i, 1) AS INT) END
+                 ELSE CAST(substr(reverse(num), i, 1) AS INT) END),
+            (a, b) -> a + b) % 10 = 0) AS is_valid
+  FROM t
+)
+SELECT doc_id,
+       CAST(CASE WHEN is_valid THEN 1 ELSE 0 END AS BIGINT) AS n_cards,
+       CASE WHEN is_valid THEN replace(text, num, '[CARD]') ELSE text END
+         AS redacted,
+       is_valid
+FROM v
+"""
+
+
 # ---------------------------------------------------------------------------
 
 STAGED_QUERIES = {
@@ -270,6 +335,7 @@ STAGED_QUERIES = {
     "seq_layout": q_seq_layout,
     "contam_score": q_contam_score,
     "psl_domains": q_psl_domains,
+    "card_audit": q_card_audit,
 }
 
 
@@ -279,6 +345,7 @@ def build_staged_oracle_sql() -> dict[str, str]:
         "seq_layout": SQL_SEQ_LAYOUT,
         "contam_score": SQL_CONTAM_SCORE,
         "psl_domains": SQL_PSL_DOMAINS,
+        "card_audit": SQL_CARD_AUDIT,
     }
 
 
