@@ -396,3 +396,61 @@ def test_filter_robots_plan_broadcasts_rules(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def _psl_python_twin(host, rules):
+    """Independent pure-Python PSL: longest match wins, exception
+    prevails, implicit * floor, NULL when host IS a suffix."""
+    parsed = web.parse_suffix_rules(rules)
+    labels = host.lower().split(".")
+    n = len(labels)
+
+    def last(k):
+        return ".".join(labels[n - k:])
+
+    exc_ps = None
+    for k in sorted(parsed["exc"], reverse=True):
+        if n >= k and last(k) in parsed["exc"][k]:
+            exc_ps = k - 1
+            break
+    if exc_ps is not None:
+        ps = exc_ps
+    else:
+        ps = 1
+        for k, s in parsed["exact"].items():
+            if n >= k and last(k) in s:
+                ps = max(ps, k)
+        for t, s in parsed["wild"].items():
+            if n >= t + 1 and last(t) in s:
+                ps = max(ps, t + 1)
+    if n <= ps:
+        return None
+    return ".".join(labels[n - ps - 1:])
+
+
+def test_registrable_domain_psl_property(spark):
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    label = st.sampled_from(["a", "bb", "ck", "com", "uk", "co", "www",
+                             "gov", "x9", "zz"])
+    host_s = st.lists(label, min_size=1, max_size=5).map(".".join)
+
+    cases = []
+
+    @settings(max_examples=200, deadline=None)
+    @given(host_s)
+    def collect(h):
+        cases.append(h)
+
+    collect()
+    hosts = sorted(set(cases))
+    df = spark.createDataFrame([(h,) for h in hosts], ["h"])
+    got = {
+        r["h"]: r["rd"]
+        for r in df.select(
+            "h", web.registrable_domain_psl("h", _PSL_RULES).alias("rd")
+        ).collect()
+    }
+    for h in hosts:
+        assert got[h] == _psl_python_twin(h, _PSL_RULES), h
