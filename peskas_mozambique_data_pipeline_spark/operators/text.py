@@ -80,6 +80,98 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def lang_pred_expr(text: str | Column) -> Column:
+    """Predicted language of ONE string column — the marker-word argmax
+    :func:`language_id` applies per document, packaged as a reusable
+    expression so per-LINE passes (:func:`segment_languages`) share the
+    identical scorer.  ``"und"`` when no marker hits."""
+    c = F.col(text) if isinstance(text, str) else text
+    t = tokens(c)
+    langs = sorted(LANG_MARKERS)
+    scores = {
+        lang: F.size(F.filter(t, (lambda m: lambda x: x.isin(*m))(markers)))
+        for lang, markers in sorted(LANG_MARKERS.items())
+    }
+    best = F.greatest(*scores.values())
+    pred = F.lit(None)
+    for lang in reversed(langs):
+        pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
+    return F.when(best > 0, pred).otherwise(F.lit("und"))
+
+
+def segment_languages(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    scrub: bool = False,
+) -> DataFrame:
+    """Per-LINE language segmentation (the CCNet-style pass): documents
+    that are mostly one language but carry embedded chrome/quotes in
+    another get a majority language, the share of lines agreeing with
+    it, and — with ``scrub=True`` — a rebuilt text keeping only
+    majority-language lines (``und`` lines are neutral: they never
+    vote and always survive a scrub — blank lines and code are not
+    "foreign").
+
+    Shape (the ``scrub_boilerplate_lines`` discipline): posexplode
+    lines → per-line :func:`lang_pred_expr` (pure expressions) → one
+    (doc, lang) count groupBy → ``max_by`` majority per doc → join
+    back on the id key → ordered rebuild.  Three id-keyed shuffles,
+    no UDF, no window over the corpus.
+    """
+    lines = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_line"),
+    ).withColumn("_lang", lang_pred_expr(F.col("_line")))
+    votes = (
+        lines.filter(F.col("_lang") != "und")
+        .groupBy("_id", "_lang")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    per_doc = votes.groupBy("_id").agg(
+        # ties -> lexicographically greatest code (deterministic)
+        F.max_by(
+            F.col("_lang"), F.struct(F.col("_n"), F.col("_lang"))
+        ).alias("doc_lang"),
+        F.sum("_n").alias("_voted"),
+        F.max_by(F.col("_n"), F.struct(F.col("_n"), F.col("_lang")))
+        .alias("_maj_n"),
+    ).select(
+        "_id",
+        "doc_lang",
+        F.round(F.col("_maj_n") / F.col("_voted"), 6).alias("lang_line_share"),
+    )
+    out = df.join(
+        per_doc.withColumnRenamed("_id", id_col), id_col, "left"
+    ).withColumn("doc_lang", F.coalesce(F.col("doc_lang"), F.lit("und")))
+    out = out.withColumn(
+        "lang_line_share", F.coalesce(F.col("lang_line_share"), F.lit(1.0))
+    )
+    if not scrub:
+        return out
+    keep = (
+        lines.join(
+            per_doc.select("_id", "doc_lang"), "_id"
+        )
+        .filter((F.col("_lang") == F.col("doc_lang")) | (F.col("_lang") == "und"))
+        .groupBy("_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_pos", "_line"))),
+                    lambda s: s._line,
+                ),
+                "\n",
+            ).alias("scrubbed_text")
+        )
+        .withColumnRenamed("_id", id_col)
+    )
+    return out.join(keep, id_col, "left").withColumn(
+        "scrubbed_text",
+        F.coalesce(F.col("scrubbed_text"), F.col(text_col)),
+    )
+
+
 def language_id(df: DataFrame, text_col: str = "text", out_col: str = "pred_lang") -> DataFrame:
     """Stopword-voting language identification.
 

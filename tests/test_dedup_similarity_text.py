@@ -1733,3 +1733,40 @@ def test_lsh_banding_plan():
 
     with _pytest.raises(ValueError):
         lsh_banding_plan(8, 1.5)
+
+
+def test_segment_languages_majority_and_scrub(spark):
+    from peskas_mozambique_data_pipeline_spark.operators.text import (
+        segment_languages,
+    )
+
+    en = "the quick fox and the dog are with all of this"
+    de = "der und die das ist nicht ein mit sich auch"
+    rows = [
+        (1, "\n".join([en, en, de, en])),       # mostly en, one de line
+        (2, de + "\n" + de),                     # pure de
+        (3, "12345\n67890"),                     # no markers anywhere
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in segment_languages(df).collect()}
+    assert got[1]["doc_lang"] == "en" and got[1]["lang_line_share"] == 0.75
+    assert got[2]["doc_lang"] == "de" and got[2]["lang_line_share"] == 1.0
+    assert got[3]["doc_lang"] == "und" and got[3]["lang_line_share"] == 1.0
+
+    scrubbed = {
+        r["doc_id"]: r["scrubbed_text"]
+        for r in segment_languages(df, scrub=True).collect()
+    }
+    # the German line is cut from doc 1, order preserved
+    assert scrubbed[1] == "\n".join([en, en, en])
+    assert scrubbed[2] == rows[1][1]
+    assert scrubbed[3] == rows[2][1]  # und lines always survive
+
+    # plan: no UDF, no corpus window
+    plan = (
+        segment_languages(df, scrub=True)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
