@@ -257,6 +257,28 @@ def stage_span_scrub(
     return zones.write(out, "corpus_scrubbed", range_by=["doc_id"])
 
 
+def stage_lang_segment(
+    spark: SparkSession,
+    zones: PipelineZones,
+    scrub: bool = True,
+    source: str = "corpus_filtered",
+) -> str:
+    """Per-line language segmentation (CCNet-style, r9): majority
+    language + line share per document, minority-language lines
+    scrubbed (``scrub=True``) so mixed-language chrome doesn't pollute
+    downstream shingles or the doc-level ``lang`` column.  The doc's
+    ``lang`` is overwritten with the line-majority vote — more robust
+    than whole-text argmax on documents with embedded quotes."""
+    docs = zones.read(spark, source)
+    seg = text_ops.segment_languages(docs, scrub=scrub)
+    if scrub:
+        seg = seg.drop("text").withColumnRenamed("scrubbed_text", "text")
+    if "lang" in docs.columns:
+        seg = seg.drop("lang")
+    seg = seg.withColumnRenamed("doc_lang", "lang")
+    return zones.write(seg, "corpus_lang_segmented", range_by=["doc_id"])
+
+
 def stage_line_scrub(
     spark: SparkSession,
     zones: PipelineZones,
@@ -535,6 +557,7 @@ def run_corpus_pipeline(
     scrub_spans: bool = False,
     span_n: int = 8,
     scrub_lines: bool = False,
+    segment_langs: bool = False,
     line_min_docs: int = 3,
     benchmark: DataFrame | None = None,
     decontam_n: int = 13,
@@ -675,6 +698,16 @@ def run_corpus_pipeline(
                 source=dedup_source,
             )
         dedup_source = "corpus_classified"
+    if segment_langs:
+        if skip_fresh and zones.is_fresh("corpus_lang_segmented", dedup_source):
+            out["corpus_lang_segmented"] = parquet_io.latest_version_path(
+                zone_root, "corpus_lang_segmented"
+            )
+        else:
+            out["corpus_lang_segmented"] = stage_lang_segment(
+                spark, zones, source=dedup_source
+            )
+        dedup_source = "corpus_lang_segmented"
     if scrub_lines:
         if skip_fresh and zones.is_fresh("corpus_line_scrubbed", dedup_source):
             out["corpus_line_scrubbed"] = parquet_io.latest_version_path(

@@ -623,3 +623,32 @@ def test_warc_front_door_end_to_end(spark, tmp_path):
         )
     with _pytest.raises(ValueError):
         corpus.run_corpus_pipeline(spark, None, str(tmp_path / "z3"))
+
+
+def test_stage_lang_segment_in_dag(spark, tmp_path):
+    en = ("a genuinely informative english sentence with plenty of the "
+          "words and all of this ends here. ")
+    de = "der und die das ist nicht ein mit sich auch dabei."
+    docs = spark.createDataFrame(
+        [
+            (1, en * 4 + "\n" + de, "en"),
+            (2, en * 4 + "unique two.", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = corpus.run_corpus_pipeline(
+        spark,
+        docs,
+        str(tmp_path / "zones"),
+        budget=10_000,
+        jaccard_threshold=0.99,
+        segment_langs=True,
+    )
+    seg = spark.read.parquet(out["corpus_lang_segmented"])
+    rows = {r["doc_id"]: r for r in seg.collect()}
+    assert rows[1]["lang"] == "en"
+    assert de not in rows[1]["text"]          # minority line scrubbed
+    assert rows[1]["lang_line_share"] < 1.0
+    assert rows[2]["lang"] == "en" and rows[2]["lang_line_share"] == 1.0
+    # downstream stages consumed the segmented zone
+    assert "corpus_deduped" in out
