@@ -2,13 +2,14 @@
 optional stage enabled — over the driver testdata plus synthetic
 refetch/boilerplate noise, and print per-zone row counts and timings.
 
-    normalize → url_dedup → quality → classify → line_scrub →
+    normalize → url_dedup → quality → classify → lang_segment →
+    line_scrub →
     decontaminate → dedup → semantic → span_scrub → augment → pack →
     shuffle → export_shards → seq_layout
 
 Usage: python tools/corpus_demo.py [sf_dir]   (default /root/testdata/sf0.001)
 
-Proves the plans/corpus.py DAG composes end to end with all fourteen
+Proves the plans/corpus.py DAG composes end to end with all fifteen
 stages active (incl. the token-budget training-shard export and the
 concat-and-split sequence layout), that each stage's zone lands versioned and
 range-partitioned, and that nothing in the composition collects a
@@ -89,6 +90,7 @@ def main() -> int:
         classifier_threshold=-100.0,  # gate wired in, permissive demo cut
         classifier_dim=4096,
         scrub_lines=True,
+        segment_langs=True,
         benchmark=benchmark,
         embeddings=embeddings,
         semantic_threshold=0.2,
@@ -105,6 +107,7 @@ def main() -> int:
         "corpus_url_deduped",
         "corpus_filtered",
         "corpus_classified",
+        "corpus_lang_segmented",
         "corpus_line_scrubbed",
         "corpus_decontaminated",
         "corpus_deduped",
