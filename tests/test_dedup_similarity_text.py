@@ -1770,3 +1770,40 @@ def test_segment_languages_majority_and_scrub(spark):
         .toString()
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_luhn_valid_property(spark):
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from peskas_mozambique_data_pipeline_spark.operators.text import luhn_valid
+
+    def luhn_py(s):
+        total = 0
+        for i, ch in enumerate(reversed(s)):
+            d = int(ch)
+            if i % 2 == 1:
+                d = d * 2
+                if d > 9:
+                    d -= 9
+            total += d
+        return total % 10 == 0
+
+    cases = []
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.text(alphabet="0123456789", min_size=1, max_size=19))
+    def collect(s):
+        cases.append(s)
+
+    collect()
+    nums = sorted(set(cases))
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(n,) for n in nums], ["n"])
+    got = {
+        r["n"]: r["v"]
+        for r in df.select("n", luhn_valid("n").alias("v")).collect()
+    }
+    for n in nums:
+        assert got[n] == luhn_py(n), n
