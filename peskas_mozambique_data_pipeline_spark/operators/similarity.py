@@ -1189,3 +1189,66 @@ def reciprocal_rank_fusion(
         )
         out = fused.orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
     return out.limit(top_n) if top_n else out
+
+
+def embedding_drift(
+    old: DataFrame,
+    new: DataFrame,
+    centroids: DataFrame,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-distribution drift between two corpus versions,
+    measured against a SHARED centroid set: assign both sides to their
+    nearest centroid (the IVF routing rule) and compare per-centroid
+    occupancy.  This is the health check behind frozen-centroid index
+    maintenance — when new data's occupancy diverges from the
+    training-time distribution, IVF recall degrades and a re-train
+    (``plans/retrieval.ensure_ivf_index`` staleness rebuild) is due.
+
+    Returns one row per centroid: exact counts, occupancy shares in
+    nano units (BIGINT ``div`` — engine-exact), and the share delta.
+    The summary statistic ``sum(abs(delta))/2`` is total-variation
+    distance; compute it from this frame with one tiny aggregate.
+    Scale shape: two broadcast-assignment passes + one C-row groupBy —
+    no corpus join, no shuffle beyond the count aggregation.
+    """
+    NANO = 1_000_000_000
+
+    def occupancy(df: DataFrame, name: str) -> DataFrame:
+        assigned = assign_to_centroids(df, centroids, corpus_id, vec_col)
+        return assigned.groupBy("centroid_id").agg(
+            F.count(F.lit(1)).cast("long").alias(name)
+        )
+
+    o = occupancy(old, "n_old")
+    n = occupancy(new, "n_new")
+    both = (
+        centroids.select("centroid_id")
+        .join(o, "centroid_id", "left")
+        .join(n, "centroid_id", "left")
+        .fillna(0, ["n_old", "n_new"])
+    )
+    # totals via a 1-row broadcast (the domain_stats pattern)
+    totals = both.agg(
+        F.sum("n_old").cast("long").alias("_to"),
+        F.sum("n_new").cast("long").alias("_tn"),
+    )
+    return (
+        both.crossJoin(F.broadcast(totals))
+        .withColumn(
+            "share_old_nano",
+            F.expr(f"CASE WHEN _to > 0 THEN (n_old * {NANO}L) div _to ELSE 0L END"),
+        )
+        .withColumn(
+            "share_new_nano",
+            F.expr(f"CASE WHEN _tn > 0 THEN (n_new * {NANO}L) div _tn ELSE 0L END"),
+        )
+        .withColumn(
+            "delta_nano", F.col("share_new_nano") - F.col("share_old_nano")
+        )
+        .select(
+            "centroid_id", "n_old", "n_new",
+            "share_old_nano", "share_new_nano", "delta_nano",
+        )
+    )

@@ -262,3 +262,34 @@ def test_int8_append_matches_frozen_rebuild(spark, tmp_path):
         ann_index.ivf_topk_int8_from_zone(spark, zones, queries, k=5, n_probe=2)
     )
     assert before == after
+
+
+def test_embedding_drift_occupancy(spark):
+    """embedding_drift: exact occupancy shares against shared
+    centroids; identical corpora -> zero drift; a skewed slice moves
+    the deltas where the slice lives."""
+    emb = _emb(spark)
+    _, cents = sim_ops.build_ivf_index(emb, n_centroids=4, n_iters=2)
+
+    same = sim_ops.embedding_drift(emb, emb, cents)
+    rows = same.collect()
+    assert all(r["delta_nano"] == 0 for r in rows)
+    assert all(r["n_old"] == r["n_new"] for r in rows)
+    assert len(rows) == 4  # every centroid has a row
+
+    # drop one centroid's members from "new": its share must fall and
+    # the counts must say exactly which
+    assigned = sim_ops.assign_to_centroids(emb, cents)
+    victim = int(assigned.groupBy("centroid_id").count()
+                 .orderBy(F.col("count").desc()).first()["centroid_id"])
+    keep_ids = assigned.filter(F.col("centroid_id") != victim).select("vec_id")
+    new = emb.join(keep_ids, "vec_id")
+    moved = {r["centroid_id"]: r for r in
+             sim_ops.embedding_drift(emb, new, cents).collect()}
+    assert moved[victim]["n_new"] == 0
+    assert moved[victim]["delta_nano"] < 0
+    others = [v["delta_nano"] for k, v in moved.items() if k != victim]
+    assert all(d >= 0 for d in others)
+    # shares are exact nano integers that sum to ~1 on each side
+    tot_new = sum(v["share_new_nano"] for v in moved.values())
+    assert 10**9 - 4 <= tot_new <= 10**9
