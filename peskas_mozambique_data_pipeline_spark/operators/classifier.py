@@ -237,7 +237,7 @@ def score_hashed_linear_map(
 def calibrate_threshold(
     scored: DataFrame,
     label_col: str = "label",
-    score_col: str = "score_nano",
+    score_col: str = "score",
 ) -> DataFrame:
     """Operating-point table for a scored validation set: one row per
     DISTINCT score with the exact confusion counts and nano-unit
@@ -245,6 +245,12 @@ def calibrate_threshold(
     that score`` — pick a row, use its score as the production
     threshold (e.g. max f1_nano, or the first row whose precision
     clears a floor).
+
+    The default ``score_col="score"`` matches what both scoring tiers
+    (``score_hashed_linear`` / ``score_hashed_linear_map``) emit;
+    grouping on that double is still exact because it is an integer
+    nano score divided by 1e9 (one representable quotient per distinct
+    integer at these magnitudes).
 
     Exact integers end to end: per-score (pos, neg) counts, cumulative
     sums down the score order, and metrics as BIGINT ``div`` nano

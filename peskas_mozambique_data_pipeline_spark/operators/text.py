@@ -734,10 +734,16 @@ def redact_cards(
 
     Scan-shaped column expressions end to end — candidates via
     ``regexp_extract_all``, validation via :func:`luhn_valid` inside an
-    array ``filter``, replacement via a literal-``replace`` fold (no
-    conditional regex needed, no Python).  Compose BEFORE
-    :func:`redact_pii`: its ``long_number`` pattern would otherwise
-    swallow card numbers into ``[NUM]`` and lose the card signal.
+    array ``filter``, replacement via a boundary-anchored
+    ``regexp_replace`` fold (no Python).  Each candidate is replaced as
+    ``(?<![0-9])<num>(?![0-9])`` — a digit-bounded occurrence only — so
+    a valid candidate that ALSO appears as a substring of a longer
+    (>19-digit, non-candidate) run elsewhere in the document never
+    partially rewrites that run (ADVICE r9).  Candidates are pure digit
+    strings, so interpolating them into the pattern needs no quoting.
+    Compose BEFORE :func:`redact_pii`: its ``long_number`` pattern
+    would otherwise swallow card numbers into ``[NUM]`` and lose the
+    card signal.
     """
     cands = F.array_distinct(
         F.regexp_extract_all(
@@ -748,7 +754,11 @@ def redact_cards(
     redacted = F.aggregate(
         valid,
         F.col(text_col),
-        lambda acc, c: F.replace(acc, c, F.lit(token)),
+        lambda acc, c: F.regexp_replace(
+            acc,
+            F.concat(F.lit("(?<![0-9])"), c, F.lit("(?![0-9])")),
+            F.lit(token),
+        ),
     )
     return df.withColumn(count_col, F.size(valid)).withColumn(out_col, redacted)
 

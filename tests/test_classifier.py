@@ -236,7 +236,7 @@ def test_calibrate_threshold_exact_counts(spark):
     rows = [
         (100, 1), (80, 1), (80, 1), (50, 0), (30, 1), (10, 0), (10, 0), (5, 0),
     ]
-    df = spark.createDataFrame(rows, "score_nano long, label int")
+    df = spark.createDataFrame(rows, "score long, label int")
     got = {r["threshold"]: r for r in calibrate_threshold(df).collect()}
 
     # python twin over the same definition
@@ -260,3 +260,28 @@ def test_calibrate_threshold_exact_counts(spark):
     # the best-F1 operating point is the separation threshold
     best = max(got.values(), key=lambda r: (r["f1_nano"], r["threshold"]))
     assert best["threshold"] == 30
+
+
+def test_calibrate_threshold_default_matches_scorer_output(spark, labeled):
+    """ADVICE r9: the default score_col must resolve on a frame coming
+    straight out of either scoring tier (they emit double ``score`` and
+    ``prob``, not ``score_nano``)."""
+    weights, bias_nano = classifier.fit_hashed_nb(labeled, dim=DIM)
+    scored = classifier.score_hashed_linear(
+        labeled, weights, dim=DIM, bias_nano=bias_nano
+    )
+    table = calibrate_threshold_import()(scored).collect()
+    # one row per distinct score, thresholds are the scores themselves
+    assert {r["threshold"] for r in table} == {
+        r["score"] for r in scored.select("score").distinct().collect()
+    }
+    # the perfectly separable fixture reaches F1 = 1.0 at some row
+    assert max(r["f1_nano"] for r in table) == 10**9
+
+
+def calibrate_threshold_import():
+    from peskas_mozambique_data_pipeline_spark.operators.classifier import (
+        calibrate_threshold,
+    )
+
+    return calibrate_threshold

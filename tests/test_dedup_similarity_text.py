@@ -1684,6 +1684,30 @@ def test_luhn_card_redaction(spark):
     assert "[CARD]" in final[1]          # card survived as [CARD]
     assert "[NUM]" in final[2]           # invalid run became [NUM]
 
+    # ADVICE r9: a valid candidate that ALSO appears as a substring of a
+    # longer (>19-digit, non-candidate) run must not rewrite that run —
+    # replacement is digit-boundary-anchored, not literal
+    sub = spark.createDataFrame(
+        [(10, "card 4111111111111111 trace 9941111111111111114527")],
+        "doc_id long, text string",
+    )
+    got_sub = redact_cards(sub).collect()[0]
+    assert got_sub["n_cards"] == 1
+    assert (
+        got_sub["redacted"]
+        == "card [CARD] trace 9941111111111111114527"
+    )
+    # and a valid candidate nested inside a longer Luhn-INVALID
+    # candidate run (17 digits, checksum 42) leaves that run intact:
+    # only whole digit-bounded occurrences are replaced
+    both = spark.createDataFrame(
+        [(11, "a 5500005555555559 b 25500005555555559 c")],
+        "doc_id long, text string",
+    )
+    got_both = redact_cards(both).collect()[0]
+    assert got_both["redacted"] == "a [CARD] b 25500005555555559 c"
+    assert got_both["n_cards"] == 1
+
 
 def test_compression_ratio_signal(spark):
     import zlib
