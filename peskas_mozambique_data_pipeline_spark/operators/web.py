@@ -416,7 +416,10 @@ def stream_url_dedup(
     )
 
 
-ROBOTS_RULES_SCHEMA = "host string, allow boolean, prefix string"
+ROBOTS_RULES_SCHEMA = (
+    "host string, allow boolean, prefix string, "
+    "regex string, wild boolean, spec int"
+)
 
 
 def parse_robots(
@@ -425,11 +428,21 @@ def parse_robots(
     text_col: str = "robots_txt",
     user_agent: str = "*",
 ) -> DataFrame:
-    """Parse robots.txt bodies into (host, allow, prefix) rules for one
-    user agent — original-standard prefix rules (RFC 9309 ``*``/``$``
-    wildcard extensions are out of scope and documented as such; a
-    conservative crawler treats a wildcard rule it can't evaluate as a
-    disallow by pre-normalizing upstream).
+    """Parse robots.txt bodies into per-host rules for one user agent,
+    including the RFC 9309 wildcard extensions: ``*`` in a rule path
+    matches any character run and a trailing ``$`` anchors the match at
+    the end of the URL path (VERDICT r9 Next #2 — real crawls hit
+    wildcard rules like ``Disallow: /*?sessionid=`` constantly).
+
+    Each rule row carries both representations so the downstream filter
+    can stay on the fast path when no wildcard is present: ``prefix``
+    (the rule path verbatim, also the RFC's specificity measure via
+    ``spec = len(prefix)``), ``regex`` (the path translated to an
+    anchored Java/RE2-class regex: metachars escaped, ``*`` → ``.*``,
+    trailing ``$`` → end anchor), and ``wild`` (whether the regex is
+    needed at all).  Percent-encoding equivalence between rule and URL
+    is out of scope (both sides are matched as written — normalize
+    upstream if a crawl mixes encodings of the same path).
 
     Group attribution is stateful (rules belong to the nearest
     preceding ``User-agent`` block, specific-agent groups override
@@ -440,13 +453,23 @@ def parse_robots(
     the corpus it gates.
     """
     import pandas as pd
+    import re as _re
 
     ua = user_agent.lower()
 
-    def parse_one(text: str) -> list[tuple[bool, str]]:
-        groups: list[tuple[list[str], list[tuple[bool, str]]]] = []
+    def rule_row(allow: bool, val: str) -> tuple[bool, str, str, bool, int]:
+        anchored = val.endswith("$")
+        core = val[:-1] if anchored else val
+        regex = "^" + ".*".join(_re.escape(p) for p in core.split("*"))
+        if anchored:
+            regex += "$"
+        wild = anchored or ("*" in core)
+        return (allow, val, regex, wild, len(val))
+
+    def parse_one(text: str) -> list[tuple[bool, str, str, bool, int]]:
+        groups: list[tuple[list[str], list[tuple]]] = []
         agents: list[str] = []
-        rules: list[tuple[bool, str]] = []
+        rules: list[tuple] = []
         in_rules = False
         for raw in (text or "").splitlines():
             line = raw.split("#", 1)[0].strip()
@@ -463,10 +486,10 @@ def parse_robots(
             elif key in ("allow", "disallow"):
                 in_rules = True
                 if val:
-                    rules.append((key == "allow", val))
+                    rules.append(rule_row(key == "allow", val))
                 elif key == "disallow":
                     # "Disallow:" empty means allow everything
-                    rules.append((True, "/"))
+                    rules.append(rule_row(True, "/"))
         if agents:
             groups.append((agents, rules))
         # specific-agent group beats the wildcard group
@@ -479,17 +502,19 @@ def parse_robots(
         return []
 
     def process(batches):
+        cols = ["host", "allow", "prefix", "regex", "wild", "spec"]
         for pdf in batches:
             out = []
             for host, text in zip(pdf[host_col], pdf[text_col]):
-                for allow, prefix in parse_one(text):
-                    out.append((host, allow, prefix))
-            yield pd.DataFrame(
-                out, columns=["host", "allow", "prefix"]
-            ) if out else pd.DataFrame(
+                for allow, prefix, regex, wild, spec in parse_one(text):
+                    out.append((host, allow, prefix, regex, wild, spec))
+            yield pd.DataFrame(out, columns=cols) if out else pd.DataFrame(
                 {"host": pd.Series(dtype="object"),
                  "allow": pd.Series(dtype="bool"),
-                 "prefix": pd.Series(dtype="object")}
+                 "prefix": pd.Series(dtype="object"),
+                 "regex": pd.Series(dtype="object"),
+                 "wild": pd.Series(dtype="bool"),
+                 "spec": pd.Series(dtype="int32")}
             )
 
     return df.select(host_col, text_col).mapInPandas(
@@ -504,38 +529,58 @@ def filter_robots_disallowed(
 ) -> DataFrame:
     """Drop rows whose URL a robots rule set disallows — longest-match
     precedence with allow winning ties (the Google/RFC 9309 rule), as
-    pure JVM expressions.
+    pure JVM expressions, including ``*``/``$`` wildcard rules.
 
     Per-host rules aggregate to ONE array row and broadcast (robots is
     host-grained — tiny next to the corpus), so the corpus never
     shuffles: a left join on the host key, then an array ``filter`` +
-    ``array_max`` pick the most specific matching rule.  URLs with no
-    rules (or no parseable host) pass — robots gates what it names,
-    nothing else.
+    ``array_max`` pick the most specific matching rule.  Matching runs
+    against the URL path INCLUDING its query string (RFC 9309 matches
+    the path-with-query, which is what ``/*?sessionid=`` rules exist
+    for); plain prefix rules stay on the codegen ``startsWith`` fast
+    path, and only rules that actually carry a wildcard pay for
+    ``regexp_like``.  Specificity is the rule path's length (``spec``,
+    computed at parse time), the RFC measure for wildcard rules too.
+    URLs with no rules (or no parseable host) pass — robots gates what
+    it names, nothing else.
+
+    The rules frame's key is renamed to ``_rhost`` before the join so
+    the post-join drop can never remove a caller column named ``host``
+    (ADVICE r9) — the documented contract is schema-preserving.
     """
     per_host = rules.groupBy("host").agg(
-        F.collect_list(F.struct("allow", "prefix")).alias("_rules")
-    )
+        F.collect_list(
+            F.struct("allow", "prefix", "regex", "wild", "spec")
+        ).alias("_rules")
+    ).withColumnRenamed("host", "_rhost")
+    u = F.col(url_col) if isinstance(url_col, str) else url_col
+    q = _part(u, "QUERY")
     keyed = df.withColumn("_h", host_of(url_col)).withColumn(
         "_p",
-        F.coalesce(_part(F.col(url_col) if isinstance(url_col, str) else url_col, "PATH"), F.lit("/")),
+        F.concat(
+            F.coalesce(_part(u, "PATH"), F.lit("/")),
+            F.when(q.isNotNull(), F.concat(F.lit("?"), q)).otherwise(F.lit("")),
+        ),
     )
-    joined = keyed.join(F.broadcast(per_host), keyed["_h"] == per_host["host"], "left")
+    joined = keyed.join(
+        F.broadcast(per_host), keyed["_h"] == per_host["_rhost"], "left"
+    )
     matched = F.filter(
-        F.col("_rules"), lambda r: F.col("_p").startswith(r.prefix)
+        F.col("_rules"),
+        lambda r: F.when(
+            r.wild, F.regexp_like(F.col("_p"), r.regex)
+        ).otherwise(F.col("_p").startswith(r.prefix)),
     )
     # most specific rule wins; at equal length allow (true) sorts above
     # disallow in the struct ordering, implementing allow-wins-ties
     best = F.array_max(
         F.transform(
             matched,
-            lambda r: F.struct(
-                F.length(r.prefix).alias("n"), r.allow.alias("allow")
-            ),
+            lambda r: F.struct(r.spec.alias("n"), r.allow.alias("allow")),
         )
     )
     return (
         joined.withColumn("_best", best)
         .filter(F.col("_best").isNull() | F.col("_best.allow"))
-        .drop("_h", "_p", "host", "_rules", "_best")
+        .drop("_h", "_p", "_rhost", "_rules", "_best")
     )

@@ -127,7 +127,10 @@ def maintain_indexes(
         out["bm25"] = True
     for p in prefixes:
         compacted = False
-        if ann_index._delta_paths(zones, p):
+        # gate on the RAW delta listing (live=False), matching the BM25
+        # guard above: a ledgered crash leftover alone must trigger the
+        # sweep, not wait for a new live delta to arrive (ADVICE r9)
+        if ann_index._delta_paths(zones, p, live=False):
             ann_index.compact_ivf_index(spark, zones, p, keep_last=keep_last)
             compacted = True
         out[p] = compacted

@@ -279,3 +279,40 @@ def test_streamed_ivfpq_appends_match_frozen_rebuild(spark, tmp_path):
         ann_index.load_ivf_postings(spark, zones, "ann_ivfpq").count()
         == emb.count()
     )
+
+
+def test_maintain_sweeps_ann_crash_leftover_without_new_delta(spark, tmp_path):
+    """ADVICE r9: a ledgered compaction-crash leftover ALONE must
+    trigger the ANN sweep on the next maintenance tick — the guard uses
+    the raw delta listing (like the BM25 guard), not live-only."""
+    import shutil
+
+    from peskas_mozambique_data_pipeline_spark.plans import retrieval
+
+    emb = spark.read.parquet(os.path.join(SF, "embeddings.parquet")).select(
+        "vec_id", "embedding"
+    )
+    base = emb.filter(F.col("vec_id") % 4 != 0)
+    extra = emb.filter(F.col("vec_id") % 4 == 0)
+    zones = PipelineZones(str(tmp_path))
+    assignments, centroids = sim_ops.build_ivf_index(base, n_centroids=4, n_iters=2)
+    ann_index.save_ivf_index(zones, assignments, centroids)
+
+    handle = index_sink.ivf_index_sink(zones)
+    handle(extra, 0)
+    deltas = ann_index._delta_paths(zones, "ann_ivf")
+    saved = {d: str(tmp_path / ("annbak%d" % i)) for i, d in enumerate(deltas)}
+    for d, b in saved.items():
+        shutil.copytree(d, b)
+    ann_index.compact_ivf_index(spark, zones)
+    n_clean = ann_index.load_ivf_postings(spark, zones).count()
+    for d, b in saved.items():
+        shutil.copytree(b, d)  # crash leftovers reappear, no live delta
+
+    assert ann_index._delta_paths(zones, "ann_ivf") == []  # live view empty
+    out = retrieval.maintain_indexes(spark, zones)
+    assert out["ann_ivf"] is True  # leftover alone triggered the sweep
+    import os as _os
+
+    assert not any(_os.path.exists(d) for d in saved)
+    assert ann_index.load_ivf_postings(spark, zones).count() == n_clean
