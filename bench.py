@@ -47,6 +47,24 @@ def main() -> None:
             pass
 
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+
+    # Host-speed canary (VERDICT r9 Next #5): a fixed, code-independent
+    # workload — hash+mod aggregation over a constant range — timed
+    # before the suite.  Round-over-round query deltas divide by the
+    # canary ratio to normalize away host drift without re-measurement;
+    # the workload never touches repo code, so it cannot absorb a
+    # regression.  min-of-3 (the min is the honest host-speed stat).
+    def _canary_once() -> float:
+        from pyspark.sql import functions as F
+
+        t0 = time.perf_counter()
+        spark.range(30_000_000).select(
+            F.sum(F.xxhash64("id") % 997).alias("s")
+        ).collect()
+        return time.perf_counter() - t0
+
+    canary = round(min(_canary_once() for _ in range(3)), 3)
+
     best: dict[str, float] = {}
     for name, fn in registry.SPARK_QUERIES.items():
         runs = []
@@ -78,6 +96,9 @@ def main() -> None:
         "value_min": round(sum(best.values()), 3),
         "runs_per_query": n_runs,
         "stat": "p50",
+        # fixed-workload host-speed reference (seconds; lower = faster
+        # host).  Compare rounds as (query_sec / canary_sec) ratios.
+        "canary_sec": canary,
         "sf": sf,
     }
     # the driver captures a bounded stdout tail — keep the stdout line

@@ -613,6 +613,14 @@ for _n in _STAGED_PROMOTED_R10:
     SPARK_QUERIES[_n] = registry_staged_r10.STAGED_QUERIES[_n]
     ORACLE_SQL[_n] = _STAGED_SQL_R10[_n]
 
+from . import registry_r10  # noqa: E402
+
+# r10 in-round rows (VERDICT r9 Next #3): three union consolidations
+# freeing head slots within the rotating-in set, plus first hard oracle
+# rows for calibrate_threshold / segment_languages / embedding_drift.
+SPARK_QUERIES.update(registry_r10.SPARK_QUERIES)
+ORACLE_SQL.update(registry_r10.build_oracle_sql())
+
 # r9 consolidations: every name below is replaced by a union row that
 # calls the SAME query function / wraps the SAME oracle SQL (see
 # registry_staged.STAGED_REPLACES and registry_audit.AUDIT_REPLACES),
@@ -662,7 +670,9 @@ for _n in _REPLACED_R9:
 # functions verbatim as its two legs (registry_staged_r10.STAGED_REPLACES),
 # so both operators stay implemented, pytest-covered and hash-verified —
 # only the duplicate registry rows retire (gate-checkable by name).
-_REPLACED_R10 = tuple(registry_staged_r10.STAGED_REPLACES["quant_audit"])
+_REPLACED_R10 = tuple(registry_staged_r10.STAGED_REPLACES["quant_audit"]) + tuple(
+    n for pair in registry_r10.AUDIT_REPLACES.values() for n in pair
+)
 for _n in _REPLACED_R10:
     RETIRED_QUERIES[_n] = SPARK_QUERIES.pop(_n)
     RETIRED_ORACLE_SQL[_n] = ORACLE_SQL.pop(_n)
@@ -685,6 +695,16 @@ _VERIFY_FIRST = [
     "contam_score",
     "psl_domains",
     "card_audit",
+    # r10 in-round additions (VERDICT r9 Next #3): three union rows
+    # consolidating same-family pairs within the rotating-in set, and
+    # first hard oracle rows for the three r9 computational operators
+    # that only had pytest coverage.
+    "lexical_audit",
+    "filter_audit",
+    "activity_audit",
+    "threshold_audit",
+    "lang_segment",
+    "drift_audit",
     # r10 window fill: the three r9 NEW operator rows hold over for a
     # second consecutive hard row (they have exactly one green driver
     # round; every other r9-head row has two or more).
@@ -713,11 +733,7 @@ _VERIFY_FIRST = [
     "pagerank",
     "hist_quantiles",
     "trailing_window",
-    "unigram_logloss",
-    "vocab_coverage",
     "doc_pack",
-    "boilerplate",
-    "c4_filter",
     "embedding_clusters",
     "minhash_dedup",
     "dedup_clusters",
@@ -730,8 +746,6 @@ _VERIFY_FIRST = [
     "quantile_coeffs",
     "lw_model",
     "last_wins",
-    "events_hourly",
-    "user_activity",
     "json_extract",
     "dedup_exact",
     "simhash_pairs",

@@ -25,16 +25,19 @@ from pyspark.sql import functions as F
 from peskas_mozambique_data_pipeline_spark import registry, registry_audit
 
 
-def test_r9_window_arithmetic():
+def test_r10_window_arithmetic():
+    # r10 swap: 94 - 2 (quant_audit legs) + 5 staged + 6 in-round
+    # - 6 (three union pairs) = 97; head = 11 never-driver-verified
+    # r10 rows + 3 r9 holdovers + 42 tail survivors = 50
     names = list(registry.SPARK_QUERIES)
-    assert len(names) == 94
-    assert len(set(names)) == 94
+    assert len(names) == 97
+    assert len(set(names)) == 97
     assert set(registry.ORACLE_SQL) == set(names)
     head = names[:50]
     new_rows = [
-        "doc_profile", "doc_signature", "funnel_cohorts", "train_shards",
-        "aug_audit", "set_ops_audit", "format_audit", "window_audit",
-        "split_mix_audit", "rank_audit", "ann_audit", "reshape_audit",
+        "quant_audit", "seq_layout", "contam_score", "psl_domains",
+        "card_audit", "lexical_audit", "filter_audit", "activity_audit",
+        "threshold_audit", "lang_segment", "drift_audit",
         "url_dedup", "classifier_score", "cross_corpus",
     ]
     assert head[: len(new_rows)] == new_rows
