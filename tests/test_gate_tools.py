@@ -126,6 +126,11 @@ def test_boundary_audit_values_reproduce_oracle():
 
     from peskas_mozambique_data_pipeline_spark import registry
 
+    def oracle_sql(name):
+        # r10: unigram_logloss retired into lexical_audit; the retired
+        # SQL stays importable and IS the union leg's wrapped CTE
+        return registry.ORACLE_SQL.get(name) or registry.RETIRED_ORACLE_SQL[name]
+
     ba = _ba()
     con = ba.connect(_SF01)
 
@@ -135,7 +140,7 @@ def test_boundary_audit_values_reproduce_oracle():
         ("bigram_logloss", ba._BIGRAM),
     ):
         audit = {k: b for k, b in con.execute(audit_sql).fetchall()}
-        oracle = con.execute(registry.ORACLE_SQL[qname]).fetchall()
+        oracle = con.execute(oracle_sql(qname)).fetchall()
         assert oracle
         for doc_id, _n, ce in oracle:
             assert abs(round(audit[str(doc_id)] * 1e6) / 1e6 - ce) < 2e-6, (
@@ -182,4 +187,10 @@ def test_boundary_audit_textual_tripwire():
         ("bm25_indexed", "ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5))"),
     ]
     for qname, expr in pairs:
-        assert expr in registry.ORACLE_SQL[qname], (qname, expr)
+        sql = registry.ORACLE_SQL.get(qname) or registry.RETIRED_ORACLE_SQL[qname]
+        assert expr in sql, (qname, expr)
+        # a retired query's expression must also ride inside the live
+        # union row that replaced it (the wrap embeds the leg verbatim)
+        if qname not in registry.ORACLE_SQL:
+            assert any(expr in live for live in registry.ORACLE_SQL.values()), (
+                qname, expr)

@@ -213,6 +213,15 @@ stats AS (
 
 
 # name -> (sql, grain, kind)
+#
+# r10 coverage note: of the eleven rows registered in round 10
+# (quant_audit, seq_layout, contam_score, psl_domains, card_audit,
+# lexical_audit, filter_audit, activity_audit, threshold_audit,
+# lang_segment, drift_audit), only lexical_audit carries a
+# transcendental (its unigram_logloss leg — audited below under that
+# name; the union wraps the identical SQL).  Everything else is exact
+# integer/string work or IEEE-exact div/sqrt, which both engines round
+# identically — no engine-local-libm hazard, so no audit entry.
 def audits() -> dict[str, tuple[str, float, str]]:
     return {
         "unigram_logloss": (_UNIGRAM, 1e6, "round"),
