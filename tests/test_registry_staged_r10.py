@@ -94,8 +94,9 @@ def test_quant_audit_parity_with_replaced_rows(spark):
         (r["stat"], r["query_id"], r["neighbor_id"]): (r["rank"], r["score"])
         for r in registry_staged_r10.q_quant_audit(spark, sf).collect()
     }
-    a = registry.SPARK_QUERIES["ann_int8"](spark, sf).collect()
-    b = registry.SPARK_QUERIES["pooled_ann"](spark, sf).collect()
+    # post-swap the replaced rows live in the retirement map
+    a = registry.RETIRED_QUERIES["ann_int8"](spark, sf).collect()
+    b = registry.RETIRED_QUERIES["pooled_ann"](spark, sf).collect()
     assert len(staged) == len(a) + len(b)
     for r in a:
         got = staged[("int8", r["query_id"], r["neighbor_id"])]
@@ -105,9 +106,19 @@ def test_quant_audit_parity_with_replaced_rows(spark):
         assert got == (r["rank"], r["cosine_sim"])
 
 
-def test_staged_r10_not_registered_yet():
+def test_staged_swap_landed_r10():
+    # the r10 registration swap happened: each staged row is registered
+    # VERBATIM (same function object, same SQL string) and the rows the
+    # consolidation replaces are retired but importable for the gate
+    sql = registry_staged_r10.build_staged_oracle_sql()
     for name in registry_staged_r10.STAGED_QUERIES:
-        assert name not in registry.SPARK_QUERIES
+        assert (
+            registry.SPARK_QUERIES[name]
+            is registry_staged_r10.STAGED_QUERIES[name]
+        )
+        assert registry.ORACLE_SQL[name] == sql[name]
     for pair in registry_staged_r10.STAGED_REPLACES.values():
         for old in pair:
-            assert old in registry.SPARK_QUERIES
+            assert old not in registry.SPARK_QUERIES
+            assert old in registry.RETIRED_QUERIES
+            assert old in registry.RETIRED_ORACLE_SQL
