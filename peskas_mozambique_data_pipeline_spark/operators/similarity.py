@@ -1228,6 +1228,13 @@ def embedding_drift(
         .join(o, "centroid_id", "left")
         .join(n, "centroid_id", "left")
         .fillna(0, ["n_old", "n_new"])
+        # C rows (one per centroid).  Checkpoint BEFORE the totals
+        # aggregate: `both` feeds the plan twice (once per the totals
+        # 1-row broadcast, once as the output spine), and without the
+        # cut Spark re-runs BOTH corpus assignment passes for each
+        # consumer — at 100 TB that doubles the whole job (r10 plan
+        # audit finding)
+        .localCheckpoint()
     )
     # totals via a 1-row broadcast (the domain_stats pattern)
     totals = both.agg(

@@ -14,6 +14,13 @@ from peskas_mozambique_data_pipeline_spark import registry
 SF = "/root/testdata/sf0.001"
 
 
+def _q(name):
+    """Registry lookup with retirement fallback: consolidated rows stay
+    plan-audited through their original functions (the union legs call
+    them verbatim, so the physical plan under audit is the live one)."""
+    return registry.SPARK_QUERIES.get(name) or registry.RETIRED_QUERIES[name]
+
+
 def plan_of(df, mode: str = "formatted") -> str:
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
@@ -156,7 +163,7 @@ def test_site_stats_full_pushes_shipdate_filter(spark):
 
 def test_c4_filter_is_pure_scan(spark):
     # the quality gate must stay a scan: no exchange anywhere
-    plan = plan_of(registry.SPARK_QUERIES["c4_filter"](spark, SF), "simple")
+    plan = plan_of(_q("c4_filter")(spark, SF), "simple")
     assert "Exchange" not in plan
 
 
@@ -183,7 +190,7 @@ def test_corpus_quality_stage_no_join(spark):
 def test_vocab_coverage_distributed_topk(spark):
     # each top-k must compile to TakeOrderedAndProject (per-partition
     # top-k + driver merge of k rows), never a global Sort
-    plan = plan_of(registry.SPARK_QUERIES["vocab_coverage"](spark, SF), "simple")
+    plan = plan_of(_q("vocab_coverage")(spark, SF), "simple")
     assert "TakeOrderedAndProject" in plan
     assert "Sort " not in plan  # no global sort node
 
@@ -192,7 +199,7 @@ def test_unigram_scoring_join_is_broadcast(spark):
     # the vocab-sized model must broadcast into the scoring join: a
     # shuffled join would move the entire exploded corpus on the
     # Zipf-skewed token key ("the" is a mega-hot partition at 100 TB)
-    plan = plan_of(registry.SPARK_QUERIES["unigram_logloss"](spark, SF), "simple")
+    plan = plan_of(_q("unigram_logloss")(spark, SF), "simple")
     assert "SortMergeJoin" not in plan
     assert "ShuffledHashJoin" not in plan
     assert "BroadcastHashJoin" in plan
@@ -460,7 +467,7 @@ def test_ann_int8_integer_folds_and_broadcast_queries(spark):
     corpus shuffle for scoring), no cartesian fallback beyond the
     intended broadcast nest, and no float32 embedding column survives
     into the scoring side's read schema beyond the quantization scan."""
-    plan = plan_of(registry.SPARK_QUERIES["ann_int8"](spark, SF))
+    plan = plan_of(_q("ann_int8")(spark, SF))
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
     # top-k is ONE window rank partitioned by query (per-query grain),
@@ -472,7 +479,7 @@ def test_pooled_ann_one_shuffle_for_pooling(spark):
     """Mean pooling is a single (group, pos) hash aggregate: exactly
     one exchange feeds the per-position means; queries then broadcast
     for scoring (no pooled-corpus re-shuffle)."""
-    plan = plan_of(registry.SPARK_QUERIES["pooled_ann"](spark, SF), "simple")
+    plan = plan_of(_q("pooled_ann")(spark, SF), "simple")
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
 
@@ -492,3 +499,34 @@ def test_ts_audit_shares_one_spine(spark):
     plan = plan_of(registry.SPARK_QUERIES["ts_audit"](spark, SF), "simple")
     assert "Scan ExistingRDD" in plan
     assert "orders.parquet" not in plan and "customer.parquet" not in plan
+
+
+def test_drift_audit_computes_each_assignment_pass_once(spark):
+    """embedding_drift: the occupancy spine is checkpointed before the
+    totals broadcast, so each corpus assignment pass appears ONCE in
+    the plan (without the cut, `both` feeding two consumers re-runs
+    both full corpus scans — a 2x job at 100 TB).  Centroids broadcast
+    against the corpus."""
+    plan = plan_of(registry.SPARK_QUERIES["drift_audit"](spark, SF), "simple")
+    assert "Scan ExistingRDD" in plan           # the checkpointed spine
+    assert "embeddings.parquet" not in plan     # no corpus re-scan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_lang_segment_no_window_over_corpus(spark):
+    """segment_languages: majority + share via groupBy/max_by — no
+    window over the exploded line corpus (the documented shape)."""
+    plan = plan_of(registry.SPARK_QUERIES["lang_segment"](spark, SF), "simple")
+    assert "Window" not in plan
+
+
+def test_threshold_audit_window_after_score_groupby(spark):
+    """calibrate_threshold: the global cumulative window runs OVER THE
+    DISTINCT-SCORE aggregate, not the corpus — the per-score groupBy
+    must appear below the Window in the plan."""
+    plan = plan_of(
+        registry.SPARK_QUERIES["threshold_audit"](spark, SF), "simple"
+    )
+    w = plan.index("Window")
+    agg_positions = [i for i in range(len(plan)) if plan.startswith("HashAggregate", i)]
+    assert any(i > w for i in agg_positions), "groupBy should sit below the window"
