@@ -16,7 +16,7 @@ joins back to the corpus on the id key.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Query parameters that never change page content — analytics and
@@ -422,6 +422,58 @@ ROBOTS_RULES_SCHEMA = (
 )
 
 
+def _robots_group(text: str, ua: str) -> tuple[list[tuple[bool, str]], int | None]:
+    """Group attribution shared by :func:`parse_robots` and
+    :func:`parse_crawl_delays`: split a robots.txt body into
+    ``User-agent`` groups, pick the group for ``ua`` (a specific-agent
+    group beats ``*``), and return its raw ``(allow, path)`` rules plus
+    its ``Crawl-delay`` in milliseconds (``None`` when absent or
+    unparseable).  One parser, so the two frames can never attribute a
+    line to different groups."""
+    groups: list[tuple[list[str], list[tuple[bool, str]], list[float]]] = []
+    agents: list[str] = []
+    rules: list[tuple[bool, str]] = []
+    delays: list[float] = []
+    in_rules = False
+    for raw in (text or "").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, val = (s.strip() for s in line.split(":", 1))
+        key = key.lower()
+        if key == "user-agent":
+            if in_rules and agents:
+                groups.append((agents, rules, delays))
+                agents, rules, delays = [], [], []
+            in_rules = False
+            agents.append(val.lower())
+        elif key in ("allow", "disallow"):
+            in_rules = True
+            if val:
+                rules.append((key == "allow", val))
+            elif key == "disallow":
+                # "Disallow:" empty means allow everything
+                rules.append((True, "/"))
+        elif key == "crawl-delay":
+            in_rules = True
+            try:
+                d = float(val)
+            except ValueError:
+                continue  # malformed delay: ignore the line
+            if d >= 0:
+                delays.append(d)
+    if agents:
+        groups.append((agents, rules, delays))
+    # specific-agent group beats the wildcard group
+    for want_specific in (True, False):
+        for ags, rs, ds in groups:
+            if want_specific and any(a != "*" and a in ua for a in ags):
+                return rs, (int(ds[0] * 1000) if ds else None)
+            if not want_specific and "*" in ags:
+                return rs, (int(ds[0] * 1000) if ds else None)
+    return [], None
+
+
 def parse_robots(
     df: DataFrame,
     host_col: str = "host",
@@ -467,39 +519,8 @@ def parse_robots(
         return (allow, val, regex, wild, len(val))
 
     def parse_one(text: str) -> list[tuple[bool, str, str, bool, int]]:
-        groups: list[tuple[list[str], list[tuple]]] = []
-        agents: list[str] = []
-        rules: list[tuple] = []
-        in_rules = False
-        for raw in (text or "").splitlines():
-            line = raw.split("#", 1)[0].strip()
-            if not line or ":" not in line:
-                continue
-            key, val = (s.strip() for s in line.split(":", 1))
-            key = key.lower()
-            if key == "user-agent":
-                if in_rules and agents:
-                    groups.append((agents, rules))
-                    agents, rules = [], []
-                in_rules = False
-                agents.append(val.lower())
-            elif key in ("allow", "disallow"):
-                in_rules = True
-                if val:
-                    rules.append(rule_row(key == "allow", val))
-                elif key == "disallow":
-                    # "Disallow:" empty means allow everything
-                    rules.append(rule_row(True, "/"))
-        if agents:
-            groups.append((agents, rules))
-        # specific-agent group beats the wildcard group
-        for want_specific in (True, False):
-            for ags, rs in groups:
-                if want_specific and any(a != "*" and a in ua for a in ags):
-                    return rs
-                if not want_specific and "*" in ags:
-                    return rs
-        return []
+        raw_rules, _delay = _robots_group(text, ua)
+        return [rule_row(allow, val) for allow, val in raw_rules]
 
     def process(batches):
         cols = ["host", "allow", "prefix", "regex", "wild", "spec"]
@@ -583,4 +604,88 @@ def filter_robots_disallowed(
         joined.withColumn("_best", best)
         .filter(F.col("_best").isNull() | F.col("_best.allow"))
         .drop("_h", "_p", "_rhost", "_rules", "_best")
+    )
+
+
+CRAWL_DELAY_SCHEMA = "host string, crawl_delay_ms long"
+
+
+def parse_crawl_delays(
+    df: DataFrame,
+    host_col: str = "host",
+    text_col: str = "robots_txt",
+    user_agent: str = "*",
+) -> DataFrame:
+    """Per-host ``Crawl-delay`` (the de-facto politeness extension most
+    crawlers honor even though RFC 9309 leaves it out): one row per
+    host whose robots.txt names a delay for this agent's group,
+    normalized to integer milliseconds (fractional seconds like
+    ``Crawl-delay: 0.5`` are in the wild).  Group attribution is the
+    SAME parser :func:`parse_robots` uses (``_robots_group``), so a
+    host's rules and its delay can never come from different groups.
+    Malformed values are ignored; the first delay in the group wins.
+    """
+    import pandas as pd
+
+    ua = user_agent.lower()
+
+    def process(batches):
+        for pdf in batches:
+            out = []
+            for host, text in zip(pdf[host_col], pdf[text_col]):
+                _rules, delay = _robots_group(text, ua)
+                if delay is not None:
+                    out.append((host, delay))
+            yield pd.DataFrame(
+                out, columns=["host", "crawl_delay_ms"]
+            ) if out else pd.DataFrame(
+                {"host": pd.Series(dtype="object"),
+                 "crawl_delay_ms": pd.Series(dtype="int64")}
+            )
+
+    return df.select(host_col, text_col).mapInPandas(
+        process, CRAWL_DELAY_SCHEMA
+    )
+
+
+def fetch_schedule(
+    frontier: DataFrame,
+    delays: DataFrame,
+    url_col: str = "url",
+    default_delay_ms: int = 1000,
+    out_col: str = "fetch_offset_ms",
+) -> DataFrame:
+    """Politeness scheduling for a crawl frontier: assign every URL a
+    per-host fetch slot — the k-th URL of a host fetches no earlier
+    than ``k × crawl_delay_ms`` after the host's first fetch — so a
+    fetcher fleet can consume the frontier ordered by ``out_col``
+    without hammering any origin.
+
+    Shape: broadcast the (host, delay) table (host-grained — tiny),
+    one shuffle on the host key for the per-host ``row_number`` (URL
+    order inside a host is the deterministic URL sort).  A host with
+    millions of frontier URLs serializes BY DESIGN — politeness is a
+    per-origin rate limit; overall throughput comes from host
+    parallelism, which this preserves.  Hosts without a robots delay
+    (or unparseable URLs) get ``default_delay_ms``.  Schema-preserving
+    plus the offset column.
+    """
+    per_host = delays.select(
+        F.col("host").alias("_dhost"),
+        F.col("crawl_delay_ms").cast("long").alias("_delay"),
+    )
+    keyed = frontier.withColumn("_h", host_of(url_col))
+    joined = keyed.join(
+        F.broadcast(per_host), keyed["_h"] == per_host["_dhost"], "left"
+    )
+    delay = F.coalesce(F.col("_delay"), F.lit(int(default_delay_ms)).cast("long"))
+    w = Window.partitionBy("_h").orderBy(
+        F.col(url_col) if isinstance(url_col, str) else url_col
+    )
+    return (
+        joined.withColumn(
+            out_col,
+            ((F.row_number().over(w) - F.lit(1)).cast("long") * delay),
+        )
+        .drop("_h", "_dhost", "_delay")
     )

@@ -546,3 +546,90 @@ def test_filter_robots_wildcards_stay_off_regex_fast_path(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+_ROBOTS_DELAY = """User-agent: megabot
+Disallow: /private/
+Crawl-delay: 2.5
+
+User-agent: *
+Disallow: /tmp/
+Crawl-delay: 1
+Crawl-delay: 9
+"""
+
+
+def test_parse_crawl_delays_group_attribution(spark):
+    df = spark.createDataFrame(
+        [
+            ("site.example", _ROBOTS_DELAY),
+            ("nodelay.example", "User-agent: *\nDisallow: /x/\n"),
+            ("bad.example", "User-agent: *\nCrawl-delay: soon\n"),
+            ("neg.example", "User-agent: *\nCrawl-delay: -3\n"),
+        ],
+        "host string, robots_txt string",
+    )
+    star = {
+        r["host"]: r["crawl_delay_ms"]
+        for r in web.parse_crawl_delays(df).collect()
+    }
+    # wildcard group: first delay wins; absent/malformed/negative -> no row
+    assert star == {"site.example": 1000}
+    mega = {
+        r["host"]: r["crawl_delay_ms"]
+        for r in web.parse_crawl_delays(df, user_agent="megabot/2.1").collect()
+    }
+    # the specific group's fractional-second delay, in ms
+    assert mega["site.example"] == 2500
+    # rules and delay come from the SAME group chooser
+    rules = {
+        (r["prefix"])
+        for r in web.parse_robots(df, user_agent="megabot/2.1").collect()
+        if r["host"] == "site.example"
+    }
+    assert rules == {"/private/"}
+
+
+def test_fetch_schedule_per_host_slots(spark):
+    delays = spark.createDataFrame(
+        [("a.example", 2000)], "host string, crawl_delay_ms long"
+    )
+    frontier = spark.createDataFrame(
+        [
+            (1, "http://a.example/p1"),
+            (2, "http://a.example/p2"),
+            (3, "http://a.example/p3"),
+            (4, "http://b.example/q1"),
+            (5, "http://b.example/q2"),
+        ],
+        "doc_id long, url string",
+    )
+    out = {
+        r["url"]: r["fetch_offset_ms"]
+        for r in web.fetch_schedule(frontier, delays).collect()
+    }
+    # a.example: robots delay 2000ms; slots by URL sort order
+    assert out["http://a.example/p1"] == 0
+    assert out["http://a.example/p2"] == 2000
+    assert out["http://a.example/p3"] == 4000
+    # b.example: default 1000ms
+    assert out["http://b.example/q1"] == 0
+    assert out["http://b.example/q2"] == 1000
+    # schema preserved + one new column
+    cols = web.fetch_schedule(frontier, delays).columns
+    assert cols == ["doc_id", "url", "fetch_offset_ms"]
+
+
+def test_fetch_schedule_plan_broadcasts_delays(spark):
+    delays = spark.createDataFrame(
+        [("a.example", 2000)], "host string, crawl_delay_ms long"
+    )
+    frontier = spark.range(50).select(
+        F.concat(F.lit("http://a.example/"), F.col("id")).alias("url")
+    )
+    plan = (
+        web.fetch_schedule(frontier, delays)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
