@@ -1107,7 +1107,14 @@ def unigram_logloss(
     to 6 decimals on both engines (playbook rule).
     """
     tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
-    model = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    # vocab-sized; checkpoint before fan-out — the model feeds both the
+    # total broadcast and the probs projection, so without the cut the
+    # corpus explode+groupBy runs once per consumer (3 corpus scans in
+    # the plan, r10 audit).  Scoring still re-reads the corpus once:
+    # the inherent minimum for a self-trained model.
+    model = tok.groupBy("token").agg(
+        F.count(F.lit(1)).alias("cnt")
+    ).localCheckpoint()
     total = model.agg(F.sum("cnt").cast("double").alias("_total"))
     probs = model.crossJoin(F.broadcast(total)).select(
         "token", (F.col("cnt") / F.col("_total")).alias("p")
@@ -1214,11 +1221,19 @@ def bigram_pmi(
         lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
     )
     bg = df.select(F.explode(pairs).alias("bg")).select("bg.w1", "bg.w2")
-    bg_counts = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_ab"))
+    # vocab-sized count tables; checkpoint before fan-out — uni feeds
+    # its total plus TWO broadcast joins and bg_counts feeds its total
+    # plus the scored join, so without the cut each corpus-sized
+    # explode+groupBy re-runs per consumer (8 token-corpus scans in the
+    # plan, r10 audit)
+    bg_counts = bg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("n_ab")
+    ).localCheckpoint()
     uni = (
         df.select(F.explode(t).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n_tok"))
+        .localCheckpoint()
     )
     tot_uni = uni.agg(F.sum("n_tok").cast("double").alias("_t"))
     tot_bg = bg_counts.agg(F.sum("n_ab").cast("double").alias("_b"))
@@ -1363,7 +1378,11 @@ def domain_mixture_weights(
     """
     tc = df.groupBy(strata_col).agg(
         F.sum(token_count(text_col)).alias("n_tokens")
-    )
+    # strata-cardinality rows; checkpoint before fan-out — tc feeds the
+    # total broadcast AND the share projection (and sc below feeds two
+    # more consumers), so without the cut the corpus token count runs
+    # once PER consumer: 4 full scans in the plan (r10 plan audit)
+    ).localCheckpoint()
     total = tc.agg(F.sum("n_tokens").cast("double").alias("_t"))
     sh = tc.crossJoin(F.broadcast(total)).select(
         strata_col,

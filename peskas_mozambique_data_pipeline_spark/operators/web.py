@@ -355,7 +355,10 @@ def domain_stats(
         F.count(F.lit(1)).alias("n_pages"),
         F.countDistinct("_cu").alias("n_canonical_urls"),
         F.sum("_w").alias("weight"),
-    )
+    # domain-cardinality rows; checkpoint before fan-out — per feeds
+    # the totals broadcast AND the share projection, so without the cut
+    # the corpus groupBy runs once per consumer (r10 plan audit)
+    ).localCheckpoint()
     total = per.agg(F.sum("weight").alias("_tot"))
     return (
         per.crossJoin(F.broadcast(total))
