@@ -223,7 +223,13 @@ def token_distribution_drift(
     tok = df.select(
         F.col(group_col).alias("grp"), F.explode(tokens(text_col)).alias("token")
     )
-    g_counts = tok.groupBy("grp", "token").agg(F.count(F.lit(1)).alias("c_g"))
+    # (group × vocab)-sized; checkpoint before fan-out — g_counts feeds
+    # the group totals, the corpus counts chain AND the per-token join,
+    # so without the cut the corpus explode+groupBy runs once per
+    # consumer (4 corpus scans in the plan, r10 scan audit)
+    g_counts = tok.groupBy("grp", "token").agg(
+        F.count(F.lit(1)).alias("c_g")
+    ).localCheckpoint()
     g_tot = g_counts.groupBy("grp").agg(F.sum("c_g").alias("t_g"))
     all_counts = g_counts.groupBy("token").agg(F.sum("c_g").alias("c_all"))
     all_tot = all_counts.agg(F.sum("c_all").alias("t_all"))

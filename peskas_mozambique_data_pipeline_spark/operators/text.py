@@ -118,6 +118,14 @@ def segment_languages(
     (doc, lang) count groupBy → ``max_by`` majority per doc → join
     back on the id key → ordered rebuild.  Three id-keyed shuffles,
     no UDF, no window over the corpus.
+
+    Deliberate rescan-over-materialize choice (r10 scan audit): the
+    plan reads the input up to 4× (votes, scrub-keep, output join,
+    fallback) rather than checkpointing the exploded line corpus —
+    the explode output is corpus-sized-plus, so materializing it costs
+    more than column-pruned parquet re-reads.  Callers whose input is
+    an EXPENSIVE upstream plan (not a zone/parquet read) should
+    checkpoint it themselves before calling.
     """
     lines = df.select(
         F.col(id_col).alias("_id"),
