@@ -16,6 +16,11 @@ new r11 rows).
   emit (id_a, id_b, similarity) near-duplicate pair tables — the
   lexical and the embedding modality of the same surface.
 
+Plus one NEW operator row: ``fetch_audit`` puts the r10 politeness
+scheduler (``web.fetch_schedule``) under the hard oracle — synthesized
+per-host frontier URLs, an analytic delay table, and the per-host
+slot assignment replayed as a windowed ROW_NUMBER in SQL.
+
 Each union leg calls the ORIGINAL registered query function verbatim
 and the oracle wraps the ORIGINAL oracle SQL in a CTE (the
 ``registry_audit`` discipline), so the consolidated operators stay
@@ -122,10 +127,65 @@ FROM b
 
 
 # ---------------------------------------------------------------------------
+# fetch_audit — per-host politeness scheduling under the hard oracle.
+# Frontier URLs synthesize from documents (host = doc_id % 7, path
+# unique per doc); the delay table is analytic ((host_index % 3 + 1) ×
+# 500 ms), so the oracle replays host derivation, the broadcast delay
+# lookup and the per-host slot window exactly — URL ordering is ASCII,
+# binary-collated identically on both engines.
+
+
+def q_fetch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.web import fetch_schedule
+    from .session import read_table
+
+    frontier = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("http://crawl"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.org/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    delays = spark.range(7).select(
+        F.concat(
+            F.lit("crawl"), F.col("id").cast("string"), F.lit(".example.org")
+        ).alias("host"),
+        ((F.col("id") % 3 + 1) * 500).cast("long").alias("crawl_delay_ms"),
+    )
+    out = fetch_schedule(frontier, delays)
+    return out.select(
+        "doc_id", "url", F.col("fetch_offset_ms").cast(_L).alias("fetch_offset_ms")
+    )
+
+
+SQL_FETCH_AUDIT = """
+WITH f AS (
+  SELECT doc_id,
+         'http://crawl' || CAST(doc_id % 7 AS VARCHAR)
+         || '.example.org/p/' || CAST(doc_id AS VARCHAR) AS url,
+         'crawl' || CAST(doc_id % 7 AS VARCHAR) || '.example.org' AS h
+  FROM documents
+),
+d AS (
+  SELECT 'crawl' || CAST(i AS VARCHAR) || '.example.org' AS host,
+         CAST((i % 3 + 1) * 500 AS BIGINT) AS delay
+  FROM generate_series(0, 6) AS t(i)
+)
+SELECT f.doc_id, f.url,
+       CAST((ROW_NUMBER() OVER (PARTITION BY f.h ORDER BY f.url) - 1)
+            * COALESCE(d.delay, 1000) AS BIGINT) AS fetch_offset_ms
+FROM f LEFT JOIN d ON f.h = d.host
+"""
+
+
+# ---------------------------------------------------------------------------
 
 STAGED_QUERIES = {
     "governance_audit": q_governance_audit,
     "neardup_audit": q_neardup_audit,
+    "fetch_audit": q_fetch_audit,
 }
 
 
@@ -133,6 +193,7 @@ def build_staged_oracle_sql() -> dict[str, str]:
     return {
         "governance_audit": _sql_governance_audit(),
         "neardup_audit": _sql_neardup_audit(),
+        "fetch_audit": SQL_FETCH_AUDIT,
     }
 
 
