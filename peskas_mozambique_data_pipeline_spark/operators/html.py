@@ -1,0 +1,270 @@
+"""HTML → text extraction and link-graph extraction for crawled
+corpora.
+
+The WARC front door (``io/warc.py``) lands raw HTTP payloads; every
+downstream text operator (quality gates, dedup, lang-id, packing)
+assumes CLEAN text.  This module is the step between: tag/script/style
+removal, entity decoding, whitespace normalization, title extraction,
+and ``<a href>`` link extraction with relative-URL resolution — the
+text half of what trafilatura/jusText do, re-expressed as pure JVM
+``regexp_replace``/``regexp_extract_all`` chains so extraction is
+scan-shaped: zero shuffles, zero Python, stream-safe, and fully
+whole-stage-codegen (plan-asserted in ``tests/test_html.py``).
+
+Engine-portability contract (what lets the oracle replay these): every
+pattern avoids lookaround and backreferences, so the same regex means
+the same thing to Java (Spark) and RE2 (DuckDB); replacements are
+plain literals.  Block-level tags become newlines BEFORE the generic
+tag strip so line-grain downstream signals (``scrub_boilerplate_lines``,
+``segment_languages``, line-based quality ratios) see real document
+structure, not one smashed line.
+
+Known, documented limits (the price of the no-UDF scan shape):
+
+* an unclosed ``<script>``/``<style>``/comment leaves its content as
+  text (the non-greedy span never matches) — tolerable noise the
+  quality gates downstream are built to catch;
+* entity decoding covers the named core (&amp; &lt; &gt; &quot;
+  &apos; &nbsp;) plus their common numeric forms; exotic numeric
+  entities pass through as literal text;
+* this extracts ALL text, not "main content" — boilerplate/nav chrome
+  removal is a separate corpus-level pass the pipeline already has
+  (``text.scrub_boilerplate_lines``, RefinedWeb line dedup), which is
+  both more robust than per-page DOM heuristics and already
+  hash-verified.
+
+Links: ``extract_hrefs`` + ``resolve_url`` produce absolute URLs from
+double- and single-quoted ``href`` attributes (protocol-relative,
+root-relative and path-relative forms resolved against the page URL;
+``mailto:``/``javascript:``/fragment-only links dropped), feeding
+``link_edges`` → ``host_link_graph`` — the host-level edge list that
+drives crawl-frontier prioritization via the existing
+``graph.pagerank``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .web import host_of, registrable_domain
+
+# Tags whose boundaries imply a line break in rendered text.  Both the
+# opening and the closing form map to a newline; the whitespace
+# normalizer collapses the doubles.
+_BLOCK_TAGS = (
+    "p|div|h[1-6]|li|ul|ol|dl|dt|dd|tr|table|br|hr|blockquote|pre"
+    "|section|article|aside|nav|header|footer|form|figure|figcaption"
+    "|title|option|select|textarea"
+)
+
+# (pattern, replacement) chain applied by strip_html, in order.  Order
+# matters twice: dotall spans (comments/script/style) go before any
+# tag handling so their bodies never leak, and &amp; decodes LAST so a
+# single-encoded document round-trips exactly (the standard one-level
+# decode: '&amp;lt;' becomes '&lt;' the literal text, not '<').
+_STRIP_CHAIN: tuple[tuple[str, str], ...] = (
+    (r"(?s)<!--.*?-->", ""),
+    (r"(?is)<script\b[^>]*>.*?</script>", ""),
+    (r"(?is)<style\b[^>]*>.*?</style>", ""),
+    (rf"(?is)</?({_BLOCK_TAGS})\b[^>]*>", "\n"),
+    (r"(?s)<[^>]*>", " "),
+)
+
+# literal entity decode (F.replace, not regex): decode order is part of
+# the contract — &amp;/&#38; strictly last.
+_ENTITIES: tuple[tuple[str, str], ...] = (
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&#60;", "<"),
+    ("&gt;", ">"),
+    ("&#62;", ">"),
+    ("&quot;", '"'),
+    ("&#34;", '"'),
+    ("&apos;", "'"),
+    ("&#39;", "'"),
+    ("&amp;", "&"),
+    ("&#38;", "&"),
+)
+
+# whitespace normalization chain: horizontal runs to one space, spaces
+# hugging a newline dropped, newline runs to exactly one (every block
+# boundary = one line break — downstream line-grain ops never see
+# empty lines), then an anchored trim of outer whitespace.
+_WS_CHAIN: tuple[tuple[str, str], ...] = (
+    (r"[ \t\r\f]+", " "),
+    (r" ?\n ?", "\n"),
+    (r"\n+", "\n"),
+    (r"^[\s]+", ""),
+    (r"[\s]+$", ""),
+)
+
+
+def _col(c: str | Column) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def decode_entities(text: str | Column) -> Column:
+    """One-level HTML entity decode of the named core set (literal
+    ``F.replace`` chain — no regex engine involved)."""
+    out = _col(text)
+    for ent, rep in _ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(rep))
+    return out
+
+
+def normalize_ws(text: str | Column) -> Column:
+    """Whitespace canonicalization shared by :func:`strip_html` and its
+    oracle replay: horizontal runs → one space, newline-hugging spaces
+    dropped, ≥3 newlines → paragraph break, outer whitespace trimmed."""
+    out = _col(text)
+    for pat, rep in _WS_CHAIN:
+        out = F.regexp_replace(out, pat, rep)
+    return out
+
+
+def strip_html(html: str | Column) -> Column:
+    """Rendered-text extraction as one scan-stage expression: comments,
+    scripts and styles cut (dotall non-greedy spans), block-tag
+    boundaries → newlines, remaining tags → spaces, entities decoded
+    one level, whitespace normalized."""
+    out = _col(html)
+    for pat, rep in _STRIP_CHAIN:
+        out = F.regexp_replace(out, pat, rep)
+    return normalize_ws(decode_entities(out))
+
+
+def html_title(html: str | Column) -> Column:
+    """``<title>`` text (entity-decoded, whitespace-collapsed); NULL
+    when the document has none."""
+    raw = F.regexp_extract(_col(html), r"(?is)<title[^>]*>(.*?)</title>", 1)
+    t = F.trim(F.regexp_replace(decode_entities(raw), r"\s+", " "))
+    return F.when(t != "", t)
+
+
+def extract_hrefs(html: str | Column) -> Column:
+    """All ``<a ... href="...">`` values, double- then single-quoted,
+    document order within each quote style (array<string>)."""
+    h = _col(html)
+    dq = F.regexp_extract_all(h, F.lit(r'(?is)<a\b[^>]*?href\s*=\s*"([^"]*)"'), F.lit(1))
+    sq = F.regexp_extract_all(h, F.lit(r"(?is)<a\b[^>]*?href\s*=\s*'([^']*)'"), F.lit(1))
+    return F.concat(dq, sq)
+
+
+def resolve_url(href: str | Column, base_url: str | Column) -> Column:
+    """Absolute http(s) URL for an href against its page URL; NULL for
+    non-web schemes (mailto:, javascript:, tel:, data:), fragment-only
+    and empty hrefs.  Fragments are cut first (a fragment never reaches
+    the server).  Pure string expressions — resolution happens inside
+    the extraction scan, nothing shuffles.
+
+    RFC 3986 subset by design: no ``..`` segment normalization (a
+    crawl frontier canonicalizes via ``web.canonical_url`` anyway) and
+    base URLs are assumed absolute http(s) — what a crawler's frontier
+    always has.
+    """
+    base = _col(base_url)
+    h = F.regexp_extract(F.trim(_col(href)), r"^([^#]*)", 1)
+    origin = F.regexp_extract(base, r"^(https?://[^/?#]+)", 1)
+    scheme = F.regexp_extract(base, r"^(https?)", 1)
+    path = F.regexp_extract(base, r"^https?://[^/?#]+([^?#]*)", 1)
+    base_dir = F.when(path == "", F.lit("/")).otherwise(
+        F.regexp_replace(path, r"[^/]*$", "")
+    )
+    return (
+        F.when(h == "", F.lit(None).cast("string"))
+        .when(h.rlike(r"^https?://"), h)
+        .when(h.startswith("//"), F.concat(scheme, F.lit(":"), h))
+        .when(h.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*:"), F.lit(None).cast("string"))
+        .when(h.startswith("/"), F.concat(origin, h))
+        .otherwise(F.concat(origin, base_dir, h))
+    )
+
+
+def extract_html_text(
+    df: DataFrame,
+    html_col: str = "text",
+    out_col: str = "text",
+    title_col: str = "title",
+) -> DataFrame:
+    """DataFrame wrapper: replace (or add) ``out_col`` with the
+    extracted text and add the page title.  ``n_chars``, if present,
+    is recomputed over the CLEAN text — every downstream length-based
+    gate must see rendered-text length, not markup length."""
+    src = F.col(html_col)
+    out = df.withColumn(title_col, html_title(src)).withColumn(
+        out_col, strip_html(src)
+    )
+    if "n_chars" in df.columns:
+        out = out.withColumn("n_chars", F.length(out_col).cast("long"))
+    return out
+
+
+def link_edges(
+    df: DataFrame,
+    html_col: str = "text",
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    suffix_rules=None,
+) -> DataFrame:
+    """One row per DISTINCT (document, resolved link): ``(id, url,
+    link_url, src_host, dst_host, src_domain, dst_domain)``.
+
+    Resolution runs inside the scan (``transform`` over the href
+    array + null-filter), so the only shuffle is the per-doc distinct
+    on (id, link) — and at 100 TB that shuffle moves (id, url) pairs,
+    never document bodies.  ``suffix_rules`` switches registrable
+    domains to the full PSL matcher (``web.registrable_domain_psl``).
+    """
+    links = F.array_distinct(
+        F.filter(
+            F.transform(
+                extract_hrefs(F.col(html_col)),
+                lambda u: resolve_url(u, F.col(url_col)),
+            ),
+            lambda x: x.isNotNull(),
+        )
+    )
+    exploded = df.select(
+        F.col(id_col), F.col(url_col), F.explode(links).alias("link_url")
+    )
+    if suffix_rules is not None:
+        from .web import registrable_domain_psl
+
+        def _dom(c):
+            return registrable_domain_psl(host_of(c), suffix_rules)
+
+    else:
+
+        def _dom(c):
+            return registrable_domain(host_of(c))
+
+    return exploded.select(
+        id_col,
+        url_col,
+        "link_url",
+        host_of(F.col(url_col)).alias("src_host"),
+        host_of(F.col("link_url")).alias("dst_host"),
+        _dom(F.col(url_col)).alias("src_domain"),
+        _dom(F.col("link_url")).alias("dst_domain"),
+    )
+
+
+def host_link_graph(
+    edges: DataFrame,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+    drop_self: bool = True,
+) -> DataFrame:
+    """Host-level edge list ``(src, dst, n_links)`` from
+    :func:`link_edges` output — one groupBy on the natural (src, dst)
+    key.  ``drop_self`` cuts intra-host navigation links (the bulk of
+    any page's links and pure noise for cross-host authority); the
+    result feeds ``graph.pagerank``/``graph.triangle_count`` directly
+    for frontier prioritization."""
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+    if drop_self:
+        e = e.filter(F.col("src") != F.col("dst"))
+    return e.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n_links"))

@@ -131,6 +131,27 @@ def stage_ingest_warc(
     return zones.write(docs, "corpus_ingested", range_by=["doc_id"])
 
 
+def stage_extract_html(
+    spark: SparkSession,
+    zones: PipelineZones,
+    source: str = "corpus_ingested",
+) -> str:
+    """HTML → text between the crawl front door and the text DAG: the
+    ingested payloads are markup, every downstream operator assumes
+    rendered text.  ``operators/html.extract_html_text`` is a pure
+    regexp scan (tags/scripts/styles cut, entities decoded, block
+    boundaries → newlines, title kept as a column), so the stage costs
+    one scan + the zone write's range partition — no extra shuffle,
+    and ``n_chars`` is recomputed over the CLEAN text so length gates
+    never measure markup."""
+    from ..operators import html as html_ops
+
+    docs = zones.read(spark, source)
+    return zones.write(
+        html_ops.extract_html_text(docs), "corpus_extracted", range_by=["doc_id"]
+    )
+
+
 def stage_normalize(
     spark: SparkSession,
     docs: DataFrame,
@@ -574,6 +595,7 @@ def run_corpus_pipeline(
     classifier_dim: int = 2**18,
     warc_path: str | None = None,
     warc_on_error: str = "skip",
+    extract_html: bool = False,
 ) -> dict[str, str]:
     """The full curation DAG through versioned zones.
 
@@ -618,6 +640,9 @@ def run_corpus_pipeline(
     With ``classifier_weights`` a fitted hashed-linear model gates the
     corpus right after the heuristic quality filter (model-based
     quality pass before the expensive pair-generation stages).
+    With ``extract_html`` (requires ``warc_path``) the ingested HTML
+    payloads are reduced to rendered text + title before any text
+    stage runs (``corpus_extracted`` zone).
     """
     from ..io import parquet_io
 
@@ -644,6 +669,19 @@ def run_corpus_pipeline(
         filter_upstreams = ["corpus_ingested"]
     elif docs is None:
         raise ValueError("docs is required when warc_path is not given")
+    if extract_html:
+        if warc_path is None:
+            raise ValueError(
+                "extract_html reads the corpus_ingested zone (pass warc_path)"
+            )
+        if skip_fresh and zones.is_fresh("corpus_extracted", *filter_upstreams):
+            out["corpus_extracted"] = parquet_io.latest_version_path(
+                zone_root, "corpus_extracted"
+            )
+        else:
+            out["corpus_extracted"] = stage_extract_html(spark, zones)
+        docs = zones.read(spark, "corpus_extracted")
+        filter_upstreams = ["corpus_extracted"]
     if normalize or unicode_form is not None:
         if skip_fresh and zones.is_fresh("corpus_normalized", *filter_upstreams):
             out["corpus_normalized"] = parquet_io.latest_version_path(

@@ -652,3 +652,62 @@ def test_stage_lang_segment_in_dag(spark, tmp_path):
     assert rows[2]["lang"] == "en" and rows[2]["lang_line_share"] == 1.0
     # downstream stages consumed the segmented zone
     assert "corpus_deduped" in out
+
+
+def test_stage_extract_html_in_dag(spark, tmp_path):
+    """extract_html reduces ingested HTML payloads to rendered text
+    before any text stage: the extracted zone carries clean text +
+    title, n_chars measures the CLEAN text, and the quality gate /
+    packs consume the extracted corpus."""
+    import gzip
+
+    from tests.test_warc import _http, _record
+
+    sentence = (
+        "this paragraph has plenty of genuinely informative words and "
+        "it keeps going long enough to pass every heuristic gate. "
+    )
+    page = (
+        "<html><head><title>Alpha &amp; Co</title>"
+        "<script>var tracking = 'not text';</script></head>"
+        "<body><p>" + sentence * 8 + "</p></body></html>"
+    ).encode()
+    recs = [
+        _record("warcinfo", b"software: test\r\n"),
+        _record(
+            "response", _http(page),
+            **{"WARC-Target-URI": "https://site.example/alpha"},
+        ),
+    ]
+    p = tmp_path / "crawl.warc.gz"
+    p.write_bytes(gzip.compress(b"".join(recs)))
+
+    out = corpus.run_corpus_pipeline(
+        spark,
+        None,
+        str(tmp_path / "zones"),
+        budget=10_000,
+        jaccard_threshold=0.5,
+        warc_path=str(p),
+        extract_html=True,
+    )
+    assert "corpus_extracted" in out
+    ext = spark.read.parquet(out["corpus_extracted"]).first()
+    assert ext["title"] == "Alpha & Co"
+    assert "<p>" not in ext["text"] and "tracking" not in ext["text"]
+    assert ext["text"].startswith("Alpha & Co\nthis paragraph")
+    assert ext["n_chars"] == len(ext["text"])  # clean-text length
+    # the quality gate saw clean text and the doc survived to packs
+    filt = spark.read.parquet(out["corpus_filtered"])
+    assert filt.count() == 1
+    packs = spark.read.parquet(out["corpus_packs"])
+    assert packs.agg(F.sum("n_docs")).first()[0] == 1
+
+    # extract_html without a WARC front door is a usage error
+    import pytest as _pytest
+
+    docs = spark.read.parquet(out["corpus_extracted"])
+    with _pytest.raises(ValueError):
+        corpus.run_corpus_pipeline(
+            spark, docs, str(tmp_path / "z2"), extract_html=True
+        )

@@ -1,0 +1,220 @@
+"""HTML → text extraction + link graph (operators/html.py).
+
+Covers: tag/script/style/comment removal, block-tag newline structure,
+entity decode (order + one-level contract), whitespace normalization,
+title extraction, href extraction (both quote styles), relative URL
+resolution against the page URL, per-doc edge rows and the host graph,
+and the scan-shape contract (no Python eval, no shuffle in the
+extraction plan).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from peskas_mozambique_data_pipeline_spark.operators import html as H
+
+from conftest import rows
+
+
+def _one(spark, html, expr):
+    return spark.createDataFrame([(html,)], "h string").select(
+        expr(F.col("h")).alias("v")
+    ).first()["v"]
+
+
+PAGE = (
+    "<html><head><title> My &amp; Site </title>"
+    "<style>p { color: red }</style></head>"
+    "<body><!-- nav chrome -->"
+    "<script type='text/javascript'>var x = '<p>not text</p>';</script>"
+    "<h1>Head&#39;s up</h1>"
+    "<p>First &lt;b&gt;paragraph&lt;/b&gt; &quot;quoted&quot;.</p>"
+    "<div>Second   line<br>third&nbsp;line</div>"
+    "<ul><li>a</li><li>b</li></ul>"
+    "</body></html>"
+)
+
+
+class TestStripHtml:
+    def test_full_page(self, spark):
+        out = _one(spark, PAGE, H.strip_html)
+        assert out == (
+            "My & Site\n"
+            "Head's up\n"
+            'First <b>paragraph</b> "quoted".\n'
+            "Second line\nthird line\n"
+            "a\nb"
+        )
+
+    def test_script_style_comment_bodies_never_leak(self, spark):
+        out = _one(spark, PAGE, H.strip_html)
+        assert "not text" not in out
+        assert "color" not in out
+        assert "nav chrome" not in out
+
+    def test_unclosed_script_leaves_content_as_text(self, spark):
+        # documented limit: the non-greedy span needs the closing tag
+        out = _one(spark, "<script>var x=1; <p>hi</p>", H.strip_html)
+        assert "var x=1;" in out and "hi" in out
+
+    def test_entity_decode_is_one_level(self, spark):
+        # '&amp;lt;' is the ESCAPED text '&lt;' — decoding must yield
+        # the literal string '&lt;', never '<'
+        assert _one(spark, "&amp;lt;tag&amp;gt;", H.strip_html) == "&lt;tag&gt;"
+
+    def test_numeric_core_entities(self, spark):
+        assert _one(spark, "a&#60;b&#62;c&#34;d&#38;e", H.strip_html) == 'a<b>c"d&e'
+
+    def test_whitespace_normalization(self, spark):
+        got = _one(spark, "a \t  b\r\n\n\n\n c ", H.strip_html)
+        assert got == "a b\nc"
+
+    def test_plain_text_passthrough(self, spark):
+        assert _one(spark, "no markup here", H.strip_html) == "no markup here"
+
+    def test_block_tags_make_lines_inline_tags_do_not(self, spark):
+        got = _one(spark, "<p>one</p><p>two <b>bold</b></p>", H.strip_html)
+        assert got == "one\ntwo bold"
+
+
+class TestTitle:
+    def test_title(self, spark):
+        assert _one(spark, PAGE, H.html_title) == "My & Site"
+
+    def test_no_title_is_null(self, spark):
+        assert _one(spark, "<p>x</p>", H.html_title) is None
+
+    def test_multiline_title_collapses(self, spark):
+        assert (
+            _one(spark, "<title>a\n   b</title>", H.html_title) == "a b"
+        )
+
+
+LINKS_PAGE = (
+    '<a href="https://other.example.net/page">abs</a>'
+    '<a href="//cdn.example.net/x.js">proto-rel</a>'
+    '<a href="/root/doc">root-rel</a>'
+    '<a href="sibling.html">rel</a>'
+    "<a href='sq.html'>single-quoted</a>"
+    '<a href="#frag">frag-only</a>'
+    '<a href="mailto:a@b.c">mail</a>'
+    '<a href="javascript:void(0)">js</a>'
+    '<a href="/root/doc">dup root-rel</a>'
+)
+BASE = "https://www.example.co.uk/dir/page.html?x=1"
+
+
+class TestLinks:
+    def test_extract_hrefs_both_quote_styles(self, spark):
+        got = _one(spark, LINKS_PAGE, H.extract_hrefs)
+        assert got[:4] == [
+            "https://other.example.net/page",
+            "//cdn.example.net/x.js",
+            "/root/doc",
+            "sibling.html",
+        ]
+        assert "sq.html" in got and len(got) == 9
+
+    @pytest.mark.parametrize(
+        "href,expect",
+        [
+            ("https://a.b/c", "https://a.b/c"),
+            ("http://a.b/c?q=1", "http://a.b/c?q=1"),
+            ("//cdn.a.b/x", "https://cdn.a.b/x"),
+            ("/top", "https://www.example.co.uk/top"),
+            ("sib.html", "https://www.example.co.uk/dir/sib.html"),
+            ("a/b.html", "https://www.example.co.uk/dir/a/b.html"),
+            ("sib.html#sec", "https://www.example.co.uk/dir/sib.html"),
+            ("#frag", None),
+            ("", None),
+            ("mailto:a@b.c", None),
+            ("javascript:void(0)", None),
+            ("tel:+1-555", None),
+        ],
+    )
+    def test_resolve_url(self, spark, href, expect):
+        got = (
+            spark.createDataFrame([(href, BASE)], "h string, b string")
+            .select(H.resolve_url("h", "b").alias("v"))
+            .first()["v"]
+        )
+        assert got == expect
+
+    def test_resolve_against_bare_origin(self, spark):
+        got = (
+            spark.createDataFrame(
+                [("rel.html", "https://example.com")], "h string, b string"
+            )
+            .select(H.resolve_url("h", "b").alias("v"))
+            .first()["v"]
+        )
+        assert got == "https://example.com/rel.html"
+
+    def test_link_edges(self, spark):
+        df = spark.createDataFrame(
+            [(1, BASE, LINKS_PAGE)], "doc_id long, url string, text string"
+        )
+        got = rows(H.link_edges(df), "doc_id", "link_url", "dst_domain")
+        urls = [g[1] for g in got]
+        # 5 distinct resolved links (dup root-rel collapsed; frag,
+        # mailto and javascript dropped)
+        assert len(urls) == 5
+        assert "https://www.example.co.uk/root/doc" in urls
+        assert ("https://cdn.example.net/x.js") in urls
+        doms = {g[2] for g in got}
+        assert "example.net" in doms and "example.co.uk" in doms
+
+    def test_host_link_graph(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "https://a.com/p", '<a href="https://b.com/x">.</a><a href="/self">.</a>'),
+                (2, "https://a.com/q", '<a href="https://b.com/y">.</a>'),
+                (3, "https://b.com/r", '<a href="https://a.com/z">.</a>'),
+            ],
+            "doc_id long, url string, text string",
+        )
+        g = rows(H.host_link_graph(H.link_edges(df)), "src", "dst", "n_links")
+        assert g == [("a.com", "b.com", 2), ("b.com", "a.com", 1)]
+
+    def test_self_links_kept_when_asked(self, spark):
+        df = spark.createDataFrame(
+            [(1, "https://a.com/p", '<a href="/self">.</a>')],
+            "doc_id long, url string, text string",
+        )
+        g = rows(
+            H.host_link_graph(H.link_edges(df), drop_self=False),
+            "src", "dst", "n_links",
+        )
+        assert g == [("a.com", "a.com", 1)]
+
+
+class TestDataFrameOpsAndPlan:
+    def test_extract_html_text_recomputes_n_chars(self, spark):
+        df = spark.createDataFrame(
+            [(1, "<p>hi</p>", 999)], "doc_id long, text string, n_chars long"
+        )
+        out = H.extract_html_text(df).first()
+        assert out["text"] == "hi" and out["n_chars"] == 2
+        assert out["title"] is None
+
+    def test_extraction_plan_is_scan_shaped(self, spark):
+        df = spark.createDataFrame(
+            [(1, PAGE, BASE)], "doc_id long, text string, url string"
+        )
+        plan = (
+            H.extract_html_text(df)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan, "extraction must not shuffle"
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    def test_link_edges_single_shuffle(self, spark):
+        df = spark.createDataFrame(
+            [(1, BASE, LINKS_PAGE)], "doc_id long, url string, text string"
+        )
+        plan = (
+            H.link_edges(df)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
