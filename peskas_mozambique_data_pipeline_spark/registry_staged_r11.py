@@ -16,10 +16,19 @@ new r11 rows).
   emit (id_a, id_b, similarity) near-duplicate pair tables — the
   lexical and the embedding modality of the same surface.
 
-Plus one NEW operator row: ``fetch_audit`` puts the r10 politeness
-scheduler (``web.fetch_schedule``) under the hard oracle — synthesized
-per-host frontier URLs, an analytic delay table, and the per-host
-slot assignment replayed as a windowed ROW_NUMBER in SQL.
+Plus three NEW operator rows:
+
+* ``fetch_audit`` puts the r10 politeness scheduler
+  (``web.fetch_schedule``) under the hard oracle — synthesized
+  per-host frontier URLs, an analytic delay table, and the per-host
+  slot assignment replayed as a windowed ROW_NUMBER in SQL.
+* ``html_extract`` puts HTML → text extraction (``operators/html``)
+  under the hard oracle by entity-encode/extract round trip: the
+  expected text is analytic (never re-parsed from HTML), only the
+  whitespace-normalization chain replays cross-engine.
+* ``link_graph`` puts href extraction + relative-URL resolution + the
+  cross-host link graph under the hard oracle with fully analytic
+  expected edges (mailto/fragment hrefs must drop or counts mismatch).
 
 Each union leg calls the ORIGINAL registered query function verbatim
 and the oracle wraps the ORIGINAL oracle SQL in a CTE (the
@@ -181,11 +190,178 @@ FROM f LEFT JOIN d ON f.h = d.host
 
 
 # ---------------------------------------------------------------------------
+# html_extract — HTML → text extraction under the hard oracle, by
+# ROUND TRIP: each document's text is entity-ENCODED (& < > -> &amp;
+# &lt; &gt;) and wrapped in a fixed page template (head/title, style,
+# comment, script, h1, p, div), so correct extraction must cut every
+# non-text span, decode entities one level (recovering the original
+# text exactly — encode & first, decode &amp; last inverts it for ANY
+# input), and normalize whitespace.  The oracle never parses HTML: the
+# expected text is the analytic plain-string concatenation with the
+# SAME five-rule whitespace chain replayed in DuckDB (the only regex
+# surface shared cross-engine, all patterns in the Java/RE2 common
+# subset), the ``url_dedup`` analytic-ground-truth discipline.
+
+
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import html as html_ops
+    from .session import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    enc = F.replace(
+        F.replace(
+            F.replace(F.col("text"), F.lit("&"), F.lit("&amp;")),
+            F.lit("<"),
+            F.lit("&lt;"),
+        ),
+        F.lit(">"),
+        F.lit("&gt;"),
+    )
+    sid = F.col("doc_id").cast(_S)
+    page = F.concat(
+        F.lit("<html><head><title> Doc &amp; "),
+        sid,
+        F.lit(" </title><style>p{color:red}</style></head>"),
+        F.lit('<body><!-- chrome --><script>var x = "<p>no</p>";</script><h1>H&#39;'),
+        sid,
+        F.lit("</h1><p>"),
+        enc,
+        F.lit("</p><div>t "),
+        (F.col("doc_id") % 5).cast(_S),
+        F.lit("</div></body></html>"),
+    )
+    out = html_ops.extract_html_text(
+        docs.select("doc_id", page.alias("text")), html_col="text"
+    )
+    return out.select(
+        "doc_id",
+        "title",
+        F.col("text").alias("text_clean"),
+        F.length("text").cast(_L).alias("n_chars_clean"),
+    )
+
+
+SQL_HTML_EXTRACT = r"""
+WITH raw AS (
+  SELECT doc_id,
+         'Doc & ' || CAST(doc_id AS VARCHAR) AS title,
+         'Doc & ' || CAST(doc_id AS VARCHAR) || chr(10)
+           || 'H''' || CAST(doc_id AS VARCHAR) || chr(10)
+           || text || chr(10)
+           || 't ' || CAST(doc_id % 5 AS VARCHAR) AS r
+  FROM documents
+),
+clean AS (
+  SELECT doc_id, title,
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      r, '[ \t\r\f]+', ' ', 'g'), ' ?\n ?', chr(10), 'g'), '\n+', chr(10), 'g'),
+      '^[\s]+', ''), '[\s]+$', '') AS text_clean
+  FROM raw
+)
+SELECT doc_id, title, text_clean,
+       CAST(length(text_clean) AS BIGINT) AS n_chars_clean
+FROM clean
+"""
+
+
+# ---------------------------------------------------------------------------
+# link_graph — href extraction + relative-URL resolution + host graph
+# under the hard oracle.  Each document's page carries four resolvable
+# links (absolute cross-host, protocol-relative cross-host,
+# root-relative self, path-relative self — the last two verify origin
+# and base-dir resolution against the analytic base URL) plus, on
+# id%4==0 rows, a mailto: and a fragment-only href that MUST be
+# dropped (the counts catch a leak).  The edge leg states every
+# resolved URL analytically; the graph leg replays host_link_graph's
+# cross-host aggregation (self-host edges dropped) as a GROUP BY over
+# doc_id % 5.
+
+
+def q_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import html as html_ops
+    from .session import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast(_S)
+
+    def host(k: int):
+        return F.concat(
+            F.lit("h"), ((F.col("doc_id") + k) % 5).cast(_S), F.lit(".example.org")
+        )
+
+    base = F.concat(
+        F.lit("https://"), host(0), F.lit("/d/"), sid, F.lit("/page.html")
+    )
+    page = F.concat(
+        F.lit('<a href="https://'), host(1), F.lit('/abs">a</a>'),
+        F.lit('<a href="//'), host(2), F.lit('/pr">b</a>'),
+        F.lit("<a href='/rooty'>c</a>"),
+        F.lit('<a href="rel'), (F.col("doc_id") % 3).cast(_S), F.lit('.html">d</a>'),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.lit('<a href="mailto:x@y.z">m</a><a href="#f">f</a>'),
+        ).otherwise(F.lit("")),
+    )
+    pages = docs.select("doc_id", base.alias("url"), page.alias("html"))
+    edges = html_ops.link_edges(pages, html_col="html", url_col="url")
+    graph = html_ops.host_link_graph(edges)
+    a = edges.select(
+        F.lit("edge").alias("stat"),
+        F.col("doc_id").cast(_S).alias("k1"),
+        F.col("link_url").alias("k2"),
+        _null(_L).alias("n"),
+    )
+    b = graph.select(
+        F.lit("graph").alias("stat"),
+        F.col("src").alias("k1"),
+        F.col("dst").alias("k2"),
+        F.col("n_links").cast(_L).alias("n"),
+    )
+    return a.unionByName(b)
+
+
+SQL_LINK_GRAPH = """
+WITH d AS (SELECT doc_id, doc_id % 5 AS s FROM documents),
+e AS (
+  SELECT doc_id, 'https://h' || CAST((s + 1) % 5 AS VARCHAR)
+         || '.example.org/abs' AS link FROM d
+  UNION ALL
+  SELECT doc_id, 'https://h' || CAST((s + 2) % 5 AS VARCHAR)
+         || '.example.org/pr' FROM d
+  UNION ALL
+  SELECT doc_id, 'https://h' || CAST(s AS VARCHAR)
+         || '.example.org/rooty' FROM d
+  UNION ALL
+  SELECT doc_id, 'https://h' || CAST(s AS VARCHAR) || '.example.org/d/'
+         || CAST(doc_id AS VARCHAR) || '/rel'
+         || CAST(doc_id % 3 AS VARCHAR) || '.html' FROM d
+),
+g AS (
+  SELECT 'h' || CAST(s AS VARCHAR) || '.example.org' AS src,
+         'h' || CAST((s + 1) % 5 AS VARCHAR) || '.example.org' AS dst,
+         COUNT(*) AS n
+  FROM d GROUP BY 1, 2
+  UNION ALL
+  SELECT 'h' || CAST(s AS VARCHAR) || '.example.org',
+         'h' || CAST((s + 2) % 5 AS VARCHAR) || '.example.org', COUNT(*)
+  FROM d GROUP BY 1, 2
+)
+SELECT 'edge' AS stat, CAST(doc_id AS VARCHAR) AS k1, link AS k2,
+       CAST(NULL AS BIGINT) AS n
+FROM e
+UNION ALL
+SELECT 'graph', src, dst, CAST(n AS BIGINT) FROM g
+"""
+
+
+# ---------------------------------------------------------------------------
 
 STAGED_QUERIES = {
     "governance_audit": q_governance_audit,
     "neardup_audit": q_neardup_audit,
     "fetch_audit": q_fetch_audit,
+    "html_extract": q_html_extract,
+    "link_graph": q_link_graph,
 }
 
 
@@ -194,6 +370,8 @@ def build_staged_oracle_sql() -> dict[str, str]:
         "governance_audit": _sql_governance_audit(),
         "neardup_audit": _sql_neardup_audit(),
         "fetch_audit": SQL_FETCH_AUDIT,
+        "html_extract": SQL_HTML_EXTRACT,
+        "link_graph": SQL_LINK_GRAPH,
     }
 
 
