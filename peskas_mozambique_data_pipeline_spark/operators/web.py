@@ -692,3 +692,38 @@ def fetch_schedule(
         )
         .drop("_h", "_dhost", "_delay")
     )
+
+
+def prioritize_frontier(
+    frontier: DataFrame,
+    host_ranks: DataFrame,
+    url_col: str = "url",
+    node_col: str = "node",
+    rank_col: str = "rank",
+    out_col: str = "host_rank",
+) -> DataFrame:
+    """Crawl-frontier prioritization by link-graph authority: each
+    frontier URL gets its host's score from ``host_ranks`` — the
+    ``(node, rank)`` table ``graph.pagerank`` produces over
+    ``html.host_link_graph`` edges — so a fetcher fleet drains the
+    frontier highest-authority-host first (the classic
+    crawl-ordering signal, Cho/Garcia-Molina/Page 1998).
+
+    Hosts absent from the graph score 0.0 (never-seen hosts still get
+    crawled, after known-good ones).  Shape: the rank table is
+    host-grained — orders of magnitude smaller than a frontier — so
+    the join broadcasts; schema-preserving plus ``out_col``.  Cross-
+    host priority composes with per-host politeness: run this first,
+    then ``fetch_schedule``, and consume ordered by (``out_col`` desc,
+    ``fetch_offset_ms``).
+    """
+    ranks = host_ranks.select(
+        F.col(node_col).alias("_rhost"),
+        F.col(rank_col).cast("double").alias(out_col),
+    )
+    keyed = frontier.withColumn("_h", host_of(url_col))
+    return (
+        keyed.join(F.broadcast(ranks), keyed["_h"] == ranks["_rhost"], "left")
+        .withColumn(out_col, F.coalesce(F.col(out_col), F.lit(0.0)))
+        .drop("_h", "_rhost")
+    )

@@ -7,8 +7,9 @@ Composition order mirrors the batch DAG and puts every STATELESS gate
 before the stateful ones, so bounded dedup state only ever holds
 documents that already survived the cheap filters:
 
-    robots filter → quality gate → classifier gate →
-    bloom decontamination → URL refetch dedup → content digest dedup
+    (HTML → text extraction) → robots filter → quality gate →
+    classifier gate → bloom decontamination → URL refetch dedup →
+    content digest dedup
 
 Stream-safety notes per stage:
 
@@ -52,6 +53,7 @@ def stream_curate(
     url_col: str | None = None,
     robots_rules: DataFrame | None = None,
     content_dedup: bool = True,
+    extract_html: bool = False,
 ) -> DataFrame:
     """Compose the enabled stages over a streaming documents frame and
     return the curated stream (write it with ``ingest.write_zone`` or
@@ -61,6 +63,13 @@ def stream_curate(
     have admitted (stage-for-stage parity is pytest-pinned).
     """
     out = stream
+    if extract_html:
+        # HTML → text is a pure regexp scan (operators/html) — fully
+        # stateless, so it streams unchanged and runs FIRST: every
+        # later gate must see rendered text, not markup
+        from ..operators import html as html_ops
+
+        out = html_ops.extract_html_text(out, html_col=text_col, out_col=text_col)
     if robots_rules is not None:
         if url_col is None:
             raise ValueError("robots_rules requires url_col")

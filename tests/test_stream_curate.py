@@ -169,3 +169,34 @@ def test_stream_curated_zone_feeds_batch_dag_unchanged(spark, parts, tmp_path):
     # the DAG ran through its core zones
     for z in ("corpus_filtered", "corpus_deduped", "corpus_packs"):
         assert z in out or zones.read(spark, z) is not None
+
+
+def test_stream_curate_extract_html(spark, tmp_path):
+    """extract_html runs first and stateless: markup docs stream
+    through the quality gate as RENDERED text (the HTML wrapper would
+    otherwise sink the symbol-ratio/length heuristics), and the
+    curated text equals the batch extractor's output."""
+    from peskas_mozambique_data_pipeline_spark.operators import html as html_ops
+
+    page = (
+        "<html><head><title>T</title><script>var x=1;</script></head>"
+        "<body><p>" + GOOD + "epsilon.</p></body></html>"
+    )
+    docs = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:01", "http://site.example/ok/1", page)],
+        "doc_id long, ts string, url string, text string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    src = str(tmp_path / "landing")
+    docs.write.parquet(src)
+    stream = si.stream_landing_zone(spark, src, spark.read.parquet(src).schema)
+
+    curated = sc.stream_curate(stream, url_col="url", extract_html=True)
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = si.write_zone(curated, out_dir, ckpt)
+    q.awaitTermination(180)
+    got = spark.read.parquet(out_dir).collect()
+    assert len(got) == 1
+    batch = html_ops.extract_html_text(docs).first()
+    assert got[0]["text"] == batch["text"]
+    assert "<p>" not in got[0]["text"] and "var x=1" not in got[0]["text"]
+    assert got[0]["title"] == "T"

@@ -633,3 +633,58 @@ def test_fetch_schedule_plan_broadcasts_delays(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_prioritize_frontier_by_link_authority(spark):
+    """Crawl ordering end to end: pages → link_edges →
+    host_link_graph → pagerank → prioritize_frontier → fetch_schedule.
+    The most-linked-to host outranks the rest; unknown hosts score 0;
+    politeness offsets compose per host."""
+    from peskas_mozambique_data_pipeline_spark.operators import graph, html
+
+    pages = spark.createDataFrame(
+        [
+            (1, "https://a.com/1", '<a href="https://hub.com/x">.</a>'),
+            (2, "https://b.com/2", '<a href="https://hub.com/y">.</a>'),
+            (3, "https://hub.com/3", '<a href="https://a.com/z">.</a>'),
+        ],
+        "doc_id long, url string, text string",
+    )
+    edges = html.host_link_graph(html.link_edges(pages))
+    # symmetrize for pagerank's no-dangling-mass contract
+    sym = edges.unionByName(
+        edges.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "n_links"
+        )
+    ).select("src", "dst")
+    ranks = graph.pagerank(sym, n_iters=3)
+    r = {row["node"]: row["rank"] for row in ranks.collect()}
+    assert r["hub.com"] > r["b.com"]
+
+    frontier = spark.createDataFrame(
+        [
+            (1, "https://hub.com/new1"),
+            (2, "https://hub.com/new2"),
+            (3, "https://b.com/new"),
+            (4, "https://never-seen.example/new"),
+        ],
+        "fid long, url string",
+    )
+    pri = web.prioritize_frontier(frontier, ranks)
+    got = {row["fid"]: row["host_rank"] for row in pri.collect()}
+    assert got[1] == got[2] == r["hub.com"]
+    assert got[3] == r["b.com"]
+    assert got[4] == 0.0
+    assert set(pri.columns) == {"fid", "url", "host_rank"}
+
+    # composes with politeness: per-host slots order within the host
+    delays = spark.createDataFrame(
+        [("hub.com", 500)], "host string, crawl_delay_ms long"
+    )
+    sched = web.fetch_schedule(pri, delays)
+    hub = sorted(
+        (row["url"], row["fetch_offset_ms"])
+        for row in sched.collect()
+        if "hub.com" in row["url"]
+    )
+    assert hub == [("https://hub.com/new1", 0), ("https://hub.com/new2", 500)]
