@@ -116,7 +116,7 @@ def decode_entities(text: str | Column) -> Column:
 def normalize_ws(text: str | Column) -> Column:
     """Whitespace canonicalization shared by :func:`strip_html` and its
     oracle replay: horizontal runs → one space, newline-hugging spaces
-    dropped, ≥3 newlines → paragraph break, outer whitespace trimmed."""
+    dropped, newline runs → one, outer whitespace trimmed."""
     out = _col(text)
     for pat, rep in _WS_CHAIN:
         out = F.regexp_replace(out, pat, rep)
@@ -268,3 +268,113 @@ def host_link_graph(
     if drop_self:
         e = e.filter(F.col("src") != F.col("dst"))
     return e.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n_links"))
+
+
+def extract_anchors(
+    df: DataFrame,
+    html_col: str = "text",
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Anchor-text harvest: one row per ``<a href>`` element with a
+    resolvable target — ``(id, url, link_url, anchor)``, anchor being
+    the element's rendered inner text (nested tags cut, entities
+    decoded, whitespace collapsed).
+
+    Anchor text describes the TARGET page, not the source — the
+    classic crawl/search relevance signal and a weak-label source for
+    training data (anchors pointing at a page summarize it).  Whole
+    ``<a>…</a>`` elements come out of one ``regexp_extract_all``
+    (group 0), then href and inner text are per-element expressions
+    inside ``transform`` — everything stays in the scan; the only
+    shuffle is the explode's downstream consumer's.
+
+    Double-quoted hrefs only (the dominant form; ``link_edges`` covers
+    both styles for pure connectivity) — documented trade so the
+    element pattern stays in the Java/RE2 common subset.
+    """
+    elem_pat = r'(?is)<a\b[^>]*?href\s*=\s*"[^"]*"[^>]*>.*?</a>'
+    href_pat = r'(?is)href\s*=\s*"([^"]*)"'
+    inner_pat = r"(?is)<a\b[^>]*>(.*)</a>"
+
+    def _anchor(e: Column) -> Column:
+        inner = F.regexp_extract(e, inner_pat, 1)
+        txt = decode_entities(F.regexp_replace(inner, r"(?s)<[^>]*>", " "))
+        return F.trim(F.regexp_replace(txt, r"\s+", " "))
+
+    elems = F.regexp_extract_all(_col(html_col), F.lit(elem_pat), F.lit(0))
+    pairs = F.filter(
+        F.transform(
+            elems,
+            lambda e: F.struct(
+                resolve_url(F.regexp_extract(e, href_pat, 1), F.col(url_col)).alias(
+                    "link_url"
+                ),
+                _anchor(e).alias("anchor"),
+            ),
+        ),
+        lambda p: p["link_url"].isNotNull(),
+    )
+    return df.select(
+        F.col(id_col), F.col(url_col), F.explode(pairs).alias("_p")
+    ).select(id_col, url_col, F.col("_p.link_url"), F.col("_p.anchor"))
+
+
+def parse_sitemap(
+    df: DataFrame,
+    xml_col: str = "text",
+    source_col: str | None = "url",
+) -> DataFrame:
+    """Sitemap XML → frontier rows: one row per ``<url>`` entry with
+    ``(loc, lastmod, priority, kind)``; ``<sitemapindex>`` child
+    sitemaps come out as ``kind='sitemap'`` rows so a crawler can
+    fetch-and-recurse.  Feeds ``web.prioritize_frontier`` /
+    ``web.fetch_schedule`` directly — sitemap seeding is the polite
+    complement to link discovery.
+
+    Same scan discipline as the rest of the module: ``<url>``/
+    ``<sitemap>`` blocks via one ``regexp_extract_all`` each, per-block
+    fields as ``transform`` expressions (loc entity-decoded — ``&`` in
+    sitemap URLs is XML-escaped), ``try_cast`` on priority so a
+    malformed value is NULL, never a failed scan.
+    """
+
+    def _entries(kind: str, block_pat: str) -> Column:
+        blocks = F.regexp_extract_all(_col(xml_col), F.lit(block_pat), F.lit(1))
+        return F.transform(
+            blocks,
+            lambda b: F.struct(
+                decode_entities(
+                    F.trim(F.regexp_extract(b, r"(?is)<loc[^>]*>\s*(.*?)\s*</loc>", 1))
+                ).alias("loc"),
+                F.nullif(
+                    F.trim(
+                        F.regexp_extract(
+                            b, r"(?is)<lastmod[^>]*>\s*(.*?)\s*</lastmod>", 1
+                        )
+                    ),
+                    F.lit(""),
+                ).alias("lastmod"),
+                F.trim(
+                    F.regexp_extract(
+                        b, r"(?is)<priority[^>]*>\s*(.*?)\s*</priority>", 1
+                    )
+                )
+                .try_cast("double")
+                .alias("priority"),
+                F.lit(kind).alias("kind"),
+            ),
+        )
+
+    both = F.concat(
+        _entries("url", r"(?is)<url\b[^>]*>(.*?)</url>"),
+        _entries("sitemap", r"(?is)<sitemap\b[^>]*>(.*?)</sitemap>"),
+    )
+    cols = [F.col(source_col)] if source_col else []
+    return (
+        df.select(*cols, F.explode(both).alias("_e"))
+        .select(*([source_col] if source_col else []),
+                F.col("_e.loc"), F.col("_e.lastmod"),
+                F.col("_e.priority"), F.col("_e.kind"))
+        .filter(F.col("loc") != "")
+    )

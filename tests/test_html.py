@@ -218,3 +218,80 @@ class TestDataFrameOpsAndPlan:
             H.link_edges(df)._jdf.queryExecution().executedPlan().toString()
         )
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+SITEMAP = (
+    '<?xml version="1.0"?>\n<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+    "<url><loc> https://a.com/p?x=1&amp;y=2 </loc>"
+    "<lastmod>2026-01-05</lastmod><priority>0.8</priority></url>"
+    "<url><loc>https://a.com/q</loc><priority>bogus</priority></url>"
+    "</urlset>"
+)
+SITEMAP_INDEX = (
+    "<sitemapindex><sitemap><loc>https://a.com/sitemap1.xml</loc>"
+    "<lastmod>2026-02-01</lastmod></sitemap></sitemapindex>"
+)
+
+
+class TestSitemap:
+    def test_urlset_entries(self, spark):
+        df = spark.createDataFrame(
+            [("https://a.com/sitemap.xml", SITEMAP)], "url string, text string"
+        )
+        got = rows(
+            H.parse_sitemap(df), "loc", "lastmod", "priority", "kind"
+        )
+        assert got == [
+            ("https://a.com/p?x=1&y=2", "2026-01-05", 0.8, "url"),
+            ("https://a.com/q", None, None, "url"),
+        ]
+
+    def test_index_recursion_rows(self, spark):
+        df = spark.createDataFrame(
+            [("https://a.com/sitemap.xml", SITEMAP_INDEX)],
+            "url string, text string",
+        )
+        got = rows(H.parse_sitemap(df), "loc", "lastmod", "kind")
+        assert got == [("https://a.com/sitemap1.xml", "2026-02-01", "sitemap")]
+
+    def test_feeds_fetch_schedule(self, spark):
+        from peskas_mozambique_data_pipeline_spark.operators import web
+
+        df = spark.createDataFrame(
+            [("https://a.com/sitemap.xml", SITEMAP)], "url string, text string"
+        )
+        frontier = H.parse_sitemap(df).select(F.col("loc").alias("url"))
+        delays = spark.createDataFrame(
+            [("a.com", 1000)], "host string, crawl_delay_ms long"
+        )
+        sched = rows(web.fetch_schedule(frontier, delays), "url", "fetch_offset_ms")
+        assert [s[1] for s in sched] == [0, 1000]
+
+
+class TestAnchors:
+    def test_anchor_text_harvest(self, spark):
+        page = (
+            '<a href="https://b.com/x" class="z">Great <b>resource</b>&nbsp;here</a>'
+            '<a href="/local">  spaced   anchor </a>'
+            '<a href="mailto:x@y">dropped</a>'
+            '<a href="https://c.com/y"><img src="i.png"></a>'
+        )
+        df = spark.createDataFrame(
+            [(1, "https://a.com/p", page)], "doc_id long, url string, text string"
+        )
+        got = rows(H.extract_anchors(df), "link_url", "anchor")
+        assert got == [
+            ("https://a.com/local", "spaced anchor"),
+            ("https://b.com/x", "Great resource here"),
+            ("https://c.com/y", ""),
+        ]
+
+    def test_anchors_plan_no_python(self, spark):
+        df = spark.createDataFrame(
+            [(1, "https://a.com/p", '<a href="/x">t</a>')],
+            "doc_id long, url string, text string",
+        )
+        plan = (
+            H.extract_anchors(df)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
