@@ -315,3 +315,98 @@ def read_pairs(spark: SparkSession, pairs_dir: str) -> DataFrame:
     """All near-dup pairs emitted so far (pair emission is exactly-once
     across batches, so this is a plain union read)."""
     return spark.read.parquet(pairs_dir).drop("batch")
+
+
+def probe_index(
+    new_df: DataFrame,
+    zone_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 5,
+    n_hashes: int = 8,
+    bands: int = 4,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """One-shot BATCH probe of the accumulated index: verified near-dup
+    matches of ``new_df`` against everything the index has seen —
+    ``(new_id, index_id, jaccard)`` — WITHOUT appending, so the index
+    is unchanged (the read-only twin of the per-batch join inside
+    :func:`stream_near_dup_index`; use it for "is this candidate shard
+    already in the corpus" checks between ingest windows).
+
+    Cost ∝ the probe: the new side is shingle-hashed once, and the
+    corpus side is probed as two separate joins (``read_index_parts``)
+    so the bucketed snapshot joins exchange-free on (band, bucket) —
+    only the probe rows shuffle, exactly the stream path's plan.
+    Banding/hash parameters MUST match the maintaining stream's (they
+    define the signature space; a mismatch silently probes disjoint
+    buckets — same contract as the stored-index loaders).
+    """
+    spark = new_df.sparkSession
+    index_dir = os.path.join(zone_dir, INDEX_SUBDIR)
+    compact_dir = os.path.join(zone_dir, COMPACT_SUBDIR)
+    new_rows = _index_frame(
+        new_df, text_col, id_col, shingle_k, n_hashes, bands
+    ).localCheckpoint()  # probed against snapshot AND deltas below
+    snapshot, deltas = read_index_parts(spark, index_dir, compact_dir)
+    empty = new_rows.select(
+        F.col(id_col).alias("id_a"),
+        F.col(id_col).alias("id_b"),
+        F.lit(0.0).alias("jaccard"),
+    ).limit(0)
+    pairs = empty
+    for existing in (snapshot, deltas):
+        if existing is not None:
+            # keep the probe orientation: id_a = new doc, id_b = index
+            a = new_rows.select(
+                F.col(id_col).alias("id_n"), "band", "bucket",
+                F.col("_h32").alias("h_n"),
+            )
+            b = existing.select(
+                F.col(id_col).alias("id_x"), "band", "bucket",
+                F.col("_h32").alias("h_x"),
+            )
+            cand = (
+                a.join(b, ["band", "bucket"])
+                .filter(F.col("id_n") != F.col("id_x"))
+                .select(
+                    F.col("id_n").alias("id_a"),
+                    F.col("id_x").alias("id_b"),
+                    F.col("h_n").alias("h_a"),
+                    F.col("h_x").alias("h_b"),
+                )
+                .dropDuplicates(["id_a", "id_b"])
+            )
+            inter = F.size(F.array_intersect(F.col("h_a"), F.col("h_b")))
+            union = F.size(F.col("h_a")) + F.size(F.col("h_b")) - inter
+            verified = cand.select(
+                "id_a",
+                "id_b",
+                F.round(inter.cast("double") / union, 6).alias("jaccard"),
+            ).filter(F.col("jaccard") >= jaccard_threshold)
+            pairs = pairs.unionByName(verified)
+    return pairs.dropDuplicates(["id_a", "id_b"]).select(
+        F.col("id_a").alias("new_id"),
+        F.col("id_b").alias("index_id"),
+        "jaccard",
+    )
+
+
+def filter_against_index(
+    new_df: DataFrame,
+    zone_dir: str,
+    id_col: str = "doc_id",
+    **kw,
+) -> DataFrame:
+    """Drop incoming documents that near-duplicate anything the index
+    has seen (the persistent-index twin of
+    ``operators.dedup.filter_against_reference`` — same anti-join
+    shape, but the reference side is the maintained zone instead of a
+    recomputed corpus pass).  Survivors keep their full rows; the
+    anti-join shuffles only id keys against the matched set."""
+    matches = probe_index(new_df, zone_dir, id_col=id_col, **kw)
+    return new_df.join(
+        matches.select(F.col("new_id").alias(id_col)).distinct(),
+        id_col,
+        "left_anti",
+    )

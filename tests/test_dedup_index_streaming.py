@@ -235,3 +235,63 @@ def test_snapshot_fallback_without_catalog_entry(spark, tmp_path):
     after = {r.doc_id for r in di.read_index(spark, index_dir, compact_dir)
              .select("doc_id").distinct().collect()}
     assert after == before == {1, 2, 3}
+
+
+def test_batch_probe_matches_stream_join(spark, tmp_path):
+    """probe_index: the read-only batch probe finds the same matches
+    the maintaining stream would, leaves the index unchanged, and
+    keeps the snapshot side exchange-free."""
+    landing = str(tmp_path / "landing")
+    schema = _write(spark, landing, [(1, DOC), (2, OTHER), (3, THIRD)])
+    zone = str(tmp_path / "zone")
+    ck = str(tmp_path / "ck")
+    stream = si.stream_landing_zone(spark, landing, schema, max_files_per_trigger=1)
+    # compact_every=1 so the probe exercises the bucketed-snapshot path
+    q, index_dir, _ = di.stream_near_dup_index(
+        stream, zone, ck, jaccard_threshold=0.5, compact_every=1
+    )
+    q.awaitTermination(120)
+
+    probe = spark.createDataFrame(
+        [(100, DOC_NEAR), (101, "fully novel content nothing matches this")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.new_id, r.index_id): r.jaccard
+        for r in di.probe_index(probe, zone, jaccard_threshold=0.5).collect()
+    }
+    assert set(got) == {(100, 1)}
+    assert 0.5 <= got[(100, 1)] < 1.0
+
+    # read-only: index contents unchanged after probing
+    idx = di.read_index(spark, index_dir, str(tmp_path / "zone" / di.COMPACT_SUBDIR))
+    assert {r.doc_id for r in idx.select("doc_id").distinct().collect()} == {1, 2, 3}
+
+    # plan: the snapshot side of the probe join carries its bucket
+    # partitioning — no Exchange feeds the sorted snapshot scan
+    snapshot, _ = di.read_index_parts(
+        spark, index_dir, str(tmp_path / "zone" / di.COMPACT_SUBDIR)
+    )
+    assert snapshot is not None
+    plan = (
+        di.probe_index(probe, zone, jaccard_threshold=0.5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan
+
+
+def test_filter_against_index_drops_matches(spark, tmp_path):
+    landing = str(tmp_path / "landing")
+    schema = _write(spark, landing, [(1, DOC)])
+    zone = str(tmp_path / "zone")
+    stream = si.stream_landing_zone(spark, landing, schema, max_files_per_trigger=1)
+    q, _, _ = di.stream_near_dup_index(
+        stream, zone, str(tmp_path / "ck"), jaccard_threshold=0.5
+    )
+    q.awaitTermination(120)
+    incoming = spark.createDataFrame(
+        [(100, DOC_NEAR), (101, OTHER)], "doc_id long, text string"
+    )
+    kept = di.filter_against_index(incoming, zone, jaccard_threshold=0.5)
+    assert [r.doc_id for r in kept.collect()] == [101]
+    assert kept.columns == incoming.columns
