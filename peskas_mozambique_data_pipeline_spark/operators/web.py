@@ -727,3 +727,27 @@ def prioritize_frontier(
         .withColumn(out_col, F.coalesce(F.col(out_col), F.lit(0.0)))
         .drop("_h", "_rhost")
     )
+
+
+def robots_sitemaps(
+    df: DataFrame,
+    host_col: str = "host",
+    text_col: str = "robots_txt",
+) -> DataFrame:
+    """``Sitemap:`` directives from robots.txt bodies — one row per
+    (host, sitemap_url).  Per RFC 9309 / sitemaps.org the directive is
+    group-independent (it applies regardless of user-agent blocks), so
+    unlike rule parsing this needs NO stateful group attribution: one
+    ``regexp_extract_all`` over the body, case-insensitive, URL taken
+    verbatim (absolute per the spec).
+
+    Closes the polite-discovery loop: ``robots_sitemaps`` →
+    ``html.parse_sitemap`` over the fetched bodies →
+    ``prioritize_frontier``/``fetch_schedule``.
+    """
+    urls = F.regexp_extract_all(
+        F.col(text_col), F.lit(r"(?im)^[ \t]*sitemap[ \t]*:[ \t]*(\S+)"), F.lit(1)
+    )
+    return df.select(
+        F.col(host_col).alias("host"), F.explode(urls).alias("sitemap_url")
+    )

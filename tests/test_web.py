@@ -688,3 +688,25 @@ def test_prioritize_frontier_by_link_authority(spark):
         if "hub.com" in row["url"]
     )
     assert hub == [("https://hub.com/new1", 0), ("https://hub.com/new2", 500)]
+
+
+def test_robots_sitemaps_group_independent(spark):
+    """Sitemap: directives come out regardless of user-agent groups,
+    case-insensitively, one row per URL."""
+    body = (
+        "User-agent: googlebot\nDisallow: /x\n"
+        "SITEMAP: https://a.com/sitemap1.xml\n"
+        "User-agent: *\nAllow: /\n"
+        "sitemap:https://a.com/sitemap2.xml\n"
+        "# sitemap: https://a.com/commented.xml is prose, not a directive\n"
+    )
+    df = spark.createDataFrame([("a.com", body), ("b.com", "User-agent: *\n")],
+                               "host string, robots_txt string")
+    got = sorted(
+        (r["host"], r["sitemap_url"])
+        for r in web.robots_sitemaps(df).collect()
+    )
+    assert got == [
+        ("a.com", "https://a.com/sitemap1.xml"),
+        ("a.com", "https://a.com/sitemap2.xml"),
+    ]
