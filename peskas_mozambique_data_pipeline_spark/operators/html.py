@@ -181,6 +181,22 @@ def resolve_url(href: str | Column, base_url: str | Column) -> Column:
     )
 
 
+def base_href(html: str | Column, page_url: str | Column) -> Column:
+    """Effective resolution base for a page: the ``<base href>`` value
+    when the document declares an absolute http(s) one, else the page
+    URL.  (HTML allows a relative base href — resolving it needs the
+    page URL anyway, so a relative base is resolved against the page
+    URL first, matching browser behavior for the common cases.)"""
+    b = F.regexp_extract(
+        _col(html), r'(?is)<base\b[^>]*?href\s*=\s*"([^"]*)"', 1
+    )
+    return (
+        F.when(b.rlike(r"^https?://"), b)
+        .when(b != "", F.coalesce(resolve_url(b, _col(page_url)), _col(page_url)))
+        .otherwise(_col(page_url))
+    )
+
+
 def extract_html_text(
     df: DataFrame,
     html_col: str = "text",
@@ -206,6 +222,7 @@ def link_edges(
     url_col: str = "url",
     id_col: str = "doc_id",
     suffix_rules=None,
+    honor_base_tag: bool = True,
 ) -> DataFrame:
     """One row per DISTINCT (document, resolved link): ``(id, url,
     link_url, src_host, dst_host, src_domain, dst_domain)``.
@@ -215,12 +232,20 @@ def link_edges(
     on (id, link) — and at 100 TB that shuffle moves (id, url) pairs,
     never document bodies.  ``suffix_rules`` switches registrable
     domains to the full PSL matcher (``web.registrable_domain_psl``).
+    ``honor_base_tag`` resolves relative hrefs against a declared
+    ``<base href>`` instead of the page URL (:func:`base_href`) —
+    the src columns stay keyed to the PAGE's host regardless.
     """
+    eff_base = (
+        base_href(F.col(html_col), F.col(url_col))
+        if honor_base_tag
+        else F.col(url_col)
+    )
     links = F.array_distinct(
         F.filter(
             F.transform(
                 extract_hrefs(F.col(html_col)),
-                lambda u: resolve_url(u, F.col(url_col)),
+                lambda u: resolve_url(u, eff_base),
             ),
             lambda x: x.isNotNull(),
         )
@@ -291,7 +316,9 @@ def extract_anchors(
 
     Double-quoted hrefs only (the dominant form; ``link_edges`` covers
     both styles for pure connectivity) — documented trade so the
-    element pattern stays in the Java/RE2 common subset.
+    element pattern stays in the Java/RE2 common subset.  Relative
+    hrefs resolve against a declared ``<base href>`` when present
+    (:func:`base_href`), else the page URL.
     """
     elem_pat = r'(?is)<a\b[^>]*?href\s*=\s*"[^"]*"[^>]*>.*?</a>'
     href_pat = r'(?is)href\s*=\s*"([^"]*)"'
@@ -307,7 +334,10 @@ def extract_anchors(
         F.transform(
             elems,
             lambda e: F.struct(
-                resolve_url(F.regexp_extract(e, href_pat, 1), F.col(url_col)).alias(
+                resolve_url(
+                    F.regexp_extract(e, href_pat, 1),
+                    base_href(_col(html_col), F.col(url_col)),
+                ).alias(
                     "link_url"
                 ),
                 _anchor(e).alias("anchor"),

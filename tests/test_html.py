@@ -295,3 +295,59 @@ class TestAnchors:
             H.extract_anchors(df)._jdf.queryExecution().executedPlan().toString()
         )
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestBaseTag:
+    BASED = (
+        '<base href="https://cdn.example.org/assets/">'
+        '<a href="img/x.html">rel</a><a href="/root">rooted</a>'
+    )
+
+    def test_base_tag_changes_relative_resolution(self, spark):
+        df = spark.createDataFrame(
+            [(1, "https://page.example.com/dir/p.html", self.BASED)],
+            "doc_id long, url string, text string",
+        )
+        got = rows(H.link_edges(df), "link_url", "src_host")
+        urls = [g[0] for g in got]
+        assert "https://cdn.example.org/assets/img/x.html" in urls
+        assert "https://cdn.example.org/root" in urls
+        # src stays keyed to the PAGE host, not the base host
+        assert all(g[1] == "page.example.com" for g in got)
+
+    def test_base_tag_can_be_ignored(self, spark):
+        df = spark.createDataFrame(
+            [(1, "https://page.example.com/dir/p.html", self.BASED)],
+            "doc_id long, url string, text string",
+        )
+        urls = [g[0] for g in rows(H.link_edges(df, honor_base_tag=False), "link_url")]
+        assert "https://page.example.com/dir/img/x.html" in urls
+
+    def test_relative_base_resolves_against_page(self, spark):
+        got = (
+            spark.createDataFrame(
+                [('<base href="sub/">x', "https://a.com/dir/p.html")],
+                "h string, u string",
+            )
+            .select(H.base_href("h", "u").alias("v"))
+            .first()["v"]
+        )
+        assert got == "https://a.com/dir/sub/"
+
+    def test_no_base_falls_back_to_page_url(self, spark):
+        got = (
+            spark.createDataFrame(
+                [("<p>no base</p>", "https://a.com/p")], "h string, u string"
+            )
+            .select(H.base_href("h", "u").alias("v"))
+            .first()["v"]
+        )
+        assert got == "https://a.com/p"
+
+    def test_anchor_resolution_honors_base(self, spark):
+        df = spark.createDataFrame(
+            [(1, "https://page.example.com/p", self.BASED)],
+            "doc_id long, url string, text string",
+        )
+        urls = {r["link_url"] for r in H.extract_anchors(df).collect()}
+        assert "https://cdn.example.org/assets/img/x.html" in urls
