@@ -3,11 +3,11 @@ recipe): consolidation unions prepared one round ahead with bit-exact
 two-scale-factor oracle evidence (``tests/test_registry_staged_r11.py``),
 so r11 registration is a mechanical diff.
 
-Both rows pair queries that sit in the CURRENT rotation tail — the 47
-r9-head rows that rotate into the r11 driver window — because window
-arithmetic only credits consolidations made within the rotating-in set
-(47 − 4 + 2 = 45 rotating rows after the swap, leaving 5 slots for
-new r11 rows).
+The union rows pair queries that sit in the CURRENT rotation tail —
+the 47 r9-head rows that rotate into the r11 driver window — because
+window arithmetic only credits consolidations made within the
+rotating-in set (47 − 6 + 3 = 44 rotating rows after the swap,
+leaving 6 slots for new r11 rows; 4 are staged below).
 
 * ``governance_audit`` = ``corpus_diff`` + ``token_drift``: both are
   corpus-governance comparisons (snapshot diff counts / per-group token
@@ -15,8 +15,11 @@ new r11 rows).
 * ``neardup_audit`` = ``jaccard_exact`` + ``embedding_near_dup``: both
   emit (id_a, id_b, similarity) near-duplicate pair tables — the
   lexical and the embedding modality of the same surface.
+* ``lexstats_audit`` = ``term_stats`` + ``bigram_logloss``: both are
+  corpus-level lexical statistics (term_stats is itself a pmi+tfidf
+  union, so the merged row carries three stat values).
 
-Plus three NEW operator rows:
+Plus four NEW operator rows:
 
 * ``fetch_audit`` puts the r10 politeness scheduler
   (``web.fetch_schedule``) under the hard oracle — synthesized
@@ -29,6 +32,9 @@ Plus three NEW operator rows:
 * ``link_graph`` puts href extraction + relative-URL resolution + the
   cross-host link graph under the hard oracle with fully analytic
   expected edges (mailto/fragment hrefs must drop or counts mismatch).
+* ``crawl_audit`` puts anchor-text harvesting (incl. ``<base href>``
+  resolution) and sitemap parsing under the hard oracle, analytic
+  expected rows for both legs.
 
 Each union leg calls the ORIGINAL registered query function verbatim
 and the oracle wraps the ORIGINAL oracle SQL in a CTE (the
@@ -355,13 +361,172 @@ SELECT 'graph', src, dst, CAST(n AS BIGINT) FROM g
 
 
 # ---------------------------------------------------------------------------
+# lexstats_audit = term_stats + bigram_logloss: both are corpus-level
+# lexical statistics (PMI/tf-idf tables and the bigram-LM cross
+# entropy) — same family, merged so the r11 window gains a slot for
+# crawl_audit.  Legs call the registered functions verbatim.
+
+
+def q_lexstats_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .registry_text import q_bigram_logloss, q_term_stats
+
+    a = q_term_stats(spark, sf_dir).select(
+        "stat", "key1", "key2",
+        F.col("cnt").cast(_L).alias("cnt"),
+        F.col("score").cast(_D).alias("score"),
+    )
+    b = q_bigram_logloss(spark, sf_dir).select(
+        F.lit("bigram_ll").alias("stat"),
+        F.col("doc_id").cast(_S).alias("key1"),
+        _null(_S).alias("key2"),
+        F.col("n_bigrams").cast(_L).alias("cnt"),
+        F.col("cross_entropy").cast(_D).alias("score"),
+    )
+    return a.unionByName(b)
+
+
+def _sql_lexstats_audit() -> str:
+    from .registry_text import SQL_BIGRAM_LOGLOSS, SQL_TERM_STATS
+
+    return f"""
+WITH a AS ({SQL_TERM_STATS}),
+b AS ({SQL_BIGRAM_LOGLOSS})
+SELECT stat, key1, key2, CAST(cnt AS BIGINT) AS cnt,
+       CAST(score AS DOUBLE) AS score
+FROM a
+UNION ALL
+SELECT 'bigram_ll', CAST(doc_id AS VARCHAR), CAST(NULL AS VARCHAR),
+       CAST(n_bigrams AS BIGINT), CAST(cross_entropy AS DOUBLE)
+FROM b
+"""
+
+
+# ---------------------------------------------------------------------------
+# crawl_audit — anchor-text harvesting (incl. <base href> resolution)
+# and sitemap parsing under the hard oracle, both legs with fully
+# analytic expected rows (the link_graph discipline).  The anchor leg
+# exercises: base-tag-relative resolution, nested-markup anchor text,
+# entity decode inside anchors, mailto dropping.  The sitemap leg
+# exercises: urlset + sitemapindex blocks in one body, loc entity
+# decode + trim, lastmod extraction, try_cast priority.
+
+
+def q_crawl_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import html as html_ops
+    from .session import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast(_S)
+    m3 = (F.col("doc_id") % 3).cast(_S)
+    m4 = (F.col("doc_id") % 4).cast(_S)
+    m5 = (F.col("doc_id") % 5).cast(_S)
+    m6 = (F.col("doc_id") % 6).cast(_S)
+    m9 = (F.col("doc_id") % 9).cast(_S)
+    page = F.concat(
+        F.lit('<base href="https://b'), m4, F.lit('.example.org/dir/">'),
+        F.lit('<a href="a'), m3, F.lit('.html" title="t">Link &amp; <b>'),
+        sid, F.lit("</b></a>"),
+        F.lit('<a href="mailto:x@y.z">m</a>'),
+        F.lit('<a href="https://abs.example.net/p'), m5, F.lit('">Abs '),
+        m5, F.lit("</a>"),
+    )
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://p"), (F.col("doc_id") % 7).cast(_S),
+            F.lit(".example.org/x/page.html"),
+        ).alias("url"),
+        page.alias("html"),
+    )
+    anchors = html_ops.extract_anchors(pages, html_col="html")
+    a = anchors.select(
+        F.lit("anchor").alias("stat"),
+        F.col("doc_id").cast(_S).alias("k1"),
+        F.col("link_url").alias("k2"),
+        F.col("anchor").alias("k3"),
+        _null(_D).alias("p"),
+    )
+
+    xml = F.concat(
+        F.lit("<urlset><url><loc> https://s"), m6, F.lit(".example.org/p/"),
+        sid, F.lit("?a=1&amp;b=2 </loc><lastmod>2026-0"),
+        ((F.col("doc_id") % 9) + 1).cast(_S),
+        F.lit("-01</lastmod><priority>0."), m9,
+        F.lit("</priority></url></urlset>"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("<sitemapindex><sitemap><loc>https://s"), m6,
+                F.lit(".example.org/sm"), sid,
+                F.lit(".xml</loc></sitemap></sitemapindex>"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    maps = docs.select(
+        F.col("doc_id").cast(_S).alias("src"), xml.alias("text")
+    )
+    sm = html_ops.parse_sitemap(maps, xml_col="text", source_col="src")
+    b = sm.select(
+        F.concat(F.lit("sitemap-"), F.col("kind")).alias("stat"),
+        F.col("src").alias("k1"),
+        F.col("loc").alias("k2"),
+        F.col("lastmod").alias("k3"),
+        F.col("priority").cast(_D).alias("p"),
+    )
+    return a.unionByName(b)
+
+
+SQL_CRAWL_AUDIT = """
+WITH d AS (
+  SELECT doc_id,
+         doc_id % 3 AS m3, doc_id % 4 AS m4, doc_id % 5 AS m5,
+         doc_id % 6 AS m6, doc_id % 9 AS m9
+  FROM documents
+),
+anchors AS (
+  SELECT doc_id,
+         'https://b' || CAST(m4 AS VARCHAR) || '.example.org/dir/a'
+           || CAST(m3 AS VARCHAR) || '.html' AS k2,
+         'Link & ' || CAST(doc_id AS VARCHAR) AS k3
+  FROM d
+  UNION ALL
+  SELECT doc_id,
+         'https://abs.example.net/p' || CAST(m5 AS VARCHAR),
+         'Abs ' || CAST(m5 AS VARCHAR)
+  FROM d
+),
+sm AS (
+  SELECT doc_id, 'sitemap-url' AS stat,
+         'https://s' || CAST(m6 AS VARCHAR) || '.example.org/p/'
+           || CAST(doc_id AS VARCHAR) || '?a=1&b=2' AS k2,
+         '2026-0' || CAST(m9 + 1 AS VARCHAR) || '-01' AS k3,
+         CAST('0.' || CAST(m9 AS VARCHAR) AS DOUBLE) AS p
+  FROM d
+  UNION ALL
+  SELECT doc_id, 'sitemap-sitemap',
+         'https://s' || CAST(m6 AS VARCHAR) || '.example.org/sm'
+           || CAST(doc_id AS VARCHAR) || '.xml',
+         CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)
+  FROM d WHERE doc_id % 3 = 0
+)
+SELECT 'anchor' AS stat, CAST(doc_id AS VARCHAR) AS k1, k2, k3,
+       CAST(NULL AS DOUBLE) AS p
+FROM anchors
+UNION ALL
+SELECT stat, CAST(doc_id AS VARCHAR), k2, k3, p FROM sm
+"""
+
+
+# ---------------------------------------------------------------------------
 
 STAGED_QUERIES = {
     "governance_audit": q_governance_audit,
     "neardup_audit": q_neardup_audit,
+    "lexstats_audit": q_lexstats_audit,
     "fetch_audit": q_fetch_audit,
     "html_extract": q_html_extract,
     "link_graph": q_link_graph,
+    "crawl_audit": q_crawl_audit,
 }
 
 
@@ -369,9 +534,11 @@ def build_staged_oracle_sql() -> dict[str, str]:
     return {
         "governance_audit": _sql_governance_audit(),
         "neardup_audit": _sql_neardup_audit(),
+        "lexstats_audit": _sql_lexstats_audit(),
         "fetch_audit": SQL_FETCH_AUDIT,
         "html_extract": SQL_HTML_EXTRACT,
         "link_graph": SQL_LINK_GRAPH,
+        "crawl_audit": SQL_CRAWL_AUDIT,
     }
 
 
@@ -379,4 +546,5 @@ def build_staged_oracle_sql() -> dict[str, str]:
 STAGED_REPLACES = {
     "governance_audit": ("corpus_diff", "token_drift"),
     "neardup_audit": ("jaccard_exact", "embedding_near_dup"),
+    "lexstats_audit": ("term_stats", "bigram_logloss"),
 }

@@ -98,7 +98,9 @@ def test_staged_r11_parity_with_replaced_rows(spark, union_name, legs):
     n_legs = sum(registry.SPARK_QUERIES[leg](spark, sf).count() for leg in legs)
     assert n_union == n_legs
     stats = {r["stat"] for r in union_df.select("stat").distinct().collect()}
-    assert len(stats) == 2
+    # every replaced leg contributes at least one stat value; term_stats
+    # itself is already a 2-stat union, so lexstats_audit carries 3
+    assert len(stats) == {"lexstats_audit": 3}.get(union_name, 2)
     # value parity on the v column per leg: the union's v multiset for
     # each stat equals the replaced row's similarity/metric multiset
     if union_name == "neardup_audit":
