@@ -408,3 +408,58 @@ def parse_sitemap(
                 F.col("_e.priority"), F.col("_e.kind"))
         .filter(F.col("loc") != "")
     )
+
+
+def extract_meta(
+    df: DataFrame,
+    html_col: str = "text",
+    url_col: str | None = None,
+) -> DataFrame:
+    """Page-metadata columns a curation pipeline wants alongside the
+    text: ``html_lang`` (the ``<html lang>`` attribute — the
+    publisher's own language claim, a strong PRIOR to reconcile with
+    content lang-id), ``meta_description``, ``canonical_url`` (the
+    ``<link rel=canonical>`` target, resolved against the page URL
+    when ``url_col`` is given — feeds the URL-dedup front door as the
+    publisher's OWN canonicalization), and ``og_title``.
+
+    All four are single ``regexp_extract`` + entity-decode expressions
+    (same scan-shape/portability contract as the rest of the module);
+    empty extractions become NULL so downstream ``coalesce`` chains
+    work.  Attribute ORDER is handled for the common layouts: both
+    ``name=… content=…`` and ``content=… name=…`` meta forms match.
+    """
+    h = _col(html_col)
+
+    def _clean(c: Column) -> Column:
+        t = F.trim(F.regexp_replace(decode_entities(c), r"\s+", " "))
+        return F.when(t != "", t)
+
+    def _meta(attr: str, key: str) -> Column:
+        fwd = F.regexp_extract(
+            h,
+            rf'(?is)<meta\b[^>]*?{attr}\s*=\s*"{key}"[^>]*?content\s*=\s*"([^"]*)"',
+            1,
+        )
+        rev = F.regexp_extract(
+            h,
+            rf'(?is)<meta\b[^>]*?content\s*=\s*"([^"]*)"[^>]*?{attr}\s*=\s*"{key}"',
+            1,
+        )
+        return _clean(F.when(fwd != "", fwd).otherwise(rev))
+
+    lang = F.regexp_extract(h, r'(?is)<html\b[^>]*?lang\s*=\s*"([^"]*)"', 1)
+    canon = F.regexp_extract(
+        h, r'(?is)<link\b[^>]*?rel\s*=\s*"canonical"[^>]*?href\s*=\s*"([^"]*)"', 1
+    )
+    canon_resolved = (
+        resolve_url(canon, F.col(url_col)) if url_col else F.when(canon != "", canon)
+    )
+    return (
+        df.withColumn("html_lang", _clean(F.lower(lang)))
+        .withColumn("meta_description", _meta("name", "description"))
+        .withColumn(
+            "canonical_url", F.when(canon != "", canon_resolved)
+        )
+        .withColumn("og_title", _meta("property", "og:title"))
+    )

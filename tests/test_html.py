@@ -351,3 +351,41 @@ class TestBaseTag:
         )
         urls = {r["link_url"] for r in H.extract_anchors(df).collect()}
         assert "https://cdn.example.org/assets/img/x.html" in urls
+
+
+class TestMeta:
+    META_PAGE = (
+        '<html lang="EN-us"><head>'
+        '<meta name="description" content="A &amp; B page">'
+        '<meta content="OG Title" property="og:title">'
+        '<link rel="canonical" href="/canon/page">'
+        "</head><body>x</body></html>"
+    )
+
+    def test_extract_meta_fields(self, spark):
+        df = spark.createDataFrame(
+            [(1, "https://a.com/dir/p?utm=1", self.META_PAGE)],
+            "doc_id long, url string, text string",
+        )
+        got = H.extract_meta(df, url_col="url").first()
+        assert got["html_lang"] == "en-us"
+        assert got["meta_description"] == "A & B page"
+        assert got["og_title"] == "OG Title"     # reversed attr order
+        assert got["canonical_url"] == "https://a.com/canon/page"
+
+    def test_missing_meta_is_null(self, spark):
+        df = spark.createDataFrame(
+            [(1, "<p>bare</p>")], "doc_id long, text string"
+        )
+        got = H.extract_meta(df).first()
+        assert got["html_lang"] is None
+        assert got["meta_description"] is None
+        assert got["canonical_url"] is None
+        assert got["og_title"] is None
+
+    def test_unresolved_canonical_without_url(self, spark):
+        df = spark.createDataFrame(
+            [(1, '<link rel="canonical" href="https://a.com/c">')],
+            "doc_id long, text string",
+        )
+        assert H.extract_meta(df).first()["canonical_url"] == "https://a.com/c"
