@@ -35,11 +35,16 @@ Known, documented limits (the price of the no-UDF scan shape):
 
 Links: ``extract_hrefs`` + ``resolve_url`` produce absolute URLs from
 double- and single-quoted ``href`` attributes (protocol-relative,
-root-relative and path-relative forms resolved against the page URL;
+root-relative and path-relative forms resolved against the page URL —
+or a declared ``<base href>`` (:func:`base_href`);
 ``mailto:``/``javascript:``/fragment-only links dropped), feeding
 ``link_edges`` → ``host_link_graph`` — the host-level edge list that
 drives crawl-frontier prioritization via the existing
-``graph.pagerank``.
+``graph.pagerank``.  The rest of the crawl surface lives here too:
+``extract_anchors`` (anchor-text harvest), ``parse_sitemap``
+(urlset/sitemapindex → frontier rows; pair with
+``web.robots_sitemaps``), and ``extract_meta`` (html lang /
+description / rel=canonical / og:title page claims).
 """
 
 from __future__ import annotations
