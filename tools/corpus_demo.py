@@ -9,7 +9,7 @@ refetch/boilerplate noise, and print per-zone row counts and timings.
 
 Usage: python tools/corpus_demo.py [sf_dir]   (default /root/testdata/sf0.001)
 
-Proves the plans/corpus.py DAG composes end to end with all fifteen
+Proves the plans/corpus.py DAG composes end to end with fifteen of its
 stages active (incl. the token-budget training-shard export and the
 concat-and-split sequence layout), that each stage's zone lands versioned and
 range-partitioned, and that nothing in the composition collects a
