@@ -48,8 +48,20 @@ def write_versioned(
     (globally disjoint per-file key ranges — file-level pruning, not
     just row-group-level); ``n_files`` bounds the file count.
     Returns the written path.
+
+    The version timestamp is second-resolution, so two same-prefix
+    same-sha writes within one second (back-to-back compactions in a
+    test, a retry loop) would collide on the immutable path — probe
+    for an unused name by extending the sha segment (format every
+    loader parses is preserved; lexicographic version order puts the
+    suffixed name after the bare one, i.e. newest-last, correctly).
     """
-    path = os.path.join(zone_dir, versioned_name(prefix, git_sha))
+    name = versioned_name(prefix, git_sha)
+    n = 0
+    while os.path.exists(os.path.join(zone_dir, name)):
+        n += 1
+        name = versioned_name(prefix, f"{git_sha}u{n}")
+    path = os.path.join(zone_dir, name)
     if range_by:
         # write_sorted's layout inside the versioned zone: files form
         # disjoint key ranges (file i's max ≤ file i+1's min), so
@@ -161,9 +173,24 @@ def write_bucketed_versioned(
     back to ``read_latest``, which reads the same files without the
     bucket-awareness).  Returns the written path.
     """
-    name = versioned_name(prefix, git_sha)
-    path = os.path.join(zone_dir, name)
-    table = bucket_table_name(name)
+    # The catalog table name is derived from the versioned dir name,
+    # whose timestamp is second-resolution — and unlike the zone dir,
+    # the catalog is GLOBAL to the session.  Two same-prefix snapshots
+    # written within one wall-clock second (two compactions, or two
+    # test zones sharing a session) would collide on the table name
+    # with mode errorifexists, so probe for an unused (path, table)
+    # pair by extending the sha segment; the suffix keeps the
+    # ``__ts_sha__`` format every loader parses.
+    catalog = df.sparkSession.catalog
+    n = 0
+    while True:
+        sha = git_sha if n == 0 else f"{git_sha}u{n}"
+        name = versioned_name(prefix, sha)
+        path = os.path.join(zone_dir, name)
+        table = bucket_table_name(name)
+        if not os.path.exists(path) and not catalog.tableExists(table):
+            break
+        n += 1
     w = df.write.mode("errorifexists").bucketBy(n_buckets, *bucket_cols)
     if sort:
         w = w.sortBy(*bucket_cols)
@@ -278,7 +305,14 @@ def _write_versioned_at(
     compression: str = "lz4",
     partition_by: list[str] | None = None,
 ) -> str:
-    path = os.path.join(zone_dir, versioned_name(prefix, git_sha, now))
+    # same same-second collision probe as write_versioned (the caller
+    # pins `now`, so retries/back-to-back compactions WILL repeat it)
+    name = versioned_name(prefix, git_sha, now)
+    n = 0
+    while os.path.exists(os.path.join(zone_dir, name)):
+        n += 1
+        name = versioned_name(prefix, f"{git_sha}u{n}", now)
+    path = os.path.join(zone_dir, name)
     if range_by:
         df = (
             df.repartitionByRange(n_files, *range_by)

@@ -186,14 +186,24 @@ def resolve_url(href: str | Column, base_url: str | Column) -> Column:
     )
 
 
+def _first_nonempty(*cols: Column) -> Column:
+    """First non-empty extraction in order (regexp_extract yields ''
+    on no match) — the quote-style/attribute-order fallback chain."""
+    out = cols[-1]
+    for c in reversed(cols[:-1]):
+        out = F.when(c != "", c).otherwise(out)
+    return out
+
+
 def base_href(html: str | Column, page_url: str | Column) -> Column:
     """Effective resolution base for a page: the ``<base href>`` value
     when the document declares an absolute http(s) one, else the page
     URL.  (HTML allows a relative base href — resolving it needs the
     page URL anyway, so a relative base is resolved against the page
     URL first, matching browser behavior for the common cases.)"""
-    b = F.regexp_extract(
-        _col(html), r'(?is)<base\b[^>]*?href\s*=\s*"([^"]*)"', 1
+    b = _first_nonempty(
+        F.regexp_extract(_col(html), r'(?is)<base\b[^>]*?href\s*=\s*"([^"]*)"', 1),
+        F.regexp_extract(_col(html), r"(?is)<base\b[^>]*?href\s*=\s*'([^']*)'", 1),
     )
     return (
         F.when(b.rlike(r"^https?://"), b)
@@ -428,11 +438,11 @@ def extract_meta(
     when ``url_col`` is given — feeds the URL-dedup front door as the
     publisher's OWN canonicalization), and ``og_title``.
 
-    All four are single ``regexp_extract`` + entity-decode expressions
+    All four are ``regexp_extract`` fallback chains + entity decode
     (same scan-shape/portability contract as the rest of the module);
     empty extractions become NULL so downstream ``coalesce`` chains
-    work.  Attribute ORDER is handled for the common layouts: both
-    ``name=… content=…`` and ``content=… name=…`` meta forms match.
+    work.  Attribute ORDER (``name=… content=…`` and the reverse) and
+    both quote styles are handled.
     """
     h = _col(html_col)
 
@@ -441,21 +451,29 @@ def extract_meta(
         return F.when(t != "", t)
 
     def _meta(attr: str, key: str) -> Column:
-        fwd = F.regexp_extract(
-            h,
-            rf'(?is)<meta\b[^>]*?{attr}\s*=\s*"{key}"[^>]*?content\s*=\s*"([^"]*)"',
-            1,
-        )
-        rev = F.regexp_extract(
-            h,
-            rf'(?is)<meta\b[^>]*?content\s*=\s*"([^"]*)"[^>]*?{attr}\s*=\s*"{key}"',
-            1,
-        )
-        return _clean(F.when(fwd != "", fwd).otherwise(rev))
+        pats = [
+            rf'(?is)<meta\b[^>]*?{attr}\s*=\s*["\']{key}["\'][^>]*?content\s*=\s*"([^"]*)"',
+            rf"(?is)<meta\b[^>]*?{attr}\s*=\s*[\"']{key}[\"'][^>]*?content\s*=\s*'([^']*)'",
+            rf'(?is)<meta\b[^>]*?content\s*=\s*"([^"]*)"[^>]*?{attr}\s*=\s*["\']{key}["\']',
+            rf"(?is)<meta\b[^>]*?content\s*=\s*'([^']*)'[^>]*?{attr}\s*=\s*[\"']{key}[\"']",
+        ]
+        return _clean(_first_nonempty(*(F.regexp_extract(h, p, 1) for p in pats)))
 
-    lang = F.regexp_extract(h, r'(?is)<html\b[^>]*?lang\s*=\s*"([^"]*)"', 1)
-    canon = F.regexp_extract(
-        h, r'(?is)<link\b[^>]*?rel\s*=\s*"canonical"[^>]*?href\s*=\s*"([^"]*)"', 1
+    lang = _first_nonempty(
+        F.regexp_extract(h, r'(?is)<html\b[^>]*?lang\s*=\s*"([^"]*)"', 1),
+        F.regexp_extract(h, r"(?is)<html\b[^>]*?lang\s*=\s*'([^']*)'", 1),
+    )
+    canon = _first_nonempty(
+        F.regexp_extract(
+            h,
+            r'(?is)<link\b[^>]*?rel\s*=\s*["\']canonical["\'][^>]*?href\s*=\s*"([^"]*)"',
+            1,
+        ),
+        F.regexp_extract(
+            h,
+            r"(?is)<link\b[^>]*?rel\s*=\s*[\"']canonical[\"'][^>]*?href\s*=\s*'([^']*)'",
+            1,
+        ),
     )
     canon_resolved = (
         resolve_url(canon, F.col(url_col)) if url_col else F.when(canon != "", canon)

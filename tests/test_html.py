@@ -389,3 +389,21 @@ class TestMeta:
             "doc_id long, text string",
         )
         assert H.extract_meta(df).first()["canonical_url"] == "https://a.com/c"
+
+    def test_single_quoted_meta_and_base(self, spark):
+        page = (
+            "<html lang='fr'><head>"
+            "<meta name='description' content='Desc SQ'>"
+            "<link rel='canonical' href='/c'>"
+            "<base href='https://b.org/d/'></head>"
+            "<body><a href=\"x.html\">t</a></body></html>"
+        )
+        df = spark.createDataFrame(
+            [(1, "https://a.com/p", page)], "doc_id long, url string, text string"
+        )
+        got = H.extract_meta(df, url_col="url").first()
+        assert got["html_lang"] == "fr"
+        assert got["meta_description"] == "Desc SQ"
+        assert got["canonical_url"] == "https://a.com/c"
+        links = [r["link_url"] for r in H.link_edges(df).collect()]
+        assert links == ["https://b.org/d/x.html"]

@@ -665,3 +665,37 @@ def test_vacuum_zone_retention_and_catalog_cleanup(spark, tmp_path):
     assert parquet_io.vacuum_zone(spark, zone, "trips", keep_last=2) == []
     with pytest.raises(ValueError):
         parquet_io.vacuum_zone(spark, zone, "trips", keep_last=0)
+
+
+def test_bucketed_versioned_same_second_no_collision(spark, tmp_path):
+    """Two same-prefix bucketed snapshots in the same wall-clock second
+    (two compactions, or two test zones sharing the session catalog)
+    must not collide on the catalog table name: the writer probes for
+    an unused (path, table) pair, latest resolves to the later write,
+    and both stay readable through the catalog."""
+    import os
+
+    df1 = spark.createDataFrame([(1, 0)], "k long, b int")
+    df2 = spark.createDataFrame([(2, 0), (3, 1)], "k long, b int")
+    zone = str(tmp_path / "zone")
+    os.makedirs(zone)
+    p1 = parquet_io.write_bucketed_versioned(
+        df1, zone, "snap", bucket_cols=["b"], n_buckets=2, git_sha="s"
+    )
+    p2 = parquet_io.write_bucketed_versioned(
+        df2, zone, "snap", bucket_cols=["b"], n_buckets=2, git_sha="s"
+    )
+    assert p1 != p2
+    assert parquet_io.latest_version_path(zone, "snap") == p2
+    assert parquet_io.read_latest_bucketed(spark, zone, "snap").count() == 2
+    assert spark.read.parquet(p1).count() == 1
+
+    # cross-ZONE collision through the shared catalog (the flaky-sweep
+    # class): same prefix+sha in a different zone dir, same second
+    zone2 = str(tmp_path / "zone2")
+    os.makedirs(zone2)
+    p3 = parquet_io.write_bucketed_versioned(
+        df1, zone2, "snap", bucket_cols=["b"], n_buckets=2, git_sha="s"
+    )
+    assert parquet_io.read_latest_bucketed(spark, zone2, "snap").count() == 1
+    assert os.path.dirname(p3) == zone2
