@@ -178,7 +178,10 @@ def resolve_url(href: str | Column, base_url: str | Column) -> Column:
     )
     return (
         F.when(h == "", F.lit(None).cast("string"))
-        .when(h.rlike(r"^https?://"), h)
+        # scheme matching is case-insensitive per RFC 3986 §3.1
+        # (HTTPS://X is absolute, not an unknown scheme); the host is
+        # NOT lowercased here — web.canonical_url owns normalization
+        .when(h.rlike(r"(?i)^https?://"), h)
         .when(h.startswith("//"), F.concat(scheme, F.lit(":"), h))
         .when(h.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*:"), F.lit(None).cast("string"))
         .when(h.startswith("/"), F.concat(origin, h))

@@ -121,6 +121,7 @@ class TestLinks:
         "href,expect",
         [
             ("https://a.b/c", "https://a.b/c"),
+            ("HTTPS://a.b/C", "HTTPS://a.b/C"),  # scheme case-insensitive
             ("http://a.b/c?q=1", "http://a.b/c?q=1"),
             ("//cdn.a.b/x", "https://cdn.a.b/x"),
             ("/top", "https://www.example.co.uk/top"),
