@@ -18,8 +18,11 @@ leaving 6 slots for new r11 rows; 4 are staged below).
 * ``lexstats_audit`` = ``term_stats`` + ``bigram_logloss``: both are
   corpus-level lexical statistics (term_stats is itself a pmi+tfidf
   union, so the merged row carries three stat values).
+* ``ivf_audit`` = ``ann_ivf`` + ``ann_ivfpq``: the two IVF-routed ANN
+  tiers, merged exactly as r10's ``quant_audit`` merged the
+  quantization tiers.
 
-Plus four NEW operator rows:
+Plus five NEW operator rows:
 
 * ``fetch_audit`` puts the r10 politeness scheduler
   (``web.fetch_schedule``) under the hard oracle — synthesized
@@ -35,6 +38,10 @@ Plus four NEW operator rows:
 * ``crawl_audit`` puts anchor-text harvesting (incl. ``<base href>``
   resolution) and sitemap parsing under the hard oracle, analytic
   expected rows for both legs.
+* ``image_dups`` puts the multimodal perceptual-hash near-dup surface
+  (``multimodal.hamming_near_dup_pairs``) under the hard oracle — the
+  first hard-signal row for the image-dedup family (the PNG→dHash
+  Python half keeps its python-twin pytest evidence).
 
 Each union leg calls the ORIGINAL registered query function verbatim
 and the oracle wraps the ORIGINAL oracle SQL in a CTE (the
@@ -518,6 +525,157 @@ SELECT stat, CAST(doc_id AS VARCHAR), k2, k3, p FROM sm
 
 
 # ---------------------------------------------------------------------------
+# ivf_audit = ann_ivf + ann_ivfpq: the two IVF-routed ANN tiers (plain
+# and PQ-compressed) — same index family, merged exactly as r10's
+# quant_audit merged ann_int8 + pooled_ann.  Legs call the registered
+# functions verbatim; the oracle wraps the registered SQL in CTEs.
+
+
+def q_ivf_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .registry_curation import q_ann_ivfpq
+    from .registry_text import q_ann_ivf
+
+    a = q_ann_ivf(spark, sf_dir).select(
+        F.lit("ivf").alias("stat"),
+        F.col("query_id").cast(_L).alias("query_id"),
+        F.col("neighbor_id").cast(_L).alias("neighbor_id"),
+        F.col("rank").cast("int").alias("rank"),
+        F.col("cosine_sim").cast(_D).alias("v"),
+    )
+    b = q_ann_ivfpq(spark, sf_dir).select(
+        F.lit("ivfpq").alias("stat"),
+        F.col("query_id").cast(_L).alias("query_id"),
+        F.col("neighbor_id").cast(_L).alias("neighbor_id"),
+        F.col("rank").cast("int").alias("rank"),
+        F.col("approx_dist").cast(_D).alias("v"),
+    )
+    return a.unionByName(b)
+
+
+def _sql_ivf_audit() -> str:
+    from .registry_curation import SQL_ANN_IVFPQ
+    from .registry_text import SQL_ANN_IVF
+
+    return f"""
+WITH a AS ({SQL_ANN_IVF}),
+b AS ({SQL_ANN_IVFPQ})
+SELECT 'ivf' AS stat, CAST(query_id AS BIGINT) AS query_id,
+       CAST(neighbor_id AS BIGINT) AS neighbor_id,
+       CAST(rank AS INTEGER) AS rank, CAST(cosine_sim AS DOUBLE) AS v
+FROM a
+UNION ALL
+SELECT 'ivfpq', CAST(query_id AS BIGINT), CAST(neighbor_id AS BIGINT),
+       CAST(rank AS INTEGER), CAST(approx_dist AS DOUBLE)
+FROM b
+"""
+
+
+# ---------------------------------------------------------------------------
+# image_dups — the multimodal image-dedup family's first hard oracle
+# row.  ``multimodal.hamming_near_dup_pairs`` (band the 64-bit
+# perceptual hash into max_hamming+1 slices, equi-join on any equal
+# slice — pigeonhole recall 1.0 — verify with codegen
+# ``bit_count(xor)``) runs verbatim on hashes SYNTHESIZED analytically:
+# groups of three consecutive doc_ids share a 56-bit base (seven bytes
+# (g·p+q) mod 251, primes per byte) and members j=1/j=2 XOR-flip
+# one/two g-dependent bit positions, so every group carries known
+# near-dups at hamming 1–3 plus exact base collisions at g ≡ g' (mod
+# 251).  The oracle replays the band slicing ((h >> start) & mask — all
+# hashes keep bit 63 = 0, so arithmetic and unsigned shifts agree), the
+# bucket equi-join and the XOR popcount verify in DuckDB — the
+# ``cross_corpus`` full-replay discipline.  The Python half of the
+# operator (PNG decode → integer luma → nearest resize → dHash,
+# ``multimodal.image_dhash``) cannot replay in SQL and keeps its
+# python-twin pytest evidence (``tests/test_multimodal.py``); this row
+# pins the distributed half: banding arithmetic, join shape, popcount
+# threshold and pair dedup.
+
+
+def _dhash_synth_expr():
+    """(asset_id, dhash) synthesis shared by query and docstring: seven
+    (g·p+q) mod 251 bytes at bits 0..55, then j-dependent XOR flips."""
+    g = F.expr("doc_id DIV 3")
+    j = F.col("doc_id") % 3
+    primes = ((3, 7), (5, 11), (7, 13), (11, 17), (13, 19), (17, 23), (19, 29))
+    base = F.lit(0).cast(_L)
+    for k, (p, q) in enumerate(primes):
+        base = base + ((g * p + q) % 251) * F.lit(1 << (8 * k)).cast(_L)
+    m1 = F.expr(
+        "shiftleft(CAST(1 AS BIGINT), CAST((doc_id DIV 3) % 56 AS INT))"
+    )
+    m2 = F.expr(
+        "shiftleft(CAST(1 AS BIGINT), CAST(((doc_id DIV 3) * 7 + 3) % 56 AS INT))"
+    ).bitwiseXOR(
+        F.expr(
+            "shiftleft(CAST(1 AS BIGINT), CAST(((doc_id DIV 3) * 11 + 5) % 56 AS INT))"
+        )
+    )
+    return (
+        F.when(j == 0, base)
+        .when(j == 1, base.bitwiseXOR(m1))
+        .otherwise(base.bitwiseXOR(m2))
+        .cast(_L)
+    )
+
+
+def q_image_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import hamming_near_dup_pairs
+    from .session import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    hashes = docs.select(
+        F.col("doc_id").alias("asset_id"), _dhash_synth_expr().alias("dhash")
+    )
+    pairs = hamming_near_dup_pairs(hashes, max_hamming=4)
+    return pairs.select(
+        F.col("id_a").cast(_L).alias("id_a"),
+        F.col("id_b").cast(_L).alias("id_b"),
+        F.col("hamming").cast("int").alias("hamming"),
+    )
+
+
+SQL_IMAGE_DUPS = """
+WITH d AS (
+  SELECT doc_id, doc_id // 3 AS g, doc_id % 3 AS j FROM documents
+),
+h0 AS (
+  SELECT doc_id, g, j,
+         ((g*3+7) % 251)
+         + ((g*5+11) % 251) * 256
+         + ((g*7+13) % 251) * 65536
+         + ((g*11+17) % 251) * 16777216
+         + ((g*13+19) % 251) * 4294967296
+         + ((g*17+23) % 251) * 1099511627776
+         + ((g*19+29) % 251) * 281474976710656 AS hb
+  FROM d
+),
+h AS (
+  SELECT doc_id AS id,
+         CASE WHEN j = 0 THEN hb
+              WHEN j = 1 THEN xor(hb, 1::BIGINT << CAST(g % 56 AS INTEGER))
+              ELSE xor(hb, xor(1::BIGINT << CAST((g*7+3) % 56 AS INTEGER),
+                               1::BIGINT << CAST((g*11+5) % 56 AS INTEGER)))
+         END AS h
+  FROM h0
+),
+b AS (
+  SELECT id, h, t.band_idx, (h >> t.s) & t.m AS band_val
+  FROM h CROSS JOIN (VALUES (0, 0, 8191), (1, 13, 8191), (2, 26, 8191),
+                            (3, 39, 8191), (4, 52, 4095)) AS t(band_idx, s, m)
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, c.id AS id_b, a.h AS ha, c.h AS hb2
+  FROM b a JOIN b c ON a.band_idx = c.band_idx AND a.band_val = c.band_val
+  WHERE a.id < c.id
+)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       CAST(bit_count(xor(ha, hb2)) AS INTEGER) AS hamming
+FROM cand
+WHERE bit_count(xor(ha, hb2)) <= 4
+"""
+
+
+# ---------------------------------------------------------------------------
 
 STAGED_QUERIES = {
     "governance_audit": q_governance_audit,
@@ -527,6 +685,8 @@ STAGED_QUERIES = {
     "html_extract": q_html_extract,
     "link_graph": q_link_graph,
     "crawl_audit": q_crawl_audit,
+    "ivf_audit": q_ivf_audit,
+    "image_dups": q_image_dups,
 }
 
 
@@ -539,6 +699,8 @@ def build_staged_oracle_sql() -> dict[str, str]:
         "html_extract": SQL_HTML_EXTRACT,
         "link_graph": SQL_LINK_GRAPH,
         "crawl_audit": SQL_CRAWL_AUDIT,
+        "ivf_audit": _sql_ivf_audit(),
+        "image_dups": SQL_IMAGE_DUPS,
     }
 
 
@@ -547,4 +709,5 @@ STAGED_REPLACES = {
     "governance_audit": ("corpus_diff", "token_drift"),
     "neardup_audit": ("jaccard_exact", "embedding_near_dup"),
     "lexstats_audit": ("term_stats", "bigram_logloss"),
+    "ivf_audit": ("ann_ivf", "ann_ivfpq"),
 }
