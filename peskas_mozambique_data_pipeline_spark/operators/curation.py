@@ -915,3 +915,93 @@ def sequence_manifest(
         end.alias("end_in_seq"),
         (end - begin).alias("n_tok_in_seq"),
     )
+
+
+def cluster_balanced_sample(
+    docs: DataFrame,
+    centroids: DataFrame,
+    budget: int,
+    quality_col: str = "quality",
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cluster-balanced diversity sampling — the DataComp/DCLM-style
+    curation step that keeps a GLOBAL budget of documents while
+    preserving the embedding-space topic mix instead of letting one
+    dominant cluster eat the whole budget (cf. SemDeDup/DataComp's
+    cluster-then-filter; reference parity: the per-stratum quota
+    discipline of R/validation.R's per-district caps, generalized to
+    learned strata).
+
+    Three exact steps, no RNG, no floats in the allocation:
+
+    1. Every document joins its nearest shared centroid via
+       :func:`operators.similarity.assign_to_centroids` — the IVF
+       membership rule reused VERBATIM, so sampling strata coincide
+       with the index/dedup/drift views of the embedding space.
+    2. The budget apportions across clusters proportionally to cluster
+       mass with the largest-remainder (Hamilton) method in pure
+       BIGINT arithmetic: ``quota_c = budget·n_c DIV N``, then the
+       ``budget − Σ quota`` leftover seats go to the largest
+       remainders (ties on centroid_id).  Since ``budget·n_c DIV N <
+       n_c`` whenever ``budget < N``, every allocation is feasible and
+       EXACTLY ``min(budget, N)`` rows return.
+    3. Each cluster keeps its top ``alloc_c`` rows by
+       (``quality_col`` desc, id asc) — deterministic for any
+       partitioning.
+
+    Scale shape: the centroid table broadcasts (C×d, index-constant);
+    apportionment runs entirely on the C-row counts frame (the
+    single-partition ranking window touches C rows, never data);
+    the allocation table re-broadcasts; clusters whose allocation
+    covers them fully bypass the sort (the ``per_group_cap``
+    over/under split), so only over-budget clusters pay a per-cluster
+    top-k window — and those windows partition BY cluster, so the sort
+    is per-stratum, never global.
+    """
+    from .similarity import assign_to_centroids
+
+    assign = assign_to_centroids(
+        docs.select(id_col, vec_col), centroids, corpus_id=id_col, vec_col=vec_col
+    ).select(id_col, "centroid_id")
+    scored = assign.join(docs.select(id_col, quality_col), id_col)
+
+    counts = scored.groupBy("centroid_id").agg(F.count(F.lit(1)).alias("_n"))
+    tot = counts.agg(F.sum("_n").cast("long").alias("_tot"))
+    b = F.lit(int(budget)).cast("long")
+    q = counts.crossJoin(F.broadcast(tot)).select(
+        "centroid_id",
+        "_n",
+        F.expr(f"CAST({int(budget)} AS BIGINT) * _n DIV _tot").alias("_quota"),
+        (b * F.col("_n") % F.col("_tot")).alias("_rem"),
+    )
+    qsum = q.agg(F.sum("_quota").cast("long").alias("_qsum"))
+    # single-partition window over the C-row quota frame: C is the
+    # centroid-table cardinality (index-constant), never data-sized
+    wrk = Window.orderBy(F.col("_rem").desc(), F.col("centroid_id").asc())
+    alloc = (
+        q.crossJoin(F.broadcast(qsum))
+        .withColumn("_rk", F.row_number().over(wrk))
+        .select(
+            "centroid_id",
+            "_n",
+            (
+                F.col("_quota")
+                + F.when(F.col("_rk") <= b - F.col("_qsum"), 1).otherwise(0)
+            ).cast("long").alias("_alloc"),
+        )
+    )
+
+    tagged = scored.join(F.broadcast(alloc), "centroid_id")
+    out_cols = [F.col(id_col), F.col("centroid_id"), F.col(quality_col)]
+    full = tagged.filter(F.col("_alloc") >= F.col("_n")).select(*out_cols)
+    w = Window.partitionBy("centroid_id").orderBy(
+        F.col(quality_col).desc(), F.col(id_col).asc()
+    )
+    part = (
+        tagged.filter((F.col("_alloc") < F.col("_n")) & (F.col("_alloc") > 0))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= F.col("_alloc"))
+        .select(*out_cols)
+    )
+    return full.unionByName(part)

@@ -588,3 +588,79 @@ def hamming_near_dup_pairs(
         .distinct()
     )
     return pairs
+
+
+def pcm_frame_features(
+    df: DataFrame,
+    samples_col: str = "samples",
+    id_col: str = "asset_id",
+    window_ms: int = 25,
+    hop_ms: int = 10,
+    sample_rate: int = 16_000,
+) -> DataFrame:
+    """JVM-side twin of :func:`audio_windows` for PCM that is ALREADY
+    decoded into an ``array<long>`` column (the layout every upstream
+    codec lands on): same framing rule (win/hop sliding windows, one
+    whole-signal frame for sub-window assets), same zero-crossing
+    definition (sign flip between adjacent samples, ``signbit`` =
+    ``x < 0``), but expressed entirely in higher-order array
+    expressions — ``slice`` + ``aggregate`` + ``zip_with`` — so the
+    whole operator is engine-side, exact-integer, and ORACLE-REPLAYABLE
+    (energy = Σx² instead of float RMS; ``rms = sqrt(energy /
+    n_samples)`` recovers the float feature when a caller wants it).
+
+    When to use which: :func:`audio_windows` is the binary front door
+    (one ``np.frombuffer`` from raw blobs, Arrow-batched);  this
+    operator is the hot path once PCM lives in a column — no Python
+    worker, no Arrow hop, codegen-friendly, and the per-frame slices
+    never materialize the waveform more than once per frame.
+
+    Scale shape: scan-local (zero shuffle) — the explode fans one
+    asset row into ~duration/hop frame rows of five BIGINTs, exactly
+    the audio_windows contract; frames of one asset never leave their
+    partition.
+    """
+    win = max(1, int(sample_rate * window_ms / 1000))
+    hop = max(1, int(sample_rate * hop_ms / 1000))
+    s = F.col(samples_col)
+    n = F.size(s).cast("long")
+    winL = F.lit(win).cast("long")
+    hopL = F.lit(hop).cast("long")
+    n_frames = F.when(n >= winL, F.floor((n - winL) / hopL) + 1).otherwise(
+        F.lit(1)
+    ).cast("long")
+    frame_len = F.when(n >= winL, winL).otherwise(n)
+
+    framed = df.select(
+        F.col(id_col),
+        s.alias("_s"),
+        frame_len.alias("_fl"),
+        F.explode(F.sequence(F.lit(0).cast("long"), n_frames - 1)).alias(
+            "_fi"
+        ),
+    )
+    start = F.col("_fi") * hopL
+    sl = F.slice(F.col("_s"), (start + 1).cast("int"), F.col("_fl").cast("int"))
+    pair_zc = F.aggregate(
+        F.zip_with(
+            F.slice(sl, 1, (F.col("_fl") - 1).cast("int")),
+            F.slice(sl, 2, (F.col("_fl") - 1).cast("int")),
+            lambda x, y: F.when((x < 0) != (y < 0), F.lit(1).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    energy = F.aggregate(
+        sl, F.lit(0).cast("long"), lambda acc, x: acc + x * x
+    )
+    return framed.select(
+        F.col(id_col),
+        F.floor(start * 1000 / F.lit(sample_rate)).cast("long").alias(
+            "win_start_ms"
+        ),
+        F.col("_fl").alias("n_samples"),
+        energy.alias("energy"),
+        pair_zc.alias("zero_crossings"),
+    )

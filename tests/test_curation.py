@@ -328,3 +328,84 @@ def test_token_shard_ids_equals_global_window(spark):
         assert got[pos] == cum // 1000, pos
         cum += tok
     assert len(got) == 200
+
+
+# ---------------------------------------------------------------------------
+# cluster_balanced_sample — diversity sampling with exact apportionment
+
+
+def _cbs_frame(spark):
+    from pyspark.sql import functions as F
+
+    # 3 well-separated 4-d clusters with very different masses: 60 near
+    # e0, 30 near e1, 10 near e2 — plus deterministic quality
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 60, F.array(F.lit(10.0), (F.col("id") % 7).cast("double") * 0.01, F.lit(0.0), F.lit(0.0)))
+        .when(F.col("id") < 90, F.array(F.lit(0.0), F.lit(10.0), (F.col("id") % 5).cast("double") * 0.01, F.lit(0.0)))
+        .otherwise(F.array(F.lit(0.0), F.lit(0.0), F.lit(10.0), (F.col("id") % 3).cast("double") * 0.01))
+        .alias("embedding"),
+        ((F.col("id") * 37 + 11) % 97).cast("long").alias("quality"),
+    )
+    cents = spark.createDataFrame(
+        [(0, [10.0, 0.0, 0.0, 0.0]), (1, [0.0, 10.0, 0.0, 0.0]), (2, [0.0, 0.0, 10.0, 0.0])],
+        "centroid_id int, centroid array<double>",
+    )
+    return df, cents
+
+
+def _hamilton(counts, budget):
+    total = sum(counts.values())
+    quota = {c: budget * n // total for c, n in counts.items()}
+    rem = {c: budget * n % total for c, n in counts.items()}
+    leftover = budget - sum(quota.values())
+    for c in sorted(rem, key=lambda c: (-rem[c], c))[:leftover]:
+        quota[c] += 1
+    return quota
+
+
+def test_cluster_balanced_sample_twin(spark):
+    """Exact budget, Hamilton apportionment and per-cluster quality
+    top-k all match an independent python twin."""
+    from peskas_mozambique_data_pipeline_spark.operators.curation import (
+        cluster_balanced_sample,
+    )
+
+    df, cents = _cbs_frame(spark)
+    out = cluster_balanced_sample(df, cents, budget=23, quality_col="quality")
+    got = sorted((r["centroid_id"], r["doc_id"]) for r in out.collect())
+
+    # twin: cluster membership is geometric (3 well-separated blobs)
+    members = {0: list(range(60)), 1: list(range(60, 90)), 2: list(range(90, 100))}
+    counts = {c: len(m) for c, m in members.items()}
+    alloc = _hamilton(counts, 23)
+    want = []
+    for c, m in members.items():
+        by_quality = sorted(m, key=lambda i: (-((i * 37 + 11) % 97), i))
+        want += [(c, i) for i in by_quality[: alloc[c]]]
+    assert got == sorted(want)
+    assert len(got) == 23
+
+
+def test_cluster_balanced_sample_budget_exceeds_corpus(spark):
+    from peskas_mozambique_data_pipeline_spark.operators.curation import (
+        cluster_balanced_sample,
+    )
+
+    df, cents = _cbs_frame(spark)
+    out = cluster_balanced_sample(df, cents, budget=1000, quality_col="quality")
+    assert out.count() == 100  # everything kept, no over-allocation
+
+
+def test_cluster_balanced_sample_plan(spark):
+    """Centroid + allocation joins broadcast; no Python in the plan."""
+    from peskas_mozambique_data_pipeline_spark.operators.curation import (
+        cluster_balanced_sample,
+    )
+
+    df, cents = _cbs_frame(spark)
+    plan = cluster_balanced_sample(
+        df, cents, budget=23, quality_col="quality"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -1,0 +1,100 @@
+"""Evidence for the staged r12 rows (registry_staged_r12): bit-exact
+DuckDB twins at sf0.001 AND sf0.01 under the gate's normalize/compare
+rules, plus a not-registered tripwire that flips at the r12 swap —
+the same discipline as tests/test_registry_staged_r11.py.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pytest
+
+from peskas_mozambique_data_pipeline_spark import registry, registry_staged_r12
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists("/root/testdata/sf0.001/documents.parquet"),
+    reason="driver testdata not present",
+)
+
+
+def _norm(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float) and math.isnan(v):
+                v = "NaN"
+            vals.append(v)
+        out.append(tuple(vals))
+    out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
+    return out
+
+
+def _exact(a, b):
+    if a is None or b is None:
+        return a is b
+    if isinstance(a, float) or isinstance(b, float):
+        fa, fb = float(a), float(b)
+        return fa == fb or (math.isnan(fa) and math.isnan(fb))
+    return str(a) == str(b)
+
+
+def _duck(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(path):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
+            )
+    return con
+
+
+STAGED_SQL = registry_staged_r12.build_staged_oracle_sql()
+
+
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+@pytest.mark.parametrize("name", sorted(registry_staged_r12.STAGED_QUERIES))
+def test_staged_r12_oracle_bit_exact(spark, name, sf_dir):
+    sdf = registry_staged_r12.STAGED_QUERIES[name](spark, sf_dir)
+    srows = _norm([tuple(r) for r in sdf.collect()], sdf.columns)
+    con = _duck(sf_dir)
+    try:
+        res = con.execute(STAGED_SQL[name])
+        dcols = [d[0] for d in res.description]
+        drows = _norm(res.fetchall(), dcols)
+    finally:
+        con.close()
+    assert sorted(c.lower() for c in sdf.columns) == sorted(
+        c.lower() for c in dcols
+    )
+    assert len(srows) == len(drows), (name, len(srows), len(drows))
+    for rs, rd in zip(srows, drows):
+        assert all(_exact(a, b) for a, b in zip(rs, rd)), (name, rs, rd)
+
+
+def test_staged_r12_budget_is_binding(spark):
+    """The literal budget must constrain the sample at every SF —
+    otherwise the row degenerates to identity selection."""
+    sf = "/root/testdata/sf0.001"
+    out = registry_staged_r12.STAGED_QUERIES["diversity_sample"](spark, sf)
+    n = out.count()
+    assert n == registry_staged_r12._DIVERSITY_BUDGET
+
+
+def test_staged_r12_not_registered_yet():
+    for name in registry_staged_r12.STAGED_QUERIES:
+        assert name not in registry.SPARK_QUERIES
+    for pair in registry_staged_r12.STAGED_REPLACES.values():
+        for old in pair:
+            assert old in registry.SPARK_QUERIES
