@@ -5,7 +5,10 @@ did (``tests/test_registry_staged_r12.py``).
 
 Window/ceiling arithmetic: the r11 recipe lands the registry at 98
 with 2 slots of headroom under the 100 ceiling, so r12 can register
-up to two NEW rows before another consolidation is required.
+up to two NEW rows before another consolidation is required — the two
+rows below use exactly that headroom.  (If r12 wants additional rows,
+natural next consolidations in the r11-rotating tail exist: e.g.
+``sketch_audit`` + ``hist_quantiles``, both register-sketch rows.)
 
 * ``diversity_sample`` puts cluster-balanced diversity sampling
   (``operators.curation.cluster_balanced_sample`` — the DataComp-style
@@ -107,14 +110,89 @@ FROM ranked WHERE rn <= alloc
 """
 
 
+# ---------------------------------------------------------------------------
+# audio_audit — the audio family's first hard oracle row, the
+# ``image_dups`` discipline applied to sound: the binary front door
+# (``audio_windows``: np.frombuffer over blobs) cannot replay in SQL,
+# so the row pins the JVM array-input twin
+# (``multimodal.pcm_frame_features`` — pytest-proven frame-for-frame
+# equal to the numpy path on identical PCM) over analytically
+# synthesized signals.  Per-asset lengths 100..580 straddle the
+# 160-sample window so BOTH framing branches (sliding windows and the
+# single short whole-signal frame) are under the hash; every output is
+# BIGINT (energy = Σx², zero-crossings), no floats anywhere.
+
+
+def q_audio_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import pcm_frame_features
+    from .session import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    n = (100 + (F.col("vec_id") % 9) * 60).cast("int")
+    samples = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda j: (
+            ((F.col("vec_id") * 7 + j.cast("long") * 13) % 201) - 100
+        ).cast("long"),
+    )
+    pcm = emb.select("vec_id", samples.alias("samples"))
+    out = pcm_frame_features(
+        pcm, samples_col="samples", id_col="vec_id",
+        window_ms=10, hop_ms=5, sample_rate=16_000,
+    )
+    return out.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("win_start_ms").cast("long").alias("win_start_ms"),
+        F.col("n_samples").cast("long").alias("n_samples"),
+        F.col("energy").cast("long").alias("energy"),
+        F.col("zero_crossings").cast("long").alias("zero_crossings"),
+    )
+
+
+SQL_AUDIO_AUDIT = """
+WITH pcm AS (
+  SELECT vec_id, CAST(100 + (vec_id % 9) * 60 AS BIGINT) AS n,
+         list_transform(
+           generate_series(1, CAST(100 + (vec_id % 9) * 60 AS BIGINT)),
+           j -> CAST(((vec_id * 7 + j * 13) % 201) - 100 AS BIGINT)) AS s
+  FROM embeddings
+),
+f AS (
+  SELECT vec_id, s,
+         CASE WHEN n >= 160 THEN (n - 160) // 80 + 1 ELSE 1 END AS nf,
+         CASE WHEN n >= 160 THEN 160 ELSE n END AS fl
+  FROM pcm
+),
+frames AS (
+  SELECT vec_id, s, fl, fi * 80 AS start,
+         s[fi * 80 + 1 : fi * 80 + fl] AS sl
+  FROM f, UNNEST(generate_series(0, CAST(nf - 1 AS BIGINT))) AS t(fi)
+)
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(start * 1000 // 16000 AS BIGINT) AS win_start_ms,
+       CAST(fl AS BIGINT) AS n_samples,
+       CAST(list_reduce(list_transform(sl, x -> x * x), (a, b) -> a + b)
+            AS BIGINT) AS energy,
+       CAST(CASE WHEN fl > 1 THEN list_reduce(
+              list_transform(generate_series(1, CAST(fl - 1 AS BIGINT)),
+                i -> CASE WHEN (sl[i] < 0) != (sl[i + 1] < 0)
+                          THEN 1 ELSE 0 END),
+              (a, b) -> a + b)
+            ELSE 0 END AS BIGINT) AS zero_crossings
+FROM frames
+"""
+
+
 STAGED_QUERIES = {
     "diversity_sample": q_diversity_sample,
+    "audio_audit": q_audio_audit,
 }
 
 
 def build_staged_oracle_sql() -> dict[str, str]:
     return {
         "diversity_sample": _sql_diversity_sample(),
+        "audio_audit": SQL_AUDIO_AUDIT,
     }
 
 
