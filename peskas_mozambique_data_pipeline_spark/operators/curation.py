@@ -952,12 +952,15 @@ def cluster_balanced_sample(
 
     Scale shape: the centroid table broadcasts (C×d, index-constant);
     apportionment runs entirely on the C-row counts frame (the
-    single-partition ranking window touches C rows, never data);
-    the allocation table re-broadcasts; clusters whose allocation
-    covers them fully bypass the sort (the ``per_group_cap``
-    over/under split), so only over-budget clusters pay a per-cluster
-    top-k window — and those windows partition BY cluster, so the sort
-    is per-stratum, never global.
+    single-partition ranking window touches C rows, never data); the
+    allocation table re-broadcasts; one per-cluster top-k window does
+    the selection — per-stratum sorts, never a global one.  Exactly
+    two passes over the corpus (the count pass and the select pass) —
+    the inherent minimum for a global-budget sampler.  The window
+    parallelism is C tasks, so SIZE C TO THE CORPUS (DataComp uses
+    ~100k clusters at web scale; C here is whatever centroid table the
+    caller trained) — with corpus/C rows per task the sort stays
+    executor-sized.
     """
     from .similarity import assign_to_centroids
 
@@ -966,7 +969,18 @@ def cluster_balanced_sample(
     ).select(id_col, "centroid_id")
     scored = assign.join(docs.select(id_col, quality_col), id_col)
 
-    counts = scored.groupBy("centroid_id").agg(F.count(F.lit(1)).alias("_n"))
+    # the C-row counts frame fans out to four consumers (tot, quota,
+    # qsum, alloc) — without a cut Catalyst re-derives the full
+    # assignment crossJoin+window once per consumer (the multi-consumer
+    # recompute class, see SCALE.md); checkpointing C rows is free and
+    # leaves exactly two passes over the corpus: the count pass and the
+    # select pass — the inherent minimum for a global-budget sampler
+    # (allocation needs N before any row can be kept)
+    counts = (
+        scored.groupBy("centroid_id")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .localCheckpoint()
+    )
     tot = counts.agg(F.sum("_n").cast("long").alias("_tot"))
     b = F.lit(int(budget)).cast("long")
     q = counts.crossJoin(F.broadcast(tot)).select(
@@ -992,16 +1006,18 @@ def cluster_balanced_sample(
         )
     )
 
-    tagged = scored.join(F.broadcast(alloc), "centroid_id")
-    out_cols = [F.col(id_col), F.col("centroid_id"), F.col(quality_col)]
-    full = tagged.filter(F.col("_alloc") >= F.col("_n")).select(*out_cols)
+    # single window path: when budget < N every cluster over-allocates
+    # STRICTLY (quota_c < n_c), so an over/under branch split would
+    # route everything through the window anyway while doubling the
+    # corpus scans (each union branch re-derives the assignment);
+    # rn <= alloc subsumes the covered-cluster case (alloc_c >= n_c
+    # keeps the whole cluster)
+    tagged = scored.join(F.broadcast(alloc.drop("_n")), "centroid_id")
     w = Window.partitionBy("centroid_id").orderBy(
         F.col(quality_col).desc(), F.col(id_col).asc()
     )
-    part = (
-        tagged.filter((F.col("_alloc") < F.col("_n")) & (F.col("_alloc") > 0))
-        .withColumn("_rn", F.row_number().over(w))
+    return (
+        tagged.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= F.col("_alloc"))
-        .select(*out_cols)
+        .select(F.col(id_col), F.col("centroid_id"), F.col(quality_col))
     )
-    return full.unionByName(part)
