@@ -257,6 +257,54 @@ def stage_semantic_dedup(
     )
 
 
+def stage_diversity(
+    spark: SparkSession,
+    zones: PipelineZones,
+    embeddings: DataFrame,
+    diversity_budget: int,
+    n_strata: int = 8,
+    source: str = "corpus_deduped",
+    quality_col: str | None = None,
+) -> str:
+    """Cluster-balanced budget selection (DataComp shape) over the
+    surviving corpus: train ``n_strata`` centroids on the SURVIVORS'
+    embeddings (``build_ivf_index`` — the same trainer every index
+    tier uses), then keep exactly ``min(diversity_budget, N)``
+    documents via :func:`operators.curation.cluster_balanced_sample`,
+    so no embedding-space region monopolizes the training budget.
+
+    ``quality_col`` names a per-doc score already on the corpus frame
+    (e.g. a classifier stage's output); when absent the token count
+    stands in — the cheapest defensible quality prior, and exact.
+    """
+    from ..operators.curation import cluster_balanced_sample
+    from ..operators.text import token_count
+
+    docs = zones.read(spark, source)
+    surv = docs.select(F.col("doc_id"))
+    emb = embeddings.join(
+        surv.withColumnRenamed("doc_id", "vec_id"), "vec_id", "left_semi"
+    )
+    _, cents = sim_ops.build_ivf_index(emb, n_centroids=n_strata, n_iters=2)
+    if quality_col is None:
+        q = docs.select("doc_id", token_count(F.col("text")).cast("long").alias("_q"))
+        quality_col = "_q"
+    else:
+        q = docs.select("doc_id", F.col(quality_col))
+    frame = emb.select(F.col("vec_id").alias("doc_id"), "embedding").join(
+        q, "doc_id"
+    )
+    chosen = cluster_balanced_sample(
+        frame, cents, budget=diversity_budget,
+        quality_col=quality_col, id_col="doc_id",
+    ).select("doc_id")
+    return zones.write(
+        docs.join(chosen, "doc_id", "left_semi"),
+        "corpus_diverse",
+        range_by=["doc_id"],
+    )
+
+
 def stage_span_scrub(
     spark: SparkSession,
     zones: PipelineZones,
@@ -596,6 +644,8 @@ def run_corpus_pipeline(
     warc_path: str | None = None,
     warc_on_error: str = "skip",
     extract_html: bool = False,
+    diversity_budget: int | None = None,
+    diversity_strata: int = 8,
 ) -> dict[str, str]:
     """The full curation DAG through versioned zones.
 
@@ -643,6 +693,12 @@ def run_corpus_pipeline(
     With ``extract_html`` (requires ``warc_path``) the ingested HTML
     payloads are reduced to rendered text + title before any text
     stage runs (``corpus_extracted`` zone).
+    With ``diversity_budget`` (requires ``embeddings``) a
+    cluster-balanced budget selection runs after all dedup/scrub
+    stages and before augmentation/packing (``corpus_diverse`` zone):
+    ``diversity_strata`` centroids train on the survivors' embeddings
+    and exactly ``min(diversity_budget, N)`` documents survive, topic
+    mix preserved.
     """
     from ..io import parquet_io
 
@@ -801,6 +857,25 @@ def run_corpus_pipeline(
         else:
             out["corpus_scrubbed"] = stage_span_scrub(
                 spark, zones, span_n=span_n, source=scrub_source
+            )
+
+    if diversity_budget is not None:
+        if embeddings is None:
+            raise ValueError(
+                "diversity_budget requires embeddings (strata are trained "
+                "on the survivors' vectors)"
+            )
+        div_source = pack_source
+        pack_source = "corpus_diverse"
+        if skip_fresh and zones.is_fresh("corpus_diverse", div_source):
+            out["corpus_diverse"] = parquet_io.latest_version_path(
+                zone_root, "corpus_diverse"
+            )
+        else:
+            out["corpus_diverse"] = stage_diversity(
+                spark, zones, embeddings,
+                diversity_budget=diversity_budget,
+                n_strata=diversity_strata, source=div_source,
             )
 
     if fim_rate is not None:

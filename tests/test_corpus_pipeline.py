@@ -711,3 +711,46 @@ def test_stage_extract_html_in_dag(spark, tmp_path):
         corpus.run_corpus_pipeline(
             spark, docs, str(tmp_path / "z2"), extract_html=True
         )
+
+
+def test_diversity_stage_cluster_balance(spark, tmp_path):
+    """corpus_diverse keeps exactly the budget, spread across embedding
+    strata — a naive global top-k by the quality prior (token count)
+    would take every doc from the longer cluster."""
+    rows = []
+    for i in range(8):
+        # ten doc-unique words keep pairwise jaccard ~0.5, well under
+        # the 0.8 dedup threshold — every doc survives text dedup
+        txt = _mk_doc([f"w{i}x{k}" for k in range(10)])
+        if i < 4:  # cluster A docs are longer -> higher quality prior
+            txt += " extra words pad the longer cluster members further out"
+        rows.append((i + 1, txt, "en"))
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    emb = _embeddings(
+        spark,
+        {
+            i + 1: ([10.0, float(i), 0.0] if i < 4 else [0.0, 10.0, float(i - 4)])
+            for i in range(8)
+        },
+    )
+    out = corpus.run_corpus_pipeline(
+        spark,
+        docs,
+        str(tmp_path / "zones"),
+        budget=100,
+        embeddings=emb,
+        semantic_threshold=0.999,
+        diversity_budget=4,
+        diversity_strata=2,
+    )
+    assert spark.read.parquet(out["corpus_semantic"]).count() == 8
+    div = spark.read.parquet(out["corpus_diverse"])
+    ids = sorted(r.doc_id for r in div.collect())
+    assert len(ids) == 4
+    # exact balance: 4+4 members, budget 4 -> Hamilton gives 2+2; the
+    # quality prior ties within each cluster, so the id tie-break keeps
+    # the two smallest ids per stratum
+    assert ids == [1, 2, 5, 6]
+    # packs build from the diverse zone
+    packs = spark.read.parquet(out["corpus_packs"])
+    assert packs.agg(F.sum("n_docs")).first()[0] == 4

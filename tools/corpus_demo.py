@@ -4,12 +4,12 @@ refetch/boilerplate noise, and print per-zone row counts and timings.
 
     normalize → url_dedup → quality → classify → lang_segment →
     line_scrub →
-    decontaminate → dedup → semantic → span_scrub → augment → pack →
-    shuffle → export_shards → seq_layout
+    decontaminate → dedup → semantic → span_scrub → diversity →
+    augment → pack → shuffle → export_shards → seq_layout
 
 Usage: python tools/corpus_demo.py [sf_dir]   (default /root/testdata/sf0.001)
 
-Proves the plans/corpus.py DAG composes end to end with fifteen of its
+Proves the plans/corpus.py DAG composes end to end with sixteen of its
 stages active (incl. the token-budget training-shard export and the
 concat-and-split sequence layout), that each stage's zone lands versioned and
 range-partitioned, and that nothing in the composition collects a
@@ -95,6 +95,8 @@ def main() -> int:
         embeddings=embeddings,
         semantic_threshold=0.2,
         scrub_spans=True,
+        diversity_budget=64,
+        diversity_strata=4,
         shuffle_salt="epoch0",
         shard_tokens=2048,
         seq_len=512,
@@ -113,6 +115,7 @@ def main() -> int:
         "corpus_deduped",
         "corpus_semantic",
         "corpus_scrubbed",
+        "corpus_diverse",
         "corpus_packs",
         "corpus_augmented",
         "corpus_shuffled",
