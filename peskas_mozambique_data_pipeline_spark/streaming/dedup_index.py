@@ -211,6 +211,53 @@ def read_index(
 
 
 
+def compact_index_zone(
+    spark: SparkSession,
+    index_dir: str,
+    compact_dir: str,
+    batch_id: int,
+    snapshot_buckets: int = SNAPSHOT_BUCKETS,
+) -> None:
+    """Fold snapshot + all deltas ≤ ``batch_id`` (including the one
+    just written) into a new snapshot, THEN drop what it supersedes.
+    Keyed overwrite makes a crash-replay rewrite the same snapshot
+    rather than duplicate rows.  The snapshot is an EXTERNAL table
+    hash-bucketed (and bucket-sorted) on the (band, bucket) join key:
+    one shuffle here, at compaction, buys an exchange-free corpus side
+    on every subsequent micro-batch join
+    (``PipelineZones.write_bucketed`` posture applied to the hottest
+    join in the repo).
+
+    Schema-generic on purpose: any index tier whose rows carry
+    (band, bucket) — MinHash signatures, Hamming perceptual hashes —
+    shares this lifecycle verbatim (the catalog name's ``minhash_``
+    prefix is legacy-shared; uniqueness comes from the zone-path md5).
+    """
+    full = read_index(spark, index_dir, compact_dir)
+    table = _snapshot_table(compact_dir, batch_id)
+    (
+        full.write.mode("overwrite")
+        .bucketBy(snapshot_buckets, "band", "bucket")
+        .sortBy("band", "bucket")
+        .format("parquet")
+        .option("path", os.path.join(compact_dir, f"upto={batch_id}"))
+        .saveAsTable(table)
+    )
+    for b in _dir_ids(index_dir, "batch"):
+        if b <= batch_id:
+            shutil.rmtree(
+                os.path.join(index_dir, f"batch={b}"), ignore_errors=True
+            )
+    for u in _dir_ids(compact_dir, "upto"):
+        if u < batch_id:
+            spark.sql(
+                f"DROP TABLE IF EXISTS {_snapshot_table(compact_dir, u)}"
+            )
+            shutil.rmtree(
+                os.path.join(compact_dir, f"upto={u}"), ignore_errors=True
+            )
+
+
 def stream_near_dup_index(
     df: DataFrame,
     zone_dir: str,
@@ -270,38 +317,9 @@ def stream_near_dup_index(
         )
 
         if compact_every and (batch_id + 1) % compact_every == 0:
-            # Fold snapshot + all deltas ≤ batch_id (including the one
-            # just written) into a new snapshot, THEN drop what it
-            # supersedes.  Keyed overwrite makes a crash-replay rewrite
-            # the same snapshot rather than duplicate rows.  The
-            # snapshot is an EXTERNAL table hash-bucketed (and bucket-
-            # sorted) on the (band, bucket) join key: one shuffle here,
-            # at compaction, buys an exchange-free corpus side on every
-            # subsequent micro-batch join (PipelineZones.write_bucketed
-            # posture applied to the hottest join in the repo).
-            full = read_index(spark, index_dir, compact_dir)
-            table = _snapshot_table(compact_dir, batch_id)
-            (
-                full.write.mode("overwrite")
-                .bucketBy(snapshot_buckets, "band", "bucket")
-                .sortBy("band", "bucket")
-                .format("parquet")
-                .option("path", os.path.join(compact_dir, f"upto={batch_id}"))
-                .saveAsTable(table)
+            compact_index_zone(
+                spark, index_dir, compact_dir, batch_id, snapshot_buckets
             )
-            for b in _dir_ids(index_dir, "batch"):
-                if b <= batch_id:
-                    shutil.rmtree(
-                        os.path.join(index_dir, f"batch={b}"), ignore_errors=True
-                    )
-            for u in _dir_ids(compact_dir, "upto"):
-                if u < batch_id:
-                    spark.sql(
-                        f"DROP TABLE IF EXISTS {_snapshot_table(compact_dir, u)}"
-                    )
-                    shutil.rmtree(
-                        os.path.join(compact_dir, f"upto={u}"), ignore_errors=True
-                    )
 
     writer = df.writeStream.foreachBatch(handle).option(
         "checkpointLocation", checkpoint
