@@ -140,3 +140,35 @@ def test_filter_against_hamming_index(spark, tmp_path):
     out = hi.filter_against_hamming_index(incoming, zone)
     rows = {(r.asset_id, r.note) for r in out.collect()}
     assert rows == {(11, "fresh")}  # survivor keeps its full row
+
+
+def test_hamming_snapshot_probe_bucketed_and_restart_idempotent(spark, tmp_path):
+    """After compaction the probe's snapshot side reads through the
+    bucketed catalog table (at most the probe-side (band, bucket)
+    exchange in the plan); restarting the maintenance stream with no
+    new data recomputes nothing."""
+    landing = str(tmp_path / "landing")
+    zone = str(tmp_path / "zone")
+    ck = str(tmp_path / "ck")
+    schema = _write(spark, landing, [(1, H_A), (2, H_B)])
+    _write(spark, landing, [(3, H_C)])
+    index_dir, pairs_dir = _run(
+        spark, landing, schema, zone, ck, compact_every=1
+    )
+    n_pairs = spark.read.parquet(pairs_dir).count()
+
+    probe = spark.createDataFrame(
+        [(100, H_A1)], "asset_id long, dhash long"
+    )
+    plan = (
+        hi.probe_hamming_index(probe, zone)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan
+    assert plan.count("Exchange hashpartitioning(band") <= 1, plan
+
+    # restart with no new data: same checkpoint, nothing recomputes
+    index_dir, pairs_dir = _run(
+        spark, landing, schema, zone, ck, compact_every=1
+    )
+    assert spark.read.parquet(pairs_dir).count() == n_pairs
