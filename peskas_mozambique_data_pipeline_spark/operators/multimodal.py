@@ -664,3 +664,125 @@ def pcm_frame_features(
         energy.alias("energy"),
         pair_zc.alias("zero_crossings"),
     )
+
+
+FRAME_DHASH_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("dhash", LongType()),
+    ]
+)
+
+
+def raw_video_frames(
+    df: DataFrame,
+    width: int,
+    height: int,
+    channels: int = 3,
+    fps: int = 25,
+    every_ms: int = 1000,
+    content_col: str = "content",
+    id_col: str = "asset_id",
+) -> DataFrame:
+    """REAL frame sampling for uncompressed interleaved video blobs
+    (concatenated raw frames — the layout every codec decodes to
+    upstream; a y4m stream minus its headers).  Replaces the
+    metadata-only :func:`frame_sample` plumbing wherever the bytes are
+    actually raw: frame count comes from the byte length, the sampling
+    cadence from fps × every_ms, and each sampled frame's bytes are
+    cut with engine-side ``substring`` — pure JVM, zero Python, and
+    the blob contributes only the emitted slices to the output
+    (trailing partial frames are ignored; sub-frame blobs yield no
+    rows).  Compressed codecs stay env-stubbed in
+    :func:`decode_media` — this operator is the post-decode hot path.
+
+    Scale shape: scan-local fan-out exactly like :func:`audio_windows`
+    — one asset row becomes ~duration/every_ms frame rows, no shuffle;
+    a 1-hour 1080p raw asset emits 3.6k frames/hour at the default
+    cadence instead of re-materializing 100 GB of video.
+    """
+    fsize = width * height * channels
+    step = max(1, round(fps * every_ms / 1000.0))
+    src = df
+    if "media_type" in df.columns:
+        src = df.filter(F.col("media_type") == "video")
+    n = F.floor(F.length(F.col(content_col)) / F.lit(fsize)).cast("long")
+    withn = src.select(
+        F.col(id_col), F.col(content_col).alias("_c"), n.alias("_n")
+    ).filter(F.col("_n") >= 1)
+    framed = withn.select(
+        id_col,
+        "_c",
+        F.col("_n").alias("n_frames"),
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"),
+                F.col("_n") - 1,
+                F.lit(step).cast("long"),
+            )
+        ).alias("frame_idx"),
+    )
+    return framed.select(
+        F.col(id_col),
+        "frame_idx",
+        F.floor(F.col("frame_idx") * 1000 / F.lit(fps)).cast("long").alias(
+            "frame_ms"
+        ),
+        "n_frames",
+        F.expr(
+            f"substring(_c, CAST(frame_idx * {fsize} + 1 AS INT), {fsize})"
+        ).alias("frame"),
+    )
+
+
+def frame_dhash(
+    frames: DataFrame,
+    width: int,
+    height: int,
+    channels: int = 3,
+    id_col: str = "asset_id",
+    frame_col: str = "frame",
+    batch_size: int = 256,
+) -> DataFrame:
+    """Perceptual hash per sampled RAW frame — the video leg of the
+    image-dedup family: ``raw_video_frames`` slices, this hashes
+    (``np.frombuffer`` → the SAME integer-exact :func:`dhash64` the
+    PNG path uses), and the ``(asset_id, frame_idx, dhash)`` rows feed
+    :func:`hamming_near_dup_pairs` or the persistent
+    ``streaming/hamming_index`` zone unchanged — shared-scene
+    detection across videos is a band equi-join away.  Frames whose
+    byte length does not match width×height×channels are skipped
+    (same tolerant contract as :func:`image_dhash`)."""
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        want = width * height * channels
+        for pdf in batches:
+            for lo in range(0, len(pdf), batch_size):
+                chunk = pdf.iloc[lo : lo + batch_size]
+                ids, idxs, hashes = [], [], []
+                for aid, fidx, blob in zip(
+                    chunk[id_col], chunk["frame_idx"], chunk[frame_col]
+                ):
+                    if blob is None or len(blob) != want:
+                        continue
+                    arr = np.frombuffer(bytes(blob), dtype=np.uint8).reshape(
+                        height, width, channels
+                    )
+                    ids.append(int(aid))
+                    idxs.append(int(fidx))
+                    hashes.append(dhash64(arr))
+                if ids:
+                    yield pd.DataFrame(
+                        {
+                            "asset_id": pd.Series(ids, dtype="int64"),
+                            "frame_idx": pd.Series(idxs, dtype="int64"),
+                            "dhash": pd.Series(hashes, dtype="int64"),
+                        }
+                    )
+
+    return frames.select(
+        F.col(id_col), "frame_idx", F.col(frame_col)
+    ).mapInPandas(process, FRAME_DHASH_SCHEMA)
