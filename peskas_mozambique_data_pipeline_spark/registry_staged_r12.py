@@ -4,11 +4,11 @@ bit-exact two-scale-factor evidence just like r10's and r11's swaps
 did (``tests/test_registry_staged_r12.py``).
 
 Window/ceiling arithmetic: the r11 recipe lands the registry at 98
-with 2 slots of headroom under the 100 ceiling, so r12 can register
-up to two NEW rows before another consolidation is required — the two
-rows below use exactly that headroom.  (If r12 wants additional rows,
-natural next consolidations in the r11-rotating tail exist: e.g.
-``sketch_audit`` + ``hist_quantiles``, both register-sketch rows.)
+with 2 slots of headroom under the 100 ceiling.  The FOUR staged rows
+below fit exactly: two new rows use the headroom, the
+``sketchfam_audit`` consolidation (−2 legs, +1 union) funds the third
+new row — 98 − 2 + 1 + 3 = 100, at the ceiling (r13 then requires
+consolidations, as the cadence already assumes).
 
 * ``diversity_sample`` puts cluster-balanced diversity sampling
   (``operators.curation.cluster_balanced_sample`` — the DataComp-style
@@ -22,6 +22,14 @@ natural next consolidations in the r11-rotating tail exist: e.g.
   apportionment in BIGINT arithmetic, and the per-cluster quality
   top-k; any drift in apportionment rounding, leftover-seat ranking
   or tie-breaks hash-mismatches.
+* ``audio_audit`` pins the audio family's JVM hot path (see its
+  section below).
+* ``sketchfam_audit`` = ``sketch_audit`` + ``hist_quantiles``: the
+  register-sized-sketch family consolidation funding video_audit's
+  slot.
+* ``video_audit`` puts ``multimodal.raw_video_frames`` (real binary
+  frame slicing) under the hard oracle via the hex-twin replay (see
+  its section below).
 """
 
 from __future__ import annotations
@@ -183,9 +191,118 @@ FROM frames
 """
 
 
+# ---------------------------------------------------------------------------
+# sketchfam_audit = sketch_audit + hist_quantiles: both are
+# register-sized-sketch rows (HLL/CMS estimates vs exact counts; the
+# binned-histogram quantile estimator) — same family, merged to fund
+# the window/ceiling slot video_audit uses.  Legs verbatim, oracle
+# wraps the registered SQL.
+
+
+def q_sketchfam_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .registry_curation import q_hist_quantiles, q_sketch_audit
+
+    a = q_sketch_audit(spark, sf_dir).select(
+        F.col("sketch").alias("stat"),
+        F.col("key").alias("key1"),
+        F.lit(None).cast("double").alias("q"),
+        F.col("n_exact").cast("long").alias("n_exact"),
+        F.col("estimate").cast("double").alias("estimate"),
+    )
+    b = q_hist_quantiles(spark, sf_dir).select(
+        F.lit("hist").alias("stat"),
+        F.col("o_orderpriority").alias("key1"),
+        F.col("quantile").cast("double").alias("q"),
+        F.lit(None).cast("long").alias("n_exact"),
+        F.col("estimate").cast("double").alias("estimate"),
+    )
+    return a.unionByName(b)
+
+
+def _sql_sketchfam_audit() -> str:
+    from .registry_curation import SQL_HIST_QUANTILES, SQL_SKETCH_AUDIT
+
+    return f"""
+WITH a AS ({SQL_SKETCH_AUDIT}),
+b AS ({SQL_HIST_QUANTILES})
+SELECT sketch AS stat, key AS key1, CAST(NULL AS DOUBLE) AS q,
+       CAST(n_exact AS BIGINT) AS n_exact, CAST(estimate AS DOUBLE) AS estimate
+FROM a
+UNION ALL
+SELECT 'hist', o_orderpriority, CAST(quantile AS DOUBLE),
+       CAST(NULL AS BIGINT), CAST(estimate AS DOUBLE)
+FROM b
+"""
+
+
+# ---------------------------------------------------------------------------
+# video_audit — the video frame-sampling surface under the hard
+# oracle.  ``multimodal.raw_video_frames`` runs VERBATIM over raw
+# video blobs synthesized engine-side (per-doc byte strings built as
+# hex → ``unhex`` → real BINARY content, so the Spark side exercises
+# genuine binary ``substring`` slicing), with per-doc frame counts
+# 3..5, a sampling stride of 2 and a ragged sub-frame TAIL (doc_id%2
+# bytes) that truncation must ignore.  DuckDB cannot slice BLOBs, so
+# the oracle replays the arithmetic on the HEX TWIN of the same bytes
+# (2 hex chars per byte, VARCHAR substring) — byte-for-byte
+# equivalent because both sides emit frames AS uppercase hex.
+
+
+def q_video_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import raw_video_frames
+    from .session import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    hexstr = F.expr(
+        "array_join(transform(sequence(0, CAST((3 + doc_id % 3) * 12"
+        " + doc_id % 2 AS INT) - 1),"
+        " j -> lpad(hex(CAST((doc_id * 7 + (j DIV 12) * 13 + (j % 12) * 5)"
+        " % 251 AS INT)), 2, '0')), '')"
+    )
+    media = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("video").alias("media_type"),
+        F.unhex(hexstr).alias("content"),
+    )
+    frames = raw_video_frames(
+        media, width=4, height=3, channels=1, fps=10, every_ms=200
+    )
+    return frames.select(
+        F.col("asset_id").cast("long").alias("asset_id"),
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.col("frame_ms").cast("long").alias("frame_ms"),
+        F.col("n_frames").cast("long").alias("n_frames"),
+        F.upper(F.hex(F.col("frame"))).alias("frame_hex"),
+    )
+
+
+SQL_VIDEO_AUDIT = """
+WITH d AS (
+  SELECT doc_id, CAST(3 + doc_id % 3 AS BIGINT) AS nfr,
+         (3 + doc_id % 3) * 12 + doc_id % 2 AS nb
+  FROM documents
+),
+hx AS (
+  SELECT doc_id, nfr,
+         list_aggregate(list_transform(generate_series(0, CAST(nb - 1 AS BIGINT)),
+           j -> lpad(hex((doc_id * 7 + (j // 12) * 13 + (j % 12) * 5) % 251),
+                     2, '0')), 'string_agg', '') AS h
+  FROM d
+)
+SELECT CAST(doc_id AS BIGINT) AS asset_id,
+       CAST(fi AS BIGINT) AS frame_idx,
+       CAST(fi * 1000 // 10 AS BIGINT) AS frame_ms,
+       nfr AS n_frames,
+       upper(substring(h, CAST(fi * 24 + 1 AS INT), 24)) AS frame_hex
+FROM hx, UNNEST(generate_series(0, nfr - 1, 2)) AS t(fi)
+"""
+
+
 STAGED_QUERIES = {
     "diversity_sample": q_diversity_sample,
     "audio_audit": q_audio_audit,
+    "sketchfam_audit": q_sketchfam_audit,
+    "video_audit": q_video_audit,
 }
 
 
@@ -193,9 +310,12 @@ def build_staged_oracle_sql() -> dict[str, str]:
     return {
         "diversity_sample": _sql_diversity_sample(),
         "audio_audit": SQL_AUDIO_AUDIT,
+        "sketchfam_audit": _sql_sketchfam_audit(),
+        "video_audit": SQL_VIDEO_AUDIT,
     }
 
 
 # names each staged consolidation row replaces at registration time
-# (none yet — r12 has 2 slots of post-r11 headroom for new rows)
-STAGED_REPLACES: dict[str, tuple[str, str]] = {}
+STAGED_REPLACES: dict[str, tuple[str, str]] = {
+    "sketchfam_audit": ("sketch_audit", "hist_quantiles"),
+}

@@ -98,3 +98,20 @@ def test_staged_r12_not_registered_yet():
     for pair in registry_staged_r12.STAGED_REPLACES.values():
         for old in pair:
             assert old in registry.SPARK_QUERIES
+
+
+@pytest.mark.parametrize(
+    "union_name,legs", sorted(registry_staged_r12.STAGED_REPLACES.items())
+)
+def test_staged_r12_parity_with_replaced_rows(spark, union_name, legs):
+    """Each consolidation union reproduces the registered legs'
+    row counts and carries one stat value per leg family."""
+    sf = "/root/testdata/sf0.001"
+    union_df = registry_staged_r12.STAGED_QUERIES[union_name](spark, sf)
+    n_union = union_df.count()
+    n_legs = sum(registry.SPARK_QUERIES[leg](spark, sf).count() for leg in legs)
+    assert n_union == n_legs
+    stats = {r["stat"] for r in union_df.select("stat").distinct().collect()}
+    # sketch_audit is itself a 2-stat union (hll + cms), so the merged
+    # row carries 3
+    assert len(stats) == {"sketchfam_audit": 3}.get(union_name, 2)
