@@ -117,7 +117,10 @@ def resize_stub(df: DataFrame, width: int, height: int) -> DataFrame:
 def frame_sample(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame sampling plumbing: emit one row per sampled timestamp
     using a generated sequence — demonstrates the explode-based fan-out
-    a real frame extractor would feed."""
+    a real frame extractor would feed.  For UNCOMPRESSED interleaved
+    blobs the real extractor exists: :func:`raw_video_frames` slices
+    actual frame bytes engine-side; this metadata-only variant remains
+    for assets whose codec is env-stubbed (see :func:`decode_media`)."""
     ts = F.sequence(
         F.lit(0),
         F.coalesce(F.col("meta_duration_ms"), F.lit(0)),

@@ -172,3 +172,67 @@ def test_hamming_snapshot_probe_bucketed_and_restart_idempotent(spark, tmp_path)
         spark, landing, schema, zone, ck, compact_every=1
     )
     assert spark.read.parquet(pairs_dir).count() == n_pairs
+
+
+def test_png_blobs_to_zone_composition(spark, tmp_path):
+    """The demo path as a sweep test: PNG blobs → decode → dhash →
+    landing → streamed into the zone; a brightness-shifted re-crawl
+    pairs with its indexed original (dhash-exact) and the ingest
+    filter drops it."""
+    import struct
+    import zlib
+
+    from peskas_mozambique_data_pipeline_spark.operators import multimodal
+
+    W_, H_ = 16, 12
+
+    def png_gray(px):
+        def chunk(typ, data):
+            c = struct.pack(">I", len(data)) + typ + data
+            return c + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+
+        raw = bytearray()
+        for y in range(H_):
+            raw.append(0)
+            raw.extend(px[y])
+        ihdr = struct.pack(">IIBBBBB", W_, H_, 8, 0, 0, 0, 0)
+        return (
+            b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+        )
+
+    def pattern(seed):
+        return [
+            [(x * (31 + seed) + y * 17 + seed * 97) % 251 for x in range(W_)]
+            for y in range(H_)
+        ]
+
+    landing = str(tmp_path / "landing")
+    zone = str(tmp_path / "zone")
+    ck = str(tmp_path / "ck")
+    blobs = spark.createDataFrame(
+        [(i, "image", png_gray(pattern(i)), W_, H_, None) for i in range(4)],
+        multimodal.MEDIA_SCHEMA,
+    )
+    hashes = multimodal.image_dhash(blobs)
+    hashes.coalesce(1).write.parquet(landing)
+    _run(spark, landing, hashes.schema, zone, ck)
+
+    bright = [[min(255, v + 3) for v in row] for row in pattern(2)]
+    incoming = multimodal.image_dhash(
+        spark.createDataFrame(
+            [(100, "image", png_gray(bright), W_, H_, None),
+             (101, "image", png_gray(pattern(9)), W_, H_, None)],
+            multimodal.MEDIA_SCHEMA,
+        )
+    ).localCheckpoint()
+    probed = {
+        (r.new_id, r.index_id)
+        for r in hi.probe_hamming_index(incoming, zone).collect()
+    }
+    assert (100, 2) in probed
+    kept = sorted(
+        r.asset_id
+        for r in hi.filter_against_hamming_index(incoming, zone).collect()
+    )
+    assert kept == [101]
