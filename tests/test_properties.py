@@ -680,3 +680,77 @@ def test_canonical_url_invariant_under_refetch_variants(
     keys = [r["v"] for r in df.select(web.canonical_url("url").alias("v")).collect()]
     assert keys[0] == keys[1]
     assert keys[0] is not None
+
+
+# adversarial-ish HTML: tags, half-tags, entities, random text — the
+# extractor must be total (never throw) and must leave no markup behind
+_html_atoms = st.one_of(
+    # no '&' in the free-text alphabet: assembled entities like &lt;
+    # legitimately DECODE to literal angle brackets in clean output
+    # (the one-level-decode contract), which is not a markup leak
+    st.text(
+        alphabet="abz <>;#/\"'=\n\t!-pcriotsl0129", min_size=0, max_size=12
+    ),
+    st.sampled_from(
+        [
+            "<p>", "</p>", "<script>", "</script>", "<style>x{}</style>",
+            "<!--", "-->", "&amp;", "&#65;", "&#x41;", "<br/>",
+            "<a href='x'>", "</a>", "<div", ">", "<<>>", "&bogus;",
+            "<script>var a='<p>';</script>",
+        ]
+    ),
+)
+
+
+@SET
+@given(st.lists(_html_atoms, min_size=0, max_size=12))
+def test_strip_html_total_and_tag_free(spark, parts):
+    """strip_html on arbitrary tag soup: never throws, and the output
+    contains no '<tag' remnants (a lone '<' from text like 'a < b' is
+    legitimate — only markup must die)."""
+    import re
+
+    from peskas_mozambique_data_pipeline_spark.operators import html as html_ops
+
+    body = "".join(parts)
+    df = spark.createDataFrame([(1, body)], "doc_id long, text string")
+    out = html_ops.extract_html_text(df, html_col="text").collect()
+    assert len(out) == 1
+    text = out[0]["text"] or ""
+    # no complete tag survives extraction
+    assert not re.search(r"<[a-zA-Z/][^<]*>", text), (body, text)
+
+
+@SET
+@given(st.lists(st.integers(min_value=-(2**15), max_value=2**15 - 1),
+                min_size=1, max_size=40),
+       st.integers(min_value=1, max_value=5))
+def test_pcm_frame_features_matches_python_twin(spark, samples, win_ms):
+    """Framing, energy and zero-crossings equal an independent python
+    twin for arbitrary PCM and window sizes (sample_rate 1000 → win =
+    hop = win_ms samples)."""
+    from peskas_mozambique_data_pipeline_spark.operators.multimodal import (
+        pcm_frame_features,
+    )
+
+    df = spark.createDataFrame([(1, samples)], "asset_id long, samples array<long>")
+    out = pcm_frame_features(
+        df, window_ms=win_ms, hop_ms=win_ms, sample_rate=1000
+    )
+    got = sorted(
+        (r.win_start_ms, r.n_samples, r.energy, r.zero_crossings)
+        for r in out.collect()
+    )
+    win = win_ms  # 1000 Hz → win_ms samples per window
+    n = len(samples)
+    frames = (
+        [samples[i * win : i * win + win] for i in range((n - win) // win + 1)]
+        if n >= win
+        else [samples]
+    )
+    want = []
+    for i, sl in enumerate(frames):
+        e = sum(x * x for x in sl)
+        z = sum(1 for k in range(len(sl) - 1) if (sl[k] < 0) != (sl[k + 1] < 0))
+        want.append((i * win * 1000 // 1000, len(sl), e, z))
+    assert got == sorted(want)
