@@ -754,3 +754,34 @@ def test_diversity_stage_cluster_balance(spark, tmp_path):
     # packs build from the diverse zone
     packs = spark.read.parquet(out["corpus_packs"])
     assert packs.agg(F.sum("n_docs")).first()[0] == 4
+
+
+def test_corpus_card_summarizes_run(spark, tmp_path):
+    """The data-sheet frame: one row per executed zone in DAG order,
+    token/char totals on document-shaped zones, NULLs on pack-shaped
+    ones, exact permille retention between stages."""
+    from peskas_mozambique_data_pipeline_spark.plans import report
+
+    docs = _corpus(spark)
+    out = corpus.run_corpus_pipeline(
+        spark, docs, str(tmp_path / "zones"), budget=30, jaccard_threshold=0.5
+    )
+    card = report.corpus_card(spark, out).orderBy("pos").collect()
+    zones = [r.zone for r in card]
+    assert zones == ["corpus_filtered", "corpus_deduped", "corpus_packs"]
+    by_zone = {r.zone: r for r in card}
+    filt, dedup, packs = (
+        by_zone["corpus_filtered"], by_zone["corpus_deduped"], by_zone["corpus_packs"]
+    )
+    assert filt.n_rows == 4 and dedup.n_rows == 2  # the _corpus fixture facts
+    assert filt.retained_rows_permille is None  # no upstream zone
+    assert dedup.retained_rows_permille == 2 * 1000 // 4
+    # doc zones carry token/char totals; pack zone does not
+    assert filt.n_tokens is not None and filt.n_chars is not None
+    assert packs.n_tokens is None and packs.n_chars is None
+    # exact token total: sum of whitespace tokens over the zone
+    import re
+
+    zdocs = spark.read.parquet(out["corpus_filtered"]).collect()
+    want_tokens = sum(len(r.text.split()) for r in zdocs)
+    assert filt.n_tokens == want_tokens
