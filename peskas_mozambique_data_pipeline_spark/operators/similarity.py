@@ -1259,3 +1259,145 @@ def embedding_drift(
             "share_old_nano", "share_new_nano", "delta_nano",
         )
     )
+
+
+def embedding_covariance(
+    emb: DataFrame,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    quant: int = 10**6,
+) -> tuple:
+    """EXACT distributed second-moment statistics for an embedding
+    column: ``(n, sum_q, cov_q)`` where ``sum_q[i] = Σ q_i`` and
+    ``cov_q[i][j] = Σ q_i·q_j`` over integer-quantized components
+    ``q = round(v·quant)``.
+
+    The scale trick: per-row outer products explode to (i, j) cells —
+    d²/row virtual rows, but Spark's partial hash aggregation folds
+    them to ≤ d² rows per partition BEFORE the shuffle, so the
+    exchange carries ~d² rows per partition regardless of corpus size.
+    Cell sums accumulate as DECIMAL(38,0) — exact and
+    order-independent (no float reduction order anywhere), so the
+    statistics are bit-identical for ANY partitioning; with
+    ``quant=1e6`` and unit-scale embeddings the 38-digit headroom
+    absorbs ~1e14 rows per cell.  Only the upper triangle shuffles
+    (j ≥ i); the mirror is reconstructed driver-side.
+
+    Returns plain Python ``(n, sums, cov)`` (d and d×d lists of exact
+    ints) — driver-sized by construction (d² cells), the same bounded
+    ``collect`` class as centroid tables.
+    """
+    import numpy as np
+
+    v = F.col(vec_col)
+    q = F.transform(v, lambda x: F.round(x * quant).cast("long"))
+    cells = (
+        emb.select(q.alias("_q"))
+        .select(F.posexplode("_q").alias("i", "qi"), F.col("_q"))
+        .select(
+            "i",
+            "qi",
+            F.posexplode("_q").alias("j", "qj"),
+        )
+        .filter(F.col("j") >= F.col("i"))
+        .groupBy("i", "j")
+        .agg(
+            F.sum((F.col("qi") * F.col("qj")).cast("decimal(38,0)")).alias("s")
+        )
+    )
+    sums = (
+        emb.select(q.alias("_q"))
+        .select(F.posexplode("_q").alias("i", "qi"))
+        .groupBy("i")
+        .agg(F.sum(F.col("qi").cast("decimal(38,0)")).alias("s"))
+    )
+    n = emb.count()
+    sum_vec = [0] * dim
+    for r in sums.collect():
+        sum_vec[r["i"]] = int(r["s"])
+    cov = np.zeros((dim, dim), dtype=object)
+    for r in cells.collect():
+        cov[r["i"], r["j"]] = int(r["s"])
+        cov[r["j"], r["i"]] = int(r["s"])
+    return n, sum_vec, cov.tolist()
+
+
+def embedding_pca(
+    emb: DataFrame,
+    k: int,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    quant: int = 10**6,
+    whiten: bool = False,
+    eps: float = 1e-9,
+):
+    """PCA components from the EXACT covariance statistics: centered
+    covariance ``C = (Σqq^T − (Σq)(Σq)^T/n) / ((n−1)·quant²)`` is
+    reconstructed driver-side from integers, then a d×d ``eigh``
+    (driver math on an index-constant matrix — the centroid-table
+    collect class).  Eigenvector SIGNS are canonicalized (largest-|x|
+    component positive) so the basis is deterministic across LAPACK
+    builds up to that convention.
+
+    Returns ``(components, eigvals)``: a ``k×d`` list of float lists
+    (rows = principal axes, descending eigenvalue) and the k
+    eigenvalues.  ``whiten=True`` scales each axis by
+    ``1/sqrt(λ+eps)`` — the SemDeDup-style conditioning that stops a
+    few dominant directions from swamping cosine similarity.
+    """
+    import numpy as np
+
+    n, sum_vec, cov_q = embedding_covariance(
+        emb, dim=dim, vec_col=vec_col, quant=quant
+    )
+    if n < 2:
+        raise ValueError("embedding_pca needs at least 2 rows")
+    s = np.asarray(sum_vec, dtype=np.float64)
+    c2 = np.asarray([[float(x) for x in row] for row in cov_q], dtype=np.float64)
+    cov = (c2 - np.outer(s, s) / n) / ((n - 1) * float(quant) ** 2)
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:k]
+    vals = vals[order]
+    comps = vecs[:, order].T
+    for r in range(comps.shape[0]):  # sign canonicalization
+        j = int(np.argmax(np.abs(comps[r])))
+        if comps[r, j] < 0:
+            comps[r] = -comps[r]
+    if whiten:
+        comps = comps / np.sqrt(vals + eps)[:, None]
+    return [list(map(float, row)) for row in comps], [float(x) for x in vals]
+
+
+def project_embeddings(
+    emb: DataFrame,
+    components: list,
+    mean: list | None = None,
+    vec_col: str = "embedding",
+    out_col: str = "projected",
+) -> DataFrame:
+    """Project the embedding column onto PCA axes — pure JVM: each
+    output component is one ``aggregate``(zip_with) dot product
+    against a literal axis (components are k×d literals, broadcast in
+    the plan, no join).  ``mean`` (from ``embedding_covariance``:
+    ``sum_q[i]/(n·quant)``) centers before projecting when given.
+    Output is ``array<double>`` of length k — directly usable by every
+    ANN/dedup/drift operator in this module.
+    """
+    v = F.col(vec_col)
+    if mean is not None:
+        v = F.zip_with(
+            v,
+            F.array(*[F.lit(float(m)) for m in mean]),
+            lambda x, m: x - m,
+        )
+    outs = []
+    for axis in components:
+        lit_axis = F.array(*[F.lit(float(a)) for a in axis])
+        outs.append(
+            F.aggregate(
+                F.zip_with(v, lit_axis, lambda x, a: x * a),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+    return emb.withColumn(out_col, F.array(*outs))

@@ -1831,3 +1831,64 @@ def test_luhn_valid_property(spark):
     }
     for n in nums:
         assert got[n] == luhn_py(n), n
+
+
+# ---------------------------------------------------------------------------
+# exact covariance / PCA / projection
+
+
+def test_embedding_covariance_exact_and_partition_invariant(spark):
+    import numpy as np
+
+    from peskas_mozambique_data_pipeline_spark.operators import similarity as sim
+
+    rng = [[0.5, -0.25, 0.125], [1.0, 0.0, -0.5], [-0.75, 0.5, 0.25], [0.0, 1.0, 1.0]]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(rng)], "vec_id long, embedding array<double>"
+    )
+    n, sums, cov = sim.embedding_covariance(df, dim=3, quant=10**6)
+    assert n == 4
+    q = np.round(np.asarray(rng) * 10**6).astype(np.int64)
+    assert sums == [int(x) for x in q.sum(axis=0)]
+    want = q.T @ q
+    assert [[int(c) for c in row] for row in cov] == want.tolist()
+
+    # EXACT partition invariance: decimal sums have no float order
+    n1, s1, c1 = sim.embedding_covariance(df.repartition(7), dim=3)
+    assert (n1, s1, c1) == (n, sums, cov)
+
+
+def test_embedding_pca_recovers_planted_axis(spark):
+    import math
+
+    from peskas_mozambique_data_pipeline_spark.operators import similarity as sim
+
+    # points spread along (3,4,0)/5 with small off-axis jitter
+    axis = [0.6, 0.8, 0.0]
+    rows = []
+    for i in range(40):
+        t = (i - 20) / 4.0
+        jit = ((i * 7) % 5 - 2) / 50.0
+        rows.append((i, [t * axis[0] + jit, t * axis[1] - jit, jit / 2]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    comps, vals = sim.embedding_pca(df, k=2, dim=3)
+    assert vals[0] > vals[1] >= 0
+    cos = abs(sum(a * b for a, b in zip(comps[0], axis)))
+    assert cos > 0.999  # dominant axis recovered
+    # sign canonicalization: largest-|x| component positive
+    m = max(range(3), key=lambda j: abs(comps[0][j]))
+    assert comps[0][m] > 0
+
+
+def test_project_embeddings_jvm_and_centering(spark):
+    from peskas_mozambique_data_pipeline_spark.operators import similarity as sim
+
+    df = spark.createDataFrame(
+        [(1, [2.0, 0.0]), (2, [0.0, 3.0])], "vec_id long, embedding array<double>"
+    )
+    comps = [[1.0, 0.0], [0.0, 1.0]]
+    out = sim.project_embeddings(df, comps, mean=[1.0, 1.5])
+    got = {r.vec_id: r.projected for r in out.collect()}
+    assert got[1] == [1.0, -1.5] and got[2] == [-1.0, 1.5]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
