@@ -1401,3 +1401,19 @@ def project_embeddings(
             )
         )
     return emb.withColumn(out_col, F.array(*outs))
+
+
+def merge_covariance(stats_a: tuple, stats_b: tuple) -> tuple:
+    """Merge two ``embedding_covariance`` results — the statistics are
+    plain integer sums, so incremental PCA retraining is ADDITIVE:
+    accumulate ``(n, Σq, Σqq^T)`` per ingest batch (or per corpus
+    shard) and merge in any order with zero error; ``embedding_pca``'s
+    driver math runs on the merged ints unchanged.  This is the same
+    exactness contract the BM25 zone's additive integer stats carry."""
+    na, sa, ca = stats_a
+    nb, sb, cb = stats_b
+    return (
+        na + nb,
+        [x + y for x, y in zip(sa, sb)],
+        [[x + y for x, y in zip(ra, rb)] for ra, rb in zip(ca, cb)],
+    )

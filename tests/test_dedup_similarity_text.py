@@ -1892,3 +1892,48 @@ def test_project_embeddings_jvm_and_centering(spark):
     assert got[1] == [1.0, -1.5] and got[2] == [-1.0, 1.5]
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_merge_covariance_equals_whole_corpus(spark):
+    """Incremental PCA: per-shard statistics merged == whole-corpus
+    statistics, exactly (integer sums)."""
+    from peskas_mozambique_data_pipeline_spark.operators import similarity as sim
+
+    rows = [(i, [((i * 7 + j * 13) % 19 - 9) / 4.0 for j in range(3)])
+            for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    whole = sim.embedding_covariance(df, dim=3)
+    a = sim.embedding_covariance(df.filter("vec_id < 11"), dim=3)
+    b = sim.embedding_covariance(df.filter("vec_id >= 11"), dim=3)
+    assert sim.merge_covariance(a, b) == whole
+
+
+def test_whitened_projection_feeds_semantic_dedup(spark):
+    """Conditioning composes with the dedup surface: whiten-project the
+    embeddings, then run semantic_survivors on the projected column —
+    near-dup structure along the dominant axis survives whitening."""
+    from peskas_mozambique_data_pipeline_spark.operators import similarity as sim
+    from peskas_mozambique_data_pipeline_spark.plans import corpus
+
+    rows = []
+    for i in range(12):
+        t = (i - 6) / 2.0
+        jit = ((i * 5) % 3 - 1) / 40.0
+        rows.append((i, "b0", [t + jit, 2 * t - jit, jit]))
+    # two exact near-dups of row 3's direction
+    rows.append((100, "b0", [v * 1.001 for v in rows[3][2]]))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<double>"
+    )
+    comps, _ = sim.embedding_pca(emb, k=2, dim=3, whiten=True)
+    proj = sim.project_embeddings(emb, comps).select(
+        "vec_id", "label", F.col("projected").alias("embedding")
+    )
+    docs = emb.select("vec_id").withColumnRenamed("vec_id", "doc_id").withColumn(
+        "text", F.lit("x")
+    )
+    surv = {
+        r.doc_id
+        for r in corpus.semantic_survivors(docs, proj, threshold=0.999).collect()
+    }
+    assert 3 in surv and 100 not in surv  # the scaled copy collapses onto 3
