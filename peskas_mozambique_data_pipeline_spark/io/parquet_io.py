@@ -37,6 +37,7 @@ def write_versioned(
     range_by: list[str] | None = None,
     n_files: int | None = None,
     compression: str = "lz4",
+    bloom_cols: list[str] | None = None,
 ) -> str:
     """Write an immutable versioned snapshot into ``zone_dir``.
 
@@ -47,6 +48,15 @@ def write_versioned(
     ``range_by`` additionally range-partitions ACROSS files first
     (globally disjoint per-file key ranges — file-level pruning, not
     just row-group-level); ``n_files`` bounds the file count.
+    ``bloom_cols`` writes parquet BLOOM FILTERS for the named columns:
+    min/max zone maps prune RANGE predicates, but point lookups on
+    high-cardinality keys that are NOT the sort order (url digests,
+    content hashes) sail past min/max — a bloom filter rejects
+    row groups for ``key = v`` probes at ~1% false-positive cost,
+    which at 100 TB is the difference between scanning a zone and
+    touching a handful of row groups.  Spark's parquet writer and
+    reader both honor them natively (reader: spark.sql.parquet
+    filterPushdown, on by default).
     Returns the written path.
 
     The version timestamp is second-resolution, so two same-prefix
@@ -77,6 +87,8 @@ def write_versioned(
     elif sort_by:
         df = df.sortWithinPartitions(*sort_by)
     writer = df.write.mode("errorifexists").option("compression", compression)
+    for c in bloom_cols or []:
+        writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)

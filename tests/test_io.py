@@ -699,3 +699,44 @@ def test_bucketed_versioned_same_second_no_collision(spark, tmp_path):
     )
     assert parquet_io.read_latest_bucketed(spark, zone2, "snap").count() == 1
     assert os.path.dirname(p3) == zone2
+
+
+def test_write_versioned_bloom_filters(spark, tmp_path):
+    """bloom_cols wires parquet bloom filters into the zone write: the
+    bloom-enabled snapshot carries the filter bytes (strictly larger
+    files for identical data/codec) and point lookups on the hashed
+    key read back correctly through pushdown."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from peskas_mozambique_data_pipeline_spark.io import parquet_io
+
+    df = (
+        spark.range(20000)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.md5(F.col("id").cast("string")).alias("digest"),
+        )
+        .coalesce(1)
+    )
+    plain = parquet_io.write_versioned(df, str(tmp_path), "plain")
+    bloom = parquet_io.write_versioned(
+        df, str(tmp_path), "bloomed", bloom_cols=["digest"]
+    )
+
+    def data_bytes(path):
+        return sum(
+            os.path.getsize(f) for f in glob.glob(path + "/*.parquet")
+        )
+
+    assert data_bytes(bloom) > data_bytes(plain) + 1024  # filter bytes present
+
+    probe = spark.range(1).select(
+        F.md5(F.lit("137")).alias("digest")
+    ).first()["digest"]
+    got = (
+        spark.read.parquet(bloom).filter(F.col("digest") == probe).collect()
+    )
+    assert [r.doc_id for r in got] == [137]
