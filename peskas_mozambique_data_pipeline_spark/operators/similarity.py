@@ -1261,6 +1261,34 @@ def embedding_drift(
     )
 
 
+def covariance_cells(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    quant: int = 10**6,
+) -> DataFrame:
+    """The oracle-able face of :func:`embedding_covariance`: the
+    upper-triangle ``(i, j, s)`` cell frame with DECIMAL(38,0) sums of
+    integer-quantized products — exactly what the distributed job
+    computes before the driver-side collect, and exactly replayable in
+    SQL (HUGEINT sums of the same products)."""
+    v = F.col(vec_col)
+    q = F.transform(v, lambda x: F.round(x * quant).cast("long"))
+    return (
+        emb.select(q.alias("_q"))
+        .select(F.posexplode("_q").alias("i", "qi"), F.col("_q"))
+        .select(
+            "i",
+            "qi",
+            F.posexplode("_q").alias("j", "qj"),
+        )
+        .filter(F.col("j") >= F.col("i"))
+        .groupBy("i", "j")
+        .agg(
+            F.sum((F.col("qi") * F.col("qj")).cast("decimal(38,0)")).alias("s")
+        )
+    )
+
+
 def embedding_covariance(
     emb: DataFrame,
     dim: int = 64,
@@ -1291,20 +1319,7 @@ def embedding_covariance(
 
     v = F.col(vec_col)
     q = F.transform(v, lambda x: F.round(x * quant).cast("long"))
-    cells = (
-        emb.select(q.alias("_q"))
-        .select(F.posexplode("_q").alias("i", "qi"), F.col("_q"))
-        .select(
-            "i",
-            "qi",
-            F.posexplode("_q").alias("j", "qj"),
-        )
-        .filter(F.col("j") >= F.col("i"))
-        .groupBy("i", "j")
-        .agg(
-            F.sum((F.col("qi") * F.col("qj")).cast("decimal(38,0)")).alias("s")
-        )
-    )
+    cells = covariance_cells(emb, vec_col=vec_col, quant=quant)
     sums = (
         emb.select(q.alias("_q"))
         .select(F.posexplode("_q").alias("i", "qi"))

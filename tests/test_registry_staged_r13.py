@@ -1,0 +1,94 @@
+"""Evidence for the staged r13 row (registry_staged_r13): bit-exact
+DuckDB twin at sf0.001 AND sf0.01 plus the not-registered tripwire —
+the same discipline as the r11/r12 staged tests."""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pytest
+
+from peskas_mozambique_data_pipeline_spark import registry, registry_staged_r13
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists("/root/testdata/sf0.001/documents.parquet"),
+    reason="driver testdata not present",
+)
+
+
+def _norm(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float) and math.isnan(v):
+                v = "NaN"
+            vals.append(v)
+        out.append(tuple(vals))
+    out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
+    return out
+
+
+def _exact(a, b):
+    if a is None or b is None:
+        return a is b
+    if isinstance(a, float) or isinstance(b, float):
+        fa, fb = float(a), float(b)
+        return fa == fb or (math.isnan(fa) and math.isnan(fb))
+    return str(a) == str(b)
+
+
+def _duck(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(path):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
+            )
+    return con
+
+
+STAGED_SQL = registry_staged_r13.build_staged_oracle_sql()
+
+
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+@pytest.mark.parametrize("name", sorted(registry_staged_r13.STAGED_QUERIES))
+def test_staged_r13_oracle_bit_exact(spark, name, sf_dir):
+    sdf = registry_staged_r13.STAGED_QUERIES[name](spark, sf_dir)
+    srows = _norm([tuple(r) for r in sdf.collect()], sdf.columns)
+    con = _duck(sf_dir)
+    try:
+        res = con.execute(STAGED_SQL[name])
+        dcols = [d[0] for d in res.description]
+        drows = _norm(res.fetchall(), dcols)
+    finally:
+        con.close()
+    assert sorted(c.lower() for c in sdf.columns) == sorted(
+        c.lower() for c in dcols
+    )
+    assert len(srows) == len(drows), (name, len(srows), len(drows))
+    for rs, rd in zip(srows, drows):
+        assert all(_exact(a, b) for a, b in zip(rs, rd)), (name, rs, rd)
+
+
+def test_staged_r13_cell_count_is_triangle(spark):
+    """d=64 → exactly d(d+1)/2 = 2080 upper-triangle cells."""
+    out = registry_staged_r13.STAGED_QUERIES["pca_cov"](
+        spark, "/root/testdata/sf0.001"
+    )
+    assert out.count() == 64 * 65 // 2
+
+
+def test_staged_r13_not_registered_yet():
+    for name in registry_staged_r13.STAGED_QUERIES:
+        assert name not in registry.SPARK_QUERIES
