@@ -130,6 +130,15 @@ def main() -> int:
     if missing:
         print(f"MISSING ZONES: {missing}")
         return 1
+
+    # the data-sheet view of the same run (plans/report.py)
+    from peskas_mozambique_data_pipeline_spark.plans import report
+
+    print("corpus card:")
+    for r in report.corpus_card(spark, out).orderBy("pos").collect():
+        toks = "-" if r.n_tokens is None else r.n_tokens
+        ret = "-" if r.retained_rows_permille is None else f"{r.retained_rows_permille}‰"
+        print(f"  {r.zone:24s} rows={r.n_rows:<7d} tokens={toks:<9} retained={ret}")
     spark.stop()
     shutil.rmtree(zone_root, ignore_errors=True)
     print("corpus demo OK")
