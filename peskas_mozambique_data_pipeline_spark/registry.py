@@ -621,6 +621,32 @@ from . import registry_r10  # noqa: E402
 SPARK_QUERIES.update(registry_r10.SPARK_QUERIES)
 ORACLE_SQL.update(registry_r10.build_oracle_sql())
 
+from . import registry_staged_r11  # noqa: E402
+
+# r11 staged-row promotion (VERDICT r10 Next #1 / the NOTES FINAL
+# recipe): four consolidation unions (governance_audit, neardup_audit,
+# lexstats_audit, ivf_audit) plus five new operator rows (fetch_audit,
+# html_extract, link_graph, crawl_audit, image_dups) move from
+# registry_staged_r11 into the registry, each with bit-exact
+# sf0.001+sf0.01 oracle evidence and a recorded sf0.1 local[8] +
+# sf0.01 local[3] determinism matrix attached one round ahead
+# (tests/test_registry_staged_r11.py).
+_STAGED_PROMOTED_R11 = (
+    "governance_audit",
+    "neardup_audit",
+    "lexstats_audit",
+    "ivf_audit",
+    "fetch_audit",
+    "html_extract",
+    "link_graph",
+    "crawl_audit",
+    "image_dups",
+)
+_STAGED_SQL_R11 = registry_staged_r11.build_staged_oracle_sql()
+for _n in _STAGED_PROMOTED_R11:
+    SPARK_QUERIES[_n] = registry_staged_r11.STAGED_QUERIES[_n]
+    ORACLE_SQL[_n] = _STAGED_SQL_R11[_n]
+
 # r9 consolidations: every name below is replaced by a union row that
 # calls the SAME query function / wraps the SAME oracle SQL (see
 # registry_staged.STAGED_REPLACES and registry_audit.AUDIT_REPLACES),
@@ -677,6 +703,18 @@ for _n in _REPLACED_R10:
     RETIRED_QUERIES[_n] = SPARK_QUERIES.pop(_n)
     RETIRED_ORACLE_SQL[_n] = ORACLE_SQL.pop(_n)
 
+# r11 consolidations: each union row calls the SAME query functions /
+# wraps the SAME oracle SQL (registry_staged_r11.STAGED_REPLACES), so
+# the eight consolidated operators stay implemented, pytest-covered and
+# hash-verified — only the duplicate registry rows retire
+# (gate-checkable by name, the r9/r10 retirement discipline).
+_REPLACED_R11 = tuple(
+    n for pair in registry_staged_r11.STAGED_REPLACES.values() for n in pair
+)
+for _n in _REPLACED_R11:
+    RETIRED_QUERIES[_n] = SPARK_QUERIES.pop(_n)
+    RETIRED_ORACLE_SQL[_n] = ORACLE_SQL.pop(_n)
+
 # The driver's correctness harness checks the FIRST 50 registry entries
 # in dict order; with >50 queries registered, assembly order decides
 # which get hard-verified.  Keep the least-recently-driver-verified
@@ -686,34 +724,100 @@ for _n in _REPLACED_R10:
 # queries with several green driver rounds (still covered by the
 # bit-exact local gate, tools/check_correctness.py) rotate out.
 _VERIFY_FIRST = [
-    # round-10 additions — never driver-verified, head of the window:
-    # the quant_audit consolidation (ann_int8 + pooled_ann legs
-    # verbatim) and the four new operator rows, all promoted from
-    # registry_staged_r10 with bit-exact two-SF evidence.
+    # round-11 additions — never driver-verified, head of the window:
+    # the four consolidation unions and five new operator rows promoted
+    # from registry_staged_r11 with bit-exact two-SF evidence.
+    "governance_audit",
+    "neardup_audit",
+    "lexstats_audit",
+    "ivf_audit",
+    "fetch_audit",
+    "html_extract",
+    "link_graph",
+    "crawl_audit",
+    "image_dups",
+    # r11 window fill: two of the r10 in-round NEW operator rows hold
+    # over for a second consecutive hard row (each has exactly one
+    # green driver round and its operator has no other registry
+    # coverage; threshold_audit — the third single-round candidate —
+    # rests one round, the r10 holdover precedent applied to the two
+    # available slots).
+    "lang_segment",
+    "drift_audit",
+    # r11 rotation: the 39 r10-tail survivors (driver-green in r9,
+    # judge-gated bit-exact in r10; the other 8 tail rows retired into
+    # the four consolidation unions above) come back to the head so
+    # CORRECTNESS_r11 gives every one a hard driver row.
+    "doc_profile",
+    "doc_signature",
+    "funnel_cohorts",
+    "train_shards",
+    "aug_audit",
+    "set_ops_audit",
+    "format_audit",
+    "window_audit",
+    "split_mix_audit",
+    "rank_audit",
+    "ann_audit",
+    "reshape_audit",
+    "hybrid_rrf",
+    "bm25_indexed",
+    "corpus_shuffle",
+    "dup_span_audit",
+    "trip_rollup",
+    "bpe_fertility",
+    "semantic_dedup",
+    "predominant_mode",
+    "metrics_table",
+    "quality_topk",
+    "domain_mix",
+    "source_cap",
+    "monthly_median",
+    "topk_other",
+    "robust_bounds",
+    "pricing_summary",
+    "nary_full_join",
+    "flag_battery_full",
+    "repetition_filter",
+    "decontamination",
+    "doc_chunks",
+    "nested_series",
+    "uniqueness_check",
+    "sessionization",
+    "rollup_summary",
+    "asof_join",
+    "geo_rollup_join",
+]
+# Rotation tail: the 47 r9-window queries not held over (every one
+# driver-green in CORRECTNESS_r09).  Sitting out one round keeps the
+# "hard driver row at least every 2 rounds" invariant; the assertion
+# below forces this list to be resized whenever queries are added, so
+# the rotation stays deliberate.  Window arithmetic note: a 50-slot
+# window with a 2-round cadence supports at most 50 rotating-in rows
+# per round — adding N new rows in a round therefore requires N
+# consolidations/drops WITHIN the rotating-in set (not the outgoing
+# head, whose survivors rest in the tail regardless).  Steady state
+# after r10: 97 registered, 50 verified per round, 47 resting, 3 slots
+# of headroom.
+_VERIFY_LAST = [
+    # the 48 r10-head rows not held over (every one driver-green in
+    # CORRECTNESS_r10; lang_segment and drift_audit hold over in the
+    # head above).  Sitting out one round keeps the "hard driver row
+    # at least every 2 rounds" invariant.  Steady state after r11:
+    # 98 registered, 50 verified per round, 48 resting, 2 slots of
+    # headroom (consumed by the staged r12 swap: −2 +1 +3 → 100).
     "quant_audit",
     "seq_layout",
     "contam_score",
     "psl_domains",
     "card_audit",
-    # r10 in-round additions (VERDICT r9 Next #3): three union rows
-    # consolidating same-family pairs within the rotating-in set, and
-    # first hard oracle rows for the three r9 computational operators
-    # that only had pytest coverage.
     "lexical_audit",
     "filter_audit",
     "activity_audit",
     "threshold_audit",
-    "lang_segment",
-    "drift_audit",
-    # r10 window fill: the three r9 NEW operator rows hold over for a
-    # second consecutive hard row (they have exactly one green driver
-    # round; every other r9-head row has two or more).
     "url_dedup",
     "classifier_score",
     "cross_corpus",
-    # r10 rotation: the 42 r9-tail survivors (driver-green in r8,
-    # judge-gated bit-exact in r9) come back to the head so
-    # CORRECTNESS_r10 gives every one a hard driver row.
     "sketch_audit",
     "ts_audit",
     "mixture_budget",
@@ -750,66 +854,6 @@ _VERIFY_FIRST = [
     "dedup_exact",
     "simhash_pairs",
     "token_rollup",
-]
-# Rotation tail: the 47 r9-window queries not held over (every one
-# driver-green in CORRECTNESS_r09).  Sitting out one round keeps the
-# "hard driver row at least every 2 rounds" invariant; the assertion
-# below forces this list to be resized whenever queries are added, so
-# the rotation stays deliberate.  Window arithmetic note: a 50-slot
-# window with a 2-round cadence supports at most 50 rotating-in rows
-# per round — adding N new rows in a round therefore requires N
-# consolidations/drops WITHIN the rotating-in set (not the outgoing
-# head, whose survivors rest in the tail regardless).  Steady state
-# after r10: 97 registered, 50 verified per round, 47 resting, 3 slots
-# of headroom.
-_VERIFY_LAST = [
-    "doc_profile",
-    "doc_signature",
-    "funnel_cohorts",
-    "train_shards",
-    "aug_audit",
-    "set_ops_audit",
-    "format_audit",
-    "window_audit",
-    "split_mix_audit",
-    "rank_audit",
-    "ann_audit",
-    "reshape_audit",
-    "hybrid_rrf",
-    "term_stats",
-    "ann_ivfpq",
-    "bm25_indexed",
-    "corpus_shuffle",
-    "dup_span_audit",
-    "trip_rollup",
-    "bpe_fertility",
-    "semantic_dedup",
-    "jaccard_exact",
-    "bigram_logloss",
-    "predominant_mode",
-    "metrics_table",
-    "quality_topk",
-    "domain_mix",
-    "source_cap",
-    "corpus_diff",
-    "token_drift",
-    "monthly_median",
-    "topk_other",
-    "robust_bounds",
-    "pricing_summary",
-    "nary_full_join",
-    "flag_battery_full",
-    "embedding_near_dup",
-    "ann_ivf",
-    "repetition_filter",
-    "decontamination",
-    "doc_chunks",
-    "nested_series",
-    "uniqueness_check",
-    "sessionization",
-    "rollup_summary",
-    "asof_join",
-    "geo_rollup_join",
 ]
 
 # The driver hard-verifies exactly the first 50 entries; the tail list

@@ -147,7 +147,7 @@ def test_boundary_audit_values_reproduce_oracle():
                 qname, doc_id)
 
     # term_stats: pmi + tfidf branches against the union row's scores
-    stats = con.execute(registry.ORACLE_SQL["term_stats"]).fetchall()
+    stats = con.execute(oracle_sql("term_stats")).fetchall()
     pmi_oracle = {(k1, k2): s for st, k1, k2, _c, s in stats if st == "pmi"}
     tfidf_oracle = {(k1, k2): s for st, k1, k2, _c, s in stats if st == "tfidf"}
     assert pmi_oracle and tfidf_oracle

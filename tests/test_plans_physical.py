@@ -211,7 +211,7 @@ def test_term_stats_broadcasts_vocab_tables(spark):
     # must broadcast — a shuffled join would move the exploded corpus
     # on Zipf-skewed token keys ("the" is a mega-hot partition at
     # 100 TB)
-    plan = plan_of(registry.SPARK_QUERIES["term_stats"](spark, SF), "simple")
+    plan = plan_of(_q("term_stats")(spark, SF), "simple")
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
 
@@ -231,7 +231,7 @@ def test_dup_spans_no_cartesian(spark):
 def test_jaccard_exact_no_cartesian(spark):
     # prefix filtering must stay an equi-join on the hash key — a plan
     # regression to a cross product would be quadratic in the corpus
-    plan = plan_of(registry.SPARK_QUERIES["jaccard_exact"](spark, SF), "simple")
+    plan = plan_of(_q("jaccard_exact")(spark, SF), "simple")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 
@@ -245,14 +245,14 @@ def test_jaccard_exact_no_window_on_shingle_hash(spark):
     # prefix-rank window (partition by _id) stays.
     import re
 
-    plan = plan_of(registry.SPARK_QUERIES["jaccard_exact"](spark, SF), "simple")
+    plan = plan_of(_q("jaccard_exact")(spark, SF), "simple")
     for m in re.finditer(r"windowspecdefinition\((\w+)#", plan):
         assert m.group(1) != "h", "COUNT window on shingle-hash key"
 
 
 def test_corpus_diff_joins_digests_not_text(spark):
     # the full-outer join must ship md5 digests, never the text column
-    plan = plan_of(registry.SPARK_QUERIES["corpus_diff"](spark, SF), "simple")
+    plan = plan_of(_q("corpus_diff")(spark, SF), "simple")
     join_seg = plan.split("SortMergeJoin")[-1] if "SortMergeJoin" in plan else plan
     scans = [s for s in plan.split("FileScan parquet") if "documents.parquet" in s]
     for s in scans:
@@ -275,7 +275,7 @@ def test_source_cap_windows_only_over_cap_groups(spark):
 
 def test_token_drift_no_cartesian_blowup(spark):
     # the only cross join allowed is against the 1-row corpus total
-    plan = plan_of(registry.SPARK_QUERIES["token_drift"](spark, SF), "simple")
+    plan = plan_of(_q("token_drift")(spark, SF), "simple")
     assert "CartesianProduct" not in plan
 
 
