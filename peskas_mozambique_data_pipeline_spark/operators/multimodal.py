@@ -634,7 +634,11 @@ def pcm_frame_features(
     ).cast("long")
     frame_len = F.when(n >= winL, winL).otherwise(n)
 
-    framed = df.select(
+    # audio_windows' skip contract: zero-length (and NULL) sample arrays
+    # yield no frames.  Without this, _fl = 0 would drive the
+    # zero-crossing slices to slice(sl, 1, -1) — an engine error that
+    # aborts the whole job on one corrupt asset.
+    framed = df.filter(F.size(s) >= 1).select(
         F.col(id_col),
         s.alias("_s"),
         frame_len.alias("_fl"),

@@ -1270,7 +1270,13 @@ def covariance_cells(
     upper-triangle ``(i, j, s)`` cell frame with DECIMAL(38,0) sums of
     integer-quantized products — exactly what the distributed job
     computes before the driver-side collect, and exactly replayable in
-    SQL (HUGEINT sums of the same products)."""
+    SQL (HUGEINT sums of the same products).
+
+    The PRODUCT itself is computed in DECIMAL, not BIGINT: one operand
+    is cast to decimal(38,0) first, so components with
+    ``|x|·quant > sqrt(2^63) ≈ 3.04e9`` (e.g. quant=1e6 with
+    |x| > ~3037) cannot silently wrap before the cast and poison the
+    exactness guarantee."""
     v = F.col(vec_col)
     q = F.transform(v, lambda x: F.round(x * quant).cast("long"))
     return (
@@ -1284,7 +1290,7 @@ def covariance_cells(
         .filter(F.col("j") >= F.col("i"))
         .groupBy("i", "j")
         .agg(
-            F.sum((F.col("qi") * F.col("qj")).cast("decimal(38,0)")).alias("s")
+            F.sum(F.col("qi").cast("decimal(38,0)") * F.col("qj")).alias("s")
         )
     )
 

@@ -1858,6 +1858,22 @@ def test_embedding_covariance_exact_and_partition_invariant(spark):
     assert (n1, s1, c1) == (n, sums, cov)
 
 
+def test_covariance_cells_no_bigint_wrap_on_large_components(spark):
+    """The per-row product is DECIMAL, not BIGINT: components with
+    |x|·quant beyond sqrt(2^63) (here q = 4e9, q² = 1.6e19 > 2^63−1)
+    must sum exactly instead of silently wrapping."""
+    from peskas_mozambique_data_pipeline_spark.operators import similarity as sim
+
+    df = spark.createDataFrame(
+        [(1, [4000.0]), (2, [4000.0])], "vec_id long, embedding array<double>"
+    )
+    cells = {
+        (r["i"], r["j"]): int(r["s"])
+        for r in sim.covariance_cells(df, quant=10**6).collect()
+    }
+    assert cells == {(0, 0): 2 * (4 * 10**9) ** 2}
+
+
 def test_embedding_pca_recovers_planted_axis(spark):
     import math
 
