@@ -103,10 +103,16 @@ def main() -> None:
     }
     # the driver captures a bounded stdout tail — keep the stdout line
     # COMPACT (no spaces) so it always parses whole; the indented
-    # artifact goes to a sidecar file
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "bench_last_run.json"), "w") as f:
-        json.dump(line, f, indent=2)
+    # artifact goes to sidecar files.  Every run writes a DATED record
+    # (bench_run_<utc-timestamp>.json) so successive runs never
+    # overwrite each other's per-query numbers (a session-3 record was
+    # lost to in-place overwriting in r10); bench_last_run.json stays
+    # as the stable-name copy the tooling reads.
+    here = os.path.dirname(os.path.abspath(__file__))
+    stamp = time.strftime("%Y%m%dT%H%M%SZ", time.gmtime())
+    for name in (f"bench_run_{stamp}.json", "bench_last_run.json"):
+        with open(os.path.join(here, name), "w") as f:
+            json.dump(line, f, indent=2)
     spark.stop()
     print(json.dumps(line, separators=(",", ":")))
 

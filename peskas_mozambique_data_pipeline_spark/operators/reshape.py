@@ -141,17 +141,23 @@ def complete_months(
     aggregate (tiny); ``dims`` distinct is bounded by real-world
     cardinality (sites × gears).  Both sides of the cross join are
     broadcast; the final left join shuffles only if the fact side does.
-    NB: ``df`` is consumed THREE times (spine bounds, dims, join) — when
-    the input is an expensive aggregation, pass a cached/materialized
-    frame so the subtree isn't recomputed per consumer.
+    ``df`` is consumed THREE times (spine bounds, dims, join) — with
+    ``facts_preaggregated=True`` it is localCheckpointed here (a tiny
+    frame with a corpus-sized producer, exactly the SCALE.md
+    multi-consumer rule), so the fact table behind the aggregate is
+    scanned ONCE instead of once per consumer.
 
     ``facts_preaggregated`` declares the contract that ``df`` has one
     row per (dims, month) — the densification input shape — which
     bounds it by |dims| x |spine| and makes it safe to broadcast for a
-    map-side join.  Pass ``False`` for a raw fact frame whose
-    cardinality the spine does not bound: the hint is dropped and AQE
-    broadcasts only if the runtime size actually fits.
+    map-side join AND cheap to materialize.  Pass ``False`` for a raw
+    fact frame whose cardinality the spine does not bound: no
+    checkpoint (materializing a corpus-sized frame is the caller's
+    call), no broadcast hint — AQE broadcasts only if the runtime size
+    actually fits.
     """
+    if facts_preaggregated:
+        df = df.localCheckpoint()
     spine = (
         df.select(F.min(date_col).alias("mn"), F.max(date_col).alias("mx"))
         .select(

@@ -297,15 +297,38 @@ def lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,
     k: int = 5,
-    n_planes: int = 8,
+    n_planes: int = 4,
     dim: int = 64,
-    n_tables: int = 1,
-    n_probe: int = 1,
+    n_tables: int = 4,
+    n_probe: int = 4,
     query_id: str = "query_id",
     corpus_id: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Approximate top-k: only same-LSH-bucket pairs are scored.
+
+    MEASURED RECALL — read before picking dials.  Top-5 recall against
+    brute-force cosine on the harness embeddings
+    (``tools/ann_sweep.py``, recorded in ``ann_sweep_last_run.json``):
+
+    * sf0.1, n_planes=6: n_tables 1/2/4 → 0.05/0.105/0.19;
+      n_probe 1/2/4/7 (single table) → 0.05/0.075/0.135/0.235.
+    * sf0.001 operating points: (planes=8, tables=1, probe=1) → 0.02;
+      (planes=6, tables=4, probe=4) → 0.52;
+      (planes=4, tables=4, probe=4) → 0.90 — the DEFAULT here, pinned
+      by ``test_lsh_default_dials_meet_documented_recall``.
+
+    The defaults are therefore a ≥0.5-recall operating point, NOT the
+    cheapest one: fewer planes → coarser buckets → more candidates
+    scored.  For guaranteed-high recall retrieval use the IVF tier
+    (``ivf_topk``: recall 1.0 at n_probe=8 in the same sweep, and
+    cheaper than LSH at equal recall on this corpus).  LSH earns its
+    keep as the streaming/incremental tier — bucket ids are pure
+    column expressions, so new corpus rows index without retraining —
+    and as a candidate pre-filter where downstream exact scoring
+    tolerates misses.  The near-dup DEDUP banding tier is a separate
+    audited path (recall 1.0 via ``tools/dedup_recall_audit.py``);
+    this note is about RETRIEVAL recall only.
 
     The corpus→bucket map is computed once (column expression on scan);
     the join is equi-keyed on (table, bucket), so at scale the shuffle

@@ -530,7 +530,7 @@ ORACLE_SQL["predominant_mode"] = SQL_PREDOMINANT_MODE
 # rounded to 6 at the edge.
 
 
-def _metric_inputs(spark: SparkSession, sf_dir: str):
+def _metric_inputs(spark: SparkSession, sf_dir: str, materialize: bool = True):
     li = read_table(spark, sf_dir, "lineitem")
     orders = read_table(spark, sf_dir, "orders")
     customer = read_table(spark, sf_dir, "customer")
@@ -553,7 +553,20 @@ def _metric_inputs(spark: SparkSession, sf_dir: str):
             F.broadcast(nation.select("n_nationkey", "n_name")),
             F.col("c_nationkey") == F.col("n_nationkey"),
         )
+        .select(
+            "n_name", "l_shipdate", "l_extendedprice", "l_discount",
+            "l_returnflag", "c_acctbal", "o_totalprice", "o_orderpriority",
+        )
     )
+    # three metric branches (site medians, gear mode, species shares)
+    # consume this trip-grain frame; materializing the join ONCE
+    # replaces three full fact scans + joins (the SCALE.md
+    # multi-consumer checkpoint rule — at cluster scale this is the
+    # zone-write of the trip grain every downstream plan reads).
+    # materialize=False exposes the un-checkpointed producer so plan
+    # tests can audit the broadcast dim chain inside it.
+    if materialize:
+        base = base.localCheckpoint()
     trips = base.select(
         F.col("n_name").alias("district"),
         F.col("l_shipdate").alias("landing_date"),

@@ -466,6 +466,29 @@ def test_lsh_multi_probe_recall_monotone(spark):
     assert r4 > r1 or r1 > 0.5  # probes must actually add something here
 
 
+def test_lsh_default_dials_meet_documented_recall(spark):
+    """The lsh_topk DEFAULTS are the documented ≥0.5-recall operating
+    point (planes=4, tables=4, probe=4 → measured 0.90 on this
+    fixture, see the docstring's sweep table) — a retrieval user
+    calling with no dials must not silently get the old 2–10% recall
+    of a single-table single-probe 8-plane config."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk(queries, emb, k=5).collect()
+    }
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.lsh_topk(queries, emb, k=5).collect()
+    }
+    assert len(got & exact) / len(exact) >= 0.5
+
+
 # ---------------------------------------------------------------------------
 # round 4: sequence packing / boilerplate / quality gate
 

@@ -290,12 +290,23 @@ def test_ann_pq_broadcasts_codebooks_no_global_sort(spark):
 
 
 def test_metrics_table_broadcasts_nation_single_expand(spark):
-    # the dim chain must broadcast; the wide->long melt must be one
-    # Expand node (no join-based unpivot)
+    # the dim chain must broadcast inside the trip-grain producer; the
+    # wide->long melt must be one Expand node (no join-based unpivot)
+    from peskas_mozambique_data_pipeline_spark.registry_curation import (
+        _metric_inputs,
+    )
+
+    trips, _catch = _metric_inputs(spark, SF, materialize=False)
+    producer = plan_of(trips, "simple")
+    assert "BroadcastHashJoin" in producer
+    assert "CartesianProduct" not in producer
+
     plan = plan_of(registry.SPARK_QUERIES["metrics_table"](spark, SF), "simple")
-    assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert plan.count("Expand") >= 1
+    # the scan-once property the checkpoint buys: the registered plan
+    # reads the materialized trip grain, never the parquet fact again
+    assert "lineitem" not in plan
 
 
 def test_interval_join_is_equi_join_not_nested_loop(spark):
