@@ -65,12 +65,30 @@ def corpus_card(
     from ``ZONE_ORDER``, so the card is deterministic for any dict
     ordering of the input.
     """
+    return corpus_card_frames(
+        {
+            zone: spark.read.parquet(path)
+            for zone, path in zone_paths.items()
+            if zone in ZONE_ORDER
+        },
+        text_col=text_col,
+    )
+
+
+def corpus_card_frames(
+    zone_frames: dict[str, DataFrame],
+    text_col: str = "text",
+) -> DataFrame:
+    """The card arithmetic over already-loaded zone frames — the core
+    :func:`corpus_card` wraps with parquet reads, split out so the
+    hard-oracle row (``pca``-style staged query ``corpus_card``) can
+    exercise the EXACT aggregation + retention chain on analytic zone
+    frames without a filesystem run."""
     frames = []
     for pos, zone in enumerate(ZONE_ORDER):
-        path = zone_paths.get(zone)
-        if path is None:
+        df = zone_frames.get(zone)
+        if df is None:
             continue
-        df = spark.read.parquet(path)
         if text_col in df.columns:
             toks = F.sum(token_count(F.col(text_col))).cast("long")
             chars = F.sum(F.length(text_col)).cast("long")

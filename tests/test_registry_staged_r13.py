@@ -89,6 +89,46 @@ def test_staged_r13_cell_count_is_triangle(spark):
     assert out.count() == 64 * 65 // 2
 
 
+def test_staged_r13_corpus_card_retention_semantics(spark):
+    """The card rows sit in DAG order and each permille is the exact
+    floor of 1000·n_rows/prev_rows — verified against an independent
+    python recompute of the zone chain."""
+    rows = sorted(
+        (r.pos, r.zone, r.n_rows, r.n_tokens, r.n_chars,
+         r.retained_rows_permille)
+        for r in registry_staged_r13.STAGED_QUERIES["corpus_card"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    )
+    assert [z for _p, z, *_ in rows] == [
+        "corpus_ingested", "corpus_filtered", "corpus_deduped",
+        "corpus_packs",
+    ]
+    con = _duck("/root/testdata/sf0.001")
+    try:
+        n_all = con.execute("SELECT COUNT(*) FROM documents").fetchone()[0]
+        n_filt = con.execute(
+            "SELECT COUNT(*) FROM documents WHERE length(text) >= 50"
+        ).fetchone()[0]
+        n_dedup = con.execute(
+            "SELECT COUNT(*) FROM documents "
+            "WHERE length(text) >= 50 AND doc_id % 7 <> 0"
+        ).fetchone()[0]
+        n_packs = con.execute(
+            "SELECT COUNT(DISTINCT doc_id % 8) FROM documents "
+            "WHERE length(text) >= 50 AND doc_id % 7 <> 0"
+        ).fetchone()[0]
+    finally:
+        con.close()
+    counts = [n_all, n_filt, n_dedup, n_packs]
+    assert [n for _p, _z, n, *_ in rows] == counts
+    assert rows[0][5] is None  # first zone has no predecessor
+    for i in range(1, 4):
+        assert rows[i][5] == counts[i] * 1000 // counts[i - 1]
+    # packs are not document-shaped: token/char totals are NULL
+    assert rows[3][3] is None and rows[3][4] is None
+
+
 def test_staged_r13_not_registered_yet():
     for name in registry_staged_r13.STAGED_QUERIES:
         assert name not in registry.SPARK_QUERIES
