@@ -139,6 +139,56 @@ def strip_html(html: str | Column) -> Column:
     return normalize_ws(decode_entities(out))
 
 
+def text_density(html: str | Column) -> Column:
+    """Rendered-text chars / raw markup chars, rounded to 6 dp — the
+    cheap per-page main-content signal (trafilatura/jusText both gate
+    on it): articles sit high, nav/boilerplate chrome pages sit low
+    because their bytes are mostly tags and attributes.  One scan-side
+    expression (reuses :func:`strip_html`), NULL on empty/NULL markup.
+    """
+    h = _col(html)
+    raw = F.length(h)
+    return F.when(raw > 0, F.round(F.length(strip_html(h)) / raw, 6))
+
+
+def link_density(html: str | Column) -> Column:
+    """Anchor-text chars / rendered-text chars, rounded to 6 dp —
+    jusText's boilerplate discriminator: link farms and nav chrome
+    have most of their visible text inside ``<a>`` (ratio → 1), body
+    prose almost none.  Anchor inner markup is flattened with the same
+    tag-strip + entity-decode + whitespace chain as the page text so
+    the two lengths are commensurable.  NULL when the page renders no
+    text at all."""
+    h = _col(html)
+    inner = F.regexp_extract_all(
+        h, F.lit(r"(?is)<a\b[^>]*>(.*?)</a>"), F.lit(1)
+    )
+    atext = normalize_ws(
+        decode_entities(
+            F.regexp_replace(F.array_join(inner, "\n"), r"(?is)<[^>]+>", " ")
+        )
+    )
+    clean = F.length(strip_html(h))
+    return F.when(clean > 0, F.round(F.length(atext) / clean, 6))
+
+
+def page_quality_features(
+    df: DataFrame,
+    html_col: str = "text",
+) -> DataFrame:
+    """Append ``text_density`` and ``link_density`` columns computed
+    from the RAW markup — call BEFORE :func:`extract_html_text`
+    replaces the column with rendered text.  The two ratios ride into
+    the extracted zone as page-level quality features next to the
+    text-level ones (``text.quality_features``), giving downstream
+    filters/classifiers the boilerplate signal without any per-page
+    DOM work."""
+    src = F.col(html_col)
+    return df.withColumn("text_density", text_density(src)).withColumn(
+        "link_density", link_density(src)
+    )
+
+
 def html_title(html: str | Column) -> Column:
     """``<title>`` text (entity-decoded, whitespace-collapsed); NULL
     when the document has none."""

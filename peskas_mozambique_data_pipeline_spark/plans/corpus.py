@@ -143,12 +143,17 @@ def stage_extract_html(
     boundaries → newlines, title kept as a column), so the stage costs
     one scan + the zone write's range partition — no extra shuffle,
     and ``n_chars`` is recomputed over the CLEAN text so length gates
-    never measure markup."""
+    never measure markup.  ``text_density`` / ``link_density`` are
+    computed from the raw markup BEFORE extraction and ride into the
+    zone as page-level quality features (the cheap main-content /
+    boilerplate signal)."""
     from ..operators import html as html_ops
 
     docs = zones.read(spark, source)
     return zones.write(
-        html_ops.extract_html_text(docs), "corpus_extracted", range_by=["doc_id"]
+        html_ops.extract_html_text(html_ops.page_quality_features(docs)),
+        "corpus_extracted",
+        range_by=["doc_id"],
     )
 
 

@@ -408,3 +408,72 @@ class TestMeta:
         assert got["canonical_url"] == "https://a.com/c"
         links = [r["link_url"] for r in H.link_edges(df).collect()]
         assert links == ["https://b.org/d/x.html"]
+
+
+class TestDensityFeatures:
+    ARTICLE = (
+        "<html><head><title>T</title><style>p{color:red}</style></head>"
+        "<body><h1>Deep sea fishing</h1>"
+        "<p>Fishing effort in the northern districts rose steadily over "
+        "the last decade, driven by motorized vessels and new landing "
+        "sites along the coast. Catch composition shifted toward small "
+        "pelagics as reef stocks declined.</p>"
+        "<p>Management responses included seasonal closures and gear "
+        "restrictions, with mixed compliance across communities.</p>"
+        "<a href=\"/more\">Read more</a></body></html>"
+    )
+    NAVPAGE = (
+        "<html><head><title>Nav</title></head><body><ul>"
+        + "".join(
+            f'<li class="nav-item menu"><a href="/s/{i}" rel="nofollow">'
+            f"Section {i}</a></li>"
+            for i in range(12)
+        )
+        + "</ul></body></html>"
+    )
+
+    def test_article_vs_navpage_separation(self, spark):
+        df = spark.createDataFrame(
+            [(1, self.ARTICLE), (2, self.NAVPAGE)], "doc_id long, text string"
+        )
+        got = {r.doc_id: r for r in H.page_quality_features(df).collect()}
+        # the article's bytes are mostly prose; the nav page's are
+        # mostly tags/attributes
+        assert got[1].text_density > 2 * got[2].text_density
+        # nearly all the nav page's visible text is anchor text; the
+        # article's is almost none
+        assert got[2].link_density > 0.8
+        assert got[1].link_density < 0.1
+
+    def test_exact_ratios_on_tiny_page(self, spark):
+        page = "<p>ab cd</p><a href='/x'>ef</a>"
+        df = spark.createDataFrame([(1, page)], "doc_id long, text string")
+        r = H.page_quality_features(df).first()
+        # rendered text: "ab cd\nef" (block p -> newline boundaries,
+        # inline a flattened) = 8 chars; anchor text "ef" = 2
+        rendered = len("ab cd\nef")
+        assert r.text_density == round(rendered / len(page), 6)
+        assert r.link_density == round(2 / rendered, 6)
+
+    def test_null_and_empty_markup(self, spark):
+        df = spark.createDataFrame(
+            [(1, ""), (2, None), (3, "<style>p{}</style>")],
+            "doc_id long, text string",
+        )
+        got = {r.doc_id: r for r in H.page_quality_features(df).collect()}
+        assert got[1].text_density is None and got[1].link_density is None
+        assert got[2].text_density is None and got[2].link_density is None
+        # renders no text: density 0, link ratio undefined
+        assert got[3].text_density == 0.0
+        assert got[3].link_density is None
+
+    def test_densities_are_scan_side_no_python(self, spark):
+        df = spark.createDataFrame([(1, self.ARTICLE)], "doc_id long, text string")
+        plan = (
+            H.page_quality_features(df)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        assert "Exchange" not in plan
