@@ -17,7 +17,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
@@ -670,6 +670,135 @@ def pcm_frame_features(
         F.col("_fl").alias("n_samples"),
         energy.alias("energy"),
         pair_zc.alias("zero_crossings"),
+    )
+
+
+def audio_fingerprint(
+    df: DataFrame,
+    samples_col: str = "samples",
+    id_col: str = "asset_id",
+    window_ms: int = 25,
+    hop_ms: int = 10,
+    sample_rate: int = 16_000,
+    bits_per_word: int = 56,
+) -> DataFrame:
+    """Acoustic fingerprint for near-dup detection: the SIGN of the
+    frame-to-frame energy delta (Haitsma & Kalker 2002's
+    energy-difference bit, single-band form) packed into
+    ``bits_per_word``-bit BIGINT words — the audio member of the
+    perceptual-hash family (image ``dhash64``, video ``frame_dhash``),
+    so all three modalities share the Hamming banding/index machinery.
+
+    Exactness: frame energies are exact integers
+    (:func:`pcm_frame_features`), so every bit is a deterministic
+    integer comparison — the fingerprint is bit-identical for any
+    partitioning and fully oracle-replayable.  Robustness comes from
+    the delta-sign form: volume scaling and DC offset preserve energy
+    ORDER between adjacent frames, so re-encoded/re-leveled copies of
+    a recording keep most bits.
+
+    Output: one ``(id, word_idx, fp)`` row per ``bits_per_word``
+    frames (trailing partial words keep their low bits; 56-bit default
+    matches the dhash family's signed-BIGINT-safe width).  Scale
+    shape: the only shuffle is the id-keyed frame window + the
+    (id, word) aggregate — both on the asset key, co-partitioned.
+    """
+    feats = pcm_frame_features(
+        df, samples_col, id_col, window_ms, hop_ms, sample_rate
+    )
+    w = Window.partitionBy(id_col).orderBy("win_start_ms")
+    seq = F.row_number().over(w) - 1
+    nxt = F.lead("energy").over(w)
+    bits = (
+        feats.select(
+            F.col(id_col),
+            seq.alias("_seq"),
+            F.when(nxt.isNotNull(), (nxt > F.col("energy")).cast("long")).alias(
+                "_bit"
+            ),
+        )
+        # the last frame has no successor: no bit (single-frame assets
+        # therefore produce no fingerprint — nothing to compare)
+        .filter(F.col("_bit").isNotNull())
+    )
+    return (
+        bits.groupBy(
+            id_col,
+            F.floor(F.col("_seq") / bits_per_word).cast("long").alias(
+                "word_idx"
+            ),
+        )
+        .agg(
+            F.sum(
+                F.col("_bit")
+                * F.expr(
+                    f"shiftleft(CAST(1 AS BIGINT), "
+                    f"CAST(_seq % {bits_per_word} AS INT))"
+                )
+            ).alias("fp")
+        )
+    )
+
+
+def audio_near_dup_pairs(
+    fps: DataFrame,
+    max_hamming: int = 4,
+    min_matching_words: int = 1,
+    id_col: str = "asset_id",
+    fp_col: str = "fp",
+    n_bands: int | None = None,
+) -> DataFrame:
+    """Near-duplicate audio pairs from :func:`audio_fingerprint` rows:
+    band each word's bits, equi-join on (word_idx, band_idx, band_val)
+    — words only ever compare at the SAME time offset — verify with
+    exact ``bit_count(xor)``, then require ``min_matching_words``
+    words within ``max_hamming``.
+
+    Same pigeonhole contract as :func:`hamming_near_dup_pairs`
+    (n_bands = max_hamming + 1 ⇒ per-word recall 1.0) with word_idx as
+    an extra join key, so a long recording's candidate volume stays
+    linear in its word count.  Output: (id_a, id_b,
+    n_matching_words, min_hamming), id_a < id_b.
+    """
+    if n_bands is None:
+        n_bands = max_hamming + 1
+    bands = _hash_bands(fp_col, n_bands)
+    exploded = fps.select(
+        F.col(id_col).alias("id"),
+        F.col("word_idx"),
+        F.col(fp_col).alias("h"),
+        F.posexplode(F.array(*bands)).alias("band_idx", "band_val"),
+    )
+    right = exploded.select(
+        F.col("id").alias("id_b"),
+        "word_idx",
+        F.col("h").alias("h_b"),
+        "band_idx",
+        "band_val",
+    )
+    return (
+        exploded.join(right, ["word_idx", "band_idx", "band_val"])
+        .filter(F.col("id") < F.col("id_b"))
+        .select(
+            "id",
+            "id_b",
+            "word_idx",
+            F.bit_count(F.col("h").bitwiseXOR(F.col("h_b"))).alias("hamming"),
+        )
+        .distinct()  # a pair-word can collide via several bands
+        .filter(F.col("hamming") <= max_hamming)
+        .groupBy("id", "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_matching_words"),
+            F.min("hamming").alias("min_hamming"),
+        )
+        .filter(F.col("n_matching_words") >= min_matching_words)
+        .select(
+            F.col("id").alias("id_a"),
+            "id_b",
+            "n_matching_words",
+            "min_hamming",
+        )
     )
 
 
