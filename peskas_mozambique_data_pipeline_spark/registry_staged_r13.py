@@ -15,6 +15,19 @@ see the window).
   exact integers in BOTH engines, this row is immune to the float
   reduction-order class entirely.
 
+* ``audio_fp`` puts the acoustic fingerprint
+  (``operators.multimodal.audio_fingerprint`` — Haitsma–Kalker
+  energy-delta signs packed into 56-bit words, the audio tier of the
+  perceptual-hash family) under the hard oracle on analytically
+  synthesized PCM (the ``audio_audit`` discipline; lengths straddle
+  the sub-window single-frame branch, which must yield NO fingerprint
+  rows, and the multi-word boundary).  The oracle replays framing,
+  exact-integer energies, the LEAD delta-sign bit and the low-bit-
+  first shift packing in DuckDB; every quantity is an exact integer,
+  so the row is immune to the float class entirely.  The banding-pair
+  half of the audio near-dup surface reuses the machinery
+  ``image_dups`` already hash-verifies.
+
 * ``corpus_card`` (VERDICT r10 Next #6) puts the data-sheet card
   arithmetic (``plans.report.corpus_card_frames`` — per-zone
   count/token/char aggregates + the exact-integer permille retention
@@ -140,8 +153,73 @@ FROM (SELECT *, LAG(n_rows) OVER (ORDER BY pos) AS prev FROM zones)
 """
 
 
+def q_audio_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import audio_fingerprint
+    from .session import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    # lengths 100..4900: vec_id % 7 == 0 rows (n=100 < win=160) hit the
+    # single-frame branch and must emit NO fingerprint; the longest hit
+    # 60 frames = 59 bits -> two 56-bit words
+    n = (100 + (F.col("vec_id") % 7) * 800).cast("int")
+    samples = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda j: (
+            ((F.col("vec_id") * 7 + j.cast("long") * 13) % 201) - 100
+        ).cast("long"),
+    )
+    pcm = emb.select("vec_id", samples.alias("samples"))
+    out = audio_fingerprint(
+        pcm, samples_col="samples", id_col="vec_id",
+        window_ms=10, hop_ms=5, sample_rate=16_000, bits_per_word=56,
+    )
+    return out.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("word_idx").cast("long").alias("word_idx"),
+        F.col("fp").cast("long").alias("fp"),
+    )
+
+
+SQL_AUDIO_FP = """
+WITH pcm AS (
+  SELECT vec_id, CAST(100 + (vec_id % 7) * 800 AS BIGINT) AS n,
+         list_transform(
+           generate_series(1, CAST(100 + (vec_id % 7) * 800 AS BIGINT)),
+           j -> CAST(((vec_id * 7 + j * 13) % 201) - 100 AS BIGINT)) AS s
+  FROM embeddings
+),
+f AS (
+  SELECT vec_id, s,
+         CASE WHEN n >= 160 THEN (n - 160) // 80 + 1 ELSE 1 END AS nf,
+         CASE WHEN n >= 160 THEN 160 ELSE n END AS fl
+  FROM pcm
+),
+frames AS (
+  SELECT vec_id, fi,
+         list_reduce(list_transform(s[fi * 80 + 1 : fi * 80 + fl],
+                                    x -> x * x), (a, b) -> a + b) AS energy
+  FROM f, UNNEST(generate_series(0, CAST(nf - 1 AS BIGINT))) AS t(fi)
+),
+bits AS (
+  SELECT vec_id, fi AS seq,
+         LEAD(energy) OVER (PARTITION BY vec_id ORDER BY fi) AS nxt,
+         energy
+  FROM frames
+)
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(seq // 56 AS BIGINT) AS word_idx,
+       CAST(SUM(CASE WHEN nxt > energy THEN 1 ELSE 0 END
+                * (CAST(1 AS BIGINT) << CAST(seq % 56 AS INTEGER)))
+            AS BIGINT) AS fp
+FROM bits
+WHERE nxt IS NOT NULL
+GROUP BY vec_id, seq // 56
+"""
+
+
 STAGED_QUERIES = {
     "pca_cov": q_pca_cov,
+    "audio_fp": q_audio_fp,
     "corpus_card": q_corpus_card,
 }
 
@@ -149,6 +227,7 @@ STAGED_QUERIES = {
 def build_staged_oracle_sql() -> dict[str, str]:
     return {
         "pca_cov": SQL_PCA_COV,
+        "audio_fp": SQL_AUDIO_FP,
         "corpus_card": _sql_corpus_card(),
     }
 
