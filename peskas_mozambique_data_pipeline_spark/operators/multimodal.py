@@ -695,7 +695,12 @@ def audio_fingerprint(
     partitioning and fully oracle-replayable.  Robustness comes from
     the delta-sign form: volume scaling and DC offset preserve energy
     ORDER between adjacent frames, so re-encoded/re-leveled copies of
-    a recording keep most bits.
+    a recording keep most bits.  Degenerate input caveat (the audio
+    analog of blank images for dhash): STEADY signals — pure tones,
+    silence, constant hum — have near-constant frame energy, so their
+    delta-sign bits are noise and unrelated steady assets can collide;
+    real speech/music energy envelopes are what the bits encode.  Use
+    the log-mel retrieval tier for tone-like content.
 
     Output: one ``(id, word_idx, fp)`` row per ``bits_per_word``
     frames (trailing partial words keep their low bits; 56-bit default

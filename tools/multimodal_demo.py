@@ -119,6 +119,33 @@ def main() -> int:
     print(f"audio: re-recorded 1 kHz tone retrieves -> {atop[0]['neighbor_id']} "
           f"(cos {atop[0]['cosine_sim']:.4f})")
 
+    # ---- audio near-dup: energy-delta fingerprints → Hamming banding
+    # (the exact-integer dedup tier next to the log-mel retrieval tier).
+    # Inputs are noise-burst "recordings" with varying energy envelopes
+    # — steady pure tones are the degenerate input for delta-sign
+    # fingerprints (near-constant frame energy, the audio analog of
+    # blank images for dhash), which is exactly why the dedup tier and
+    # the retrieval tier key on different features.  A re-leveled
+    # (gain ×3) copy of recording 11 fingerprints identically.
+    def recording(seed, n=16_000):
+        return [((i * 37 + seed * 101) % 211) - 105 for i in range(n)]
+
+    fam = spark.createDataFrame(
+        [(10, recording(1)), (11, recording(2)), (12, recording(3)),
+         (210, [3 * x for x in recording(2)])],
+        "asset_id long, samples array<long>",
+    )
+    fps = multimodal.audio_fingerprint(fam)
+    apairs = sorted(
+        (r.id_a, r.id_b)
+        for r in multimodal.audio_near_dup_pairs(
+            fps, max_hamming=4, min_matching_words=1
+        ).collect()
+    )
+    dup_hit = apairs == [(11, 210)]
+    ok &= bool(dup_hit)
+    print(f"audio-dedup: re-leveled copy pairs with its original -> {apairs}")
+
     # ---- video: frames → dhash → cross-video shared scene
     def tex(seed):
         y, x = np.mgrid[0:H, 0:W]
