@@ -25,20 +25,19 @@ from pyspark.sql import functions as F
 from peskas_mozambique_data_pipeline_spark import registry, registry_audit
 
 
-def test_r10_window_arithmetic():
-    # r10 swap: 94 - 2 (quant_audit legs) + 5 staged + 6 in-round
-    # - 6 (three union pairs) = 97; head = 11 never-driver-verified
-    # r10 rows + 3 r9 holdovers + 42 tail survivors = 50
+def test_r11_window_arithmetic():
+    # r11 swap: 97 - 8 (four union pairs) + 4 unions + 5 new = 98;
+    # head = 9 never-driver-verified r11 rows + 2 r10 holdovers
+    # (lang_segment, drift_audit) + 39 tail survivors = 50
     names = list(registry.SPARK_QUERIES)
-    assert len(names) == 97
-    assert len(set(names)) == 97
+    assert len(names) == 98
+    assert len(set(names)) == 98
     assert set(registry.ORACLE_SQL) == set(names)
     head = names[:50]
     new_rows = [
-        "quant_audit", "seq_layout", "contam_score", "psl_domains",
-        "card_audit", "lexical_audit", "filter_audit", "activity_audit",
-        "threshold_audit", "lang_segment", "drift_audit",
-        "url_dedup", "classifier_score", "cross_corpus",
+        "governance_audit", "neardup_audit", "lexstats_audit",
+        "ivf_audit", "fetch_audit", "html_extract", "link_graph",
+        "crawl_audit", "image_dups", "lang_segment", "drift_audit",
     ]
     assert head[: len(new_rows)] == new_rows
 
