@@ -708,6 +708,23 @@ def audio_fingerprint(
     shape: the only shuffle is the id-keyed frame window + the
     (id, word) aggregate — both on the asset key, co-partitioned.
     """
+    if not 1 <= bits_per_word <= 62:
+        # 1<<63 wraps the signed-BIGINT shift and a 63-bit word's sum
+        # can reach 2^63; both corrupt fingerprints silently
+        raise ValueError(
+            f"bits_per_word={bits_per_word} outside [1, 62]: word sums "
+            "must fit signed BIGINT"
+        )
+    hop_samples = max(1, int(sample_rate * hop_ms / 1000))
+    if hop_samples * 1000 < sample_rate:
+        # win_start_ms = floor(frame·hop·1000/rate) must be strictly
+        # increasing or the frame-order window ties and the bit
+        # sequence becomes partitioning-dependent
+        raise ValueError(
+            f"hop of {hop_samples} samples is under 1 ms at "
+            f"{sample_rate} Hz: frame timestamps would collide and the "
+            "fingerprint would not be deterministic"
+        )
     feats = pcm_frame_features(
         df, samples_col, id_col, window_ms, hop_ms, sample_rate
     )

@@ -754,3 +754,44 @@ def test_pcm_frame_features_matches_python_twin(spark, samples, win_ms):
         z = sum(1 for k in range(len(sl) - 1) if (sl[k] < 0) != (sl[k + 1] < 0))
         want.append((i * win * 1000 // 1000, len(sl), e, z))
     assert got == sorted(want)
+
+
+@SET
+@given(
+    st.lists(st.integers(min_value=-(2**15), max_value=2**15 - 1),
+             min_size=1, max_size=120),
+    st.integers(min_value=1, max_value=5),
+    st.integers(min_value=1, max_value=8),
+)
+def test_audio_fingerprint_matches_python_twin(spark, samples, win_ms, bpw):
+    """Delta-sign bit packing equals an independent python twin for
+    arbitrary PCM, window sizes and word widths (sample_rate 1000 →
+    win = hop = win_ms samples), including the no-bits single-frame
+    case and trailing partial words."""
+    from peskas_mozambique_data_pipeline_spark.operators.multimodal import (
+        audio_fingerprint,
+    )
+
+    df = spark.createDataFrame([(1, samples)], "asset_id long, samples array<long>")
+    out = audio_fingerprint(
+        df, window_ms=win_ms, hop_ms=win_ms, sample_rate=1000,
+        bits_per_word=bpw,
+    )
+    got = {(r.word_idx, r.fp) for r in out.collect()}
+
+    win = win_ms
+    n = len(samples)
+    frames = (
+        [samples[i * win : i * win + win] for i in range((n - win) // win + 1)]
+        if n >= win
+        else [samples]
+    )
+    energies = [sum(x * x for x in sl) for sl in frames]
+    bits = [
+        1 if energies[i + 1] > energies[i] else 0
+        for i in range(len(energies) - 1)
+    ]
+    words: dict[int, int] = {}
+    for seq, b in enumerate(bits):
+        words[seq // bpw] = words.get(seq // bpw, 0) | (b << (seq % bpw))
+    assert got == set(words.items())
