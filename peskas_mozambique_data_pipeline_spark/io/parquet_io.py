@@ -239,6 +239,104 @@ def zone_file_stats(zone_dir: str, prefix: str) -> tuple[int, int]:
     return n, total
 
 
+def zone_manifest(spark: SparkSession, path: str) -> DataFrame:
+    """Release manifest for a written zone: one row per data file —
+    ``(file, n_rows, content_fp)`` — plus the integrity contract a
+    corpus release publishes next to its card ("which files, how many
+    rows, and EXACTLY which content").
+
+    ``content_fp`` is the DECIMAL(38,0) SUM of per-row ``xxhash64``
+    over all columns (sorted by name, so a column-reordering rewrite
+    doesn't change it).  Integer addition is exact and commutative, so
+    the fingerprint is invariant to row order, partitioning and
+    shuffle-nondeterminism — two writes of the same rows fingerprint
+    identically even when their file layouts differ — while any
+    changed/dropped/duplicated row changes it (modulo the 2^64
+    collision bound of the row hash itself).  Emitted as digit strings
+    so downstream JSON/CSV tooling never mangles the 38-digit sums.
+
+    Scale shape: one scan; the aggregate is map-side combinable and
+    keyed by file name, so the shuffle carries #files rows.
+    """
+    df = spark.read.parquet(path)
+    cols = sorted(df.columns)
+    from pyspark.sql import functions as F
+
+    return (
+        df.select(
+            F.element_at(F.split(F.input_file_name(), "/"), -1).alias("file"),
+            F.xxhash64(*cols).cast("decimal(38,0)").alias("_rh"),
+        )
+        .groupBy("file")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("_rh").cast("decimal(38,0)").cast("string").alias(
+                "content_fp"
+            ),
+        )
+    )
+
+
+def zone_fingerprint(spark: SparkSession, path: str) -> tuple[int, str]:
+    """Layout-invariant whole-zone identity ``(n_rows, content_fp)``:
+    the file-level manifest folded once more, so two zones are
+    content-equal across clusters/partitionings iff their fingerprints
+    match — the cheap cross-site release check (no data transfer, two
+    numbers).  Bounded collect: one row."""
+    from pyspark.sql import functions as F
+
+    row = (
+        zone_manifest(spark, path)
+        .agg(
+            F.sum("n_rows").cast("long").alias("n"),
+            F.sum(F.col("content_fp").cast("decimal(38,0)"))
+            .cast("decimal(38,0)")
+            .cast("string")
+            .alias("fp"),
+        )
+        .first()
+    )
+    return int(row["n"]), row["fp"]
+
+
+def verify_zone(
+    spark: SparkSession, path: str, manifest: DataFrame
+) -> DataFrame:
+    """Recompute the zone's manifest and full-outer-join it against a
+    recorded one: returns the mismatch frame ``(file, status)`` with
+    ``status`` in {missing (recorded but absent), extra (present but
+    unrecorded), changed (rows or fingerprint differ)} — empty means
+    the zone bit-matches its manifest.  Joins on file name: #files
+    rows a side, broadcastable both ways."""
+    from pyspark.sql import functions as F
+
+    cur = zone_manifest(spark, path).select(
+        F.col("file"),
+        F.col("n_rows").alias("_cur_rows"),
+        F.col("content_fp").alias("_cur_fp"),
+    )
+    rec = manifest.select(
+        "file",
+        F.col("n_rows").alias("_rec_rows"),
+        F.col("content_fp").alias("_rec_fp"),
+    )
+    joined = rec.join(cur, "file", "full_outer")
+    status = (
+        F.when(F.col("_cur_rows").isNull(), F.lit("missing"))
+        .when(F.col("_rec_rows").isNull(), F.lit("extra"))
+        .when(
+            (F.col("_cur_rows") != F.col("_rec_rows"))
+            | (F.col("_cur_fp") != F.col("_rec_fp")),
+            F.lit("changed"),
+        )
+    )
+    return (
+        joined.withColumn("status", status)
+        .filter(F.col("status").isNotNull())
+        .select("file", "status")
+    )
+
+
 def compact_zone(
     spark: SparkSession,
     zone_dir: str,

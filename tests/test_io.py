@@ -740,3 +740,70 @@ def test_write_versioned_bloom_filters(spark, tmp_path):
         spark.read.parquet(bloom).filter(F.col("digest") == probe).collect()
     )
     assert [r.doc_id for r in got] == [137]
+
+
+def test_zone_manifest_layout_invariant_fingerprint(spark, tmp_path):
+    rows = [(i, f"doc {i}", float(i) / 7) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, text string, score double")
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    df.repartition(1).write.parquet(a)
+    # different layout AND column order: fingerprint must not move
+    df.select("score", "id", "text").repartition(7).write.parquet(b)
+
+    ma = parquet_io.zone_manifest(spark, a).collect()
+    mb = parquet_io.zone_manifest(spark, b).collect()
+    assert sum(r.n_rows for r in ma) == 200 == sum(r.n_rows for r in mb)
+    assert len(ma) == 1 and len(mb) == 7  # per-file manifests differ
+    fa = parquet_io.zone_fingerprint(spark, a)
+    fb = parquet_io.zone_fingerprint(spark, b)
+    assert fa == fb  # (n_rows, content_fp) identical across layouts
+
+    # any changed row moves the zone fingerprint
+    tampered = [(i, f"doc {i}", float(i) / 7) for i in range(199)] + [
+        (199, "doc 199 TAMPERED", 199.0 / 7)
+    ]
+    c = str(tmp_path / "c")
+    spark.createDataFrame(
+        tampered, "id long, text string, score double"
+    ).write.parquet(c)
+    assert parquet_io.zone_fingerprint(spark, c) != fa
+
+
+def test_verify_zone_statuses(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(50)], "id long, v string"
+    )
+    zone = str(tmp_path / "z")
+    df.repartition(2).write.parquet(zone)
+    manifest = parquet_io.zone_manifest(spark, zone).localCheckpoint()
+
+    # untouched zone: empty mismatch frame
+    assert parquet_io.verify_zone(spark, zone, manifest).count() == 0
+
+    # corrupt one recorded entry -> changed; invent one -> missing;
+    # drop one -> the real file reports extra
+    files = sorted(r.file for r in manifest.collect())
+    doctored = (
+        manifest.withColumn(
+            "content_fp",
+            F.when(F.col("file") == files[0], F.lit("123")).otherwise(
+                F.col("content_fp")
+            ),
+        )
+        .filter(F.col("file") != files[1])
+        .union(
+            spark.createDataFrame(
+                [("ghost.parquet", 9, "9")], "file string, n_rows long, content_fp string"
+            )
+        )
+    )
+    got = {
+        (r.file, r.status)
+        for r in parquet_io.verify_zone(spark, zone, doctored).collect()
+    }
+    assert got == {
+        (files[0], "changed"),
+        (files[1], "extra"),
+        ("ghost.parquet", "missing"),
+    }
