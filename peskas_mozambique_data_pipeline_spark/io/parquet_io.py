@@ -38,6 +38,7 @@ def write_versioned(
     n_files: int | None = None,
     compression: str = "lz4",
     bloom_cols: list[str] | None = None,
+    manifest: bool = False,
 ) -> str:
     """Write an immutable versioned snapshot into ``zone_dir``.
 
@@ -92,6 +93,14 @@ def write_versioned(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+    if manifest:
+        # integrity sidecar inside the version dir: underscore-prefixed,
+        # so every parquet reader of ``path`` ignores it.  Opt-in — it
+        # costs one read-back scan of the snapshot, which a release
+        # build pays and a hot intermediate zone doesn't.
+        zone_manifest(df.sparkSession, path).coalesce(1).write.parquet(
+            os.path.join(path, "_manifest")
+        )
     return path
 
 
@@ -114,6 +123,22 @@ def latest_version_path(zone_dir: str, prefix: str) -> str:
 
 def read_latest(spark: SparkSession, zone_dir: str, prefix: str) -> DataFrame:
     return spark.read.parquet(latest_version_path(zone_dir, prefix))
+
+
+def verify_latest(spark: SparkSession, zone_dir: str, prefix: str) -> DataFrame:
+    """Recompute the newest snapshot's manifest against the sidecar its
+    release write recorded (``write_versioned(..., manifest=True)``)
+    and return the mismatch frame — empty means the zone still
+    bit-matches what was released.  Raises when the snapshot carries no
+    manifest (an intermediate zone: nothing was promised)."""
+    src = latest_version_path(zone_dir, prefix)
+    mpath = os.path.join(src, "_manifest")
+    if not os.path.exists(mpath):
+        raise FileNotFoundError(
+            f"{src} has no _manifest sidecar; write the release with "
+            "manifest=True to make it verifiable"
+        )
+    return verify_zone(spark, src, spark.read.parquet(mpath))
 
 
 def write_sorted(
@@ -434,6 +459,14 @@ def _write_versioned_at(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+    if manifest:
+        # integrity sidecar inside the version dir: underscore-prefixed,
+        # so every parquet reader of ``path`` ignores it.  Opt-in — it
+        # costs one read-back scan of the snapshot, which a release
+        # build pays and a hot intermediate zone doesn't.
+        zone_manifest(df.sparkSession, path).coalesce(1).write.parquet(
+            os.path.join(path, "_manifest")
+        )
     return path
 
 

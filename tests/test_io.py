@@ -807,3 +807,46 @@ def test_verify_zone_statuses(spark, tmp_path):
         (files[1], "extra"),
         ("ghost.parquet", "missing"),
     }
+
+
+def test_manifest_sidecar_lifecycle(spark, tmp_path):
+    zone = str(tmp_path / "zone")
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(30)], "id long, v string"
+    )
+    path = parquet_io.write_versioned(df, zone, "release", manifest=True)
+    # the sidecar is invisible to ordinary readers of the snapshot
+    assert parquet_io.read_latest(spark, zone, "release").count() == 30
+    assert spark.read.parquet(path).columns == ["id", "v"]
+    # untouched release verifies clean
+    assert parquet_io.verify_latest(spark, zone, "release").count() == 0
+    # a tampered data file is caught by the recompute
+    import glob
+    import os as _os
+
+    victim = sorted(
+        f for f in glob.glob(_os.path.join(path, "*.parquet"))
+    )[0]
+    spark.createDataFrame([(999, "EVIL")], "id long, v string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(tmp_path / "evil"))
+    evil = glob.glob(str(tmp_path / "evil" / "*.parquet"))[0]
+    import shutil
+
+    shutil.copyfile(evil, victim)
+    # drop Hadoop's local-FS checksum sidecar so the tamper reaches
+    # our verifier instead of tripping ChecksumFileSystem first (a
+    # remote object store has no such sidecar — this test models it)
+    crc = _os.path.join(
+        _os.path.dirname(victim), f".{_os.path.basename(victim)}.crc"
+    )
+    if _os.path.exists(crc):
+        _os.remove(crc)
+    got = parquet_io.verify_latest(spark, zone, "release").collect()
+    assert {r.status for r in got} == {"changed"}
+    # an intermediate (manifest-less) write refuses verification
+    parquet_io.write_versioned(df, zone, "hot")
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError, match="manifest"):
+        parquet_io.verify_latest(spark, zone, "hot")
