@@ -125,6 +125,24 @@ def read_latest(spark: SparkSession, zone_dir: str, prefix: str) -> DataFrame:
     return spark.read.parquet(latest_version_path(zone_dir, prefix))
 
 
+def seal_zone(
+    spark: SparkSession, zone_dir: str, prefix: str
+) -> tuple[int, str]:
+    """Record the integrity sidecar on the NEWEST snapshot of
+    ``prefix`` (idempotent: an existing sidecar is left untouched —
+    sealing twice cannot re-notarize changed bytes) and return the
+    zone fingerprint.  The post-hoc twin of
+    ``write_versioned(manifest=True)``: a pipeline writes its zones
+    normally and seals only what it releases, so intermediate zones
+    never pay the read-back scan."""
+    src = latest_version_path(zone_dir, prefix)
+    mpath = os.path.join(src, "_manifest")
+    if not os.path.exists(mpath):
+        zone_manifest(spark, src).coalesce(1).write.parquet(mpath)
+    # fold the (tiny) sidecar, not the data: sealing costs ONE data scan
+    return _fold_manifest(spark.read.parquet(mpath))
+
+
 def verify_latest(spark: SparkSession, zone_dir: str, prefix: str) -> DataFrame:
     """Recompute the newest snapshot's manifest against the sidecar its
     release write recorded (``write_versioned(..., manifest=True)``)
@@ -302,26 +320,28 @@ def zone_manifest(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def _fold_manifest(manifest: DataFrame) -> tuple[int, str]:
+    """Fold a per-file manifest to the whole-zone ``(n_rows, fp)``
+    pair.  Bounded collect: one row."""
+    from pyspark.sql import functions as F
+
+    row = manifest.agg(
+        F.sum("n_rows").cast("long").alias("n"),
+        F.sum(F.col("content_fp").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .cast("string")
+        .alias("fp"),
+    ).first()
+    return int(row["n"]), row["fp"]
+
+
 def zone_fingerprint(spark: SparkSession, path: str) -> tuple[int, str]:
     """Layout-invariant whole-zone identity ``(n_rows, content_fp)``:
     the file-level manifest folded once more, so two zones are
     content-equal across clusters/partitionings iff their fingerprints
     match — the cheap cross-site release check (no data transfer, two
-    numbers).  Bounded collect: one row."""
-    from pyspark.sql import functions as F
-
-    row = (
-        zone_manifest(spark, path)
-        .agg(
-            F.sum("n_rows").cast("long").alias("n"),
-            F.sum(F.col("content_fp").cast("decimal(38,0)"))
-            .cast("decimal(38,0)")
-            .cast("string")
-            .alias("fp"),
-        )
-        .first()
-    )
-    return int(row["n"]), row["fp"]
+    numbers)."""
+    return _fold_manifest(zone_manifest(spark, path))
 
 
 def verify_zone(

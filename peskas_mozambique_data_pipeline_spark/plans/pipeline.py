@@ -84,6 +84,20 @@ class PipelineZones:
         bounds version counts."""
         return parquet_io.vacuum_zone(spark, self.root, prefix, keep_last)
 
+    def seal(self, spark: SparkSession, prefix: str) -> tuple[int, str]:
+        """Release notarization: record the newest snapshot's integrity
+        sidecar (idempotent) and return its (n_rows, content_fp)
+        identity — the pair a corpus release publishes next to its
+        card; ``verify_latest``/``parquet_io.verify_zone`` check any
+        later copy against it.  Seal only what leaves the pipeline;
+        intermediate zones never pay the read-back scan."""
+        return parquet_io.seal_zone(spark, self.root, prefix)
+
+    def verify(self, spark: SparkSession, prefix: str) -> DataFrame:
+        """Mismatch frame of the newest sealed snapshot vs its sidecar
+        (empty = bit-matches the release)."""
+        return parquet_io.verify_latest(spark, self.root, prefix)
+
     def version_ts(self, prefix: str) -> str | None:
         """Timestamp (YYYYmmddHHMMSS) of the newest version, or None."""
         try:

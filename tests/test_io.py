@@ -850,3 +850,25 @@ def test_manifest_sidecar_lifecycle(spark, tmp_path):
 
     with _pytest.raises(FileNotFoundError, match="manifest"):
         parquet_io.verify_latest(spark, zone, "hot")
+
+
+def test_seal_zone_idempotent_and_verifiable(spark, tmp_path):
+    from peskas_mozambique_data_pipeline_spark.plans.pipeline import (
+        PipelineZones,
+    )
+
+    zones = PipelineZones(str(tmp_path))
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(40)], "id long, v string"
+    )
+    zones.write(df, "corpus_packs")
+    fp1 = zones.seal(spark, "corpus_packs")
+    fp2 = zones.seal(spark, "corpus_packs")  # idempotent: sidecar kept
+    assert fp1 == fp2 and fp1[0] == 40
+    assert zones.verify(spark, "corpus_packs").count() == 0
+    # a NEW version is a new release: sealing it records its own
+    # sidecar; content identical -> identical fingerprint
+    time.sleep(1.1)  # distinct second-resolution version name
+    zones.write(df, "corpus_packs")
+    fp3 = zones.seal(spark, "corpus_packs")
+    assert fp3 == fp1
