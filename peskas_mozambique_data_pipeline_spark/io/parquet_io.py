@@ -143,6 +143,47 @@ def seal_zone(
     return _fold_manifest(spark.read.parquet(mpath))
 
 
+def record_provenance(
+    zone_dir: str, prefix: str, upstreams: list[str]
+) -> dict[str, str | None]:
+    """Record which upstream versions the newest ``prefix`` snapshot
+    was built from: ``{upstream_prefix: version_ts}`` captured from the
+    zone's CURRENT latest versions (call right after the product write,
+    while the versions read are still the latest — the single-writer
+    orchestration this zone layout assumes) into an underscore-prefixed
+    ``_provenance.json`` sidecar inside the version dir.  With the
+    manifest sidecar this completes the release story: WHAT the zone
+    contains (fingerprint) and WHERE it came from (exact input
+    versions).  Driver-side metadata only; returns the recorded dict.
+    """
+    import json
+
+    src = latest_version_path(zone_dir, prefix)
+    prov: dict[str, str | None] = {}
+    for up in upstreams:
+        try:
+            m = VERSION_RE.search(latest_version_path(zone_dir, up))
+            prov[up] = m.group(1) if m else None
+        except FileNotFoundError:
+            prov[up] = None
+    with open(os.path.join(src, "_provenance.json"), "w") as f:
+        json.dump(prov, f, indent=2, sort_keys=True)
+    return prov
+
+
+def read_provenance(zone_dir: str, prefix: str) -> dict[str, str | None]:
+    """The recorded input versions of the newest ``prefix`` snapshot;
+    raises when none were recorded."""
+    import json
+
+    src = latest_version_path(zone_dir, prefix)
+    p = os.path.join(src, "_provenance.json")
+    if not os.path.exists(p):
+        raise FileNotFoundError(f"{src} has no _provenance.json sidecar")
+    with open(p) as f:
+        return json.load(f)
+
+
 def verify_latest(spark: SparkSession, zone_dir: str, prefix: str) -> DataFrame:
     """Recompute the newest snapshot's manifest against the sidecar its
     release write recorded (``write_versioned(..., manifest=True)``)

@@ -98,6 +98,17 @@ class PipelineZones:
         (empty = bit-matches the release)."""
         return parquet_io.verify_latest(spark, self.root, prefix)
 
+    def record_provenance(
+        self, prefix: str, upstreams: list[str]
+    ) -> dict[str, str | None]:
+        """Record the exact upstream versions ``prefix`` was built from
+        (see ``parquet_io.record_provenance``) — seal says WHAT a
+        release contains, this says WHERE it came from."""
+        return parquet_io.record_provenance(self.root, prefix, upstreams)
+
+    def provenance(self, prefix: str) -> dict[str, str | None]:
+        return parquet_io.read_provenance(self.root, prefix)
+
     def version_ts(self, prefix: str) -> str | None:
         """Timestamp (YYYYmmddHHMMSS) of the newest version, or None."""
         try:

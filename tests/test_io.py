@@ -872,3 +872,29 @@ def test_seal_zone_idempotent_and_verifiable(spark, tmp_path):
     zones.write(df, "corpus_packs")
     fp3 = zones.seal(spark, "corpus_packs")
     assert fp3 == fp1
+
+
+def test_provenance_sidecar_records_input_versions(spark, tmp_path):
+    from peskas_mozambique_data_pipeline_spark.plans.pipeline import (
+        PipelineZones,
+    )
+
+    zones = PipelineZones(str(tmp_path))
+    df = spark.createDataFrame([(1, "x")], "id long, v string")
+    zones.write(df, "corpus_ingested")
+    zones.write(df, "corpus_deduped")
+    zones.write(df, "training_shards")
+    prov = zones.record_provenance(
+        "training_shards", ["corpus_ingested", "corpus_deduped", "absent"]
+    )
+    assert prov["corpus_ingested"] == zones.version_ts("corpus_ingested")
+    assert prov["corpus_deduped"] == zones.version_ts("corpus_deduped")
+    assert prov["absent"] is None
+    assert zones.provenance("training_shards") == prov
+    # the sidecar is invisible to parquet readers of the snapshot
+    assert zones.read(spark, "training_shards").count() == 1
+    # a NEW product version carries no inherited provenance
+    time.sleep(1.1)
+    zones.write(df, "training_shards")
+    with pytest.raises(FileNotFoundError, match="provenance"):
+        zones.provenance("training_shards")

@@ -139,6 +139,20 @@ def main() -> int:
         toks = "-" if r.n_tokens is None else r.n_tokens
         ret = "-" if r.retained_rows_permille is None else f"{r.retained_rows_permille}‰"
         print(f"  {r.zone:24s} rows={r.n_rows:<7d} tokens={toks:<9} retained={ret}")
+
+    # release notarization: seal WHAT ships, record WHERE it came from
+    from peskas_mozambique_data_pipeline_spark.plans.pipeline import PipelineZones
+
+    zones = PipelineZones(zone_root)
+    n_rel, fp = zones.seal(spark, "training_shards")
+    ups = [z for z in ("corpus_shuffled", "corpus_packs", "corpus_deduped")
+           if z in out]
+    prov = zones.record_provenance("training_shards", ups)
+    clean = zones.verify(spark, "training_shards").count() == 0
+    print(f"release: training_shards rows={n_rel} fp={fp[:16]}… "
+          f"verify={'clean' if clean else 'MISMATCH'} inputs={prov}")
+    if not clean:
+        return 1
     spark.stop()
     shutil.rmtree(zone_root, ignore_errors=True)
     print("corpus demo OK")
