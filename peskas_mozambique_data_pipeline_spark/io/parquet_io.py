@@ -323,21 +323,50 @@ def zone_file_stats(zone_dir: str, prefix: str) -> tuple[int, int]:
     return n, total
 
 
-def zone_manifest(spark: SparkSession, path: str) -> DataFrame:
+def row_fingerprint(cols: list[str], algo: str = "xxhash64"):
+    """The per-row fingerprint expression behind :func:`zone_manifest`.
+
+    ``xxhash64`` (default) hashes native column values JVM-side — the
+    fast engine-local choice.  ``md5`` builds an engine-PORTABLE
+    fingerprint: columns cast to string, unit-separator-joined, md5'd,
+    first 15 hex digits as an integer — the same value any engine with
+    md5 computes (DuckDB: ``('0x' || substr(md5(key), 1, 15))::BIGINT``),
+    which is what lets cross-engine release checks replay the whole
+    fold bit-for-bit (``tests/test_io.py`` pins the parity).  Trade-off:
+    md5 pays string casts (float columns format engine-dependently —
+    use it on string/integer columns) and 60 bits vs 64."""
+    from pyspark.sql import functions as F
+
+    if algo == "xxhash64":
+        return F.xxhash64(*cols).cast("decimal(38,0)")
+    if algo == "md5":
+        key = F.concat_ws(
+            "\x1f", *[F.col(c).cast("string") for c in cols]
+        )
+        return F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast(
+            "decimal(38,0)"
+        )
+    raise ValueError(f"unknown fingerprint algo {algo!r}")
+
+
+def zone_manifest(
+    spark: SparkSession, path: str, algo: str = "xxhash64"
+) -> DataFrame:
     """Release manifest for a written zone: one row per data file —
     ``(file, n_rows, content_fp)`` — plus the integrity contract a
     corpus release publishes next to its card ("which files, how many
     rows, and EXACTLY which content").
 
-    ``content_fp`` is the DECIMAL(38,0) SUM of per-row ``xxhash64``
-    over all columns (sorted by name, so a column-reordering rewrite
-    doesn't change it).  Integer addition is exact and commutative, so
-    the fingerprint is invariant to row order, partitioning and
-    shuffle-nondeterminism — two writes of the same rows fingerprint
-    identically even when their file layouts differ — while any
-    changed/dropped/duplicated row changes it (modulo the 2^64
-    collision bound of the row hash itself).  Emitted as digit strings
-    so downstream JSON/CSV tooling never mangles the 38-digit sums.
+    ``content_fp`` is the DECIMAL(38,0) SUM of per-row fingerprints
+    (:func:`row_fingerprint`) over all columns (sorted by name, so a
+    column-reordering rewrite doesn't change it).  Integer addition is
+    exact and commutative, so the fingerprint is invariant to row
+    order, partitioning and shuffle-nondeterminism — two writes of the
+    same rows fingerprint identically even when their file layouts
+    differ — while any changed/dropped/duplicated row changes it
+    (modulo the collision bound of the row hash itself).  Emitted as
+    digit strings so downstream JSON/CSV tooling never mangles the
+    38-digit sums.
 
     Scale shape: one scan; the aggregate is map-side combinable and
     keyed by file name, so the shuffle carries #files rows.
@@ -349,7 +378,7 @@ def zone_manifest(spark: SparkSession, path: str) -> DataFrame:
     return (
         df.select(
             F.element_at(F.split(F.input_file_name(), "/"), -1).alias("file"),
-            F.xxhash64(*cols).cast("decimal(38,0)").alias("_rh"),
+            row_fingerprint(cols, algo).alias("_rh"),
         )
         .groupBy("file")
         .agg(

@@ -898,3 +898,45 @@ def test_provenance_sidecar_records_input_versions(spark, tmp_path):
     zones.write(df, "training_shards")
     with pytest.raises(FileNotFoundError, match="provenance"):
         zones.provenance("training_shards")
+
+
+def test_md5_fingerprint_fold_duckdb_parity(spark):
+    """The engine-portable (md5) manifest fold replays bit-for-bit in
+    DuckDB over the same parquet — the cross-engine release check:
+    group documents by source, sum the 15-hex-digit md5 row
+    fingerprints as exact integers, compare digit strings."""
+    import duckdb
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    df = spark.read.parquet(src)
+    cols = sorted(df.columns)
+    got = {
+        (r.source, r.n, r.fp)
+        for r in df.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(parquet_io.row_fingerprint(cols, "md5"))
+            .cast("decimal(38,0)")
+            .cast("string")
+            .alias("fp"),
+        )
+        .collect()
+    }
+    # concat_ws in BOTH engines: same skip-NULL semantics, so a
+    # nullable column cannot null out the whole key on one side only
+    key = "concat_ws(chr(31), " + ", ".join(
+        f"CAST({c} AS VARCHAR)" for c in cols
+    ) + ")"
+    con = duckdb.connect()
+    want = set(
+        con.execute(
+            f"""
+            SELECT source, COUNT(*) AS n,
+                   CAST(SUM(CAST(('0x' || substr(md5({key}), 1, 15))
+                                 AS BIGINT)::HUGEINT) AS VARCHAR) AS fp
+            FROM read_parquet('{src}') GROUP BY source
+            """
+        ).fetchall()
+    )
+    con.close()
+    assert got == want and len(got) >= 2
