@@ -102,6 +102,108 @@ def hll_estimate(
     return agg.select(*group_cols, F.round(est, 6).alias("hll_distinct"))
 
 
+KMV_BITS = 60  # 15 hex chars — exact BIGINT on both engines
+KMV_SPACE = float(2**KMV_BITS)
+
+
+def kmv_sketch(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    k: int = 256,
+    salt: str = "kmv",
+) -> DataFrame:
+    """Bottom-k (KMV) distinct sketch per group: the ``k`` smallest
+    60-bit md5 hashes of the distinct values, as one sorted
+    ``array<long>`` row per group (Bar-Yossef et al. 2002; Beyer et
+    al. 2007's unbiased estimator).
+
+    Why next to HLL: same deterministic-md5 exactness contract, but
+    bottom-k is a SEMILATTICE — ``kmv_merge`` of two sketches equals
+    the sketch of the union EXACTLY (order- and partition-invariant),
+    and two sketches support intersection/Jaccard estimates
+    (``kmv_jaccard``) that HLL registers cannot express.  The corpus
+    questions this answers at 100 TB: "how many distinct urls/shingles
+    does each source contribute" (estimate) and "how much do two
+    snapshots/sources overlap" (Jaccard) — from k·8 bytes per group.
+
+    Scale shape: hash + per-group distinct (shuffle 1, combinable),
+    per-group bottom-k as a window ``rn <= k`` (shuffle 2 on the same
+    key — co-partitioned), then a k-bounded collect_list per group.
+    """
+    g = list(group_cols)
+    from pyspark.sql import Window
+
+    h = F.conv(F.substring(_h(salt, F.col(value_col)), 1, 15), 16, 10).cast(
+        "long"
+    )
+    distinct = df.select(*g, h.alias("_h")).distinct()
+    w = Window.partitionBy(*g).orderBy("_h") if g else Window.orderBy("_h")
+    bottom = distinct.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= k
+    )
+    return bottom.groupBy(*g).agg(
+        F.sort_array(F.collect_list("_h")).alias("kmv")
+    )
+
+
+def kmv_estimate(
+    sketches: DataFrame, k: int = 256, out_col: str = "kmv_distinct"
+) -> DataFrame:
+    """Distinct-count estimate from sketch rows: EXACT ``size(kmv)``
+    while the group held fewer than ``k`` distinct values (the sketch
+    IS the distinct hash set), else the unbiased ``(k−1)·2^60 / h_k``.
+    Deterministic rational arithmetic → rounded to 6 decimals."""
+    n = F.size("kmv")
+    hk = F.element_at("kmv", -1).cast("double")
+    est = F.when(n < k, n.cast("double")).otherwise(
+        F.lit(float(k - 1)) * F.lit(KMV_SPACE) / hk
+    )
+    return sketches.withColumn(out_col, F.round(est, 6))
+
+
+def kmv_merge(sketches: DataFrame, group_cols: Sequence[str] = (), k: int = 256) -> DataFrame:
+    """Union-merge sketch rows down to ``group_cols`` grain: concat,
+    distinct, re-bottom-k — EXACTLY the sketch of the unioned inputs
+    (the semilattice property ``tests/test_sketches.py`` pins), so
+    shard-parallel sketching recombines with zero error in any order."""
+    g = list(group_cols)
+    merged = sketches.groupBy(*g).agg(
+        F.slice(
+            F.array_sort(
+                F.array_distinct(F.flatten(F.collect_list("kmv")))
+            ),
+            1,
+            k,
+        ).alias("kmv")
+    )
+    return merged
+
+
+def kmv_jaccard(
+    pairs: DataFrame, a_col: str = "kmv_a", b_col: str = "kmv_b", k: int = 256
+) -> DataFrame:
+    """Jaccard estimate between two sketch columns: over the bottom-k
+    of the UNION (a valid uniform sample of A ∪ B), the fraction also
+    present in both sketches estimates |A∩B| / |A∪B|.  Exact when both
+    sets fit their sketches.  Pure array expressions — no shuffle, no
+    Python."""
+    union_k = F.slice(
+        F.array_sort(
+            F.array_distinct(F.concat(F.col(a_col), F.col(b_col)))
+        ),
+        1,
+        k,
+    )
+    inter = F.array_intersect(
+        union_k, F.array_intersect(F.col(a_col), F.col(b_col))
+    )
+    return pairs.withColumn(
+        "jaccard_est",
+        F.round(F.size(inter).cast("double") / F.size(union_k), 6),
+    )
+
+
 def cms_sketch(
     df: DataFrame,
     value_col: str,
