@@ -1,0 +1,119 @@
+"""Spatial predicates as pure JVM expressions: point-in-polygon and
+region assignment.
+
+The reference's geo layer is attribute-joins only (R/export.R:711-746
+— ``sf`` reads the polygons, aggregates join by the ``region``
+NAME).  That leaves the upstream step implicit: deciding WHICH region
+a GPS point belongs to.  This module closes it Spark-first — the
+even-odd ray cast (Shimrat 1962, the textbook algorithm; GeoJSON ring
+convention RFC 7946) written entirely in higher-order array
+expressions, so region assignment is a broadcast join + codegen
+arithmetic: no UDF, no spatial library, no shuffle beyond the join.
+
+Exactness: the crossing test uses only +, −, ×, ÷ on doubles — IEEE
+operations every engine evaluates identically — so the predicate is
+deterministic cross-engine (a DuckDB ``list_reduce`` replay matches
+decision-for-decision; pytest pins it).  Boundary semantics are the
+even-odd rule's: points exactly ON an edge count by crossing parity
+(half-open edges — a vertex is counted once), the standard convention;
+callers needing tolerance buffers should buffer upstream.
+
+Scale shape: polygons are a region-cardinality dim (tens to
+thousands of rows) — ``assign_regions`` broadcasts them; each point
+evaluates |regions| ray casts of |ring| edges inside whole-stage
+codegen.  For continental-scale polygon sets add a coarse bounding-box
+prefilter (the bbox columns are emitted for exactly that).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+RING_SCHEMA = "type string, coordinates array<array<array<double>>>"
+
+
+def polygon_ring(geometry_json: str | Column) -> Column:
+    """Outer ring of a GeoJSON Polygon geometry string as
+    ``array<struct<x double, y double>>`` (RFC 7946: first ring is the
+    exterior; [x, y] = [lon, lat]).  NULL for non-Polygon geometries."""
+    g = F.col(geometry_json) if isinstance(geometry_json, str) else geometry_json
+    parsed = F.from_json(g, RING_SCHEMA)
+    ring = F.element_at(parsed["coordinates"], 1)
+    return F.when(
+        parsed["type"] == "Polygon",
+        F.transform(
+            ring,
+            lambda p: F.struct(
+                F.element_at(p, 1).alias("x"), F.element_at(p, 2).alias("y")
+            ),
+        ),
+    )
+
+
+def point_in_polygon(px: Column, py: Column, ring: Column) -> Column:
+    """Even-odd ray cast: true iff the +x ray from (px, py) crosses an
+    odd number of ring edges.  Works for open or closed rings (the
+    closing edge last→first is always included; a duplicated closing
+    vertex contributes a degenerate edge that never crosses) and for
+    concave polygons.  One ``aggregate`` over edge indexes — pure
+    codegen arithmetic."""
+    n = F.size(ring)
+
+    def edge_crosses(i: Column) -> Column:
+        a = F.element_at(ring, i + 1)
+        b = F.element_at(ring, ((i + 1) % n) + 1)
+        ya, yb = a["y"], b["y"]
+        xa, xb = a["x"], b["x"]
+        straddles = (ya > py) != (yb > py)
+        x_at_y = (xb - xa) * (py - ya) / (yb - ya) + xa
+        return straddles & (px < x_at_y)
+
+    crossings = F.aggregate(
+        F.sequence(F.lit(0), n - 1),
+        F.lit(0),
+        lambda acc, i: acc
+        + F.when(edge_crosses(i), F.lit(1)).otherwise(F.lit(0)),
+    )
+    return crossings % 2 == 1
+
+
+def assign_regions(
+    points: DataFrame,
+    regions: DataFrame,
+    x_col: str = "lon",
+    y_col: str = "lat",
+    geometry_col: str = "geometry_json",
+    keep_region_cols: list[str] | None = None,
+) -> DataFrame:
+    """Left-join each point to the region polygon containing it:
+    broadcast the (small) region dim with its parsed ring + bbox, bbox-
+    prefilter, then the exact ray cast.  Points in no region keep NULL
+    region columns; a point on a shared border matches by each ring's
+    own parity (at most one of two adjacent half-open rings).
+
+    ``keep_region_cols`` defaults to every non-geometry region column.
+    """
+    keep = keep_region_cols or [
+        c for c in regions.columns if c != geometry_col
+    ]
+    ring = polygon_ring(F.col(geometry_col))
+    dim = regions.select(
+        *keep,
+        ring.alias("_ring"),
+        F.array_min(F.transform(ring, lambda p: p["x"])).alias("_xmin"),
+        F.array_max(F.transform(ring, lambda p: p["x"])).alias("_xmax"),
+        F.array_min(F.transform(ring, lambda p: p["y"])).alias("_ymin"),
+        F.array_max(F.transform(ring, lambda p: p["y"])).alias("_ymax"),
+    ).filter(F.col("_ring").isNotNull())
+    px, py = F.col(x_col), F.col(y_col)
+    cond = (
+        (px >= F.col("_xmin"))
+        & (px <= F.col("_xmax"))
+        & (py >= F.col("_ymin"))
+        & (py <= F.col("_ymax"))
+        & point_in_polygon(px, py, F.col("_ring"))
+    )
+    return points.join(F.broadcast(dim), on=cond, how="left").drop(
+        "_ring", "_xmin", "_xmax", "_ymin", "_ymax"
+    )

@@ -1,0 +1,132 @@
+"""Point-in-polygon ray cast + region assignment: textbook cases,
+concavity, GeoJSON ring parsing, broadcast plan, DuckDB parity."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from peskas_mozambique_data_pipeline_spark.operators import geo
+
+
+def _ring_df(spark, pts, ring):
+    rows = [(i, float(x), float(y)) for i, (x, y) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "pid long, lon double, lat double")
+    ring_lit = F.array(
+        *[
+            F.struct(F.lit(float(x)).alias("x"), F.lit(float(y)).alias("y"))
+            for x, y in ring
+        ]
+    )
+    return df.select(
+        "pid", geo.point_in_polygon(F.col("lon"), F.col("lat"), ring_lit).alias("inside")
+    )
+
+
+def test_unit_square_and_concave(spark):
+    square = [(0, 0), (4, 0), (4, 4), (0, 4)]
+    pts = [(2, 2), (5, 2), (-1, 2), (2, 5), (3.999, 3.999)]
+    got = {r.pid: r.inside for r in _ring_df(spark, pts, square).collect()}
+    assert got == {0: True, 1: False, 2: False, 3: False, 4: True}
+
+    # concave "C": the notch (3,2) is OUTSIDE though the bbox contains it
+    cshape = [(0, 0), (4, 0), (4, 1), (2, 1), (2, 3), (4, 3), (4, 4), (0, 4)]
+    pts = [(1, 2), (3, 2), (3, 0.5), (3, 3.5)]
+    got = {r.pid: r.inside for r in _ring_df(spark, pts, cshape).collect()}
+    assert got == {0: True, 1: False, 2: True, 3: True}
+
+    # closed ring (duplicated final vertex) gives identical answers
+    closed = square + [square[0]]
+    a = {r.pid: r.inside for r in _ring_df(spark, pts, square).collect()}
+    b = {r.pid: r.inside for r in _ring_df(spark, pts, closed).collect()}
+    assert a == b
+
+
+def test_assign_regions_from_geojson(spark):
+    def poly(name, ring):
+        return (name, json.dumps({"type": "Polygon", "coordinates": [ring]}))
+
+    regions = spark.createDataFrame(
+        [
+            poly("west", [[0, 0], [2, 0], [2, 4], [0, 4], [0, 0]]),
+            poly("east", [[2, 0], [4, 0], [4, 4], [2, 4], [2, 0]]),
+        ],
+        "region string, geometry_json string",
+    )
+    points = spark.createDataFrame(
+        [(1, 1.0, 1.0), (2, 3.0, 3.0), (3, 9.0, 9.0)],
+        "pid long, lon double, lat double",
+    )
+    out = geo.assign_regions(points, regions)
+    got = {r.pid: r.region for r in out.collect()}
+    assert got == {1: "west", 2: "east", 3: None}
+    # the dim is broadcast and nothing falls to Python
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_shared_border_matches_at_most_one_region(spark):
+    def poly(name, ring):
+        return (name, json.dumps({"type": "Polygon", "coordinates": [ring]}))
+
+    regions = spark.createDataFrame(
+        [
+            poly("a", [[0, 0], [2, 0], [2, 2], [0, 2], [0, 0]]),
+            poly("b", [[2, 0], [4, 0], [4, 2], [2, 2], [2, 0]]),
+        ],
+        "region string, geometry_json string",
+    )
+    border = spark.createDataFrame(
+        [(1, 2.0, 1.0)], "pid long, lon double, lat double"
+    )
+    got = geo.assign_regions(border, regions).collect()
+    assert len(got) == 1  # half-open edges: never double-assigned
+
+
+def test_ray_cast_duckdb_parity(spark):
+    """The crossing arithmetic is IEEE +,−,×,÷ only, so DuckDB's
+    list_reduce replay decides identically for every point."""
+    import duckdb
+
+    ring = [(0.3, 0.1), (3.7, 0.4), (4.1, 2.9), (1.9, 4.2), (-0.2, 2.5)]
+    pts = [
+        (i, 0.37 * i % 5 - 0.3, 0.53 * i % 5 - 0.2) for i in range(200)
+    ]
+    df = spark.createDataFrame(pts, "pid long, x double, y double")
+    ring_lit = F.array(
+        *[
+            F.struct(F.lit(x).alias("x"), F.lit(y).alias("y"))
+            for x, y in ring
+        ]
+    )
+    got = {
+        r.pid: r.inside
+        for r in df.select(
+            "pid", geo.point_in_polygon(F.col("x"), F.col("y"), ring_lit).alias("inside")
+        ).collect()
+    }
+    ring_sql = "[" + ", ".join(f"{{'x': {x}, 'y': {y}}}" for x, y in ring) + "]"
+    vals = ", ".join(f"({i}, {x}, {y})" for i, x, y in pts)
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        WITH p(pid, px, py) AS (VALUES {vals}),
+        ring AS (SELECT {ring_sql}::STRUCT(x DOUBLE, y DOUBLE)[] AS r)
+        SELECT pid,
+               list_reduce(
+                 list_transform(generate_series(1, len(r)), i ->
+                   CASE WHEN ((r[i].y > py) != (r[CASE WHEN i = len(r) THEN 1 ELSE i + 1 END].y > py))
+                         AND (px < (r[CASE WHEN i = len(r) THEN 1 ELSE i + 1 END].x - r[i].x)
+                                   * (py - r[i].y)
+                                   / (r[CASE WHEN i = len(r) THEN 1 ELSE i + 1 END].y - r[i].y)
+                                   + r[i].x)
+                        THEN 1 ELSE 0 END),
+                 (a, b) -> a + b) % 2 = 1 AS inside
+        FROM p, ring
+        """
+    ).fetchall()
+    con.close()
+    want = {pid: inside for pid, inside in rows}
+    assert got == want and sum(got.values()) > 10  # nontrivial mix
