@@ -549,14 +549,6 @@ def _write_versioned_at(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
-    if manifest:
-        # integrity sidecar inside the version dir: underscore-prefixed,
-        # so every parquet reader of ``path`` ignores it.  Opt-in — it
-        # costs one read-back scan of the snapshot, which a release
-        # build pays and a hot intermediate zone doesn't.
-        zone_manifest(df.sparkSession, path).coalesce(1).write.parquet(
-            os.path.join(path, "_manifest")
-        )
     return path
 
 
