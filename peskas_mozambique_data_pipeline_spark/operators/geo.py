@@ -78,6 +78,59 @@ def point_in_polygon(px: Column, py: Column, ring: Column) -> Column:
     return crossings % 2 == 1
 
 
+EARTH_RADIUS_M = 6_371_008.8  # IUGG mean radius
+
+
+def haversine_m(
+    lon1: Column, lat1: Column, lon2: Column, lat2: Column
+) -> Column:
+    """Great-circle distance in meters (haversine on the IUGG mean
+    sphere — standard for sub-100-km assignment work; ellipsoidal
+    corrections are <0.5 % and need a geodesy lib).  Pure codegen
+    trig."""
+    rlat1, rlat2 = F.radians(lat1), F.radians(lat2)
+    dlat = F.radians(lat2 - lat1) / 2
+    dlon = F.radians(lon2 - lon1) / 2
+    a = F.sin(dlat) ** 2 + F.cos(rlat1) * F.cos(rlat2) * F.sin(dlon) ** 2
+    return F.lit(2 * EARTH_RADIUS_M) * F.asin(F.sqrt(a))
+
+
+def nearest_site(
+    points: DataFrame,
+    sites: DataFrame,
+    x_col: str = "lon",
+    y_col: str = "lat",
+    site_x: str = "site_lon",
+    site_y: str = "site_lat",
+    max_distance_m: float | None = None,
+    keep_site_cols: list[str] | None = None,
+) -> DataFrame:
+    """Assign each point its nearest site (the landing-site matching
+    step for GPS tracks; the reference keys everything by landing site
+    NAME — this derives it from coordinates).  Site dim broadcasts;
+    per-point argmin via ``min_by`` over the exploded candidates, so
+    the shuffle is point-keyed only.  ``max_distance_m`` leaves points
+    with no site in range unassigned (NULL site columns) instead of
+    snapping them across the map.
+    """
+    keep = keep_site_cols or [
+        c for c in sites.columns if c not in (site_x, site_y)
+    ]
+    d = haversine_m(
+        F.col(x_col), F.col(y_col), F.col(site_x), F.col(site_y)
+    )
+    cand = points.join(F.broadcast(sites)).withColumn("_d_m", d)
+    if max_distance_m is not None:
+        cand = cand.filter(F.col("_d_m") <= max_distance_m)
+    point_cols = [c for c in points.columns]
+    picked = cand.groupBy(*point_cols).agg(
+        *[F.min_by(c, "_d_m").alias(c) for c in keep],
+        F.round(F.min("_d_m"), 3).alias("site_distance_m"),
+    )
+    # left join back so out-of-range/siteless points survive with NULLs
+    return points.join(picked, on=point_cols, how="left")
+
+
 def assign_regions(
     points: DataFrame,
     regions: DataFrame,

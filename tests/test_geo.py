@@ -130,3 +130,45 @@ def test_ray_cast_duckdb_parity(spark):
     con.close()
     want = {pid: inside for pid, inside in rows}
     assert got == want and sum(got.values()) > 10  # nontrivial mix
+
+
+def test_haversine_known_distances(spark):
+    # Maputo (32.573, -25.966) to Beira (34.838, -19.844): ~717 km
+    df = spark.createDataFrame([(1,)], "id long")
+    d = df.select(
+        geo.haversine_m(
+            F.lit(32.573), F.lit(-25.966), F.lit(34.838), F.lit(-19.844)
+        ).alias("d")
+    ).first().d
+    assert abs(d - 717_000) < 15_000
+    # zero distance and ~111.2 km per degree of latitude
+    z = df.select(
+        geo.haversine_m(F.lit(10.0), F.lit(5.0), F.lit(10.0), F.lit(5.0)).alias("d")
+    ).first().d
+    assert z == 0.0
+    one_deg = df.select(
+        geo.haversine_m(F.lit(0.0), F.lit(0.0), F.lit(0.0), F.lit(1.0)).alias("d")
+    ).first().d
+    assert abs(one_deg - 111_195) < 200
+
+
+def test_nearest_site_assignment_and_range_gate(spark):
+    sites = spark.createDataFrame(
+        [("porto_a", 32.60, -25.90), ("porto_b", 34.80, -19.80)],
+        "site string, site_lon double, site_lat double",
+    )
+    points = spark.createDataFrame(
+        [
+            (1, 32.61, -25.91),   # near porto_a
+            (2, 34.81, -19.81),   # near porto_b
+            (3, 40.00, -12.00),   # far from both
+        ],
+        "pid long, lon double, lat double",
+    )
+    out = geo.nearest_site(points, sites, max_distance_m=50_000)
+    got = {r.pid: (r.site, r.site_distance_m) for r in out.collect()}
+    assert got[1][0] == "porto_a" and got[1][1] < 5_000
+    assert got[2][0] == "porto_b" and got[2][1] < 5_000
+    assert got[3] == (None, None)  # out of range stays unassigned
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
