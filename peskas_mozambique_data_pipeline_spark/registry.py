@@ -647,6 +647,16 @@ for _n in _STAGED_PROMOTED_R11:
     SPARK_QUERIES[_n] = registry_staged_r11.STAGED_QUERIES[_n]
     ORACLE_SQL[_n] = _STAGED_SQL_R11[_n]
 
+from . import registry_r11  # noqa: E402
+
+# r11 in-round rows (the registry_r10 precedent): one union made
+# WITHIN the rotating-in set (summary_audit = pricing_summary +
+# rollup_summary, legs verbatim) funds the first hard oracle row for
+# the round-11 spatial surface (geo_assign — ray-cast region
+# assignment).  Head stays 50, registry stays 98.
+SPARK_QUERIES.update(registry_r11.SPARK_QUERIES)
+ORACLE_SQL.update(registry_r11.build_oracle_sql())
+
 # r9 consolidations: every name below is replaced by a union row that
 # calls the SAME query function / wraps the SAME oracle SQL (see
 # registry_staged.STAGED_REPLACES and registry_audit.AUDIT_REPLACES),
@@ -710,7 +720,7 @@ for _n in _REPLACED_R10:
 # (gate-checkable by name, the r9/r10 retirement discipline).
 _REPLACED_R11 = tuple(
     n for pair in registry_staged_r11.STAGED_REPLACES.values() for n in pair
-)
+) + tuple(n for pair in registry_r11.AUDIT_REPLACES.values() for n in pair)
 for _n in _REPLACED_R11:
     RETIRED_QUERIES[_n] = SPARK_QUERIES.pop(_n)
     RETIRED_ORACLE_SQL[_n] = ORACLE_SQL.pop(_n)
@@ -736,6 +746,11 @@ _VERIFY_FIRST = [
     "link_graph",
     "crawl_audit",
     "image_dups",
+    # r11 in-round additions (the registry_r10 precedent): the
+    # summary_audit union consolidates two rotating-in legs, funding
+    # the geo_assign slot — both never driver-verified.
+    "summary_audit",
+    "geo_assign",
     # r11 window fill: two of the r10 in-round NEW operator rows hold
     # over for a second consecutive hard row (each has exactly one
     # green driver round and its operator has no other registry
@@ -775,7 +790,6 @@ _VERIFY_FIRST = [
     "monthly_median",
     "topk_other",
     "robust_bounds",
-    "pricing_summary",
     "nary_full_join",
     "flag_battery_full",
     "repetition_filter",
@@ -784,7 +798,6 @@ _VERIFY_FIRST = [
     "nested_series",
     "uniqueness_check",
     "sessionization",
-    "rollup_summary",
     "asof_join",
     "geo_rollup_join",
 ]

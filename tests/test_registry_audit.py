@@ -37,7 +37,8 @@ def test_r11_window_arithmetic():
     new_rows = [
         "governance_audit", "neardup_audit", "lexstats_audit",
         "ivf_audit", "fetch_audit", "html_extract", "link_graph",
-        "crawl_audit", "image_dups", "lang_segment", "drift_audit",
+        "crawl_audit", "image_dups", "summary_audit", "geo_assign",
+        "lang_segment", "drift_audit",
     ]
     assert head[: len(new_rows)] == new_rows
 
