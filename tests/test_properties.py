@@ -795,3 +795,87 @@ def test_audio_fingerprint_matches_python_twin(spark, samples, win_ms, bpw):
     for seq, b in enumerate(bits):
         words[seq // bpw] = words.get(seq // bpw, 0) | (b << (seq % bpw))
     assert got == set(words.items())
+
+
+@SET
+@given(
+    st.lists(st.integers(min_value=0, max_value=400), min_size=1, max_size=60),
+    st.lists(st.integers(min_value=0, max_value=400), min_size=1, max_size=60),
+    st.sampled_from([4, 16, 64]),
+)
+def test_kmv_merge_semilattice_property(spark, xs, ys, k):
+    """sketch(A ∪ B) == merge(sketch A, sketch B) exactly, for random
+    multisets and any k — the property that makes shard-parallel
+    sketching error-free."""
+    from peskas_mozambique_data_pipeline_spark.operators import sketches as sk
+
+    a = spark.createDataFrame([(f"v{x}",) for x in xs], "v string")
+    b = spark.createDataFrame([(f"v{y}",) for y in ys], "v string")
+    whole = sk.kmv_sketch(a.union(b), "v", k=k).first().kmv
+    parts = sk.kmv_merge(
+        sk.kmv_sketch(a, "v", k=k).union(sk.kmv_sketch(b, "v", k=k)), k=k
+    ).first().kmv
+    assert whole == parts
+
+
+@SET
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(min_value=-10, max_value=10, allow_nan=False),
+            st.floats(min_value=-10, max_value=10, allow_nan=False),
+        ),
+        min_size=3,
+        max_size=8,
+        unique=True,
+    ),
+    st.lists(
+        st.tuples(
+            st.floats(min_value=-12, max_value=12, allow_nan=False),
+            st.floats(min_value=-12, max_value=12, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+)
+def test_point_in_polygon_matches_python_twin(spark, verts, pts):
+    """The HOF ray cast decides exactly like a scalar python twin of
+    the same algorithm for arbitrary (angle-sorted, so simple)
+    polygons and points."""
+    import math
+
+    from peskas_mozambique_data_pipeline_spark.operators import geo
+
+    cx = sum(x for x, _ in verts) / len(verts)
+    cy = sum(y for _, y in verts) / len(verts)
+    ring = sorted(verts, key=lambda p: math.atan2(p[1] - cy, p[0] - cx))
+
+    def twin(px, py):
+        n = len(ring)
+        c = 0
+        for i in range(n):
+            xa, ya = ring[i]
+            xb, yb = ring[(i + 1) % n]
+            if (ya > py) != (yb > py) and px < (xb - xa) * (py - ya) / (yb - ya) + xa:
+                c += 1
+        return c % 2 == 1
+
+    df = spark.createDataFrame(
+        [(i, float(x), float(y)) for i, (x, y) in enumerate(pts)],
+        "pid long, x double, y double",
+    )
+    ring_lit = F.array(
+        *[
+            F.struct(F.lit(float(x)).alias("x"), F.lit(float(y)).alias("y"))
+            for x, y in ring
+        ]
+    )
+    got = {
+        r.pid: r.inside
+        for r in df.select(
+            "pid",
+            geo.point_in_polygon(F.col("x"), F.col("y"), ring_lit).alias("inside"),
+        ).collect()
+    }
+    want = {i: twin(float(x), float(y)) for i, (x, y) in enumerate(pts)}
+    assert got == want
