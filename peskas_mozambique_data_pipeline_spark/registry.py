@@ -657,6 +657,28 @@ from . import registry_r11  # noqa: E402
 SPARK_QUERIES.update(registry_r11.SPARK_QUERIES)
 ORACLE_SQL.update(registry_r11.build_oracle_sql())
 
+from . import registry_staged_r12  # noqa: E402
+
+# r12 staged-row promotion (VERDICT r11 Next #1 / the NOTES r12 swap
+# recipe): the sketchfam_audit consolidation (sketch_audit +
+# hist_quantiles legs verbatim) plus three new operator rows
+# (diversity_sample, audio_audit, video_audit) move from
+# registry_staged_r12 into the registry, each with bit-exact
+# sf0.001+sf0.01 oracle evidence and a recorded sf0.1 local[8] +
+# sf0.01 local[3] determinism matrix attached one round ahead
+# (tests/test_registry_staged_r12.py).  Registry lands at
+# 98 − 2 + 1 + 3 = 100, AT the rotation ceiling.
+_STAGED_PROMOTED_R12 = (
+    "diversity_sample",
+    "audio_audit",
+    "sketchfam_audit",
+    "video_audit",
+)
+_STAGED_SQL_R12 = registry_staged_r12.build_staged_oracle_sql()
+for _n in _STAGED_PROMOTED_R12:
+    SPARK_QUERIES[_n] = registry_staged_r12.STAGED_QUERIES[_n]
+    ORACLE_SQL[_n] = _STAGED_SQL_R12[_n]
+
 # r9 consolidations: every name below is replaced by a union row that
 # calls the SAME query function / wraps the SAME oracle SQL (see
 # registry_staged.STAGED_REPLACES and registry_audit.AUDIT_REPLACES),
@@ -725,6 +747,19 @@ for _n in _REPLACED_R11:
     RETIRED_QUERIES[_n] = SPARK_QUERIES.pop(_n)
     RETIRED_ORACLE_SQL[_n] = ORACLE_SQL.pop(_n)
 
+# r12 consolidation: sketchfam_audit runs the sketch_audit and
+# hist_quantiles query functions verbatim as its two legs
+# (registry_staged_r12.STAGED_REPLACES), so both operators stay
+# implemented, pytest-covered and hash-verified — only the duplicate
+# registry rows retire (gate-checkable by name, the r9–r11 retirement
+# discipline).
+_REPLACED_R12 = tuple(
+    n for pair in registry_staged_r12.STAGED_REPLACES.values() for n in pair
+)
+for _n in _REPLACED_R12:
+    RETIRED_QUERIES[_n] = SPARK_QUERIES.pop(_n)
+    RETIRED_ORACLE_SQL[_n] = ORACLE_SQL.pop(_n)
+
 # The driver's correctness harness checks the FIRST 50 registry entries
 # in dict order; with >50 queries registered, assembly order decides
 # which get hard-verified.  Keep the least-recently-driver-verified
@@ -734,9 +769,83 @@ for _n in _REPLACED_R11:
 # queries with several green driver rounds (still covered by the
 # bit-exact local gate, tools/check_correctness.py) rotate out.
 _VERIFY_FIRST = [
-    # round-11 additions — never driver-verified, head of the window:
-    # the four consolidation unions and five new operator rows promoted
-    # from registry_staged_r11 with bit-exact two-SF evidence.
+    # round-12 additions — never driver-verified, head of the window:
+    # the sketchfam_audit consolidation and three new operator rows
+    # (diversity sampling, audio frame features, video frame slicing)
+    # promoted from registry_staged_r12 with bit-exact two-SF evidence.
+    "diversity_sample",
+    "audio_audit",
+    "sketchfam_audit",
+    "video_audit",
+    # r12 rotation: the 46 r11-tail survivors (driver-green in r10,
+    # judge-gated bit-exact in r11; sketch_audit + hist_quantiles
+    # retired into the sketchfam_audit union above) come back to the
+    # head so CORRECTNESS_r12 gives every one a hard driver row.
+    "quant_audit",
+    "seq_layout",
+    "contam_score",
+    "psl_domains",
+    "card_audit",
+    "lexical_audit",
+    "filter_audit",
+    "activity_audit",
+    "threshold_audit",
+    "url_dedup",
+    "classifier_score",
+    "cross_corpus",
+    "ts_audit",
+    "mixture_budget",
+    "ann_lsh",
+    "site_stats_full",
+    "time_weighted_avg",
+    "mix_quality",
+    "triangle_count",
+    "containment",
+    "weighted_sample",
+    "char_entropy",
+    "assoc_rules",
+    "interval_join",
+    "bpe_merges_fast",
+    "dsir_weights",
+    "temperature_resample",
+    "pagerank",
+    "trailing_window",
+    "doc_pack",
+    "embedding_clusters",
+    "minhash_dedup",
+    "dedup_clusters",
+    "pii_scrub",
+    "merge_upsert",
+    "scd2_versions",
+    "conditional_merge",
+    "flag_battery",
+    "fuzzy_dedup",
+    "quantile_coeffs",
+    "lw_model",
+    "last_wins",
+    "json_extract",
+    "dedup_exact",
+    "simhash_pairs",
+    "token_rollup",
+]
+# Rotation tail: the 47 r9-window queries not held over (every one
+# driver-green in CORRECTNESS_r09).  Sitting out one round keeps the
+# "hard driver row at least every 2 rounds" invariant; the assertion
+# below forces this list to be resized whenever queries are added, so
+# the rotation stays deliberate.  Window arithmetic note: a 50-slot
+# window with a 2-round cadence supports at most 50 rotating-in rows
+# per round — adding N new rows in a round therefore requires N
+# consolidations/drops WITHIN the rotating-in set (not the outgoing
+# head, whose survivors rest in the tail regardless).  Steady state
+# after r10: 97 registered, 50 verified per round, 47 resting, 3 slots
+# of headroom.
+_VERIFY_LAST = [
+    # the 50 r11-head rows (every one driver-green in CORRECTNESS_r11).
+    # Sitting out one round keeps the "hard driver row at least every
+    # 2 rounds" invariant.  Steady state after r12: 100 registered
+    # (AT the ceiling), 50 verified per round, 50 resting, ZERO
+    # headroom — every r13+ registration requires a consolidation
+    # from within the rotating-in set.
     "governance_audit",
     "neardup_audit",
     "lexstats_audit",
@@ -746,23 +855,10 @@ _VERIFY_FIRST = [
     "link_graph",
     "crawl_audit",
     "image_dups",
-    # r11 in-round additions (the registry_r10 precedent): the
-    # summary_audit union consolidates two rotating-in legs, funding
-    # the geo_assign slot — both never driver-verified.
     "summary_audit",
     "geo_assign",
-    # r11 window fill: two of the r10 in-round NEW operator rows hold
-    # over for a second consecutive hard row (each has exactly one
-    # green driver round and its operator has no other registry
-    # coverage; threshold_audit — the third single-round candidate —
-    # rests one round, the r10 holdover precedent applied to the two
-    # available slots).
     "lang_segment",
     "drift_audit",
-    # r11 rotation: the 39 r10-tail survivors (driver-green in r9,
-    # judge-gated bit-exact in r10; the other 8 tail rows retired into
-    # the four consolidation unions above) come back to the head so
-    # CORRECTNESS_r11 gives every one a hard driver row.
     "doc_profile",
     "doc_signature",
     "funnel_cohorts",
@@ -800,73 +896,6 @@ _VERIFY_FIRST = [
     "sessionization",
     "asof_join",
     "geo_rollup_join",
-]
-# Rotation tail: the 47 r9-window queries not held over (every one
-# driver-green in CORRECTNESS_r09).  Sitting out one round keeps the
-# "hard driver row at least every 2 rounds" invariant; the assertion
-# below forces this list to be resized whenever queries are added, so
-# the rotation stays deliberate.  Window arithmetic note: a 50-slot
-# window with a 2-round cadence supports at most 50 rotating-in rows
-# per round — adding N new rows in a round therefore requires N
-# consolidations/drops WITHIN the rotating-in set (not the outgoing
-# head, whose survivors rest in the tail regardless).  Steady state
-# after r10: 97 registered, 50 verified per round, 47 resting, 3 slots
-# of headroom.
-_VERIFY_LAST = [
-    # the 48 r10-head rows not held over (every one driver-green in
-    # CORRECTNESS_r10; lang_segment and drift_audit hold over in the
-    # head above).  Sitting out one round keeps the "hard driver row
-    # at least every 2 rounds" invariant.  Steady state after r11:
-    # 98 registered, 50 verified per round, 48 resting, 2 slots of
-    # headroom (consumed by the staged r12 swap: −2 +1 +3 → 100).
-    "quant_audit",
-    "seq_layout",
-    "contam_score",
-    "psl_domains",
-    "card_audit",
-    "lexical_audit",
-    "filter_audit",
-    "activity_audit",
-    "threshold_audit",
-    "url_dedup",
-    "classifier_score",
-    "cross_corpus",
-    "sketch_audit",
-    "ts_audit",
-    "mixture_budget",
-    "ann_lsh",
-    "site_stats_full",
-    "time_weighted_avg",
-    "mix_quality",
-    "triangle_count",
-    "containment",
-    "weighted_sample",
-    "char_entropy",
-    "assoc_rules",
-    "interval_join",
-    "bpe_merges_fast",
-    "dsir_weights",
-    "temperature_resample",
-    "pagerank",
-    "hist_quantiles",
-    "trailing_window",
-    "doc_pack",
-    "embedding_clusters",
-    "minhash_dedup",
-    "dedup_clusters",
-    "pii_scrub",
-    "merge_upsert",
-    "scd2_versions",
-    "conditional_merge",
-    "flag_battery",
-    "fuzzy_dedup",
-    "quantile_coeffs",
-    "lw_model",
-    "last_wins",
-    "json_extract",
-    "dedup_exact",
-    "simhash_pairs",
-    "token_rollup",
 ]
 
 # The driver hard-verifies exactly the first 50 entries; the tail list

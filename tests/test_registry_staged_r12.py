@@ -92,12 +92,22 @@ def test_staged_r12_budget_is_binding(spark):
     assert n == registry_staged_r12._DIVERSITY_BUDGET
 
 
-def test_staged_r12_not_registered_yet():
+def test_staged_swap_landed_r12():
+    # the r12 registration swap happened: each staged row is registered
+    # VERBATIM (same function object, same SQL string) and the rows the
+    # consolidation replaces are retired but importable for the gate
+    sql = registry_staged_r12.build_staged_oracle_sql()
     for name in registry_staged_r12.STAGED_QUERIES:
-        assert name not in registry.SPARK_QUERIES
+        assert (
+            registry.SPARK_QUERIES[name]
+            is registry_staged_r12.STAGED_QUERIES[name]
+        )
+        assert registry.ORACLE_SQL[name] == sql[name]
     for pair in registry_staged_r12.STAGED_REPLACES.values():
         for old in pair:
-            assert old in registry.SPARK_QUERIES
+            assert old not in registry.SPARK_QUERIES
+            assert old in registry.RETIRED_QUERIES
+            assert old in registry.RETIRED_ORACLE_SQL
 
 
 @pytest.mark.parametrize(
@@ -109,7 +119,9 @@ def test_staged_r12_parity_with_replaced_rows(spark, union_name, legs):
     sf = "/root/testdata/sf0.001"
     union_df = registry_staged_r12.STAGED_QUERIES[union_name](spark, sf)
     n_union = union_df.count()
-    n_legs = sum(registry.SPARK_QUERIES[leg](spark, sf).count() for leg in legs)
+    # post-swap the replaced legs live in the retirement map
+    reg = {**registry.SPARK_QUERIES, **registry.RETIRED_QUERIES}
+    n_legs = sum(reg[leg](spark, sf).count() for leg in legs)
     assert n_union == n_legs
     stats = {r["stat"] for r in union_df.select("stat").distinct().collect()}
     # sketch_audit is itself a 2-stat union (hll + cms), so the merged
