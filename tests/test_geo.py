@@ -172,3 +172,37 @@ def test_nearest_site_assignment_and_range_gate(spark):
     assert got[3] == (None, None)  # out of range stays unassigned
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_nearest_site_id_col_keeps_duplicate_points(spark):
+    """With id_col the argmin keys on the id alone: duplicate
+    coordinate rows each keep their output row (VERDICT r11)."""
+    sites = spark.createDataFrame(
+        [("porto_a", 32.60, -25.90)],
+        "site string, site_lon double, site_lat double",
+    )
+    points = spark.createDataFrame(
+        [(1, 32.61, -25.91), (2, 32.61, -25.91)],  # identical coords
+        "pid long, lon double, lat double",
+    )
+    out = geo.nearest_site(points, sites, id_col="pid")
+    rows = {r.pid: r.site for r in out.collect()}
+    assert rows == {1: "porto_a", 2: "porto_a"}
+
+
+def test_nearest_site_exact_tie_breaks_deterministically(spark):
+    """Two sites at the SAME spot: the tie breaks on the kept site
+    columns (struct lexicographic min), not on partition layout
+    (ADVICE r11 #4)."""
+    sites = spark.createDataFrame(
+        [("zulu", 32.60, -25.90), ("alpha", 32.60, -25.90)],
+        "site string, site_lon double, site_lat double",
+    )
+    points = spark.createDataFrame(
+        [(1, 32.61, -25.91)], "pid long, lon double, lat double"
+    )
+    for nparts in (1, 3, 7):
+        out = geo.nearest_site(
+            points.repartition(nparts), sites, id_col="pid"
+        )
+        assert out.first().site == "alpha"

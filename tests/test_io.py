@@ -809,6 +809,41 @@ def test_verify_zone_statuses(spark, tmp_path):
     }
 
 
+def test_zone_manifest_keys_by_relative_path(spark, tmp_path):
+    """partitionBy writes reuse identical part-file basenames across
+    partition dirs; manifest rows must key on the zone-relative path so
+    a deleted partition dir verifies as 'missing', not 'changed'
+    (ADVICE r11 #1)."""
+    import shutil
+
+    df = spark.createDataFrame(
+        [(i, i % 2, f"v{i}") for i in range(40)], "id long, p int, v string"
+    )
+    zone = str(tmp_path / "pz")
+    df.repartition(1).write.partitionBy("p").parquet(zone)
+    manifest = parquet_io.zone_manifest(spark, zone).localCheckpoint()
+    files = sorted(r.file for r in manifest.collect())
+    # one manifest row per partition dir, keyed through it
+    assert len(files) == 2
+    assert files[0].startswith("p=0/") and files[1].startswith("p=1/")
+    assert parquet_io.verify_zone(spark, zone, manifest).count() == 0
+
+    shutil.rmtree(str(tmp_path / "pz" / "p=1"))
+    got = {
+        (r.file, r.status)
+        for r in parquet_io.verify_zone(spark, zone, manifest).collect()
+    }
+    assert got == {(files[1], "missing")}
+
+
+def test_zone_fingerprint_empty_zone_is_identity(spark, tmp_path):
+    """A zero-row snapshot folds to (0, '0') instead of raising on the
+    NULL SUM (ADVICE r11 #2)."""
+    zone = str(tmp_path / "ez")
+    spark.createDataFrame([], "id long, v string").write.parquet(zone)
+    assert parquet_io.zone_fingerprint(spark, zone) == (0, "0")
+
+
 def test_manifest_sidecar_lifecycle(spark, tmp_path):
     zone = str(tmp_path / "zone")
     df = spark.createDataFrame(
