@@ -679,6 +679,16 @@ for _n in _STAGED_PROMOTED_R12:
     SPARK_QUERIES[_n] = registry_staged_r12.STAGED_QUERIES[_n]
     ORACLE_SQL[_n] = _STAGED_SQL_R12[_n]
 
+from . import registry_r12  # noqa: E402
+
+# r12 in-round rows (the registry_r10/r11 precedent): one union made
+# WITHIN the rotating-in set (weights_audit = dsir_weights +
+# temperature_resample, legs verbatim) funds the first hard oracle row
+# for the KMV bottom-k sketch family (kmv_audit — VERDICT r11 Next #4).
+# Head stays 50, registry stays 100.
+SPARK_QUERIES.update(registry_r12.SPARK_QUERIES)
+ORACLE_SQL.update(registry_r12.build_oracle_sql())
+
 # r9 consolidations: every name below is replaced by a union row that
 # calls the SAME query function / wraps the SAME oracle SQL (see
 # registry_staged.STAGED_REPLACES and registry_audit.AUDIT_REPLACES),
@@ -755,7 +765,7 @@ for _n in _REPLACED_R11:
 # discipline).
 _REPLACED_R12 = tuple(
     n for pair in registry_staged_r12.STAGED_REPLACES.values() for n in pair
-)
+) + tuple(n for pair in registry_r12.AUDIT_REPLACES.values() for n in pair)
 for _n in _REPLACED_R12:
     RETIRED_QUERIES[_n] = SPARK_QUERIES.pop(_n)
     RETIRED_ORACLE_SQL[_n] = ORACLE_SQL.pop(_n)
@@ -777,10 +787,18 @@ _VERIFY_FIRST = [
     "audio_audit",
     "sketchfam_audit",
     "video_audit",
-    # r12 rotation: the 46 r11-tail survivors (driver-green in r10,
-    # judge-gated bit-exact in r11; sketch_audit + hist_quantiles
-    # retired into the sketchfam_audit union above) come back to the
-    # head so CORRECTNESS_r12 gives every one a hard driver row.
+    # r12 in-round additions (the registry_r10/r11 precedent): the
+    # weights_audit union consolidates two rotating-in legs
+    # (dsir_weights + temperature_resample), funding the kmv_audit
+    # slot — both never driver-verified.
+    "weights_audit",
+    "kmv_audit",
+    # r12 rotation: the 44 remaining r11-tail survivors (driver-green
+    # in r10, judge-gated bit-exact in r11; sketch_audit +
+    # hist_quantiles retired into the sketchfam_audit union and
+    # dsir_weights + temperature_resample into weights_audit above)
+    # come back to the head so CORRECTNESS_r12 gives every one a hard
+    # driver row.
     "quant_audit",
     "seq_layout",
     "contam_score",
@@ -806,8 +824,6 @@ _VERIFY_FIRST = [
     "assoc_rules",
     "interval_join",
     "bpe_merges_fast",
-    "dsir_weights",
-    "temperature_resample",
     "pagerank",
     "trailing_window",
     "doc_pack",
