@@ -402,6 +402,35 @@ def zone_manifest(
     )
 
 
+def release_fold(df: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Engine-portable release integrity fold: per-group
+    ``(n_rows, content_fp)`` over the md5 row fingerprint of ALL
+    columns sorted by name — the grouped generalization of
+    :func:`zone_fingerprint` (group by source/shard/date instead of by
+    file), and the released-dataset check another engine can replay
+    verbatim: DuckDB's
+    ``SUM(('0x' || substr(md5(key), 1, 15))::BIGINT::HUGEINT)`` over
+    the same parquet produces the identical digit string
+    (``tests/test_io.py::test_md5_fingerprint_fold_duckdb_parity``).
+
+    Addition is exact and commutative on the integer fingerprints, so
+    the fold is partition/order-invariant and map-side combinable —
+    #groups rows of shuffle at any data size.  md5 fingerprints cast
+    columns to string: use on string/integer/date columns (float
+    formatting is engine-dependent — see :func:`row_fingerprint`).
+    """
+    from pyspark.sql import functions as F
+
+    cols = sorted(df.columns)
+    return df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(row_fingerprint(cols, "md5"))
+        .cast("decimal(38,0)")
+        .cast("string")
+        .alias("content_fp"),
+    )
+
+
 def _fold_manifest(manifest: DataFrame) -> tuple[int, str]:
     """Fold a per-file manifest to the whole-zone ``(n_rows, fp)``
     pair.  Bounded collect: one row."""

@@ -322,7 +322,8 @@ def test_dsir_scoring_join_is_broadcast(spark):
     # same posture as unigram_logloss: the vocab-bounded score table
     # broadcasts into the instance-grain join; never a shuffle on the
     # Zipf-skewed token key
-    plan = plan_of(registry.SPARK_QUERIES["dsir_weights"](spark, SF), "simple")
+    # dsir_weights retired into weights_audit at r12 (legs verbatim)
+    plan = plan_of(registry.RETIRED_QUERIES["dsir_weights"](spark, SF), "simple")
     assert "SortMergeJoin" not in plan
     assert "ShuffledHashJoin" not in plan
     assert "BroadcastHashJoin" in plan
@@ -344,8 +345,9 @@ def test_resample_and_dsir_scan_corpus_exactly_twice(spark):
     # checkpointed, so the corpus parquet appears exactly twice per
     # plan: the stat build + the row-grain join. A regression re-runs
     # the corpus aggregate through every downstream lineage branch.
+    # both legs retired into weights_audit at r12 (functions verbatim)
     for name in ("temperature_resample", "dsir_weights"):
-        plan = plan_of(registry.SPARK_QUERIES[name](spark, SF), "formatted")
+        plan = plan_of(registry.RETIRED_QUERIES[name](spark, SF), "formatted")
         assert plan.count("Scan parquet") == 2, name
 
 
@@ -499,7 +501,8 @@ def test_sketch_audit_shares_one_token_corpus(spark):
     """The consolidation's point: both sketches read the SAME
     materialized token corpus (localCheckpoint scan), not two parquet
     re-reads of documents."""
-    plan = plan_of(registry.SPARK_QUERIES["sketch_audit"](spark, SF), "simple")
+    # sketch_audit retired into sketchfam_audit at r12 (legs verbatim)
+    plan = plan_of(registry.RETIRED_QUERIES["sketch_audit"](spark, SF), "simple")
     assert "Scan ExistingRDD" in plan  # the checkpointed token corpus
     assert "documents.parquet" not in plan  # no second corpus scan
 

@@ -132,3 +132,76 @@ def test_staged_r13_corpus_card_retention_semantics(spark):
 def test_staged_r13_not_registered_yet():
     for name in registry_staged_r13.STAGED_QUERIES:
         assert name not in registry.SPARK_QUERIES
+    # every funding-consolidation leg is still a registered row (they
+    # sit in the r12 tail and rotate into the r13 head)
+    for pair in registry_staged_r13.STAGED_REPLACES.values():
+        for old in pair:
+            assert old in registry.SPARK_QUERIES
+
+
+@pytest.mark.parametrize(
+    "union_name,legs", sorted(registry_staged_r13.STAGED_REPLACES.items())
+)
+def test_staged_r13_parity_with_replaced_rows(spark, union_name, legs):
+    """Each consolidation reproduces the registered legs' row counts
+    (1:1-join rows keep each leg's count; stat-tagged unions sum)."""
+    sf = "/root/testdata/sf0.001"
+    union_df = registry_staged_r13.STAGED_QUERIES[union_name](spark, sf)
+    n_union = union_df.count()
+    reg = {**registry.SPARK_QUERIES, **registry.RETIRED_QUERIES}
+    if union_name == "docmeta_audit":
+        for leg in legs:
+            assert n_union == reg[leg](spark, sf).count()
+    else:
+        n_legs = sum(reg[leg](spark, sf).count() for leg in legs)
+        assert n_union == n_legs
+        stats = {
+            r["stat"] for r in union_df.select("stat").distinct().collect()
+        }
+        assert len(stats) == 2
+
+
+def test_staged_r13_nearest_audit_margins():
+    """Cross-engine safety of the trig row: replay the synthesis in
+    pure python and check every candidate distance sits far from (a)
+    the 400 km range gate, (b) the 3dp rounding-grid midpoint, and (c)
+    that every per-point argmin gap is macroscopic — so last-ulp libm
+    differences between Spark's and DuckDB's sin/cos/asin can never
+    flip a decision (the boundary_audit discipline)."""
+    import math
+
+    con = duckdb.connect()
+    keys = [
+        k
+        for sf in ("sf0.001", "sf0.01")
+        for (k,) in con.execute(
+            f"SELECT c_custkey FROM read_parquet('/root/testdata/{sf}/customer.parquet')"
+        ).fetchall()
+    ]
+    con.close()
+    sites = registry_staged_r13.NEAREST_SITES
+    rng = registry_staged_r13._NEAREST_RANGE_M
+    min_gate, min_round, min_gap = 1e18, 1e18, 1e18
+    for k in keys:
+        lon = 30.0 + (k * 37 % 1000) / 100.0
+        lat = -26.0 + (k * 53 % 700) / 50.0
+        ds = []
+        for slon, slat in sites.values():
+            a = (
+                math.sin(math.radians(slat - lat) / 2) ** 2
+                + math.cos(math.radians(lat))
+                * math.cos(math.radians(slat))
+                * math.sin(math.radians(slon - lon) / 2) ** 2
+            )
+            d = 2 * 6371008.8 * math.asin(math.sqrt(a))
+            ds.append(d)
+            min_gate = min(min_gate, abs(d - rng))
+            frac = (d * 1000) % 1
+            min_round = min(min_round, abs(frac - 0.5))
+        in_range = sorted(d for d in ds if d <= rng)
+        if len(in_range) >= 2:
+            min_gap = min(min_gap, in_range[1] - in_range[0])
+    # worst-case cross-engine libm drift on this chain is << 1e-6 m
+    assert min_gate > 1e-3, min_gate
+    assert min_round > 1e-6, min_round
+    assert min_gap > 1e-3, min_gap
