@@ -477,3 +477,71 @@ class TestDensityFeatures:
         )
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
         assert "Exchange" not in plan
+
+
+class TestMainContent:
+    CHROME_PAGE = (
+        "<html><head><title>T</title><script>var x=1;</script></head>"
+        "<body>"
+        "<ul>"
+        + "".join(
+            f'<li class="nav"><a href="/s/{i}">Section {i}</a></li>'
+            for i in range(12)
+        )
+        + "</ul>"
+        "<p>Fishing effort in the northern districts rose steadily over "
+        "the last decade, driven by motorized vessels and new landing "
+        "sites along the coast.</p>"
+        "<p>Catch composition shifted toward small pelagics as reef "
+        "stocks declined, see <a href=\"/ref\">the annex</a> for "
+        "details on species-level trends.</p>"
+        "<div>ok</div>"
+        "<div class=\"footer\">"
+        + "".join(f'<a href="/f/{i}">Footer link {i}</a> ' for i in range(8))
+        + "</div></body></html>"
+    )
+
+    def test_blocks_drop_nav_and_footer_keep_prose(self, spark):
+        df = spark.createDataFrame(
+            [(1, self.CHROME_PAGE)], "doc_id long, text string"
+        )
+        main = H.extract_main_content(df).first().main_text
+        assert "Fishing effort in the northern districts" in main
+        assert "species-level trends" in main  # prose with an inline link kept
+        assert "Section 3" not in main  # nav chrome dropped
+        assert "Footer link" not in main  # link farm dropped
+        assert "ok" not in main.split("\n")  # sub-min_chars junk dropped
+        assert "var x=1" not in main
+
+    def test_retention_delta_vs_whole_page(self, spark):
+        """The measured point of the block filter: on a chrome-heavy
+        page it keeps the prose but sheds most boilerplate chars."""
+        df = spark.createDataFrame(
+            [(1, self.CHROME_PAGE)], "doc_id long, text string"
+        )
+        whole = df.select(H.strip_html("text").alias("t")).first().t
+        main = H.extract_main_content(df).first().main_text
+        prose_chars = len(main)
+        assert 0.3 < prose_chars / len(whole) < 0.8  # real reduction
+        # everything kept is prose: both paragraphs survive verbatim
+        assert main.count("\n") == 1
+
+    def test_thresholds_are_dials(self, spark):
+        df = spark.createDataFrame(
+            [(1, self.CHROME_PAGE)], "doc_id long, text string"
+        )
+        # loosening the dials converges back to whole-page text
+        loose = H.extract_main_content(
+            df, max_link_density=1.0, min_chars=1
+        ).first().main_text
+        assert "Section 3" in loose and "ok" in loose.split("\n")
+
+    def test_main_content_stays_jvm_side(self, spark):
+        df = spark.createDataFrame(
+            [(1, self.CHROME_PAGE)], "doc_id long, text string"
+        )
+        out = H.extract_main_content(df)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+        assert out.first().main_text  # and it actually renders

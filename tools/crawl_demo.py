@@ -115,10 +115,31 @@ def main() -> int:
             if z in out:
                 print(f"{z:<18}", spark.read.parquet(out[z]).count())
 
+        # --- main-content extraction: block-level boilerplate filter ----
+        # retention delta vs whole-page extraction on the same markup
+        # (the hub page is chrome-heavy: its link list drops, the prose
+        # paragraph survives)
+        ingested = spark.read.parquet(out["corpus_ingested"])
+        dens = html.extract_main_content(ingested, html_col="text").select(
+            "url",
+            F.length(html.strip_html("text")).alias("whole_chars"),
+            F.length("main_text").alias("main_chars"),
+        )
+        ret = dens.agg(
+            F.sum("whole_chars").alias("w"), F.sum("main_chars").alias("m")
+        ).first()
+        hub = dens.filter(F.col("url").contains("hub")).first()
+        print(
+            f"main-content retention: {ret.m}/{ret.w} chars "
+            f"({ret.m / ret.w:.1%}); hub page "
+            f"{hub.main_chars}/{hub.whole_chars} "
+            f"({hub.main_chars / hub.whole_chars:.1%} — nav chrome shed)"
+        )
+        assert hub.main_chars < hub.whole_chars
+
         # --- frontier path: links + robots + sitemaps -------------------
         # links come from the ingested MARKUP (the extracted zone holds
         # clean text by design)
-        ingested = spark.read.parquet(out["corpus_ingested"])
         edges = html.link_edges(ingested, html_col="text", url_col="url")
         hg = html.host_link_graph(edges)
         sym = hg.select("src", "dst").unionByName(
