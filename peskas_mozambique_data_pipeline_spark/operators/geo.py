@@ -31,33 +31,57 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 RING_SCHEMA = "type string, coordinates array<array<array<double>>>"
+MULTI_SCHEMA = "type string, coordinates array<array<array<array<double>>>>"
+
+
+def _to_ring(ring: Column) -> Column:
+    return F.transform(
+        ring,
+        lambda p: F.struct(
+            F.element_at(p, 1).alias("x"), F.element_at(p, 2).alias("y")
+        ),
+    )
 
 
 def polygon_ring(geometry_json: str | Column) -> Column:
     """Outer ring of a GeoJSON Polygon geometry string as
     ``array<struct<x double, y double>>`` (RFC 7946: first ring is the
-    exterior; [x, y] = [lon, lat]).  NULL for non-Polygon geometries."""
+    exterior; [x, y] = [lon, lat]).  NULL for non-Polygon geometries.
+    Holes/MultiPolygons: use :func:`polygon_rings`."""
     g = F.col(geometry_json) if isinstance(geometry_json, str) else geometry_json
     parsed = F.from_json(g, RING_SCHEMA)
     ring = F.element_at(parsed["coordinates"], 1)
-    return F.when(
-        parsed["type"] == "Polygon",
+    return F.when(parsed["type"] == "Polygon", _to_ring(ring))
+
+
+def polygon_rings(geometry_json: str | Column) -> Column:
+    """ALL rings of a GeoJSON Polygon or MultiPolygon as
+    ``array<array<struct<x, y>>>`` — exterior(s) AND holes flattened
+    together (RFC 7946 §3.1.6/3.1.7).  Under the even-odd rule the
+    distinction is immaterial: a point inside a hole crosses the outer
+    ring an odd number of times and the hole ring an odd number more —
+    even total, outside — so one parity over every ring implements
+    Polygon-with-holes and MultiPolygon exactly.  NULL for other
+    geometry types."""
+    g = F.col(geometry_json) if isinstance(geometry_json, str) else geometry_json
+    parsed = F.from_json(g, RING_SCHEMA)
+    mparsed = F.from_json(g, MULTI_SCHEMA)
+    poly = F.transform(parsed["coordinates"], _to_ring)
+    multi = F.flatten(
         F.transform(
-            ring,
-            lambda p: F.struct(
-                F.element_at(p, 1).alias("x"), F.element_at(p, 2).alias("y")
-            ),
-        ),
+            mparsed["coordinates"],
+            lambda rings: F.transform(rings, _to_ring),
+        )
+    )
+    return F.when(parsed["type"] == "Polygon", poly).when(
+        mparsed["type"] == "MultiPolygon", multi
     )
 
 
-def point_in_polygon(px: Column, py: Column, ring: Column) -> Column:
-    """Even-odd ray cast: true iff the +x ray from (px, py) crosses an
-    odd number of ring edges.  Works for open or closed rings (the
-    closing edge last→first is always included; a duplicated closing
-    vertex contributes a degenerate edge that never crosses) and for
-    concave polygons.  One ``aggregate`` over edge indexes — pure
-    codegen arithmetic."""
+def _ring_crossings(px: Column, py: Column, ring: Column) -> Column:
+    """Count of +x-ray/edge crossings for one ring — the even-odd
+    kernel shared by :func:`point_in_polygon` (one-ring parity) and
+    :func:`point_in_rings` (summed parity)."""
     n = F.size(ring)
 
     def edge_crosses(i: Column) -> Column:
@@ -69,13 +93,36 @@ def point_in_polygon(px: Column, py: Column, ring: Column) -> Column:
         x_at_y = (xb - xa) * (py - ya) / (yb - ya) + xa
         return straddles & (px < x_at_y)
 
-    crossings = F.aggregate(
+    return F.aggregate(
         F.sequence(F.lit(0), n - 1),
         F.lit(0),
         lambda acc, i: acc
         + F.when(edge_crosses(i), F.lit(1)).otherwise(F.lit(0)),
     )
-    return crossings % 2 == 1
+
+
+def point_in_polygon(px: Column, py: Column, ring: Column) -> Column:
+    """Even-odd ray cast: true iff the +x ray from (px, py) crosses an
+    odd number of ring edges.  Works for open or closed rings (the
+    closing edge last→first is always included; a duplicated closing
+    vertex contributes a degenerate edge that never crosses) and for
+    concave polygons.  One ``aggregate`` over edge indexes — pure
+    codegen arithmetic."""
+    return _ring_crossings(px, py, ring) % 2 == 1
+
+
+def point_in_rings(px: Column, py: Column, rings: Column) -> Column:
+    """Even-odd ray cast over a ring SET (:func:`polygon_rings`):
+    true iff the total crossing count over every ring is odd — the
+    RFC 7946-complete containment test (holes excluded, any
+    MultiPolygon part included).  Nested ``aggregate`` — still pure
+    codegen arithmetic, no UDF."""
+    total = F.aggregate(
+        rings,
+        F.lit(0),
+        lambda acc, ring: acc + _ring_crossings(px, py, ring),
+    )
+    return total % 2 == 1
 
 
 EARTH_RADIUS_M = 6_371_008.8  # IUGG mean radius
@@ -157,34 +204,41 @@ def assign_regions(
     geometry_col: str = "geometry_json",
     keep_region_cols: list[str] | None = None,
 ) -> DataFrame:
-    """Left-join each point to the region polygon containing it:
-    broadcast the (small) region dim with its parsed ring + bbox, bbox-
-    prefilter, then the exact ray cast.  Points in no region keep NULL
-    region columns; a point on a shared border matches by each ring's
-    own parity (at most one of two adjacent half-open rings).
+    """Left-join each point to the region geometry containing it:
+    broadcast the (small) region dim with its parsed ring set + bbox,
+    bbox-prefilter, then the exact ray cast.  Handles GeoJSON Polygon
+    (with holes) AND MultiPolygon via :func:`point_in_rings` — a point
+    in a hole stays unassigned, any MultiPolygon part assigns.  Points
+    in no region keep NULL region columns; a point on a shared border
+    matches by each geometry's own parity (at most one of two adjacent
+    half-open rings).
 
     ``keep_region_cols`` defaults to every non-geometry region column.
     """
     keep = keep_region_cols or [
         c for c in regions.columns if c != geometry_col
     ]
-    ring = polygon_ring(F.col(geometry_col))
+    rings = polygon_rings(F.col(geometry_col))
+    # bbox over every vertex of every ring (holes lie inside the
+    # exterior, so this is the exterior bbox; MultiPolygon gets the
+    # overall bbox — a coarser but correct prefilter)
+    allpts = F.flatten(rings)
     dim = regions.select(
         *keep,
-        ring.alias("_ring"),
-        F.array_min(F.transform(ring, lambda p: p["x"])).alias("_xmin"),
-        F.array_max(F.transform(ring, lambda p: p["x"])).alias("_xmax"),
-        F.array_min(F.transform(ring, lambda p: p["y"])).alias("_ymin"),
-        F.array_max(F.transform(ring, lambda p: p["y"])).alias("_ymax"),
-    ).filter(F.col("_ring").isNotNull())
+        rings.alias("_rings"),
+        F.array_min(F.transform(allpts, lambda p: p["x"])).alias("_xmin"),
+        F.array_max(F.transform(allpts, lambda p: p["x"])).alias("_xmax"),
+        F.array_min(F.transform(allpts, lambda p: p["y"])).alias("_ymin"),
+        F.array_max(F.transform(allpts, lambda p: p["y"])).alias("_ymax"),
+    ).filter(F.col("_rings").isNotNull())
     px, py = F.col(x_col), F.col(y_col)
     cond = (
         (px >= F.col("_xmin"))
         & (px <= F.col("_xmax"))
         & (py >= F.col("_ymin"))
         & (py <= F.col("_ymax"))
-        & point_in_polygon(px, py, F.col("_ring"))
+        & point_in_rings(px, py, F.col("_rings"))
     )
     return points.join(F.broadcast(dim), on=cond, how="left").drop(
-        "_ring", "_xmin", "_xmax", "_ymin", "_ymax"
+        "_rings", "_xmin", "_xmax", "_ymin", "_ymax"
     )

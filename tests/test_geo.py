@@ -206,3 +206,51 @@ def test_nearest_site_exact_tie_breaks_deterministically(spark):
             points.repartition(nparts), sites, id_col="pid"
         )
         assert out.first().site == "alpha"
+
+
+def test_assign_regions_polygon_with_hole(spark):
+    """Even-odd over the full ring set: a point inside a hole is
+    OUTSIDE the region; points between the hole and the exterior are
+    inside (RFC 7946 §3.1.6)."""
+    import json
+
+    donut = json.dumps({
+        "type": "Polygon",
+        "coordinates": [
+            [[0.0, 0.0], [10.0, 0.0], [10.0, 10.0], [0.0, 10.0], [0.0, 0.0]],
+            [[4.0, 4.0], [6.0, 4.0], [6.0, 6.0], [4.0, 6.0], [4.0, 4.0]],
+        ],
+    })
+    regions = spark.createDataFrame(
+        [("donut", donut)], "region string, geometry_json string"
+    )
+    points = spark.createDataFrame(
+        [(1, 2.0, 2.0), (2, 5.0, 5.0), (3, 11.0, 5.0)],
+        "pid long, lon double, lat double",
+    )
+    got = {r.pid: r.region for r in geo.assign_regions(points, regions).collect()}
+    assert got == {1: "donut", 2: None, 3: None}
+
+
+def test_assign_regions_multipolygon(spark):
+    """Any MultiPolygon part assigns; the gap between parts does not."""
+    import json
+
+    two_parts = json.dumps({
+        "type": "MultiPolygon",
+        "coordinates": [
+            [[[0.0, 0.0], [2.0, 0.0], [2.0, 2.0], [0.0, 2.0], [0.0, 0.0]]],
+            [[[8.0, 8.0], [9.0, 8.0], [9.0, 9.0], [8.0, 9.0], [8.0, 8.0]]],
+        ],
+    })
+    regions = spark.createDataFrame(
+        [("arch", two_parts)], "region string, geometry_json string"
+    )
+    points = spark.createDataFrame(
+        [(1, 1.0, 1.0), (2, 8.5, 8.5), (3, 5.0, 5.0)],
+        "pid long, lon double, lat double",
+    )
+    got = {r.pid: r.region for r in geo.assign_regions(points, regions).collect()}
+    assert got == {1: "arch", 2: "arch", 3: None}
+    plan = geo.assign_regions(points, regions)._jdf.queryExecution()
+    assert "BatchEvalPython" not in plan.executedPlan().toString()
