@@ -964,10 +964,16 @@ def cluster_balanced_sample(
     """
     from .similarity import assign_to_centroids
 
-    assign = assign_to_centroids(
-        docs.select(id_col, vec_col), centroids, corpus_id=id_col, vec_col=vec_col
-    ).select(id_col, "centroid_id")
-    scored = assign.join(docs.select(id_col, quality_col), id_col)
+    # quality rides THROUGH the assignment (carry_cols) instead of a
+    # corpus re-join by id: one scan + zero extra shuffle for data the
+    # assignment window already held (scan_audit r12)
+    scored = assign_to_centroids(
+        docs.select(id_col, vec_col, quality_col),
+        centroids,
+        corpus_id=id_col,
+        vec_col=vec_col,
+        carry_cols=[quality_col],
+    ).select(id_col, "centroid_id", quality_col)
 
     # the C-row counts frame fans out to four consumers (tot, quota,
     # qsum, alloc) — without a cut Catalyst re-derives the full

@@ -17,6 +17,8 @@ the DuckDB oracle exploits that.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -87,6 +89,7 @@ def assign_to_centroids(
     centroids: DataFrame,
     corpus_id: str = "vec_id",
     vec_col: str = "embedding",
+    carry_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Nearest-centroid assignment — the IVF posting-list membership
     rule, shared verbatim by the index BUILD (each Lloyd iteration) and
@@ -98,10 +101,18 @@ def assign_to_centroids(
     per-row top-1 window on the corpus id (each partition holds whole
     id-groups of C rows — no skew), ties broken on ``centroid_id`` so
     the assignment is total and engine-reproducible.
+
+    ``carry_cols`` ride corpus columns through the assignment so a
+    caller needing them downstream (quality scores, lengths) doesn't
+    re-join the corpus by id — at 100 TB that re-join is a second
+    corpus scan plus a corpus-sized shuffle for data the window pass
+    already held.
     """
+    carry = list(carry_cols)
     scored = corpus.crossJoin(F.broadcast(centroids)).select(
         F.col(corpus_id),
         F.col(vec_col),
+        *[F.col(c) for c in carry],
         F.col("centroid_id"),
         _dot(F.col(vec_col), F.col("centroid")).alias("_sim"),
         (_norm(F.col(vec_col)) * _norm(F.col("centroid"))).alias("_nn"),
@@ -112,7 +123,7 @@ def assign_to_centroids(
     return (
         scored.withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") == 1)
-        .select(corpus_id, vec_col, "centroid_id")
+        .select(corpus_id, vec_col, *carry, "centroid_id")
     )
 
 
