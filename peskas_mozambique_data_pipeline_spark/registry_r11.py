@@ -100,15 +100,42 @@ FROM b
 
 # ---------------------------------------------------------------------------
 # geo_assign — ray-cast region assignment under the hard oracle.
+# r12 upgrade: the fixture now exercises the FULL RFC 7946 surface the
+# operator gained (operators/geo.py::polygon_rings/point_in_rings) —
+# north carries a HOLE (points inside it must stay unassigned) and the
+# new "isles" region is a two-part MultiPolygon — so the summed
+# multi-ring crossing parity sits under the driver hash, not just the
+# single-ring case.
 
-# ONE source of truth for the fixture rings, rendered into both engines.
-GEO_RINGS: dict[str, list[tuple[float, float]]] = {
-    "north": [(31.0, -16.0), (39.0, -16.0), (39.0, -12.5), (31.0, -12.5)],
-    "south_c": [
-        (30.5, -25.5), (38.0, -25.5), (38.0, -23.0), (33.0, -23.0),
-        (33.0, -20.0), (38.0, -20.0), (38.0, -18.0), (30.5, -18.0),
-    ],
-    "east_tri": [(38.5, -22.0), (39.9, -24.0), (39.9, -20.0)],
+# ONE source of truth for the fixture ring sets, rendered into both
+# engines: region name → (geojson type, list of rings).
+GEO_RINGS: dict[str, tuple[str, list[list[tuple[float, float]]]]] = {
+    "north": (
+        "Polygon",
+        [
+            [(31.0, -16.0), (39.0, -16.0), (39.0, -12.5), (31.0, -12.5)],
+            # the hole: a lake in the middle of the north block
+            [(34.0, -15.0), (36.0, -15.0), (36.0, -13.5), (34.0, -13.5)],
+        ],
+    ),
+    "south_c": (
+        "Polygon",
+        [[
+            (30.5, -25.5), (38.0, -25.5), (38.0, -23.0), (33.0, -23.0),
+            (33.0, -20.0), (38.0, -20.0), (38.0, -18.0), (30.5, -18.0),
+        ]],
+    ),
+    "east_tri": (
+        "Polygon",
+        [[(38.5, -22.0), (39.9, -24.0), (39.9, -20.0)]],
+    ),
+    "isles": (
+        "MultiPolygon",
+        [
+            [(30.2, -17.4), (32.2, -17.4), (32.2, -16.4), (30.2, -16.4)],
+            [(38.6, -17.4), (39.8, -17.4), (39.8, -16.4), (38.6, -16.4)],
+        ],
+    ),
 }
 
 
@@ -124,22 +151,19 @@ def q_geo_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(30.0) + (F.col("c_custkey") * 37 % 1000) / 100.0).alias("lon"),
         (F.lit(-26.0) + (F.col("c_custkey") * 53 % 700) / 50.0).alias("lat"),
     )
+
+    def _close(ring):
+        return [[x, y] for x, y in ring] + [[ring[0][0], ring[0][1]]]
+
+    rows = []
+    for name, (gtype, rings) in GEO_RINGS.items():
+        if gtype == "Polygon":
+            coords = [_close(r) for r in rings]
+        else:  # MultiPolygon: each ring is its own single-ring part
+            coords = [[_close(r)] for r in rings]
+        rows.append((name, json.dumps({"type": gtype, "coordinates": coords})))
     regions = spark.createDataFrame(
-        [
-            (
-                name,
-                json.dumps(
-                    {
-                        "type": "Polygon",
-                        "coordinates": [
-                            [[x, y] for x, y in ring] + [[ring[0][0], ring[0][1]]]
-                        ],
-                    }
-                ),
-            )
-            for name, ring in GEO_RINGS.items()
-        ],
-        "region string, geometry_json string",
+        rows, "region string, geometry_json string"
     )
     out = assign_regions(points, regions)
     return out.select("pid", "lon", "lat", F.col("region").cast(_S).alias("region"))
@@ -147,20 +171,37 @@ def q_geo_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sql_geo_assign() -> str:
     region_rows = []
-    for name, ring in GEO_RINGS.items():
-        ring_sql = (
+    for name, (_gtype, rings) in GEO_RINGS.items():
+        rings_sql = (
             "["
-            + ", ".join(f"{{'x': {x!r}, 'y': {y!r}}}" for x, y in ring)
-            + "]::STRUCT(x DOUBLE, y DOUBLE)[]"
+            + ", ".join(
+                "["
+                + ", ".join(f"{{'x': {x!r}, 'y': {y!r}}}" for x, y in ring)
+                + "]"
+                for ring in rings
+            )
+            + "]::STRUCT(x DOUBLE, y DOUBLE)[][]"
         )
-        xs = [x for x, _ in ring]
-        ys = [y for _, y in ring]
+        xs = [x for ring in rings for x, _ in ring]
+        ys = [y for ring in rings for _, y in ring]
         region_rows.append(
-            f"SELECT '{name}' AS region, {ring_sql} AS r, "
+            f"SELECT '{name}' AS region, {rings_sql} AS rs, "
             f"{min(xs)!r} AS xmin, {max(xs)!r} AS xmax, "
             f"{min(ys)!r} AS ymin, {max(ys)!r} AS ymax"
         )
     regions = " UNION ALL ".join(region_rows)
+    # summed crossing parity over EVERY ring of the region (holes and
+    # MultiPolygon parts alike) — exactly point_in_rings
+    cross_one = (
+        "list_reduce(list_transform(generate_series(1, len(rr)), i -> "
+        "CASE WHEN ((rr[i].y > p.lat) "
+        "!= (rr[CASE WHEN i = len(rr) THEN 1 ELSE i + 1 END].y > p.lat)) "
+        "AND (p.lon < "
+        "(rr[CASE WHEN i = len(rr) THEN 1 ELSE i + 1 END].x - rr[i].x) "
+        "* (p.lat - rr[i].y) "
+        "/ (rr[CASE WHEN i = len(rr) THEN 1 ELSE i + 1 END].y - rr[i].y) "
+        "+ rr[i].x) THEN 1 ELSE 0 END), (a, b) -> a + b)"
+    )
     return f"""
 WITH points AS (
   SELECT c_custkey AS pid,
@@ -175,15 +216,7 @@ hits AS (
   WHERE p.lon >= r.xmin AND p.lon <= r.xmax
     AND p.lat >= r.ymin AND p.lat <= r.ymax
     AND list_reduce(
-          list_transform(generate_series(1, len(r.r)), i ->
-            CASE WHEN ((r.r[i].y > p.lat)
-                       != (r.r[CASE WHEN i = len(r.r) THEN 1 ELSE i + 1 END].y > p.lat))
-                  AND (p.lon <
-                       (r.r[CASE WHEN i = len(r.r) THEN 1 ELSE i + 1 END].x - r.r[i].x)
-                       * (p.lat - r.r[i].y)
-                       / (r.r[CASE WHEN i = len(r.r) THEN 1 ELSE i + 1 END].y - r.r[i].y)
-                       + r.r[i].x)
-                 THEN 1 ELSE 0 END),
+          list_transform(r.rs, rr -> {cross_one}),
           (a, b) -> a + b) % 2 = 1
 )
 SELECT p.pid, p.lon, p.lat, CAST(h.region AS VARCHAR) AS region

@@ -46,7 +46,8 @@ def test_r11_inround_swap_landed():
 
 
 def test_geo_assign_semantics(spark):
-    # sf0.01: 1500 points — enough to land in the thin triangle too
+    # sf0.01: 1500 points — enough to land in the thin triangle, the
+    # hole and both MultiPolygon parts
     sf = "/root/testdata/sf0.01"
     out = registry_r11.q_geo_assign(spark, sf)
     rows = out.collect()
@@ -57,7 +58,7 @@ def test_geo_assign_semantics(spark):
         by_region.setdefault(r.region, 0)
         by_region[r.region] += 1
     # every fixture region catches some points, and gaps leave NULLs
-    assert set(by_region) == {"north", "south_c", "east_tri", None}
+    assert set(by_region) == {"north", "south_c", "east_tri", "isles", None}
     # the concave notch (the C's mouth): strictly inside its bbox but
     # outside the ring — every such point must be unassigned
     probe = [
@@ -65,3 +66,15 @@ def test_geo_assign_semantics(spark):
         if 33.1 < r.lon < 37.9 and -22.9 < r.lat < -20.1
     ]
     assert probe and all(r.region is None for r in probe)
+    # the hole in north: inside the exterior bbox, even crossing
+    # parity — unassigned (the r12 ring-set upgrade)
+    hole = [
+        r for r in rows
+        if 34.05 < r.lon < 35.95 and -14.95 < r.lat < -13.55
+    ]
+    assert hole and all(r.region is None for r in hole)
+    # both MultiPolygon parts assign to the same region name
+    west = [r for r in rows if 30.25 < r.lon < 32.15 and -17.35 < r.lat < -16.45]
+    east = [r for r in rows if 38.65 < r.lon < 39.75 and -17.35 < r.lat < -16.45]
+    assert west and east
+    assert all(r.region == "isles" for r in west + east)
