@@ -25,20 +25,18 @@ from pyspark.sql import functions as F
 from peskas_mozambique_data_pipeline_spark import registry, registry_audit
 
 
-def test_r11_window_arithmetic():
-    # r11 swap: 97 - 8 (four union pairs) + 4 unions + 5 new = 98;
-    # head = 9 never-driver-verified r11 rows + 2 r10 holdovers
-    # (lang_segment, drift_audit) + 39 tail survivors = 50
+def test_r12_window_arithmetic():
+    # r12 swap: 98 - 2 (sketch pair) + 1 union + 3 new = 100, then the
+    # in-round pair (weights_audit union funds kmv_audit) keeps 100;
+    # head = 6 never-driver-verified r12 rows + 44 tail survivors = 50
     names = list(registry.SPARK_QUERIES)
-    assert len(names) == 98
-    assert len(set(names)) == 98
+    assert len(names) == 100
+    assert len(set(names)) == 100
     assert set(registry.ORACLE_SQL) == set(names)
     head = names[:50]
     new_rows = [
-        "governance_audit", "neardup_audit", "lexstats_audit",
-        "ivf_audit", "fetch_audit", "html_extract", "link_graph",
-        "crawl_audit", "image_dups", "summary_audit", "geo_assign",
-        "lang_segment", "drift_audit",
+        "diversity_sample", "audio_audit", "sketchfam_audit",
+        "video_audit", "weights_audit", "kmv_audit",
     ]
     assert head[: len(new_rows)] == new_rows
 
