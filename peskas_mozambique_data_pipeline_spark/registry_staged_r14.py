@@ -1,0 +1,130 @@
+"""Round-14 STAGED registry row — pre-staged two rounds out because
+its evidence is ready now (the NOTES pre-staging recipe; the registry
+sits AT the 100 ceiling, so this row registers only with a funding
+consolidation chosen by the session that can see the r14 tail).
+
+* ``main_content_audit`` puts the block-level boilerplate filter
+  (``operators/html.py::extract_main_content`` — the jusText-lite
+  per-block min-chars + max-link-density keep rule, VERDICT r11
+  Next #8) under the hard oracle by the ``html_extract`` ROUND-TRIP
+  discipline: each document's text is entity-encoded and wrapped in a
+  chrome-heavy page template (title, script, a nav list of 3+id%3
+  all-anchor items, the prose block with one inline link, a
+  sub-min-chars junk block, an all-anchor footer).  The template makes
+  every chrome block's keep decision STRUCTURAL (all-anchor text →
+  link share 1.0 > 0.5 regardless of id digits; 'ok' is always
+  sub-min-chars; the title block is short), so the only DATA-dependent
+  decision is the prose block's own min-chars gate (raised to 70 so
+  real corpus texts sit on BOTH sides at every SF) — which the oracle
+  REPLAYS (``length >= 70`` over the same whitespace-normalized
+  rendering) together with its link-density comparison in plain SQL,
+  never parsing HTML.  The rendered prose is stated analytically
+  (text ‖ the inline-link tail with the tag-strip double spaces, run
+  through the SAME five-rule whitespace chain in DuckDB — the shared
+  Java/RE2 regex subset).  A second verified column counts the
+  rendered blocks (K+4, analytic), pinning the splitter itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_S = "string"
+_L = "long"
+
+
+def q_main_content_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import html as html_ops
+    from .session import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast(_S)
+    enc = F.replace(
+        F.replace(
+            F.replace(F.col("text"), F.lit("&"), F.lit("&amp;")),
+            F.lit("<"),
+            F.lit("&lt;"),
+        ),
+        F.lit(">"),
+        F.lit("&gt;"),
+    )
+    # 3 + id%3 nav items, every one pure anchor text (link share 1.0)
+    nav = F.aggregate(
+        F.sequence(F.lit(0), (F.col("doc_id") % 3 + 2).cast("int")),
+        F.lit(""),
+        lambda acc, i: F.concat(
+            acc,
+            F.lit('<li class="nav"><a href="/s/'),
+            i.cast(_S),
+            F.lit('">Navigation section '),
+            sid,
+            F.lit(" number "),
+            i.cast(_S),
+            F.lit(" link</a></li>"),
+        ),
+    )
+    page = F.concat(
+        F.lit("<html><head><title>T "),
+        sid,
+        F.lit('</title><script>var x = "<p>no</p>";</script></head><body><ul>'),
+        nav,
+        F.lit("</ul><p>"),
+        enc,
+        F.lit(' see <a href="/r">annex '),
+        (F.col("doc_id") % 5).cast(_S),
+        F.lit("</a> now.</p><div>ok</div>"),
+        F.lit('<div class="f"><a href="/f">Footer farm of pure anchor text '),
+        sid,
+        F.lit(" with plenty of characters</a></div></body></html>"),
+    )
+    pages = docs.select("doc_id", page.alias("text"))
+    # min_chars raised to 70 so the prose gate is DATA-dependent at
+    # every SF (the corpus holds 47..52-char texts that must drop)
+    out = html_ops.extract_main_content(pages, html_col="text", min_chars=70)
+    n_blocks = F.size(html_ops.block_texts(F.col("text")))
+    return out.select(
+        F.col("doc_id").cast(_L).alias("doc_id"),
+        F.col("main_text").cast(_S).alias("main_text"),
+        n_blocks.cast(_L).alias("n_blocks"),
+    )
+
+
+# the SAME five-rule whitespace chain as the html_extract oracle
+_WS = (
+    "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+    "regexp_replace({x}, '[ \\t\\r\\f]+', ' ', 'g'), ' ?\\n ?', chr(10), 'g'),"
+    " '\\n+', chr(10), 'g'), '^[\\s]+', ''), '[\\s]+$', '')"
+)
+
+SQL_MAIN_CONTENT_AUDIT = f"""
+WITH rendered AS (
+  SELECT doc_id,
+         {_WS.format(x="text || ' see  annex ' || CAST(doc_id % 5 AS VARCHAR) || '  now.'")}
+           AS prose,
+         CAST(length('annex ' || CAST(doc_id % 5 AS VARCHAR)) AS BIGINT)
+           AS link_chars,
+         CAST(3 + doc_id % 3 AS BIGINT) AS k_nav
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CASE WHEN length(prose) >= 70
+                 AND link_chars <= length(prose) * 0.5
+            THEN prose ELSE '' END AS main_text,
+       -- title + k_nav all-anchor items + prose + 'ok' junk + footer
+       CAST(k_nav + 4 AS BIGINT) AS n_blocks
+FROM rendered
+"""
+
+
+STAGED_QUERIES = {
+    "main_content_audit": q_main_content_audit,
+}
+
+
+def build_staged_oracle_sql() -> dict[str, str]:
+    return {"main_content_audit": SQL_MAIN_CONTENT_AUDIT}
+
+
+# funding consolidation chosen at r13/r14 close (see module docstring)
+STAGED_REPLACES: dict[str, tuple[str, str]] = {}
