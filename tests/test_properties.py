@@ -879,3 +879,73 @@ def test_point_in_polygon_matches_python_twin(spark, verts, pts):
     }
     want = {i: twin(float(x), float(y)) for i, (x, y) in enumerate(pts)}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Main-content extraction ≡ python twin (the ray-cast twin discipline
+# applied to the r12 block filter): arbitrary well-formed block soups
+# must classify exactly like a scalar re-based replay of the same
+# strip/split/decode/normalize/threshold chain.
+
+_TWIN_BLOCK_SPLIT = (
+    r"(?i)</?(?:p|div|h[1-6]|li|ul|ol|dl|dt|dd|tr|table|br|hr|blockquote"
+    r"|pre|section|article|aside|nav|header|footer|form|figure|figcaption"
+    r"|title|option|select|textarea)\b[^>]*>"
+)
+
+
+def _twin_ws(s):
+    import re
+
+    s = re.sub(r"[ \t\r\f]+", " ", s)
+    s = re.sub(r" ?\n ?", "\n", s)
+    s = re.sub(r"\n+", "\n", s)
+    return re.sub(r"[\s]+$", "", re.sub(r"^[\s]+", "", s))
+
+
+def _twin_main(page, min_chars, max_ld):
+    import re
+
+    h = re.sub(r"(?s)<!--.*?-->", "", page)
+    h = re.sub(r"(?is)<script\b[^>]*>.*?</script>", "", h)
+    h = re.sub(r"(?is)<style\b[^>]*>.*?</style>", "", h)
+    kept = []
+    for frag in re.split(_TWIN_BLOCK_SPLIT, h):
+        text = _twin_ws(re.sub(r"(?s)<[^>]*>", " ", frag))
+        if not text:
+            continue
+        inner = "\n".join(re.findall(r"(?is)<a\b[^>]*>(.*?)</a>", frag))
+        link_chars = len(_twin_ws(re.sub(r"(?s)<[^>]*>", " ", inner)))
+        if len(text) >= min_chars and link_chars <= len(text) * max_ld:
+            kept.append(text)
+    return "\n".join(kept)
+
+
+_words = st.text(alphabet="abcdef gh", min_size=1, max_size=40)
+
+
+@SET
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["prose", "linky", "junk"]), _words, _words),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_extract_main_content_matches_python_twin(spark, blocks):
+    from peskas_mozambique_data_pipeline_spark.operators import html as H
+
+    parts = []
+    for kind, a, b in blocks:
+        if kind == "prose":
+            parts.append(f'<p>{a} <a href="/x">{b}</a> tail</p>')
+        elif kind == "linky":
+            parts.append(f'<li><a href="/y">{a}</a></li>')
+        else:
+            parts.append(f"<div>{a}</div>")
+    page = "<html><body>" + "".join(parts) + "</body></html>"
+    df = spark.createDataFrame([(1, page)], "doc_id long, text string")
+    got = H.extract_main_content(
+        df, min_chars=8, max_link_density=0.5
+    ).first().main_text
+    assert got == _twin_main(page, 8, 0.5)
