@@ -975,3 +975,50 @@ def test_md5_fingerprint_fold_duckdb_parity(spark):
     )
     con.close()
     assert got == want and len(got) >= 2
+
+
+def test_row_diff_statuses_and_multiset_semantics(spark):
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, "d", 40), (4, "d", 40)],
+        "id long, v string, n long",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10),            # unchanged -> absent from the diff
+         (2, "B", 20),            # changed value
+         (4, "d", 40),            # one of the duplicate pair dropped
+         (5, "e", 50)],           # added key
+        "id long, v string, n long",
+    )
+    got = {(r.id, r.status) for r in parquet_io.row_diff(old, new, ["id"]).collect()}
+    assert got == {(2, "changed"), (3, "removed"), (4, "changed"), (5, "added")}
+    # column order must not matter (name-sorted fingerprint)
+    got2 = {
+        (r.id, r.status)
+        for r in parquet_io.row_diff(
+            old.select("n", "id", "v"), new, ["id"]
+        ).collect()
+    }
+    assert got2 == got
+    # identical releases diff empty
+    assert parquet_io.row_diff(old, old.select("n", "v", "id"), ["id"]).count() == 0
+
+
+def test_schema_diff_reports_drift_only(spark):
+    import pyspark.sql.functions as SF
+
+    old = spark.createDataFrame([(1, "a", 1.5)], "id long, v string, x double")
+    new = (
+        old.drop("x")
+        .withColumn("y", SF.lit(2))
+        .withColumn("v", SF.col("v").cast("binary"))
+    )
+    got = {
+        (r.column, r.status, r.old_type, r.new_type)
+        for r in parquet_io.schema_diff(old, new).collect()
+    }
+    assert got == {
+        ("x", "removed", "double", None),
+        ("y", "added", None, "int"),
+        ("v", "retyped", "string", "binary"),
+    }
+    assert parquet_io.schema_diff(old, old.select("x", "id", "v")).count() == 0
