@@ -23,6 +23,14 @@ consolidation chosen by the session that can see the r14 tail).
   through the SAME five-rule whitespace chain in DuckDB — the shared
   Java/RE2 regex subset).  A second verified column counts the
   rendered blocks (K+4, analytic), pinning the splitter itself.
+
+* ``diff_audit`` puts the row-level release diff
+  (``io/parquet_io.py::row_diff`` — CDC-grade added/removed/changed
+  statuses from md5 fingerprint-multiset folds around one full-outer
+  join) under the hard oracle against an ANALYTIC "next release" view
+  of documents; the oracle states the statuses with pure id
+  arithmetic and never touches a fingerprint, so the operator's hash
+  machinery must rediscover the analytic truth (see its section).
 """
 
 from __future__ import annotations
@@ -117,13 +125,69 @@ FROM rendered
 """
 
 
+# ---------------------------------------------------------------------------
+# diff_audit — the row-level release diff (io/parquet_io.py::row_diff)
+# under the hard oracle.  "New release" is an ANALYTIC view of
+# documents: ids ≡0 mod 11 dropped (→ removed), ids ≡0 mod 7 among the
+# survivors get their text rewritten (→ changed), and 25 synthetic
+# rows append above the id space (→ added); everything else must be
+# ABSENT from the diff.  Statuses are therefore fully determined by id
+# arithmetic, so the oracle states them with CASE/UNION — it never
+# recomputes a fingerprint, which is exactly the point: the operator's
+# md5-multiset machinery must REDISCOVER the analytic truth.
+
+
+def q_diff_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .io.parquet_io import row_diff
+    from .session import read_table
+
+    old = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    survivors = old.filter(F.col("doc_id") % 11 != 0)
+    modified = survivors.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit("REVISED "), F.col("text")),
+        ).otherwise(F.col("text")),
+    )
+    added = old.filter(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.lit("new doc "), F.col("doc_id").cast(_S)).alias("text"),
+        F.lit("src_new").alias("source"),
+    )
+    new = modified.unionByName(added)
+    out = row_diff(old, new, ["doc_id"])
+    return out.select(
+        F.col("doc_id").cast(_L).alias("doc_id"),
+        F.col("status").cast(_S).alias("status"),
+    )
+
+
+SQL_DIFF_AUDIT = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id, 'removed' AS status
+FROM documents WHERE doc_id % 11 = 0
+UNION ALL
+SELECT CAST(doc_id AS BIGINT), 'changed'
+FROM documents WHERE doc_id % 11 <> 0 AND doc_id % 7 = 0
+UNION ALL
+SELECT CAST(doc_id + 1000000 AS BIGINT), 'added'
+FROM documents WHERE doc_id < 25
+"""
+
+
 STAGED_QUERIES = {
     "main_content_audit": q_main_content_audit,
+    "diff_audit": q_diff_audit,
 }
 
 
 def build_staged_oracle_sql() -> dict[str, str]:
-    return {"main_content_audit": SQL_MAIN_CONTENT_AUDIT}
+    return {
+        "main_content_audit": SQL_MAIN_CONTENT_AUDIT,
+        "diff_audit": SQL_DIFF_AUDIT,
+    }
 
 
 # funding consolidation chosen at r13/r14 close (see module docstring)

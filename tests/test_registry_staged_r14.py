@@ -100,3 +100,20 @@ def test_staged_r14_prose_gate_is_exercised(spark):
 def test_staged_r14_not_registered_yet():
     for name in registry_staged_r14.STAGED_QUERIES:
         assert name not in registry.SPARK_QUERIES
+
+
+def test_staged_r14_diff_audit_all_statuses_present(spark):
+    out = registry_staged_r14.STAGED_QUERIES["diff_audit"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    statuses = {r.status for r in out}
+    assert statuses == {"added", "removed", "changed"}
+    # unchanged rows never leak into the diff: every changed id is a
+    # mod-7 survivor, every removed id is mod-11
+    for r in out:
+        if r.status == "removed":
+            assert r.doc_id % 11 == 0
+        elif r.status == "changed":
+            assert r.doc_id % 7 == 0 and r.doc_id % 11 != 0
+        else:
+            assert r.doc_id >= 1_000_000
