@@ -387,3 +387,240 @@ def histogram_quantiles(
     return hit.select(
         *g, F.col("q").alias("quantile"), F.round(est, 6).alias("estimate")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter: broadcastable set-membership sketch.
+#
+# The missing member of the sketch family: HLL answers "how many
+# distinct", KMV answers "how much do two sets overlap", CMS answers
+# "how often" — a Bloom filter answers "is this value in the set"
+# from fixed-size state with NO false negatives.  The 100 TB use case
+# is benchmark decontamination and cross-snapshot membership: build
+# the filter over the small side (a benchmark / a previous release's
+# keys), broadcast m/64 BIGINT words (m=2^20 -> 16 KB), and probe the
+# full corpus MAP-SIDE as pure JVM expressions — no join shuffle on
+# the big side at all, unlike the semi-join it replaces.  False
+# positives are bounded and *deterministic* (same value always maps to
+# the same bits), so a downstream exact check only runs on the tiny
+# maybe-member slice.
+#
+# Engine-exactness (the module contract): bit positions are 60-bit md5
+# integers mod m — exact on both engines; the packed words are BIGINT
+# bit_or folds (order-free); occupancy uses bit_count (both engines)
+# and the false-positive estimate (bits_set/m)^k multiplies the exact
+# dyadic ratio k times (m is a power of two, so bits_set/m is an exact
+# double; repeated multiply is correctly rounded identically — no
+# libm pow).
+#
+# Relation to ``text.build_ngram_bloom`` / ``bloom_decontaminate``:
+# that pair is the FUSED n-gram decontamination path (one ungrouped
+# filter over gram digests, probe folded into the same plan, exact
+# verify phase behind it).  This family is the general value-
+# membership sketch it specializes: grouped builds, an OR-merge
+# semilattice for shard-parallel construction, recorded (m, k)
+# geometry with a loud probe-side mismatch assert, and occupancy /
+# false-positive estimation — the same md5-position arithmetic, kept
+# deliberately compatible in spirit but independent in salt layout
+# (``salt{i}_value`` here vs gram-digest ``#j`` there).
+
+
+BLOOM_M = 4096  # bits; power of two so bits_set/m is an exact double
+BLOOM_K = 5  # salted hash functions
+
+
+def _bloom_pos(value: Column, i: int, m: int | Column, salt: str) -> Column:
+    h = F.conv(F.substring(_h(f"{salt}{i}", value), 1, 15), 16, 10).cast(
+        "long"
+    )
+    return F.pmod(h, F.lit(m) if isinstance(m, int) else m)
+
+
+def bloom_bits(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+    salt: str = "bloom",
+) -> DataFrame:
+    """Per-group set-bit table ``(group…, bit)``: the distinct md5
+    positions of every non-null value under ``k`` salted hashes.
+
+    At most ``m`` rows per group regardless of input size, built by
+    one explode(k) + a map-side-combinable distinct — the unpacked,
+    engine-replayable form of the filter (the DuckDB oracle replays
+    this table row-for-row; ``bloom_pack`` is the wire format)."""
+    g = list(group_cols)
+    pos = F.array(
+        *[_bloom_pos(F.col(value_col), i, m, salt) for i in range(k)]
+    )
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*g, F.explode(pos).alias("bit"))
+        .distinct()
+    )
+
+
+def bloom_pack(
+    bits: DataFrame,
+    group_cols: Sequence[str] = (),
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Pack a set-bit table into the broadcastable filter: one row per
+    group with ``bloom array<long>`` of m/64 words plus ``bloom_m`` /
+    ``bloom_k`` recording the geometry the filter was built with (so a
+    probe with mismatched parameters fails loudly instead of silently
+    hashing into the wrong bit space — the KMV ``kmv_k`` lesson).
+
+    Word folds are BIGINT ``bit_or`` — order- and partition-invariant,
+    so shard-parallel builds pack bit-identically."""
+    g = list(group_cols)
+    nwords = (m + 63) // 64
+    words = (
+        bits.select(
+            *g,
+            F.expr("CAST(bit DIV 64 AS INT)").alias("_w"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(bit % 64 AS INT))"
+            ).alias("_b"),
+        )
+        .groupBy(*g, "_w")
+        .agg(F.expr("bit_or(_b)").alias("_bits"))
+    )
+    packed = words.groupBy(*g).agg(
+        F.map_from_entries(F.collect_list(F.struct("_w", "_bits"))).alias(
+            "_wm"
+        )
+    )
+    arr = F.transform(
+        F.sequence(F.lit(0), F.lit(nwords - 1)),
+        lambda i: F.coalesce(
+            F.element_at(F.col("_wm"), i), F.lit(0).cast("long")
+        ),
+    )
+    return packed.select(
+        *g,
+        arr.alias("bloom"),
+        F.lit(m).alias("bloom_m"),
+        F.lit(k).alias("bloom_k"),
+    )
+
+
+def bloom_merge(
+    packed: DataFrame, group_cols: Sequence[str] = ()
+) -> DataFrame:
+    """OR-merge packed filters down to ``group_cols`` grain — EXACTLY
+    the filter of the unioned inputs (bitwise OR is a semilattice), so
+    per-shard or per-snapshot filters recombine with zero error in any
+    order.  All inputs must share one (m, k) geometry: positions are
+    taken mod m, so ORing filters of different geometry is meaningless
+    — enforced per-row by the probe-side assert on ``bloom_m`` /
+    ``bloom_k`` (the merged row carries min(m), min(k), which then
+    mismatches any survivor of a mixed merge)."""
+    g = list(group_cols)
+    ex = packed.select(
+        *g, "bloom_m", "bloom_k", F.posexplode("bloom").alias("_w", "_b")
+    )
+    words = ex.groupBy(*g, "_w").agg(
+        F.expr("bit_or(_b)").alias("_b"),
+        F.min("bloom_m").alias("_m"),
+        F.min("bloom_k").alias("_k"),
+    )
+    out = words.groupBy(*g).agg(
+        F.array_sort(F.collect_list(F.struct("_w", "_b"))).alias("_wb"),
+        F.min("_m").alias("bloom_m"),
+        F.min("_k").alias("bloom_k"),
+    )
+    return out.select(
+        *g,
+        F.transform(F.col("_wb"), lambda s: s["_b"]).alias("bloom"),
+        "bloom_m",
+        "bloom_k",
+    )
+
+
+def bloom_probe(
+    df: DataFrame,
+    value_col: str,
+    packed: DataFrame,
+    group_cols: Sequence[str] = (),
+    k: int = BLOOM_K,
+    salt: str = "bloom",
+    out_col: str = "maybe_member",
+) -> DataFrame:
+    """Membership probe: adds boolean ``out_col`` — true iff ALL k bit
+    positions of the value are set in the (broadcast) filter.  Never
+    false for an inserted value; a true is "maybe" with probability
+    ~(bits_set/m)^k for non-members.
+
+    Scale shape: the filter side is one row per group (m/64 BIGINT
+    words) and is broadcast; the probe itself is array indexing +
+    shifts inside whole-stage codegen — the big side never shuffles.
+    ``k`` and the salt must match the build; the filter's recorded
+    ``bloom_k`` is asserted per row (geometry mismatch raises rather
+    than silently probing the wrong bit space).  Rows whose group has
+    no filter row (or a null value) probe false."""
+    g = list(group_cols)
+    right = F.broadcast(packed)
+    joined = df.join(right, on=g, how="left") if g else df.crossJoin(right)
+    out = joined
+    for i in range(k):
+        out = out.withColumn(
+            f"_bp{i}", _bloom_pos(F.col(value_col), i, F.col("bloom_m"), salt)
+        )
+    hit = F.lit(True)
+    for i in range(k):
+        bit_i = F.expr(
+            f"(bloom[CAST(_bp{i} DIV 64 AS INT)]"
+            f" >> CAST(_bp{i} % 64 AS INT)) & 1"
+        )
+        hit = hit & (bit_i == 1)
+    # the assert lives INSIDE the output expression (a dropped helper
+    # column would be pruned by Catalyst and never evaluated)
+    guard = F.assert_true(
+        F.col("bloom_k").isNull() | (F.col("bloom_k") == F.lit(k)),
+        F.lit("bloom_probe k does not match the filter's bloom_k"),
+    )
+    drop = ["bloom", "bloom_m", "bloom_k"] + [f"_bp{i}" for i in range(k)]
+    return out.withColumn(
+        out_col,
+        F.when(guard.isNull(), F.coalesce(hit, F.lit(False))),
+    ).drop(*drop)
+
+
+def bloom_occupancy(
+    packed: DataFrame, group_cols: Sequence[str] = (), k: int = BLOOM_K
+) -> DataFrame:
+    """Per-group ``bloom_bits_set`` (exact popcount over the words)
+    and ``bloom_fpp`` — the occupancy-based false-positive estimate
+    (bits_set/m)^k.  The ratio is an exact double (m is a power of
+    two); the power is ``k`` repeated multiplies (each correctly
+    rounded, identical on any IEEE engine — no libm pow), rounded to
+    6 decimals."""
+    g = list(group_cols)
+    nset = F.aggregate(
+        F.col("bloom"),
+        F.lit(0).cast("long"),
+        lambda acc, w: acc + F.bit_count(w),
+    )
+    guard = F.assert_true(
+        F.col("bloom_k") == F.lit(k),
+        F.lit("bloom_occupancy k does not match the filter's bloom_k"),
+    )
+    # guard folded into the kept column so Catalyst cannot prune it
+    out = packed.withColumn(
+        "bloom_bits_set", F.when(guard.isNull(), nset)
+    )
+    r = F.col("bloom_bits_set").cast("double") / F.col("bloom_m").cast(
+        "double"
+    )
+    fpp = F.lit(1.0)
+    for _ in range(k):
+        fpp = fpp * r
+    return out.select(
+        *g,
+        "bloom_bits_set",
+        F.round(fpp, 6).alias("bloom_fpp"),
+    )

@@ -460,7 +460,12 @@ def _bloom_positions(gram: Column, k: int, n_bits: int) -> list[Column]:
     """k deterministic bit positions for a gram: independent md5 draws
     (gram salted with the probe index), 15 hex chars → 60-bit int,
     modulo the filter width.  Engine-portable (md5 + conv), no JVM
-    hashing that another engine couldn't replay."""
+    hashing that another engine couldn't replay.
+
+    The general (grouped / mergeable / geometry-recorded) form of this
+    sketch lives in ``operators.sketches`` (``bloom_bits`` …
+    ``bloom_occupancy``); this module keeps the fused n-gram
+    decontamination specialization."""
     return [
         F.pmod(
             F.conv(

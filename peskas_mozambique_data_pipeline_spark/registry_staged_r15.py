@@ -1,0 +1,145 @@
+"""Round-15 STAGED registry rows — pre-staged because their evidence
+is ready now (the NOTES pre-staging recipe; the registry sits AT the
+100 ceiling, so each row registers only with a funding consolidation
+chosen by the session that can see the r15 tail).
+
+* ``bloom_audit`` puts the Bloom-filter membership family
+  (``operators/sketches.py::bloom_bits/bloom_pack/bloom_merge/
+  bloom_probe/bloom_occupancy``) under the hard oracle.  The scale
+  story is benchmark decontamination: build the filter over the small
+  member set (documents with ``doc_id % 17 = 0``), broadcast the
+  packed words, probe the full corpus MAP-SIDE with no join shuffle.
+  The Spark side goes the long way around — per-SOURCE set-bit builds,
+  per-source packs, an OR-merge down to one global filter, then the
+  packed-word probe — while the oracle states the set-bit table and
+  the probe verdicts directly from the md5 position arithmetic, so the
+  pack/merge/probe machinery must REDISCOVER the analytic truth
+  (semilattice exactness is what makes the detour lossless, pinned by
+  ``tests/test_sketches.py``).
+
+  Geometry m=512, k=3 is chosen so the probe leg is non-degenerate in
+  BOTH directions at every SF (measured: 3 / 1 / 2789 false positives
+  and 467 / 469 / 1916 true negatives at sf0.001 / 0.01 / 0.1) — the
+  filter is genuinely approximate AND deterministically replayable:
+  every decision is exact 60-bit md5 integer arithmetic mod 512, no
+  float anywhere until the final occupancy estimate, whose
+  (bits_set/512)^3 is an exact dyadic ratio cubed by two correctly-
+  rounded multiplies (no libm pow on either engine).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_S = "string"
+_L = "long"
+_D = "double"
+
+_BLOOM_M = 512
+_BLOOM_K = 3
+
+
+def q_bloom_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import sketches as sk
+    from .session import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    # the long way: per-source builds -> packs -> one OR-merge; the
+    # semilattice makes this bit-identical to a single global build
+    per_src = sk.bloom_pack(
+        sk.bloom_bits(
+            bench, "text", group_cols=["source"], m=_BLOOM_M, k=_BLOOM_K
+        ),
+        group_cols=["source"],
+        m=_BLOOM_M,
+        k=_BLOOM_K,
+    )
+    merged = sk.bloom_merge(per_src)
+    # unpack the merged words back into bit positions (bit j of word w
+    # is set iff (word >> j) & 1 = 1) — the oracle states this table
+    # directly from the md5 arithmetic, so the pack/merge round trip
+    # must be lossless for the leg to hash-match
+    words = merged.select(F.posexplode("bloom").alias("_w", "_word"))
+    bit_rows = words.select(
+        F.explode(
+            F.expr(
+                "filter(transform(sequence(0, 63),"
+                " j -> IF(((_word >> j) & 1) = 1, _w * 64 + j, NULL)),"
+                " x -> x IS NOT NULL)"
+            )
+        ).alias("bit")
+    )
+    bits = bit_rows.select(
+        F.lit("bit").alias("stat"),
+        F.lit(None).cast(_L).alias("doc_id"),
+        F.col("bit").cast(_L).alias("bv"),
+        F.lit(None).cast(_D).alias("est"),
+    )
+    probe = sk.bloom_probe(
+        docs, "text", merged, k=_BLOOM_K
+    ).select(
+        F.lit("probe").alias("stat"),
+        F.col("doc_id").cast(_L).alias("doc_id"),
+        F.col("maybe_member").cast(_L).alias("bv"),
+        F.lit(None).cast(_D).alias("est"),
+    )
+    occ = sk.bloom_occupancy(merged, k=_BLOOM_K).select(
+        F.lit("occ").alias("stat"),
+        F.lit(None).cast(_L).alias("doc_id"),
+        F.col("bloom_bits_set").cast(_L).alias("bv"),
+        F.col("bloom_fpp").cast(_D).alias("est"),
+    )
+    return bits.unionByName(probe).unionByName(occ)
+
+
+SQL_BLOOM_AUDIT = f"""
+WITH bits AS (
+  SELECT DISTINCT
+         ('0x' || substr(md5('bloom' || g.i || '_' || d.text), 1, 15))::BIGINT
+           % {_BLOOM_M} AS bit
+  FROM documents d
+  CROSS JOIN (SELECT UNNEST(range({_BLOOM_K})) AS i) g
+  WHERE d.doc_id % 17 = 0 AND d.text IS NOT NULL
+),
+probe AS (
+  SELECT d.doc_id,
+         MIN(CASE WHEN ('0x' || substr(md5('bloom' || g.i || '_' || d.text),
+                                       1, 15))::BIGINT % {_BLOOM_M}
+                       IN (SELECT bit FROM bits)
+                  THEN 1 ELSE 0 END) AS mm
+  FROM documents d
+  CROSS JOIN (SELECT UNNEST(range({_BLOOM_K})) AS i) g
+  GROUP BY d.doc_id
+),
+occ AS (SELECT COUNT(*) AS n FROM bits)
+SELECT 'bit' AS stat, CAST(NULL AS BIGINT) AS doc_id,
+       CAST(bit AS BIGINT) AS bv, CAST(NULL AS DOUBLE) AS est
+FROM bits
+UNION ALL
+SELECT 'probe', CAST(doc_id AS BIGINT), CAST(mm AS BIGINT),
+       CAST(NULL AS DOUBLE)
+FROM probe
+UNION ALL
+SELECT 'occ', CAST(NULL AS BIGINT), CAST(n AS BIGINT),
+       round((CAST(n AS DOUBLE) / {_BLOOM_M})
+             * (CAST(n AS DOUBLE) / {_BLOOM_M})
+             * (CAST(n AS DOUBLE) / {_BLOOM_M}), 6)
+FROM occ
+"""
+
+
+STAGED_QUERIES = {
+    "bloom_audit": q_bloom_audit,
+}
+
+
+def build_staged_oracle_sql() -> dict[str, str]:
+    return {
+        "bloom_audit": SQL_BLOOM_AUDIT,
+    }
+
+
+# funding consolidation chosen at r14/r15 close (see module docstring)
+STAGED_REPLACES: dict[str, tuple[str, str]] = {}

@@ -190,3 +190,129 @@ def test_kmv_duckdb_parity(spark):
     con.close()
     want = {(s, tuple(kmv), est) for s, kmv, est in rows}
     assert got == want and len(got) >= 2
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter membership sketch
+
+
+def test_bloom_no_false_negatives_and_bounded_fp(spark):
+    members = spark.createDataFrame(
+        [(f"m{i}",) for i in range(300)], "val string"
+    )
+    others = spark.createDataFrame(
+        [(f"x{i}",) for i in range(2000)], "val string"
+    )
+    packed = sk.bloom_pack(sk.bloom_bits(members, "val"))
+    got_m = sk.bloom_probe(members, "val", packed).collect()
+    assert all(r.maybe_member for r in got_m)  # NO false negatives, ever
+    fp = sum(r.maybe_member for r in sk.bloom_probe(others, "val", packed).collect())
+    # occupancy at n=300,k=5,m=4096: bits_set<=1500 -> fpp<(1500/4096)^5~0.7%
+    assert fp / 2000 < 0.03, fp
+
+
+def test_bloom_pack_is_partition_invariant_and_merge_is_semilattice(spark):
+    rows = [(f"g{i % 3}", f"v{i}") for i in range(500)]
+    df = spark.createDataFrame(rows, "grp string, val string")
+    whole = sk.bloom_pack(
+        sk.bloom_bits(df, "val", group_cols=["grp"]), group_cols=["grp"]
+    )
+    resh = sk.bloom_pack(
+        sk.bloom_bits(df.repartition(17), "val", group_cols=["grp"]),
+        group_cols=["grp"],
+    )
+    a = {r.grp: tuple(r.bloom) for r in whole.collect()}
+    assert a == {r.grp: tuple(r.bloom) for r in resh.collect()}
+    # shard -> pack -> OR-merge == pack of the union, bit for bit
+    s1 = df.filter(F.crc32("val") % 2 == 0)
+    s2 = df.filter(F.crc32("val") % 2 == 1)
+    shards = sk.bloom_pack(
+        sk.bloom_bits(s1, "val", group_cols=["grp"]), group_cols=["grp"]
+    ).unionByName(
+        sk.bloom_pack(
+            sk.bloom_bits(s2, "val", group_cols=["grp"]), group_cols=["grp"]
+        )
+    )
+    merged = sk.bloom_merge(shards, group_cols=["grp"])
+    assert a == {r.grp: tuple(r.bloom) for r in merged.collect()}
+
+
+def test_bloom_probe_geometry_mismatch_raises(spark):
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    members = spark.createDataFrame([("a",), ("b",)], "val string")
+    packed = sk.bloom_pack(sk.bloom_bits(members, "val", k=4), k=4)
+    with pytest.raises(Exception) as ei:
+        sk.bloom_probe(members, "val", packed, k=5).collect()
+    assert "bloom_k" in str(ei.value)
+
+
+def test_bloom_occupancy_matches_python_popcount(spark):
+    members = spark.createDataFrame(
+        [(f"m{i}",) for i in range(200)], "val string"
+    )
+    packed = sk.bloom_pack(sk.bloom_bits(members, "val"))
+    row = packed.first()
+    nset = sum(bin(w & ((1 << 64) - 1)).count("1") for w in row.bloom)
+    occ = sk.bloom_occupancy(packed).first()
+    assert occ.bloom_bits_set == nset
+    r = nset / sk.BLOOM_M
+    assert occ.bloom_fpp == round(((((1.0 * r) * r) * r) * r) * r, 6)
+
+
+def test_bloom_duckdb_parity(spark):
+    """Set-bit table AND probe verdicts replay bit-exactly in DuckDB
+    over the same parquet (staged-row-grade evidence without a
+    registry slot): benchmark = documents with doc_id % 17 = 0."""
+    import duckdb
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    docs = spark.read.parquet(src)
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    bits = sk.bloom_bits(bench, "text")
+    packed = sk.bloom_pack(bits)
+    got_bits = sorted(r.bit for r in bits.collect())
+    got_probe = {
+        (r.doc_id, bool(r.maybe_member))
+        for r in sk.bloom_probe(docs, "text", packed).select(
+            "doc_id", "maybe_member"
+        ).collect()
+    }
+    con = duckdb.connect()
+    dbits = sorted(
+        x[0]
+        for x in con.execute(
+            f"""
+            SELECT DISTINCT
+                   ('0x' || substr(md5('bloom' || g.i || '_' || d.text), 1, 15))::BIGINT % 4096 AS bit
+            FROM read_parquet('{src}') d
+            CROSS JOIN (SELECT UNNEST(range(5)) AS i) g
+            WHERE d.doc_id % 17 = 0
+            """
+        ).fetchall()
+    )
+    dprobe = {
+        (i, bool(m))
+        for i, m in con.execute(
+            f"""
+            WITH bits AS (
+              SELECT DISTINCT
+                     ('0x' || substr(md5('bloom' || g.i || '_' || d.text), 1, 15))::BIGINT % 4096 AS bit
+              FROM read_parquet('{src}') d
+              CROSS JOIN (SELECT UNNEST(range(5)) AS i) g
+              WHERE d.doc_id % 17 = 0
+            )
+            SELECT d.doc_id,
+                   MIN(CASE WHEN ('0x' || substr(md5('bloom' || g.i || '_' || d.text), 1, 15))::BIGINT % 4096
+                                 IN (SELECT bit FROM bits) THEN 1 ELSE 0 END) = 1
+            FROM read_parquet('{src}') d
+            CROSS JOIN (SELECT UNNEST(range(5)) AS i) g
+            GROUP BY d.doc_id
+            """
+        ).fetchall()
+    }
+    con.close()
+    assert got_bits == dbits and len(got_bits) > 50
+    assert got_probe == dprobe
+    assert any(m for _, m in got_probe) and not all(m for _, m in got_probe)
