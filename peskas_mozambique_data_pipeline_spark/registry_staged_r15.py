@@ -25,6 +25,14 @@ chosen by the session that can see the r15 tail).
   float anywhere until the final occupancy estimate, whose
   (bits_set/512)^3 is an exact dyadic ratio cubed by two correctly-
   rounded multiplies (no libm pow on either engine).
+
+* ``zorder_audit`` puts the Z-order layout family
+  (``operators/layout.py::zorder_key/zorder_index``) under the hard
+  oracle — every Morton key over (l_partkey, l_suppkey) plus the
+  64-range skipping index (per-range counts and per-dimension min/max,
+  the footer stats pruning consults).  Integer arithmetic end to end
+  (affine BIGINT bins via DIV, shift/mask interleave, shifts for the
+  bucket split), so the row is bit-exact with zero float boundary.
 """
 
 from __future__ import annotations
@@ -130,14 +138,100 @@ FROM occ
 """
 
 
+# ---------------------------------------------------------------------------
+# zorder_audit — the Z-order layout family (operators/layout.py) under
+# the hard oracle.  Two legs: every row's Morton key over
+# (l_partkey, l_suppkey) at 8 bits/dim (exact BIGINT affine bins over
+# the global min/max, DIV integer division, shift/mask interleave),
+# and the 64-range skipping index (key >> 10 buckets with per-range
+# row counts and per-dimension min/max — the footer stats a pruning
+# engine consults).  Everything is integer arithmetic end to end; the
+# oracle replays bin, interleave, and bucket stats from the same
+# min/max scalars.
+
+_Z_BITS = 8
+_Z_BUCKET_BITS = 6  # shift = 2*8 - 6 = 10
+
+
+def q_zorder_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import layout
+    from .session import read_table
+
+    line = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    cols = ["l_partkey", "l_suppkey"]
+    keyed = layout.zorder_key(line, cols, bits=_Z_BITS)
+    key_leg = keyed.select(
+        F.lit("key").alias("stat"),
+        F.col("l_orderkey").cast(_L).alias("k1"),
+        F.col("l_linenumber").cast(_L).alias("k2"),
+        F.col("zkey").cast(_L).alias("v1"),
+        F.lit(None).cast(_L).alias("v2"),
+        F.lit(None).cast(_L).alias("v3"),
+        F.lit(None).cast(_L).alias("v4"),
+        F.lit(None).cast(_L).alias("v5"),
+    )
+    idx = layout.zorder_index(
+        keyed, cols, bits=_Z_BITS, bucket_bits=_Z_BUCKET_BITS
+    )
+    idx_leg = idx.select(
+        F.lit("idx").alias("stat"),
+        F.col("bucket").cast(_L).alias("k1"),
+        F.lit(None).cast(_L).alias("k2"),
+        F.col("n_rows").cast(_L).alias("v1"),
+        F.col("min_l_partkey").cast(_L).alias("v2"),
+        F.col("max_l_partkey").cast(_L).alias("v3"),
+        F.col("min_l_suppkey").cast(_L).alias("v4"),
+        F.col("max_l_suppkey").cast(_L).alias("v5"),
+    )
+    return key_leg.unionByName(idx_leg)
+
+
+SQL_ZORDER_AUDIT = f"""
+WITH s AS (
+  SELECT MIN(l_partkey) AS lo1, MAX(l_partkey) AS hi1,
+         MIN(l_suppkey) AS lo2, MAX(l_suppkey) AS hi2
+  FROM lineitem
+),
+b AS (
+  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         (l_partkey - lo1) * {1 << _Z_BITS} // (hi1 - lo1 + 1) AS b1,
+         (l_suppkey - lo2) * {1 << _Z_BITS} // (hi2 - lo2 + 1) AS b2
+  FROM lineitem, s
+),
+keyed AS (
+  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         (SELECT SUM((((b1 >> CAST(j AS INT)) & 1) << CAST(2*j AS INT))
+                   + (((b2 >> CAST(j AS INT)) & 1) << CAST(2*j+1 AS INT)))
+          FROM range({_Z_BITS}) t(j)) AS zkey
+  FROM b
+)
+SELECT 'key' AS stat, CAST(l_orderkey AS BIGINT) AS k1,
+       CAST(l_linenumber AS BIGINT) AS k2, CAST(zkey AS BIGINT) AS v1,
+       CAST(NULL AS BIGINT) AS v2, CAST(NULL AS BIGINT) AS v3,
+       CAST(NULL AS BIGINT) AS v4, CAST(NULL AS BIGINT) AS v5
+FROM keyed
+UNION ALL
+SELECT 'idx', CAST(zkey >> {2 * _Z_BITS - _Z_BUCKET_BITS} AS BIGINT),
+       CAST(NULL AS BIGINT), CAST(COUNT(*) AS BIGINT),
+       CAST(MIN(l_partkey) AS BIGINT), CAST(MAX(l_partkey) AS BIGINT),
+       CAST(MIN(l_suppkey) AS BIGINT), CAST(MAX(l_suppkey) AS BIGINT)
+FROM keyed
+GROUP BY zkey >> {2 * _Z_BITS - _Z_BUCKET_BITS}
+"""
+
+
 STAGED_QUERIES = {
     "bloom_audit": q_bloom_audit,
+    "zorder_audit": q_zorder_audit,
 }
 
 
 def build_staged_oracle_sql() -> dict[str, str]:
     return {
         "bloom_audit": SQL_BLOOM_AUDIT,
+        "zorder_audit": SQL_ZORDER_AUDIT,
     }
 
 

@@ -949,3 +949,62 @@ def test_extract_main_content_matches_python_twin(spark, blocks):
         df, min_chars=8, max_link_density=0.5
     ).first().main_text
     assert got == _twin_main(page, 8, 0.5)
+
+
+@SET
+@given(
+    st.lists(st.integers(min_value=0, max_value=300), min_size=1, max_size=50),
+    st.lists(st.integers(min_value=0, max_value=300), min_size=1, max_size=50),
+)
+def test_bloom_merge_semilattice_property(spark, xs, ys):
+    """pack(bits(A ∪ B)) == merge(pack(bits A), pack(bits B)) bit for
+    bit, for random multisets — OR is the semilattice that makes
+    shard-parallel and incremental filter builds error-free."""
+    from peskas_mozambique_data_pipeline_spark.operators import sketches as sk
+
+    a = spark.createDataFrame([(f"v{x}",) for x in xs], "v string")
+    b = spark.createDataFrame([(f"v{y}",) for y in ys], "v string")
+    whole = sk.bloom_pack(sk.bloom_bits(a.union(b), "v")).first().bloom
+    parts = sk.bloom_merge(
+        sk.bloom_pack(sk.bloom_bits(a, "v")).unionByName(
+            sk.bloom_pack(sk.bloom_bits(b, "v"))
+        )
+    ).first().bloom
+    assert list(whole) == list(parts)
+
+
+@SET
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-(2**40), max_value=2**40),
+            st.integers(min_value=-100, max_value=100),
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    st.sampled_from([2, 4, 8]),
+)
+def test_zorder_key_matches_python_twin_property(spark, pts, bits):
+    """Morton keys equal a pure-python twin for random (x, y) incl.
+    huge magnitudes — the DIV (integer division) exactness claim."""
+    from peskas_mozambique_data_pipeline_spark.operators import layout
+
+    rows = [(i, x, y) for i, (x, y) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    got = {
+        r.id: r.zkey
+        for r in layout.zorder_key(df, ["x", "y"], bits=bits).collect()
+    }
+    lox, hix = min(x for x, _ in pts), max(x for x, _ in pts)
+    loy, hiy = min(y for _, y in pts), max(y for _, y in pts)
+    want = {}
+    for i, (x, y) in enumerate(pts):
+        bx = (x - lox) * (1 << bits) // (hix - lox + 1)
+        by = (y - loy) * (1 << bits) // (hiy - loy + 1)
+        key = 0
+        for j in range(bits):
+            key += ((bx >> j) & 1) << (2 * j)
+            key += ((by >> j) & 1) << (2 * j + 1)
+        want[i] = key
+    assert got == want

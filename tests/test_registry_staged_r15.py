@@ -101,3 +101,17 @@ def test_staged_r15_bloom_probe_leg_is_nondegenerate(spark):
     assert any(v == 0 for v in non.values())  # and true negatives too
     n_bits = [r.bv for r in out if r.stat == "occ"]
     assert len(n_bits) == 1 and 0 < n_bits[0] <= 512
+
+
+def test_staged_r15_zorder_index_leg_shows_locality(spark):
+    """The idx leg must demonstrate the property the family exists
+    for: many populated key ranges whose per-dimension spans are far
+    below the global span (else the interleave degenerated)."""
+    out = registry_staged_r15.STAGED_QUERIES["zorder_audit"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    idx = [r for r in out if r.stat == "idx"]
+    assert len(idx) > 16
+    glob_p = max(r.v3 for r in idx) - min(r.v2 for r in idx)
+    avg_span_p = sum(r.v3 - r.v2 for r in idx) / len(idx)
+    assert avg_span_p < glob_p / 2
