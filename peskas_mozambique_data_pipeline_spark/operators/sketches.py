@@ -260,13 +260,19 @@ def cms_sketch(
     depth: int = 4,
     width: int = 256,
     salt: str = "cms",
+    group_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Count-min sketch: d×w cell counts, each row of the sketch a
     different salted md5 hash.  The sketch is d·w rows TOTAL (not per
-    value) — a fixed-size frequency summary built by one explode(d) +
-    one map-side-combinable SUM, broadcastable to any consumer."""
+    value; per group when ``group_cols`` is given) — a fixed-size
+    frequency summary built by one explode(d) + one map-side-
+    combinable SUM, broadcastable to any consumer.  Cell counts are a
+    SUM monoid: sketches of disjoint slices add cell-wise to the
+    sketch of the union exactly (what the streaming frequency ledger
+    folds on)."""
     if width != 256:
         raise ValueError("width must be 256 (2-hex-char cell index)")
+    g = list(group_cols)
     rows = F.array(
         *[
             F.struct(
@@ -281,9 +287,9 @@ def cms_sketch(
         ]
     )
     return (
-        df.select(F.explode(rows).alias("_rc"))
-        .select("_rc.i", "_rc.cell")
-        .groupBy("i", "cell")
+        df.select(*g, F.explode(rows).alias("_rc"))
+        .select(*g, "_rc.i", "_rc.cell")
+        .groupBy(*g, "i", "cell")
         .agg(F.count(F.lit(1)).alias("n"))
     )
 
@@ -294,10 +300,15 @@ def cms_lookup(
     value_col: str,
     depth: int = 4,
     salt: str = "cms",
+    group_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Point estimates for ``values``: min over the d cells a value
     hashes to — never under the true count (one-sided error).  The
-    sketch side is d·w rows and broadcast; integers end-to-end."""
+    sketch side is d·w rows (per group) and broadcast; integers
+    end-to-end.  With ``group_cols`` the probe joins on
+    (group…, i, cell) and each value row estimates within its own
+    group's sketch."""
+    g = list(group_cols)
     rows = F.array(
         *[
             F.struct(
@@ -311,12 +322,12 @@ def cms_lookup(
             for i in range(depth)
         ]
     )
-    probes = values.select(value_col, F.explode(rows).alias("_rc")).select(
-        value_col, "_rc.i", "_rc.cell"
-    )
+    probes = values.select(
+        *g, value_col, F.explode(rows).alias("_rc")
+    ).select(*g, value_col, "_rc.i", "_rc.cell")
     return (
-        probes.join(F.broadcast(sketch), ["i", "cell"], "left")
-        .groupBy(value_col)
+        probes.join(F.broadcast(sketch), [*g, "i", "cell"], "left")
+        .groupBy(*g, value_col)
         .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).alias("cms_count"))
     )
 
