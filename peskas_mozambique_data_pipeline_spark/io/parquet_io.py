@@ -582,10 +582,20 @@ def compact_zone(
     sort_by: list[str] | None = None,
     partition_by: list[str] | None = None,
     compression: str = "lz4",
+    zorder_by: list[str] | None = None,
+    zorder_bits: int = 8,
 ) -> str:
     """Small-file compaction: rewrite the newest snapshot as a NEW
     version with ~``target_mb`` output files sized from the actual
     on-disk bytes.
+
+    ``zorder_by`` (mutually exclusive with ``range_by``) clusters the
+    rewrite on the Morton key of SEVERAL integral columns
+    (``operators/layout.py``) — the OPTIMIZE ZORDER form: one range
+    exchange on the interleave key leaves every output file a
+    hypercube of the key space, so min/max footers prune scans on any
+    of the listed dimensions.  The key is dropped before writing;
+    layout, not data, changes.
 
     A hive-partitioned snapshot must pass its ``partition_by`` columns
     again or the rewrite flattens the directory layout (the partition
@@ -624,6 +634,17 @@ def compact_zone(
         now = datetime.strptime(src_ts, "%Y%m%d%H%M%S").replace(
             tzinfo=timezone.utc
         ) + timedelta(seconds=1)
+    if zorder_by and range_by:
+        raise ValueError("pass zorder_by or range_by, not both")
+    if zorder_by:
+        from ..operators.layout import zorder_key
+
+        keyed = zorder_key(df, zorder_by, bits=zorder_bits, out_col="_zkey")
+        return _write_versioned_at(
+            keyed, zone_dir, prefix, git_sha, now,
+            range_by=["_zkey"], n_files=n_files, compression=compression,
+            partition_by=partition_by, drop_cols=["_zkey"],
+        )
     if range_by:
         return _write_versioned_at(
             df, zone_dir, prefix, git_sha, now,
@@ -649,6 +670,7 @@ def _write_versioned_at(
     n_files: int | None = None,
     compression: str = "lz4",
     partition_by: list[str] | None = None,
+    drop_cols: list[str] | None = None,
 ) -> str:
     # same same-second collision probe as write_versioned (the caller
     # pins `now`, so retries/back-to-back compactions WILL repeat it)
@@ -665,6 +687,8 @@ def _write_versioned_at(
             else df.repartitionByRange(*range_by)
         )
         df = df.sortWithinPartitions(*range_by)
+    if drop_cols:
+        df = df.drop(*drop_cols)
     writer = df.write.mode("errorifexists").option("compression", compression)
     if partition_by:
         writer = writer.partitionBy(*partition_by)

@@ -136,7 +136,13 @@ def heavy_hitters(
     distinct logged candidates probed against the folded sketch,
     ranked by (estimate DESC, value) — deterministic under any
     partitioning.  Estimates never undercount; candidacy is lossy
-    (module docstring)."""
+    (module docstring).
+
+    Scale shape: the ranked input is the CANDIDATE set (≤ t per batch
+    per group), never the corpus.  Grouped ranking is a per-group
+    window (parallel across groups); ungrouped ranking is
+    orderBy+limit — Spark compiles it to a distributed
+    TakeOrderedAndProject, never a one-task global window."""
     from pyspark.sql import Window
 
     cands_dir = os.path.join(zone_dir, CANDS_SUBDIR)
@@ -149,14 +155,18 @@ def heavy_hitters(
     est = ledger_lookup(
         spark, zone_dir, cands, value_col, group_cols, depth, salt
     )
-    w = Window.partitionBy(
-        *[F.col(c) for c in group_cols] if group_cols else [F.lit(1)]
-    ).orderBy(F.col("cms_count").desc(), F.col(value_col))
-    return (
-        est.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= top_k)
-        .drop("_rn")
-    )
+    order = [F.col("cms_count").desc(), F.col(value_col)]
+    if group_cols:
+        # per-group ranking parallelizes across groups
+        w = Window.partitionBy(*group_cols).orderBy(*order)
+        return (
+            est.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= top_k)
+            .drop("_rn")
+        )
+    # ungrouped: orderBy+limit compiles to a distributed
+    # TakeOrderedAndProject — never a one-task global window
+    return est.orderBy(*order).limit(top_k)
 
 
 def stream_freq_ledger(
@@ -198,14 +208,17 @@ def stream_freq_ledger(
         counts = batch_df.groupBy(*g, value_col).agg(
             F.count(F.lit(1)).alias("_n")
         )
-        w = Window.partitionBy(
-            *[F.col(c) for c in g] if g else [F.lit(1)]
-        ).orderBy(F.col("_n").desc(), F.col(value_col))
-        top = (
-            counts.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= cand_t)
-            .select(*g, value_col)
-        )
+        order = [F.col("_n").desc(), F.col(value_col)]
+        if g:
+            w = Window.partitionBy(*g).orderBy(*order)
+            top = (
+                counts.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") <= cand_t)
+                .select(*g, value_col)
+            )
+        else:
+            # distributed TakeOrderedAndProject, not a one-task window
+            top = counts.orderBy(*order).limit(cand_t).select(value_col)
         top.write.mode("overwrite").parquet(
             os.path.join(cands_dir, f"batch={batch_id}")
         )

