@@ -33,6 +33,13 @@ chosen by the session that can see the r15 tail).
   the footer stats pruning consults).  Integer arithmetic end to end
   (affine BIGINT bins via DIV, shift/mask interleave, shifts for the
   bucket split), so the row is bit-exact with zero float boundary.
+
+* ``hardneg_audit`` puts the batch retrieval-mining family
+  (``operators/mining.py``) under the hard oracle — three training
+  queries' hard negatives with analytic positives (doc_id % 13 = 0),
+  replayed per query with the SAME nano-floored bm25 contribution as
+  the hash-verified bm25 oracle family, the anti-join stated as id
+  arithmetic and skip_top as a rank offset (see its section).
 """
 
 from __future__ import annotations
@@ -232,8 +239,128 @@ def build_staged_oracle_sql() -> dict[str, str]:
     return {
         "bloom_audit": SQL_BLOOM_AUDIT,
         "zorder_audit": SQL_ZORDER_AUDIT,
+        "hardneg_audit": SQL_HARDNEG_AUDIT,
     }
 
 
 # funding consolidation chosen at r14/r15 close (see module docstring)
 STAGED_REPLACES: dict[str, tuple[str, str]] = {}
+
+
+# ---------------------------------------------------------------------------
+# hardneg_audit — the batch retrieval-mining family
+# (operators/mining.py) under the hard oracle.  Three fixed training
+# queries mine hard negatives over documents with ANALYTIC positives
+# (doc_id % 13 = 0): per-query tf/df/saturation replayed with the SAME
+# nano-floored contribution as the hash-verified bm25 oracle family
+# (registry_text._bm25_sql), positives dropped by id arithmetic before
+# ranking, skip_top replayed as a rank offset.  The operator's
+# anti-join + per-query windows must rediscover the oracle's
+# arithmetic statement of the result.
+
+_HN_QUERIES: dict[int, tuple[str, ...]] = {
+    1: ("spark", "window"),
+    2: ("merge", "join"),
+    3: ("stream", "state", "spark"),
+}
+_HN_K = 8
+_HN_SKIP = 2
+_HN_POOL = 200
+_HN_TOK = r"string_split_regex(trim(text), '\s+')"
+
+
+def q_hardneg_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import mining
+    from .session import read_table
+
+    corpus = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    queries = spark.createDataFrame(
+        [(qid, " ".join(ts)) for qid, ts in sorted(_HN_QUERIES.items())],
+        "query_id long, query_text string",
+    )
+    positives = (
+        corpus.filter(F.col("doc_id") % 13 == 0)
+        .crossJoin(queries.select("query_id"))
+        .select("query_id", "doc_id")
+    )
+    out = mining.mine_hard_negatives(
+        corpus,
+        queries,
+        positives,
+        k=_HN_K,
+        skip_top=_HN_SKIP,
+        pool_depth=_HN_POOL,
+    )
+    return out.select(
+        F.col("query_id").cast(_L).alias("query_id"),
+        F.col("doc_id").cast(_L).alias("doc_id"),
+        F.col("n_terms_hit").cast(_L).alias("n_terms_hit"),
+        F.col("score").cast(_D).alias("score"),
+        F.col("neg_rank").cast(_L).alias("neg_rank"),
+    )
+
+
+def _hardneg_sql() -> str:
+    k1, b = 1.2, 0.75
+    legs = []
+    for qid, terms in sorted(_HN_QUERIES.items()):
+        tf_defs = ", ".join(
+            f"len(list_filter({_HN_TOK}, x -> x = '{t}')) AS tf{i}"
+            for i, t in enumerate(terms)
+        )
+        df_defs = ", ".join(
+            f"CAST(SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS df{i}"
+            for i in range(len(terms))
+        )
+        hit_sum = " + ".join(
+            f"(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END)"
+            for i in range(len(terms))
+        )
+        contrib = " + ".join(
+            f"(CASE WHEN tf{i} > 0 THEN CAST(FLOOR("
+            f"ln(1.0 + (n - df{i} + 0.5) / (df{i} + 0.5))"
+            f" * (tf{i} * {k1 + 1.0!r} / (tf{i} + {k1!r} * ({1.0 - b!r}"
+            f" + {b!r} * dl / avgdl))) * 1000000000.0) AS BIGINT)"
+            f" ELSE 0 END)"
+            for i in range(len(terms))
+        )
+        legs.append(f"""
+          SELECT {qid} AS query_id, doc_id, {hit_sum} AS n_terms_hit,
+                 {contrib} AS sq
+          FROM (SELECT doc_id, len({_HN_TOK}) AS dl, {tf_defs}
+                FROM documents) base,
+               (SELECT SUM(dl) / COUNT(*) AS avgdl,
+                       CAST(COUNT(*) AS DOUBLE) AS n, {df_defs}
+                FROM (SELECT len({_HN_TOK}) AS dl, {tf_defs}
+                      FROM documents)) stats
+        """)
+    union = " UNION ALL ".join(legs)
+    return f"""
+WITH scored AS ({union}),
+pool AS (
+  SELECT query_id, doc_id, n_terms_hit,
+         ROUND(CAST(sq AS DOUBLE) / 1000000000.0, 6) AS score,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY sq DESC, doc_id ASC) AS rk
+  FROM scored WHERE n_terms_hit > 0
+),
+deep AS (SELECT * FROM pool WHERE rk <= {_HN_POOL}),
+neg AS (
+  SELECT query_id, doc_id, n_terms_hit, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS nr
+  FROM deep WHERE doc_id % 13 <> 0
+)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_terms_hit AS BIGINT) AS n_terms_hit,
+       CAST(score AS DOUBLE) AS score,
+       CAST(nr - {_HN_SKIP} AS BIGINT) AS neg_rank
+FROM neg WHERE nr > {_HN_SKIP} AND nr <= {_HN_SKIP + _HN_K}
+"""
+
+
+SQL_HARDNEG_AUDIT = _hardneg_sql()
+
+STAGED_QUERIES["hardneg_audit"] = q_hardneg_audit
