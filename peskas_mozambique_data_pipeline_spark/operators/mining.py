@@ -172,23 +172,13 @@ def mine_hard_negatives(
         query_id_col=query_id_col,
         query_text_col=query_text_col,
     ).drop("rank")
-    # anti-join first: a positive must not consume a negative's slot
-    neg = pool.join(
-        positives.select(query_id_col, id_col),
-        [query_id_col, id_col],
-        "left_anti",
+    pool = pool.withColumnRenamed(id_col, "doc_id") if id_col != "doc_id" else pool
+    pos_std = positives.select(
+        F.col(query_id_col), F.col(id_col).alias("doc_id")
     )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("score").desc(), F.col(id_col).asc()
-    )
-    return (
-        neg.withColumn("neg_rank", F.row_number().over(w))
-        .filter(
-            (F.col("neg_rank") > skip_top)
-            & (F.col("neg_rank") <= skip_top + k)
-        )
-        .withColumn("neg_rank", F.col("neg_rank") - F.lit(skip_top))
-    )
+    return _rank_negatives(
+        pool, pos_std, k, skip_top, query_id_col, "doc_id", "score"
+    ).withColumnRenamed("doc_id", id_col)
 
 
 def mine_hard_negatives_dense(
@@ -225,15 +215,40 @@ def mine_hard_negatives_dense(
         corpus_id=corpus_id_col,
         vec_col=vec_col,
     ).drop("rank")
+    out = _rank_negatives(
+        pool, positives, k, skip_top, query_id_col, "neighbor_id",
+        "cosine_sim",
+    )
+    return out.select(
+        F.col(query_id_col),
+        F.col("neighbor_id").alias("doc_id"),
+        "cosine_sim",
+        "neg_rank",
+    )
+
+
+def _rank_negatives(
+    pool: DataFrame,
+    positives: DataFrame,
+    k: int,
+    skip_top: int,
+    query_id_col: str,
+    doc_id_col: str,
+    order_col: str,
+) -> DataFrame:
+    """Shared DPR tail: ONE left-anti join drops labeled positives
+    BEFORE ranking (a positive never occupies a negative's slot), then
+    a per-query window ranks by (``order_col`` DESC, doc id) and the
+    ``skip_top`` best survivors are shed."""
     neg = pool.join(
-        positives.selectExpr(
-            f"{query_id_col}", f"doc_id as neighbor_id"
+        positives.select(
+            F.col(query_id_col), F.col("doc_id").alias(doc_id_col)
         ),
-        [query_id_col, "neighbor_id"],
+        [query_id_col, doc_id_col],
         "left_anti",
     )
     w = Window.partitionBy(query_id_col).orderBy(
-        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+        F.col(order_col).desc(), F.col(doc_id_col).asc()
     )
     return (
         neg.withColumn("neg_rank", F.row_number().over(w))
@@ -242,10 +257,51 @@ def mine_hard_negatives_dense(
             & (F.col("neg_rank") <= skip_top + k)
         )
         .withColumn("neg_rank", F.col("neg_rank") - F.lit(skip_top))
-        .select(
-            F.col(query_id_col),
-            F.col("neighbor_id").alias("doc_id"),
-            "cosine_sim",
-            "neg_rank",
-        )
+    )
+
+
+def mine_hard_negatives_ivf(
+    spark,
+    zones,
+    query_vecs: DataFrame,
+    positives: DataFrame,
+    k: int = 10,
+    skip_top: int = 0,
+    pool_depth: int | None = None,
+    n_probe: int = 2,
+    prefix: str = "ann_ivf",
+    query_id_col: str = "query_id",
+    corpus_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Dense hard negatives against the PERSISTENT IVF index zone —
+    the scale tier past :func:`mine_hard_negatives_dense`'s brute
+    force (queries × corpus).  Routing reads only the probed inverted
+    lists (partition-pruned parquet), so mining cost tracks probed
+    postings, not corpus size; recall follows the index's measured
+    n_probe dial (``ann_sweep``).  Same DPR tail as the exact tier.
+    Output: (query_id, doc_id, cosine_sim, neg_rank 1..k)."""
+    from .ann_index import ivf_topk_from_zone
+
+    depth = pool_depth if pool_depth is not None else k + skip_top + 10
+    pool = ivf_topk_from_zone(
+        spark,
+        zones,
+        query_vecs,
+        prefix=prefix,
+        k=depth,
+        n_probe=n_probe,
+        query_id=query_id_col,
+        corpus_id=corpus_id_col,
+        vec_col=vec_col,
+    ).drop("rank")
+    out = _rank_negatives(
+        pool, positives, k, skip_top, query_id_col, "neighbor_id",
+        "cosine_sim",
+    )
+    return out.select(
+        F.col(query_id_col),
+        F.col("neighbor_id").alias("doc_id"),
+        "cosine_sim",
+        "neg_rank",
     )

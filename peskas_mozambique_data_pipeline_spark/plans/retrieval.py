@@ -148,3 +148,64 @@ def maintain_indexes(
         except FileNotFoundError:
             pass
     return out
+
+
+def export_training_triples(
+    corpus,
+    queries,
+    positives,
+    zones: PipelineZones | None = None,
+    k_neg: int = 4,
+    skip_top: int = 0,
+    zone_prefix: str = "triples",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Dual-encoder training export: one row per (query, positive)
+    pair carrying that query's ``k_neg`` BM25 hard negatives as an
+    ordered array — the (q, d⁺, {d⁻}) triples a contrastive trainer
+    consumes (in-batch negatives come free at train time; these are
+    the MINED ones).
+
+    Shape: the miners run once for ALL queries
+    (``operators/mining.py`` — queries are data, not plan); negatives
+    collapse to one bounded array per query (≤ k_neg ids,
+    sort-by-rank via array_sort on (rank, id) structs — order-free
+    agg, deterministic array); positives join back broadcastless on
+    query_id (both sides query-grain).  With ``zones`` the table
+    lands as a versioned zone (write path inherits manifest/seal
+    machinery); otherwise the DataFrame returns for the caller.
+    """
+    from pyspark.sql import functions as F
+
+    from ..operators.mining import mine_hard_negatives
+
+    neg = mine_hard_negatives(
+        corpus,
+        queries,
+        positives,
+        k=k_neg,
+        skip_top=skip_top,
+        text_col=text_col,
+        id_col=id_col,
+    )
+    neg_arr = neg.groupBy("query_id").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("neg_rank", F.col(id_col)))
+            ),
+            lambda s: s[id_col],
+        ).alias("neg_ids")
+    )
+    triples = (
+        positives.select("query_id", F.col(id_col).alias("pos_id"))
+        .join(queries, "query_id")
+        .join(neg_arr, "query_id", "left")
+        .withColumn(
+            "neg_ids",
+            F.coalesce(F.col("neg_ids"), F.array().cast("array<long>")),
+        )
+    )
+    if zones is None:
+        return triples
+    return zones.write(triples, zone_prefix)

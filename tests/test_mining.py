@@ -233,3 +233,101 @@ def test_dense_hard_negatives_exclude_positives(spark):
     assert [r.neg_rank for r in out] == [1, 2, 3]
     sims = [r.cosine_sim for r in out]
     assert sims == sorted(sims, reverse=True)
+
+
+def test_ivf_hard_negatives_match_exact_tier_on_probed_pool(spark, tmp_path):
+    """The IVF miner applies the SAME DPR tail to the index tier's
+    pool: its negatives equal ranking ivf_topk_from_zone's pool by
+    hand, and labeled positives never appear."""
+    import os
+
+    import pytest
+
+    src = "/root/testdata/sf0.001/embeddings.parquet"
+    if not os.path.exists(src):
+        pytest.skip("driver testdata not present")
+    from peskas_mozambique_data_pipeline_spark.operators import (
+        ann_index,
+        similarity as sim_ops,
+    )
+    from peskas_mozambique_data_pipeline_spark.plans.pipeline import (
+        PipelineZones,
+    )
+
+    emb = spark.read.parquet(src).select("vec_id", "embedding")
+    zones = PipelineZones(str(tmp_path))
+    assignments, centroids = sim_ops.build_ivf_index(
+        emb, n_centroids=4, n_iters=2
+    )
+    ann_index.save_ivf_index(zones, assignments, centroids)
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    pool = ann_index.ivf_topk_from_zone(
+        spark, zones, queries, k=13, n_probe=2
+    ).collect()
+    # positives: each query's single nearest pool neighbor
+    pos = [
+        (r.query_id, r.neighbor_id) for r in pool if r.rank == 1
+    ]
+    positives = spark.createDataFrame(pos, "query_id long, doc_id long")
+    got = mining.mine_hard_negatives_ivf(
+        spark, zones, queries, positives, k=3, n_probe=2
+    ).collect()
+    by_q = {}
+    for r in sorted(got, key=lambda r: (r.query_id, r.neg_rank)):
+        by_q.setdefault(r.query_id, []).append(r.doc_id)
+    want = {}
+    for r in sorted(pool, key=lambda r: (r.query_id, r.rank)):
+        if (r.query_id, r.neighbor_id) in set(pos):
+            continue
+        want.setdefault(r.query_id, [])
+        if len(want[r.query_id]) < 3:
+            want[r.query_id].append(r.neighbor_id)
+    assert by_q == want
+    banned = set(pos)
+    assert all((r.query_id, r.doc_id) not in banned for r in got)
+
+
+def test_export_training_triples_roundtrip(spark, tmp_path):
+    from peskas_mozambique_data_pipeline_spark.io import parquet_io
+    from peskas_mozambique_data_pipeline_spark.plans.pipeline import (
+        PipelineZones,
+    )
+    from peskas_mozambique_data_pipeline_spark.plans.retrieval import (
+        export_training_triples,
+    )
+
+    corpus = _corpus(spark)
+    queries = spark.createDataFrame(
+        [(1, "spark shuffles"), (2, "bloom filters membership")],
+        "query_id long, query_text string",
+    )
+    positives = spark.createDataFrame(
+        [(1, 1), (2, 2)], "query_id long, doc_id long"
+    )
+    df = export_training_triples(corpus, queries, positives, k_neg=2)
+    rows = {r.query_id: r for r in df.collect()}
+    assert set(rows) == {1, 2}
+    for qid, r in rows.items():
+        assert r.pos_id in (1, 2)
+        assert r.pos_id not in r.neg_ids  # positive never a negative
+        assert 0 < len(r.neg_ids) <= 2
+    # ordered by mined rank: the strongest negative leads
+    neg = mining.mine_hard_negatives(
+        corpus, queries, positives, k=2
+    ).collect()
+    want1 = [
+        r.doc_id
+        for r in sorted(
+            (x for x in neg if x.query_id == 1), key=lambda x: x.neg_rank
+        )
+    ]
+    assert list(rows[1].neg_ids) == want1
+    # zone write path: versioned snapshot lands and reads back
+    zones = PipelineZones(str(tmp_path))
+    path = export_training_triples(
+        corpus, queries, positives, zones=zones, k_neg=2
+    )
+    back = parquet_io.read_latest(spark, str(tmp_path), "triples")
+    assert back.count() == 2 and "neg_ids" in back.columns
