@@ -39,8 +39,12 @@ def write_versioned(
     compression: str = "lz4",
     bloom_cols: list[str] | None = None,
     manifest: bool = False,
+    now: datetime | None = None,
 ) -> str:
     """Write an immutable versioned snapshot into ``zone_dir``.
+
+    ``now`` pins the version stamp (backfills / reproducible tests);
+    default is wall-clock UTC.
 
     lz4 matches the reference's codec choice (R/api.R:133-138).
     ``sort_by`` sorts within output files so parquet row-group min/max
@@ -67,11 +71,11 @@ def write_versioned(
     loader parses is preserved; lexicographic version order puts the
     suffixed name after the bare one, i.e. newest-last, correctly).
     """
-    name = versioned_name(prefix, git_sha)
+    name = versioned_name(prefix, git_sha, now)
     n = 0
     while os.path.exists(os.path.join(zone_dir, name)):
         n += 1
-        name = versioned_name(prefix, f"{git_sha}u{n}")
+        name = versioned_name(prefix, f"{git_sha}u{n}", now)
     path = os.path.join(zone_dir, name)
     if range_by:
         # write_sorted's layout inside the versioned zone: files form
@@ -123,6 +127,75 @@ def latest_version_path(zone_dir: str, prefix: str) -> str:
 
 def read_latest(spark: SparkSession, zone_dir: str, prefix: str) -> DataFrame:
     return spark.read.parquet(latest_version_path(zone_dir, prefix))
+
+
+def as_of_version_path(zone_dir: str, prefix: str, as_of: str) -> str:
+    """Time travel: resolve the newest snapshot whose version stamp is
+    <= ``as_of`` (a ``YYYYMMDDHHMMSS`` stamp, or any prefix of one —
+    "20260816" means end-of-that-second semantics apply to the padded
+    stamp).  Zones are immutable and writes only ADD versions, so the
+    answer is stable for as long as retention (``vacuum_zone``) keeps
+    the snapshot — the reader-side half of the time-travel contract
+    the immutability buys.  Metadata-only (one driver-side listing).
+    """
+    stamp = (str(as_of) + "9" * 14)[:14]
+    candidates = []
+    for name in os.listdir(zone_dir):
+        if not name.startswith(prefix + "__"):
+            continue
+        m = VERSION_RE.search(name)
+        if m and m.group(1) <= stamp:
+            candidates.append((m.group(1), name))
+    if not candidates:
+        raise FileNotFoundError(
+            f"no snapshot of prefix={prefix!r} at or before {as_of!r} in {zone_dir}"
+        )
+    _, newest = max(candidates)
+    return os.path.join(zone_dir, newest)
+
+
+def read_as_of(
+    spark: SparkSession, zone_dir: str, prefix: str, as_of: str
+) -> DataFrame:
+    """Read the zone as it stood at ``as_of`` (see
+    :func:`as_of_version_path`)."""
+    return spark.read.parquet(as_of_version_path(zone_dir, prefix, as_of))
+
+
+def version_history(zone_dir: str, prefix: str) -> list[dict]:
+    """DESCRIBE HISTORY for a zone: one dict per snapshot, oldest →
+    newest — version stamp, writer sha, streaming batch id (None for
+    wall-clock versions), file count, bytes, and whether a seal
+    sidecar is present.  Driver-side listing only; at object-store
+    scale this is one LIST per snapshot dir."""
+    out = []
+    for name in list_versions(zone_dir, prefix):
+        m = VERSION_RE.search(name)
+        path = os.path.join(zone_dir, name)
+        n_files = 0
+        n_bytes = 0
+        # the integrity sidecar is the _manifest dir (seal_zone /
+        # write_versioned(manifest=True)); don't count its parquet as data
+        sealed = os.path.isdir(os.path.join(path, "_manifest"))
+        for root, _dirs, files in os.walk(path):
+            if "_manifest" in root.split(os.sep):
+                continue
+            for f in files:
+                if f.endswith(".parquet"):
+                    n_files += 1
+                    n_bytes += os.path.getsize(os.path.join(root, f))
+        out.append(
+            {
+                "version": m.group(1),
+                "writer": m.group(2),
+                "stream_batch": stream_batch_id(name),
+                "name": name,
+                "n_files": n_files,
+                "n_bytes": n_bytes,
+                "sealed": sealed,
+            }
+        )
+    return out
 
 
 def seal_zone(

@@ -55,6 +55,17 @@ class PipelineZones:
             df, self.root, prefix, bucket_cols, n_buckets, self.git_sha
         )
 
+    def read_as_of(
+        self, spark: SparkSession, prefix: str, as_of: str
+    ) -> DataFrame:
+        """Time travel (parquet_io.read_as_of): the zone as it stood
+        at the given stamp (or stamp prefix)."""
+        return parquet_io.read_as_of(spark, self.root, prefix, as_of)
+
+    def history(self, prefix: str) -> list[dict]:
+        """DESCRIBE HISTORY (parquet_io.version_history)."""
+        return parquet_io.version_history(self.root, prefix)
+
     def read(self, spark: SparkSession, prefix: str) -> DataFrame:
         return parquet_io.read_latest(spark, self.root, prefix)
 

@@ -1048,3 +1048,113 @@ def test_schema_diff_reports_drift_only(spark):
         ("v", "retyped", "string", "binary"),
     }
     assert parquet_io.schema_diff(old, old.select("x", "id", "v")).count() == 0
+
+
+def test_time_travel_read_as_of_and_history(spark, tmp_path):
+    """read_as_of resolves the newest snapshot at-or-before a stamp
+    (stable under later writes — the reader half of immutability);
+    version_history reports every snapshot with files/bytes/seal."""
+    from datetime import datetime, timedelta, timezone
+
+    zone = str(tmp_path / "zone")
+    t0 = datetime(2026, 1, 2, 3, 4, 5, tzinfo=timezone.utc)
+    d1 = spark.range(0, 5).withColumn("v", F.lit("one"))
+    d2 = spark.range(0, 7).withColumn("v", F.lit("two"))
+    d3 = spark.range(0, 9).withColumn("v", F.lit("three"))
+    parquet_io.write_versioned(d1, zone, "t", now=t0)
+    parquet_io.write_versioned(d2, zone, "t", now=t0 + timedelta(hours=1))
+    parquet_io.write_versioned(d3, zone, "t", now=t0 + timedelta(days=1))
+
+    # exact stamp, between-stamps, prefix, and end-of-day semantics
+    assert parquet_io.read_as_of(spark, zone, "t", "20260102030405").count() == 5
+    assert parquet_io.read_as_of(spark, zone, "t", "20260102035959").count() == 5
+    assert parquet_io.read_as_of(spark, zone, "t", "20260102040405").count() == 7
+    assert parquet_io.read_as_of(spark, zone, "t", "20260102").count() == 7
+    assert parquet_io.read_as_of(spark, zone, "t", "2026").count() == 9
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        parquet_io.read_as_of(spark, zone, "t", "20251231")
+    # latest unaffected
+    assert parquet_io.read_latest(spark, zone, "t").count() == 9
+
+    hist = parquet_io.version_history(zone, "t")
+    assert [h["version"] for h in hist] == [
+        "20260102030405", "20260102040405", "20260103030405"
+    ]
+    assert all(h["n_files"] >= 1 and h["n_bytes"] > 0 for h in hist)
+    assert not any(h["sealed"] for h in hist)
+    parquet_io.seal_zone(spark, zone, "t")
+    hist2 = parquet_io.version_history(zone, "t")
+    assert hist2[-1]["sealed"] and not hist2[0]["sealed"]
+    # the seal's own manifest parquet is not counted as data
+    assert hist2[-1]["n_files"] == hist[-1]["n_files"]
+
+
+def test_zones_time_travel_wrappers(spark, tmp_path):
+    from datetime import datetime, timedelta, timezone
+
+    from peskas_mozambique_data_pipeline_spark.plans.pipeline import (
+        PipelineZones,
+    )
+
+    zones = PipelineZones(str(tmp_path))
+    t0 = datetime(2026, 2, 1, 0, 0, 0, tzinfo=timezone.utc)
+    parquet_io.write_versioned(
+        spark.range(3), str(tmp_path), "z", now=t0
+    )
+    parquet_io.write_versioned(
+        spark.range(6), str(tmp_path), "z", now=t0 + timedelta(hours=2)
+    )
+    # prefix stamps are end-of-period: end-of-hour-00 sees only the
+    # first write; end-of-day sees both
+    assert zones.read_as_of(spark, "z", "2026020100").count() == 3
+    assert zones.read_as_of(spark, "z", "20260201").count() == 6
+    assert zones.read(spark, "z").count() == 6
+    assert len(zones.history("z")) == 2
+
+
+def test_zone_lifecycle_end_to_end(spark, tmp_path):
+    """The full zone lifecycle in one scenario: versioned writes,
+    zorder compaction, seal + verify, time travel across every stamp,
+    history, then vacuum — retained reads stay stable, vacuumed stamps
+    resolve to nothing (time travel is bounded by retention, the
+    documented contract)."""
+    from datetime import datetime, timedelta, timezone
+
+    zone = str(tmp_path / "zone")
+    t0 = datetime(2026, 3, 1, 12, 0, 0, tzinfo=timezone.utc)
+    d1 = spark.range(0, 100).withColumn("x", F.col("id") % 8).withColumn(
+        "y", F.col("id") % 5
+    )
+    d2 = d1.withColumn("x", F.col("x") + 1)
+    parquet_io.write_versioned(d1.repartition(6), zone, "life", now=t0)
+    parquet_io.write_versioned(
+        d2.repartition(6), zone, "life", now=t0 + timedelta(minutes=5)
+    )
+    # zorder compaction lands as a NEW version (immutable zone)
+    parquet_io.compact_zone(
+        spark, zone, "life", target_mb=256, zorder_by=["x", "y"],
+        zorder_bits=3,
+    )
+    assert len(parquet_io.list_versions(zone, "life")) == 3
+    # seal the release and verify clean
+    parquet_io.seal_zone(spark, zone, "life")
+    bad = parquet_io.verify_latest(spark, zone, "life").collect()
+    assert bad == []
+    hist = parquet_io.version_history(zone, "life")
+    assert [h["sealed"] for h in hist] == [False, False, True]
+    # time travel: first stamp sees d1, +5min sees d2, latest == d2
+    at0 = parquet_io.read_as_of(spark, zone, "life", "20260301120000")
+    assert at0.agg(F.sum("x")).first()[0] == d1.agg(F.sum("x")).first()[0]
+    at5 = parquet_io.read_as_of(spark, zone, "life", "202603011205")
+    assert at5.agg(F.sum("x")).first()[0] == d2.agg(F.sum("x")).first()[0]
+    # vacuum to the newest 1: reads of the survivor stay stable,
+    # vacuumed stamps no longer resolve
+    parquet_io.vacuum_zone(spark, zone, "life", keep_last=1)
+    assert parquet_io.read_latest(spark, zone, "life").count() == 100
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        parquet_io.as_of_version_path(zone, "life", "20260301120000")
+    assert len(parquet_io.version_history(zone, "life")) == 1
