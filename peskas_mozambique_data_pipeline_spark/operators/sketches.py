@@ -635,3 +635,83 @@ def bloom_occupancy(
         "bloom_bits_set",
         F.round(fpp, 6).alias("bloom_fpp"),
     )
+
+
+def kmv_set_algebra(
+    pairs: DataFrame,
+    a_col: str = "kmv_a",
+    b_col: str = "kmv_b",
+    k: int = 256,
+) -> DataFrame:
+    """Full set-cardinality algebra from two KMV sketch columns:
+    ``union_est``, ``intersect_est``, ``diff_a_est`` (A∖B),
+    ``diff_b_est`` — the estimates HLL registers cannot express
+    (Beyer et al. 2007's |A∪B|·Ĵ construction and its complements).
+
+    Derivation: the union's bottom-k is itself a valid KMV sketch
+    (estimated like any sketch), Ĵ comes from :func:`kmv_jaccard`'s
+    fraction over that sample, and the intersection/differences are
+    products of the two — each rounded to 6 decimals AFTER the final
+    product so both engines see one rounding site per output.
+    ``k`` must not exceed either build k (the ``kmv_k`` contract)."""
+    with_j = kmv_jaccard(pairs, a_col, b_col, k=k)
+    union_k = F.slice(
+        F.array_sort(
+            F.array_distinct(F.concat(F.col(a_col), F.col(b_col)))
+        ),
+        1,
+        k,
+    )
+    n = F.size(union_k)
+    hk = F.element_at(union_k, -1).cast("double")
+    union_raw = F.when(n < F.lit(k), n.cast("double")).otherwise(
+        F.lit(float(k - 1)) * F.lit(KMV_SPACE) / hk
+    )
+    # the UNROUNDED jaccard fraction (kmv_jaccard's jaccard_est is
+    # already rounded to 6dp; multiplying a rounded ratio would make
+    # the exact small-set branch inexact — 60 * round(1/3, 6) != 20)
+    inter_in_sample = F.array_intersect(
+        union_k, F.array_intersect(F.col(a_col), F.col(b_col))
+    )
+    j_raw = F.size(inter_in_sample).cast("double") / n.cast("double")
+    inter_raw = union_raw * j_raw
+    return (
+        with_j.withColumn("union_est", F.round(union_raw, 6))
+        .withColumn("intersect_est", F.round(inter_raw, 6))
+        .withColumn(
+            "diff_a_est",
+            F.round(
+                F.greatest(
+                    F.lit(0.0),
+                    F.when(
+                        F.size(F.col(a_col)) < F.lit(k),
+                        F.size(F.col(a_col)).cast("double"),
+                    ).otherwise(
+                        F.lit(float(k - 1))
+                        * F.lit(KMV_SPACE)
+                        / F.element_at(F.col(a_col), -1).cast("double")
+                    )
+                    - inter_raw,
+                ),
+                6,
+            ),
+        )
+        .withColumn(
+            "diff_b_est",
+            F.round(
+                F.greatest(
+                    F.lit(0.0),
+                    F.when(
+                        F.size(F.col(b_col)) < F.lit(k),
+                        F.size(F.col(b_col)).cast("double"),
+                    ).otherwise(
+                        F.lit(float(k - 1))
+                        * F.lit(KMV_SPACE)
+                        / F.element_at(F.col(b_col), -1).cast("double")
+                    )
+                    - inter_raw,
+                ),
+                6,
+            ),
+        )
+    )

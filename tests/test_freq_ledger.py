@@ -197,3 +197,45 @@ def test_ungrouped_ledger_and_heavy_hitters(spark, tmp_path):
     assert hh[0].url == "hot" and len(hh) == 3
     plan = fl.heavy_hitters(spark, zone, "url", top_k=3)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_ledger_cells_replay_in_duckdb_from_raw_landing(spark, tmp_path):
+    """Release-ledger-grade evidence: the folded cell table is
+    reproducible by a foreign engine from the RAW landing parquet —
+    the same md5 cell arithmetic, grouped counts (the zone state is
+    engine-readable, not Spark-private)."""
+    import duckdb
+
+    landing = str(tmp_path / "landing")
+    zone = str(tmp_path / "zone")
+    ck = str(tmp_path / "ck")
+    schema = _write(spark, landing, _rows(0, 250, "s1"))
+    _write(spark, landing, _rows(250, 600, "s2"))
+
+    stream = si.stream_landing_zone(
+        spark, landing, schema, max_files_per_trigger=1
+    )
+    q, _ = fl.stream_freq_ledger(
+        stream, zone, ck, value_col="url", group_cols=["source"]
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.source, r.i, r.cell, r.n)
+        for r in fl.read_cells(spark, zone, ["source"]).collect()
+    )
+    con = duckdb.connect()
+    want = sorted(
+        con.execute(
+            f"""
+            SELECT source, g.i,
+                   ('0x' || substr(md5('cms' || g.i || '_' || url), 1, 2))::INT
+                     AS cell,
+                   COUNT(*) AS n
+            FROM read_parquet('{landing}/*.parquet')
+            CROSS JOIN (SELECT UNNEST(range(4)) AS i) g
+            GROUP BY source, g.i, cell
+            """
+        ).fetchall()
+    )
+    assert got == [(s, int(i), int(c), int(n)) for s, i, c, n in want]
+    assert len(got) > 100

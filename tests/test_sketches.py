@@ -316,3 +316,31 @@ def test_bloom_duckdb_parity(spark):
     assert got_bits == dbits and len(got_bits) > 50
     assert got_probe == dprobe
     assert any(m for _, m in got_probe) and not all(m for _, m in got_probe)
+
+
+def test_kmv_set_algebra_tracks_truth_and_is_exact_under_k(spark):
+    # A = 0..299, B = 200..499: |A|=300 |B|=300 |A∩B|=100 |A∪B|=500
+    a = spark.createDataFrame([(f"v{i}",) for i in range(300)], "v string")
+    b = spark.createDataFrame(
+        [(f"v{i}",) for i in range(200, 500)], "v string"
+    )
+    ska = sk.kmv_sketch(a, "v", k=128).select(F.col("kmv").alias("kmv_a"))
+    skb = sk.kmv_sketch(b, "v", k=128).select(F.col("kmv").alias("kmv_b"))
+    out = sk.kmv_set_algebra(ska.crossJoin(skb), k=128).first()
+    assert abs(out.union_est - 500) / 500 < 0.25
+    assert abs(out.intersect_est - 100) / 100 < 0.45
+    assert abs(out.diff_a_est - 200) / 200 < 0.35
+    assert abs(out.diff_b_est - 200) / 200 < 0.35
+    # exact branch: both sets fit their sketches -> exact everywhere
+    sa = sk.kmv_sketch(
+        spark.createDataFrame([(f"x{i}",) for i in range(40)], "v string"),
+        "v", k=128,
+    ).select(F.col("kmv").alias("kmv_a"))
+    sb = sk.kmv_sketch(
+        spark.createDataFrame([(f"x{i}",) for i in range(20, 60)], "v string"),
+        "v", k=128,
+    ).select(F.col("kmv").alias("kmv_b"))
+    ex = sk.kmv_set_algebra(sa.crossJoin(sb), k=128).first()
+    assert ex.union_est == 60.0
+    assert ex.intersect_est == 20.0
+    assert ex.diff_a_est == 20.0 and ex.diff_b_est == 20.0
