@@ -715,3 +715,112 @@ def kmv_set_algebra(
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# HDR-style histogram quantile sketch: fixed log2 buckets with linear
+# sub-buckets (the HdrHistogram layout) — the MERGEABLE quantile
+# sketch the family lacked.  histogram_quantiles (above) is two-pass
+# and min/max-dependent, so per-shard histograms of different shards
+# do NOT align and cannot merge; HDR buckets are VALUE-INDEPENDENT
+# (bucket boundaries depend only on sub_bits), so per-batch/per-shard
+# bucket counts are a SUM MONOID — zone-state-able exactly like the
+# CMS frequency ledger, with relative error bounded by 2^-sub_bits.
+#
+# Engine-exactness: the bucket id is pure integer arithmetic — msb =
+# length(bin(v)) (the HLL rho trick: bin/length agree across engines,
+# no float log2), sub-index = v >> (msb-1-sub_bits) — and the
+# quantile estimate returns the bucket's exact integer lower bound,
+# so the whole path is replayable bit-for-bit by a foreign engine.
+
+HDR_SUB_BITS = 5  # 2^5 linear sub-buckets per octave: rel. error <= 1/32
+
+
+def hdr_histogram(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    sub_bits: int = HDR_SUB_BITS,
+) -> DataFrame:
+    """Per-group HDR bucket counts ``(group…, bucket, lo, n)``: at most
+    64 · 2^sub_bits buckets per group regardless of data, built by one
+    map-side-combinable SUM — and because boundaries are value-
+    independent, histograms of ANY two slices merge by adding ``n``
+    per bucket (the SUM monoid; ``hdr_merge``).  ``lo`` is the
+    bucket's exact integer lower bound (the quantile representative).
+    """
+    g = list(group_cols)
+    v = F.col(value_col).cast("long")
+    base = (
+        df.filter(v.isNotNull() & (v >= 0))
+        .withColumn("_hdr_v", v)
+        .withColumn("_hdr_m", F.length(F.bin(F.col("_hdr_v"))))
+        .withColumn(
+            "_hdr_s",
+            F.greatest(
+                F.lit(0), F.col("_hdr_m") - F.lit(1 + sub_bits)
+            ).cast("int"),
+        )
+    )
+    sub = F.expr("shiftright(_hdr_v, _hdr_s)")
+    bucket = F.when(F.col("_hdr_v") == 0, F.lit(0).cast("long")).otherwise(
+        F.col("_hdr_m").cast("long") * F.lit(1 << (sub_bits + 1)).cast("long")
+        + sub
+    )
+    lo = F.when(F.col("_hdr_v") == 0, F.lit(0).cast("long")).otherwise(
+        F.expr("shiftleft(shiftright(_hdr_v, _hdr_s), _hdr_s)")
+    )
+    return (
+        base.select(*g, bucket.alias("bucket"), lo.alias("lo"))
+        .groupBy(*g, "bucket", "lo")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def hdr_merge(
+    hists: DataFrame, group_cols: Sequence[str] = ()
+) -> DataFrame:
+    """SUM-merge histogram rows down to ``group_cols`` grain — exactly
+    the histogram of the unioned inputs (value-independent boundaries
+    make the bucket counts a monoid)."""
+    return hists.groupBy(*group_cols, "bucket", "lo").agg(
+        F.sum("n").alias("n")
+    )
+
+
+def hdr_quantiles(
+    hists: DataFrame,
+    quantiles: Sequence[float],
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Quantile estimates from bucket counts: per group, the exact
+    integer lower bound of the first bucket whose cumulative count
+    reaches ceil(q·n) — deterministic integer selection, relative
+    error ≤ 2^-sub_bits by construction.  The cumulative window runs
+    over ≤ 64·2^sub_bits rows per group (sketch-sized, never data-
+    sized)."""
+    from pyspark.sql import Window
+
+    g = list(group_cols)
+    w = Window.partitionBy(*g).orderBy("bucket") if g else Window.orderBy(
+        "bucket"
+    )
+    # bounded input: the per-group row count is the bucket count, so
+    # even the ungrouped global window sorts sketch-sized data
+    totals = hists.groupBy(*g).agg(F.sum("n").alias("_n"))
+    cum = hists.withColumn("_cum", F.sum("n").over(w)).join(
+        totals, on=g
+    ) if g else hists.withColumn("_cum", F.sum("n").over(w)).crossJoin(
+        F.broadcast(totals)
+    )
+    qs = F.explode(
+        F.array(*[F.lit(float(q)) for q in quantiles])
+    ).alias("quantile")
+    probe = cum.select(*g, "bucket", "lo", "n", "_cum", "_n", qs)
+    target = F.greatest(
+        F.lit(1).cast("long"), F.ceil(F.col("quantile") * F.col("_n"))
+    )
+    hit = probe.filter(
+        (F.col("_cum") >= target) & (F.col("_cum") - F.col("n") < target)
+    )
+    return hit.select(*g, "quantile", F.col("lo").alias("estimate"))

@@ -344,3 +344,98 @@ def test_kmv_set_algebra_tracks_truth_and_is_exact_under_k(spark):
     assert ex.union_est == 60.0
     assert ex.intersect_est == 20.0
     assert ex.diff_a_est == 20.0 and ex.diff_b_est == 20.0
+
+
+# ---------------------------------------------------------------------------
+# HDR histogram quantile sketch
+
+
+def test_hdr_quantiles_within_relative_error_and_bounded(spark):
+    import random
+
+    rng = random.Random(7)
+    vals = [int(rng.lognormvariate(8, 2)) for _ in range(5000)]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    hist = sk.hdr_histogram(df, "v")
+    assert hist.count() <= 64 * (1 << sk.HDR_SUB_BITS)  # fixed state
+    got = {
+        r.quantile: r.estimate
+        for r in sk.hdr_quantiles(hist, [0.5, 0.95, 0.99]).collect()
+    }
+    svals = sorted(vals)
+    for q, est in got.items():
+        exact = svals[min(len(svals) - 1, max(0, -(-int(q * len(svals))) - 1))]
+        # estimate is the bucket lower bound: within 2^-sub_bits below
+        assert est <= exact
+        assert exact <= est * (1 + 2 ** -sk.HDR_SUB_BITS) + 1, (q, est, exact)
+
+
+def test_hdr_histogram_is_a_sum_monoid(spark):
+    rows = [(f"g{i % 2}", (i * 37) % 10000) for i in range(2000)]
+    df = spark.createDataFrame(rows, "grp string, v long")
+    whole = {
+        (r.grp, r.bucket, r.lo): r.n
+        for r in sk.hdr_histogram(df, "v", ["grp"]).collect()
+    }
+    s1 = df.filter(F.crc32(F.col("v").cast("string")) % 2 == 0)
+    s2 = df.filter(F.crc32(F.col("v").cast("string")) % 2 == 1)
+    shards = sk.hdr_histogram(s1, "v", ["grp"]).unionByName(
+        sk.hdr_histogram(s2, "v", ["grp"])
+    )
+    merged = {
+        (r.grp, r.bucket, r.lo): r.n
+        for r in sk.hdr_merge(shards, ["grp"]).collect()
+    }
+    assert whole == merged  # value-independent boundaries: exact merge
+
+
+def test_hdr_buckets_replay_in_duckdb(spark):
+    """Engine-exactness: bucket ids, lower bounds and counts replay
+    bit-exactly in DuckDB over the same parquet (msb via length(bin),
+    shifts — no float log2 anywhere)."""
+    import duckdb
+
+    src = "/root/testdata/sf0.001/lineitem.parquet"
+    df = spark.read.parquet(src).select(
+        (F.col("l_extendedprice") * 100).cast("long").alias("v")
+    )
+    got = sorted(
+        (r.bucket, r.lo, r.n)
+        for r in sk.hdr_histogram(df, "v").collect()
+    )
+    sb = sk.HDR_SUB_BITS
+    con = duckdb.connect()
+    want = sorted(
+        con.execute(
+            f"""
+            WITH v AS (
+              SELECT CAST(l_extendedprice * 100 AS BIGINT) AS v
+              FROM read_parquet('{src}')
+              WHERE l_extendedprice IS NOT NULL
+            ),
+            b AS (
+              SELECT v, length(bin(v)) AS m,
+                     GREATEST(0, length(bin(v)) - {1 + sb}) AS s
+              FROM v WHERE v >= 0
+            )
+            SELECT CASE WHEN v = 0 THEN 0
+                        ELSE m * {1 << (sb + 1)} + (v >> s) END AS bucket,
+                   CASE WHEN v = 0 THEN 0 ELSE (v >> s) << s END AS lo,
+                   COUNT(*) AS n
+            FROM b GROUP BY 1, 2
+            """
+        ).fetchall()
+    )
+    assert got == [(int(b), int(l), int(n)) for b, l, n in want]
+    assert len(got) > 20
+
+
+def test_hdr_zero_and_negative_and_null_handling(spark):
+    df = spark.createDataFrame(
+        [(0,), (None,), (-5,), (1,), (7,)], "v long"
+    )
+    hist = sk.hdr_histogram(df, "v").collect()
+    total = sum(r.n for r in hist)
+    assert total == 3  # negatives and nulls excluded
+    zero = [r for r in hist if r.bucket == 0]
+    assert zero and zero[0].lo == 0 and zero[0].n == 1
