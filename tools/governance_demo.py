@@ -1,0 +1,125 @@
+"""Streaming-governance dashboard demo: ONE landing zone file-streamed
+through all THREE sketch ledgers at once —
+
+    distinct_ledger  (HLL, MAX semilattice)   → "how many distinct texts"
+    freq_ledger      (CMS + candidates, SUM)  → "which sources/values dominate"
+    quantile_ledger  (HDR buckets, SUM)       → "p50/p95/p99 of doc length"
+
+— then prints the standing governance tiles an ingest dashboard wants,
+entirely from kilobyte-scale zone state, and cross-checks each tile
+against the batch operator over the whole landing zone (the ledgers'
+stream ≡ batch contracts, exercised side by side).
+
+Usage: python tools/governance_demo.py [sf_dir]
+       (default /root/testdata/sf0.001)
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from peskas_mozambique_data_pipeline_spark.operators import sketches as sk
+from peskas_mozambique_data_pipeline_spark.session import get_spark, read_table
+from peskas_mozambique_data_pipeline_spark.streaming import distinct_ledger as dl
+from peskas_mozambique_data_pipeline_spark.streaming import freq_ledger as fl
+from peskas_mozambique_data_pipeline_spark.streaming import ingest as si
+from peskas_mozambique_data_pipeline_spark.streaming import quantile_ledger as ql
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark(shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    work = tempfile.mkdtemp(prefix="governance_demo_")
+    landing = os.path.join(work, "landing")
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", "text", F.length("text").alias("n_chars")
+    )
+    # land in three files so each ledger sees three micro-batches
+    docs.repartition(3).write.parquet(landing)
+    schema = spark.read.parquet(landing).schema
+    n_docs = docs.count()
+    print(f"landing zone: {n_docs} docs in 3 files -> 3 micro-batches each\n")
+
+    ledgers = {
+        "distinct": lambda s: dl.stream_distinct_ledger(
+            s, os.path.join(work, "z_distinct"), os.path.join(work, "ck_d"),
+            value_col="text", group_cols=["source"],
+        ),
+        "freq": lambda s: fl.stream_freq_ledger(
+            s, os.path.join(work, "z_freq"), os.path.join(work, "ck_f"),
+            value_col="lang", group_cols=["source"],
+        ),
+        "quantile": lambda s: ql.stream_quantile_ledger(
+            s, os.path.join(work, "z_quant"), os.path.join(work, "ck_q"),
+            value_col="n_chars", group_cols=["source"],
+        ),
+    }
+    for name, start in ledgers.items():
+        stream = si.stream_landing_zone(
+            spark, landing, schema, max_files_per_trigger=1
+        )
+        q, _ = start(stream)
+        q.awaitTermination(120)
+        print(f"{name} ledger drained")
+
+    whole = spark.read.parquet(landing)
+
+    print("\n== tile 1: all-time distinct texts per source (HLL) ==")
+    est = dl.ledger_estimate(spark, os.path.join(work, "z_distinct"), ["source"])
+    batch = sk.hll_estimate(
+        sk.hll_registers(whole, "text", ["source"]), ["source"]
+    )
+    got = {r.source: r.hll_distinct for r in est.collect()}
+    want = {r.source: r.hll_distinct for r in batch.collect()}
+    for src in sorted(got):
+        mark = "==" if got[src] == want[src] else "!!"
+        print(f"  {src:10s} stream={got[src]:10.1f} batch={want[src]:10.1f} {mark}")
+    assert got == want
+
+    print("\n== tile 2: dominant langs per source (CMS heavy hitters) ==")
+    hh = fl.heavy_hitters(
+        spark, os.path.join(work, "z_freq"), "lang", ["source"], top_k=3
+    )
+    exact = {
+        (r.source, r.lang): r.n
+        for r in whole.groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for r in hh.collect():
+        true_n = exact.get((r.source, r.lang), 0)
+        assert r.cms_count >= true_n  # one-sided error
+        print(f"  {r.source:10s} {r.lang:4s} est={r.cms_count:6d} exact={true_n:6d}")
+
+    print("\n== tile 3: doc-length percentiles per source (HDR) ==")
+    qs = ql.ledger_quantiles(
+        spark, os.path.join(work, "z_quant"), [0.5, 0.95, 0.99], ["source"]
+    )
+    for r in sorted(qs.collect(), key=lambda r: (r.source, r.quantile)):
+        print(f"  {r.source:10s} p{int(r.quantile * 100):<3d} ~{r.estimate} chars")
+    batch_q = sk.hdr_quantiles(
+        sk.hdr_histogram(whole, "n_chars", ["source"]),
+        [0.5, 0.95, 0.99],
+        ["source"],
+    )
+    sq = {(r.source, r.quantile): r.estimate for r in qs.collect()}
+    bq = {(r.source, r.quantile): r.estimate for r in batch_q.collect()}
+    assert sq == bq  # stream ≡ batch, tile for tile
+
+    print("\ngovernance demo: all three ledgers agree with batch — OK")
+    shutil.rmtree(work, ignore_errors=True)
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
