@@ -1008,3 +1008,35 @@ def test_zorder_key_matches_python_twin_property(spark, pts, bits):
             key += ((by >> j) & 1) << (2 * j + 1)
         want[i] = key
     assert got == want
+
+
+@SET
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=2**50),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_hdr_buckets_match_python_twin_property(spark, vals):
+    """HDR bucket ids and lower bounds equal a pure-python twin for
+    random magnitudes spanning 50 octaves — the length(bin)/shift
+    integer contract."""
+    from peskas_mozambique_data_pipeline_spark.operators import sketches as sk
+
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = {
+        (r.bucket, r.lo): r.n
+        for r in sk.hdr_histogram(df, "v").collect()
+    }
+    sb = sk.HDR_SUB_BITS
+    want = {}
+    for v in vals:
+        if v == 0:
+            key = (0, 0)
+        else:
+            m = v.bit_length()
+            s = max(0, m - 1 - sb)
+            key = (m * (1 << (sb + 1)) + (v >> s), (v >> s) << s)
+        want[key] = want.get(key, 0) + 1
+    assert got == want
