@@ -1,9 +1,10 @@
 """Streaming-governance dashboard demo: ONE landing zone file-streamed
-through all THREE sketch ledgers at once —
+through all FOUR sketch ledgers at once —
 
     distinct_ledger  (HLL, MAX semilattice)   → "how many distinct texts"
     freq_ledger      (CMS + candidates, SUM)  → "which sources/values dominate"
     quantile_ledger  (HDR buckets, SUM)       → "p50/p95/p99 of doc length"
+    bloom_ledger     (packed filter, OR)      → "has this stream seen this text"
 
 — then prints the standing governance tiles an ingest dashboard wants,
 entirely from kilobyte-scale zone state, and cross-checks each tile
@@ -30,6 +31,7 @@ from peskas_mozambique_data_pipeline_spark.session import get_spark, read_table
 from peskas_mozambique_data_pipeline_spark.streaming import distinct_ledger as dl
 from peskas_mozambique_data_pipeline_spark.streaming import freq_ledger as fl
 from peskas_mozambique_data_pipeline_spark.streaming import ingest as si
+from peskas_mozambique_data_pipeline_spark.streaming import bloom_ledger as bll
 from peskas_mozambique_data_pipeline_spark.streaming import quantile_ledger as ql
 
 
@@ -61,6 +63,10 @@ def main() -> int:
         "quantile": lambda s: ql.stream_quantile_ledger(
             s, os.path.join(work, "z_quant"), os.path.join(work, "ck_q"),
             value_col="n_chars", group_cols=["source"],
+        ),
+        "membership": lambda s: bll.stream_bloom_ledger(
+            s, os.path.join(work, "z_bloom"), os.path.join(work, "ck_b"),
+            value_col="text", group_cols=["source"],
         ),
     }
     for name, start in ledgers.items():
@@ -115,7 +121,23 @@ def main() -> int:
     bq = {(r.source, r.quantile): r.estimate for r in batch_q.collect()}
     assert sq == bq  # stream ≡ batch, tile for tile
 
-    print("\ngovernance demo: all three ledgers agree with batch — OK")
+    print("\n== tile 4: all-time membership (Bloom) ==")
+    probes = whole.select("source", "text").distinct()
+    seen = bll.ledger_probe(
+        spark, os.path.join(work, "z_bloom"), probes, "text", ["source"]
+    )
+    n_probe = seen.count()
+    n_seen = seen.filter("maybe_seen").count()
+    assert n_seen == n_probe  # no false negatives, ever
+    occ = bll.ledger_occupancy(
+        spark, os.path.join(work, "z_bloom"), ["source"]
+    ).collect()
+    worst = max(occ, key=lambda r: r.bloom_fpp)
+    print(f"  {n_seen}/{n_probe} carried texts probe seen; worst fpp "
+          f"{worst.bloom_fpp:.4f} ({worst.source}, "
+          f"{worst.bloom_bits_set} bits)")
+
+    print("\ngovernance demo: all four ledgers agree with batch — OK")
     shutil.rmtree(work, ignore_errors=True)
     spark.stop()
     return 0
