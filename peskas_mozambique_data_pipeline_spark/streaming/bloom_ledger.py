@@ -154,3 +154,34 @@ def stream_bloom_ledger(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start(), packs_dir
+
+
+def frontier_filter_seen(
+    spark: SparkSession,
+    zone_dir: str,
+    frontier: DataFrame,
+    url_col: str = "url",
+    group_cols: Sequence[str] = (),
+    k: int = BLOOM_K,
+    salt: str = "bloom",
+) -> DataFrame:
+    """Drop frontier URLs the crawl stream has (maybe) already seen —
+    the ledger's crawl-frontier composition (pair with
+    ``web.prioritize_frontier`` + ``web.fetch_schedule``).
+
+    Error direction, stated honestly: a SEEN url always probes true
+    (no false negatives) so nothing is ever re-enqueued; a NEVER-seen
+    url is dropped with probability ≈ the occupancy fpp — an
+    acceptable crawl-coverage loss while the filter is unsaturated,
+    and ``ledger_occupancy`` is the alarm that says when it isn't.
+    Returns the frontier unchanged when no ledger state exists yet
+    (cold start: everything is unseen)."""
+    probed = ledger_probe(
+        spark, zone_dir, frontier, url_col, group_cols, k=k, salt=salt,
+        out_col="_seen",
+    )
+    if probed is None:
+        return frontier
+    from pyspark.sql import functions as F
+
+    return probed.filter(~F.col("_seen")).drop("_seen")

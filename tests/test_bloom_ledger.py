@@ -111,3 +111,33 @@ def test_restart_is_idempotent(spark, tmp_path):
         for r in bl.read_filter(spark, zone, ["source"]).collect()
     }
     assert before == after
+
+
+def test_frontier_filter_seen_drops_carried_keeps_fresh(spark, tmp_path):
+    landing = str(tmp_path / "landing")
+    zone = str(tmp_path / "zone")
+    ck = str(tmp_path / "ck")
+    schema = _write(spark, landing, _rows(0, 200, "s1"))
+    stream = si.stream_landing_zone(
+        spark, landing, schema, max_files_per_trigger=1
+    )
+    q, _ = bl.stream_bloom_ledger(stream, zone, ck, value_col="url")
+    q.awaitTermination(120)
+
+    frontier = spark.createDataFrame(
+        [(f"https://ex.org/{i}",) for i in range(150, 250)]
+        + [(f"https://new.org/{i}",) for i in range(50)],
+        "url string",
+    )
+    out = bl.frontier_filter_seen(spark, zone, frontier).collect()
+    kept = {r.url for r in out}
+    # every carried url (150..199) is gone — no re-enqueue, ever
+    assert not any(u in kept for u in (f"https://ex.org/{i}" for i in range(150, 200)))
+    # the 100 unseen urls survive modulo the (low) occupancy fpp
+    assert 95 <= len(kept) <= 100
+    assert any("new.org" in u for u in kept)
+    # cold start: a zone with no state passes the frontier through
+    assert (
+        bl.frontier_filter_seen(spark, str(tmp_path / "empty"), frontier).count()
+        == frontier.count()
+    )
