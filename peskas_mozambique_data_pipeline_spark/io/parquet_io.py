@@ -138,6 +138,14 @@ def as_of_version_path(zone_dir: str, prefix: str, as_of: str) -> str:
     the snapshot — the reader-side half of the time-travel contract
     the immutability buys.  Metadata-only (one driver-side listing).
     """
+    # a human-shaped input like '2026-08-16' would compare
+    # lexicographically ('-' < '0') and silently resolve an old or
+    # missing snapshot — reject anything but a digit-prefix of a stamp
+    if not re.fullmatch(r"\d{1,14}", str(as_of)):
+        raise ValueError(
+            "as_of must be 1-14 digits of a YYYYMMDDHHMMSS stamp "
+            f"(no separators), got {as_of!r}"
+        )
     stamp = (str(as_of) + "9" * 14)[:14]
     candidates = []
     for name in os.listdir(zone_dir):

@@ -73,15 +73,24 @@ def zorder_key(
     out = df.crossJoin(F.broadcast(stats))
     bcols = []
     for ci, c in enumerate(cols):
-        num = (F.col(c).cast("long") - F.col(f"_lo_{c}")) * F.lit(
-            1 << bits
-        ).cast("long")
+        # the affine bin runs in DECIMAL(38,0): (v − lo) · 2^bits in
+        # BIGINT wraps silently (non-ANSI) once the column span exceeds
+        # 2^(63−bits) — e.g. nanosecond epoch timestamps — corrupting
+        # the clustering key.  Worst case (span 2^64 − 1) · 2^62 < 10^38
+        # fits exactly; DIV on decimals is still integer division and
+        # returns BIGINT, so in-range spans produce bit-identical
+        # buckets to the old BIGINT path.
+        num = (
+            F.col(c).cast("decimal(20,0)") - F.col(f"_lo_{c}")
+        ) * F.lit(1 << bits).cast("decimal(19,0)")
         out = out.withColumn(f"_num_{ci}", num)
-        # DIV is true integer division (both engines' `/` is double)
         out = out.withColumn(
             f"_b_{ci}",
             F.coalesce(
-                F.expr(f"_num_{ci} DIV (_hi_{c} - _lo_{c} + 1)"),
+                F.expr(
+                    f"_num_{ci} DIV "
+                    f"(CAST(_hi_{c} AS DECIMAL(20,0)) - _lo_{c} + 1)"
+                ).cast("long"),
                 F.lit(0).cast("long"),
             ),
         )

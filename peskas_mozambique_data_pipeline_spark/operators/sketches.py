@@ -595,9 +595,16 @@ def bloom_probe(
         F.lit("bloom_probe k does not match the filter's bloom_k"),
     )
     drop = ["bloom", "bloom_m", "bloom_k"] + [f"_bp{i}" for i in range(k)]
+    # a NULL value hashes as the bare salt under concat_ws (which drops
+    # NULL args) and could deterministically probe TRUE — force it
+    # false, matching bloom_bits' isNotNull build filter and the
+    # docstring (a null-url frontier row must never be dropped as
+    # "seen" by frontier_filter_seen)
     return out.withColumn(
         out_col,
-        F.when(guard.isNull(), F.coalesce(hit, F.lit(False))),
+        F.when(F.col(value_col).isNull(), F.lit(False)).otherwise(
+            F.when(guard.isNull(), F.coalesce(hit, F.lit(False)))
+        ),
     ).drop(*drop)
 
 

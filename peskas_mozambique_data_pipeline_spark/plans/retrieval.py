@@ -203,7 +203,13 @@ def export_training_triples(
         .join(neg_arr, "query_id", "left")
         .withColumn(
             "neg_ids",
-            F.coalesce(F.col("neg_ids"), F.array().cast("array<long>")),
+            # empty-array fallback typed from the mined side: id_col is
+            # parametric, so a string doc id must coalesce to
+            # array<string>, not silently widen from array<long>
+            F.coalesce(
+                F.col("neg_ids"),
+                F.array().cast(neg_arr.schema["neg_ids"].dataType),
+            ),
         )
     )
     if zones is None:

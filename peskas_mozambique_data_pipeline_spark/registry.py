@@ -689,6 +689,45 @@ from . import registry_r12  # noqa: E402
 SPARK_QUERIES.update(registry_r12.SPARK_QUERIES)
 ORACLE_SQL.update(registry_r12.build_oracle_sql())
 
+from . import registry_staged_r13  # noqa: E402
+
+# r13 staged-row promotion (VERDICT r12 Next #1/#2 / the NOTES r13 swap
+# recipe): the three funding consolidations chosen at r12 close with
+# sight of the rotating tail (docmeta_audit = doc_profile ⋈
+# doc_signature; retrieval_audit = bm25_indexed + hybrid_rrf;
+# capsel_audit = source_cap + quality_topk — all legs verbatim) fund
+# the three staged operator rows (pca_cov, audio_fp, corpus_card);
+# the two FURTHER staged rows (nearest_audit, release_fold) are funded
+# by the registry_r13 in-round consolidations below.  Every row
+# carries bit-exact sf0.001+sf0.01 oracle evidence plus an sf0.1
+# local[8] + sf0.01 local[3] determinism matrix recorded one round
+# ahead (tests/test_registry_staged_r13.py).
+_STAGED_PROMOTED_R13 = (
+    "pca_cov",
+    "audio_fp",
+    "corpus_card",
+    "docmeta_audit",
+    "retrieval_audit",
+    "capsel_audit",
+    "nearest_audit",
+    "release_fold",
+)
+_STAGED_SQL_R13 = registry_staged_r13.build_staged_oracle_sql()
+for _n in _STAGED_PROMOTED_R13:
+    SPARK_QUERIES[_n] = registry_staged_r13.STAGED_QUERIES[_n]
+    ORACLE_SQL[_n] = _STAGED_SQL_R13[_n]
+
+from . import registry_r13  # noqa: E402
+
+# r13 in-round rows (the registry_r10/r11/r12 precedent): two unions
+# made WITHIN the rotating-in set (crawlfam_audit = fetch_audit +
+# crawl_audit; geofam_audit = geo_assign + geo_rollup_join, legs
+# verbatim) fund the hard oracle rows for the haversine/argmin surface
+# (nearest_audit) and the release-integrity manifest fold
+# (release_fold).  Head stays 50, registry stays 100.
+SPARK_QUERIES.update(registry_r13.SPARK_QUERIES)
+ORACLE_SQL.update(registry_r13.build_oracle_sql())
+
 # r9 consolidations: every name below is replaced by a union row that
 # calls the SAME query function / wraps the SAME oracle SQL (see
 # registry_staged.STAGED_REPLACES and registry_audit.AUDIT_REPLACES),
@@ -770,6 +809,19 @@ for _n in _REPLACED_R12:
     RETIRED_QUERIES[_n] = SPARK_QUERIES.pop(_n)
     RETIRED_ORACLE_SQL[_n] = ORACLE_SQL.pop(_n)
 
+# r13 consolidations: each union row calls the SAME query functions /
+# wraps the SAME oracle SQL (registry_staged_r13.STAGED_REPLACES and
+# registry_r13.AUDIT_REPLACES), so the ten consolidated operators stay
+# implemented, pytest-covered and hash-verified — only the duplicate
+# registry rows retire (gate-checkable by name, the r9–r12 retirement
+# discipline).
+_REPLACED_R13 = tuple(
+    n for pair in registry_staged_r13.STAGED_REPLACES.values() for n in pair
+) + tuple(n for pair in registry_r13.AUDIT_REPLACES.values() for n in pair)
+for _n in _REPLACED_R13:
+    RETIRED_QUERIES[_n] = SPARK_QUERIES.pop(_n)
+    RETIRED_ORACLE_SQL[_n] = ORACLE_SQL.pop(_n)
+
 # The driver's correctness harness checks the FIRST 50 registry entries
 # in dict order; with >50 queries registered, assembly order decides
 # which get hard-verified.  Keep the least-recently-driver-verified
@@ -779,26 +831,92 @@ for _n in _REPLACED_R12:
 # queries with several green driver rounds (still covered by the
 # bit-exact local gate, tools/check_correctness.py) rotate out.
 _VERIFY_FIRST = [
-    # round-12 additions — never driver-verified, head of the window:
-    # the sketchfam_audit consolidation and three new operator rows
-    # (diversity sampling, audio frame features, video frame slicing)
-    # promoted from registry_staged_r12 with bit-exact two-SF evidence.
+    # round-13 additions — never driver-verified, head of the window:
+    # the three funding consolidations chosen at r12 close
+    # (docmeta_audit, retrieval_audit, capsel_audit), the three funded
+    # operator rows (pca_cov, audio_fp, corpus_card), the two in-round
+    # consolidations (crawlfam_audit, geofam_audit) and the two rows
+    # they fund (nearest_audit, release_fold) — all promoted with
+    # bit-exact two-SF evidence (tests/test_registry_staged_r13.py,
+    # tests/test_registry_r13.py).
+    "pca_cov",
+    "audio_fp",
+    "corpus_card",
+    "docmeta_audit",
+    "retrieval_audit",
+    "capsel_audit",
+    "crawlfam_audit",
+    "nearest_audit",
+    "geofam_audit",
+    "release_fold",
+    # r13 rotation: the 40 remaining r12-tail survivors (driver-green
+    # in r11, judge-gated bit-exact in r12; doc_profile/doc_signature,
+    # bm25_indexed/hybrid_rrf, source_cap/quality_topk retired into
+    # the staged consolidations and fetch_audit/crawl_audit,
+    # geo_assign/geo_rollup_join into the in-round unions above) come
+    # back to the head so CORRECTNESS_r13 gives every one a hard
+    # driver row.
+    "governance_audit",
+    "neardup_audit",
+    "lexstats_audit",
+    "ivf_audit",
+    "html_extract",
+    "link_graph",
+    "image_dups",
+    "summary_audit",
+    "lang_segment",
+    "drift_audit",
+    "funnel_cohorts",
+    "train_shards",
+    "aug_audit",
+    "set_ops_audit",
+    "format_audit",
+    "window_audit",
+    "split_mix_audit",
+    "rank_audit",
+    "ann_audit",
+    "reshape_audit",
+    "corpus_shuffle",
+    "dup_span_audit",
+    "trip_rollup",
+    "bpe_fertility",
+    "semantic_dedup",
+    "predominant_mode",
+    "metrics_table",
+    "domain_mix",
+    "monthly_median",
+    "topk_other",
+    "robust_bounds",
+    "nary_full_join",
+    "flag_battery_full",
+    "repetition_filter",
+    "decontamination",
+    "doc_chunks",
+    "nested_series",
+    "uniqueness_check",
+    "sessionization",
+    "asof_join",
+]
+# Rotation tail.  Sitting out one round keeps the "hard driver row at
+# least every 2 rounds" invariant; the assertion below forces this
+# list to be resized whenever queries are added, so the rotation stays
+# deliberate.  Window arithmetic note: a 50-slot window with a 2-round
+# cadence supports at most 50 rotating-in rows per round — adding N
+# new rows in a round therefore requires N consolidations/drops WITHIN
+# the rotating-in set (not the outgoing head, whose survivors rest in
+# the tail regardless).
+_VERIFY_LAST = [
+    # the 50 r12-head rows (every one driver-green in CORRECTNESS_r12).
+    # Steady state after r13: 100 registered (AT the ceiling), 50
+    # verified per round, 50 resting, ZERO headroom — every r14+
+    # registration requires a consolidation from within the
+    # rotating-in set.
     "diversity_sample",
     "audio_audit",
     "sketchfam_audit",
     "video_audit",
-    # r12 in-round additions (the registry_r10/r11 precedent): the
-    # weights_audit union consolidates two rotating-in legs
-    # (dsir_weights + temperature_resample), funding the kmv_audit
-    # slot — both never driver-verified.
     "weights_audit",
     "kmv_audit",
-    # r12 rotation: the 44 remaining r11-tail survivors (driver-green
-    # in r10, judge-gated bit-exact in r11; sketch_audit +
-    # hist_quantiles retired into the sketchfam_audit union and
-    # dsir_weights + temperature_resample into weights_audit above)
-    # come back to the head so CORRECTNESS_r12 gives every one a hard
-    # driver row.
     "quant_audit",
     "seq_layout",
     "contam_score",
@@ -843,75 +961,6 @@ _VERIFY_FIRST = [
     "dedup_exact",
     "simhash_pairs",
     "token_rollup",
-]
-# Rotation tail: the 47 r9-window queries not held over (every one
-# driver-green in CORRECTNESS_r09).  Sitting out one round keeps the
-# "hard driver row at least every 2 rounds" invariant; the assertion
-# below forces this list to be resized whenever queries are added, so
-# the rotation stays deliberate.  Window arithmetic note: a 50-slot
-# window with a 2-round cadence supports at most 50 rotating-in rows
-# per round — adding N new rows in a round therefore requires N
-# consolidations/drops WITHIN the rotating-in set (not the outgoing
-# head, whose survivors rest in the tail regardless).  Steady state
-# after r10: 97 registered, 50 verified per round, 47 resting, 3 slots
-# of headroom.
-_VERIFY_LAST = [
-    # the 50 r11-head rows (every one driver-green in CORRECTNESS_r11).
-    # Sitting out one round keeps the "hard driver row at least every
-    # 2 rounds" invariant.  Steady state after r12: 100 registered
-    # (AT the ceiling), 50 verified per round, 50 resting, ZERO
-    # headroom — every r13+ registration requires a consolidation
-    # from within the rotating-in set.
-    "governance_audit",
-    "neardup_audit",
-    "lexstats_audit",
-    "ivf_audit",
-    "fetch_audit",
-    "html_extract",
-    "link_graph",
-    "crawl_audit",
-    "image_dups",
-    "summary_audit",
-    "geo_assign",
-    "lang_segment",
-    "drift_audit",
-    "doc_profile",
-    "doc_signature",
-    "funnel_cohorts",
-    "train_shards",
-    "aug_audit",
-    "set_ops_audit",
-    "format_audit",
-    "window_audit",
-    "split_mix_audit",
-    "rank_audit",
-    "ann_audit",
-    "reshape_audit",
-    "hybrid_rrf",
-    "bm25_indexed",
-    "corpus_shuffle",
-    "dup_span_audit",
-    "trip_rollup",
-    "bpe_fertility",
-    "semantic_dedup",
-    "predominant_mode",
-    "metrics_table",
-    "quality_topk",
-    "domain_mix",
-    "source_cap",
-    "monthly_median",
-    "topk_other",
-    "robust_bounds",
-    "nary_full_join",
-    "flag_battery_full",
-    "repetition_filter",
-    "decontamination",
-    "doc_chunks",
-    "nested_series",
-    "uniqueness_check",
-    "sessionization",
-    "asof_join",
-    "geo_rollup_join",
 ]
 
 # The driver hard-verifies exactly the first 50 entries; the tail list

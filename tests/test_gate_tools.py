@@ -166,7 +166,10 @@ def test_boundary_audit_values_reproduce_oracle():
     for k, b in con.execute(ba._bm25_audit_sql()).fetchall():
         doc = k.rsplit(" ", 1)[0]
         per_doc[doc] = per_doc.get(doc, 0) + _m.floor(b * 1e9)
-    oracle = con.execute(registry.ORACLE_SQL["bm25_indexed"]).fetchall()
+    oracle = con.execute(
+        registry.ORACLE_SQL.get("bm25_indexed")
+        or registry.RETIRED_ORACLE_SQL["bm25_indexed"]
+    ).fetchall()
     assert oracle
     for doc_id, _hits, score in oracle:
         assert abs(per_doc[str(doc_id)] / 1e9 - score) < 2e-6, doc_id

@@ -1158,3 +1158,12 @@ def test_zone_lifecycle_end_to_end(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         parquet_io.as_of_version_path(zone, "life", "20260301120000")
     assert len(parquet_io.version_history(zone, "life")) == 1
+
+
+def test_as_of_version_path_rejects_nonstamp_input(tmp_path):
+    # '2026-08-16' compares lexicographically ('-' < '0') against the
+    # 14-digit stamp and would silently resolve an old snapshot —
+    # anything but a digit-prefix of a stamp must raise
+    for bad in ("2026-08-16", "2026/08", "latest", "", "202608161234567"):
+        with pytest.raises(ValueError):
+            parquet_io.as_of_version_path(str(tmp_path), "t", bad)

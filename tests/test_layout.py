@@ -147,3 +147,29 @@ def test_zorder_duckdb_parity(spark):
     con.close()
     want = sorted((o, ln, int(z)) for o, ln, z in rows)
     assert got == want and len(got) > 1000
+
+
+def test_zorder_key_wide_span_does_not_wrap(spark):
+    # nanosecond-epoch-scale spans: (v − lo) · 2^bits in BIGINT wraps
+    # once hi − lo exceeds 2^(63−bits); the decimal(38,0) path must
+    # produce the exact python-int bucket instead of garbage
+    lo, hi = 0, (1 << 62) + 7
+    vals = [lo, hi, hi // 2, hi // 3]
+    df = spark.createDataFrame(
+        [(i, v, 0) for i, v in enumerate(vals)], "id long, x long, y long"
+    )
+    got = {
+        r.id: r.zkey
+        for r in layout.zorder_key(df, ["x", "y"], bits=8).collect()
+    }
+    span = hi - lo + 1
+
+    def interleave(bx, by):
+        k = 0
+        for j in range(8):
+            k |= ((bx >> j) & 1) << (j * 2)
+            k |= ((by >> j) & 1) << (j * 2 + 1)
+        return k
+
+    for i, v in enumerate(vals):
+        assert got[i] == interleave((v - lo) * 256 // span, 0), (i, v)

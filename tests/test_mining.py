@@ -331,3 +331,27 @@ def test_export_training_triples_roundtrip(spark, tmp_path):
     )
     back = parquet_io.read_latest(spark, str(tmp_path), "triples")
     assert back.count() == 2 and "neg_ids" in back.columns
+
+
+def test_export_training_triples_string_ids_empty_negatives(spark):
+    from peskas_mozambique_data_pipeline_spark.plans.retrieval import (
+        export_training_triples,
+    )
+
+    # one-doc corpus where the only doc is the labeled positive: the
+    # mined negative set is empty, and with a STRING id column the
+    # fallback must coalesce to array<string>, not a widened
+    # array<long> literal
+    corpus = spark.createDataFrame(
+        [("d1", "spark shuffle join broadcast")], "doc_id string, text string"
+    )
+    queries = spark.createDataFrame(
+        [(1, "spark shuffle")], "query_id long, query_text string"
+    )
+    positives = spark.createDataFrame(
+        [(1, "d1")], "query_id long, doc_id string"
+    )
+    df = export_training_triples(corpus, queries, positives, k_neg=2)
+    assert df.schema["neg_ids"].dataType.simpleString() == "array<string>"
+    r = df.first()
+    assert r.pos_id == "d1" and list(r.neg_ids) == []

@@ -103,7 +103,7 @@ def test_ivf_init_no_global_sort_over_corpus(spark):
 def test_geo_rollup_join_broadcasts_layer_and_rollup(spark):
     # the geo layer and the rollup are admin-region sized: every join
     # in the composition must be broadcast, never a sort-merge
-    plan = plan_of(registry.SPARK_QUERIES["geo_rollup_join"](spark, SF))
+    plan = plan_of(_q("geo_rollup_join")(spark, SF))
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= 3  # nation dim, region dim, rollup
 
@@ -218,7 +218,7 @@ def test_term_stats_broadcasts_vocab_tables(spark):
 
 def test_quality_topk_single_exchange(spark):
     # features are scan-local; the only shuffle is the stratum window
-    plan = plan_of(registry.SPARK_QUERIES["quality_topk"](spark, SF), "simple")
+    plan = plan_of(_q("quality_topk")(spark, SF), "simple")
     assert plan.count("Exchange hashpartitioning") <= 1
 
 
@@ -268,7 +268,7 @@ def test_corpus_diff_joins_digests_not_text(spark):
 def test_source_cap_windows_only_over_cap_groups(spark):
     # the under-cap branch must reach the union without a window; the
     # hot-group tag join must be broadcast
-    plan = plan_of(registry.SPARK_QUERIES["source_cap"](spark, SF), "simple")
+    plan = plan_of(_q("source_cap")(spark, SF), "simple")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
 
@@ -413,7 +413,7 @@ def test_bm25_indexed_broadcasts_vocab_and_dims(spark):
     # materialization holds only the vocab-sized df aggregate and the
     # final per-doc rollup; the single corpus explode+tf shuffle
     # happened once, inside the checkpoint.
-    plan = plan_of(registry.SPARK_QUERIES["bm25_indexed"](spark, SF), "simple")
+    plan = plan_of(_q("bm25_indexed")(spark, SF), "simple")
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
     assert plan.count("Exchange hashpartitioning") <= 2

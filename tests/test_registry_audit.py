@@ -25,18 +25,20 @@ from pyspark.sql import functions as F
 from peskas_mozambique_data_pipeline_spark import registry, registry_audit
 
 
-def test_r12_window_arithmetic():
-    # r12 swap: 98 - 2 (sketch pair) + 1 union + 3 new = 100, then the
-    # in-round pair (weights_audit union funds kmv_audit) keeps 100;
-    # head = 6 never-driver-verified r12 rows + 44 tail survivors = 50
+def test_r13_window_arithmetic():
+    # r13 swap: 100 − 6 staged legs + 3 unions + 3 new, then the two
+    # in-round pairs (crawlfam_audit funds nearest_audit, geofam_audit
+    # funds release_fold) keep 100; head = 10 never-driver-verified
+    # r13 rows + 40 tail survivors = 50
     names = list(registry.SPARK_QUERIES)
     assert len(names) == 100
     assert len(set(names)) == 100
     assert set(registry.ORACLE_SQL) == set(names)
     head = names[:50]
     new_rows = [
-        "diversity_sample", "audio_audit", "sketchfam_audit",
-        "video_audit", "weights_audit", "kmv_audit",
+        "pca_cov", "audio_fp", "corpus_card", "docmeta_audit",
+        "retrieval_audit", "capsel_audit", "crawlfam_audit",
+        "nearest_audit", "geofam_audit", "release_fold",
     ]
     assert head[: len(new_rows)] == new_rows
 

@@ -129,14 +129,22 @@ def test_staged_r13_corpus_card_retention_semantics(spark):
     assert rows[3][3] is None and rows[3][4] is None
 
 
-def test_staged_r13_not_registered_yet():
+def test_staged_swap_landed_r13():
+    # the r13 registration swap happened: each staged row is registered
+    # VERBATIM (same function object, same SQL string) and the rows the
+    # consolidations replace are retired but importable for the gate
+    sql = registry_staged_r13.build_staged_oracle_sql()
     for name in registry_staged_r13.STAGED_QUERIES:
-        assert name not in registry.SPARK_QUERIES
-    # every funding-consolidation leg is still a registered row (they
-    # sit in the r12 tail and rotate into the r13 head)
+        assert (
+            registry.SPARK_QUERIES[name]
+            is registry_staged_r13.STAGED_QUERIES[name]
+        )
+        assert registry.ORACLE_SQL[name] == sql[name]
     for pair in registry_staged_r13.STAGED_REPLACES.values():
         for old in pair:
-            assert old in registry.SPARK_QUERIES
+            assert old not in registry.SPARK_QUERIES
+            assert old in registry.RETIRED_QUERIES
+            assert old in registry.RETIRED_ORACLE_SQL
 
 
 @pytest.mark.parametrize(

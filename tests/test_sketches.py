@@ -439,3 +439,18 @@ def test_hdr_zero_and_negative_and_null_handling(spark):
     assert total == 3  # negatives and nulls excluded
     zero = [r for r in hist if r.bucket == 0]
     assert zero and zero[0].lo == 0 and zero[0].n == 1
+
+
+def test_bloom_probe_null_value_probes_false(spark):
+    # concat_ws drops NULL args, so a NULL value would hash as the bare
+    # salt and could deterministically probe TRUE — the probe must
+    # force it false (matching bloom_bits' isNotNull build filter)
+    members = spark.createDataFrame([("a",), ("b",)], "val string")
+    packed = sk.bloom_pack(sk.bloom_bits(members, "val"))
+    probe = spark.createDataFrame([("a",), (None,)], "val string")
+    got = {
+        r.val: r.maybe_member
+        for r in sk.bloom_probe(probe, "val", packed).collect()
+    }
+    assert got["a"] is True
+    assert got[None] is False
