@@ -177,9 +177,100 @@ FROM documents WHERE doc_id < 25
 """
 
 
+# ---------------------------------------------------------------------------
+# The TWO funding consolidations, chosen at r13 close with sight of the
+# rotating tail (VERDICT r12 Next #3; both pairs were listed as
+# candidates in NOTES at r12 close).  Every leg sits in the r13 tail
+# (= the r12 head) and rotates into r14; each union calls the ORIGINAL
+# query function verbatim and wraps the ORIGINAL SQL in CTEs, so all
+# four operators stay hash-verified and drift is impossible.
+# Arithmetic: r14 head = 50 tail − 4 legs + 2 unions + 2 funded new
+# rows (main_content_audit, diff_audit) = 50; registry stays 100.
+#
+# * ``bandpairs_audit`` = ``minhash_dedup`` + ``simhash_pairs``: the
+#   two banded near-dup PAIR generators over documents (MinHash-LSH
+#   jaccard legs; SimHash hamming legs of one family).
+# * ``dedupfam_audit`` = ``dedup_exact`` + ``dedup_clusters``: the
+#   exact-digest groups and the connected-component rollup — the two
+#   halves of the exact-dedup surface.
+
+
+def q_bandpairs_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .registry_text import SPARK_QUERIES as _text
+
+    a = _text["minhash_dedup"](spark, sf_dir).select(
+        F.lit("jaccard").alias("stat"),
+        F.col("id_a").cast(_L).alias("id_a"),
+        F.col("id_b").cast(_L).alias("id_b"),
+        F.lit(None).cast(_L).alias("n"),
+        F.col("jaccard").cast("double").alias("v"),
+    )
+    b = _text["simhash_pairs"](spark, sf_dir).select(
+        F.lit("hamming").alias("stat"),
+        F.col("id_a").cast(_L).alias("id_a"),
+        F.col("id_b").cast(_L).alias("id_b"),
+        F.col("hamming").cast(_L).alias("n"),
+        F.lit(None).cast("double").alias("v"),
+    )
+    return a.unionByName(b)
+
+
+def _sql_bandpairs_audit() -> str:
+    from .registry_text import SQL_MINHASH_DEDUP, SQL_SIMHASH_PAIRS
+
+    return f"""
+WITH a AS ({SQL_MINHASH_DEDUP}),
+b AS ({SQL_SIMHASH_PAIRS})
+SELECT 'jaccard' AS stat, CAST(id_a AS BIGINT) AS id_a,
+       CAST(id_b AS BIGINT) AS id_b, CAST(NULL AS BIGINT) AS n,
+       CAST(jaccard AS DOUBLE) AS v
+FROM a
+UNION ALL
+SELECT 'hamming', CAST(id_a AS BIGINT), CAST(id_b AS BIGINT),
+       CAST(hamming AS BIGINT), CAST(NULL AS DOUBLE)
+FROM b
+"""
+
+
+def q_dedupfam_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .registry_text import SPARK_QUERIES as _text
+
+    a = _text["dedup_exact"](spark, sf_dir).select(
+        F.lit("exact").alias("stat"),
+        F.col("digest").cast(_S).alias("k1"),
+        F.col("group_size").cast(_L).alias("n"),
+        F.col("members").cast(_S).alias("members"),
+    )
+    b = _text["dedup_clusters"](spark, sf_dir).select(
+        F.lit("cluster").alias("stat"),
+        F.col("component_id").cast(_S).alias("k1"),
+        F.col("n_members").cast(_L).alias("n"),
+        F.col("members").cast(_S).alias("members"),
+    )
+    return a.unionByName(b)
+
+
+def _sql_dedupfam_audit() -> str:
+    from .registry_text import SQL_DEDUP_CLUSTERS, SQL_DEDUP_EXACT
+
+    return f"""
+WITH a AS ({SQL_DEDUP_EXACT}),
+b AS ({SQL_DEDUP_CLUSTERS})
+SELECT 'exact' AS stat, CAST(digest AS VARCHAR) AS k1,
+       CAST(group_size AS BIGINT) AS n, CAST(members AS VARCHAR) AS members
+FROM a
+UNION ALL
+SELECT 'cluster', CAST(component_id AS VARCHAR),
+       CAST(n_members AS BIGINT), CAST(members AS VARCHAR)
+FROM b
+"""
+
+
 STAGED_QUERIES = {
     "main_content_audit": q_main_content_audit,
     "diff_audit": q_diff_audit,
+    "bandpairs_audit": q_bandpairs_audit,
+    "dedupfam_audit": q_dedupfam_audit,
 }
 
 
@@ -187,8 +278,15 @@ def build_staged_oracle_sql() -> dict[str, str]:
     return {
         "main_content_audit": SQL_MAIN_CONTENT_AUDIT,
         "diff_audit": SQL_DIFF_AUDIT,
+        "bandpairs_audit": _sql_bandpairs_audit(),
+        "dedupfam_audit": _sql_dedupfam_audit(),
     }
 
 
-# funding consolidation chosen at r13/r14 close (see module docstring)
-STAGED_REPLACES: dict[str, tuple[str, str]] = {}
+# names each staged consolidation row replaces at registration time
+# (all four legs sit in the r13 tail and rotate into the r14 head):
+# 50 − 4 + 2 + 2 = 50.
+STAGED_REPLACES: dict[str, tuple[str, str]] = {
+    "bandpairs_audit": ("minhash_dedup", "simhash_pairs"),
+    "dedupfam_audit": ("dedup_exact", "dedup_clusters"),
+}

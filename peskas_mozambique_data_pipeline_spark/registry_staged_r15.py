@@ -240,6 +240,9 @@ def build_staged_oracle_sql() -> dict[str, str]:
         "bloom_audit": SQL_BLOOM_AUDIT,
         "zorder_audit": SQL_ZORDER_AUDIT,
         "hardneg_audit": SQL_HARDNEG_AUDIT,
+        "annfam_audit": _sql_annfam_audit(),
+        "trainprep_audit": _sql_trainprep_audit(),
+        "qualfilter_audit": _sql_qualfilter_audit(),
     }
 
 
@@ -364,3 +367,166 @@ FROM neg WHERE nr > {_HN_SKIP} AND nr <= {_HN_SKIP + _HN_K}
 SQL_HARDNEG_AUDIT = _hardneg_sql()
 
 STAGED_QUERIES["hardneg_audit"] = q_hardneg_audit
+
+
+# ---------------------------------------------------------------------------
+# The THREE funding consolidations, chosen at r13 close with sight of
+# the r15 rotating-in set (VERDICT r12 Next #3: "choose and stage the
+# three r15 funding consolidations now").  Every leg sits in the r13
+# HEAD — which rests as the r14 tail and rotates into the r15 head —
+# so each union is made WITHIN r15's rotating-in set, the r10–r13
+# precedent.  Each union calls the ORIGINAL query function verbatim
+# and wraps the ORIGINAL SQL in CTEs, so all six operators stay
+# hash-verified and drift is impossible.  Arithmetic: r15 head =
+# 50 tail − 6 legs + 3 unions + 3 funded new rows (bloom_audit,
+# zorder_audit, hardneg_audit) = 50; registry stays 100.
+#
+# * ``annfam_audit`` = ``ann_audit`` + ``ivf_audit``: the two ANN
+#   audit unions (brute-force cosine + PQ/ADC; IVF + IVF-PQ) — the
+#   whole approximate-nearest-neighbor family in one row.  Their stat
+#   tags are already disjoint ('cosine'/'pq' vs 'ivf'/'ivfpq').
+# * ``trainprep_audit`` = ``corpus_shuffle`` + ``train_shards``: the
+#   two training-layout rows (deterministic corpus shuffle; token-
+#   budget shard assignment over the same shuffle order).
+# * ``qualfilter_audit`` = ``decontamination`` + ``repetition_filter``:
+#   the two per-document quality-gate rows (benchmark n-gram overlap;
+#   top/dup n-gram repetition fractions).
+
+
+def q_annfam_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .registry_audit import q_ann_audit
+    from .registry_staged_r11 import q_ivf_audit
+
+    a = q_ann_audit(spark, sf_dir).select(
+        F.col("stat").cast("string").alias("stat"),
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        F.col("rank").cast("int").alias("rank"),
+        F.col("score").cast("double").alias("v"),
+    )
+    b = q_ivf_audit(spark, sf_dir).select(
+        F.col("stat").cast("string").alias("stat"),
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        F.col("rank").cast("int").alias("rank"),
+        F.col("v").cast("double").alias("v"),
+    )
+    return a.unionByName(b)
+
+
+def _sql_annfam_audit() -> str:
+    from .registry_audit import _sql_ann_audit
+    from .registry_staged_r11 import _sql_ivf_audit
+
+    return f"""
+WITH a AS ({_sql_ann_audit()}),
+b AS ({_sql_ivf_audit()})
+SELECT stat, CAST(query_id AS BIGINT) AS query_id,
+       CAST(neighbor_id AS BIGINT) AS neighbor_id,
+       CAST(rank AS INTEGER) AS rank, CAST(score AS DOUBLE) AS v
+FROM a
+UNION ALL
+SELECT stat, CAST(query_id AS BIGINT), CAST(neighbor_id AS BIGINT),
+       CAST(rank AS INTEGER), CAST(v AS DOUBLE)
+FROM b
+"""
+
+
+def q_trainprep_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .registry_curation import q_corpus_shuffle
+    from .registry_staged import STAGED_QUERIES as _r9
+
+    a = q_corpus_shuffle(spark, sf_dir).select(
+        F.lit("shuffle").alias("stat"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("shuffle_pos").cast("long").alias("pos"),
+        F.lit(None).cast("long").alias("n_tok"),
+        F.lit(None).cast("long").alias("shard_id"),
+    )
+    b = _r9["train_shards"](spark, sf_dir).select(
+        F.lit("shards").alias("stat"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("shuffle_pos").cast("long").alias("pos"),
+        F.col("n_tok").cast("long").alias("n_tok"),
+        F.col("shard_id").cast("long").alias("shard_id"),
+    )
+    return a.unionByName(b)
+
+
+def _sql_trainprep_audit() -> str:
+    from .registry_curation import SQL_CORPUS_SHUFFLE
+    from .registry_staged import SQL_TRAIN_SHARDS
+
+    return f"""
+WITH a AS ({SQL_CORPUS_SHUFFLE}),
+b AS ({SQL_TRAIN_SHARDS})
+SELECT 'shuffle' AS stat, CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(shuffle_pos AS BIGINT) AS pos, CAST(NULL AS BIGINT) AS n_tok,
+       CAST(NULL AS BIGINT) AS shard_id
+FROM a
+UNION ALL
+SELECT 'shards', CAST(doc_id AS BIGINT), CAST(shuffle_pos AS BIGINT),
+       CAST(n_tok AS BIGINT), CAST(shard_id AS BIGINT)
+FROM b
+"""
+
+
+def q_qualfilter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .registry_text import SPARK_QUERIES as _text
+
+    a = _text["decontamination"](spark, sf_dir).select(
+        F.lit("decontam").alias("stat"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("lang").cast("string").alias("k1"),
+        F.col("n_overlap").cast("long").alias("n"),
+        F.col("contaminated").cast("boolean").alias("flag"),
+        *[F.lit(None).cast("double").alias(c) for c in (
+            "v1", "v2", "v3", "v4", "v5", "v6",
+        )],
+    )
+    b = _text["repetition_filter"](spark, sf_dir).select(
+        F.lit("repetition").alias("stat"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.lit(None).cast("string").alias("k1"),
+        F.lit(None).cast("long").alias("n"),
+        F.col("keep").cast("boolean").alias("flag"),
+        F.col("top1gram_frac").cast("double").alias("v1"),
+        F.col("dup1gram_frac").cast("double").alias("v2"),
+        F.col("top2gram_frac").cast("double").alias("v3"),
+        F.col("dup2gram_frac").cast("double").alias("v4"),
+        F.col("top3gram_frac").cast("double").alias("v5"),
+        F.col("dup3gram_frac").cast("double").alias("v6"),
+    )
+    return a.unionByName(b)
+
+
+def _sql_qualfilter_audit() -> str:
+    from .registry_text import SQL_DECONTAMINATION, SQL_REPETITION_FILTER
+
+    return f"""
+WITH a AS ({SQL_DECONTAMINATION}),
+b AS ({SQL_REPETITION_FILTER})
+SELECT 'decontam' AS stat, CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(lang AS VARCHAR) AS k1, CAST(n_overlap AS BIGINT) AS n,
+       CAST(contaminated AS BOOLEAN) AS flag,
+       CAST(NULL AS DOUBLE) AS v1, CAST(NULL AS DOUBLE) AS v2,
+       CAST(NULL AS DOUBLE) AS v3, CAST(NULL AS DOUBLE) AS v4,
+       CAST(NULL AS DOUBLE) AS v5, CAST(NULL AS DOUBLE) AS v6
+FROM a
+UNION ALL
+SELECT 'repetition', CAST(doc_id AS BIGINT), CAST(NULL AS VARCHAR),
+       CAST(NULL AS BIGINT), CAST(keep AS BOOLEAN),
+       CAST(top1gram_frac AS DOUBLE), CAST(dup1gram_frac AS DOUBLE),
+       CAST(top2gram_frac AS DOUBLE), CAST(dup2gram_frac AS DOUBLE),
+       CAST(top3gram_frac AS DOUBLE), CAST(dup3gram_frac AS DOUBLE)
+FROM b
+"""
+
+
+STAGED_QUERIES["annfam_audit"] = q_annfam_audit
+STAGED_QUERIES["trainprep_audit"] = q_trainprep_audit
+STAGED_QUERIES["qualfilter_audit"] = q_qualfilter_audit
+
+STAGED_REPLACES["annfam_audit"] = ("ann_audit", "ivf_audit")
+STAGED_REPLACES["trainprep_audit"] = ("corpus_shuffle", "train_shards")
+STAGED_REPLACES["qualfilter_audit"] = ("decontamination", "repetition_filter")

@@ -117,3 +117,21 @@ def test_staged_r14_diff_audit_all_statuses_present(spark):
             assert r.doc_id % 7 == 0 and r.doc_id % 11 != 0
         else:
             assert r.doc_id >= 1_000_000
+
+
+@pytest.mark.parametrize(
+    "union_name,legs", sorted(registry_staged_r14.STAGED_REPLACES.items())
+)
+def test_staged_r14_parity_with_replaced_rows(spark, union_name, legs):
+    """Each funding consolidation reproduces the registered legs' row
+    counts (stat-tagged unions sum) and carries one stat per leg
+    family; every leg is a live registry row until the r14 swap."""
+    sf = "/root/testdata/sf0.001"
+    union_df = registry_staged_r14.STAGED_QUERIES[union_name](spark, sf)
+    reg = {**registry.SPARK_QUERIES, **registry.RETIRED_QUERIES}
+    for leg in legs:
+        assert leg in registry.SPARK_QUERIES  # rotates into the r14 head
+    n_legs = sum(reg[leg](spark, sf).count() for leg in legs)
+    assert union_df.count() == n_legs
+    stats = {r["stat"] for r in union_df.select("stat").distinct().collect()}
+    assert len(stats) == 2

@@ -115,3 +115,22 @@ def test_staged_r15_zorder_index_leg_shows_locality(spark):
     glob_p = max(r.v3 for r in idx) - min(r.v2 for r in idx)
     avg_span_p = sum(r.v3 - r.v2 for r in idx) / len(idx)
     assert avg_span_p < glob_p / 2
+
+
+@pytest.mark.parametrize(
+    "union_name,legs", sorted(registry_staged_r15.STAGED_REPLACES.items())
+)
+def test_staged_r15_parity_with_replaced_rows(spark, union_name, legs):
+    """Each funding consolidation reproduces the registered legs' row
+    counts (stat-tagged unions sum); every leg sits in the r13 head
+    (= the r15 rotating-in set) until the r15 swap.  annfam_audit's
+    legs are themselves unions, so its stat count is 4 (two per leg)."""
+    sf = "/root/testdata/sf0.001"
+    union_df = registry_staged_r15.STAGED_QUERIES[union_name](spark, sf)
+    reg = {**registry.SPARK_QUERIES, **registry.RETIRED_QUERIES}
+    for leg in legs:
+        assert leg in registry.SPARK_QUERIES  # sits in the r13 head
+    n_legs = sum(reg[leg](spark, sf).count() for leg in legs)
+    assert union_df.count() == n_legs
+    stats = {r["stat"] for r in union_df.select("stat").distinct().collect()}
+    assert len(stats) == (4 if union_name == "annfam_audit" else 2)
