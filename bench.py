@@ -65,6 +65,29 @@ def main() -> None:
 
     canary = round(min(_canary_once() for _ in range(3)), 3)
 
+    # Multicore canary (VERDICT r12 Next #5): the single-thread canary
+    # under-captures 32-core tenant load — exactly what produced r12's
+    # phantom 2× driver "regressions" on the most parallel queries.
+    # This one forces a real shuffle across every core (range →
+    # repartition on a hash key → per-partition aggregate), so its
+    # ratio tracks multicore contention; compare rounds on BOTH ratios.
+    def _canary_mc_once() -> float:
+        from pyspark.sql import functions as F
+
+        t0 = time.perf_counter()
+        (
+            spark.range(12_000_000)
+            .withColumn("k", F.xxhash64("id") % 256)
+            .repartition(64, "k")
+            .groupBy("k")
+            .agg(F.sum(F.xxhash64("id", "k") % 997).alias("s"))
+            .select(F.sum("s"))
+            .collect()
+        )
+        return time.perf_counter() - t0
+
+    canary_mc = round(min(_canary_mc_once() for _ in range(3)), 3)
+
     best: dict[str, float] = {}
     for name, fn in registry.SPARK_QUERIES.items():
         runs = []
@@ -99,6 +122,10 @@ def main() -> None:
         # fixed-workload host-speed reference (seconds; lower = faster
         # host).  Compare rounds as (query_sec / canary_sec) ratios.
         "canary_sec": canary,
+        # fixed shuffle workload across all cores — rises under tenant
+        # load the single-thread canary can't see; normalize the most
+        # parallel queries (dedup/cluster/ANN) against THIS ratio.
+        "canary_mc_sec": canary_mc,
         "sf": sf,
     }
     # the driver captures a bounded stdout tail — keep the stdout line

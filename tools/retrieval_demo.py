@@ -100,6 +100,46 @@ def main() -> int:
     print(f"[query ] hybrid RRF in {time.time() - t0:.1f}s; "
           f"top: {[tuple(r) for r in fused.collect()][:3]}")
 
+    # retrieval-training export: mine DPR-style hard negatives AGAINST
+    # the persistent IVF zone (partition-pruned probes — mining cost
+    # tracks probed postings, not corpus size) and land the
+    # (q, d+, ordered d-) triples as a versioned zone
+    t0 = time.time()
+    from peskas_mozambique_data_pipeline_spark.operators import mining
+    from peskas_mozambique_data_pipeline_spark.plans.retrieval import (
+        export_training_triples,
+    )
+
+    train_qvecs = emb.filter(F.col("vec_id").isin(100, 200, 300)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    positives_d = train_qvecs.select(
+        "query_id", (F.col("query_id") % 97).alias("doc_id")
+    )
+    negs = mining.mine_hard_negatives_ivf(
+        spark, zones, train_qvecs, positives_d, k=4, skip_top=1, n_probe=3
+    )
+    n_negs = negs.count()
+    assert negs.join(
+        positives_d, ["query_id", "doc_id"], "semi"
+    ).count() == 0, "a labeled positive leaked into the negatives"
+    train_qtexts = spark.createDataFrame(
+        [(1, "spark window merge"), (2, "broadcast join shuffle")],
+        "query_id long, query_text string",
+    )
+    positives_t = spark.createDataFrame(
+        [(1, 3), (2, 7)], "query_id long, doc_id long"
+    )
+    export_training_triples(
+        docs, train_qtexts, positives_t, zones=zones, k_neg=4, skip_top=1
+    )
+    from peskas_mozambique_data_pipeline_spark.io import parquet_io
+
+    triples = parquet_io.read_latest(spark, root, "triples").collect()
+    assert all(r.pos_id not in r.neg_ids for r in triples)
+    print(f"[mine  ] {n_negs} IVF-zone hard negatives + "
+          f"{len(triples)} training triples landed in {time.time() - t0:.1f}s")
+
     t0 = time.time()
     text_index.compact_bm25_index(spark, zones)
     ann_index.compact_ivf_index(spark, zones)
