@@ -39,6 +39,7 @@ def write_versioned(
     compression: str = "lz4",
     bloom_cols: list[str] | None = None,
     manifest: bool = False,
+    skipping_cols: list[str] | None = None,
     now: datetime | None = None,
 ) -> str:
     """Write an immutable versioned snapshot into ``zone_dir``.
@@ -105,6 +106,14 @@ def write_versioned(
         zone_manifest(df.sparkSession, path).coalesce(1).write.parquet(
             os.path.join(path, "_manifest")
         )
+    if skipping_cols:
+        # file-level min/max zone map next to the snapshot — the
+        # reader-side half of the sort_by/range_by/zorder layout work:
+        # read_pruned consults this #files-row table instead of
+        # listing a million parquet footers (io/skipping.py)
+        from .skipping import write_skipping_index
+
+        write_skipping_index(df.sparkSession, path, list(skipping_cols))
     return path
 
 
@@ -665,10 +674,14 @@ def compact_zone(
     compression: str = "lz4",
     zorder_by: list[str] | None = None,
     zorder_bits: int = 8,
+    skipping_cols: list[str] | None = None,
 ) -> str:
     """Small-file compaction: rewrite the newest snapshot as a NEW
     version with ~``target_mb`` output files sized from the actual
-    on-disk bytes.
+    on-disk bytes.  ``skipping_cols`` writes the file-level min/max
+    zone map (io/skipping.py) into the compacted snapshot — the
+    natural moment to index, since compaction is exactly when the
+    layout (range_by/zorder_by) makes per-file envelopes tight.
 
     ``zorder_by`` (mutually exclusive with ``range_by``) clusters the
     rewrite on the Morton key of SEVERAL integral columns
@@ -721,24 +734,30 @@ def compact_zone(
         from ..operators.layout import zorder_key
 
         keyed = zorder_key(df, zorder_by, bits=zorder_bits, out_col="_zkey")
-        return _write_versioned_at(
+        path = _write_versioned_at(
             keyed, zone_dir, prefix, git_sha, now,
             range_by=["_zkey"], n_files=n_files, compression=compression,
             partition_by=partition_by, drop_cols=["_zkey"],
         )
-    if range_by:
-        return _write_versioned_at(
+    elif range_by:
+        path = _write_versioned_at(
             df, zone_dir, prefix, git_sha, now,
             range_by=range_by, n_files=n_files, compression=compression,
             partition_by=partition_by,
         )
-    out = df.coalesce(n_files)
-    if sort_by:
-        out = out.sortWithinPartitions(*sort_by)
-    return _write_versioned_at(
-        out, zone_dir, prefix, git_sha, now, compression=compression,
-        partition_by=partition_by,
-    )
+    else:
+        out = df.coalesce(n_files)
+        if sort_by:
+            out = out.sortWithinPartitions(*sort_by)
+        path = _write_versioned_at(
+            out, zone_dir, prefix, git_sha, now, compression=compression,
+            partition_by=partition_by,
+        )
+    if skipping_cols:
+        from .skipping import write_skipping_index
+
+        write_skipping_index(spark, path, list(skipping_cols))
+    return path
 
 
 def _write_versioned_at(
