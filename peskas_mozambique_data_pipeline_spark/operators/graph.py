@@ -181,3 +181,73 @@ def triangle_counts(und_edges: DataFrame, a_col: str = "a", b_col: str = "b") ->
         ).alias("node")
     )
     return nodes.groupBy("node").agg(F.count(F.lit(1)).alias("triangles"))
+
+
+def kcore(
+    und_edges: DataFrame,
+    k: int,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iter: int = 100,
+) -> DataFrame:
+    """Nodes of the k-core — the maximal subgraph where every node has
+    degree ≥ k — by iterative peeling: drop every node whose CURRENT
+    degree is < k, restrict the edge list to survivors, repeat until
+    no node falls.  Returns ``(node, degree)`` with the node's degree
+    INSIDE the core (≥ k by construction, pytest-asserted).
+
+    Web-corpus use: link-graph connectivity filtering — pages outside
+    the 2-core are leaves/chains of the crawl frontier, and core
+    membership is a cheap graph-quality gate before expensive
+    per-document scoring (the same role the reference's quality flags
+    play on survey rows, applied to the link graph).
+
+    Determinism: the k-core is UNIQUE (the union of all subgraphs with
+    min-degree ≥ k), so the fixpoint is order/partitioning-independent
+    — no tie-breaks exist to get wrong.
+
+    Scale shape: per iteration one map-side-combinable degree count
+    plus one semi-join of the edge list against surviving nodes (both
+    shuffle on node id; AQE splits hub skew).  Edges only shrink, so
+    per-iteration cost falls monotonically.  Each iteration
+    ``localCheckpoint``s the edge frame (lineage cut — the CC/pagerank
+    discipline) and pays one small count() action for the convergence
+    probe; iterations ≤ peel depth, which is tiny on real graphs
+    (the degeneracy ordering peels power-law graphs in a handful of
+    rounds).  Raises if ``max_iter`` is hit unconverged so a partial
+    peel can never masquerade as the core.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    e = (
+        und_edges.select(
+            # canonical orientation first: (x,y) and (y,x) are the SAME
+            # undirected edge and must not double a node's degree
+            F.least(F.col(a_col), F.col(b_col)).alias("a"),
+            F.greatest(F.col(a_col), F.col(b_col)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        deg = (
+            e.select(F.col("a").alias("n"))
+            .unionAll(e.select(F.col("b").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("degree"))
+        )
+        weak = deg.filter(F.col("degree") < k)
+        if weak.isEmpty():
+            return deg.select("n", "degree")
+        keep = deg.filter(F.col("degree") >= k).select("n")
+        e = (
+            e.join(keep.withColumnRenamed("n", "a"), "a", "semi")
+            .join(keep.withColumnRenamed("n", "b"), "b", "semi")
+            .select("a", "b")
+            .localCheckpoint()
+        )
+        if e.isEmpty():
+            # the k-core is empty: every node peeled away
+            return deg.filter(F.lit(False)).select("n", "degree")
+    raise RuntimeError(f"kcore did not converge within {max_iter} iterations")

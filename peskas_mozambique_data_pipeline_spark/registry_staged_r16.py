@@ -99,16 +99,156 @@ FROM qpick
 """
 
 
+# ---------------------------------------------------------------------------
+# kcore_audit — the iterative k-core peel (``operators/graph.py::
+# kcore``) under the hard oracle, the graph family's second iterative
+# row (dedup_clusters' recursive reachability being the first).
+#
+# Graph: a DETERMINISTIC synthesis over the contiguous doc_id range
+# (0..m−1 at every SF) whose peel depth is bounded BY CONSTRUCTION,
+# independent of corpus size:
+#   * ring  (i, (i+1) mod m)                — every node degree ≥ 2;
+#   * chords (i, (i+7) mod m) for i%3 == 0  — degree spice;
+#   * pendant 3-paths i—p1—p2—p3 (pj = i + j·10^6) for i%11 == 0 —
+#     the peel driver: for k=2 they strip one hop per round (depth
+#     exactly 3 + the empty probe round), at ANY scale factor.
+# Legs: k=2 (core = ring + chords; pendants peel away) and k=5 (every
+# node peels in round one — the empty-core branch).  The Spark side
+# runs with ``max_iter=6``, so convergence within the oracle's SIX
+# unrolled peel levels is enforced by a raise, not assumed; the
+# DuckDB twin replays edge canonicalization (least/greatest +
+# DISTINCT), per-level degree counts and survivor semi-filters level
+# by level (the ivf_audit bounded-unroll precedent).  Every quantity
+# is an exact integer — no float boundary anywhere.
+
+_KCORE_LEVELS = 6
+
+
+def _kcore_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .session import read_table
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("i")
+    )
+    m = docs.agg(F.count(F.lit(1)).alias("m"))
+    base = docs.crossJoin(F.broadcast(m))
+    ring = base.select("i", ((F.col("i") + 1) % F.col("m")).alias("j"))
+    chords = base.filter(F.col("i") % 3 == 0).select(
+        "i", ((F.col("i") + 7) % F.col("m")).alias("j")
+    )
+    pend = docs.filter(F.col("i") % 11 == 0)
+    p = [
+        pend.select("i", (F.col("i") + 1_000_000).alias("j")),
+        pend.select(
+            (F.col("i") + 1_000_000).alias("i"),
+            (F.col("i") + 2_000_000).alias("j"),
+        ),
+        pend.select(
+            (F.col("i") + 2_000_000).alias("i"),
+            (F.col("i") + 3_000_000).alias("j"),
+        ),
+    ]
+    out = ring.unionByName(chords)
+    for leg in p:
+        out = out.unionByName(leg)
+    return out
+
+
+def q_kcore_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graph import kcore
+
+    edges = _kcore_edges(spark, sf_dir)
+    parts = []
+    for k in (2, 5):
+        core = kcore(edges, k, a_col="i", b_col="j",
+                     max_iter=_KCORE_LEVELS)
+        parts.append(
+            core.select(
+                F.lit(f"k{k}").alias("stat"),
+                F.col("n").cast("long").alias("n"),
+                F.col("degree").cast("long").alias("degree"),
+            )
+        )
+    return parts[0].unionByName(parts[1])
+
+
+def _kcore_sql() -> str:
+    edges = """
+WITH docs AS (SELECT CAST(doc_id AS BIGINT) AS i FROM documents),
+mm AS (SELECT COUNT(*) AS m FROM docs),
+raw AS (
+  SELECT i, (i + 1) % m AS j FROM docs, mm
+  UNION ALL
+  SELECT i, (i + 7) % m FROM docs, mm WHERE i % 3 = 0
+  UNION ALL
+  SELECT i, i + 1000000 FROM docs WHERE i % 11 = 0
+  UNION ALL
+  SELECT i + 1000000, i + 2000000 FROM docs WHERE i % 11 = 0
+  UNION ALL
+  SELECT i + 2000000, i + 3000000 FROM docs WHERE i % 11 = 0
+),
+e_base AS MATERIALIZED (
+  SELECT DISTINCT least(i, j) AS a, greatest(i, j) AS b
+  FROM raw WHERE i <> j
+)"""
+    legs = []
+    for k in (2, 5):
+        lvl = [f"e_{k}_0 AS MATERIALIZED (SELECT a, b FROM e_base)"]
+        for lv in range(_KCORE_LEVELS):
+            lvl.append(
+                f"""d_{k}_{lv} AS MATERIALIZED (
+  SELECT n, COUNT(*) AS deg FROM (
+    SELECT a AS n FROM e_{k}_{lv} UNION ALL SELECT b FROM e_{k}_{lv}
+  ) GROUP BY n
+),
+e_{k}_{lv + 1} AS MATERIALIZED (
+  SELECT e.a, e.b FROM e_{k}_{lv} e
+  JOIN d_{k}_{lv} x ON e.a = x.n AND x.deg >= {k}
+  JOIN d_{k}_{lv} y ON e.b = y.n AND y.deg >= {k}
+)"""
+            )
+        lvl.append(
+            f"""d_{k}_fin AS MATERIALIZED (
+  SELECT n, COUNT(*) AS deg FROM (
+    SELECT a AS n FROM e_{k}_{_KCORE_LEVELS}
+    UNION ALL SELECT b FROM e_{k}_{_KCORE_LEVELS}
+  ) GROUP BY n
+)"""
+        )
+        legs.append(",\n".join(lvl))
+    return (
+        edges
+        + ",\n"
+        + ",\n".join(legs)
+        + f"""
+SELECT 'k2' AS stat, CAST(n AS BIGINT) AS n, CAST(deg AS BIGINT) AS degree
+FROM d_2_fin
+UNION ALL
+SELECT 'k5', CAST(n AS BIGINT), CAST(deg AS BIGINT)
+FROM d_5_fin
+"""
+    )
+
+
+SQL_KCORE_AUDIT = _kcore_sql()
+
+
 STAGED_QUERIES = {
     "hdr_audit": q_hdr_audit,
+    "kcore_audit": q_kcore_audit,
 }
 
 
 def build_staged_oracle_sql() -> dict[str, str]:
     return {
         "hdr_audit": SQL_HDR_AUDIT,
+        "kcore_audit": SQL_KCORE_AUDIT,
     }
 
 
-# funding consolidation chosen at r15/r16 close (see module docstring)
+# funding consolidations chosen at r15/r16 close (see module
+# docstring).  TWO r16 rows now staged → two consolidations needed
+# from the r16 rotating-in set (= the r14 head); same-family pairs
+# known to rest there: pagerank + triangle_count (pure graph),
+# merge_upsert + conditional_merge / scd2_versions (merge family).
 STAGED_REPLACES: dict[str, tuple[str, str]] = {}

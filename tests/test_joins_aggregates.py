@@ -314,3 +314,46 @@ def test_association_rules_known_counts(spark):
     assert ab.support == 0.5          # 2 of 4 baskets
     assert ab.confidence_ab == round(2 / 3, 6)
     assert ab.lift == round(2 * 4 / (3 * 2), 6)
+
+
+def test_kcore_known_graph_and_python_twin(spark):
+    from peskas_mozambique_data_pipeline_spark.operators.graph import kcore
+
+    # a 4-clique (0-3) with a pendant path 3-10-11 and an isolated
+    # triangle (20,21,22): 3-core = the clique; 2-core = clique+triangle
+    edges = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    edges += [(3, 10), (10, 11), (20, 21), (21, 22), (20, 22)]
+    df = spark.createDataFrame(edges, "a long, b long")
+
+    def py_kcore(es, k):
+        es = {tuple(e) for e in es}
+        while True:
+            deg = {}
+            for a, b in es:
+                deg[a] = deg.get(a, 0) + 1
+                deg[b] = deg.get(b, 0) + 1
+            weak = {n for n, d in deg.items() if d < k}
+            if not weak:
+                return deg
+            es = {(a, b) for a, b in es if a not in weak and b not in weak}
+            if not es:
+                return {}
+
+    for k in (1, 2, 3, 4):
+        got = {r.n: r.degree for r in kcore(df, k).collect()}
+        assert got == py_kcore(edges, k), k
+        assert all(d >= k for d in got.values())
+    assert {r.n for r in kcore(df, 3).collect()} == {0, 1, 2, 3}
+    assert {r.n for r in kcore(df, 2).collect()} == {0, 1, 2, 3, 20, 21, 22}
+    assert kcore(df, 4).count() == 0  # 4-core empty: clique degrees are 3
+    # input normalization: duplicates / reversed / self-loop edges
+    noisy = df.unionAll(
+        spark.createDataFrame([(1, 0), (5, 5), (0, 1)], "a long, b long")
+    )
+    assert {r.n: r.degree for r in kcore(noisy, 3).collect()} == py_kcore(
+        edges, 3
+    )
+    # partitioning-invariant (the fixpoint is unique)
+    assert {
+        r.n: r.degree for r in kcore(df.repartition(7), 2).collect()
+    } == py_kcore(edges, 2)

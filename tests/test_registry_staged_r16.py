@@ -99,3 +99,22 @@ def test_staged_r16_quantile_leg_is_nondegenerate(spark):
     assert qs[0.5] < qs[0.95] <= qs[0.99]
     buckets = [r for r in out if r.stat == "bucket"]
     assert 20 < len(buckets) <= 64 * 64
+
+
+def test_staged_r16_kcore_semantics(spark):
+    """Structural pins for the kcore_audit fixture: the 2-core is
+    exactly the ring+chords (every pendant-path node peeled, so no
+    synthetic id ≥ 10^6 survives), the 5-core is empty, and Spark
+    converges within the oracle's SIX unrolled peel levels (kcore runs
+    with max_iter=6 and raises if unconverged — the parity tripwire)."""
+    sf = "/root/testdata/sf0.001"
+    rows = registry_staged_r16.STAGED_QUERIES["kcore_audit"](
+        spark, sf
+    ).collect()
+    k2 = {r.n: r.degree for r in rows if r.stat == "k2"}
+    assert not [r for r in rows if r.stat == "k5"]  # empty-core branch
+    n_docs = spark.read.parquet(f"{sf}/documents.parquet").count()
+    assert set(k2) == set(range(n_docs))  # ring survives, pendants don't
+    assert all(d >= 2 for d in k2.values())
+    # chord endpoints carry degree 3; plain ring nodes degree 2
+    assert k2[0] == 3 and k2[1] == 2
