@@ -45,7 +45,7 @@ def test_salted_join_equals_plain_join(spark):
     for how in ("inner", "left"):
         got = sorted(
             tuple(r)
-            for r in skew.salted_join(big, small, ["k"], n_salt=4, how=how)
+            for r in skew.salted_join(big, small, ["k"], n_salts=4, how=how)
             .select("id", "k", "v", "dim")
             .collect()
         )
@@ -58,7 +58,7 @@ def test_salted_join_equals_plain_join(spark):
         assert got == want, how
     # the join key carries the salt (the skew actually fans out) and
     # the small side replicates via an explode, not a cartesian
-    p = plan_of(skew.salted_join(big, small, ["k"], n_salt=4), "simple")
+    p = plan_of(skew.salted_join(big, small, ["k"], n_salts=4), "simple")
     assert "_salt" in p
     assert "Generate explode" in p
     assert "CartesianProduct" not in p
@@ -92,7 +92,7 @@ def test_salted_agg_equals_plain_agg(spark):
     }
     got = sorted(
         tuple(r)
-        for r in skew.salted_agg(df, ["k"], aggs, n_salt=4)
+        for r in skew.salted_agg(df, ["k"], aggs, n_salts=4)
         .select("k", "total", "n", "lo", "hi")
         .collect()
     )
@@ -109,7 +109,7 @@ def test_salted_agg_equals_plain_agg(spark):
     )
     assert got == want
     # phase 1 groups by (k, _salt): the salt must appear in an exchange
-    p = plan_of(skew.salted_agg(df, ["k"], aggs, n_salt=4))
+    p = plan_of(skew.salted_agg(df, ["k"], aggs, n_salts=4))
     assert "_salt" in p
 
 
