@@ -243,6 +243,8 @@ def build_staged_oracle_sql() -> dict[str, str]:
     return {
         "hdr_audit": SQL_HDR_AUDIT,
         "kcore_audit": SQL_KCORE_AUDIT,
+        "graphfam_audit": _sql_graphfam_audit(),
+        "mergefam_audit": _sql_mergefam_audit(),
     }
 
 
@@ -252,3 +254,108 @@ def build_staged_oracle_sql() -> dict[str, str]:
 # known to rest there: pagerank + triangle_count (pure graph),
 # merge_upsert + conditional_merge / scd2_versions (merge family).
 STAGED_REPLACES: dict[str, tuple[str, str]] = {}
+
+
+# ---------------------------------------------------------------------------
+# The TWO r16 funding consolidations, chosen and staged at r13 close
+# (the r14/r15 precedent: stage the funding the moment the rotating-in
+# set is knowable).  All four legs sit in the r13 TAIL — they rotate
+# into the r14 head, rest as the r15 tail, and rotate into the r16
+# head, so each union is made WITHIN r16's rotating-in set.  Legs
+# verbatim, oracles CTE-wrapped; drift impossible.  Arithmetic: r16
+# head = 50 tail − 4 legs + 2 unions + 2 funded (hdr_audit,
+# kcore_audit) = 50; registry stays 100.
+#
+# * ``graphfam_audit`` = ``pagerank`` + ``triangle_count``: the two
+#   pure-graph rows (damped power iteration; exact per-part triangle
+#   counts) — kcore_audit joins the same family, so funding it from
+#   within keeps the whole graph surface on the hard signal.
+# * ``mergefam_audit`` = ``merge_upsert`` + ``conditional_merge``: the
+#   merge family (anti-join upsert split; conditional 1:1 coalesce).
+
+
+def q_graphfam_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .registry_misc import q_pagerank, q_triangle_count
+
+    a = q_pagerank(spark, sf_dir).select(
+        F.lit("pagerank").alias("stat"),
+        F.col("node").cast("string").alias("k1"),
+        F.lit(None).cast(_L).alias("n"),
+        F.col("rank").cast(_D).alias("v"),
+    )
+    b = q_triangle_count(spark, sf_dir).select(
+        F.lit("triangles").alias("stat"),
+        F.col("part").cast("string").alias("k1"),
+        F.col("triangles").cast(_L).alias("n"),
+        F.lit(None).cast(_D).alias("v"),
+    )
+    return a.unionByName(b)
+
+
+def _sql_graphfam_audit() -> str:
+    from .registry_misc import SQL_PAGERANK, SQL_TRIANGLE_COUNT
+
+    return f"""
+WITH a AS ({SQL_PAGERANK}),
+b AS ({SQL_TRIANGLE_COUNT})
+SELECT 'pagerank' AS stat, CAST(node AS VARCHAR) AS k1,
+       CAST(NULL AS BIGINT) AS n, CAST(rank AS DOUBLE) AS v
+FROM a
+UNION ALL
+SELECT 'triangles', CAST(part AS VARCHAR), CAST(triangles AS BIGINT),
+       CAST(NULL AS DOUBLE)
+FROM b
+"""
+
+
+def q_mergefam_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .registry_misc import q_merge_upsert
+    from .registry_relational import q_conditional_merge
+
+    a = q_merge_upsert(spark, sf_dir).select(
+        F.lit("upsert").alias("stat"),
+        F.col("c_custkey").cast(_L).alias("id"),
+        F.col("c_name").cast("string").alias("k1"),
+        F.col("bal_c").cast(_L).alias("n1"),
+        F.col("is_updated").cast(_L).alias("n2"),
+        F.lit(None).cast(_D).alias("v1"),
+        F.lit(None).cast(_D).alias("v2"),
+    )
+    b = q_conditional_merge(spark, sf_dir).select(
+        F.lit("conditional").alias("stat"),
+        F.col("user_id").cast(_L).alias("id"),
+        F.col("event_date").cast("string").alias("k1"),
+        F.col("click_id").cast(_L).alias("n1"),
+        F.col("view_id").cast(_L).alias("n2"),
+        F.col("click_value").cast(_D).alias("v1"),
+        F.col("view_value").cast(_D).alias("v2"),
+    )
+    return a.unionByName(b)
+
+
+def _sql_mergefam_audit() -> str:
+    from .registry_misc import SQL_MERGE_UPSERT
+    from .registry_relational import SQL_CONDITIONAL_MERGE
+
+    return f"""
+WITH a AS ({SQL_MERGE_UPSERT}),
+b AS ({SQL_CONDITIONAL_MERGE})
+SELECT 'upsert' AS stat, CAST(c_custkey AS BIGINT) AS id,
+       CAST(c_name AS VARCHAR) AS k1, CAST(bal_c AS BIGINT) AS n1,
+       CAST(is_updated AS BIGINT) AS n2, CAST(NULL AS DOUBLE) AS v1,
+       CAST(NULL AS DOUBLE) AS v2
+FROM a
+UNION ALL
+SELECT 'conditional', CAST(user_id AS BIGINT),
+       CAST(event_date AS VARCHAR), CAST(click_id AS BIGINT),
+       CAST(view_id AS BIGINT), CAST(click_value AS DOUBLE),
+       CAST(view_value AS DOUBLE)
+FROM b
+"""
+
+
+STAGED_QUERIES["graphfam_audit"] = q_graphfam_audit
+STAGED_QUERIES["mergefam_audit"] = q_mergefam_audit
+
+STAGED_REPLACES["graphfam_audit"] = ("pagerank", "triangle_count")
+STAGED_REPLACES["mergefam_audit"] = ("merge_upsert", "conditional_merge")

@@ -159,8 +159,25 @@ def test_staged_swap_landed_r9():
     # staged-vs-registered drift possible) and both rows it replaces
     # are retired but still importable for the gate/parity tooling
     for name, pair in registry_staged.STAGED_REPLACES.items():
-        assert registry.SPARK_QUERIES[name] is registry_staged.STAGED_QUERIES[name]
-        assert registry.ORACLE_SQL[name] == registry_staged.STAGED_ORACLE_SQL[name]
+        # doc_profile/doc_signature (r9 union rows) themselves retired
+        # into docmeta_audit at r13 — they stay importable via the
+        # retirement map, the same leg-verbatim discipline
+        live = registry.SPARK_QUERIES.get(name)
+        if live is None:
+            assert (
+                registry.RETIRED_QUERIES[name]
+                is registry_staged.STAGED_QUERIES[name]
+            )
+            assert (
+                registry.RETIRED_ORACLE_SQL[name]
+                == registry_staged.STAGED_ORACLE_SQL[name]
+            )
+        else:
+            assert live is registry_staged.STAGED_QUERIES[name]
+            assert (
+                registry.ORACLE_SQL[name]
+                == registry_staged.STAGED_ORACLE_SQL[name]
+            )
         for old in pair:
             assert old not in registry.SPARK_QUERIES
             assert old in registry.RETIRED_QUERIES

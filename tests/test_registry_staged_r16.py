@@ -118,3 +118,21 @@ def test_staged_r16_kcore_semantics(spark):
     assert all(d >= 2 for d in k2.values())
     # chord endpoints carry degree 3; plain ring nodes degree 2
     assert k2[0] == 3 and k2[1] == 2
+
+
+@pytest.mark.parametrize(
+    "union_name,legs", sorted(registry_staged_r16.STAGED_REPLACES.items())
+)
+def test_staged_r16_parity_with_replaced_rows(spark, union_name, legs):
+    """Each r16 funding consolidation reproduces the registered legs'
+    row counts (stat-tagged unions sum) and carries one stat per leg;
+    every leg is a live registry row until the r16 swap."""
+    sf = "/root/testdata/sf0.001"
+    union_df = registry_staged_r16.STAGED_QUERIES[union_name](spark, sf)
+    reg = {**registry.SPARK_QUERIES, **registry.RETIRED_QUERIES}
+    for leg in legs:
+        assert leg in registry.SPARK_QUERIES
+    n_legs = sum(reg[leg](spark, sf).count() for leg in legs)
+    assert union_df.count() == n_legs
+    stats = {r["stat"] for r in union_df.select("stat").distinct().collect()}
+    assert len(stats) == 2
