@@ -64,19 +64,27 @@ def _fails(rule: Rule) -> Column:
     return ~F.coalesce(rule.predicate, F.lit(False))
 
 
-def check(df: DataFrame, rules: Sequence[Rule]) -> DataFrame:
+def check(
+    df: DataFrame,
+    rules: Sequence[Rule],
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
     """Violation report for row-local rules in ONE aggregate scan:
-    ``(rule, kind, n_violations, n_rows, frac)``."""
+    ``(group..., rule, kind, n_violations, n_rows, frac)`` — one row
+    per rule (× group when ``group_cols`` is given; per-group counts
+    SUM-fold across slices/batches, which is what the streaming DQ
+    ledger exploits)."""
     if not rules:
         raise ValueError("check needs at least one rule")
     names = [r.name for r in rules]
     if len(set(names)) != len(names):
         raise ValueError(f"duplicate rule names: {names}")
+    g = list(group_cols)
     aggs = [F.count(F.lit(1)).alias("_n")] + [
         F.sum(_fails(r).cast("long")).alias(f"_v_{i}")
         for i, r in enumerate(rules)
     ]
-    row = df.agg(*aggs)
+    row = df.groupBy(*g).agg(*aggs) if g else df.agg(*aggs)
     # unpivot the ONE aggregate row by exploding a rule-name/count
     # struct array — a per-rule union of projections would re-execute
     # the aggregate (and its scan) once per rule
@@ -90,8 +98,9 @@ def check(df: DataFrame, rules: Sequence[Rule]) -> DataFrame:
         ]
     )
     out = row.select(
-        F.explode(pairs).alias("_p"), F.col("_n").alias("n_rows")
+        *g, F.explode(pairs).alias("_p"), F.col("_n").alias("n_rows")
     ).select(
+        *g,
         F.col("_p.rule").alias("rule"),
         F.lit("row").alias("kind"),
         F.col("_p.n_violations").alias("n_violations"),
