@@ -177,23 +177,40 @@ def nearest_site(
         F.col(x_col), F.col(y_col), F.col(site_x), F.col(site_y)
     )
     cand = points.join(F.broadcast(sites)).withColumn("_d_m", d)
-    if max_distance_m is not None:
-        cand = cand.filter(F.col("_d_m") <= max_distance_m)
     key_cols = [id_col] if id_col else list(points.columns)
-    # single lexicographic min: smallest distance first, then the kept
-    # site columns as the deterministic tie order
+    payload = [c for c in points.columns if c not in key_cols]
+    # single lexicographic min over ALL sites: smallest distance first,
+    # then the kept site columns as the deterministic tie order.  The
+    # range gate applies AFTER the argmin (nearest-in-range ≡ nearest
+    # overall when in range, NULL when even the nearest is out) — this
+    # keeps every point in the aggregate, so no row-grain join-back is
+    # needed to resurrect out-of-range points: ONE point-keyed exchange
+    # instead of groupBy + sort-merge join.  Point payload columns ride
+    # through first(): constant within a group by construction (a group
+    # is one point × the site dim), so the value is deterministic.
     w = F.struct(F.col("_d_m"), *[F.col(c) for c in keep])
-    picked = (
+    in_range = (
+        F.lit(True)
+        if max_distance_m is None
+        else F.col("_w._d_m") <= F.lit(max_distance_m)
+    )
+    return (
         cand.groupBy(*key_cols)
-        .agg(F.min(w).alias("_w"))
+        .agg(
+            F.min(w).alias("_w"),
+            *[F.first(c).alias(c) for c in payload],
+        )
         .select(
-            *key_cols,
-            *[F.col(f"_w.{c}").alias(c) for c in keep],
-            F.round(F.col("_w._d_m"), 3).alias("site_distance_m"),
+            *points.columns,
+            *[
+                F.when(in_range, F.col(f"_w.{c}")).alias(c)
+                for c in keep
+            ],
+            F.when(in_range, F.round(F.col("_w._d_m"), 3)).alias(
+                "site_distance_m"
+            ),
         )
     )
-    # left join back so out-of-range/siteless points survive with NULLs
-    return points.join(picked, on=key_cols, how="left")
 
 
 def assign_regions(

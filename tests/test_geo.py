@@ -254,3 +254,31 @@ def test_assign_regions_multipolygon(spark):
     assert got == {1: "arch", 2: "arch", 3: None}
     plan = geo.assign_regions(points, regions)._jdf.queryExecution()
     assert "BatchEvalPython" not in plan.executedPlan().toString()
+
+
+def test_nearest_site_single_exchange_no_join_back(spark):
+    """The argmin keeps every point in ONE aggregate (range gate after
+    the min) — no row-grain sort-merge join-back; the only join is the
+    broadcast of the site dim."""
+    import contextlib
+    import io
+
+    points = spark.createDataFrame(
+        [(i, 30.0 + i / 10.0, -20.0) for i in range(50)],
+        "pid long, lon double, lat double",
+    )
+    sites = spark.createDataFrame(
+        [("a", 30.0, -20.0), ("b", 33.0, -20.0)],
+        "site string, site_lon double, site_lat double",
+    )
+    out = geo.nearest_site(
+        points, sites, id_col="pid", max_distance_m=100_000.0,
+        keep_site_cols=["site"],
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("simple")
+    plan = buf.getvalue()
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert plan.count("Exchange hashpartitioning") <= 1
