@@ -78,3 +78,66 @@ def scd2_from_events(
         .withColumn("is_current", F.col("valid_to").isNull())
         .select(key, attr, "valid_from", "valid_to", "is_current")
     )
+
+
+def apply_cdc(
+    target: DataFrame,
+    changes: DataFrame,
+    keys: Sequence[str],
+    seq_col: str = "seq",
+    op_col: str = "op",
+    upsert_op: str = "upsert",
+    delete_op: str = "delete",
+    strict: bool = True,
+) -> DataFrame:
+    """Apply an ORDERED change stream (CDC) to a snapshot: per key the
+    highest-``seq_col`` change wins — an ``upsert_op`` row replaces or
+    inserts the key with the change's payload, a ``delete_op`` row
+    removes it; earlier changes for the same key are superseded
+    without ever touching the target (the Debezium/Delta "apply
+    changes" shape on plain immutable zones).
+
+    Determinism contract: ``(keys, seq)`` must be UNIQUE in
+    ``changes`` — two changes to one key carrying the same sequence
+    number have no defined winner.  ``strict=True`` (default) folds an
+    assert into the winner selection, so a violating batch FAILS the
+    job instead of silently picking a partition-dependent row; pass
+    ``strict=False`` only when uniqueness is already enforced
+    upstream.  Unknown ``op`` values always raise via the same guard.
+
+    Scale shape: the winner-per-key window runs on the CHANGES frame
+    only (delta-sized, per-key partitions — parallel across keys, and
+    the target is never windowed); application is ONE anti-join of the
+    target against the touched keys (broadcastable when the delta is
+    small) plus a unionByName of the surviving upserts.  Deleting a
+    key absent from the target is a no-op by construction.  Change
+    payloads may omit untouched columns (allowMissingColumns fills
+    NULLs — column-level merge needs the old row and is
+    ``merge_upsert`` + a coalesce projection, not CDC apply).
+    """
+    k = list(keys)
+    w = Window.partitionBy(*k).orderBy(F.col(seq_col).desc())
+    ranked = changes.withColumn("_rn", F.row_number().over(w))
+    if strict:
+        dup = F.count(F.lit(1)).over(
+            Window.partitionBy(*k, seq_col)
+        )
+        guard = F.assert_true(
+            (dup == 1)
+            & F.col(op_col).isin(upsert_op, delete_op),
+            F.lit(
+                "apply_cdc: duplicate (key, seq) or unknown op in changes"
+            ),
+        )
+        # fold the assert into a kept expression so Catalyst can't
+        # prune it (the bloom_probe lesson)
+        ranked = ranked.withColumn(
+            "_rn", F.when(guard.isNull(), F.col("_rn"))
+        )
+    latest = ranked.filter(F.col("_rn") == 1).drop("_rn")
+    kept = target.join(latest.select(*k), k, "left_anti")
+    upserts = (
+        latest.filter(F.col(op_col) == upsert_op)
+        .drop(op_col, seq_col)
+    )
+    return kept.unionByName(upserts, allowMissingColumns=True)

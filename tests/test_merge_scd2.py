@@ -66,3 +66,76 @@ def test_scd2_same_day_tiebreak_deterministic(spark):
     )
     # tk orders b before a: 'a' is the current version
     assert out[0].attr == "a" and out[0].is_current
+
+
+def test_apply_cdc_latest_wins_python_twin(spark):
+    from peskas_mozambique_data_pipeline_spark.operators.merge import apply_cdc
+
+    target = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "k long, name string, v long"
+    )
+    # interleaved history: k1 updated twice then deleted; k2 deleted
+    # then re-inserted; k3 untouched; k4 inserted; k9 delete no-op
+    changes = spark.createDataFrame(
+        [
+            (1, 1, "upsert", "a1", 11),
+            (1, 3, "upsert", "a2", 12),
+            (1, 5, "delete", None, None),
+            (2, 2, "delete", None, None),
+            (2, 4, "upsert", "b2", 21),
+            (4, 1, "upsert", "d", 40),
+            (9, 7, "delete", None, None),
+        ],
+        "k long, seq long, op string, name string, v long",
+    )
+    got = sorted(
+        tuple(r) for r in apply_cdc(target, changes, ["k"]).collect()
+    )
+    assert got == [(2, "b2", 21), (3, "c", 30), (4, "d", 40)]
+    # partitioning invariance: same fixpoint on a reshuffled delta
+    got2 = sorted(
+        tuple(r)
+        for r in apply_cdc(target, changes.repartition(7), ["k"]).collect()
+    )
+    assert got2 == got
+
+
+def test_apply_cdc_guards_and_plan(spark):
+    import contextlib
+    import io
+
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+
+    from peskas_mozambique_data_pipeline_spark.operators.merge import apply_cdc
+
+    target = spark.createDataFrame([(1, 10)], "k long, v long")
+    dup = spark.createDataFrame(
+        [(1, 1, "upsert", 11), (1, 1, "upsert", 12)],
+        "k long, seq long, op string, v long",
+    )
+    with _pytest.raises(Exception) as ei:
+        apply_cdc(target, dup, ["k"]).collect()
+    assert "duplicate (key, seq)" in str(ei.value)
+    badop = spark.createDataFrame(
+        [(1, 1, "merge", 11)], "k long, seq long, op string, v long"
+    )
+    with _pytest.raises(Exception) as ei:
+        apply_cdc(target, badop, ["k"]).collect()
+    assert "unknown op" in str(ei.value)
+    # strict=False skips the guard; the window is over the CHANGES side
+    ok = spark.createDataFrame(
+        [(1, 1, "upsert", 11)], "k long, seq long, op string, v long"
+    )
+    out = apply_cdc(target, ok, ["k"], strict=False)
+    assert [tuple(r) for r in out.collect()] == [(1, 11)]
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("simple")
+    plan = buf.getvalue()
+    # the target is never windowed: the Window node ranks the CHANGES
+    # frame only (it appears once per consumer of the latest-winner
+    # subtree — the anti-join keys and the upsert rows — never over
+    # the target scan)
+    final = plan.split("Initial Plan")[0]
+    assert 1 <= final.count("Window [") <= 2, final
