@@ -132,6 +132,34 @@ def main() -> None:
     validated = validated.cache()
     n_valid = validated.count()
 
+    # declarative DQ report over the preprocessed zone — the
+    # validation-flag battery generalized (operators/expectations.py):
+    # every row-local rule folds into one scan; uniqueness and the
+    # gear-dim referential check declare their own shuffle/anti-join
+    t0 = time.perf_counter()
+    from peskas_mozambique_data_pipeline_spark.operators import (
+        expectations as dq,
+    )
+
+    gear_dim = spark.createDataFrame(
+        [("handline",), ("gillnet",), ("longline",), ("trap",), ("seine",)],
+        "gear string",
+    )
+    report = dq.full_report(
+        prep,
+        rules=[
+            dq.expect("duration_sane", F.col("trip_duration") <= 72),
+            dq.expect("crew_present", F.col("n_fishers") > 0),
+            dq.expect("date_present", F.col("landing_date").isNotNull()),
+        ],
+        unique_keys=[["submission_id", "catch_taxon", "length_range"]],
+        dims=[("gear_type", gear_dim, "gear")],
+    ).collect()
+    timings["dq_report"] = round(time.perf_counter() - t0, 2)
+    worst = max(report, key=lambda r: r.frac)
+    print(f"[dq    ] {len(report)} checks; worst: {worst.rule} "
+          f"{worst.n_violations}/{worst.n_rows} ({worst.frac})")
+
     t0 = time.perf_counter()
     catch = prep.filter(F.col("catch_kg").isNotNull())
     metrics_plan.fishery_metrics(validated, catch).write.format("noop").mode(
