@@ -28,10 +28,16 @@ session that can see the r17 tail).
   analytic dim, and the annotation with concat_ws (which skips the
   NULL branches exactly like array_join over array_compact).
 
-Funding candidates visible from here (all in the r13 head, which
-rotates into the r17 head via r14-tail/r15-head/r16-tail):
-``crawlfam_audit`` + ``html_extract`` (web-page family) or
-``docmeta_audit`` + ``lexstats_audit`` (doc-metadata unions).
+* ``cdc_audit`` (appended below) puts ``operators/merge.py::
+  apply_cdc`` — ordered change-stream application — under the hard
+  oracle; see its own section.
+
+TWO r17 rows staged → two funding consolidations needed, and exactly
+two same-family candidate pairs are visible from here (all legs in
+the r13 head, which rotates into the r17 head via
+r14-tail/r15-head/r16-tail): ``crawlfam_audit`` + ``html_extract``
+(web-page family) and ``docmeta_audit`` + ``lexstats_audit``
+(doc-metadata unions).
 """
 
 from __future__ import annotations
@@ -142,8 +148,90 @@ STAGED_QUERIES = {
 def build_staged_oracle_sql() -> dict[str, str]:
     return {
         "dq_audit": SQL_DQ_AUDIT,
+        "cdc_audit": SQL_CDC_AUDIT,
     }
 
 
 # funding consolidation chosen at r16/r17 close (module docstring)
 STAGED_REPLACES: dict[str, tuple[str, str]] = {}
+
+
+# ---------------------------------------------------------------------------
+# cdc_audit — ordered change-stream application (``operators/merge.py::
+# apply_cdc``) under the hard oracle.  Target = customers (exact
+# integer balance cents); changes = an ANALYTIC CDC view of orders
+# (key = o_custkey, seq = o_orderkey — unique, so (key, seq) satisfies
+# the strict contract; every 7th order is a delete, the rest upserts
+# carrying a synthesized name + the order's total in cents).  The
+# final state puts every apply_cdc decision under the value hash:
+# untouched target rows survive verbatim, the per-key HIGHEST-seq
+# change wins, delete winners remove the key, upsert winners replace
+# the payload.  The DuckDB twin replays the winner window
+# (ROW_NUMBER over seq DESC), the untouched anti-join, and the upsert
+# union — decision for decision; every quantity is an exact integer
+# or string.  The strict guard (folded assert) runs live on the Spark
+# side with uniqueness guaranteed by construction.
+
+
+def q_cdc_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.merge import apply_cdc
+    from .session import read_table
+
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    target = cust.select(
+        "c_custkey",
+        F.col("c_name").cast("string").alias("c_name"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_c"),
+    )
+    # custkeys ≡ 0 (mod 5) receive NO changes, so the untouched-target
+    # branch is populated at every SF alongside replace/delete/insert
+    changes = orders.filter(F.col("o_custkey") % 5 != 0).select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.col("o_orderkey").alias("seq"),
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+        F.concat(F.lit("u"), F.col("o_orderkey").cast("string")).alias(
+            "c_name"
+        ),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("bal_c"),
+    )
+    out = apply_cdc(target, changes, ["c_custkey"])
+    return out.select(
+        F.col("c_custkey").cast("long").alias("c_custkey"),
+        F.col("c_name").cast("string").alias("c_name"),
+        F.col("bal_c").cast("long").alias("bal_c"),
+    )
+
+
+SQL_CDC_AUDIT = """
+WITH t AS (
+  SELECT c_custkey, CAST(c_name AS VARCHAR) AS c_name,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+  FROM customer
+),
+ch AS (
+  SELECT o_custkey AS c_custkey, o_orderkey AS seq,
+         CASE WHEN o_orderkey % 7 = 0 THEN 'delete' ELSE 'upsert' END AS op,
+         'u' || CAST(o_orderkey AS VARCHAR) AS c_name,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS bal_c
+  FROM orders WHERE o_custkey % 5 <> 0
+),
+latest AS (
+  SELECT * FROM (
+    SELECT ch.*, ROW_NUMBER() OVER (
+      PARTITION BY c_custkey ORDER BY seq DESC) AS rn
+    FROM ch
+  ) WHERE rn = 1
+)
+SELECT CAST(t.c_custkey AS BIGINT) AS c_custkey, t.c_name,
+       CAST(t.bal_c AS BIGINT) AS bal_c
+FROM t
+WHERE t.c_custkey NOT IN (SELECT c_custkey FROM latest)
+UNION ALL
+SELECT CAST(c_custkey AS BIGINT), c_name, CAST(bal_c AS BIGINT)
+FROM latest WHERE op = 'upsert'
+"""
+
+STAGED_QUERIES["cdc_audit"] = q_cdc_audit

@@ -108,3 +108,50 @@ def test_staged_r17_dq_semantics(spark):
     multi = [r for r in ann if "," in (r.k2 or "")]
     clean = [r for r in ann if r.k2 == ""]
     assert multi and clean  # both extremes present
+
+
+def test_staged_r17_cdc_semantics(spark):
+    """Non-degeneracy pins for cdc_audit at sf0.001: untouched,
+    replaced and deleted keys all present; the winner really is the
+    highest-seq change (spot-checked against a python replay)."""
+    sf = "/root/testdata/sf0.001"
+    import duckdb
+
+    state = {
+        r.c_custkey: (r.c_name, r.bal_c)
+        for r in registry_staged_r17.STAGED_QUERIES["cdc_audit"](
+            spark, sf
+        ).collect()
+    }
+    con = duckdb.connect()
+    cust = con.execute(
+        f"SELECT c_custkey, c_name, CAST(round(c_acctbal*100) AS BIGINT)"
+        f" FROM read_parquet('{sf}/customer.parquet')"
+    ).fetchall()
+    orders = con.execute(
+        f"SELECT o_custkey, o_orderkey, CAST(round(o_totalprice*100) AS BIGINT)"
+        f" FROM read_parquet('{sf}/orders.parquet')"
+        f" WHERE o_custkey % 5 <> 0"
+    ).fetchall()
+    con.close()
+    latest = {}
+    for ck, ok, cents in orders:
+        if ck not in latest or ok > latest[ck][0]:
+            latest[ck] = (ok, cents)
+    want = {}
+    cust_keys = {ck for ck, _n, _c in cust}
+    for ck, name, cents in cust:
+        if ck not in latest:
+            want[ck] = (name, cents)
+    for ck, (ok, ocents) in latest.items():
+        # upsert winners replace existing keys AND insert order-only
+        # custkeys the synthetic data may carry; delete winners drop
+        if ok % 7 != 0:
+            want[ck] = (f"u{ok}", ocents)
+    assert state == want
+    untouched = sum(1 for ck in cust_keys if ck not in latest)
+    deleted = sum(1 for ck in latest if latest[ck][0] % 7 == 0)
+    inserts = sum(1 for ck in latest
+                  if ck not in cust_keys and latest[ck][0] % 7 != 0)
+    assert untouched > 0 and deleted > 0
+    assert len(state) == len(want) >= untouched + inserts
