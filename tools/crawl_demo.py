@@ -150,6 +150,19 @@ def main() -> int:
         print("pagerank head:", [(r["node"], round(r["rank"], 4)) for r in top])
         assert top[0]["node"] == "hub.example.org", "hub must rank first"
 
+        # connectivity gate: k-core of the host graph.  This fixture is
+        # a hub + peer ring (every spoke links hub/prev/next → degree
+        # 3), so the 2-core keeps the whole mesh — and the 4-core peels
+        # it entirely (spokes fall, the hub's support falls with them):
+        # the two ends of the gate, both asserted
+        n_hosts = sym.select(F.col("src").alias("n")).distinct().count()
+        core2 = graph.kcore(hg, 2, a_col="src", b_col="dst").count()
+        core4 = graph.kcore(hg, 4, a_col="src", b_col="dst").count()
+        print(f"link-graph core gate: 2-core {core2}/{n_hosts} hosts "
+              f"(mutually-linked mesh), 4-core {core4}/{n_hosts} "
+              "(no dense nucleus)")
+        assert core2 == n_hosts and core4 == 0
+
         robots = spark.createDataFrame(
             [(f"s{i}.example.org",
               "User-agent: *\nDisallow: /private/\n"
