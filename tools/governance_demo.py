@@ -1,10 +1,11 @@
 """Streaming-governance dashboard demo: ONE landing zone file-streamed
-through all FOUR sketch ledgers at once —
+through all FIVE governance ledgers at once —
 
     distinct_ledger  (HLL, MAX semilattice)   → "how many distinct texts"
     freq_ledger      (CMS + candidates, SUM)  → "which sources/values dominate"
     quantile_ledger  (HDR buckets, SUM)       → "p50/p95/p99 of doc length"
     bloom_ledger     (packed filter, OR)      → "has this stream seen this text"
+    dq_ledger        (rule counts, SUM)       → "all-time quality per source"
 
 — then prints the standing governance tiles an ingest dashboard wants,
 entirely from kilobyte-scale zone state, and cross-checks each tile
@@ -32,7 +33,17 @@ from peskas_mozambique_data_pipeline_spark.streaming import distinct_ledger as d
 from peskas_mozambique_data_pipeline_spark.streaming import freq_ledger as fl
 from peskas_mozambique_data_pipeline_spark.streaming import ingest as si
 from peskas_mozambique_data_pipeline_spark.streaming import bloom_ledger as bll
+from peskas_mozambique_data_pipeline_spark.streaming import dq_ledger as dql
 from peskas_mozambique_data_pipeline_spark.streaming import quantile_ledger as ql
+from peskas_mozambique_data_pipeline_spark.operators import expectations as dq
+
+
+def _dq_rules():
+    return [
+        dq.expect("text_present", F.col("text").isNotNull()),
+        dq.expect("text_substantial", F.col("n_chars") >= 50),
+        dq.expect("lang_known", F.col("lang").isin("en", "de", "es", "fr")),
+    ]
 
 
 def main() -> int:
@@ -67,6 +78,10 @@ def main() -> int:
         "membership": lambda s: bll.stream_bloom_ledger(
             s, os.path.join(work, "z_bloom"), os.path.join(work, "ck_b"),
             value_col="text", group_cols=["source"],
+        ),
+        "quality": lambda s: dql.stream_dq_ledger(
+            s, os.path.join(work, "z_dq"), os.path.join(work, "ck_dq"),
+            _dq_rules(), group_cols=["source"],
         ),
     }
     for name, start in ledgers.items():
@@ -137,7 +152,22 @@ def main() -> int:
           f"{worst.bloom_fpp:.4f} ({worst.source}, "
           f"{worst.bloom_bits_set} bits)")
 
-    print("\ngovernance demo: all four ledgers agree with batch — OK")
+    print("\n== tile 5: all-time quality per source (DQ rule counts) ==")
+    rep = dql.read_dq_ledger(spark, os.path.join(work, "z_dq"), ["source"])
+    got_dq = {
+        (r.source, r.rule): (r.n_violations, r.n_rows, r.frac)
+        for r in rep.collect()
+    }
+    want_dq = {
+        (r.source, r.rule): (r.n_violations, r.n_rows, r.frac)
+        for r in dq.check(whole, _dq_rules(), ["source"]).collect()
+    }
+    assert got_dq == want_dq  # stream ≡ batch, tile for tile
+    worst_dq = max(got_dq.items(), key=lambda kv: kv[1][2])
+    (wsrc, wrule), (wv, wn, wfrac) = worst_dq
+    print(f"  worst: {wrule} in {wsrc}: {wv}/{wn} ({wfrac})")
+
+    print("\ngovernance demo: all five ledgers agree with batch — OK")
     shutil.rmtree(work, ignore_errors=True)
     spark.stop()
     return 0
