@@ -728,6 +728,29 @@ from . import registry_r13  # noqa: E402
 SPARK_QUERIES.update(registry_r13.SPARK_QUERIES)
 ORACLE_SQL.update(registry_r13.build_oracle_sql())
 
+from . import registry_staged_r14  # noqa: E402
+
+# r14 staged-row promotion (VERDICT r13 Next #1 / the NOTES r14 swap
+# recipe): the two funding consolidations chosen at r13 close with
+# sight of the r14 rotating-in set (bandpairs_audit = minhash_dedup +
+# simhash_pairs; dedupfam_audit = dedup_exact + dedup_clusters — legs
+# verbatim) fund the two staged operator rows (main_content_audit,
+# diff_audit).  Every row carries bit-exact sf0.001+sf0.01 oracle
+# evidence plus an sf0.1 local[8] + sf0.01 local[3] determinism
+# matrix recorded one round ahead (tests/test_registry_staged_r14.py).
+# Head arithmetic: 50 − 4 legs + 2 unions + 2 funded = 50; registry
+# stays AT the 100 ceiling.
+_STAGED_PROMOTED_R14 = (
+    "main_content_audit",
+    "diff_audit",
+    "bandpairs_audit",
+    "dedupfam_audit",
+)
+_STAGED_SQL_R14 = registry_staged_r14.build_staged_oracle_sql()
+for _n in _STAGED_PROMOTED_R14:
+    SPARK_QUERIES[_n] = registry_staged_r14.STAGED_QUERIES[_n]
+    ORACLE_SQL[_n] = _STAGED_SQL_R14[_n]
+
 # r9 consolidations: every name below is replaced by a union row that
 # calls the SAME query function / wraps the SAME oracle SQL (see
 # registry_staged.STAGED_REPLACES and registry_audit.AUDIT_REPLACES),
@@ -822,6 +845,18 @@ for _n in _REPLACED_R13:
     RETIRED_QUERIES[_n] = SPARK_QUERIES.pop(_n)
     RETIRED_ORACLE_SQL[_n] = ORACLE_SQL.pop(_n)
 
+# r14 consolidations: each union row calls the SAME query functions /
+# wraps the SAME oracle SQL (registry_staged_r14.STAGED_REPLACES), so
+# the four consolidated operators stay implemented, pytest-covered and
+# hash-verified — only the duplicate registry rows retire
+# (gate-checkable by name, the r9–r13 retirement discipline).
+_REPLACED_R14 = tuple(
+    n for pair in registry_staged_r14.STAGED_REPLACES.values() for n in pair
+)
+for _n in _REPLACED_R14:
+    RETIRED_QUERIES[_n] = SPARK_QUERIES.pop(_n)
+    RETIRED_ORACLE_SQL[_n] = ORACLE_SQL.pop(_n)
+
 # The driver's correctness harness checks the FIRST 50 registry entries
 # in dict order; with >50 queries registered, assembly order decides
 # which get hard-verified.  Keep the least-recently-driver-verified
@@ -831,14 +866,81 @@ for _n in _REPLACED_R13:
 # queries with several green driver rounds (still covered by the
 # bit-exact local gate, tools/check_correctness.py) rotate out.
 _VERIFY_FIRST = [
-    # round-13 additions — never driver-verified, head of the window:
-    # the three funding consolidations chosen at r12 close
-    # (docmeta_audit, retrieval_audit, capsel_audit), the three funded
-    # operator rows (pca_cov, audio_fp, corpus_card), the two in-round
-    # consolidations (crawlfam_audit, geofam_audit) and the two rows
-    # they fund (nearest_audit, release_fold) — all promoted with
-    # bit-exact two-SF evidence (tests/test_registry_staged_r13.py,
-    # tests/test_registry_r13.py).
+    # round-14 additions — never driver-verified, head of the window:
+    # the two funding consolidations chosen at r13 close
+    # (bandpairs_audit = minhash_dedup + simhash_pairs; dedupfam_audit
+    # = dedup_exact + dedup_clusters) and the two rows they fund
+    # (main_content_audit, diff_audit) — all promoted with bit-exact
+    # two-SF evidence (tests/test_registry_staged_r14.py).
+    "bandpairs_audit",
+    "dedupfam_audit",
+    "main_content_audit",
+    "diff_audit",
+    # r14 rotation: the 46 remaining r13-tail survivors (driver-green
+    # in r12, judge-gated bit-exact in r13; minhash_dedup/simhash_pairs
+    # and dedup_exact/dedup_clusters retired into the two funding
+    # consolidations above) come back to the head so CORRECTNESS_r14
+    # gives every one a hard driver row.
+    "diversity_sample",
+    "audio_audit",
+    "sketchfam_audit",
+    "video_audit",
+    "weights_audit",
+    "kmv_audit",
+    "quant_audit",
+    "seq_layout",
+    "contam_score",
+    "psl_domains",
+    "card_audit",
+    "lexical_audit",
+    "filter_audit",
+    "activity_audit",
+    "threshold_audit",
+    "url_dedup",
+    "classifier_score",
+    "cross_corpus",
+    "ts_audit",
+    "mixture_budget",
+    "ann_lsh",
+    "site_stats_full",
+    "time_weighted_avg",
+    "mix_quality",
+    "triangle_count",
+    "containment",
+    "weighted_sample",
+    "char_entropy",
+    "assoc_rules",
+    "interval_join",
+    "bpe_merges_fast",
+    "pagerank",
+    "trailing_window",
+    "doc_pack",
+    "embedding_clusters",
+    "pii_scrub",
+    "merge_upsert",
+    "scd2_versions",
+    "conditional_merge",
+    "flag_battery",
+    "fuzzy_dedup",
+    "quantile_coeffs",
+    "lw_model",
+    "last_wins",
+    "json_extract",
+    "token_rollup",
+]
+# Rotation tail.  Sitting out one round keeps the "hard driver row at
+# least every 2 rounds" invariant; the assertion below forces this
+# list to be resized whenever queries are added, so the rotation stays
+# deliberate.  Window arithmetic note: a 50-slot window with a 2-round
+# cadence supports at most 50 rotating-in rows per round — adding N
+# new rows in a round therefore requires N consolidations/drops WITHIN
+# the rotating-in set (not the outgoing head, whose survivors rest in
+# the tail regardless).
+_VERIFY_LAST = [
+    # the 50 r13-head rows (every one driver-green in CORRECTNESS_r13).
+    # Steady state: 100 registered (AT the ceiling), 50 verified per
+    # round, 50 resting, ZERO headroom — every r15+ registration
+    # requires a consolidation from within the rotating-in set.
     "pca_cov",
     "audio_fp",
     "corpus_card",
@@ -849,13 +951,6 @@ _VERIFY_FIRST = [
     "nearest_audit",
     "geofam_audit",
     "release_fold",
-    # r13 rotation: the 40 remaining r12-tail survivors (driver-green
-    # in r11, judge-gated bit-exact in r12; doc_profile/doc_signature,
-    # bm25_indexed/hybrid_rrf, source_cap/quality_topk retired into
-    # the staged consolidations and fetch_audit/crawl_audit,
-    # geo_assign/geo_rollup_join into the in-round unions above) come
-    # back to the head so CORRECTNESS_r13 gives every one a hard
-    # driver row.
     "governance_audit",
     "neardup_audit",
     "lexstats_audit",
@@ -897,72 +992,6 @@ _VERIFY_FIRST = [
     "sessionization",
     "asof_join",
 ]
-# Rotation tail.  Sitting out one round keeps the "hard driver row at
-# least every 2 rounds" invariant; the assertion below forces this
-# list to be resized whenever queries are added, so the rotation stays
-# deliberate.  Window arithmetic note: a 50-slot window with a 2-round
-# cadence supports at most 50 rotating-in rows per round — adding N
-# new rows in a round therefore requires N consolidations/drops WITHIN
-# the rotating-in set (not the outgoing head, whose survivors rest in
-# the tail regardless).
-_VERIFY_LAST = [
-    # the 50 r12-head rows (every one driver-green in CORRECTNESS_r12).
-    # Steady state after r13: 100 registered (AT the ceiling), 50
-    # verified per round, 50 resting, ZERO headroom — every r14+
-    # registration requires a consolidation from within the
-    # rotating-in set.
-    "diversity_sample",
-    "audio_audit",
-    "sketchfam_audit",
-    "video_audit",
-    "weights_audit",
-    "kmv_audit",
-    "quant_audit",
-    "seq_layout",
-    "contam_score",
-    "psl_domains",
-    "card_audit",
-    "lexical_audit",
-    "filter_audit",
-    "activity_audit",
-    "threshold_audit",
-    "url_dedup",
-    "classifier_score",
-    "cross_corpus",
-    "ts_audit",
-    "mixture_budget",
-    "ann_lsh",
-    "site_stats_full",
-    "time_weighted_avg",
-    "mix_quality",
-    "triangle_count",
-    "containment",
-    "weighted_sample",
-    "char_entropy",
-    "assoc_rules",
-    "interval_join",
-    "bpe_merges_fast",
-    "pagerank",
-    "trailing_window",
-    "doc_pack",
-    "embedding_clusters",
-    "minhash_dedup",
-    "dedup_clusters",
-    "pii_scrub",
-    "merge_upsert",
-    "scd2_versions",
-    "conditional_merge",
-    "flag_battery",
-    "fuzzy_dedup",
-    "quantile_coeffs",
-    "lw_model",
-    "last_wins",
-    "json_extract",
-    "dedup_exact",
-    "simhash_pairs",
-    "token_rollup",
-]
-
 # The driver hard-verifies exactly the first 50 entries; the tail list
 # must therefore hold exactly (total − 50) queries or the window
 # boundary lands somewhere unplanned.

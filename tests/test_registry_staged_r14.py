@@ -97,9 +97,22 @@ def test_staged_r14_prose_gate_is_exercised(spark):
         assert "ok" != r.main_text
 
 
-def test_staged_r14_not_registered_yet():
+def test_staged_swap_landed_r14():
+    # the r14 registration swap happened: each staged row is registered
+    # VERBATIM (same function object, same SQL string) and the rows the
+    # consolidations replace are retired but importable for the gate
+    sql = registry_staged_r14.build_staged_oracle_sql()
     for name in registry_staged_r14.STAGED_QUERIES:
-        assert name not in registry.SPARK_QUERIES
+        assert (
+            registry.SPARK_QUERIES[name]
+            is registry_staged_r14.STAGED_QUERIES[name]
+        )
+        assert registry.ORACLE_SQL[name] == sql[name]
+    for pair in registry_staged_r14.STAGED_REPLACES.values():
+        for old in pair:
+            assert old not in registry.SPARK_QUERIES
+            assert old in registry.RETIRED_QUERIES
+            assert old in registry.RETIRED_ORACLE_SQL
 
 
 def test_staged_r14_diff_audit_all_statuses_present(spark):
@@ -130,7 +143,7 @@ def test_staged_r14_parity_with_replaced_rows(spark, union_name, legs):
     union_df = registry_staged_r14.STAGED_QUERIES[union_name](spark, sf)
     reg = {**registry.SPARK_QUERIES, **registry.RETIRED_QUERIES}
     for leg in legs:
-        assert leg in registry.SPARK_QUERIES  # rotates into the r14 head
+        assert leg in registry.RETIRED_QUERIES  # retired by the r14 swap
     n_legs = sum(reg[leg](spark, sf).count() for leg in legs)
     assert union_df.count() == n_legs
     stats = {r["stat"] for r in union_df.select("stat").distinct().collect()}
