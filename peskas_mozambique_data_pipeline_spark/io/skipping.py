@@ -138,21 +138,61 @@ def prune_files(
     return [os.path.join(root, r.file) for r in rows]
 
 
-def read_pruned(
-    spark: SparkSession, path: str, ranges: Mapping
-) -> DataFrame:
-    """Read only the candidate files and re-apply the predicate as a
-    residual filter — bit-identical to filtering the full zone, paying
-    only candidate-file scan cost.  An empty candidate list returns an
-    empty frame with the zone's schema."""
-    files = prune_files(spark, path, ranges)
-    full_schema = spark.read.parquet(path).schema
-    if not files:
-        return spark.createDataFrame([], full_schema)
-    df = spark.read.schema(full_schema).parquet(*files)
+def _residual_filter(df: DataFrame, ranges: Mapping) -> DataFrame:
     for c, (lo, hi) in ranges.items():
         if lo is not None:
             df = df.filter(F.col(c) >= F.lit(lo))
         if hi is not None:
             df = df.filter(F.col(c) <= F.lit(hi))
     return df
+
+
+def read_pruned(
+    spark: SparkSession,
+    path: str,
+    ranges: Mapping,
+    max_candidate_fraction: float = 0.5,
+) -> DataFrame:
+    """Read only the candidate files and re-apply the predicate as a
+    residual filter — bit-identical to filtering the full zone, paying
+    only candidate-file scan cost.  An empty candidate list returns an
+    empty frame with the zone's schema.
+
+    At-scale guards:
+
+    * The candidate COUNT is decided on the index frame first (two
+      aggregates over #files rows); candidate NAMES are collected on
+      the driver only when the candidate fraction is at most
+      ``max_candidate_fraction``.  For a weak predicate the candidate
+      list approaches the full manifest — collecting a million file
+      names buys no scan savings and funnels them through driver
+      memory and per-path launch overhead, so the reader short-circuits
+      to a plain ``read.parquet(zone).filter(pred)`` and lets
+      Catalyst/footer pushdown do the residual pruning.
+    * Candidate files are read with ``basePath`` pinned to the zone
+      root, so on a partitioned zone (``write_versioned(...,
+      partition_by=...)``) the partition columns are recovered from
+      the directory layout instead of silently reading NULL.
+    """
+    idx = read_skipping_index(spark, path)
+    cond = _candidate_cond(idx.columns, ranges)
+    stats = idx.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count(F.when(cond, F.lit(1))).alias("n_cand"),
+    ).collect()[0]
+    if stats.n_total > 0 and (
+        stats.n_cand > max_candidate_fraction * stats.n_total
+    ):
+        return _residual_filter(spark.read.parquet(path), ranges)
+    rows = idx.filter(cond).select("file").collect()
+    root = path.rstrip("/")
+    files = [os.path.join(root, r.file) for r in rows]
+    full_schema = spark.read.parquet(path).schema
+    if not files:
+        return spark.createDataFrame([], full_schema)
+    df = (
+        spark.read.schema(full_schema)
+        .option("basePath", root)
+        .parquet(*files)
+    )
+    return _residual_filter(df, ranges)

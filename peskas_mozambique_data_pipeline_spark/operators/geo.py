@@ -176,7 +176,15 @@ def nearest_site(
     d = haversine_m(
         F.col(x_col), F.col(y_col), F.col(site_x), F.col(site_y)
     )
-    cand = points.join(F.broadcast(sites)).withColumn("_d_m", d)
+    # LEFT join on TRUE, not a plain cross join: with a non-empty dim
+    # both produce exactly points × sites, but an EMPTY dim must keep
+    # every point as one NULL-extended row (the documented "unassigned
+    # points survive with NULL site columns" contract) instead of
+    # evaporating the whole input (ADVICE r13).  The NULL distance then
+    # rides the argmin and the range gate nulls the output columns.
+    cand = points.join(
+        F.broadcast(sites), F.lit(True), "left"
+    ).withColumn("_d_m", d)
     key_cols = [id_col] if id_col else list(points.columns)
     payload = [c for c in points.columns if c not in key_cols]
     # single lexicographic min over ALL sites: smallest distance first,

@@ -174,6 +174,29 @@ def test_nearest_site_assignment_and_range_gate(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_nearest_site_empty_sites_keeps_every_point(spark):
+    """ADVICE r13: an empty site dim must not evaporate the input —
+    every point survives with NULL site columns / site_distance_m
+    (the documented unassigned contract), with and without the range
+    gate and the id_col argmin key."""
+    sites = spark.createDataFrame(
+        [], "site string, site_lon double, site_lat double"
+    )
+    points = spark.createDataFrame(
+        [(1, 32.61, -25.91), (2, 34.81, -19.81)],
+        "pid long, lon double, lat double",
+    )
+    for kwargs in (
+        {},
+        {"max_distance_m": 50_000},
+        {"id_col": "pid"},
+        {"id_col": "pid", "max_distance_m": 50_000},
+    ):
+        out = geo.nearest_site(points, sites, **kwargs)
+        got = {r.pid: (r.site, r.site_distance_m) for r in out.collect()}
+        assert got == {1: (None, None), 2: (None, None)}, kwargs
+
+
 def test_nearest_site_id_col_keeps_duplicate_points(spark):
     """With id_col the argmin keys on the id alone: duplicate
     coordinate rows each keep their output row (VERDICT r11)."""

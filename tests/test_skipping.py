@@ -163,3 +163,65 @@ def test_versioned_zone_carries_skipping_index(spark, tmp_path):
     # the z-ordered rewrite prunes to a corner of its own file list
     n_total = len(skipping.read_skipping_index(spark, p2).collect())
     assert len(skipping.prune_files(spark, p2, box)) <= max(1, n_total // 2)
+
+
+def test_partitioned_zone_recovers_partition_columns(spark, tmp_path):
+    # ADVICE r13 (high): candidate files must be read with basePath so
+    # hive-partition columns come back from the directory layout — a
+    # pruned read on a partitioned zone is bit-identical to the plain
+    # filter, including predicates ON the partition column itself.
+    path = str(tmp_path / "zone")
+    rows = [(i, i % 64, i % 4) for i in range(2048)]
+    df = spark.createDataFrame(rows, "id long, x long, p long")
+    df.repartition(4, "x").write.partitionBy("p").parquet(path)
+    skipping.write_skipping_index(spark, path, ["x", "p"])
+    for ranges in (
+        {"x": (8, 15)},
+        {"p": (1, 1)},
+        {"x": (0, 7), "p": (2, 3)},
+    ):
+        pruned = skipping.read_pruned(
+            spark, path, ranges, max_candidate_fraction=1.0
+        )
+        # partition column really present, never NULL
+        assert pruned.filter(F.col("p").isNull()).count() == 0
+        got = {tuple(r) for r in pruned.select("id", "x", "p").collect()}
+        full = spark.read.parquet(path)
+        for c, (lo, hi) in ranges.items():
+            if lo is not None:
+                full = full.filter(F.col(c) >= lo)
+            if hi is not None:
+                full = full.filter(F.col(c) <= hi)
+        want = {tuple(r) for r in full.select("id", "x", "p").collect()}
+        assert got == want and got, ranges
+    # a partition-range predicate prunes to that partition's files
+    n_total = len(skipping.read_skipping_index(spark, path).collect())
+    assert len(skipping.prune_files(spark, path, {"p": (1, 1)})) <= n_total // 2
+
+
+def test_weak_predicate_falls_back_to_plain_scan(spark, tmp_path):
+    # VERDICT r13 Next #3: a non-selective predicate must NOT funnel
+    # the whole manifest through the driver — above the candidate
+    # fraction threshold the reader short-circuits to a plain zone
+    # scan (every data file in the plan), while a selective predicate
+    # keeps the explicit pruned file list.
+    rows, df = _grid(spark)
+    path = str(tmp_path / "zone")
+    layout.write_zordered(df, path, ["x", "y"], bits=6, n_files=16)
+    skipping.write_skipping_index(spark, path, ["x", "y"])
+    all_files = {
+        os.path.basename(f)
+        for f in spark.read.parquet(path).inputFiles()
+    }
+    # weak: x <= 62 matches ~every file -> plain-scan plan
+    weak = skipping.read_pruned(spark, path, {"x": (None, 62)})
+    assert {os.path.basename(f) for f in weak.inputFiles()} == all_files
+    assert weak.count() == df.filter("x <= 62").count()
+    # strong: 2-D box -> pruned file list strictly smaller than the zone
+    strong = skipping.read_pruned(spark, path, {"x": (8, 15), "y": (8, 15)})
+    strong_files = {os.path.basename(f) for f in strong.inputFiles()}
+    assert strong_files < all_files
+    assert len(strong_files) == len(
+        skipping.prune_files(spark, path, {"x": (8, 15), "y": (8, 15)})
+    )
+    assert strong.count() == 64
