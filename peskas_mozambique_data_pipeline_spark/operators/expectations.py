@@ -80,8 +80,11 @@ def check(
     if len(set(names)) != len(names):
         raise ValueError(f"duplicate rule names: {names}")
     g = list(group_cols)
+    # coalesce: SUM over zero rows is NULL — an empty (global) input
+    # must report 0 violations, not leak NULL into the fixed report
+    # schema / the DQ ledger's sum-fold (ADVICE r13)
     aggs = [F.count(F.lit(1)).alias("_n")] + [
-        F.sum(_fails(r).cast("long")).alias(f"_v_{i}")
+        F.coalesce(F.sum(_fails(r).cast("long")), F.lit(0)).alias(f"_v_{i}")
         for i, r in enumerate(rules)
     ]
     row = df.groupBy(*g).agg(*aggs) if g else df.agg(*aggs)

@@ -19,7 +19,13 @@ merge forward —
   snapshot holding only the WINNING UPSERT rows (tombstones drop:
   sequence numbers are monotonic, so any future change to a deleted
   key out-ranks the tombstone anyway, and an absent key reads the
-  same as a deleted one), writes BEFORE deleting the folded dirs,
+  same as a deleted one).  The monotonicity that makes the drop safe
+  is ENFORCED at the batch boundary: each snapshot records its
+  ``max_folded_seq`` high-water mark in a ``_fold_meta`` sidecar and
+  every incoming batch's min seq must exceed it, else the batch is
+  rejected before landing — a late lower-seq change can no longer
+  resurrect a folded delete.  Compaction writes BEFORE deleting the
+  folded dirs,
   and every read skips deltas ``<= snapshot id`` — a crash between
   snapshot write and delta delete re-reads snapshot + post-snapshot
   deltas only, and the per-key window re-resolving an already-won
@@ -52,6 +58,26 @@ from .distinct_ledger import _read_parts
 
 CDC_SUBDIR = "cdc_changes"
 CDC_COMPACT_SUBDIR = "cdc_compacted"
+FOLD_META_DIR = "_fold_meta"
+
+
+def max_folded_seq(spark: SparkSession, zone_dir: str) -> int | None:
+    """Highest sequence number ever folded into a compacted snapshot
+    (``None`` before the first compaction).  Stored as a one-row
+    ``_fold_meta`` sidecar INSIDE the newest snapshot dir (underscore-
+    prefixed, so snapshot reads ignore it), because compaction drops
+    tombstones: a change with ``seq`` at or below this mark could
+    resurrect an already-folded delete, so the zone refuses it at the
+    batch boundary (ADVICE r13)."""
+    compact_dir = os.path.join(zone_dir, CDC_COMPACT_SUBDIR)
+    snaps = _dir_ids(compact_dir, "upto")
+    if not snaps:
+        return None
+    meta = os.path.join(compact_dir, f"upto={max(snaps)}", FOLD_META_DIR)
+    if not os.path.isdir(meta):
+        return None
+    rows = spark.read.parquet(meta).collect()
+    return rows[0].max_folded_seq if rows else None
 
 
 def _winners(
@@ -126,6 +152,24 @@ def stream_cdc_zone(
     k = list(keys)
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
+        # Tombstone-safety guard (ADVICE r13): compaction drops deletes
+        # on the promise that seq is globally monotonic ACROSS batches —
+        # enforce it here, where the promise can still be kept.  A
+        # late change with seq <= the folded high-water mark could
+        # silently resurrect an already-folded delete, so the batch is
+        # rejected BEFORE its delta lands (the aggregate is batch-sized).
+        folded = max_folded_seq(spark, zone_dir)
+        if folded is not None:
+            low = batch_df.agg(F.min(seq_col).alias("m")).collect()[0].m
+            if low is not None and low <= folded:
+                raise ValueError(
+                    f"cdc_zone: batch {batch_id} carries seq {low} <= "
+                    f"max folded seq {folded}; a compacted snapshot has "
+                    "dropped tombstones up to that mark, so applying "
+                    "this change could resurrect a deleted key. "
+                    "Late/out-of-order feeds must re-sequence before "
+                    "the zone."
+                )
         batch_df.write.mode("overwrite").parquet(
             os.path.join(cdc_dir, f"batch={batch_id}")
         )
@@ -137,9 +181,22 @@ def stream_cdc_zone(
                     parts, k, seq_col, op_col, upsert_op, delete_op,
                     strict=False,
                 )
+                snap = os.path.join(compact_dir, f"upto={batch_id - 1}")
                 win.filter(F.col(op_col) == upsert_op).write.mode(
                     "overwrite"
-                ).parquet(os.path.join(compact_dir, f"upto={batch_id - 1}"))
+                ).parquet(snap)
+                # high-water mark over EVERYTHING folded (tombstone seqs
+                # included — they out-rank every retained upsert they
+                # superseded), monotone vs the prior snapshot's mark.
+                hi = parts.agg(F.max(seq_col).alias("m")).collect()[0].m
+                if folded is not None:
+                    hi = max(hi, folded) if hi is not None else folded
+                if hi is not None:
+                    spark.createDataFrame(
+                        [(int(hi),)], "max_folded_seq long"
+                    ).coalesce(1).write.mode("overwrite").parquet(
+                        os.path.join(snap, FOLD_META_DIR)
+                    )
                 for b in _dir_ids(cdc_dir, "batch"):
                     if b <= batch_id - 1:
                         shutil.rmtree(

@@ -120,3 +120,34 @@ def test_strict_read_guard(spark, tmp_path):
     assert "duplicate (key, seq)" in str(ei.value)
     # non-strict resolves (documented: upstream must enforce uniqueness)
     assert cz.read_cdc_state(spark, zone, ["k"], strict=False).count() == 1
+
+
+def test_late_low_seq_batch_rejected_after_compaction(spark, tmp_path):
+    """ADVICE r13: compaction drops tombstones on the promise that seq
+    is globally monotonic across batches.  The zone now records the
+    folded high-water mark and REJECTS a late batch at or below it —
+    the resurrection path is closed before the delta lands."""
+    landing = str(tmp_path / "landing")
+    zone = str(tmp_path / "zone")
+    schema = _write(spark, landing, [(1, 1, "upsert", "a", 10)])
+    _write(spark, landing, [
+        (2, 2, "upsert", "b", 20), (2, 3, "delete", None, None),
+    ])
+    _write(spark, landing, [(3, 4, "upsert", "c", 30)])
+    _run(spark, landing, zone, str(tmp_path / "ck"), schema,
+         compact_every=3)
+    # compaction at batch 2 folded batches 0-1: key 2's tombstone
+    # (seq 3) dropped, high-water mark recorded
+    assert cz.max_folded_seq(spark, zone) == 3
+    before = _state(spark, zone)
+    assert before == [(1, "a", 10), (3, "c", 30)]
+    # a late change with seq <= the mark would resurrect key 2 —
+    # the maintenance query must fail, and the delta must not land
+    _write(spark, landing, [(2, 2, "upsert", "zombie", 99)])
+    with pytest.raises(Exception) as ei:
+        _run(spark, landing, zone, str(tmp_path / "ck"), schema,
+             compact_every=3)
+    assert "max folded seq" in str(ei.value)
+    assert _state(spark, zone) == before
+    # (the legal path — a re-sequenced change with seq above the mark —
+    # is the re-insert case test_compaction_drops_tombstones covers)

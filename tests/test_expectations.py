@@ -108,3 +108,16 @@ def test_row_rules_are_one_scan_and_guards(spark):
     with pytest.raises(ValueError, match="duplicate rule names"):
         r0 = _rules()[0]
         dq.check(df, [r0, r0])
+
+
+def test_check_empty_frame_reports_zero_not_null(spark):
+    # ADVICE r13: SUM over zero rows is NULL — an empty global input
+    # (e.g. an empty micro-batch feeding the DQ ledger) must report
+    # n_violations = 0 with n_rows = 0, never NULL counts.
+    empty = spark.createDataFrame(
+        [], "id long, price double, qty long, status string, ref string"
+    )
+    rows = dq.check(empty, _rules()).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r.n_violations == 0 and r.n_rows == 0 and r.frac == 0.0
