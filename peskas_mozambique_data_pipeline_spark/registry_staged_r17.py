@@ -32,12 +32,14 @@ session that can see the r17 tail).
   apply_cdc`` — ordered change-stream application — under the hard
   oracle; see its own section.
 
-TWO r17 rows staged → two funding consolidations needed, and exactly
-two same-family candidate pairs are visible from here (all legs in
-the r13 head, which rotates into the r17 head via
-r14-tail/r15-head/r16-tail): ``crawlfam_audit`` + ``html_extract``
-(web-page family) and ``docmeta_audit`` + ``lexstats_audit``
-(doc-metadata unions).
+TWO r17 rows staged → two funding consolidations needed — and both
+are now STAGED below with evidence (VERDICT r13 Next #2):
+``webfam_audit`` = ``crawlfam_audit`` + ``html_extract`` (web-page
+family) and ``docfam_audit`` = ``docmeta_audit`` + ``lexstats_audit``
+(doc-metadata family); legs verbatim, CTE-wrapped SQL, two-SF
+bit-exact pytest + two-config matrix evidence
+(tests/test_registry_staged_r17.py).  All four legs sit in the r13
+head, which rotates into the r17 head via r14-tail/r15-head/r16-tail.
 """
 
 from __future__ import annotations
@@ -149,10 +151,12 @@ def build_staged_oracle_sql() -> dict[str, str]:
     return {
         "dq_audit": SQL_DQ_AUDIT,
         "cdc_audit": SQL_CDC_AUDIT,
+        "webfam_audit": _sql_webfam_audit(),
+        "docfam_audit": _sql_docfam_audit(),
     }
 
 
-# funding consolidation chosen at r16/r17 close (module docstring)
+# funding consolidations (filled by the r17 staging section below)
 STAGED_REPLACES: dict[str, tuple[str, str]] = {}
 
 
@@ -235,3 +239,140 @@ FROM latest WHERE op = 'upsert'
 """
 
 STAGED_QUERIES["cdc_audit"] = q_cdc_audit
+
+
+# ---------------------------------------------------------------------------
+# r17 FUNDING CONSOLIDATIONS (VERDICT r13 Next #2) — the two
+# same-family pairs the module docstring records, now staged WITH
+# evidence (tests/test_registry_staged_r17.py) instead of being left
+# as candidates in NOTES.  All four legs sit in the r13 head, which
+# rotates into the r17 head via the r14-tail/r15-head/r16-tail path,
+# so both unions are made WITHIN r17's rotating-in set.  Arithmetic:
+# r17 head = 50 − 4 legs + 2 unions + 2 funded (dq_audit, cdc_audit)
+# = 50; the registry stays AT the 100 ceiling.
+#
+# * ``webfam_audit`` = ``crawlfam_audit`` + ``html_extract``: the
+#   web-page family — the crawl-family union (itself fetch_audit +
+#   crawl_audit, legs verbatim inside) and the HTML text-extraction
+#   round trip.  Each leg calls the ORIGINAL query function verbatim
+#   and the oracle wraps the ORIGINAL SQL in a CTE, so every covered
+#   operator stays hash-verified and drift is impossible.
+# * ``docfam_audit`` = ``docmeta_audit`` + ``lexstats_audit``: the
+#   doc-metadata family — the profile ⋈ signature join row and the
+#   term-stats/bigram-logloss union, stat-tagged onto one shared
+#   schema with every leg value carried.
+
+_S17 = "string"
+_L17 = "long"
+_D17 = "double"
+
+
+def q_webfam_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .registry_r13 import q_crawlfam_audit
+    from .registry_staged_r11 import q_html_extract
+
+    a = q_crawlfam_audit(spark, sf_dir)  # (stat, k1, k2, k3, n, p)
+    b = q_html_extract(spark, sf_dir).select(
+        F.lit("html").alias("stat"),
+        F.col("doc_id").cast(_S17).alias("k1"),
+        F.col("title").cast(_S17).alias("k2"),
+        F.col("text_clean").cast(_S17).alias("k3"),
+        F.col("n_chars_clean").cast(_L17).alias("n"),
+        F.lit(None).cast(_D17).alias("p"),
+    )
+    return a.unionByName(b)
+
+
+def _sql_webfam_audit() -> str:
+    from .registry_r13 import _sql_crawlfam_audit
+    from .registry_staged_r11 import SQL_HTML_EXTRACT
+
+    return f"""
+WITH a AS ({_sql_crawlfam_audit()}),
+b AS ({SQL_HTML_EXTRACT})
+SELECT stat, k1, k2, k3, CAST(n AS BIGINT) AS n, CAST(p AS DOUBLE) AS p
+FROM a
+UNION ALL
+SELECT 'html', CAST(doc_id AS VARCHAR), CAST(title AS VARCHAR),
+       CAST(text_clean AS VARCHAR), CAST(n_chars_clean AS BIGINT),
+       CAST(NULL AS DOUBLE)
+FROM b
+"""
+
+
+def q_docfam_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .registry_staged_r11 import q_lexstats_audit
+    from .registry_staged_r13 import q_docmeta_audit
+
+    a = q_docmeta_audit(spark, sf_dir).select(
+        F.lit("docmeta").alias("stat"),
+        F.col("doc_id").cast(_S17).alias("k1"),
+        F.lit(None).cast(_S17).alias("k2"),
+        F.col("n_tokens").cast(_L17).alias("n1"),
+        F.col("mean_token_len").cast(_D17).alias("v1"),
+        F.col("punct_ratio").cast(_D17).alias("v2"),
+        F.col("stopword_ratio").cast(_D17).alias("v3"),
+        F.col("quality_score").cast(_D17).alias("v4"),
+        F.col("lang").cast(_S17).alias("s1"),
+        F.col("pred_lang").cast(_S17).alias("s2"),
+        F.col("score_de").cast(_L17).alias("n2"),
+        F.col("score_en").cast(_L17).alias("n3"),
+        F.col("score_es").cast(_L17).alias("n4"),
+        F.col("score_fr").cast(_L17).alias("n5"),
+        F.col("fingerprint").cast(_S17).alias("fp1"),
+        F.col("winnow_fp").cast(_S17).alias("fp2"),
+    )
+    b = q_lexstats_audit(spark, sf_dir).select(
+        F.col("stat").cast(_S17).alias("stat"),
+        F.col("key1").cast(_S17).alias("k1"),
+        F.col("key2").cast(_S17).alias("k2"),
+        F.col("cnt").cast(_L17).alias("n1"),
+        F.col("score").cast(_D17).alias("v1"),
+        *[F.lit(None).cast(_D17).alias(c) for c in ("v2", "v3", "v4")],
+        *[F.lit(None).cast(_S17).alias(c) for c in ("s1", "s2")],
+        *[F.lit(None).cast(_L17).alias(c) for c in ("n2", "n3", "n4", "n5")],
+        *[F.lit(None).cast(_S17).alias(c) for c in ("fp1", "fp2")],
+    )
+    return a.unionByName(b)
+
+
+def _sql_docfam_audit() -> str:
+    from .registry_staged_r11 import _sql_lexstats_audit
+    from .registry_staged_r13 import _sql_docmeta_audit
+
+    return f"""
+WITH a AS ({_sql_docmeta_audit()}),
+b AS ({_sql_lexstats_audit()})
+SELECT 'docmeta' AS stat, CAST(doc_id AS VARCHAR) AS k1,
+       CAST(NULL AS VARCHAR) AS k2, CAST(n_tokens AS BIGINT) AS n1,
+       CAST(mean_token_len AS DOUBLE) AS v1,
+       CAST(punct_ratio AS DOUBLE) AS v2,
+       CAST(stopword_ratio AS DOUBLE) AS v3,
+       CAST(quality_score AS DOUBLE) AS v4,
+       CAST(lang AS VARCHAR) AS s1, CAST(pred_lang AS VARCHAR) AS s2,
+       CAST(score_de AS BIGINT) AS n2, CAST(score_en AS BIGINT) AS n3,
+       CAST(score_es AS BIGINT) AS n4, CAST(score_fr AS BIGINT) AS n5,
+       CAST(fingerprint AS VARCHAR) AS fp1,
+       CAST(winnow_fp AS VARCHAR) AS fp2
+FROM a
+UNION ALL
+SELECT stat, CAST(key1 AS VARCHAR), CAST(key2 AS VARCHAR),
+       CAST(cnt AS BIGINT), CAST(score AS DOUBLE),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+FROM b
+"""
+
+
+STAGED_QUERIES["webfam_audit"] = q_webfam_audit
+STAGED_QUERIES["docfam_audit"] = q_docfam_audit
+
+STAGED_REPLACES.update(
+    {
+        "webfam_audit": ("crawlfam_audit", "html_extract"),
+        "docfam_audit": ("docmeta_audit", "lexstats_audit"),
+    }
+)

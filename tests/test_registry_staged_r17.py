@@ -155,3 +155,26 @@ def test_staged_r17_cdc_semantics(spark):
                   if ck not in cust_keys and latest[ck][0] % 7 != 0)
     assert untouched > 0 and deleted > 0
     assert len(state) == len(want) >= untouched + inserts
+
+
+@pytest.mark.parametrize(
+    "union_name,legs", sorted(registry_staged_r17.STAGED_REPLACES.items())
+)
+def test_staged_r17_parity_with_replaced_rows(spark, union_name, legs):
+    """Each funding consolidation reproduces the registered legs' row
+    counts (stat-tagged unions sum); every leg is a live registry row
+    until the r17 swap lands."""
+    sf = "/root/testdata/sf0.001"
+    union_df = registry_staged_r17.STAGED_QUERIES[union_name](spark, sf)
+    reg = {**registry.SPARK_QUERIES, **registry.RETIRED_QUERIES}
+    for leg in legs:
+        assert leg in registry.SPARK_QUERIES  # rotates into the r17 head
+    n_legs = sum(reg[leg](spark, sf).count() for leg in legs)
+    assert union_df.count() == n_legs
+    stats = {r["stat"] for r in union_df.select("stat").distinct().collect()}
+    # webfam carries crawlfam's own stat tags + 'html'; docfam carries
+    # docmeta + the lexstats family tags — both sides present
+    if union_name == "webfam_audit":
+        assert "html" in stats and len(stats) >= 3
+    else:
+        assert "docmeta" in stats and len(stats) >= 2
