@@ -137,8 +137,15 @@ def main() -> None:
     # as the stable-name copy the tooling reads.
     here = os.path.dirname(os.path.abspath(__file__))
     stamp = time.strftime("%Y%m%dT%H%M%SZ", time.gmtime())
-    for name in (f"bench_run_{stamp}.json", "bench_last_run.json"):
-        with open(os.path.join(here, name), "w") as f:
+    runs_dir = os.path.join(here, ".benchmarks")
+    os.makedirs(runs_dir, exist_ok=True)
+    # dated records live under .benchmarks/ (VERDICT r13 Next #8 —
+    # the repo root holds only contract files + the stable-name copy)
+    for path in (
+        os.path.join(runs_dir, f"bench_run_{stamp}.json"),
+        os.path.join(here, "bench_last_run.json"),
+    ):
+        with open(path, "w") as f:
             json.dump(line, f, indent=2)
     spark.stop()
     print(json.dumps(line, separators=(",", ":")))
