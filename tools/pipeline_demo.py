@@ -160,6 +160,53 @@ def main() -> None:
     print(f"[dq    ] {len(report)} checks; worst: {worst.rule} "
           f"{worst.n_violations}/{worst.n_rows} ({worst.frac})")
 
+    # versioned zone landing + skipping-index pruned read (VERDICT r13
+    # Next #7): the validated frame lands range-laid-out on
+    # landing_date with its zone map, then a one-month window reads
+    # back through read_pruned — the file-count assertion keeps
+    # pruning CONTINUOUSLY MEASURED (the z-order discipline), and the
+    # row-count assertion pins the bit-identical-to-plain-filter
+    # contract on every demo run.
+    t0 = time.perf_counter()
+    import shutil
+    import tempfile
+
+    from peskas_mozambique_data_pipeline_spark.io import (
+        parquet_io,
+        skipping as skip_io,
+    )
+
+    zone_root = tempfile.mkdtemp(prefix="pipeline_zone_")
+    try:
+        snap = parquet_io.write_versioned(
+            validated,
+            zone_root,
+            "validated",
+            range_by=["landing_date"],
+            n_files=16,
+            skipping_cols=["landing_date"],
+        )
+        import datetime as _dt
+
+        win = (_dt.date(2024, 6, 1), _dt.date(2024, 6, 30))
+        pruned = skip_io.read_pruned(spark, snap, {"landing_date": win})
+        n_pruned = pruned.count()
+        n_pruned_files = len(set(pruned.inputFiles()))
+        full_zone = spark.read.parquet(snap)
+        n_all_files = len(set(full_zone.inputFiles()))
+        n_full = full_zone.filter(
+            F.col("landing_date").between(*win)
+        ).count()
+        assert n_pruned == n_full, (n_pruned, n_full)
+        assert n_pruned_files < n_all_files, (n_pruned_files, n_all_files)
+        timings["pruned_read"] = round(time.perf_counter() - t0, 2)
+        print(
+            f"[prune ] one-month window: {n_pruned_files}/{n_all_files} "
+            f"files, {n_pruned} rows == plain filter"
+        )
+    finally:
+        shutil.rmtree(zone_root, ignore_errors=True)
+
     t0 = time.perf_counter()
     catch = prep.filter(F.col("catch_kg").isNotNull())
     metrics_plan.fishery_metrics(validated, catch).write.format("noop").mode(
