@@ -1040,3 +1040,88 @@ def test_hdr_buckets_match_python_twin_property(spark, vals):
             key = (m * (1 << (sb + 1)) + (v >> s), (v >> s) << s)
         want[key] = want.get(key, 0) + 1
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# CDC apply: random upsert/delete interleavings vs a python-dict twin
+# (VERDICT r13 Next #6 — the discipline used for the other ledgers)
+
+_cdc_change = st.tuples(
+    st.integers(min_value=0, max_value=5),    # key
+    st.integers(min_value=0, max_value=20),   # seq
+    st.sampled_from(["upsert", "delete"]),
+    st.integers(min_value=0, max_value=100),  # payload
+)
+
+
+def _unique_key_seq(batch):
+    seen, out = set(), []
+    for k, seq, op, v in batch:
+        if (k, seq) not in seen:
+            seen.add((k, seq))
+            out.append((k, seq, op, v))
+    return out
+
+
+@SET
+@given(
+    st.dictionaries(
+        st.integers(min_value=0, max_value=5),
+        st.integers(min_value=0, max_value=100),
+        max_size=4,
+    ),
+    st.lists(
+        st.lists(_cdc_change, min_size=1, max_size=8).map(_unique_key_seq),
+        min_size=1,
+        max_size=3,
+    ),
+)
+def test_apply_cdc_matches_python_dict_twin(spark, target_in, batches):
+    """Batch-by-batch application of random upsert/delete interleavings
+    (keys colliding across batches, seqs in any order, deletes of
+    absent keys) matches the dict twin of the contract: per batch the
+    highest-seq change per key wins, upsert winners replace/insert,
+    delete winners remove, untouched keys survive verbatim."""
+    from peskas_mozambique_data_pipeline_spark.operators.merge import (
+        apply_cdc,
+    )
+
+    state = dict(target_in)
+    for batch in batches:
+        tgt = spark.createDataFrame(
+            [(k, v) for k, v in sorted(state.items())] or [],
+            "k long, v long",
+        )
+        ch = spark.createDataFrame(batch, "k long, seq long, op string, v long")
+        got = {
+            r.k: r.v for r in apply_cdc(tgt, ch, ["k"]).collect()
+        }
+        latest = {}
+        for k, seq, op, v in batch:
+            if k not in latest or seq > latest[k][0]:
+                latest[k] = (seq, op, v)
+        for k, (_seq, op, v) in latest.items():
+            if op == "upsert":
+                state[k] = v
+            else:
+                state.pop(k, None)
+        assert got == state, (batch, got, state)
+
+
+@SET
+@given(st.lists(_cdc_change, min_size=1, max_size=6).map(_unique_key_seq))
+def test_apply_cdc_duplicate_key_seq_always_raises(spark, batch):
+    """The strict guard fires on ANY batch containing a duplicated
+    (key, seq) pair, regardless of the surrounding interleaving."""
+    import pytest as _pytest
+
+    from peskas_mozambique_data_pipeline_spark.operators.merge import (
+        apply_cdc,
+    )
+
+    k0, s0, _op, v0 = batch[0]
+    poisoned = batch + [(k0, s0, "upsert", v0 + 1)]
+    tgt = spark.createDataFrame([(99, 1)], "k long, v long")
+    ch = spark.createDataFrame(poisoned, "k long, seq long, op string, v long")
+    with _pytest.raises(Exception, match="duplicate"):
+        apply_cdc(tgt, ch, ["k"]).collect()
