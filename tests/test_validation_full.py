@@ -185,3 +185,36 @@ def test_coeffs_wire_into_catch_model(spark):
     out = pre.preprocess_landings(raw, coeffs)
     r = out.filter(F.col("n_catch") == 1).first()
     assert abs(r.catch_kg - 0.04 * 7.5**2.9 * 4 / 1000) < 1e-9  # override a=0.04
+
+
+def test_rule_flags_ride_expectations_one_projection(spark, tmp_path):
+    """VERDICT r13 Next #5: the stage-1 battery now evaluates through
+    operators/expectations (annotate) — the plan must stay ONE scan
+    with NO shuffle (a pure projection), and the report companion
+    folds all rules into one aggregate over the same single scan."""
+    src = str(tmp_path / "prep")
+    spark.createDataFrame(
+        [("s1", "1", "1", None, None, None, None, None, 4.0,
+          datetime.date(2024, 1, 2), datetime.date(2024, 1, 1))],
+        "submission_id string, survey_activity string, "
+        "catch_outcome string, catch_taxon string, catch_kg double, "
+        "n_individuals double, weight_bucket string, n_buckets string, "
+        "trip_duration double, landing_date date, submission_date date",
+    ).write.parquet(src)
+    df = val.attach_taxa_bounds(spark.read.parquet(src), None)
+    out = val.apply_rule_flags(df.withColumn("length", F.lit(None).cast("double")))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # flag 1 fires (active, outcome 1, no taxon) alongside 13
+    row = out.collect()[0]
+    assert row.alert_flag == "1,13"
+    # the check() companion: one aggregate pass, fixed report schema
+    rep = val.rule_battery_report(
+        df.withColumn("length", F.lit(None).cast("double"))
+    )
+    rplan = rep._jdf.queryExecution().executedPlan().toString()
+    assert rplan.count("Scan parquet") == 1
+    got = {r.rule: r.n_violations for r in rep.collect()}
+    assert got["1"] == 1 and got["13"] == 1 and got["5"] == 0
