@@ -88,7 +88,14 @@ def q_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .plans.report import corpus_card_frames
     from .session import read_table
 
-    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # the four zone frames all derive from this one projection —
+    # materialize it once (localCheckpoint, the retrieval_audit scan-
+    # sharing discipline) so the card pays ONE parquet scan, not four
+    docs = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .localCheckpoint()
+    )
     # analytic zone chain: each zone is a deterministic view of the one
     # before it, so retention permilles are exactly replayable.  The
     # upstream operators these stand in for (quality filter, scrub,
