@@ -207,6 +207,38 @@ def main() -> None:
     finally:
         shutil.rmtree(zone_root, ignore_errors=True)
 
+    # re-identification gate before any export leaves the pipeline:
+    # k-anonymity over the columns an outsider can link (district ×
+    # enumerator × landing month), then rare-class suppression — the
+    # release loop operators/privacy.py packages (one shuffle each)
+    t0 = time.perf_counter()
+    from peskas_mozambique_data_pipeline_spark.operators import (
+        privacy as pv,
+    )
+
+    qi_frame = prep.select(
+        "submission_id", "district", "enumerator", "landing_date"
+    )
+    qi_cols = ["district", "enumerator", "landing_date"]
+    fine = pv.k_anonymity_report(qi_frame, qi_cols, k=5).collect()[0]
+    # the anonymization loop: day-grain QI leaks, month-grain passes —
+    # and whatever still violates after generalizing is suppressed
+    coarse_frame = pv.generalize(
+        qi_frame, {"landing_date": ("date_trunc", "month")}
+    )
+    coarse = pv.k_anonymity_report(coarse_frame, qi_cols, k=5).collect()[0]
+    kept = pv.suppress_rare_groups(coarse_frame, qi_cols, k=5)
+    n_kept = kept.count()
+    assert n_kept == coarse.n_rows - coarse.n_risky_rows
+    assert coarse.min_class_size >= fine.min_class_size
+    timings["privacy_gate"] = round(time.perf_counter() - t0, 2)
+    print(
+        f"[privacy] day-grain QI: {fine.n_risky_rows}/{fine.n_rows} rows "
+        f"risky over {fine.n_classes} classes; month-grain: "
+        f"{coarse.n_risky_rows} risky over {coarse.n_classes} classes, "
+        f"{coarse.n_rows - n_kept} suppressed"
+    )
+
     t0 = time.perf_counter()
     catch = prep.filter(F.col("catch_kg").isNotNull())
     metrics_plan.fishery_metrics(validated, catch).write.format("noop").mode(
