@@ -167,7 +167,67 @@ def main() -> int:
     (wsrc, wrule), (wv, wn, wfrac) = worst_dq
     print(f"  worst: {wrule} in {wsrc}: {wv}/{wn} ({wfrac})")
 
-    print("\ngovernance demo: all five ledgers agree with batch — OK")
+    print("\n== tile 6: live corpus rollup under churn (IVM) ==")
+    # a CDC view of the same corpus: every doc upserts, every 5th doc
+    # is later deleted — the rollup zone folds retract/apply deltas so
+    # the per-source LIVE count/volume tile never rescans state
+    from peskas_mozambique_data_pipeline_spark.streaming import (
+        cdc_zone as cz,
+        rollup_zone as rz,
+    )
+
+    ch_landing = os.path.join(work, "ch_landing")
+    ups = docs.select(
+        F.col("doc_id").alias("k"),
+        (F.col("doc_id") * 2).alias("seq"),
+        F.lit("upsert").alias("op"),
+        F.col("source").alias("grp"),
+        F.col("n_chars").cast("long").alias("cents"),
+    )
+    dels = docs.filter(F.col("doc_id") % 5 == 0).select(
+        F.col("doc_id").alias("k"),
+        (F.col("doc_id") * 2 + 1).alias("seq"),
+        F.lit("delete").alias("op"),
+        F.lit(None).cast("string").alias("grp"),
+        F.lit(None).cast("long").alias("cents"),
+    )
+    ups.repartition(2).write.parquet(ch_landing)
+    dels.coalesce(1).write.mode("append").parquet(ch_landing)
+    ch_schema = spark.read.parquet(ch_landing).schema
+    stream = si.stream_landing_zone(
+        spark, ch_landing, ch_schema, max_files_per_trigger=1
+    )
+    # compact_every=None: the three landing files carry overlapping
+    # seq ranges (repartition order), and compaction's monotonic-seq
+    # guard rightly rejects folding such a feed — the demo shows the
+    # delta fold; the compaction path is pytest-covered with a
+    # monotonic feed (tests/test_rollup_zone.py)
+    q, zdir = rz.stream_rollup_zone(
+        stream, os.path.join(work, "z_roll"), os.path.join(work, "ck_r"),
+        ["k"], ["grp"], ["cents"], compact_every=None,
+    )
+    q.awaitTermination(120)
+    roll = {
+        r.grp: (r.n_rows, r.sum_cents)
+        for r in rz.read_rollup(
+            spark, zdir, ["grp"], ["cents"]
+        ).collect()
+    }
+    state = cz.read_cdc_state(spark, zdir, ["k"], strict=False)
+    want_roll = {
+        r.grp: (r.n, r.s)
+        for r in state.groupBy("grp").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s")
+        ).collect()
+    }
+    assert roll == want_roll  # incremental fold ≡ groupBy over state
+    for src in sorted(roll):
+        n, s = roll[src]
+        print(f"  {src:10s} live docs {n:6d}  chars {s}")
+    n_live = sum(n for n, _ in roll.values())
+    assert n_live == docs.filter(F.col("doc_id") % 5 != 0).count()
+
+    print("\ngovernance demo: all six ledgers agree with batch — OK")
     shutil.rmtree(work, ignore_errors=True)
     spark.stop()
     return 0
