@@ -110,6 +110,27 @@ def main() -> int:
     print(f"- p5 {ent['p5']} · p50 {ent['p50']} · p95 {ent['p95']} "
           f"(natural text ≈ 4; low = repetitive/junk, high = encoded blobs)")
 
+    # re-identification risk over the release's linkable metadata
+    # (operators/privacy.py — one shuffle on the QI key; class counts
+    # only, never document text)
+    from peskas_mozambique_data_pipeline_spark.operators import (
+        privacy as pv,
+    )
+
+    k = 5
+    rep = pv.k_anonymity_report(docs, ["source", "lang"], k).first()
+    print(f"\n## Re-identification risk (QI = source × lang)\n")
+    print(
+        f"- k = **{rep.min_class_size}** over {rep.n_classes} classes "
+        f"(gate: k ≥ {k}); {rep.n_risky_rows}/{rep.n_rows} rows in "
+        f"{rep.n_risky_classes} under-threshold classes"
+    )
+    verdict = "PASS" if rep.min_class_size >= k else (
+        "SUPPRESS before release (suppress_rare_groups) or coarsen the "
+        "QI (generalize)"
+    )
+    print(f"- verdict: **{verdict}**")
+
     spark.stop()
     return 0
 
