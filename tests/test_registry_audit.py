@@ -25,22 +25,25 @@ from pyspark.sql import functions as F
 from peskas_mozambique_data_pipeline_spark import registry, registry_audit
 
 
-def test_r13_window_arithmetic():
-    # r13 swap: 100 − 6 staged legs + 3 unions + 3 new, then the two
-    # in-round pairs (crawlfam_audit funds nearest_audit, geofam_audit
-    # funds release_fold) keep 100; head = 10 never-driver-verified
-    # r13 rows + 40 tail survivors = 50
+def test_r14_window_arithmetic():
+    # r14 swap: 100 − 4 staged legs + 2 unions + 2 new keeps 100;
+    # head = 4 never-driver-verified r14 rows + 46 tail survivors =
+    # 50, and the resting tail leads with the r13 head rows verbatim
     names = list(registry.SPARK_QUERIES)
     assert len(names) == 100
     assert len(set(names)) == 100
     assert set(registry.ORACLE_SQL) == set(names)
     head = names[:50]
     new_rows = [
+        "bandpairs_audit", "dedupfam_audit", "main_content_audit",
+        "diff_audit",
+    ]
+    assert head[: len(new_rows)] == new_rows
+    assert names[50:60] == [
         "pca_cov", "audio_fp", "corpus_card", "docmeta_audit",
         "retrieval_audit", "capsel_audit", "crawlfam_audit",
         "nearest_audit", "geofam_audit", "release_fold",
     ]
-    assert head[: len(new_rows)] == new_rows
 
 
 def test_r9_retirement_bookkeeping():
