@@ -140,11 +140,30 @@ def shingle_hash_frame(
     static planner nor AQE reuses the round-robin exchange across the
     self-join and verify branches (observed: 4 separate scans), so
     without a hard materialization the corpus is re-hashed per branch.
+
+    Work placement around the exchange (r14 measurement): ONLY the
+    cheap single-pass tokenization runs below the round-robin exchange
+    (in the scan tasks — a one-file corpus scan is a single task);
+    the expensive shingle build + per-shingle md5 run ABOVE it, spread
+    over every core.  The exchange doubles as the CollapseProject
+    barrier: above it the token array is a materialized ATTRIBUTE, so
+    the per-element ``slice`` lookups are O(1) — referencing the raw
+    ``split()`` EXPRESSION inside the shingle lambda would re-tokenize
+    the document once per shingle (O(len²), the same trap documented
+    at text.py::winnow_fingerprint).  Measured at sf0.1: 5.2s → 0.85s
+    for the materialized frame build.
     """
-    sh = shingles(F.col(text_col), shingle_k)
-    out = df.select(
-        F.col(id_col), F.array_distinct(F.transform(sh, _h32)).alias("_h32")
-    ).repartition(df.sparkSession.sparkContext.defaultParallelism)
+    toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_t")).repartition(
+        df.sparkSession.sparkContext.defaultParallelism
+    )
+    t = F.col("_t")
+    n = F.size(t)
+    make = F.transform(
+        F.sequence(F.lit(1), n - (shingle_k - 1)),
+        lambda i: F.array_join(F.slice(t, i, shingle_k), " "),
+    )
+    sh = F.when(n >= shingle_k, make).otherwise(F.array().cast("array<string>"))
+    out = toks.select(F.col(id_col), F.array_distinct(F.transform(sh, _h32)).alias("_h32"))
     if materialize:
         out = out.localCheckpoint()
     if drop_short:
@@ -318,24 +337,34 @@ def simhash32(col: str | Column) -> Column:
 
 def simhash32_from_hashes(h: Column) -> Column:
     """SimHash from a precomputed array<bigint> of token hashes.
-    Split out so callers can materialize the hash array once behind a
-    barrier — inlined, the md5 work would run 32× (once per bit)."""
-    # statically unrolled over the 32 bit positions (shift amounts must be
-    # Python ints for shiftright); each bit sum is one sequential fold
-    def _bit_step(b: int):
-        # exactly-two-arg lambda: PySpark inspects arity, a default arg
-        # would be bound to an engine-provided column
-        return lambda acc, v: acc + F.when(
-            F.shiftright(v, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-        ).otherwise(F.lit(-1))
 
-    sig = F.lit(0).cast("bigint")
-    for b in range(32):
-        bit_sum = F.aggregate(h, F.lit(0), _bit_step(b))
-        sig = sig + F.when(bit_sum > 0, F.lit(1 << b).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
+    ONE fold over the hash array maintains all 32 bit-sums at once
+    (``zip_with`` against a literal power-of-two array; bit b of v is
+    set iff ``v & 2^b != 0`` — identical to the shift test for the
+    non-negative 32-bit hashes ``_h32`` produces), then one zip_with
+    turns positive sums into their power-of-two contributions.  Exactly
+    the same integer signature as the unrolled 32-fold form (integer
+    addition in unchanged element order), but the hash array is
+    referenced ONCE — so CollapseProject may inline the md5 transform
+    into this expression without re-evaluating it per bit, no barrier
+    needed — and the expression tree is ~32× smaller, which is also
+    most of this operator's former Catalyst planning cost."""
+    pow2 = F.array(*[F.lit(1 << b).cast("bigint") for b in range(32)])
+
+    def _acc_step(acc: Column, v: Column) -> Column:
+        return F.zip_with(
+            acc,
+            pow2,
+            lambda c, p: c + F.when(v.bitwiseAND(p) != 0, F.lit(1)).otherwise(F.lit(-1)),
         )
-    return sig
+
+    counts = F.aggregate(h, F.array_repeat(F.lit(0), 32), _acc_step)
+    contrib = F.zip_with(
+        counts,
+        pow2,
+        lambda s, p: F.when(s > 0, p).otherwise(F.lit(0).cast("bigint")),
+    )
+    return F.aggregate(contrib, F.lit(0).cast("bigint"), lambda acc, v: acc + v)
 
 
 def simhash_near_pairs(
@@ -352,13 +381,20 @@ def simhash_near_pairs(
     The join is equi-keyed on (band, byte), so candidates scale with
     collision density, not N².  ``bit_count`` verifies exactly.
     """
-    hashed = df.select(
+    # cheap tokenize+distinct below the round-robin exchange (single
+    # scan task on a one-file corpus); the md5 map and the 32-bit fold
+    # run ABOVE it across every core (same placement rationale and
+    # measurement as shingle_hash_frame)
+    toks = df.select(
+        F.col(id_col), F.array_distinct(tokens(F.col(text_col))).alias("_t")
+    ).repartition(df.sparkSession.sparkContext.defaultParallelism)
+    hashed = toks.select(
         F.col(id_col),
         F.transform(
-            F.array_distinct(tokens(F.col(text_col))),
+            F.col("_t"),
             lambda x: F.conv(F.substring(F.md5(x), 1, 8), 16, 10).cast("bigint"),
         ).alias("_h"),
-    ).repartition(df.sparkSession.sparkContext.defaultParallelism)
+    )
     sigs = hashed.select(F.col(id_col), simhash32_from_hashes(F.col("_h")).alias("sig"))
     # hard materialization, not just a repartition barrier: the banded
     # frame below feeds BOTH sides of the self-join, and neither the
