@@ -265,23 +265,38 @@ def ivf_topk(
     )
 
 
+def _plane_weights(plane_seed: int, dim: int) -> list[float]:
+    """The hyperplane weight vector for ``plane_seed``: weight per index
+    is md5-derived in [-0.5, 0.5).  Computed DRIVER-SIDE: the md5 input
+    is ``f"{seed}_{index}"`` — independent of the data — so evaluating
+    it per row per element (as the expression form did) repeated the
+    same ``dim`` md5+conv calls for every vector; at n_tables×n_planes
+    planes that was ~768 md5 evaluations per corpus row.  Python's
+    hashlib md5 over the identical UTF-8 string, the exact-for-2^32
+    int→double conversion, the exact power-of-two division by 2^32 and
+    one subtraction reproduce the in-plan arithmetic bit-for-bit, so
+    signatures (and the oracle hashes) are unchanged."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"{plane_seed}_{i}".encode()).hexdigest()[:8], 16)
+        / 4294967296.0
+        - 0.5
+        for i in range(1, dim + 1)
+    ]
+
+
 def _plane_sign(vec: Column, plane_seed: int, dim: int) -> Column:
-    """Deterministic pseudo-random hyperplane side: weight per index is
-    md5-derived in [-0.5, 0.5); the sign of the projection is the bit.
-    Reproducible anywhere md5 is."""
-    idx = F.sequence(F.lit(1), F.lit(dim))
+    """Deterministic pseudo-random hyperplane side: the sign of the
+    projection onto the md5-derived weight vector (a literal array —
+    see :func:`_plane_weights`).  Reproducible anywhere md5 is."""
+    # ONE array literal (not dim lit()+array() calls): the weight list
+    # is a leaf for the analyzer and a single py4j round-trip — the
+    # expression-tree size, not the arithmetic, dominated this
+    # operator's driver-side plan-construction time
+    w = F.lit(_plane_weights(plane_seed, dim))
     proj = F.aggregate(
-        F.zip_with(
-            vec,
-            idx,
-            lambda x, i: x.cast("double")
-            * (
-                F.conv(F.substring(F.md5(F.concat_ws("_", F.lit(plane_seed), i)), 1, 8), 16, 10)
-                .cast("double")
-                / F.lit(4294967296.0)
-                - F.lit(0.5)
-            ),
-        ),
+        F.zip_with(vec, w, lambda x, wi: x.cast("double") * wi),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
@@ -418,14 +433,23 @@ def lsh_topk(
     cand = cb.join(F.broadcast(qb), ["tbl", "bucket"]).filter(
         F.col(query_id) != F.col(corpus_id)
     )
-    if n_tables > 1 or n_probe > 1:
-        cand = cand.dropDuplicates([query_id, corpus_id])
-    scored = cand
-    scored = scored.select(
+    scored = cand.select(
         query_id,
         corpus_id,
         (_dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))).alias("_cos"),
     )
+    if n_tables > 1 or n_probe > 1:
+        # a pair colliding via several tables/probes scores the SAME
+        # _cos each time (same two vectors), so dedup AFTER scoring by
+        # (pair → first score): grouping on a double runs as a
+        # HashAggregate with map-side partial aggregation, where the
+        # former dropDuplicates carried the vector arrays through
+        # first() and fell back to SortAggregate (sort + exchange +
+        # sort).  Worst case re-scores a pair n_tables×n_probe times —
+        # bounded and cheap next to the removed sorts.
+        scored = scored.groupBy(query_id, corpus_id).agg(
+            F.first("_cos").alias("_cos")
+        )
     w = Window.partitionBy(query_id).orderBy(F.col("_cos").desc(), F.col(corpus_id))
     return (
         scored.withColumn("rank", F.row_number().over(w))
