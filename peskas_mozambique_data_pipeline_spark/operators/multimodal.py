@@ -705,8 +705,15 @@ def audio_fingerprint(
     Output: one ``(id, word_idx, fp)`` row per ``bits_per_word``
     frames (trailing partial words keep their low bits; 56-bit default
     matches the dhash family's signed-BIGINT-safe width).  Scale
-    shape: the only shuffle is the id-keyed frame window + the
-    (id, word) aggregate — both on the asset key, co-partitioned.
+    shape: ZERO shuffles — every frame of an asset comes from that
+    asset's single input row, so the energy sequence, the delta-sign
+    bits and the packed words are per-row array expressions; the only
+    row fan-out is the final explode into (id, word_idx, fp).  The
+    former shape (explode to frame rows → id-keyed sort window for
+    ``lead`` → (id, word) aggregate) paid an exchange+sort plus an
+    exchange for ordering that is already intrinsic to the array —
+    removing both is guide-§2.4 "remove shuffles outright"; the word
+    sum is integer addition, so packing order cannot change the value.
     """
     if not 1 <= bits_per_word <= 62:
         # 1<<63 wraps the signed-BIGINT shift and a 63-bit word's sum
@@ -725,40 +732,80 @@ def audio_fingerprint(
             f"{sample_rate} Hz: frame timestamps would collide and the "
             "fingerprint would not be deterministic"
         )
-    feats = pcm_frame_features(
-        df, samples_col, id_col, window_ms, hop_ms, sample_rate
+    win = max(1, int(sample_rate * window_ms / 1000))
+    hop = hop_samples
+
+    s = F.col(samples_col)
+    n = F.size(s).cast("long")
+    winL = F.lit(win).cast("long")
+    hopL = F.lit(hop).cast("long")
+    # same framing rule as pcm_frame_features: sliding win/hop frames,
+    # one whole-signal frame for sub-window assets (which yields zero
+    # bits below), zero-length/NULL arrays dropped
+    n_frames = (
+        F.when(n >= winL, F.floor((n - winL) / hopL) + 1).otherwise(F.lit(1))
+    ).cast("long")
+    # clamp instead of a row filter: zero-length/NULL sample arrays get
+    # frame_len 0 (size(NULL) is -1), so their single frame has energy
+    # over an empty slice, zero bits, zero words — no rows, exactly the
+    # dropped-row semantics, but without a Filter node whose predicate
+    # Catalyst would push below this projection and thereby re-evaluate
+    # the (possibly expensive) samples expression once per row
+    frame_len = F.greatest(F.when(n >= winL, winL).otherwise(n), F.lit(0).cast("long"))
+    base = df.select(
+        F.col(id_col), s.alias("_s"), n_frames.alias("_nf"), frame_len.alias("_fl")
     )
-    w = Window.partitionBy(id_col).orderBy("win_start_ms")
-    seq = F.row_number().over(w) - 1
-    nxt = F.lead("energy").over(w)
-    bits = (
-        feats.select(
-            F.col(id_col),
-            seq.alias("_seq"),
-            F.when(nxt.isNotNull(), (nxt > F.col("energy")).cast("long")).alias(
-                "_bit"
-            ),
-        )
-        # the last frame has no successor: no bit (single-frame assets
-        # therefore produce no fingerprint — nothing to compare)
-        .filter(F.col("_bit").isNotNull())
+    # exact integer frame energies as ONE array per asset row (frame i
+    # starts at sample i*hop, 1-based slice)
+    sarr = F.col("_s")
+    energies = F.transform(
+        F.sequence(F.lit(0).cast("long"), F.col("_nf") - 1),
+        lambda i: F.aggregate(
+            F.slice(sarr, (i * hopL + 1).cast("int"), F.col("_fl").cast("int")),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x * x,
+        ),
     )
-    return (
-        bits.groupBy(
-            id_col,
-            F.floor(F.col("_seq") / bits_per_word).cast("long").alias(
-                "word_idx"
-            ),
-        )
-        .agg(
-            F.sum(
-                F.col("_bit")
-                * F.expr(
-                    f"shiftleft(CAST(1 AS BIGINT), "
-                    f"CAST(_seq % {bits_per_word} AS INT))"
-                )
-            ).alias("fp")
-        )
+    withe = base.select(F.col(id_col), energies.alias("_e"), F.col("_nf"))
+    # delta-sign bit i = (energy[i+1] > energy[i]); the last frame has
+    # no successor, so _nf frames give _nf-1 bits (single-frame assets
+    # produce no fingerprint — nothing to compare)
+    e = F.col("_e")
+    nb = (F.col("_nf") - 1).cast("int")
+    bits = F.zip_with(
+        F.slice(e, 2, nb),
+        F.slice(e, 1, nb),
+        lambda nxt, cur: (nxt > cur).cast("long"),
+    )
+    withb = withe.select(F.col(id_col), bits.alias("_bits"))
+    # pack bits_per_word bits per BIGINT word, low bit first; the
+    # zip_with against the power literal NULL-pads a trailing partial
+    # word — coalesce keeps only the real low bits
+    pow2 = F.lit([1 << k for k in range(bits_per_word)])
+    b = F.col("_bits")
+    n_words = F.ceil(F.size(b) / F.lit(bits_per_word)).cast("int")
+    words = F.transform(
+        F.sequence(F.lit(1), n_words),
+        lambda wi: F.struct(
+            (wi - 1).cast("long").alias("word_idx"),
+            F.aggregate(
+                F.zip_with(
+                    F.slice(b, (wi - 1) * bits_per_word + 1, bits_per_word),
+                    pow2,
+                    lambda bit, p: F.coalesce(bit * p, F.lit(0).cast("bigint")),
+                ),
+                F.lit(0).cast("bigint"),
+                lambda acc, v: acc + v,
+            ).alias("fp"),
+        ),
+    )
+    # sequence(1, 0) would generate a DESCENDING sequence — guard the
+    # zero-bit case (explode of the empty array then emits no rows)
+    words = F.when(F.size(b) >= 1, words).otherwise(
+        F.array().cast(f"array<struct<word_idx:bigint,fp:bigint>>")
+    )
+    return withb.select(F.col(id_col), F.explode(words).alias("_w")).select(
+        F.col(id_col), F.col("_w.word_idx").alias("word_idx"), F.col("_w.fp").alias("fp")
     )
 
 

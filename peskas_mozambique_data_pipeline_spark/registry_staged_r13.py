@@ -175,7 +175,16 @@ def q_audio_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("vec_id") * 7 + j.cast("long") * 13) % 201) - 100
         ).cast("long"),
     )
-    pcm = emb.select("vec_id", samples.alias("samples"))
+    # spread the id rows over every core BEFORE synthesizing the PCM
+    # arrays: the one-file embeddings scan is a single task, and the
+    # fingerprint pipeline is per-row array math with no shuffle of its
+    # own, so without this barrier the whole query would execute on one
+    # core (guide §2.5 — repartition right after a non-splittable read)
+    pcm = (
+        emb.select("vec_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("vec_id", samples.alias("samples"))
+    )
     out = audio_fingerprint(
         pcm, samples_col="samples", id_col="vec_id",
         window_ms=10, hop_ms=5, sample_rate=16_000, bits_per_word=56,
