@@ -482,6 +482,16 @@ def connected_components(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
+        # pre-partition by the per-iteration join key BEFORE the
+        # checkpoint (r14, guide §2.4 "two operations keyed the same
+        # way share one exchange"): LogicalRDD preserves the physical
+        # partitioning, so every iteration's ``sym ⋈ labels ON b``
+        # re-exchanges only the |V|-row label table — the |E|-row edge
+        # list is shuffled ONCE here instead of once per iteration
+        # (measured at sf0.1 on the embedding near-dup graph, 6
+        # iterations: 4.85→2.48 s cold / 2.14→1.95 s warm, identical
+        # labels)
+        .repartition(F.col("b"))
         # materialize ONCE: the edge list is re-read every iteration,
         # and its upstream (e.g. a full MinHash+verify pipeline) must
         # not re-execute per loop

@@ -57,7 +57,14 @@ def pagerank(
     e0 = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     if not assume_distinct:
         e0 = e0.distinct()
-    e0 = e0.localCheckpoint()
+    # hash-partition by src BEFORE the checkpoint (r14, guide §2.4):
+    # LogicalRDD preserves physical partitioning, so the degree
+    # groupBy("src") and the e0 ⋈ deg join-back both reuse this one
+    # exchange instead of re-shuffling the |E|-row edge list each —
+    # and ``e`` comes out src-partitioned, which every iteration's
+    # rank join then reuses too (measured ~4.6 → ~4.2 s warm at
+    # sf0.1; bit-identical ranks)
+    e0 = e0.repartition(F.col("src")).localCheckpoint()
     deg = e0.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
     e = e0.join(deg, "src").localCheckpoint()
     nodes = e.select(F.col("src").alias("node")).distinct()

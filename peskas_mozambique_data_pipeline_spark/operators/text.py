@@ -86,17 +86,40 @@ def lang_pred_expr(text: str | Column) -> Column:
     expression so per-LINE passes (:func:`segment_languages`) share the
     identical scorer.  ``"und"`` when no marker hits."""
     c = F.col(text) if isinstance(text, str) else text
-    t = tokens(c)
     langs = sorted(LANG_MARKERS)
-    scores = {
-        lang: F.size(F.filter(t, (lambda m: lambda x: x.isin(*m))(markers)))
-        for lang, markers in sorted(LANG_MARKERS.items())
-    }
-    best = F.greatest(*scores.values())
-    pred = F.lit(None)
-    for lang in reversed(langs):
-        pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
-    return F.when(best > 0, pred).otherwise(F.lit("und"))
+
+    # Let-binding via single-element transform (r14): a lambda VARIABLE
+    # is evaluated once and referenced cheaply, whereas a plain
+    # sub-EXPRESSION is re-evaluated at every reference site (HOFs are
+    # interpreted — codegen subexpression elimination never sees them).
+    # The old form referenced ``tokens(c)`` once per language filter —
+    # four tokenizations per line — and the score expressions once per
+    # comparison.  Here the token array binds once (outer transform)
+    # and the 4-score array binds once (inner transform); the marker
+    # membership tests and the argmax are unchanged, so scores and
+    # prediction are identical.
+    def _scores(t: Column) -> Column:
+        return F.array(
+            *[
+                F.size(
+                    F.filter(
+                        t, (lambda m: lambda x: x.isin(*m))(LANG_MARKERS[lang])
+                    )
+                )
+                for lang in langs
+            ]
+        )
+
+    def _pred(sv: Column) -> Column:
+        scores = {lang: F.get(sv, i) for i, lang in enumerate(langs)}
+        best = F.greatest(*scores.values())
+        pred = F.lit(None)
+        for lang in reversed(langs):
+            pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
+        return F.when(best > 0, pred).otherwise(F.lit("und"))
+
+    scored = F.transform(F.array(tokens(c)), _scores)
+    return F.get(F.transform(scored, _pred), 0)
 
 
 def segment_languages(
@@ -188,25 +211,44 @@ def language_id(df: DataFrame, text_col: str = "text", out_col: str = "pred_lang
     character n-gram profiles; the plumbing — pure column expressions,
     no shuffle — is identical.
     """
-    t = tokens(text_col)
+    langs = sorted(LANG_MARKERS)
 
     def _in_set(markers: tuple[str, ...]):
         # NB: the lambda must take exactly one arg — PySpark inspects
         # arity and would bind a default arg to the element index column
         return lambda x: x.isin(*markers)
 
-    score_cols = []
-    for lang, markers in sorted(LANG_MARKERS.items()):
-        score = F.size(F.filter(t, _in_set(markers)))
-        score_cols.append(score.alias(f"score_{lang}"))
-    scored = df.select("*", *score_cols)
-    langs = sorted(LANG_MARKERS)
-    best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
-    pred = F.lit(None)
-    # first language (in sorted order) achieving the max wins
-    for lang in reversed(langs):
-        pred = F.when(F.col(f"score_{lang}") == best, F.lit(lang)).otherwise(pred)
-    return scored.withColumn(out_col, F.when(best > 0, pred).otherwise(F.lit("und")))
+    # r14: the old two-projection form (scores, then pred referencing
+    # them) collapsed into ONE projection, inlining each score — and
+    # its ``split()`` — into every reference site: ~16 tokenizations
+    # per document.  Let-bind instead: the token array and the score
+    # struct are each a transform lambda VARIABLE (evaluated once),
+    # and ``inline`` is the projection barrier that turns the single
+    # struct into real output attributes.  Same scores, same argmax,
+    # same column order.
+    def _scores(t: Column) -> Column:
+        return F.struct(
+            *[
+                F.size(F.filter(t, _in_set(LANG_MARKERS[lang]))).alias(
+                    f"score_{lang}"
+                )
+                for lang in langs
+            ]
+        )
+
+    def _with_pred(sv: Column) -> Column:
+        best = F.greatest(*[sv[f"score_{lang}"] for lang in langs])
+        pred = F.lit(None)
+        # first language (in sorted order) achieving the max wins
+        for lang in reversed(langs):
+            pred = F.when(sv[f"score_{lang}"] == best, F.lit(lang)).otherwise(pred)
+        return F.struct(
+            *[sv[f"score_{lang}"].alias(f"score_{lang}") for lang in langs],
+            F.when(best > 0, pred).otherwise(F.lit("und")).alias(out_col),
+        )
+
+    full = F.transform(F.transform(F.array(tokens(text_col)), _scores), _with_pred)
+    return df.select("*", F.inline(full))
 
 
 def winnow_fingerprint(
@@ -372,12 +414,21 @@ def ngram_contamination(
     ``n_overlap`` and a ``contaminated`` flag; compose with an anti
     join (``decontaminate``) to drop.
     """
-    tg = train.select(
-        id_col, F.explode(F.array_distinct(token_ngrams(text_col, n))).alias("gram")
+    # tokenize below an explicit-N exchange, n-grams from the token
+    # attribute above it (r14 — O(len²)-re-tokenization + single-scan-
+    # task fix; full rationale at contamination_score)
+    ncores = train.sparkSession.sparkContext.defaultParallelism
+    ttoks = train.select(id_col, tokens(F.col(text_col)).alias("_t")).repartition(
+        ncores
+    )
+    tg = ttoks.select(
+        id_col,
+        F.explode(F.array_distinct(token_ngrams(F.col("_t"), n))).alias("gram"),
     ).select(id_col, F.md5("gram").alias("_gh"))
+    btoks = benchmark.select(tokens(F.col(text_col)).alias("_t")).repartition(ncores)
     bg = (
-        benchmark.select(
-            F.explode(F.array_distinct(token_ngrams(text_col, n))).alias("gram")
+        btoks.select(
+            F.explode(F.array_distinct(token_ngrams(F.col("_t"), n))).alias("gram")
         )
         .select(F.md5("gram").alias("_gh"))
         .distinct()
@@ -414,12 +465,27 @@ def contamination_score(
     rows), one extra column.  Zero-gram docs (shorter than n tokens)
     keep frac 0.0 rather than NULL-dividing.
     """
-    tg = train.select(
-        id_col, F.explode(F.array_distinct(token_ngrams(text_col, n))).alias("gram")
+    # Work placement (r14, the shingle_hash_frame pattern): tokenize
+    # ONCE below an explicit-N round-robin exchange, build the n-grams
+    # from the materialized token ATTRIBUTE above it.  The old form
+    # referenced the raw ``split()`` expression inside the n-gram
+    # lambda (re-tokenizing the document once per gram, O(len²)) and
+    # ran the whole gram+md5 build inside the single scan task of a
+    # one-file corpus; the exchange is both the CollapseProject
+    # barrier and the core spread (explicit N — AQE never coalesces a
+    # user-numbered repartition, unlike a keyed shuffle of a few MB).
+    ncores = train.sparkSession.sparkContext.defaultParallelism
+    ttoks = train.select(id_col, tokens(F.col(text_col)).alias("_t")).repartition(
+        ncores
+    )
+    tg = ttoks.select(
+        id_col,
+        F.explode(F.array_distinct(token_ngrams(F.col("_t"), n))).alias("gram"),
     ).select(id_col, F.md5("gram").alias("_gh"))
+    btoks = benchmark.select(tokens(F.col(text_col)).alias("_t")).repartition(ncores)
     bg = (
-        benchmark.select(
-            F.explode(F.array_distinct(token_ngrams(text_col, n))).alias("gram")
+        btoks.select(
+            F.explode(F.array_distinct(token_ngrams(F.col("_t"), n))).alias("gram")
         )
         .select(F.md5("gram").alias("_gh"))
         .distinct()
@@ -1032,10 +1098,27 @@ def common_phrases(
     counts once), one explode + one groupBy on the phrase digest — the
     single-shuffle exact-dedup shape at phrase grain.
     """
-    from .dedup import shingles
-
-    ph = F.explode(F.array_distinct(shingles(F.col(text_col), k))).alias("phrase")
-    exploded = df.select(F.col(id_col), ph)
+    # Work placement (r14, same rationale + measurement pattern as
+    # dedup.shingle_hash_frame): tokenize ONCE below a round-robin
+    # exchange, build the k-token phrases from the materialized token
+    # ATTRIBUTE above it.  Referencing the raw ``split()`` expression
+    # inside the shingle lambda (the old ``shingles(text)`` form) made
+    # Catalyst re-tokenize the document once per phrase — O(len²) —
+    # and the whole projection ran inside the single scan task of a
+    # one-file corpus; the exchange doubles as the CollapseProject
+    # barrier and spreads the phrase build over every core.
+    toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_t")).repartition(
+        df.sparkSession.sparkContext.defaultParallelism
+    )
+    t = F.col("_t")
+    n = F.size(t)
+    make = F.transform(
+        F.sequence(F.lit(1), n - (k - 1)),
+        lambda i: F.array_join(F.slice(t, i, k), " "),
+    )
+    sh = F.when(n >= k, make).otherwise(F.array().cast("array<string>"))
+    ph = F.explode(F.array_distinct(sh)).alias("phrase")
+    exploded = toks.select(F.col(id_col), ph)
     # (doc, phrase) pairs are already distinct (array_distinct inside the
     # doc), so a plain count equals countDistinct(doc) — and avoids the
     # Expand-based distinct-aggregate plan that doubles the exploded

@@ -1141,22 +1141,42 @@ ORACLE_SQL["trailing_window"] = SQL_TRAILING_WINDOW
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.graph import triangle_counts
 
-    li = (
+    # Pair generation WITHOUT the li self-join (r14, guide §2.4): the
+    # former shape was distinct(li) → localCheckpoint → self-join on
+    # l_orderkey → distinct (two exchanges + an eager checkpoint job +
+    # a join).  Each order's parts fit in one row (orders are bounded
+    #-size), so collect_set per order + per-row combination arrays
+    # yield the identical a<b pair set with ONE aggregation exchange
+    # and no join at all; sort_array makes i<j ⇔ a<b.  Verified
+    # row-identical at sf0.1 and bit-exact vs the oracle at sf0.01.
+    ps = (
         _t(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
-        .distinct()
-        # feeds both sides of the pair self-join (self-join rule)
-        .localCheckpoint()
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("_ps"))
     )
-    x, y = li.alias("x"), li.alias("y")
-    und = (
-        x.join(
-            y,
-            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
-            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+    p = F.col("_ps")
+    n = F.size(p)
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.transform(
+                F.slice(p, i + 1, n - i),
+                lambda x: F.struct(F.get(p, i - 1).alias("a"), x.alias("b")),
+            ),
         )
-        .select(F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b"))
+    )
+    # sequence(1, 0) would descend — guard the single-part orders
+    pairs = F.when(n >= 2, pairs).otherwise(
+        F.array().cast("array<struct<a:bigint,b:bigint>>")
+    )
+    und = (
+        ps.select(F.explode(pairs).alias("_pr"))
+        .select(F.col("_pr.a").alias("a"), F.col("_pr.b").alias("b"))
         .distinct()
+        # und feeds the degree union (twice) + the orientation join
+        # inside triangle_counts — materialize once (self-join rule)
+        .localCheckpoint()
     )
     tc = triangle_counts(und)
     return (

@@ -20,6 +20,12 @@ from .session import read_table
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NB (r14): do NOT blanket-repartition here.  Measured: operators
+    # that re-scan their input N times (segment_languages reads it 4x)
+    # re-execute an injected exchange per consumer — shuffling the full
+    # text N times costs more than the column-pruned parquet re-reads
+    # it replaces.  Core-spreading lives INSIDE the per-row-heavy
+    # operators, behind their tokenize-then-repartition barrier.
     return read_table(spark, sf_dir, "documents")
 
 

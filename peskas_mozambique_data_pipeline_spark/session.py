@@ -93,6 +93,33 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
     return spark.read.parquet(path)
 
 
+def spread_scan(df):
+    """Spread a freshly-scanned frame across every core when the scan
+    itself cannot (r14, guide §2.5 "repartition immediately after the
+    read"): a table that arrives as fewer files than cores executes its
+    scan — and EVERY per-row projection above it, up to the first
+    exchange — in that many tasks, so expression-heavy pipelines
+    (tokenization, hashing, array math over documents/embeddings)
+    serialize on a handful of cores.  Scale-adaptive by construction:
+    with at least as many input files as cores the scan already
+    parallelizes and this is a no-op, so production multi-split reads
+    never pay the extra exchange; only small-file inputs (the local
+    harness's one-file tables, a straggler partition of a landing
+    zone) get the round-robin spread.  Column pruning and predicate
+    pushdown pass through a Repartition node, so the scan below still
+    prunes.
+    """
+    sc = df.sparkSession.sparkContext
+    n = sc.defaultParallelism
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        n_files = 0
+    if 0 < n_files < n:
+        return df.repartition(n)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None = None):
     """Read the harness parquet tables under ``sf_dir`` into a dict and
     register each as a temp view (mirrors the reference's stage handoff
