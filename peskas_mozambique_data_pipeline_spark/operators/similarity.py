@@ -174,6 +174,12 @@ def build_ivf_index(
     centroids = seeds.withColumn(
         "centroid_id", (F.row_number().over(Window.orderBy("_h")) - 1).cast("int")
     ).select("centroid_id", "centroid")
+    # r14 NB: deliberately NOT checkpointed (same finding as the PQ
+    # codebooks below): consumers broadcast identical centroid
+    # subtrees, which ReuseExchange executes once — and the registered
+    # audit row UNIONS two index builds over the same corpus, whose
+    # shared Lloyd subtrees also reuse; eager per-iteration checkpoints
+    # broke both sharings and measured ~2× slower on ivf_audit.
 
     def assign(cents: DataFrame) -> DataFrame:
         return assign_to_centroids(corpus, cents, corpus_id, vec_col)
@@ -781,6 +787,11 @@ def build_pq_index(
         seed_rows.select("centroid_id", F.col("_v").alias("embedding")),
         "embedding", m, d_sub,
     ).select("subspace", "centroid_id", F.col("subvec").alias("centroid"))
+    # r14 NB: unlike build_ivf_index's centroids, these codebooks are
+    # NOT checkpointed — every consumer broadcasts the identical
+    # codebook subtree, so ReuseExchange already executes it once, and
+    # an eager checkpoint per iteration measured ~1.5 s SLOWER on the
+    # ivfpq row (extra jobs, no recompute saved)
 
     # subs is re-derived by every assignment pass — DELIBERATELY not
     # checkpointed: the derivation is a columnar parquet scan + array
@@ -1026,15 +1037,27 @@ def quantize_embeddings_int8(
         v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x.cast("double")))
     )
     scale = F.when(max_abs > 0, max_abs / F.lit(127.0)).otherwise(F.lit(0.0))
-    df = df.withColumn(scale_col, scale.cast("float"))
-    q = F.transform(
-        v,
-        lambda x: F.when(
-            F.col(scale_col) > 0,
-            F.round(x.cast("double") / F.col(scale_col)).cast("tinyint"),
-        ).otherwise(F.lit(0).cast("tinyint")),
+
+    # r14: the old withColumn pair collapsed into one projection,
+    # inlining the max-abs FOLD into every element of the code
+    # transform — O(dim²) folds per row.  Let-bind the float scale as
+    # a transform lambda variable (evaluated once) and emit both
+    # outputs through an ``inline`` barrier so downstream consumers
+    # reference real attributes, never the quantization expression.
+    # Identical arithmetic: the codes divide by the same float-cast
+    # scale the scale column stores.
+    def _pack(s: Column) -> Column:
+        q = F.transform(
+            v,
+            lambda x: F.when(
+                s > 0, F.round(x.cast("double") / s).cast("tinyint")
+            ).otherwise(F.lit(0).cast("tinyint")),
+        )
+        return F.struct(s.alias(scale_col), q.alias(out_col))
+
+    return df.select(
+        "*", F.inline(F.transform(F.array(scale.cast("float")), _pack))
     )
-    return df.withColumn(out_col, q)
 
 
 def cosine_topk_int8(
