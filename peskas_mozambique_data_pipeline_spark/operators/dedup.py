@@ -683,9 +683,22 @@ def duplicated_ngram_spans(
     # self-join materialization rule (NOTES r4): without a hard
     # checkpoint each branch re-tokenizes and re-hashes the corpus
     # (measured 7.1→3.9 s p50 at sf0.1, identical rows)
-    grams = df.select(
+    #
+    # Work placement (r14, same two fixes as shingle_hash_frame): only
+    # the single-pass tokenization runs below a round-robin exchange
+    # (the one-file corpus scan is a single task); the gram build +
+    # per-gram md5 run ABOVE it across every core.  The exchange also
+    # makes the token array a materialized ATTRIBUTE, so the per-gram
+    # ``slice`` is O(1) — passing the raw text column into
+    # ``token_ngrams`` inlined the ``split()`` expression into every
+    # gram (O(len²) re-tokenization).  Checkpoint build 4.5→0.6 s at
+    # sf0.1.
+    toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_t")).repartition(
+        df.sparkSession.sparkContext.defaultParallelism
+    )
+    grams = toks.select(
         F.col(id_col),
-        F.posexplode(token_ngrams(text_col, n)).alias("_p0", "_g"),
+        F.posexplode(token_ngrams(F.col("_t"), n)).alias("_p0", "_g"),
     ).select(
         id_col,
         (F.col("_p0") + 1).alias("pos"),

@@ -44,8 +44,21 @@ def blocked_levenshtein_pairs(
     The threshold form ``levenshtein(a, b, k)`` runs the banded
     O(k·n) algorithm and early-exits, returning -1 past the band —
     ``between(0, k)`` keeps true matches only.
+
+    Join shape (r14): ``names`` is a distinct-name dim (small by
+    construction), so the length-block join runs as a BROADCAST hash
+    join with the probe side spread round-robin first.  The former
+    shuffle equi-join on ``_blk`` funneled every pair of a dominant
+    length class through ONE task (uniform-length name schemes like
+    ``Supplier#NNNNNNNNN`` have a single hot block; AQE skew-join
+    cannot split a single key below its 256 MB threshold) — measured
+    2.8 s of single-core levenshtein at sf0.1, 0.35 s spread.
+    Parallelism now comes from the probe side's partitioning, which
+    round-robin distributes regardless of length skew.
     """
-    left = names.select(
+    left = names.repartition(
+        names.sparkSession.sparkContext.defaultParallelism
+    ).select(
         F.col(col).alias(out_left),
         F.explode(
             F.sequence(
@@ -57,7 +70,7 @@ def blocked_levenshtein_pairs(
         F.col(col).alias(out_right), F.length(col).alias("_blk")
     )
     return (
-        left.join(right, "_blk")
+        left.join(F.broadcast(right), "_blk")
         .drop("_blk")
         .filter(
             F.levenshtein(F.col(out_left), F.col(out_right), max_dist).between(0, max_dist)

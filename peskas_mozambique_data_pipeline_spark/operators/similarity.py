@@ -33,6 +33,35 @@ def _norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(sq, F.lit(0.0), lambda acc, v: acc + v))
 
 
+# Static-unroll width for the one PAIR-VOLUME-dominated dot fold
+# (``cosine_block_pairs``).  Higher-order functions are CodegenFallback
+# in Spark — ``_dot``'s zip_with/aggregate fold is evaluated
+# interpretively, one tree-walk per element per PAIR, which profiling
+# showed dominates the within-block cosine edge operators.  For arrays
+# of exactly this length ``_dot_unrolled`` emits the fold as a FLAT
+# ``((0.0 + a1·b1) + a2·b2) + …`` chain that WholeStageCodegen compiles
+# to straight-line arithmetic: the identical IEEE additions in the
+# identical order, so results are bit-for-bit the fold's; any other
+# length takes the general interpreted branch.  Deliberately NOT used
+# inside ``_dot`` itself: the ~300-node unrolled tree embedded at every
+# dot site of the ANN plans (Lloyd iterations, top-k scoring) blew up
+# Catalyst planning — measured ivf_audit 4.7 s → 16.0 s, ann_audit
+# 2.8 s → 5.0 s with a global unroll, versus a win only where ONE plan
+# site scores hundreds of thousands of pairs (r14).
+_UNROLL_DIM = 64
+
+
+def _dot_unrolled(a: Column, b: Column) -> Column:
+    acc = F.lit(0.0)
+    for i in range(1, _UNROLL_DIM + 1):
+        acc = acc + F.element_at(a, i).cast("double") * F.element_at(b, i).cast(
+            "double"
+        )
+    return F.when(
+        (F.size(a) == _UNROLL_DIM) & (F.size(b) == _UNROLL_DIM), acc
+    ).otherwise(_dot(a, b))
+
+
 def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
@@ -515,9 +544,10 @@ def cosine_block_pairs(
         block_col,
         "id_a",
         "id_b",
-        (_dot(F.col("_e_a"), F.col("_e_b")) / (F.col("_n_a") * F.col("_n_b"))).alias(
-            "_cos"
-        ),
+        (
+            _dot_unrolled(F.col("_e_a"), F.col("_e_b"))
+            / (F.col("_n_a") * F.col("_n_b"))
+        ).alias("_cos"),
     )
     # cosine is orientation-symmetric bit-for-bit (IEEE mult commutes
     # elementwise, fold order is array order on both sides), so
@@ -1353,26 +1383,46 @@ def covariance_cells(
     computes before the driver-side collect, and exactly replayable in
     SQL (HUGEINT sums of the same products).
 
-    The PRODUCT itself is computed in DECIMAL, not BIGINT: one operand
-    is cast to decimal(38,0) first, so components with
-    ``|x|·quant > sqrt(2^63) ≈ 3.04e9`` (e.g. quant=1e6 with
-    |x| > ~3037) cannot silently wrap before the cast and poison the
-    exactness guarantee."""
+    Overflow safety without paying DECIMAL multiplies everywhere
+    (r14): components with ``|x|·quant >= sqrt(2^63) ≈ 3.03e9`` (e.g.
+    quant=1e6 with |x| > ~3037) would silently wrap a BIGINT product,
+    so each ROW branches on ``max|q| < 3e9`` — the common (always, for
+    unit-scale embeddings) safe branch multiplies in BIGINT and casts
+    the exact product to decimal(38,0); the unsafe branch keeps the old
+    decimal-operand multiply.  Both branches produce the identical
+    exact integer, and the decimal(38,0) SUM is unchanged — same
+    result, ~order-of-magnitude cheaper per-cell arithmetic.
+
+    Plan shape note (r14): a single-Generate variant (per-row
+    upper-triangle struct array built with nested transform/flatten)
+    was tried first and measured ~1.7× SLOWER than this posexplode
+    chain — higher-order functions are CodegenFallback (interpreted,
+    one struct allocation per cell), while the Generate→Generate→
+    Filter chain runs inside WholeStageCodegen.  The win that stayed
+    is the arithmetic one above."""
     v = F.col(vec_col)
     q = F.transform(v, lambda x: F.round(x * quant).cast("long"))
+    safe = F.aggregate(
+        F.col("_q"),
+        F.lit(True),
+        lambda acc, x: acc & (F.abs(x) < F.lit(3_000_000_000)),
+    )
+    prod = F.when(
+        F.col("_safe"), (F.col("qi") * F.col("qj")).cast("decimal(38,0)")
+    ).otherwise(F.col("qi").cast("decimal(38,0)") * F.col("qj"))
     return (
         emb.select(q.alias("_q"))
-        .select(F.posexplode("_q").alias("i", "qi"), F.col("_q"))
+        .select(F.col("_q"), safe.alias("_safe"))
+        .select(F.posexplode("_q").alias("i", "qi"), F.col("_q"), F.col("_safe"))
         .select(
             "i",
             "qi",
             F.posexplode("_q").alias("j", "qj"),
+            F.col("_safe"),
         )
         .filter(F.col("j") >= F.col("i"))
         .groupBy("i", "j")
-        .agg(
-            F.sum(F.col("qi").cast("decimal(38,0)") * F.col("qj")).alias("s")
-        )
+        .agg(F.sum(prod).alias("s"))
     )
 
 

@@ -854,13 +854,21 @@ ORACLE_SQL["data_split"] = SQL_DATA_SPLIT
 
 
 def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.text import bpe_fertility, bpe_merge_table
+    from .operators.text import bpe_fertility, bpe_merge_table_fast
 
     docs = _docs(spark, sf_dir)
+    # r14: learn the merges on the FAST tier (one distributed word-
+    # histogram pass + driver-side pair-delta learning) instead of the
+    # 6-iteration Spark loop (13 eager checkpoint jobs, 5.7 s of build
+    # at sf0.1).  Identical merge table by construction: the fast tier
+    # is hash-verified against the SAME unrolled-iteration oracle as
+    # the slow tier (bpe_merges_fast row) and the 6-merge fast≡slow
+    # parity is pytest-pinned; this query's oracle replays the same
+    # derivation and stays bit-green.
     merges = [
         (r.left, r.right)
         for r in sorted(
-            bpe_merge_table(docs, n_merges=_BPE_N).collect(),
+            bpe_merge_table_fast(docs, n_merges=_BPE_N).collect(),
             key=lambda r: r.step,
         )
     ]

@@ -86,15 +86,39 @@ def q_main_content_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         sid,
         F.lit(" with plenty of characters</a></div></body></html>"),
     )
-    pages = docs.select("doc_id", page.alias("text"))
-    # min_chars raised to 70 so the prose gate is DATA-dependent at
-    # every SF (the corpus holds 47..52-char texts that must drop)
-    out = html_ops.extract_main_content(pages, html_col="text", min_chars=70)
-    n_blocks = F.size(html_ops.block_texts(F.col("text")))
-    return out.select(
+    # round-robin spread BEFORE the heavy per-row work: the one-file
+    # documents scan is a single task, and page synthesis + HTML block
+    # parsing would otherwise run serially on one core (the audio_fp
+    # placement fix, r14 guide §2.4)
+    pages = docs.select("doc_id", page.alias("text")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    # ONE block_texts parse feeds BOTH outputs: the former shape ran
+    # extract_main_content's parse for main_text and a second full
+    # parse for n_blocks.  The blocks array is let-bound as a transform
+    # lambda variable (evaluated once per row) and both derived values
+    # emitted through an inline() barrier.  min_chars=70 so the prose
+    # gate is DATA-dependent at every SF (the corpus holds 47..52-char
+    # texts that must drop); expressions identical to
+    # extract_main_content(min_chars=70) + size(block_texts(text)).
+    def _row(blocks):
+        kept = F.filter(
+            blocks,
+            lambda s: (F.length(s["text"]) >= 70)
+            & (s["link_chars"] <= F.length(s["text"]) * F.lit(0.5)),
+        )
+        return F.struct(
+            F.array_join(F.transform(kept, lambda s: s["text"]), "\n")
+            .cast(_S)
+            .alias("main_text"),
+            F.size(blocks).cast(_L).alias("n_blocks"),
+        )
+
+    return pages.select(
         F.col("doc_id").cast(_L).alias("doc_id"),
-        F.col("main_text").cast(_S).alias("main_text"),
-        n_blocks.cast(_L).alias("n_blocks"),
+        F.inline(
+            F.transform(F.array(html_ops.block_texts(F.col("text"))), _row)
+        ),
     )
 
 
