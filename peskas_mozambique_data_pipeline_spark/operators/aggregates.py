@@ -191,33 +191,56 @@ def association_rules(
     symmetric pair with per-item counts so the caller derives either)
     and lift.
 
-    Input is (basket, item), pre-deduplicated.  Scale shape: the pair
-    generator is a per-basket self-join on the basket key — fanout is
+    Input is (basket, item), pre-deduplicated.  Scale shape (r14): the
+    pair generator is per-basket in-row combination arrays over the
+    sorted distinct item set (the ``triangle_count`` pair-generation
+    shape) — ONE basket-keyed aggregation exchange replaces the former
+    basket-keyed SELF-JOIN (two branch reads of a checkpointed frame +
+    a join whose hot keys are the big baskets); fanout is still
     C(basket_size, 2), bounded by the basket grain, never by corpus
-    size; item counts are one map-side-combinable groupBy; both count
-    joins key on a single item (AQE-splittable skew — popular items
-    are the hot keys).  Ratios are single divisions of exact BIGINTs,
+    size.  The basket-array frame is the one materialized intermediate
+    and feeds pair explode, item counts AND the basket count (the old
+    shape checkpointed the 4×-larger row-grain frame).  Item counts
+    stay one map-side-combinable groupBy; both count joins key on a
+    single item (AQE-splittable skew — popular items are the hot
+    keys).  Ratios are single divisions of exact BIGINTs,
     shape-identical across engines after ROUND (no sum-order hazard).
 
     Returns (item_a, item_b, n_ab, n_a, n_b, support, confidence_ab,
     lift) with item_a < item_b.
     """
-    b = baskets.select(
-        F.col(basket_col).alias("_bk"), F.col(item_col).alias("_it")
+    g = (
+        baskets.select(F.col(basket_col).alias("_bk"), F.col(item_col).alias("_it"))
+        .groupBy("_bk")
+        .agg(F.sort_array(F.collect_set("_it")).alias("_items"))
+        # feeds pair explode + item counts + the basket count
+        .localCheckpoint()
     )
-    # feeds the pair self-join twice + item counts (self-join rule)
-    b = b.localCheckpoint()
-    n_baskets = b.select("_bk").distinct().count()
-    item_counts = b.groupBy("_it").agg(F.count(F.lit(1)).alias("n_i"))
-    x, y = b.alias("x"), b.alias("y")
-    pairs = (
-        x.join(
-            y,
-            (F.col("x._bk") == F.col("y._bk"))
-            & (F.col("x._it") < F.col("y._it")),
+    n_baskets = g.count()
+    item_counts = (
+        g.select(F.explode("_items").alias("_it"))
+        .groupBy("_it")
+        .agg(F.count(F.lit(1)).alias("n_i"))
+    )
+    it = F.col("_items")
+    n_it = F.size(it)
+    pair_arr = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), n_it - 1),
+            lambda i: F.transform(
+                F.slice(it, i + 1, n_it - i),
+                lambda x: F.struct(F.get(it, i - 1).alias("a"), x.alias("b")),
+            ),
         )
+    )
+    # sequence(1, 0) would descend — guard single-item baskets
+    pair_arr = F.when(n_it >= 2, pair_arr).otherwise(
+        F.array().cast(f"array<struct<a:{g.schema['_items'].dataType.elementType.simpleString()},b:{g.schema['_items'].dataType.elementType.simpleString()}>>")
+    )
+    pairs = (
+        g.select(F.explode(pair_arr).alias("_pr"))
         .groupBy(
-            F.col("x._it").alias("item_a"), F.col("y._it").alias("item_b")
+            F.col("_pr.a").alias("item_a"), F.col("_pr.b").alias("item_b")
         )
         .agg(F.count(F.lit(1)).alias("n_ab"))
         .filter(F.col("n_ab") >= min_pair_count)

@@ -321,15 +321,33 @@ def _plane_weights(plane_seed: int, dim: int) -> list[float]:
     ]
 
 
+_PLANE_W_COL: dict = {}
+
+
+def _plane_weight_col(plane_seed: int, dim: int) -> Column:
+    """The weight vector as ONE array literal Column, cached per
+    (seed, dim).  ``F.lit(list)`` expands to ``dim`` element ``lit``
+    calls plus an ``array`` call — ~130 py4j round-trips per plane,
+    which cProfile showed was ~3.2 s of the 24-plane ann_lsh build
+    (10,506 socket round-trips).  A single ``expr("array(…D, …)")``
+    is one round-trip; Python float ``repr`` is shortest-roundtrip and
+    Java's ``Double.parseDouble`` is correctly rounded, so the parsed
+    doubles are bit-identical to the ``lit`` path.  Column objects are
+    immutable expression wrappers — safe to reuse across plans."""
+    key = (plane_seed, dim)
+    col = _PLANE_W_COL.get(key)
+    if col is None:
+        ws = ",".join(f"{w!r}D" for w in _plane_weights(plane_seed, dim))
+        col = F.expr(f"array({ws})")
+        _PLANE_W_COL[key] = col
+    return col
+
+
 def _plane_sign(vec: Column, plane_seed: int, dim: int) -> Column:
     """Deterministic pseudo-random hyperplane side: the sign of the
     projection onto the md5-derived weight vector (a literal array —
     see :func:`_plane_weights`).  Reproducible anywhere md5 is."""
-    # ONE array literal (not dim lit()+array() calls): the weight list
-    # is a leaf for the analyzer and a single py4j round-trip — the
-    # expression-tree size, not the arithmetic, dominated this
-    # operator's driver-side plan-construction time
-    w = F.lit(_plane_weights(plane_seed, dim))
+    w = _plane_weight_col(plane_seed, dim)
     proj = F.aggregate(
         F.zip_with(vec, w, lambda x, wi: x.cast("double") * wi),
         F.lit(0.0),
@@ -338,8 +356,33 @@ def _plane_sign(vec: Column, plane_seed: int, dim: int) -> Column:
     return (proj >= 0).cast("int")
 
 
-def lsh_bucket(vec: Column, n_planes: int, dim: int, table: int = 0) -> Column:
-    """Sign-pattern bucket id from ``n_planes`` random hyperplanes."""
+def _plane_sign_sql(vec_sql: str, plane_seed: int, dim: int) -> str:
+    """SQL form of :func:`_plane_sign` — the same zip_with/aggregate
+    projection fold the Column form builds, emitted as text so a whole
+    bucket is ONE py4j round-trip (see :func:`lsh_bucket`)."""
+    ws = ",".join(f"{w!r}D" for w in _plane_weights(plane_seed, dim))
+    return (
+        f"CAST((aggregate(zip_with({vec_sql}, array({ws}), "
+        f"(x, wi) -> CAST(x AS DOUBLE) * wi), 0.0D, "
+        f"(acc, v) -> acc + v) >= 0) AS INT)"
+    )
+
+
+def lsh_bucket(vec: Column | str, n_planes: int, dim: int, table: int = 0) -> Column:
+    """Sign-pattern bucket id from ``n_planes`` random hyperplanes.
+
+    Pass ``vec`` as a column NAME to build the whole bucket as one
+    ``expr`` — a single py4j round-trip instead of ~40 per plane for
+    the Column-composition form (the fold lambdas and casts each cost
+    a driver socket round-trip; cProfile showed plan CONSTRUCTION, not
+    execution, dominating the LSH rows).  Both forms parse/compose to
+    identical expressions, so buckets are bit-identical."""
+    if isinstance(vec, str):
+        parts = ",".join(
+            f"CAST({_plane_sign_sql(vec, table * 1000 + p, dim)} AS STRING)"
+            for p in range(n_planes)
+        )
+        return F.expr(f"concat_ws('', {parts})")
     bits = [_plane_sign(vec, table * 1000 + p, dim) for p in range(n_planes)]
     return F.concat_ws("", *[b.cast("string") for b in bits])
 
@@ -439,13 +482,13 @@ def lsh_topk(
             return base.select(
                 id_c, v_alias, n_alias,
                 F.lit(0).alias("tbl"),
-                lsh_bucket(F.col(v_alias), n_planes, dim, table=0).alias("bucket"),
+                lsh_bucket(v_alias, n_planes, dim, table=0).alias("bucket"),
             )
         tables = F.array(
             *[
                 F.struct(
                     F.lit(t).alias("tbl"),
-                    lsh_bucket(F.col(v_alias), n_planes, dim, table=t).alias("bucket"),
+                    lsh_bucket(v_alias, n_planes, dim, table=t).alias("bucket"),
                 )
                 for t in range(n_tables)
             ]
