@@ -141,26 +141,43 @@ SELECT event_date, user_id, NULL, NULL, view_id, view_value FROM v WHERE n > 1
 
 def q_flag_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = _t(spark, sf_dir, "lineitem")
-    flagged = lineitem.select(
-        "l_orderkey",
-        flag_concat(
-            F.when(F.col("l_quantity") > 45, F.lit("big_qty")),
-            F.when(F.col("l_discount") > 0.08, F.lit("high_disc")),
-            F.when(F.col("l_returnflag") == "R", F.lit("returned")),
-            F.when(F.col("l_tax") > 0.07, F.lit("high_tax")),
-            sep=",",
-        ).alias("alert_flag"),
+    # r14 (guide §2.3/§2.4): the per-order distinct-flag set is a 4-bit
+    # BITMASK rolled up with bit_or — codegen HashAggregate, 8 bytes of
+    # shuffle state per order — and the per-flag order counts fall out
+    # of ONE tiny global sum of the mask bits.  The former shape
+    # collect_list'ed per-row flag arrays (ObjectHashAggregate, array
+    # payload through the exchange), exploded them back out, and paid a
+    # second flag-keyed shuffle just to count.  Same (flag, n_orders)
+    # rows: a flag's count is exactly the number of orders whose mask
+    # has its bit set, and flags with zero orders were absent before
+    # (groupBy on exploded rows) so the n_orders > 0 filter matches.
+    flags = ("big_qty", "high_disc", "returned", "high_tax")
+    preds = (
+        F.col("l_quantity") > 45,
+        F.col("l_discount") > 0.08,
+        F.col("l_returnflag") == "R",
+        F.col("l_tax") > 0.07,
     )
-    per_order = flagged.groupBy("l_orderkey").agg(
-        F.array_join(
-            F.array_sort(F.array_distinct(F.flatten(F.collect_list(F.split(F.col("alert_flag"), ","))))),
-            ",",
-        ).alias("alert_flag")
-    ).filter(F.col("alert_flag") != "")
-    exploded = reshape_ops.explode_delimited(per_order, "alert_flag", "flag", ",")
+    row_mask = None
+    for b, pred in enumerate(preds):
+        term = F.when(pred, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        row_mask = term if row_mask is None else row_mask + term
+    per_order = (
+        lineitem.select("l_orderkey", row_mask.alias("_mask"))
+        .groupBy("l_orderkey")
+        .agg(F.bit_or("_mask").alias("_mask"))
+    )
+    counts = per_order.agg(
+        *[
+            F.sum(
+                F.shiftright(F.col("_mask"), b).bitwiseAND(F.lit(1).cast("long"))
+            ).alias(name)
+            for b, name in enumerate(flags)
+        ]
+    )
     return (
-        exploded.groupBy("flag")
-        .agg(F.count(F.lit(1)).alias("n_orders"))
+        counts.unpivot([], list(flags), "flag", "n_orders")
+        .filter(F.col("n_orders") > 0)
         .select("flag", "n_orders")
     )
 
@@ -225,26 +242,36 @@ def q_flag_battery_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shuffle produce both the flag rollup and the per-order indicators
     # (the old shape re-scanned lineitem and re-joined orders for
     # stage 2)
-    # flags stay an ARRAY end-to-end: the old shape built a per-row
-    # string (concat_ws) that the aggregate immediately split back into
-    # an array — a per-row string round-trip the rollup never needed
-    # (measured 3.71→3.29 s min at sf0.1, bit-identical output)
+    # per-row flags as ONE bigint BITMASK, rolled up with bit_or (r14,
+    # guide §2.3 narrower types + §2.4 aggregate before you shuffle):
+    # the former collect_list of per-row string ARRAYS forced an
+    # ObjectHashAggregate (no codegen, object hash map) and shuffled an
+    # array<string> per row; bit_or keeps the whole rollup in codegen'd
+    # HashAggregate with 8 bytes of state per order.  The flag STRING
+    # is rebuilt post-agg by decoding the mask bits in the LEXICOGRAPHIC
+    # order of the flag labels ("1"<"12"<"13"<"2"<…<"7") — exactly the
+    # order array_sort put the string flags in, so the output string is
+    # bit-identical to the old array_distinct+array_sort+array_join.
+    def _mask(cond, flag: int):
+        return F.when(cond, F.lit(1 << flag).cast("long")).otherwise(F.lit(0).cast("long"))
+
+    row_mask = (
+        _mask((F.col("o_orderstatus") == "P") & tax_code.isNull(), 1)
+        + _mask(tax_code.isNotNull() & (F.col("l_quantity") <= 1), 2)
+        + _mask(F.col("p_size") < F.col("min_size_b"), 3)
+        + _mask(F.col("p_size") > F.col("max_size_b"), 4)
+        + _mask(F.col("l_quantity") > 45, 5)
+        + _mask(F.col("l_discount") > 0.09, 6)
+        + _mask(F.col("l_tax") > 0.07, 7)
+        + _mask(F.col("l_quantity") >= 50, 12)
+        + _mask(
+            F.datediff(F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")) > 90,
+            13,
+        )
+    )
     flagged = enriched.select(
         "l_orderkey",
-        F.array_compact(F.array(
-            F.when((F.col("o_orderstatus") == "P") & tax_code.isNull(), F.lit("1")),
-            F.when(tax_code.isNotNull() & (F.col("l_quantity") <= 1), F.lit("2")),
-            F.when(F.col("p_size") < F.col("min_size_b"), F.lit("3")),
-            F.when(F.col("p_size") > F.col("max_size_b"), F.lit("4")),
-            F.when(F.col("l_quantity") > 45, F.lit("5")),
-            F.when(F.col("l_discount") > 0.09, F.lit("6")),
-            F.when(F.col("l_tax") > 0.07, F.lit("7")),
-            F.when(F.col("l_quantity") >= 50, F.lit("12")),
-            F.when(
-                F.datediff(F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")) > 90,
-                F.lit("13"),
-            ),
-        )).alias("flags"),
+        row_mask.alias("flag_mask"),
         F.round(F.col("l_quantity") * 100).cast("long").alias("qty_c_row"),
         (
             F.round(F.col("l_extendedprice") * 100).cast("long")
@@ -252,13 +279,23 @@ def q_flag_battery_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rev_c_row"),
         "o_orderstatus",
     )
+    # lexicographic order of the stage-1 flag labels — the order the
+    # old array_sort(array<string>) emitted
+    _LEX_FLAGS = (1, 12, 13, 2, 3, 4, 5, 6, 7)
+    decoded = F.concat_ws(
+        ",",
+        *[
+            F.when(
+                F.col("_mask").bitwiseAND(F.lit(1 << f).cast("long")) != 0,
+                F.lit(str(f)),
+            )
+            for f in _LEX_FLAGS
+        ],
+    )
     stage1 = (
         flagged.groupBy("l_orderkey")
         .agg(
-            F.array_join(
-                F.array_sort(F.array_distinct(F.flatten(F.collect_list("flags")))),
-                ",",
-            ).alias("alert_flag"),
+            F.bit_or("flag_mask").alias("_mask"),
             F.sum("qty_c_row").alias("qty_c"),
             F.sum("rev_c_row").alias("rev_c"),
             F.count(F.lit(1)).alias("n_items"),
@@ -266,7 +303,7 @@ def q_flag_battery_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn(
             "alert_flag",
-            F.when(F.col("alert_flag") == "", F.lit(None)).otherwise(F.col("alert_flag")),
+            F.when(F.col("_mask") == 0, F.lit(None)).otherwise(decoded),
         )
     )
     # stage 2 fires only on the no-flag subset — here that is a column
