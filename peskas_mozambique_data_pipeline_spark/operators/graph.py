@@ -67,16 +67,20 @@ def pagerank(
     e0 = e0.repartition(F.col("src")).localCheckpoint()
     deg = e0.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
     e = e0.join(deg, "src").localCheckpoint()
-    nodes = e.select(F.col("src").alias("node")).distinct()
+    # checkpoint the node census itself, THEN count it: the former
+    # shape counted the distinct lazily and checkpointed a projection
+    # of it, executing the |E|-row distinct twice (the count job and
+    # the ranks-checkpoint job).  One distinct execution; the count
+    # reads back node-sized checkpoint blocks, and ranks is a cheap
+    # per-consumer projection of the materialized census (r14).
+    nodes = e.select(F.col("src").alias("node")).distinct().localCheckpoint()
     n = nodes.count()
     # integer floor arithmetic, never float round(): Python rounds half
     # to even, SQL engines half away from zero — floor division is the
     # same everywhere
     init_q = _SCALE // n
     teleport_q = ((100 - damping_pct) * _SCALE) // (100 * n)
-    ranks = nodes.select(
-        "node", F.lit(init_q).cast("long").alias("rank_q")
-    ).localCheckpoint()
+    ranks = nodes.select("node", F.lit(init_q).cast("long").alias("rank_q"))
     # checkpoint_every: materialization beats lineage re-derivation
     # (measured 14.8 → ~4 s p50 at sf0.1), but a checkpoint per
     # iteration over-pays — the rank frame is node-sized, so letting

@@ -51,12 +51,37 @@ def _norm(a: Column) -> Column:
 _UNROLL_DIM = 64
 
 
-def _dot_unrolled(a: Column, b: Column) -> Column:
-    acc = F.lit(0.0)
-    for i in range(1, _UNROLL_DIM + 1):
-        acc = acc + F.element_at(a, i).cast("double") * F.element_at(b, i).cast(
-            "double"
-        )
+_DOT_UNROLL_COL: dict = {}
+
+
+def _dot_unrolled(a: str | Column, b: str | Column) -> Column:
+    """When given column NAMES, the flat 64-term chain is emitted as
+    ONE ``expr()`` parse (cached per name pair): the per-term py4j
+    construction (~6 gateway round-trips × 64 terms) measured as real
+    driver time in every pair-scoring query build (the ann_lsh
+    finding, r14).  ``0.0D + CAST(element_at(a,1) AS DOUBLE) * …``
+    parses to the identical left-associated Add/Multiply/Cast tree the
+    Column form built, so plans and results are bit-identical."""
+    if isinstance(a, str) and isinstance(b, str):
+        key = (a, b)
+        acc = _DOT_UNROLL_COL.get(key)
+        if acc is None:
+            terms = " + ".join(
+                f"CAST(element_at({a}, {i}) AS DOUBLE)"
+                f" * CAST(element_at({b}, {i}) AS DOUBLE)"
+                for i in range(1, _UNROLL_DIM + 1)
+            )
+            acc = F.expr(f"0.0D + {terms}")
+            _DOT_UNROLL_COL[key] = acc
+        a, b = F.col(a), F.col(b)
+    else:
+        a = F.col(a) if isinstance(a, str) else a
+        b = F.col(b) if isinstance(b, str) else b
+        acc = F.lit(0.0)
+        for i in range(1, _UNROLL_DIM + 1):
+            acc = acc + F.element_at(a, i).cast("double") * F.element_at(b, i).cast(
+                "double"
+            )
     return F.when(
         (F.size(a) == _UNROLL_DIM) & (F.size(b) == _UNROLL_DIM), acc
     ).otherwise(_dot(a, b))
@@ -588,7 +613,7 @@ def cosine_block_pairs(
         "id_a",
         "id_b",
         (
-            _dot_unrolled(F.col("_e_a"), F.col("_e_b"))
+            _dot_unrolled("_e_a", "_e_b")
             / (F.col("_n_a") * F.col("_n_b"))
         ).alias("_cos"),
     )

@@ -1005,9 +1005,19 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_orderkey") * 2).alias("o"),
         (F.col("l_suppkey") * 2 + 1).alias("s"),
     ).distinct()
-    edges = base.select(F.col("o").alias("src"), F.col("s").alias("dst")).unionByName(
-        base.select(F.col("s").alias("src"), F.col("o").alias("dst"))
-    )
+    # both edge directions from ONE pass over the distinct pairs via a
+    # per-row explode (r14): the former union of two projections made
+    # each branch re-run the distinct's HashAggregate above a
+    # ReusedExchange — the shuffle was shared, the agg pass was not.
+    # Identical edge set; every downstream step is order-insensitive.
+    edges = base.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("o").alias("src"), F.col("s").alias("dst")),
+                F.struct(F.col("s").alias("src"), F.col("o").alias("dst")),
+            )
+        ).alias("_e")
+    ).select("_e.src", "_e.dst")
     # base is distinct and the even/odd split keeps directions disjoint
     pr = pagerank(edges, n_iters=3, assume_distinct=True)
     return pr.filter(F.col("node") % 2 == 1).select(
