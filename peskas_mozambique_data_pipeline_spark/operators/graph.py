@@ -158,15 +158,20 @@ def triangle_counts(und_edges: DataFrame, a_col: str = "a", b_col: str = "b") ->
         F.when(F.col("ka") < F.col("kb"), F.col("a")).otherwise(F.col("b")).alias("src"),
         F.when(F.col("ka") < F.col("kb"), F.col("b")).otherwise(F.col("a")).alias("dst"),
     )
-    # o feeds the adjacency aggregate AND the edge probe — materialize
-    # once (the self-join rule: neither the static planner nor AQE
-    # reuses an exchange across self-join branches)
-    o = o.localCheckpoint()
-    adj = o.groupBy("src").agg(F.collect_list("dst").alias("_nbrs"))
+    # r14 (guide §2.4): materialize the ADJACENCY, not the edge list,
+    # and re-derive each oriented edge by exploding its source's
+    # neighbor list — the edge row then already carries N(src), so the
+    # former o→adj join on src (one |E| shuffle + one adjacency
+    # shuffle) disappears, and with the orientation select left with a
+    # single consumer the separate `o` localCheckpoint goes too.  Each
+    # oriented edge appears exactly once under its source's list, so
+    # the probe row set is identical; intersection and counts are
+    # order-insensitive, so the collect_list order stays irrelevant.
+    adj = o.groupBy("src").agg(F.collect_list("dst").alias("_nu")).localCheckpoint()
     probe = (
-        o.join(adj.withColumnsRenamed({"src": "src", "_nbrs": "_nu"}), "src")
+        adj.select("src", F.explode("_nu").alias("dst"), "_nu")
         .join(
-            adj.withColumnsRenamed({"src": "dst", "_nbrs": "_nv"}),
+            adj.select(F.col("src").alias("dst"), F.col("_nu").alias("_nv")),
             "dst",
             "left",
         )
