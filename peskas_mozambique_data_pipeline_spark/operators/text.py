@@ -1945,6 +1945,20 @@ def log2_nano_table(n: int) -> tuple[int, ...]:
     return tuple(round(math.log2(c) * 1e9) for c in range(1, n + 1))
 
 
+_LOG2_LUT_COL: dict = {}
+
+
+def _log2_lut_col(n: int) -> Column:
+    """:func:`log2_nano_table` as ONE parsed array<bigint> literal
+    Column, cached per table size (see the rationale at its use)."""
+    col = _LOG2_LUT_COL.get(n)
+    if col is None:
+        vals = ",".join(f"{v}L" for v in log2_nano_table(n))
+        col = F.expr(f"array({vals})")
+        _LOG2_LUT_COL[n] = col
+    return col
+
+
 def char_entropy(
     df: DataFrame,
     text_col: str = "text",
@@ -1985,6 +1999,19 @@ def char_entropy(
         F.col(id_col),
         F.substring(F.col(text_col), 1, max_chars).alias("_pfx"),
     ).filter(F.length("_pfx") > 0)
+    # hash-partition the COMPACT prefix rows by doc id before the
+    # explode (r14, guide §2.4): HashPartitioning(id) satisfies the
+    # clustering requirement of BOTH downstream groupBys (id ⊆ each key
+    # set), so the per-(id,char) count and the per-id rollup run
+    # exchange-free — the plan's two post-explode agg exchanges become
+    # this ONE exchange of ≤max_chars-byte prefix rows, and the explode
+    # + count work is spread across every core instead of riding the
+    # few-task scan.  Explicit partition count: AQE would coalesce the
+    # tiny local frame back to one task.  Per-key work is bounded by
+    # max_chars, so keying on the unique doc id cannot skew.
+    prefix = prefix.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+    )
     chars = prefix.select(
         id_col,
         F.length("_pfx").alias("_n"),
@@ -1996,7 +2023,11 @@ def char_entropy(
     counts = chars.groupBy(id_col, "_n", "_ch").agg(
         F.count(F.lit(1)).alias("_c")
     )
-    lut_arr = F.array(*[F.lit(v).cast("long") for v in lut])
+    # ONE cached expr() parse for the 512-long LUT literal: the per-
+    # element lit+cast construction was ~1000 py4j round-trips of pure
+    # driver time per query build (the _plane_weight_col pattern, r14);
+    # parsed BIGINT literals hold the identical values
+    lut_arr = _log2_lut_col(max_chars)
     term = F.col("_c") * F.element_at(lut_arr, F.col("_c").cast("int"))
     return (
         counts.select(id_col, "_n", "_c", term.alias("_t"))

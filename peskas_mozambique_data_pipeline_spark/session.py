@@ -59,6 +59,20 @@ def get_spark(
     return builder.getOrCreate()
 
 
+# Per-session table-handle cache (r14, guide §6 "file listing ...
+# cached per session"): every registry query used to pay a fresh
+# ``spark.read.parquet`` per table reference — file listing + parquet
+# footer schema read + plan-construction round-trips, ~0.1 s of pure
+# DRIVER time per call, serial and unscaled by executors.  A production
+# engine resolves a table through a catalog whose metadata is read once
+# per session; this dict is that catalog for the harness's immutable
+# parquet dirs.  The cached object is the LAZY scan plan only — every
+# action still re-reads the parquet files, so no data or results are
+# reused across runs.  Keyed on the session object's identity (a
+# stopped/recreated session misses and rebuilds).
+_TABLE_CACHE: dict = {}
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str):
     """Read one harness parquet table, normalizing physical quirks.
 
@@ -74,13 +88,18 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
     """
     from pyspark.sql import functions as F
 
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    key = (path,)
+    hit = _TABLE_CACHE.get(key)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+
     # oracle comparisons assume UTC-naive timestamp semantics (DuckDB);
     # pin the session TZ so date casts/truncations of the LTZ events.ts
     # are driver-environment independent (runtime conf — safe to set on
     # a session we didn't create)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
-    path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
@@ -89,8 +108,10 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         elif ts_type == "timestamp_ntz":
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-        return df
-    return spark.read.parquet(path)
+    else:
+        df = spark.read.parquet(path)
+    _TABLE_CACHE[key] = (spark, df)
+    return df
 
 
 def spread_scan(df):
