@@ -57,14 +57,16 @@ def pagerank(
     e0 = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     if not assume_distinct:
         e0 = e0.distinct()
-    # hash-partition by src BEFORE the checkpoint (r14, guide §2.4):
-    # LogicalRDD preserves physical partitioning, so the degree
-    # groupBy("src") and the e0 ⋈ deg join-back both reuse this one
-    # exchange instead of re-shuffling the |E|-row edge list each —
-    # and ``e`` comes out src-partitioned, which every iteration's
-    # rank join then reuses too (measured ~4.6 → ~4.2 s warm at
-    # sf0.1; bit-identical ranks)
-    e0 = e0.repartition(F.col("src")).localCheckpoint()
+    # hash-partition by src (r14, guide §2.4): the degree groupBy("src")
+    # and the e0 ⋈ deg join-back both sit on this one exchange instead
+    # of re-shuffling the |E|-row edge list each, and ``e`` comes out
+    # src-partitioned, which every iteration's rank join then reuses
+    # too (measured ~4.6 → ~4.2 s warm at sf0.1; bit-identical ranks).
+    # NO separate e0 checkpoint: both join branches read the SAME
+    # repartition exchange inside the single e-checkpoint job
+    # (ReuseExchange — measured equal-or-faster than materializing e0
+    # first, and one full |E| materialization job fewer, r14).
+    e0 = e0.repartition(F.col("src"))
     deg = e0.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
     e = e0.join(deg, "src").localCheckpoint()
     # checkpoint the node census itself, THEN count it: the former

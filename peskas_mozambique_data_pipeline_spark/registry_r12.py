@@ -95,33 +95,41 @@ def q_kmv_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_returnflag").alias("grp"),
         F.col("l_orderkey").cast(_S).alias("v"),
     )
-    parts: list[DataFrame] = []
-    for tbl, df in (("docs", docs), ("line", line)):
-        sk = kmv_sketch(df, "v", group_cols=["grp"], k=_KMV_K)
-        h = (
-            sk.select(F.col("grp").cast(_S).alias("grp"), F.posexplode("kmv"))
-            .select(
-                F.lit(tbl).alias("tbl"),
-                F.lit("kmv").alias("stat"),
-                "grp",
-                (F.col("pos") + 1).cast(_L).alias("pos"),
-                F.col("col").cast(_L).alias("hv"),
-                F.lit(None).cast(_D).alias("est"),
-            )
+    # ONE sketch job over the union of both tables, keyed (tbl, grp)
+    # (r14, guide §2.4/§2.6): the former per-table loop ran the full
+    # distinct + bottom-k pipeline once per (table × leg) — four
+    # computations, then (after the materialization fix) two SERIAL
+    # checkpoint jobs, each too small to fill the cluster.  The md5
+    # hash depends only on the value, so per-(tbl, grp) bottom-k over
+    # the union is bit-identical to per-table bottom-k per grp; one
+    # checkpoint materializes every sketch row (k-bounded per group),
+    # and both output legs project from it.
+    vals = docs.select(F.lit("docs").alias("tbl"), "grp", "v").unionByName(
+        line.select(F.lit("line").alias("tbl"), "grp", "v")
+    )
+    sk = kmv_sketch(
+        vals, "v", group_cols=["tbl", "grp"], k=_KMV_K
+    ).localCheckpoint()
+    h = (
+        sk.select("tbl", F.col("grp").cast(_S).alias("grp"), F.posexplode("kmv"))
+        .select(
+            "tbl",
+            F.lit("kmv").alias("stat"),
+            "grp",
+            (F.col("pos") + 1).cast(_L).alias("pos"),
+            F.col("col").cast(_L).alias("hv"),
+            F.lit(None).cast(_D).alias("est"),
         )
-        e = kmv_estimate(sk).select(
-            F.lit(tbl).alias("tbl"),
-            F.lit("est").alias("stat"),
-            F.col("grp").cast(_S).alias("grp"),
-            F.lit(None).cast(_L).alias("pos"),
-            F.lit(None).cast(_L).alias("hv"),
-            F.col("kmv_distinct").cast(_D).alias("est"),
-        )
-        parts.extend((h, e))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    )
+    e = kmv_estimate(sk).select(
+        "tbl",
+        F.lit("est").alias("stat"),
+        F.col("grp").cast(_S).alias("grp"),
+        F.lit(None).cast(_L).alias("pos"),
+        F.lit(None).cast(_L).alias("hv"),
+        F.col("kmv_distinct").cast(_D).alias("est"),
+    )
+    return h.unionByName(e)
 
 
 SQL_KMV_AUDIT = f"""
