@@ -718,6 +718,62 @@ def leakage_safe_split(
     return keyed.withColumn("split", expr).drop("_comp", "_split_key")
 
 
+def shuffled_token_cum(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    salt: str = "shuffle",
+    tokens_col: str = "n_tokens",
+    n_parts: int | None = None,
+    out_col: str = "tok_before",
+) -> DataFrame:
+    """Fused :func:`deterministic_shuffle` + :func:`token_cum_before`
+    (r14, guide §1.2 "remove unnecessary passes"): both the dense
+    ``shuffle_pos`` and the exact tokens-before prefix sum come out of
+    ONE range exchange, ONE materialization and ONE bounded collect.
+
+    Run separately, the second stage re-range-partitions the corpus by
+    ``shuffle_pos`` — but ``shuffle_pos`` is by construction the dense
+    rank of the (md5 key, id) order the FIRST stage already ranged and
+    sorted by, so its exchange, checkpoint and per-partition-stats
+    collect are duplicates over the identical total order.  The fused
+    per-partition stats row carries (row count, token total) together;
+    prefix sums of both become the broadcast offsets.  Positions are
+    the same integers as deterministic_shuffle's and the prefix sum is
+    order-determined (partitioning-independent exact BIGINT), so
+    results are bit-identical to the two-stage pipeline
+    (parity-pinned in tests/test_curation.py).
+    """
+    key = F.md5(F.concat_ws("_", F.lit(salt), F.col(id_col).cast("string")))
+    parts = n_parts or df.sparkSession.sparkContext.defaultParallelism
+    ranged = (
+        df.withColumn("_sk", key)
+        .withColumn("_tk", F.col(tokens_col).cast("long"))
+        .repartitionByRange(parts, F.col("_sk"), F.col(id_col))
+        .sortWithinPartitions("_sk", id_col)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    stats = ranged.groupBy("_pid").agg(
+        F.count(F.lit(1)).alias("_c"), F.sum("_tk").alias("_t")
+    )
+    offs, acc_rows, acc_tok = [], 0, 0
+    for pid, c, t in sorted((r["_pid"], r["_c"], r["_t"]) for r in stats.collect()):
+        offs.append((int(pid), int(acc_rows), int(acc_tok)))
+        acc_rows += c
+        acc_tok += t
+    off = df.sparkSession.createDataFrame(offs, "_pid int, _roff long, _toff long")
+    w = Window.partitionBy("_pid").orderBy("_sk", id_col)
+    wv = w.rowsBetween(Window.unboundedPreceding, -1)
+    return (
+        ranged.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_cum_local", F.coalesce(F.sum("_tk").over(wv), F.lit(0)))
+        .join(F.broadcast(off), "_pid")
+        .withColumn("shuffle_pos", F.col("_roff") + F.col("_rn") - 1)
+        .withColumn(out_col, (F.col("_toff") + F.col("_cum_local")).cast("long"))
+        .drop("_sk", "_tk", "_pid", "_rn", "_cum_local", "_roff", "_toff")
+    )
+
+
 def token_cum_before(
     df: DataFrame,
     order_col: str = "shuffle_pos",

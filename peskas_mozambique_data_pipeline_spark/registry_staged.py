@@ -219,16 +219,20 @@ def q_train_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").select(
         "doc_id", token_count("text").cast("long").alias("n_tok")
     )
-    ordered = cur_ops.deterministic_shuffle(docs, "doc_id", salt=_SHARD_SALT)
-    out = cur_ops.token_shard_ids(
-        ordered, order_col="shuffle_pos", tokens_col="n_tok",
-        shard_tokens=_SHARD_TOKENS,
+    # fused shuffle + prefix sum (r14): one range exchange, one
+    # checkpoint and one bounded collect produce both shuffle_pos and
+    # tok_before — bit-identical to the former deterministic_shuffle →
+    # token_shard_ids two-stage pipeline (parity pytest in
+    # tests/test_curation.py); the shard id is the same exact BIGINT
+    # division token_shard_ids applied
+    cum = cur_ops.shuffled_token_cum(
+        docs, "doc_id", salt=_SHARD_SALT, tokens_col="n_tok"
     )
-    return out.select(
+    return cum.select(
         "doc_id",
         F.col("shuffle_pos").cast("long").alias("shuffle_pos"),
         "n_tok",
-        F.col("shard_id").cast("long").alias("shard_id"),
+        F.expr(f"tok_before div {int(_SHARD_TOKENS)}").cast("long").alias("shard_id"),
     )
 
 

@@ -97,10 +97,25 @@ def q_seq_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").select(
         "doc_id", token_count("text").cast("long").alias("n_tok")
     )
-    ordered = cur_ops.deterministic_shuffle(docs, "doc_id", salt=_SEQ_SALT)
-    out = cur_ops.concat_split_layout(
-        ordered, order_col="shuffle_pos", tokens_col="n_tok",
-        seq_len=_SEQ_LEN,
+    # fused shuffle + prefix sum (r14): one range exchange / checkpoint
+    # / bounded collect instead of two — the placement arithmetic below
+    # is exactly concat_split_layout's, on the identical tok_before
+    # integers (parity pytest in tests/test_curation.py)
+    cum = cur_ops.shuffled_token_cum(
+        docs, "doc_id", salt=_SEQ_SALT, tokens_col="n_tok"
+    )
+    L = int(_SEQ_LEN)
+    tok = F.col("n_tok").cast("long")
+    out = (
+        cum.withColumn("seq_id", F.expr(f"tok_before div {L}"))
+        .withColumn("seq_offset", F.pmod(F.col("tok_before"), F.lit(L)).cast("long"))
+        .withColumn(
+            "end_seq",
+            F.when(tok > 0, F.expr(f"(tok_before + n_tok - 1) div {L}"))
+            .otherwise(F.col("seq_id"))
+            .cast("long"),
+        )
+        .withColumn("n_seqs", (F.col("end_seq") - F.col("seq_id") + 1).cast("long"))
     )
     return out.select(
         "doc_id",

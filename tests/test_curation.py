@@ -330,6 +330,40 @@ def test_token_shard_ids_equals_global_window(spark):
     assert len(got) == 200
 
 
+def test_shuffled_token_cum_equals_two_stage_pipeline(spark):
+    """The fused shuffle+prefix-sum operator (r14) must reproduce the
+    deterministic_shuffle -> token_cum_before two-stage pipeline
+    bit-for-bit: same shuffle_pos, same tok_before, for a lumpy frame
+    forced through a different partition count in each stage."""
+    import random
+
+    from peskas_mozambique_data_pipeline_spark.operators.curation import (
+        deterministic_shuffle,
+        shuffled_token_cum,
+        token_cum_before,
+    )
+
+    rng = random.Random(41)
+    data = [(i, rng.randint(0, 400)) for i in range(300)]
+    df = spark.createDataFrame(data, "doc_id long, n_tok long").repartition(4)
+
+    ordered = deterministic_shuffle(df, "doc_id", salt="fuse_t", n_parts=7)
+    two = {
+        r["doc_id"]: (r["shuffle_pos"], r["tok_before"])
+        for r in token_cum_before(
+            ordered, "shuffle_pos", "n_tok", n_parts=5
+        ).collect()
+    }
+    fused = {
+        r["doc_id"]: (r["shuffle_pos"], r["tok_before"])
+        for r in shuffled_token_cum(
+            df, "doc_id", salt="fuse_t", tokens_col="n_tok", n_parts=7
+        ).collect()
+    }
+    assert fused == two
+    assert len(fused) == 300
+
+
 # ---------------------------------------------------------------------------
 # cluster_balanced_sample — diversity sampling with exact apportionment
 
