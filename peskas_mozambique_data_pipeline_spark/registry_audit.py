@@ -388,9 +388,15 @@ def q_aug_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import augment as aug_ops
     from .registry_staged import _FIM_RATE, _FIM_SALT, _SPAN_LEN, _SPAN_N, _SPAN_SALT
 
+    # round-robin spread BEFORE the checkpoint (r14, the audio_fp/
+    # main_content placement rule): a one-file corpus checkpoints as a
+    # single partition, so both legs' per-row token-slice work ran in
+    # ONE task each; spread blocks let fim + span run across every
+    # core.  Measured ckpt 1.26s -> spread_ckpt 0.84s warm total.
     docs = (
         read_table(spark, sf_dir, "documents")
         .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
         .localCheckpoint()
     )
     fim = aug_ops.fim_transform(

@@ -1061,7 +1061,16 @@ def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tok = _doc_tokens(spark, sf_dir).localCheckpoint()
+    # spread the DOCS before the exploding checkpoint (r14): the
+    # explode and both sketch consumers otherwise ride the single
+    # partition a one-file corpus scan produces (the aug_audit finding)
+    tok = (
+        _docs(spark, sf_dir)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("source", F.explode(_tokens("text")).alias("token"))
+        .filter(F.col("token") != "")
+        .localCheckpoint()
+    )
     regs = sk_ops.hll_registers(tok, "token", group_cols=["source"])
     est = sk_ops.hll_estimate(regs, group_cols=["source"])
     exact = tok.groupBy("source").agg(

@@ -1261,8 +1261,15 @@ def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one corpus materialization feeds both operators — without it each
     # operator's tokenize re-scans the parquet (the bigram_logloss
-    # materialization rule, NOTES r4)
-    docs = _docs(spark, sf_dir).select("doc_id", "text").localCheckpoint()
+    # materialization rule, NOTES r4).  Round-robin spread BEFORE the
+    # checkpoint (r14): a one-file corpus checkpoints as one partition,
+    # so both consumers' tokenize-heavy projections ran in ONE task
+    docs = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint()
+    )
     pmi = text_ops.bigram_pmi(docs, min_count=5).select(
         F.lit("pmi").alias("stat"),
         F.col("w1").alias("key1"),
@@ -1470,7 +1477,15 @@ FROM documents d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
 
 
 def q_dup_span_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir).select("doc_id", "text").localCheckpoint()
+    # spread before the checkpoint (r14): the scrub leg's per-row regex
+    # work otherwise runs in the single partition a one-file corpus
+    # checkpoints as (the aug_audit finding)
+    docs = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint()
+    )
     spans = dedup_ops.duplicated_ngram_spans(docs, n=_SPAN_N).localCheckpoint()
     span_rows = spans.select(
         F.lit("span").alias("stat"),
