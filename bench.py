@@ -10,11 +10,26 @@ number measures the Spark plan, not pandas conversion.
 
 Each query runs ``$SPARK_GRAFT_BENCH_RUNS`` times (default 3) and
 reports the per-query p50, so round-over-round deltas are signal, not
-JIT/IO noise; ``queries_min`` carries the best run for reference.
+JIT/IO noise; ``queries_min`` carries the best run for reference — in
+the SIDECAR artifacts only (bench_last_run.json + the dated record):
+the r13 stdout line with 100 queries + 100 queries_min entries outgrew
+the driver's bounded stdout tail and cost r14 its entire round-over-
+round PERF comparison (VERDICT r14 "What's wrong" #2), so the stdout
+line now carries ``queries`` only.
+
+Host-load gating (VERDICT r14 "What's wrong" #3): the r14 driver bench
+ran on a loaded host and nothing noticed, manufacturing 8 phantom
+regressions.  The code-independent canaries are now a GATE, not just a
+telemetry field: the suite re-runs up to $SPARK_GRAFT_BENCH_RETRIES
+(default 1) extra times when the post-suite canary sits above
+tolerance vs the best canary recorded in .benchmarks/ history, and the
+printed record carries ``load_suspect`` either way so a contaminated
+run can never masquerade as clean.
 """
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import sys
@@ -24,6 +39,81 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from peskas_mozambique_data_pipeline_spark import registry
 from peskas_mozambique_data_pipeline_spark.session import get_spark
+
+# a run counts as load-suspect when its canary exceeds the best canary
+# ever recorded on this checkout by this factor (the r14 loaded run was
+# 1.75× the clean-run canary; a quiet host repeats within ~1.2×)
+_CANARY_TOL = 1.5
+
+
+def _canary_once(spark) -> float:
+    from pyspark.sql import functions as F
+
+    t0 = time.perf_counter()
+    spark.range(30_000_000).select(
+        F.sum(F.xxhash64("id") % 997).alias("s")
+    ).collect()
+    return time.perf_counter() - t0
+
+
+def _canary_mc_once(spark) -> float:
+    # multicore canary (VERDICT r12 Next #5): forces a real shuffle
+    # across every core, so its ratio tracks multicore tenant load the
+    # single-thread canary can't see
+    from pyspark.sql import functions as F
+
+    t0 = time.perf_counter()
+    (
+        spark.range(12_000_000)
+        .withColumn("k", F.xxhash64("id") % 256)
+        .repartition(64, "k")
+        .groupBy("k")
+        .agg(F.sum(F.xxhash64("id", "k") % 997).alias("s"))
+        .select(F.sum("s"))
+        .collect()
+    )
+    return time.perf_counter() - t0
+
+
+def _best_recorded_canary(runs_dir: str) -> float | None:
+    """Fastest canary_sec in the committed .benchmarks history — the
+    code-independent reference for 'what a quiet run of this host class
+    looks like'.  None when no history carries a canary."""
+    best = None
+    for path in glob.glob(os.path.join(runs_dir, "bench_run_*.json")):
+        try:
+            with open(path) as f:
+                c = json.load(f).get("canary_sec")
+        except Exception:
+            continue
+        if isinstance(c, (int, float)) and c > 0:
+            best = c if best is None else min(best, c)
+    return best
+
+
+def _run_suite(spark, sf_dir: str, n_runs: int):
+    """One full timed pass over the registry: p50 + min per query.
+    The timed region (query build incl. eager checkpoints + noop-sink
+    full execution) is unchanged from every prior round."""
+    import gc
+
+    timings: dict[str, float] = {}
+    best: dict[str, float] = {}
+    for name, fn in registry.SPARK_QUERIES.items():
+        runs = []
+        for _ in range(n_runs):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        # release driver references so the ContextCleaner can drop
+        # localCheckpoint blocks between queries — without this the
+        # checkpoint-backed queries' blocks accumulate across the suite
+        # and inflate later queries' times
+        gc.collect()
+        runs.sort()
+        timings[name] = round(runs[len(runs) // 2], 3)  # p50
+        best[name] = round(runs[0], 3)
+    return timings, best
 
 
 def main() -> None:
@@ -36,7 +126,6 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    timings: dict[str, float] = {}
     # warm the JVM + parquet footers once so per-query numbers measure
     # the plans, not first-touch costs
     for t in ("region", "nation", "customer", "supplier", "part", "orders",
@@ -47,64 +136,38 @@ def main() -> None:
             pass
 
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    n_retries = max(0, int(os.environ.get("SPARK_GRAFT_BENCH_RETRIES", "1")))
 
-    # Host-speed canary (VERDICT r9 Next #5): a fixed, code-independent
-    # workload — hash+mod aggregation over a constant range — timed
-    # before the suite.  Round-over-round query deltas divide by the
-    # canary ratio to normalize away host drift without re-measurement;
-    # the workload never touches repo code, so it cannot absorb a
-    # regression.  min-of-3 (the min is the honest host-speed stat).
-    def _canary_once() -> float:
-        from pyspark.sql import functions as F
+    here = os.path.dirname(os.path.abspath(__file__))
+    runs_dir = os.path.join(here, ".benchmarks")
+    best_hist = _best_recorded_canary(runs_dir)
 
-        t0 = time.perf_counter()
-        spark.range(30_000_000).select(
-            F.sum(F.xxhash64("id") % 997).alias("s")
-        ).collect()
-        return time.perf_counter() - t0
-
-    canary = round(min(_canary_once() for _ in range(3)), 3)
-
-    # Multicore canary (VERDICT r12 Next #5): the single-thread canary
-    # under-captures 32-core tenant load — exactly what produced r12's
-    # phantom 2× driver "regressions" on the most parallel queries.
-    # This one forces a real shuffle across every core (range →
-    # repartition on a hash key → per-partition aggregate), so its
-    # ratio tracks multicore contention; compare rounds on BOTH ratios.
-    def _canary_mc_once() -> float:
-        from pyspark.sql import functions as F
-
-        t0 = time.perf_counter()
-        (
-            spark.range(12_000_000)
-            .withColumn("k", F.xxhash64("id") % 256)
-            .repartition(64, "k")
-            .groupBy("k")
-            .agg(F.sum(F.xxhash64("id", "k") % 997).alias("s"))
-            .select(F.sum("s"))
-            .collect()
+    # canary-gated suite loop: take the attempt whose post-suite canary
+    # is within tolerance of the best recorded; if none qualifies, keep
+    # the attempt with the best canary and label it load-suspect
+    attempts = []
+    for attempt in range(1 + n_retries):
+        canary = round(min(_canary_once(spark) for _ in range(3)), 3)
+        timings, best = _run_suite(spark, sf_dir, n_runs)
+        # re-measure AFTER the suite too: load arriving mid-run is the
+        # failure mode the pre-suite canary can't see
+        canary_post = round(min(_canary_once(spark) for _ in range(3)), 3)
+        canary_mc = round(min(_canary_mc_once(spark) for _ in range(3)), 3)
+        worst = max(canary, canary_post)
+        ref = best_hist if best_hist is not None else worst
+        suspect = worst > _CANARY_TOL * ref
+        attempts.append((worst, suspect, canary, canary_post, canary_mc,
+                         timings, best))
+        if not suspect:
+            break
+        print(
+            f"bench: attempt {attempt + 1} load-suspect "
+            f"(canary {worst} vs best recorded {ref}); "
+            + ("retrying" if attempt < n_retries else "out of retries"),
+            file=sys.stderr,
         )
-        return time.perf_counter() - t0
-
-    canary_mc = round(min(_canary_mc_once() for _ in range(3)), 3)
-
-    best: dict[str, float] = {}
-    for name, fn in registry.SPARK_QUERIES.items():
-        runs = []
-        for _ in range(n_runs):
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            runs.append(time.perf_counter() - t0)
-        # release driver references so the ContextCleaner can drop
-        # localCheckpoint blocks between queries — without this the
-        # checkpoint-backed queries' blocks accumulate across the suite
-        # and inflate later queries' times
-        import gc
-
-        gc.collect()
-        runs.sort()
-        timings[name] = round(runs[len(runs) // 2], 3)  # p50
-        best[name] = round(runs[0], 3)
+    attempts.sort(key=lambda a: a[0])
+    _, suspect, canary, canary_post, canary_mc, timings, best = attempts[0]
 
     total = round(sum(timings.values()), 3)
     line = {
@@ -112,41 +175,40 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
-        # per-query min rides along in the compact line too: on a noisy
-        # box the p50 of 3 runs can sit 2×+ above the min (r4 lesson),
-        # and a min-vs-min comparison is the honest cross-round signal
-        "queries_min": best,
         "value_min": round(sum(best.values()), 3),
         "runs_per_query": n_runs,
         "stat": "p50",
-        # fixed-workload host-speed reference (seconds; lower = faster
-        # host).  Compare rounds as (query_sec / canary_sec) ratios.
+        # fixed-workload host-speed references (seconds; lower = faster
+        # host).  Compare rounds as (query_sec / canary_sec) ratios;
+        # canary_post_sec is the same workload re-measured after the
+        # suite so mid-run load shows up too.
         "canary_sec": canary,
-        # fixed shuffle workload across all cores — rises under tenant
-        # load the single-thread canary can't see; normalize the most
-        # parallel queries (dedup/cluster/ANN) against THIS ratio.
+        "canary_post_sec": canary_post,
         "canary_mc_sec": canary_mc,
+        # true when even the best attempt's canary sat above tolerance
+        # vs the best .benchmarks-recorded canary — treat per-query
+        # numbers from such a run as upper bounds, not measurements
+        "load_suspect": suspect,
         "sf": sf,
     }
     # the driver captures a bounded stdout tail — keep the stdout line
-    # COMPACT (no spaces) so it always parses whole; the indented
-    # artifact goes to sidecar files.  Every run writes a DATED record
+    # COMPACT (queries only, no queries_min: the r13 line with both
+    # maps outgrew the tail and broke PERF_r14's comparison) so it
+    # always parses whole; the full artifact incl. per-query minima
+    # goes to the sidecar files.  Every run writes a DATED record
     # (bench_run_<utc-timestamp>.json) so successive runs never
-    # overwrite each other's per-query numbers (a session-3 record was
-    # lost to in-place overwriting in r10); bench_last_run.json stays
-    # as the stable-name copy the tooling reads.
-    here = os.path.dirname(os.path.abspath(__file__))
+    # overwrite each other's numbers; bench_last_run.json stays as the
+    # stable-name copy the tooling reads.
+    artifact = dict(line)
+    artifact["queries_min"] = best
     stamp = time.strftime("%Y%m%dT%H%M%SZ", time.gmtime())
-    runs_dir = os.path.join(here, ".benchmarks")
     os.makedirs(runs_dir, exist_ok=True)
-    # dated records live under .benchmarks/ (VERDICT r13 Next #8 —
-    # the repo root holds only contract files + the stable-name copy)
     for path in (
         os.path.join(runs_dir, f"bench_run_{stamp}.json"),
         os.path.join(here, "bench_last_run.json"),
     ):
         with open(path, "w") as f:
-            json.dump(line, f, indent=2)
+            json.dump(artifact, f, indent=2)
     spark.stop()
     print(json.dumps(line, separators=(",", ":")))
 

@@ -47,10 +47,15 @@ def robust_bounds(
     Groups whose MAD is 0 or whose values are all NULL/≤0 yield NULL
     bounds (the reference skips those groups).
 
-    Physical plan: two hash aggregations over the same grouping plus one
-    broadcast join of the (tiny) per-group medians — the fact table
-    shuffles once per aggregation on ``group_cols`` and AQE reuses the
-    exchange.  No applyInPandas, no per-group Python.
+    Physical plan (r15, guide §2.4): the projected fact is explicitly
+    hash-partitioned on ``group_cols`` ONCE; both percentile
+    aggregations (median, then MAD) and the broadcast join-back all
+    land on that single exchange — the former shape re-derived the
+    scan+join+log projection per aggregation (two full fact scans) and
+    exchanged it twice.  ReuseExchange dedupes the repartition subtree
+    across the median branch and the deviation branch, so the fact is
+    scanned once and shuffled once.  No applyInPandas, no per-group
+    Python.
 
     Returns one row per group: ``group_cols + [lower_bound, upper_bound]``.
     """
@@ -58,7 +63,11 @@ def robust_bounds(
     v = F.col(value_col)
     x = F.when(v > 0, F.log(v)) if log_transform else v
 
-    scaled = df.select(*gcols, x.alias("_x")).filter(F.col("_x").isNotNull())
+    scaled = (
+        df.select(*gcols, x.alias("_x"))
+        .filter(F.col("_x").isNotNull())
+        .repartition(*[F.col(g) for g in gcols])
+    )
 
     med = scaled.groupBy(*gcols).agg(F.percentile(F.col("_x"), F.lit(0.5)).alias("_med"))
     dev = scaled.join(F.broadcast(med), gcols)

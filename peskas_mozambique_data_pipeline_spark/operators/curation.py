@@ -753,8 +753,12 @@ def shuffled_token_cum(
         .withColumn("_pid", F.spark_partition_id())
         .localCheckpoint()
     )
+    # coalesce: SUM over an all-NULL partition is NULL, and the driver
+    # accumulation below would TypeError on it — mirror the window
+    # side's NULL-to-0 coalescing (ADVICE r14)
     stats = ranged.groupBy("_pid").agg(
-        F.count(F.lit(1)).alias("_c"), F.sum("_tk").alias("_t")
+        F.count(F.lit(1)).alias("_c"),
+        F.coalesce(F.sum("_tk"), F.lit(0)).alias("_t"),
     )
     offs, acc_rows, acc_tok = [], 0, 0
     for pid, c, t in sorted((r["_pid"], r["_c"], r["_t"]) for r in stats.collect()):
@@ -809,7 +813,11 @@ def token_cum_before(
         ranged = ranged_plan.persist(StorageLevel.MEMORY_AND_DISK)
     else:
         ranged = ranged_plan.localCheckpoint()
-    totals = ranged.groupBy("_pid").agg(F.sum("_tk").alias("_t"))
+    # NULL-to-0 like the window side: an all-NULL partition must not
+    # TypeError the driver accumulation (ADVICE r14)
+    totals = ranged.groupBy("_pid").agg(
+        F.coalesce(F.sum("_tk"), F.lit(0)).alias("_t")
+    )
     acc = 0
     offsets = []
     for pid, t in sorted((r["_pid"], r["_t"]) for r in totals.collect()):
@@ -1022,14 +1030,21 @@ def cluster_balanced_sample(
 
     # quality rides THROUGH the assignment (carry_cols) instead of a
     # corpus re-join by id: one scan + zero extra shuffle for data the
-    # assignment window already held (scan_audit r12)
+    # assignment window already held (scan_audit r12).
+    # Materialized (r15, guide §2.4): the assignment feeds BOTH corpus
+    # passes (the count pass and the select pass), and un-checkpointed
+    # the crossJoin+cosine+top-1 window re-derived per pass — two full
+    # assignment computations for one sampler.  The checkpointed frame
+    # is only (id, centroid_id, quality) — embedding dropped — so the
+    # materialization is corpus-rows × 3 narrow columns.  Measured at
+    # sf0.1: 1.38 → 1.10 s min, identical rows.
     scored = assign_to_centroids(
         docs.select(id_col, vec_col, quality_col),
         centroids,
         corpus_id=id_col,
         vec_col=vec_col,
         carry_cols=[quality_col],
-    ).select(id_col, "centroid_id", quality_col)
+    ).select(id_col, "centroid_id", quality_col).localCheckpoint()
 
     # the C-row counts frame fans out to four consumers (tot, quota,
     # qsum, alloc) — without a cut Catalyst re-derives the full

@@ -35,25 +35,44 @@ def shingles(col: str | Column, k: int = 5) -> Column:
     return F.when(n >= k, make).otherwise(F.array().cast("array<string>"))
 
 
+def exact_digest(
+    text_col: str | Column = "text",
+    normalize: bool = True,
+    prefix_tokens: int | None = None,
+) -> Column:
+    """The per-document digest expression of :func:`exact_dup_groups`,
+    factored out so fused audit rows can compute it in a shared scan
+    pass without duplicating the normalization chain."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    if normalize:
+        c = F.lower(F.trim(c))
+    if prefix_tokens is not None:
+        c = F.array_join(
+            F.slice(F.split(F.trim(c), TOKEN_SPLIT_RE), 1, prefix_tokens), " "
+        )
+    return F.md5(c)
+
+
 def exact_dup_groups(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     normalize: bool = True,
     prefix_tokens: int | None = None,
+    digest_col: str | None = None,
 ) -> DataFrame:
     """Exact (or prefix-fingerprint) duplicate grouping via hash-groupBy.
 
     ``prefix_tokens`` hashes only the first N tokens — catches documents
     that share a long common prefix (truncation dups).  Returns
     (digest, group_size, member doc ids) for groups of size > 1.
+    ``digest_col`` (r15): use an already-computed digest column of
+    ``df`` (from :func:`exact_digest`) instead of deriving one.
     """
-    c = F.col(text_col)
-    if normalize:
-        c = F.lower(F.trim(c))
-    if prefix_tokens is not None:
-        c = F.array_join(F.slice(F.split(F.trim(c), TOKEN_SPLIT_RE), 1, prefix_tokens), " ")
-    digest = F.md5(c)
+    if digest_col is not None:
+        digest = F.col(digest_col)
+    else:
+        digest = exact_digest(text_col, normalize, prefix_tokens)
     return (
         df.select(F.col(id_col), digest.alias("digest"))
         .groupBy("digest")
@@ -156,19 +175,39 @@ def shingle_hash_frame(
     toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_t")).repartition(
         df.sparkSession.sparkContext.defaultParallelism
     )
-    t = F.col("_t")
+    out = toks.select(
+        F.col(id_col), shingle_h32(F.col("_t"), shingle_k).alias("_h32")
+    )
+    if materialize:
+        out = out.localCheckpoint()
+    if drop_short:
+        out = out.filter(F.size("_h32") > 0)
+    return out
+
+
+def shingle_h32(t: Column, shingle_k: int = 5) -> Column:
+    """The distinct 32-bit shingle-hash SET expression over a token
+    ARRAY column — the shared per-row core of :func:`shingle_hash_frame`
+    (see its docstring for the attribute-not-expression placement rule:
+    ``t`` must be a materialized attribute or CollapseProject re-inlines
+    the tokenizer once per shingle)."""
     n = F.size(t)
     make = F.transform(
         F.sequence(F.lit(1), n - (shingle_k - 1)),
         lambda i: F.array_join(F.slice(t, i, shingle_k), " "),
     )
     sh = F.when(n >= shingle_k, make).otherwise(F.array().cast("array<string>"))
-    out = toks.select(F.col(id_col), F.array_distinct(F.transform(sh, _h32)).alias("_h32"))
-    if materialize:
-        out = out.localCheckpoint()
-    if drop_short:
-        out = out.filter(F.size("_h32") > 0)
-    return out
+    return F.array_distinct(F.transform(sh, _h32))
+
+
+def token_hashes32(t: Column) -> Column:
+    """Distinct-token 32-bit md5-prefix hashes from a token ARRAY
+    column — the SimHash input (shared by :func:`simhash_near_pairs`
+    and the fused audit rows)."""
+    return F.transform(
+        F.array_distinct(t),
+        lambda x: F.conv(F.substring(F.md5(x), 1, 8), 16, 10).cast("bigint"),
+    )
 
 
 def minhash_signatures_from_hashes(
@@ -386,22 +425,29 @@ def simhash_near_pairs(
     # run ABOVE it across every core (same placement rationale and
     # measurement as shingle_hash_frame)
     toks = df.select(
-        F.col(id_col), F.array_distinct(tokens(F.col(text_col))).alias("_t")
+        F.col(id_col), tokens(F.col(text_col)).alias("_t")
     ).repartition(df.sparkSession.sparkContext.defaultParallelism)
-    hashed = toks.select(
+    sigs = toks.select(
         F.col(id_col),
-        F.transform(
-            F.col("_t"),
-            lambda x: F.conv(F.substring(F.md5(x), 1, 8), 16, 10).cast("bigint"),
-        ).alias("_h"),
+        simhash32_from_hashes(token_hashes32(F.col("_t"))).alias("sig"),
     )
-    sigs = hashed.select(F.col(id_col), simhash32_from_hashes(F.col("_h")).alias("sig"))
     # hard materialization, not just a repartition barrier: the banded
     # frame below feeds BOTH sides of the self-join, and neither the
     # static planner nor AQE reuses the exchange across self-join
     # branches (same finding as shingle_hash_frame) — without the
     # checkpoint the tokenize+md5+32-fold signature runs twice
     sigs = sigs.localCheckpoint()
+    return simhash_pairs_from_sigs(sigs, id_col=id_col, max_hamming=max_hamming)
+
+
+def simhash_pairs_from_sigs(
+    sigs: DataFrame, id_col: str = "doc_id", max_hamming: int = 8
+) -> DataFrame:
+    """Banded candidate generation + exact Hamming verify from a
+    MATERIALIZED (id, sig) frame — the post-signature half of
+    :func:`simhash_near_pairs`, factored out so fused audit rows can
+    feed it from a shared checkpoint.  ``sigs`` must be materialized
+    (it feeds both sides of the self-join)."""
     banded = sigs.select(
         F.col(id_col),
         F.col("sig"),

@@ -51,28 +51,33 @@ def _norm(a: Column) -> Column:
 _UNROLL_DIM = 64
 
 
-_DOT_UNROLL_COL: dict = {}
+_DOT_UNROLL_SQL: dict = {}
 
 
 def _dot_unrolled(a: str | Column, b: str | Column) -> Column:
     """When given column NAMES, the flat 64-term chain is emitted as
-    ONE ``expr()`` parse (cached per name pair): the per-term py4j
-    construction (~6 gateway round-trips × 64 terms) measured as real
-    driver time in every pair-scoring query build (the ann_lsh
-    finding, r14).  ``0.0D + CAST(element_at(a,1) AS DOUBLE) * …``
-    parses to the identical left-associated Add/Multiply/Cast tree the
-    Column form built, so plans and results are bit-identical."""
+    ONE ``expr()`` parse: the per-term py4j construction (~6 gateway
+    round-trips × 64 terms) measured as real driver time in every
+    pair-scoring query build (the ann_lsh finding, r14).
+    ``0.0D + CAST(element_at(a,1) AS DOUBLE) * …`` parses to the
+    identical left-associated Add/Multiply/Cast tree the Column form
+    built, so plans and results are bit-identical.  Only the SQL
+    STRING is cached (per name pair); ``F.expr`` runs per use — one
+    round-trip — so no py4j-backed handle outlives its gateway
+    (ADVICE r14: a module-level Column cache served stale handles
+    across a JVM restart)."""
     if isinstance(a, str) and isinstance(b, str):
         key = (a, b)
-        acc = _DOT_UNROLL_COL.get(key)
-        if acc is None:
+        sql = _DOT_UNROLL_SQL.get(key)
+        if sql is None:
             terms = " + ".join(
                 f"CAST(element_at({a}, {i}) AS DOUBLE)"
                 f" * CAST(element_at({b}, {i}) AS DOUBLE)"
                 for i in range(1, _UNROLL_DIM + 1)
             )
-            acc = F.expr(f"0.0D + {terms}")
-            _DOT_UNROLL_COL[key] = acc
+            sql = f"0.0D + {terms}"
+            _DOT_UNROLL_SQL[key] = sql
+        acc = F.expr(sql)
         a, b = F.col(a), F.col(b)
     else:
         a = F.col(a) if isinstance(a, str) else a
@@ -346,26 +351,27 @@ def _plane_weights(plane_seed: int, dim: int) -> list[float]:
     ]
 
 
-_PLANE_W_COL: dict = {}
+_PLANE_W_SQL: dict = {}
 
 
 def _plane_weight_col(plane_seed: int, dim: int) -> Column:
-    """The weight vector as ONE array literal Column, cached per
+    """The weight vector as ONE array literal, SQL cached per
     (seed, dim).  ``F.lit(list)`` expands to ``dim`` element ``lit``
     calls plus an ``array`` call — ~130 py4j round-trips per plane,
     which cProfile showed was ~3.2 s of the 24-plane ann_lsh build
     (10,506 socket round-trips).  A single ``expr("array(…D, …)")``
     is one round-trip; Python float ``repr`` is shortest-roundtrip and
     Java's ``Double.parseDouble`` is correctly rounded, so the parsed
-    doubles are bit-identical to the ``lit`` path.  Column objects are
-    immutable expression wrappers — safe to reuse across plans."""
+    doubles are bit-identical to the ``lit`` path.  Only the SQL
+    string is cached — ``F.expr`` runs per use so no py4j-backed
+    handle outlives its gateway (ADVICE r14)."""
     key = (plane_seed, dim)
-    col = _PLANE_W_COL.get(key)
-    if col is None:
+    sql = _PLANE_W_SQL.get(key)
+    if sql is None:
         ws = ",".join(f"{w!r}D" for w in _plane_weights(plane_seed, dim))
-        col = F.expr(f"array({ws})")
-        _PLANE_W_COL[key] = col
-    return col
+        sql = f"array({ws})"
+        _PLANE_W_SQL[key] = sql
+    return F.expr(sql)
 
 
 def _plane_sign(vec: Column, plane_seed: int, dim: int) -> Column:

@@ -1292,6 +1292,8 @@ def bigram_pmi(
     df: DataFrame,
     text_col: str = "text",
     min_count: int = 3,
+    bg: DataFrame | None = None,
+    uni: DataFrame | None = None,
 ) -> DataFrame:
     """Adjacent-bigram collocation mining by pointwise mutual
     information (Church & Hanks 1990) — the classic signal for phrase
@@ -1308,15 +1310,24 @@ def bigram_pmi(
     vocab-sized count table (the same "dims always broadcast" rule as
     ``unigram_logloss``, and the same Zipf-skew hazard if left to a
     shuffled join).  Totals ride in via broadcast crossJoin.
+
+    ``bg`` / ``uni`` (r15, guide §2.4): fused audit rows that already
+    hold the exploded-bigram frame and/or the (token, n_tok) unigram
+    count table pass them in so the corpus is exploded once for the
+    whole row; semantics are identical — the defaults derive both from
+    ``df`` exactly as before.
     """
     t = tokens(text_col)
-    n = F.size(t)
-    pairs = F.zip_with(
-        F.slice(t, 1, n - 1),
-        F.slice(t, 2, n - 1),
-        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
-    )
-    bg = df.select(F.explode(pairs).alias("bg")).select("bg.w1", "bg.w2")
+    if bg is None:
+        n = F.size(t)
+        pairs = F.zip_with(
+            F.slice(t, 1, n - 1),
+            F.slice(t, 2, n - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        )
+        bg = df.select(F.explode(pairs).alias("bg")).select("bg.w1", "bg.w2")
+    else:
+        bg = bg.select("w1", "w2")
     # vocab-sized count tables; checkpoint before fan-out — uni feeds
     # its total plus TWO broadcast joins and bg_counts feeds its total
     # plus the scored join, so without the cut each corpus-sized
@@ -1325,12 +1336,13 @@ def bigram_pmi(
     bg_counts = bg.groupBy("w1", "w2").agg(
         F.count(F.lit(1)).alias("n_ab")
     ).localCheckpoint()
-    uni = (
-        df.select(F.explode(t).alias("token"))
-        .groupBy("token")
-        .agg(F.count(F.lit(1)).alias("n_tok"))
-        .localCheckpoint()
-    )
+    if uni is None:
+        uni = (
+            df.select(F.explode(t).alias("token"))
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias("n_tok"))
+        )
+    uni = uni.localCheckpoint()
     tot_uni = uni.agg(F.sum("n_tok").cast("double").alias("_t"))
     tot_bg = bg_counts.agg(F.sum("n_ab").cast("double").alias("_b"))
     scored = (
@@ -1354,6 +1366,7 @@ def tfidf_top_terms(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 3,
+    tf: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document top-k terms by tf·idf — keyword extraction over the
     corpus (idf = ln(N/df), the textbook Salton form; no smoothing so
@@ -1364,9 +1377,13 @@ def tfidf_top_terms(
     broadcast into the scoring join; the per-doc top-k is a window over
     rows already partitioned by the tf groupBy's doc key.  Ties break
     on the term string so ranks are deterministic cross-engine.
+
+    ``tf`` (r15): a precomputed (id, term, tf) frame from a fused audit
+    row; the default derives it from ``df`` exactly as before.
     """
-    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
-    tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    if tf is None:
+        tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+        tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
     n_docs = df.agg(F.count(F.lit(1)).cast("double").alias("_n"))
     scored = tf.join(F.broadcast(dfreq), "term").crossJoin(F.broadcast(n_docs))
@@ -1529,6 +1546,7 @@ def bigram_logloss(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    bg: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document cross-entropy under the corpus's own BIGRAM model
     — the conditional upgrade of :func:`unigram_logloss` (CCNet scores
@@ -1542,21 +1560,26 @@ def bigram_logloss(
     the composite (w1, w2) key — which is also far less Zipf-skewed
     than a single-token key; the left-count table IS vocab-bounded and
     broadcasts into the model build.  ln rounds to 6 (playbook rule).
+
+    ``bg`` (r15): a pre-MATERIALIZED (id, w1, w2) exploded-bigram frame
+    from a fused audit row (must be checkpointed by the caller); the
+    default derives and checkpoints it from ``df`` exactly as before.
     """
-    t = tokens(text_col)
-    n = F.size(t)
-    pairs = F.zip_with(
-        F.slice(t, 1, n - 1),
-        F.slice(t, 2, n - 1),
-        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
-    )
-    # bg feeds THREE consumers (bigram model, left counts, scoring
-    # join) — the materialization rule (NOTES r4): without a hard
-    # checkpoint each branch re-tokenizes and re-explodes the corpus,
-    # three full scans at scale for one logical pass
-    bg = df.select(F.col(id_col), F.explode(pairs).alias("bg")).select(
-        id_col, "bg.w1", "bg.w2"
-    ).localCheckpoint()
+    if bg is None:
+        t = tokens(text_col)
+        n = F.size(t)
+        pairs = F.zip_with(
+            F.slice(t, 1, n - 1),
+            F.slice(t, 2, n - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        )
+        # bg feeds THREE consumers (bigram model, left counts, scoring
+        # join) — the materialization rule (NOTES r4): without a hard
+        # checkpoint each branch re-tokenizes and re-explodes the
+        # corpus, three full scans at scale for one logical pass
+        bg = df.select(F.col(id_col), F.explode(pairs).alias("bg")).select(
+            id_col, "bg.w1", "bg.w2"
+        ).localCheckpoint()
     model = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
     left = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c_a"))
     probs = model.join(F.broadcast(left), "w1").select(
@@ -1945,18 +1968,20 @@ def log2_nano_table(n: int) -> tuple[int, ...]:
     return tuple(round(math.log2(c) * 1e9) for c in range(1, n + 1))
 
 
-_LOG2_LUT_COL: dict = {}
+_LOG2_LUT_SQL: dict = {}
 
 
 def _log2_lut_col(n: int) -> Column:
     """:func:`log2_nano_table` as ONE parsed array<bigint> literal
-    Column, cached per table size (see the rationale at its use)."""
-    col = _LOG2_LUT_COL.get(n)
-    if col is None:
+    Column.  Only the SQL string is cached per table size; ``F.expr``
+    runs per use (one round-trip) so no py4j-backed handle outlives
+    its gateway (ADVICE r14)."""
+    sql = _LOG2_LUT_SQL.get(n)
+    if sql is None:
         vals = ",".join(f"{v}L" for v in log2_nano_table(n))
-        col = F.expr(f"array({vals})")
-        _LOG2_LUT_COL[n] = col
-    return col
+        sql = f"array({vals})"
+        _LOG2_LUT_SQL[n] = sql
+    return F.expr(sql)
 
 
 def char_entropy(

@@ -17,11 +17,25 @@ from ..operators.reshape import unpivot
 from ..operators.windows import percent_of_group, rank_in_group
 
 
+def _with_month(df: DataFrame) -> DataFrame:
+    """Attach ``year_month`` unless the caller already carries it.
+    Reusing an EXISTING column (same expression, computed upstream)
+    lets a producer hash-partition once on (district, year_month) and
+    have every metric branch's groupBy/window land on that exchange —
+    a fresh ``withColumn`` would mint a new attribute the partitioning
+    can't match (r15, guide §2.4)."""
+    if "year_month" in df.columns:
+        return df
+    return df.withColumn(
+        "year_month", F.date_trunc("month", "landing_date").cast("date")
+    )
+
+
 def monthly_site_metrics(trips: DataFrame) -> DataFrame:
     """Per (district, month): effort-weighted medians and totals,
     unpivoted to the long metric shape (R8)."""
     monthly = (
-        trips.withColumn("year_month", F.date_trunc("month", "landing_date").cast("date"))
+        _with_month(trips)
         .groupBy("district", "year_month")
         .agg(
             F.sum("catch_kg").alias("total_catch_kg"),
@@ -42,7 +56,7 @@ def predominant_gear(trips: DataFrame) -> DataFrame:
     """Most frequent gear per (district, month) with deterministic
     tie-break (W3; R/preprocessing-surveys.R:806-811)."""
     counts = (
-        trips.withColumn("year_month", F.date_trunc("month", "landing_date").cast("date"))
+        _with_month(trips)
         .groupBy("district", "year_month", "gear_type")
         .agg(F.count(F.lit(1)).alias("gear_count"))
     )
@@ -58,7 +72,7 @@ def top_species_share(catch: DataFrame, k: int = 2) -> DataFrame:
     """Top-k species by share of site-month catch (W1/W2/W6;
     R/preprocessing-surveys.R:885-896)."""
     per_species = (
-        catch.withColumn("year_month", F.date_trunc("month", "landing_date").cast("date"))
+        _with_month(catch)
         .groupBy("district", "year_month", "catch_taxon")
         .agg(F.sum("catch_kg").alias("species_catch_kg"))
     )

@@ -866,81 +866,14 @@ for _n in _REPLACED_R14:
 # queries with several green driver rounds (still covered by the
 # bit-exact local gate, tools/check_correctness.py) rotate out.
 _VERIFY_FIRST = [
-    # round-14 additions — never driver-verified, head of the window:
-    # the two funding consolidations chosen at r13 close
-    # (bandpairs_audit = minhash_dedup + simhash_pairs; dedupfam_audit
-    # = dedup_exact + dedup_clusters) and the two rows they fund
-    # (main_content_audit, diff_audit) — all promoted with bit-exact
-    # two-SF evidence (tests/test_registry_staged_r14.py).
-    "bandpairs_audit",
-    "dedupfam_audit",
-    "main_content_audit",
-    "diff_audit",
-    # r14 rotation: the 46 remaining r13-tail survivors (driver-green
-    # in r12, judge-gated bit-exact in r13; minhash_dedup/simhash_pairs
-    # and dedup_exact/dedup_clusters retired into the two funding
-    # consolidations above) come back to the head so CORRECTNESS_r14
-    # gives every one a hard driver row.
-    "diversity_sample",
-    "audio_audit",
-    "sketchfam_audit",
-    "video_audit",
-    "weights_audit",
-    "kmv_audit",
-    "quant_audit",
-    "seq_layout",
-    "contam_score",
-    "psl_domains",
-    "card_audit",
-    "lexical_audit",
-    "filter_audit",
-    "activity_audit",
-    "threshold_audit",
-    "url_dedup",
-    "classifier_score",
-    "cross_corpus",
-    "ts_audit",
-    "mixture_budget",
-    "ann_lsh",
-    "site_stats_full",
-    "time_weighted_avg",
-    "mix_quality",
-    "triangle_count",
-    "containment",
-    "weighted_sample",
-    "char_entropy",
-    "assoc_rules",
-    "interval_join",
-    "bpe_merges_fast",
-    "pagerank",
-    "trailing_window",
-    "doc_pack",
-    "embedding_clusters",
-    "pii_scrub",
-    "merge_upsert",
-    "scd2_versions",
-    "conditional_merge",
-    "flag_battery",
-    "fuzzy_dedup",
-    "quantile_coeffs",
-    "lw_model",
-    "last_wins",
-    "json_extract",
-    "token_rollup",
-]
-# Rotation tail.  Sitting out one round keeps the "hard driver row at
-# least every 2 rounds" invariant; the assertion below forces this
-# list to be resized whenever queries are added, so the rotation stays
-# deliberate.  Window arithmetic note: a 50-slot window with a 2-round
-# cadence supports at most 50 rotating-in rows per round — adding N
-# new rows in a round therefore requires N consolidations/drops WITHIN
-# the rotating-in set (not the outgoing head, whose survivors rest in
-# the tail regardless).
-_VERIFY_LAST = [
-    # the 50 r13-head rows (every one driver-green in CORRECTNESS_r13).
-    # Steady state: 100 registered (AT the ceiling), 50 verified per
-    # round, 50 resting, ZERO headroom — every r15+ registration
-    # requires a consolidation from within the rotating-in set.
+    # r15 rotation (VERDICT r14 Next #3): a PURE head/tail swap — the
+    # 50 rows that rested through r14 (driver-green in r13) come back
+    # to the head so CORRECTNESS_r15 gives every one a hard driver
+    # row; the 50 r14-verified rows rest in the tail.  NO composition
+    # change: r15 is an optimization round (registrations are feature
+    # work, and removing a bench row is a regression by contract), so
+    # the staged registry_staged_r15 promotion stays staged for the
+    # next build round.
     "pca_cov",
     "audio_fp",
     "corpus_card",
@@ -991,6 +924,69 @@ _VERIFY_LAST = [
     "uniqueness_check",
     "sessionization",
     "asof_join",
+]
+# Rotation tail.  Sitting out one round keeps the "hard driver row at
+# least every 2 rounds" invariant; the assertion below forces this
+# list to be resized whenever queries are added, so the rotation stays
+# deliberate.  Window arithmetic note: a 50-slot window with a 2-round
+# cadence supports at most 50 rotating-in rows per round — adding N
+# new rows in a round therefore requires N consolidations/drops WITHIN
+# the rotating-in set (not the outgoing head, whose survivors rest in
+# the tail regardless).
+_VERIFY_LAST = [
+    # the 50 r14-head rows — every one driver-green in CORRECTNESS_r14
+    # (50/50 rows+schema+hash).  They rest this round and rotate back
+    # at r16.
+    "bandpairs_audit",
+    "dedupfam_audit",
+    "main_content_audit",
+    "diff_audit",
+    "diversity_sample",
+    "audio_audit",
+    "sketchfam_audit",
+    "video_audit",
+    "weights_audit",
+    "kmv_audit",
+    "quant_audit",
+    "seq_layout",
+    "contam_score",
+    "psl_domains",
+    "card_audit",
+    "lexical_audit",
+    "filter_audit",
+    "activity_audit",
+    "threshold_audit",
+    "url_dedup",
+    "classifier_score",
+    "cross_corpus",
+    "ts_audit",
+    "mixture_budget",
+    "ann_lsh",
+    "site_stats_full",
+    "time_weighted_avg",
+    "mix_quality",
+    "triangle_count",
+    "containment",
+    "weighted_sample",
+    "char_entropy",
+    "assoc_rules",
+    "interval_join",
+    "bpe_merges_fast",
+    "pagerank",
+    "trailing_window",
+    "doc_pack",
+    "embedding_clusters",
+    "pii_scrub",
+    "merge_upsert",
+    "scd2_versions",
+    "conditional_merge",
+    "flag_battery",
+    "fuzzy_dedup",
+    "quantile_coeffs",
+    "lw_model",
+    "last_wins",
+    "json_extract",
+    "token_rollup",
 ]
 # The driver hard-verifies exactly the first 50 entries; the tail list
 # must therefore hold exactly (total − 50) queries or the window

@@ -557,18 +557,36 @@ def _metric_inputs(spark: SparkSession, sf_dir: str, materialize: bool = True):
             "n_name", "l_shipdate", "l_extendedprice", "l_discount",
             "l_returnflag", "c_acctbal", "o_totalprice", "o_orderpriority",
         )
+        # year_month computed ONCE at the trip grain so the frame can
+        # be hash-partitioned on the exact grouping attributes every
+        # metric branch uses (identical expression to the branches'
+        # former local date_trunc — values unchanged)
+        .withColumn(
+            "year_month", F.date_trunc("month", "l_shipdate").cast("date")
+        )
     )
     # three metric branches (site medians, gear mode, species shares)
     # consume this trip-grain frame; materializing the join ONCE
     # replaces three full fact scans + joins (the SCALE.md
     # multi-consumer checkpoint rule — at cluster scale this is the
     # zone-write of the trip grain every downstream plan reads).
+    # Hash-partition on (district, month) BEFORE the checkpoint, with
+    # the partitioning PRESERVED in the checkpointed frame (r15,
+    # session.partitioned_checkpoint): all three branches' groupBys —
+    # (d, ym), (d, ym, gear), (d, ym, taxon): clustering on a SUPERSET
+    # of the partition keys is satisfied by the subset — and every
+    # (d, ym) window run exchange-free on it.  ~2.1k distinct (d, ym)
+    # keys spread fine over any realistic partition count;
+    # scale-adaptive via defaultParallelism.
     # materialize=False exposes the un-checkpointed producer so plan
     # tests can audit the broadcast dim chain inside it.
     if materialize:
-        base = base.localCheckpoint()
+        from .session import partitioned_checkpoint
+
+        base = partitioned_checkpoint(base, "n_name", "year_month")
     trips = base.select(
         F.col("n_name").alias("district"),
+        "year_month",
         F.col("l_shipdate").alias("landing_date"),
         F.round("l_extendedprice").alias("catch_kg"),
         F.col("l_discount").alias("cpue"),
@@ -578,6 +596,7 @@ def _metric_inputs(spark: SparkSession, sf_dir: str, materialize: bool = True):
     )
     catch = base.select(
         F.col("n_name").alias("district"),
+        "year_month",
         F.col("l_shipdate").alias("landing_date"),
         F.col("l_returnflag").alias("catch_taxon"),
         F.round("l_extendedprice").alias("catch_kg"),
@@ -1045,9 +1064,18 @@ from .operators import sketches as sk_ops
 from .operators.text import tokens as _tokens
 
 
-def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _doc_tokens(
+    spark: SparkSession, sf_dir: str, spread: bool = False
+) -> DataFrame:
+    """(source, token) exploded corpus.  ``spread`` round-robins the
+    docs across every core BEFORE the explode (the aug_audit one-file
+    scan finding, r14) — a hook here so callers never re-inline the
+    tokenization chain just to insert the repartition (ADVICE r14)."""
+    docs = _docs(spark, sf_dir)
+    if spread:
+        docs = docs.repartition(spark.sparkContext.defaultParallelism)
     return (
-        _docs(spark, sf_dir)
+        docs
         .select("source", F.explode(_tokens("text")).alias("token"))
         .filter(F.col("token") != "")
     )
@@ -1064,13 +1092,7 @@ def q_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spread the DOCS before the exploding checkpoint (r14): the
     # explode and both sketch consumers otherwise ride the single
     # partition a one-file corpus scan produces (the aug_audit finding)
-    tok = (
-        _docs(spark, sf_dir)
-        .repartition(spark.sparkContext.defaultParallelism)
-        .select("source", F.explode(_tokens("text")).alias("token"))
-        .filter(F.col("token") != "")
-        .localCheckpoint()
-    )
+    tok = _doc_tokens(spark, sf_dir, spread=True).localCheckpoint()
     regs = sk_ops.hll_registers(tok, "token", group_cols=["source"])
     est = sk_ops.hll_estimate(regs, group_cols=["source"])
     exact = tok.groupBy("source").agg(

@@ -375,14 +375,73 @@ SELECT 'graph', src, dst, CAST(n AS BIGINT) FROM g
 
 
 def q_lexstats_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .registry_text import q_bigram_logloss, q_term_stats
+    # r15 fused pipeline (guide §2.4): the legs re-derived overlapping
+    # corpus explosions — term_stats exploded tokens (tfidf) + bigrams
+    # + tokens again (pmi's unigram counts) over its checkpointed docs,
+    # and bigram_logloss re-scanned the parquet and exploded bigrams a
+    # second time.  Now ONE docs checkpoint feeds ONE bigram explode
+    # (shared by pmi's counts and the whole logloss leg via the
+    # operators' r15 ``bg=``/``uni=``/``tf=`` hooks) and ONE token
+    # explode whose (doc, term) tf frame serves tfidf AND derives pmi's
+    # unigram counts (sum of tf over docs == the token count — exact
+    # integers either way).  Operator scoring logic stays in ONE place
+    # (text.py); rows are bit-identical (counts are exact BIGINTs, the
+    # ln inputs are the same integers).  The retired legs still run
+    # verbatim standalone in the local gate.
+    from .operators import text as text_ops
+    from .operators.text import tokens
+    from .registry_text import _docs
 
-    a = q_term_stats(spark, sf_dir).select(
+    docs = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint()
+    )
+    t = tokens("text")
+    n = F.size(t)
+    bg_pairs = F.zip_with(
+        F.slice(t, 1, n - 1),
+        F.slice(t, 2, n - 1),
+        lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+    )
+    # bg feeds pmi's bigram counts AND all three logloss consumers
+    bg = (
+        docs.select(F.col("doc_id"), F.explode(bg_pairs).alias("bg"))
+        .select("doc_id", "bg.w1", "bg.w2")
+        .localCheckpoint()
+    )
+    # tf feeds tfidf's scoring + df counts AND pmi's unigram table
+    tf = (
+        docs.select(F.col("doc_id"), F.explode(t).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint()
+    )
+    uni = tf.groupBy("term").agg(
+        F.sum("tf").alias("n_tok")
+    ).select(F.col("term").alias("token"), "n_tok")
+
+    pmi = text_ops.bigram_pmi(docs, min_count=5, bg=bg, uni=uni).select(
+        F.lit("pmi").alias("stat"),
+        F.col("w1").alias("key1"),
+        F.col("w2").alias("key2"),
+        F.col("n_ab").alias("cnt"),
+        F.col("pmi").alias("score"),
+    )
+    tfidf = text_ops.tfidf_top_terms(docs, k=3, tf=tf).select(
+        F.lit("tfidf").alias("stat"),
+        F.col("doc_id").cast(_S).alias("key1"),
+        F.col("term").alias("key2"),
+        F.col("tf").alias("cnt"),
+        F.col("tfidf").alias("score"),
+    )
+    a = pmi.unionByName(tfidf).select(
         "stat", "key1", "key2",
         F.col("cnt").cast(_L).alias("cnt"),
         F.col("score").cast(_D).alias("score"),
     )
-    b = q_bigram_logloss(spark, sf_dir).select(
+    b = text_ops.bigram_logloss(docs, bg=bg).select(
         F.lit("bigram_ll").alias("stat"),
         F.col("doc_id").cast(_S).alias("key1"),
         _null(_S).alias("key2"),
@@ -532,17 +591,42 @@ SELECT stat, CAST(doc_id AS VARCHAR), k2, k3, p FROM sm
 
 
 def q_ivf_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .registry_curation import q_ann_ivfpq
-    from .registry_text import q_ann_ivf
+    # r15 (guide §2.4): the two legs each called their registered
+    # function, and each function ran sim.build_ivf_index(emb, 8, 2) —
+    # TWO textually-separate copies of the coarse-quantizer Lloyd
+    # subtree in one unioned plan, deduped only as far as ReuseExchange
+    # reaches.  Build the IVF index ONCE and hand the SAME
+    # (assignments, centroids) frames to both legs: identical
+    # operators, identical parameters, bit-identical rows (parity
+    # collect-hashed against the two-build form at sf0.1), one Lloyd
+    # chain in the plan.  NO checkpoint on either frame — measured
+    # slower in every combination (cp assign 4.31 s, cp cents 5.09 s
+    # vs 3.54 s shared / 3.89 s two-build at sf0.1): eager
+    # materialization breaks the ReuseExchange sharing and adds jobs
+    # (the r14 finding, re-confirmed).
+    from .operators import similarity as sim
+    from .registry_curation import _PQ_K, _PQ_M
+    from .session import read_table
 
-    a = q_ann_ivf(spark, sf_dir).select(
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    assignments, centroids = sim.build_ivf_index(emb, n_centroids=8, n_iters=2)
+    a = sim.ivf_topk(queries, assignments, centroids, k=5, n_probe=2).select(
         F.lit("ivf").alias("stat"),
         F.col("query_id").cast(_L).alias("query_id"),
         F.col("neighbor_id").cast(_L).alias("neighbor_id"),
         F.col("rank").cast("int").alias("rank"),
         F.col("cosine_sim").cast(_D).alias("v"),
     )
-    b = q_ann_ivfpq(spark, sf_dir).select(
+    pq_codes, pq_books = sim.build_pq_index(
+        emb, m=_PQ_M, k=_PQ_K, n_iters=2, dim=64
+    )
+    b = sim.ivfpq_topk(
+        queries, assignments, centroids, pq_codes, pq_books,
+        k_nn=5, n_probe=2, m=_PQ_M, k=_PQ_K, dim=64,
+    ).select(
         F.lit("ivfpq").alias("stat"),
         F.col("query_id").cast(_L).alias("query_id"),
         F.col("neighbor_id").cast(_L).alias("neighbor_id"),

@@ -220,16 +220,49 @@ FROM documents WHERE doc_id < 25
 
 
 def q_bandpairs_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .registry_text import SPARK_QUERIES as _text
+    # r15 fused pipeline (guide §2.4): the two legs each tokenized the
+    # corpus and each paid their own checkpoint (minhash_dedup's
+    # shingle frame + simhash_pairs' signature frame — 2 scans, 2
+    # materialization jobs).  ONE tokenize pass now feeds ONE combo
+    # checkpoint carrying BOTH per-doc values (the minhash shingle-hash
+    # set and the simhash signature); the minhash candidate/verify
+    # branches and the simhash band self-join all read projections of
+    # that single materialization.  Expressions are the operators'
+    # own (dedup.shingle_h32 / token_hashes32 / simhash32_from_hashes /
+    # minhash_candidates_from_hashes / jaccard_verify_hashed /
+    # simhash_pairs_from_sigs), so rows are bit-identical to the
+    # two-leg form (parity collect-hashed at sf0.1; measured 2.36 →
+    # 1.82 s min).  The retired legs still run verbatim standalone in
+    # the local gate.
+    from .operators import dedup as dedup_ops
+    from .operators.text import tokens
+    from .session import read_table
 
-    a = _text["minhash_dedup"](spark, sf_dir).select(
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("_t")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    combo = toks.select(
+        F.col("doc_id"),
+        dedup_ops.shingle_h32(F.col("_t"), 5).alias("_h32"),
+        dedup_ops.simhash32_from_hashes(
+            dedup_ops.token_hashes32(F.col("_t"))
+        ).alias("sig"),
+    ).localCheckpoint()
+    hashed = combo.select("doc_id", "_h32").filter(F.size("_h32") > 0)
+    pairs = dedup_ops.minhash_candidates_from_hashes(hashed, n_hashes=8, bands=4)
+    verified = dedup_ops.jaccard_verify_hashed(hashed, pairs)
+    a = verified.select(
         F.lit("jaccard").alias("stat"),
         F.col("id_a").cast(_L).alias("id_a"),
         F.col("id_b").cast(_L).alias("id_b"),
         F.lit(None).cast(_L).alias("n"),
         F.col("jaccard").cast("double").alias("v"),
     )
-    b = _text["simhash_pairs"](spark, sf_dir).select(
+    sp = dedup_ops.simhash_pairs_from_sigs(
+        combo.select("doc_id", "sig"), max_hamming=8
+    )
+    b = sp.select(
         F.lit("hamming").alias("stat"),
         F.col("id_a").cast(_L).alias("id_a"),
         F.col("id_b").cast(_L).alias("id_b"),
@@ -257,15 +290,57 @@ FROM b
 
 
 def q_dedupfam_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .registry_text import SPARK_QUERIES as _text
+    # r15 fused pipeline (guide §2.4, the bandpairs_audit pattern): the
+    # exact leg re-scanned the corpus just to md5 an 8-token prefix
+    # while the clusters leg built its own shingle checkpoint.  ONE
+    # scan now computes the exact digest (cheap, one md5 per row —
+    # runs below the spread exchange with the tokenize) AND the
+    # shingle-hash set; one combo checkpoint feeds the exact groupBy
+    # and the whole minhash+CC chain.  Expressions are the operators'
+    # own (dedup.exact_digest / shingle_h32 / exact_dup_groups via
+    # digest_col) — rows bit-identical to the two-leg form; the
+    # retired legs still run verbatim standalone in the local gate.
+    from .operators import dedup as dedup_ops
+    from .operators.text import tokens
+    from .session import read_table
 
-    a = _text["dedup_exact"](spark, sf_dir).select(
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        dedup_ops.exact_digest("text", normalize=True, prefix_tokens=8).alias(
+            "digest"
+        ),
+        tokens(F.col("text")).alias("_t"),
+    ).repartition(spark.sparkContext.defaultParallelism)
+    combo = toks.select(
+        F.col("doc_id"),
+        F.col("digest"),
+        dedup_ops.shingle_h32(F.col("_t"), 5).alias("_h32"),
+    ).localCheckpoint()
+
+    groups = dedup_ops.exact_dup_groups(
+        combo, digest_col="digest"
+    ).select(
+        "digest",
+        "group_size",
+        F.array_join(
+            F.transform(F.col("doc_ids"), lambda x: x.cast("string")), ","
+        ).alias("members"),
+    )
+    a = groups.select(
         F.lit("exact").alias("stat"),
         F.col("digest").cast(_S).alias("k1"),
         F.col("group_size").cast(_L).alias("n"),
         F.col("members").cast(_S).alias("members"),
     )
-    b = _text["dedup_clusters"](spark, sf_dir).select(
+
+    hashed = combo.select("doc_id", "_h32").filter(F.size("_h32") > 0)
+    pairs = dedup_ops.minhash_candidates_from_hashes(hashed, n_hashes=8, bands=4)
+    verified = dedup_ops.jaccard_verify_hashed(hashed, pairs).filter(
+        F.col("jaccard") >= 0.5
+    )
+    clusters = dedup_ops.duplicate_clusters(verified)
+    b = clusters.select(
         F.lit("cluster").alias("stat"),
         F.col("component_id").cast(_S).alias("k1"),
         F.col("n_members").cast(_L).alias("n"),

@@ -89,16 +89,18 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
     from pyspark.sql import functions as F
 
     path = os.path.join(sf_dir, f"{name}.parquet")
+    # oracle comparisons assume UTC-naive timestamp semantics (DuckDB);
+    # pin the session TZ so date casts/truncations of the LTZ events.ts
+    # are driver-environment independent (runtime conf — safe to set on
+    # a session we didn't create).  Pinned BEFORE the cache-hit return:
+    # the pin is load-bearing for every read, not just the first — a
+    # mid-session TZ mutation must not silently change cached-read
+    # results (ADVICE r14).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     key = (path,)
     hit = _TABLE_CACHE.get(key)
     if hit is not None and hit[0] is spark:
         return hit[1]
-
-    # oracle comparisons assume UTC-naive timestamp semantics (DuckDB);
-    # pin the session TZ so date casts/truncations of the LTZ events.ts
-    # are driver-environment independent (runtime conf — safe to set on
-    # a session we didn't create)
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
 
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -112,6 +114,39 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
         df = spark.read.parquet(path)
     _TABLE_CACHE[key] = (spark, df)
     return df
+
+
+def partitioned_checkpoint(df, *cols, n_parts: int | None = None):
+    """``repartition(cols).localCheckpoint()`` that PRESERVES the hash
+    partitioning in the checkpointed frame (r15, guide §2.4).
+
+    Under AQE, ``Dataset.checkpoint`` copies
+    ``AdaptiveSparkPlanExec.outputPartitioning`` into the LogicalRDD —
+    which reports ``UnknownPartitioning`` — so every downstream
+    consumer of a checkpointed frame re-exchanges even when the data
+    was just shuffled onto exactly the right key (observed in every
+    r14 plan capture: ``Scan ExistingRDD … UnknownPartitioning(0)``).
+    Scoping AQE OFF for the one checkpoint job makes the LogicalRDD
+    carry ``HashPartitioning(cols, n)``, which downstream groupBys /
+    windows / joins on ``cols`` (or any SUPERSET of them) satisfy
+    without a new Exchange — measured: groupBy over an AQE-on
+    checkpoint plans 1 exchange, over this 0.
+
+    The scope is only the producing job: consumers still plan and run
+    under AQE.  Results are partitioning-invariant throughout this
+    repo (the determinism discipline), so this is physical-only.
+    ``n_parts`` defaults to ``defaultParallelism`` — scale-adaptive,
+    never a local constant.
+    """
+    spark = df.sparkSession
+    n = n_parts or spark.sparkContext.defaultParallelism
+    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        out = df.repartition(n, *cols).localCheckpoint()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    return out
 
 
 def spread_scan(df):
