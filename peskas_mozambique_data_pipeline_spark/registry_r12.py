@@ -45,15 +45,21 @@ _KMV_K = 64
 
 def q_weights_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .registry_curation import q_dsir_weights, q_temperature_resample
+    from .session import overlap_builds
 
-    a = q_dsir_weights(spark, sf_dir).select(
+    # independent legs — overlap their eager builds (guide §2.6)
+    a_raw, b_raw = overlap_builds(
+        lambda: q_dsir_weights(spark, sf_dir),
+        lambda: q_temperature_resample(spark, sf_dir),
+    )
+    a = a_raw.select(
         F.lit("dsir").alias("stat"),
         F.col("doc_id").cast(_S).alias("k1"),
         F.col("n_tokens").cast(_L).alias("n"),
         F.lit(None).cast(_L).alias("n2"),
         F.col("dsir_weight").cast(_D).alias("v"),
     )
-    b = q_temperature_resample(spark, sf_dir).select(
+    b = b_raw.select(
         F.lit("resample").alias("stat"),
         F.col("source").cast(_S).alias("k1"),
         F.col("n_docs").cast(_L).alias("n"),

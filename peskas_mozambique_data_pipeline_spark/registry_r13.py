@@ -37,8 +37,14 @@ _D = "double"
 
 def q_crawlfam_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .registry_staged_r11 import q_crawl_audit, q_fetch_audit
+    from .session import overlap_builds
 
-    a = q_fetch_audit(spark, sf_dir).select(
+    # independent legs — overlap their eager builds (guide §2.6)
+    a_raw, b_raw = overlap_builds(
+        lambda: q_fetch_audit(spark, sf_dir),
+        lambda: q_crawl_audit(spark, sf_dir),
+    )
+    a = a_raw.select(
         F.lit("fetch").alias("stat"),
         F.col("doc_id").cast(_S).alias("k1"),
         F.col("url").cast(_S).alias("k2"),
@@ -46,7 +52,7 @@ def q_crawlfam_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("fetch_offset_ms").cast(_L).alias("n"),
         F.lit(None).cast(_D).alias("p"),
     )
-    b = q_crawl_audit(spark, sf_dir).select(
+    b = b_raw.select(
         F.col("stat").cast(_S).alias("stat"),
         F.col("k1").cast(_S).alias("k1"),
         F.col("k2").cast(_S).alias("k2"),
@@ -81,8 +87,14 @@ FROM b
 def q_geofam_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .registry_misc import q_geo_rollup_join
     from .registry_r11 import q_geo_assign
+    from .session import overlap_builds
 
-    a = q_geo_assign(spark, sf_dir).select(
+    # independent legs — overlap their eager builds (guide §2.6)
+    a_raw, b_raw = overlap_builds(
+        lambda: q_geo_assign(spark, sf_dir),
+        lambda: q_geo_rollup_join(spark, sf_dir),
+    )
+    a = a_raw.select(
         F.lit("assign").alias("stat"),
         F.col("pid").cast(_L).alias("id"),
         F.col("region").cast(_S).alias("k1"),
@@ -91,7 +103,7 @@ def q_geofam_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lon").cast(_D).alias("x"),
         F.col("lat").cast(_D).alias("y"),
     )
-    b = q_geo_rollup_join(spark, sf_dir).select(
+    b = b_raw.select(
         F.lit("rollup").alias("stat"),
         F.lit(None).cast(_L).alias("id"),
         F.col("region").cast(_S).alias("k1"),

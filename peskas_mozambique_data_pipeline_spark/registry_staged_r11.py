@@ -69,8 +69,14 @@ def _null(t: str):
 
 def q_governance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .registry_curation import q_corpus_diff, q_token_drift
+    from .session import overlap_builds
 
-    a = q_corpus_diff(spark, sf_dir).select(
+    # independent legs — overlap their eager builds (guide §2.6)
+    a_raw, b_raw = overlap_builds(
+        lambda: q_corpus_diff(spark, sf_dir),
+        lambda: q_token_drift(spark, sf_dir),
+    )
+    a = a_raw.select(
         F.lit("diff").alias("stat"),
         F.col("source").cast(_S).alias("key1"),
         F.col("status").cast(_S).alias("key2"),
@@ -78,7 +84,7 @@ def q_governance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         _null(_L).alias("n2"),
         _null(_D).alias("v"),
     )
-    b = q_token_drift(spark, sf_dir).select(
+    b = b_raw.select(
         F.lit("drift").alias("stat"),
         F.col("lang").cast(_S).alias("key1"),
         _null(_S).alias("key2"),
@@ -113,15 +119,23 @@ FROM b
 
 def q_neardup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .registry_text import q_embedding_near_dup, q_jaccard_exact
+    from .session import overlap_builds
 
-    a = q_jaccard_exact(spark, sf_dir).select(
+    # independent legs on different tables (documents shingles vs
+    # embeddings cosine), each with its own eager checkpoints — build
+    # them concurrently (guide §2.6)
+    a_raw, b_raw = overlap_builds(
+        lambda: q_jaccard_exact(spark, sf_dir),
+        lambda: q_embedding_near_dup(spark, sf_dir),
+    )
+    a = a_raw.select(
         F.lit("jaccard").alias("stat"),
         _null(_L).alias("lbl"),
         F.col("id_a").cast(_L).alias("id_a"),
         F.col("id_b").cast(_L).alias("id_b"),
         F.col("jaccard").cast(_D).alias("v"),
     )
-    b = q_embedding_near_dup(spark, sf_dir).select(
+    b = b_raw.select(
         F.lit("cosine").alias("stat"),
         F.col("label").cast(_L).alias("lbl"),
         F.col("id_a").cast(_L).alias("id_a"),

@@ -201,15 +201,22 @@ FROM frames
 
 def q_sketchfam_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .registry_curation import q_hist_quantiles, q_sketch_audit
+    from .session import overlap_builds
 
-    a = q_sketch_audit(spark, sf_dir).select(
+    # independent legs (documents token sketches vs lineitem histogram)
+    # — overlap their eager builds (guide §2.6)
+    a_raw, b_raw = overlap_builds(
+        lambda: q_sketch_audit(spark, sf_dir),
+        lambda: q_hist_quantiles(spark, sf_dir),
+    )
+    a = a_raw.select(
         F.col("sketch").alias("stat"),
         F.col("key").alias("key1"),
         F.lit(None).cast("double").alias("q"),
         F.col("n_exact").cast("long").alias("n_exact"),
         F.col("estimate").cast("double").alias("estimate"),
     )
-    b = q_hist_quantiles(spark, sf_dir).select(
+    b = b_raw.select(
         F.lit("hist").alias("stat"),
         F.col("o_orderpriority").alias("key1"),
         F.col("quantile").cast("double").alias("q"),

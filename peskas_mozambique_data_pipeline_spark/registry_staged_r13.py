@@ -257,8 +257,13 @@ GROUP BY vec_id, seq // 56
 def q_docmeta_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .registry_staged import STAGED_QUERIES as _r9
 
-    prof = _r9["doc_profile"](spark, sf_dir)
-    sig = _r9["doc_signature"](spark, sf_dir)
+    from .session import overlap_builds
+
+    # independent legs — overlap their eager builds (guide §2.6)
+    prof, sig = overlap_builds(
+        lambda: _r9["doc_profile"](spark, sf_dir),
+        lambda: _r9["doc_signature"](spark, sf_dir),
+    )
     return prof.join(sig, "doc_id")
 
 
@@ -278,15 +283,24 @@ FROM a JOIN b ON a.doc_id = b.doc_id
 
 def q_retrieval_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .registry_text import SPARK_QUERIES as _text
+    from .session import overlap_builds
 
-    a = _text["bm25_indexed"](spark, sf_dir).select(
+    # the two legs are deliberately DIFFERENT retrieval tiers (index
+    # bm25 vs scan bm25 + cosine) with no shared frame, and each pays
+    # its own eager checkpoints during build — overlap them (guide
+    # §2.6) so leg b's jobs back-fill the cores leg a's tails free
+    a_raw, b_raw = overlap_builds(
+        lambda: _text["bm25_indexed"](spark, sf_dir),
+        lambda: _text["hybrid_rrf"](spark, sf_dir),
+    )
+    a = a_raw.select(
         F.lit("bm25").alias("stat"),
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("n_terms_hit").cast("long").alias("n"),
         F.lit(None).cast("long").alias("n2"),
         F.col("score").cast("double").alias("v"),
     )
-    b = _text["hybrid_rrf"](spark, sf_dir).select(
+    b = b_raw.select(
         F.lit("rrf").alias("stat"),
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("n_lists").cast("long").alias("n"),

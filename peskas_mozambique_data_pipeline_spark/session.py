@@ -15,8 +15,15 @@ The session defaults below are the scale posture:
 from __future__ import annotations
 
 import os
+import threading
 
 from pyspark.sql import SparkSession
+
+# partitioned_checkpoint scopes AQE off for its one producing job; the
+# toggle mutates a session-global conf, so concurrent leg builds
+# (overlap_builds) must serialize around it or one thread's restore
+# could clobber another's scope
+_AQE_TOGGLE_LOCK = threading.Lock()
 
 
 def get_spark(
@@ -140,12 +147,13 @@ def partitioned_checkpoint(df, *cols, n_parts: int | None = None):
     """
     spark = df.sparkSession
     n = n_parts or spark.sparkContext.defaultParallelism
-    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try:
-        out = df.repartition(n, *cols).localCheckpoint()
-    finally:
-        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    with _AQE_TOGGLE_LOCK:
+        prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            out = df.repartition(n, *cols).localCheckpoint()
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", prev)
     return out
 
 
@@ -200,3 +208,30 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None 
             df.createOrReplaceTempView(name)
             out[name] = df
     return out
+
+
+def overlap_builds(*thunks):
+    """Build INDEPENDENT query legs concurrently (guide §2.6).
+
+    Eager materializations (localCheckpoint jobs) inside a query build
+    run sequentially when the legs are built one after another, leaving
+    most cores idle through each job's tail.  For union rows whose legs
+    share no frame, submitting the leg builds from a small thread pool
+    lets Spark's scheduler back-fill: leg B's checkpoint tasks run on
+    the cores leg A's straggler tasks freed.  Results are identical by
+    construction — each leg runs the exact same jobs, only their wall
+    clocks overlap (job descriptions stay correct per thread; the one
+    session-global conf toggle, partitioned_checkpoint's AQE scope, is
+    serialized by ``_AQE_TOGGLE_LOCK``).
+
+    Returns the thunk results in argument order.  With one thunk (or
+    ``SPARK_GRAFT_OVERLAP=0`` for A/B measurement) it degrades to the
+    sequential build.
+    """
+    if len(thunks) == 1 or os.environ.get("SPARK_GRAFT_OVERLAP", "1") == "0":
+        return [t() for t in thunks]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(4, len(thunks))) as pool:
+        futures = [pool.submit(t) for t in thunks]
+        return [f.result() for f in futures]

@@ -14,6 +14,7 @@ from peskas_mozambique_data_pipeline_spark.io import parquet_io
 from peskas_mozambique_data_pipeline_spark.operators import ann_index
 from peskas_mozambique_data_pipeline_spark.operators import similarity as sim_ops
 from peskas_mozambique_data_pipeline_spark.plans.pipeline import PipelineZones
+import pytest
 
 SF = "/root/testdata/sf0.001"
 
@@ -52,6 +53,7 @@ def test_save_load_probe_round_trip(spark, tmp_path):
     assert rows(from_zone) == rows(in_memory)
 
 
+@pytest.mark.slow
 def test_incremental_add_matches_frozen_rebuild(spark, tmp_path):
     emb = _emb(spark)
     base = emb.filter(F.col("vec_id") % 5 != 0)
@@ -74,6 +76,7 @@ def test_incremental_add_matches_frozen_rebuild(spark, tmp_path):
     assert rows(got) == rows(expected)
 
 
+@pytest.mark.slow
 def test_compaction_folds_deltas_and_preserves_results(spark, tmp_path):
     emb = _emb(spark)
     base = emb.filter(F.col("vec_id") < 400)
@@ -174,6 +177,7 @@ def test_ivfpq_zone_matches_in_job_tier(spark, tmp_path):
     assert rows(got) == rows(expected)
 
 
+@pytest.mark.slow
 def test_ivfpq_append_matches_frozen_rebuild(spark, tmp_path):
     """Frozen-structure IVF+PQ appends: base index built on part of the
     corpus, the rest appended; the zone must equal a from-scratch

@@ -9,6 +9,7 @@ import os
 from peskas_mozambique_data_pipeline_spark.operators import sketches as sk
 from peskas_mozambique_data_pipeline_spark.streaming import bloom_ledger as bl
 from peskas_mozambique_data_pipeline_spark.streaming import ingest as si
+import pytest
 
 
 def _write(spark, landing, rows):
@@ -21,6 +22,7 @@ def _rows(lo, hi, source):
     return [(i, f"https://ex.org/{i}", source) for i in range(lo, hi)]
 
 
+@pytest.mark.slow
 def test_stream_filter_equals_batch_and_never_misses(spark, tmp_path):
     landing = str(tmp_path / "landing")
     zone = str(tmp_path / "zone")

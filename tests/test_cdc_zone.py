@@ -62,6 +62,7 @@ def test_stream_state_equals_batch_apply_cdc(spark, tmp_path):
     assert got == [(1, "a2", 11), (3, "c", 30), (4, "d", 40)]
 
 
+@pytest.mark.slow
 def test_compaction_drops_tombstones_and_preserves_state(spark, tmp_path):
     landing = str(tmp_path / "landing")
     zone = str(tmp_path / "zone")
@@ -122,6 +123,7 @@ def test_strict_read_guard(spark, tmp_path):
     assert cz.read_cdc_state(spark, zone, ["k"], strict=False).count() == 1
 
 
+@pytest.mark.slow
 def test_late_low_seq_batch_rejected_after_compaction(spark, tmp_path):
     """ADVICE r13: compaction drops tombstones on the promise that seq
     is globally monotonic across batches.  The zone now records the

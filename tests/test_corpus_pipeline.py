@@ -1,5 +1,7 @@
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from peskas_mozambique_data_pipeline_spark.plans import corpus
@@ -291,6 +293,7 @@ def test_bucketed_zone_join_has_no_exchange(spark, tmp_path):
     assert zones.read(spark, "docs_b").count() == 2000
 
 
+@pytest.mark.slow
 def test_corpus_pipeline_with_decontamination_and_shuffle(spark, tmp_path):
     """The full curation DAG with the two new optional stages: the
     benchmark-contaminated doc is removed BEFORE dedup (so its

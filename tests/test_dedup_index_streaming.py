@@ -4,6 +4,7 @@ from pyspark.sql import functions as F
 
 from peskas_mozambique_data_pipeline_spark.streaming import dedup_index as di
 from peskas_mozambique_data_pipeline_spark.streaming import ingest as si
+import pytest
 
 DOC = "the quick brown fox jumps over the lazy dog near the river bank today"
 DOC_NEAR = "the quick brown fox jumps over the lazy dog near the river bank tonight"
@@ -66,6 +67,7 @@ def test_incremental_index_finds_cross_batch_pairs(spark, tmp_path):
     assert di.read_pairs(spark, pairs_dir).count() == len(got)
 
 
+@pytest.mark.slow
 def test_compaction_bounds_the_index(spark, tmp_path):
     landing = str(tmp_path / "landing")
     zone = str(tmp_path / "zone")

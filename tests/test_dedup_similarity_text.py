@@ -1,5 +1,7 @@
 from __future__ import annotations
 
+import pytest
+
 import numpy as np
 from pyspark.sql import functions as F
 
@@ -1313,6 +1315,7 @@ def test_weighted_rrf_biases_toward_heavier_list(spark):
         similarity.reciprocal_rank_fusion([lex, sem], weights=[1.0])
 
 
+@pytest.mark.slow
 def test_rrf_nano_units_match_float_ranking(spark):
     """The engine-exact nano tier (10^9 div (k+rank), BIGINT sum) must
     induce the SAME fused ordering as the float tier whenever the float
@@ -1480,6 +1483,7 @@ def test_deterministic_shuffle_eager_unpersist_identical_and_freed(spark):
     assert after - before <= 1, (before, after)
 
 
+@pytest.mark.slow
 def test_mixture_budget_closed_matches_iterative(spark):
     """The r8 closed-form waterfill (sort by cap/weight + exact-integer
     breakpoint predicate) reproduces the iterative solver's fixpoint,

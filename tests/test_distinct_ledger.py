@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from peskas_mozambique_data_pipeline_spark.operators import sketches as sk
 from peskas_mozambique_data_pipeline_spark.streaming import distinct_ledger as dl
 from peskas_mozambique_data_pipeline_spark.streaming import ingest as si
+import pytest
 
 
 def _write(spark, landing, rows):
@@ -62,6 +63,7 @@ def test_stream_registers_equal_batch_bit_for_bit(spark, tmp_path):
     assert est == batch_est
 
 
+@pytest.mark.slow
 def test_compaction_preserves_registers_and_bounds_dirs(spark, tmp_path):
     landing = str(tmp_path / "landing")
     zone = str(tmp_path / "zone")

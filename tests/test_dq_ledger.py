@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from peskas_mozambique_data_pipeline_spark.operators import expectations as dq
 from peskas_mozambique_data_pipeline_spark.streaming import dq_ledger as dl
 from peskas_mozambique_data_pipeline_spark.streaming import ingest as si
+import pytest
 
 
 def _rules():
@@ -95,6 +96,7 @@ def test_stream_report_equals_batch_bit_for_bit(spark, tmp_path):
     assert _got(spark, zone) == _want(spark, landing)
 
 
+@pytest.mark.slow
 def test_compaction_preserves_report_and_bounds_dirs(spark, tmp_path):
     landing = str(tmp_path / "landing")
     zone = str(tmp_path / "zone")

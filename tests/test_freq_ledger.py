@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from peskas_mozambique_data_pipeline_spark.operators import sketches as sk
 from peskas_mozambique_data_pipeline_spark.streaming import freq_ledger as fl
 from peskas_mozambique_data_pipeline_spark.streaming import ingest as si
+import pytest
 
 
 def _write(spark, landing, rows):
@@ -77,6 +78,7 @@ def test_stream_cells_equal_batch_bit_for_bit(spark, tmp_path):
     assert all(est[k] >= x for k, x in exact.items())
 
 
+@pytest.mark.slow
 def test_compaction_never_double_counts_and_bounds_dirs(spark, tmp_path):
     landing = str(tmp_path / "landing")
     zone = str(tmp_path / "zone")

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from peskas_mozambique_data_pipeline_spark.operators import multimodal
 from peskas_mozambique_data_pipeline_spark.streaming import hamming_index as hi
 from peskas_mozambique_data_pipeline_spark.streaming import ingest as si
+import pytest
 
 # hand-picked 64-bit hashes (bit 63 clear): A/A1 differ by 1 bit,
 # B/B2 differ by 3 bits, C is far from everything
@@ -89,6 +90,7 @@ def test_stream_equals_batch_operator(spark, tmp_path):
     assert stream_pairs == batch_pairs and len(batch_pairs) >= 3
 
 
+@pytest.mark.slow
 def test_compaction_preserves_probe_results(spark, tmp_path):
     landing = str(tmp_path / "landing")
     zone = str(tmp_path / "zone")

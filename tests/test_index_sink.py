@@ -13,6 +13,7 @@ from peskas_mozambique_data_pipeline_spark.operators import similarity as sim_op
 from peskas_mozambique_data_pipeline_spark.operators import text as text_ops
 from peskas_mozambique_data_pipeline_spark.plans.pipeline import PipelineZones
 from peskas_mozambique_data_pipeline_spark.streaming import index_sink
+import pytest
 
 SF = "/root/testdata/sf0.001"
 TERMS = ["spark", "window", "merge"]
@@ -28,6 +29,7 @@ def _docs(spark):
     )
 
 
+@pytest.mark.slow
 def test_streamed_bm25_appends_match_batch_index(spark, tmp_path):
     docs = _docs(spark)
     base = docs.filter(F.col("doc_id") % 3 == 0)
@@ -154,6 +156,7 @@ def test_ensure_indexes_skip_if_fresh_and_maintain(spark, tmp_path):
     assert n_docs == 400  # retention kept the newest stats
 
 
+@pytest.mark.slow
 def test_bm25_replay_after_compaction_not_double_counted(spark, tmp_path):
     """ADVICE r8: the exactly-once window must survive compaction.  A
     batch whose delta was folded+deleted and then REPLAYED (checkpoint
@@ -242,6 +245,7 @@ def test_ivf_replay_after_compaction_skipped(spark, tmp_path):
     assert ann_index.load_ivf_postings(spark, zones).count() == n_after
 
 
+@pytest.mark.slow
 def test_streamed_ivfpq_appends_match_frozen_rebuild(spark, tmp_path):
     """IVF+PQ streaming sink: stream-fed zone == frozen-structure
     encode of the full corpus, with the replay-after-compaction skip."""

@@ -4,6 +4,8 @@ skip_top semantics, one-corpus-scan plan shape."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from peskas_mozambique_data_pipeline_spark.operators import mining
@@ -289,6 +291,7 @@ def test_ivf_hard_negatives_match_exact_tier_on_probed_pool(spark, tmp_path):
     assert all((r.query_id, r.doc_id) not in banned for r in got)
 
 
+@pytest.mark.slow
 def test_export_training_triples_roundtrip(spark, tmp_path):
     from peskas_mozambique_data_pipeline_spark.io import parquet_io
     from peskas_mozambique_data_pipeline_spark.plans.pipeline import (

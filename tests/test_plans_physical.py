@@ -22,10 +22,18 @@ def _q(name):
 
 
 def plan_of(df, mode: str = "formatted") -> str:
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        df.explain(mode)
-    return buf.getvalue()
+    # fetch the explain string straight from the JVM: redirect_stdout
+    # swaps sys.stdout process-wide, which breaks under the thread-pooled
+    # whole-registry audit below
+    try:
+        return df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), mode
+        )
+    except Exception:
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain(mode)
+        return buf.getvalue()
 
 
 def test_lw_model_filter_pushed_to_scan(spark):
@@ -61,11 +69,23 @@ def test_trip_rollup_whole_stage_codegen(spark):
 def test_no_python_udfs_in_any_registry_query(spark):
     """Every registry query must stay JVM-side: no row-at-a-time Python
     evaluation nodes anywhere in any plan (the whole-corpus guarantee
-    that text/dedup/similarity scale at scan speed)."""
-    for name, fn in registry.SPARK_QUERIES.items():
+    that text/dedup/similarity scale at scan speed).
+
+    The 100 query builds (each pays its eager checkpoints) are
+    independent, so they run from a small thread pool — concurrent
+    Spark jobs back-fill the session's cores instead of serializing 100
+    build chains (the single biggest wall-time item in the suite).
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    def check(item):
+        name, fn = item
         plan = plan_of(fn(spark, SF), "simple")
         assert "BatchEvalPython" not in plan, f"{name} fell back to Python UDF"
         assert "ArrowEvalPython" not in plan, f"{name} uses a Pandas UDF"
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        list(pool.map(check, registry.SPARK_QUERIES.items()))
 
 
 def test_monthly_median_single_exchange_for_agg(spark):

@@ -4,6 +4,8 @@ non-negativity."""
 
 from __future__ import annotations
 
+import pytest
+
 import datetime
 
 from hypothesis import HealthCheck, given, settings, strategies as st
@@ -75,6 +77,7 @@ def test_complete_months_covers_span(spark, rows_in):
         max_size=5,
     )
 )
+@pytest.mark.slow
 def test_flag_monotonicity(spark, trips):
     """Adding a violation to a row never removes existing flags."""
     base = spark.createDataFrame(
@@ -131,6 +134,7 @@ def test_catch_model_non_negative(spark, rows_in):
     st.integers(min_value=2, max_value=6),
     st.sampled_from(["hot", None]),
 )
+@pytest.mark.slow
 def test_triangle_self_join_equals_brute_force(spark, ids, n_parts, one_block):
     # every unordered within-block pair exactly once, any part count,
     # whether rows share one block or split across two
@@ -158,6 +162,7 @@ def test_triangle_self_join_equals_brute_force(spark, ids, n_parts, one_block):
     ),
     st.integers(min_value=1, max_value=3),
 )
+@pytest.mark.slow
 def test_blocked_levenshtein_equals_crossjoin(spark, names_in, k):
     from peskas_mozambique_data_pipeline_spark.operators.fuzzy import (
         blocked_levenshtein_pairs,
@@ -257,6 +262,7 @@ def test_repetition_feature_invariants(spark, docs_in):
     st.lists(st.lists(words, min_size=3, max_size=12), min_size=1, max_size=4),
     st.lists(st.lists(words, min_size=3, max_size=12), min_size=1, max_size=2),
 )
+@pytest.mark.slow
 def test_contamination_matches_python_set_overlap(spark, train_in, bench_in):
     from peskas_mozambique_data_pipeline_spark.operators.text import (
         ngram_contamination,
@@ -284,6 +290,7 @@ def test_contamination_matches_python_set_overlap(spark, train_in, bench_in):
     st.lists(st.lists(words, min_size=3, max_size=12), min_size=1, max_size=2),
     st.sampled_from([1, 4]),  # n_words: saturated 64-bit and roomy filters
 )
+@pytest.mark.slow
 def test_bloom_decontaminate_equals_exact_for_any_corpus(
     spark, train_in, bench_in, n_words
 ):
@@ -317,6 +324,7 @@ def test_bloom_decontaminate_equals_exact_for_any_corpus(
 
 @SET
 @given(st.integers(min_value=1, max_value=500), st.sampled_from([0.25, 0.5, 1.0]))
+@pytest.mark.slow
 def test_stratified_sample_is_exact_subset_semantics(spark, n, frac):
     from peskas_mozambique_data_pipeline_spark.operators.text import (
         deterministic_uniform,
@@ -380,6 +388,7 @@ def test_pack_documents_conservation_and_order(spark, tok_counts, budget):
     ),
     st.sampled_from([0.3, 0.5, 0.8]),
 )
+@pytest.mark.slow
 def test_jaccard_prefix_join_complete_on_random_corpora(spark, token_lists, threshold):
     """Prefix filtering + size filtering must be LOSSLESS at every
     threshold: blocked result == brute force, including boundary
@@ -421,6 +430,7 @@ def test_jaccard_prefix_join_complete_on_random_corpora(spark, token_lists, thre
     ),
     st.integers(1, 6),
 )
+@pytest.mark.slow
 def test_per_group_cap_properties(spark, rows_in, cap):
     """For ANY corpus and cap: every group keeps min(cap, group size)
     rows, no row is lost or invented, and the kept set is independent
@@ -463,6 +473,7 @@ def test_per_group_cap_properties(spark, rows_in, cap):
     st.lists(st.integers(min_value=0, max_value=86_400 * 3), min_size=1, max_size=12),
     st.sampled_from([3600, 21_600, 90_000]),
 )
+@pytest.mark.slow
 def test_interval_join_equals_theta_join(spark, iv_in, pt_in, bin_seconds):
     """interval_join must emit EXACTLY the (point, interval) pairs the
     naive theta join defines, for any bin width — bins dial cost, never
@@ -599,6 +610,7 @@ words = st.sampled_from(["cat", "dog", "fish", "net", "boat", "reef"])
     st.lists(st.lists(words, min_size=1, max_size=12), min_size=1, max_size=6),
     st.lists(words, min_size=1, max_size=4),
 )
+@pytest.mark.slow
 def test_bm25_tiers_agree_on_random_corpora(spark, docs_in, terms):
     """Scan-local and inverted-index BM25 produce identical
     (doc, n_terms_hit, score) sets for any corpus and any query term
@@ -763,6 +775,7 @@ def test_pcm_frame_features_matches_python_twin(spark, samples, win_ms):
     st.integers(min_value=1, max_value=5),
     st.integers(min_value=1, max_value=8),
 )
+@pytest.mark.slow
 def test_audio_fingerprint_matches_python_twin(spark, samples, win_ms, bpw):
     """Delta-sign bit packing equals an independent python twin for
     arbitrary PCM, window sizes and word widths (sample_rate 1000 →
@@ -803,6 +816,7 @@ def test_audio_fingerprint_matches_python_twin(spark, samples, win_ms, bpw):
     st.lists(st.integers(min_value=0, max_value=400), min_size=1, max_size=60),
     st.sampled_from([4, 16, 64]),
 )
+@pytest.mark.slow
 def test_kmv_merge_semilattice_property(spark, xs, ys, k):
     """sketch(A ∪ B) == merge(sketch A, sketch B) exactly, for random
     multisets and any k — the property that makes shard-parallel
@@ -932,6 +946,7 @@ _words = st.text(alphabet="abcdef gh", min_size=1, max_size=40)
         max_size=6,
     )
 )
+@pytest.mark.slow
 def test_extract_main_content_matches_python_twin(spark, blocks):
     from peskas_mozambique_data_pipeline_spark.operators import html as H
 
@@ -956,6 +971,7 @@ def test_extract_main_content_matches_python_twin(spark, blocks):
     st.lists(st.integers(min_value=0, max_value=300), min_size=1, max_size=50),
     st.lists(st.integers(min_value=0, max_value=300), min_size=1, max_size=50),
 )
+@pytest.mark.slow
 def test_bloom_merge_semilattice_property(spark, xs, ys):
     """pack(bits(A ∪ B)) == merge(pack(bits A), pack(bits B)) bit for
     bit, for random multisets — OR is the semilattice that makes
@@ -985,6 +1001,7 @@ def test_bloom_merge_semilattice_property(spark, xs, ys):
     ),
     st.sampled_from([2, 4, 8]),
 )
+@pytest.mark.slow
 def test_zorder_key_matches_python_twin_property(spark, pts, bits):
     """Morton keys equal a pure-python twin for random (x, y) incl.
     huge magnitudes — the DIV (integer division) exactness claim."""
@@ -1076,6 +1093,7 @@ def _unique_key_seq(batch):
         max_size=3,
     ),
 )
+@pytest.mark.slow
 def test_apply_cdc_matches_python_dict_twin(spark, target_in, batches):
     """Batch-by-batch application of random upsert/delete interleavings
     (keys colliding across batches, seqs in any order, deletes of
@@ -1110,6 +1128,7 @@ def test_apply_cdc_matches_python_dict_twin(spark, target_in, batches):
 
 @SET
 @given(st.lists(_cdc_change, min_size=1, max_size=6).map(_unique_key_seq))
+@pytest.mark.slow
 def test_apply_cdc_duplicate_key_seq_always_raises(spark, batch):
     """The strict guard fires on ANY batch containing a duplicated
     (key, seq) pair, regardless of the surrounding interleaving."""

@@ -25,24 +25,24 @@ from pyspark.sql import functions as F
 from peskas_mozambique_data_pipeline_spark import registry, registry_audit
 
 
-def test_r14_window_arithmetic():
-    # r14 swap: 100 − 4 staged legs + 2 unions + 2 new keeps 100;
-    # head = 4 never-driver-verified r14 rows + 46 tail survivors =
-    # 50, and the resting tail leads with the r13 head rows verbatim
+def test_r15_window_arithmetic():
+    # r15 rotation (optimization round — PURE head/tail swap, no
+    # composition change): the 50 rows that rested through r14 (led by
+    # the r13 head: pca_cov …) are back in the driver-verified head,
+    # and the r14 head (led by its 4 then-new rows: bandpairs_audit …)
+    # rests in the tail
     names = list(registry.SPARK_QUERIES)
     assert len(names) == 100
     assert len(set(names)) == 100
     assert set(registry.ORACLE_SQL) == set(names)
-    head = names[:50]
-    new_rows = [
-        "bandpairs_audit", "dedupfam_audit", "main_content_audit",
-        "diff_audit",
-    ]
-    assert head[: len(new_rows)] == new_rows
-    assert names[50:60] == [
+    assert names[:10] == [
         "pca_cov", "audio_fp", "corpus_card", "docmeta_audit",
         "retrieval_audit", "capsel_audit", "crawlfam_audit",
         "nearest_audit", "geofam_audit", "release_fold",
+    ]
+    assert names[50:54] == [
+        "bandpairs_audit", "dedupfam_audit", "main_content_audit",
+        "diff_audit",
     ]
 
 

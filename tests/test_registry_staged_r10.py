@@ -70,6 +70,7 @@ STAGED_SQL = registry_staged_r10.build_staged_oracle_sql()
 
 @pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
 @pytest.mark.parametrize("name", sorted(registry_staged_r10.STAGED_QUERIES))
+@pytest.mark.slow
 def test_staged_r10_oracle_bit_exact(spark, name, sf_dir):
     sdf = registry_staged_r10.STAGED_QUERIES[name](spark, sf_dir)
     srows = _norm([tuple(r) for r in sdf.collect()], sdf.columns)

@@ -70,6 +70,7 @@ STAGED_SQL = registry_staged_r11.build_staged_oracle_sql()
 
 @pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
 @pytest.mark.parametrize("name", sorted(registry_staged_r11.STAGED_QUERIES))
+@pytest.mark.slow
 def test_staged_r11_oracle_bit_exact(spark, name, sf_dir):
     sdf = registry_staged_r11.STAGED_QUERIES[name](spark, sf_dir)
     srows = _norm([tuple(r) for r in sdf.collect()], sdf.columns)
@@ -91,6 +92,7 @@ def test_staged_r11_oracle_bit_exact(spark, name, sf_dir):
 @pytest.mark.parametrize(
     "union_name,legs", sorted(registry_staged_r11.STAGED_REPLACES.items())
 )
+@pytest.mark.slow
 def test_staged_r11_parity_with_replaced_rows(spark, union_name, legs):
     sf = "/root/testdata/sf0.001"
     union_df = registry_staged_r11.STAGED_QUERIES[union_name](spark, sf)

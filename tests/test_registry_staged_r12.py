@@ -65,6 +65,7 @@ STAGED_SQL = registry_staged_r12.build_staged_oracle_sql()
 
 @pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
 @pytest.mark.parametrize("name", sorted(registry_staged_r12.STAGED_QUERIES))
+@pytest.mark.slow
 def test_staged_r12_oracle_bit_exact(spark, name, sf_dir):
     sdf = registry_staged_r12.STAGED_QUERIES[name](spark, sf_dir)
     srows = _norm([tuple(r) for r in sdf.collect()], sdf.columns)
@@ -113,6 +114,7 @@ def test_staged_swap_landed_r12():
 @pytest.mark.parametrize(
     "union_name,legs", sorted(registry_staged_r12.STAGED_REPLACES.items())
 )
+@pytest.mark.slow
 def test_staged_r12_parity_with_replaced_rows(spark, union_name, legs):
     """Each consolidation union reproduces the registered legs'
     row counts and carries one stat value per leg family."""

@@ -66,6 +66,7 @@ STAGED_SQL = registry_staged_r18.build_staged_oracle_sql()
     "sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 )
 @pytest.mark.parametrize("name", sorted(registry_staged_r18.STAGED_QUERIES))
+@pytest.mark.slow
 def test_staged_r18_oracle_bit_exact(spark, name, sf_dir):
     sdf = registry_staged_r18.STAGED_QUERIES[name](spark, sf_dir)
     srows = _norm([tuple(r) for r in sdf.collect()], sdf.columns)
@@ -165,6 +166,7 @@ def test_staged_r18_ivm_semantics(spark):
 @pytest.mark.parametrize(
     "union_name,legs", sorted(registry_staged_r18.STAGED_REPLACES.items())
 )
+@pytest.mark.slow
 def test_staged_r18_parity_with_replaced_rows(spark, union_name, legs):
     """Each funding consolidation reproduces the registered legs' row
     counts (stat-tagged unions sum) and carries every leg family's

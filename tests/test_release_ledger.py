@@ -9,6 +9,7 @@ import os
 from peskas_mozambique_data_pipeline_spark.io import parquet_io
 from peskas_mozambique_data_pipeline_spark.streaming import ingest as si
 from peskas_mozambique_data_pipeline_spark.streaming import release_ledger as rl
+import pytest
 
 
 def _write(spark, landing, rows):
@@ -56,6 +57,7 @@ def test_stream_fold_equals_batch_bit_for_bit(spark, tmp_path):
     assert got == _batch_want(spark, landing)
 
 
+@pytest.mark.slow
 def test_compaction_preserves_fold_and_never_double_counts(spark, tmp_path):
     landing = str(tmp_path / "landing")
     zone = str(tmp_path / "zone")

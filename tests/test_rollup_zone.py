@@ -96,6 +96,7 @@ def test_restart_is_idempotent(spark, tmp_path):
     assert _rollup(spark, zone) == first == [("a", 2, 30)]
 
 
+@pytest.mark.slow
 def test_compaction_preserves_rollup_and_bounds_dirs(spark, tmp_path):
     landing = str(tmp_path / "landing")
     zone = str(tmp_path / "zone")
@@ -134,6 +135,7 @@ def test_float_measure_rejected(spark, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_random_interleavings_congruent_with_state(spark, tmp_path):
     """Seeded pseudo-random batches (upserts, in-place replaces, group
     moves, deletes incl. of absent keys, re-inserts) — the folded

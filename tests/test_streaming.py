@@ -190,6 +190,7 @@ def test_stream_to_versioned_zone_idempotent_batches(spark, landing_dir, tmp_pat
     assert spark.read.parquet(path3).count() == n1 + 2
 
 
+@pytest.mark.slow
 def test_streaming_soak_bounded_state(spark, tmp_path):
     """Trigger-interval soak: simulated hours of event time through
     arrival_stats + the foreachBatch zone sink.  The watermark must

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 from peskas_mozambique_data_pipeline_spark.streaming import governance as gov
 from peskas_mozambique_data_pipeline_spark.streaming import ingest as si
+import pytest
 
 
 def _write(spark, landing, rows):
@@ -102,6 +103,7 @@ def test_stream_cap_single_batch_equals_batch_operator(spark, tmp_path):
     assert streamed == batch
 
 
+@pytest.mark.slow
 def test_stream_cap_counts_compaction_bounds_dirs(spark, tmp_path):
     """With compact_every=2 the counts deltas fold into an upto=<id>
     snapshot and superseded dirs are deleted — bounded per-batch state

@@ -14,6 +14,7 @@ from peskas_mozambique_data_pipeline_spark.io import parquet_io
 from peskas_mozambique_data_pipeline_spark.operators import text as text_ops
 from peskas_mozambique_data_pipeline_spark.operators import text_index
 from peskas_mozambique_data_pipeline_spark.plans.pipeline import PipelineZones
+import pytest
 
 SF = "/root/testdata/sf0.001"
 TERMS = ["spark", "window", "merge", "spark"]  # duplicate → multiplicity
@@ -60,6 +61,7 @@ def test_append_merges_stats_globally(spark, tmp_path):
     assert n_docs == docs.count()
 
 
+@pytest.mark.slow
 def test_compaction_folds_and_preserves(spark, tmp_path):
     docs = _docs(spark)
     zones = PipelineZones(str(tmp_path))
