@@ -617,7 +617,11 @@ def q_ivf_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # slower in every combination (cp assign 4.31 s, cp cents 5.09 s
     # vs 3.54 s shared / 3.89 s two-build at sf0.1): eager
     # materialization breaks the ReuseExchange sharing and adds jobs
-    # (the r14 finding, re-confirmed).
+    # (the r14 finding, re-confirmed).  A LAZY repartition barrier on
+    # assignments (so both probe pipelines reuse one exchange) was also
+    # A/B'd (r15, 4 alternating rounds): min totals 3.31 vs 3.26 s —
+    # inside noise, and at scale it is a corpus-width shuffle bought to
+    # skip re-running a scan + broadcast join; stays out.
     from .operators import similarity as sim
     from .registry_curation import _PQ_K, _PQ_M
     from .session import read_table
