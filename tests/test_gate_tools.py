@@ -198,3 +198,25 @@ def test_boundary_audit_textual_tripwire():
         if qname not in registry.ORACLE_SQL:
             assert any(expr in live for live in registry.ORACLE_SQL.values()), (
                 qname, expr)
+
+
+def test_best_recorded_canary_is_robust_to_one_fast_outlier(tmp_path):
+    """The load gate's reference is the median of the 5 fastest
+    recorded canaries, not the single minimum: one unusually fast
+    sample must not tighten the gate until ordinary quiet runs flag
+    load-suspect (observed 2026-08-18: a 0.099 outlier vs a 0.14-0.18
+    quiet cluster would have failed every clean run at 1.5x)."""
+    bench = _load("bench_mod", "bench.py")
+    vals = [0.099, 0.141, 0.145, 0.153, 0.162, 0.176, 0.276, 0.309]
+    for i, c in enumerate(vals):
+        (tmp_path / f"bench_run_{i:04d}Z.json").write_text(
+            json.dumps({"canary_sec": c})
+        )
+    ref = bench._best_recorded_canary(str(tmp_path))
+    # median of the 5 fastest [0.099, 0.141, 0.145, 0.153, 0.162]
+    assert ref == 0.145
+    # a quiet-cluster canary stays under tolerance; a loaded one doesn't
+    assert 0.176 <= bench._CANARY_TOL * ref
+    assert 0.276 > bench._CANARY_TOL * ref
+    # no history -> None (caller falls back to self-reference)
+    assert bench._best_recorded_canary(str(tmp_path / "empty")) is None
