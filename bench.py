@@ -212,9 +212,21 @@ def main() -> None:
         "canary_post_sec": canary_post,
         "canary_mc_sec": canary_mc,
         # true when even the best attempt's canary sat above tolerance
-        # vs the best .benchmarks-recorded canary — treat per-query
+        # vs the reference .benchmarks-recorded canary — treat per-query
         # numbers from such a run as upper bounds, not measurements
         "load_suspect": suspect,
+        # true when a MID-suite canary sample sat far above the quiet
+        # reference (2.5x — mid-suite samples read ~1.2-1.9x high even
+        # when quiet, from the suite's own background cleanup): the
+        # end canaries were clean but a load window opened mid-run, so
+        # per-row outliers in this record are attributable to load.
+        # Recorded, not retried — the retry gate stays on the
+        # end-canary calibration
+        "trace_suspect": bool(
+            trace
+            and best_hist is not None
+            and max(trace) > 2.5 * best_hist
+        ),
         "sf": sf,
     }
     # the driver captures a bounded stdout tail — keep the stdout line
